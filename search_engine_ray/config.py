@@ -1,0 +1,97 @@
+"""Index configuration.
+
+The knobs that matter at 100 TB scale are explicit here:
+
+- ``num_buckets``: doc-shard count. Postings are keyed by
+  ``(term, bucket)`` where ``bucket = doc_id % num_buckets``, so a hot
+  term's posting list is split across ``num_buckets`` shuffle groups —
+  this IS the salted repartitioning of hot terms the north rule asks
+  for (the salt is the doc shard, so it needs no second pass to detect
+  hot keys, and query-time merge is trivial because buckets partition
+  the doc space). Size so that (docs per bucket x query terms) fits a
+  worker's heap; at 10^12 docs use ~2^14 buckets.
+- ``num_parts``: on-disk layout partitions, ``part = hash(term) %
+  num_parts`` — a query for Q terms prunes the read to <= Q partition
+  directories (hive partition pruning on ``part`` plus parquet
+  row-group stats on ``term``).
+- ``block_size``: postings are encoded in blocks of this many docs,
+  each with (first_doc_id, byte offsets, max_tf, min_dl) metadata for
+  block-max pruning / skipping without decoding.
+
+Field handling mirrors the reference's Atlas Search index definition
+(name/barcode/store_id text + autocomplete analyzers, SURVEY.md §1.1):
+each indexed field gets its own term namespace ``"<code>:<token>"`` and
+its own length normalization (per-field BM25, like Lucene); fields with
+``ngram=True`` additionally index edge-n-grams under ``"<code>>:<gram>"``
+for prefix / autocomplete queries (reference `$search.autocomplete`,
+search_utils.py:182-237).
+"""
+
+from __future__ import annotations
+
+import zlib
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class FieldSpec:
+    """One indexed field: ``name`` is the source column, ``code`` the
+    short term-namespace prefix, ``ngram`` enables edge-n-gram terms
+    (autocomplete), bounded by ``ngram_min``/``ngram_max`` chars."""
+
+    name: str
+    code: str
+    ngram: bool = False
+    ngram_min: int = 2
+    ngram_max: int = 8
+
+
+@dataclass(frozen=True)
+class IndexConfig:
+    fields: tuple[FieldSpec, ...] = (
+        FieldSpec("content", "c"),
+        FieldSpec("path", "p", ngram=True),
+        FieldSpec("repo", "r", ngram=True),
+    )
+    num_buckets: int = 16
+    num_parts: int = 8
+    block_size: int = 128
+    k1: float = 1.2
+    b: float = 0.75
+    # columns carried into the docmap (doc store) besides doc_id/bucket
+    docmap_cols: tuple[str, ...] = ("repo", "path", "commit", "lang", "content_sha256")
+    id_cols: tuple[str, ...] = ("repo", "path")
+
+    def field_by_name(self, name: str) -> FieldSpec:
+        for f in self.fields:
+            if f.name == name:
+                return f
+        raise KeyError(name)
+
+    def term_key(self, field_name: str, token: str) -> str:
+        return f"{self.field_by_name(field_name).code}:{token}"
+
+    def prefix_key(self, field_name: str, gram: str) -> str:
+        spec = self.field_by_name(field_name)
+        if not spec.ngram:
+            raise ValueError(f"field {field_name!r} has no edge-n-gram terms")
+        return f"{spec.code}>:{gram}"
+
+
+def term_part(term: str, num_parts: int) -> int:
+    """Stable (process-independent) term -> disk-partition hash."""
+    return zlib.crc32(term.encode("utf-8")) % num_parts
+
+
+# The corpus table for the driver's `documents` testdata uses different
+# column names; this config adapts the same engine to it.
+DOCUMENTS_CONFIG = IndexConfig(
+    fields=(
+        FieldSpec("text", "c"),
+        FieldSpec("source", "p", ngram=True),
+    ),
+    num_buckets=8,
+    num_parts=4,
+    docmap_cols=("lang", "source", "content_sha256"),
+    id_cols=("doc_id",),
+)

@@ -1,0 +1,1 @@
+from search_engine_ray.index.build import build_index, build_index_resumable  # noqa: F401

@@ -1,0 +1,434 @@
+"""Inverted-index build: SPIMI-style partial postings in map_batches,
+merged through one groupby-term shuffle into a compressed global index.
+
+Pipeline (the reference's implied Atlas/Lucene index build,
+SURVEY.md §1.1 / §7 M1, re-expressed Ray-Data-first)::
+
+    pass A (docmap):
+      read_parquet(corpus)                     # column-pruned at the read
+        -> map_batches(ingest)                 # doc_id hash, bucket, content sha256
+        -> write_parquet(docmap/, partition_cols=["bucket"])
+    pass B (postings):
+      read_parquet(corpus)                     # id + indexed text cols only
+        -> map_batches(ingest, no sha)
+        -> map_batches(TokenizePartials)       # SPIMI: per-batch partial postings,
+                                               #   one row per (term, bucket) per batch
+                                               #   (pre-aggregated combiner BEFORE shuffle)
+        -> groupby(["term", "bucket"])         # THE shuffle (salted by doc-shard bucket)
+             .map_groups(encode_group)         # sort docids, delta+varbyte, block-max meta
+        -> write_parquet(postings/, partition_cols=["part"])
+    dict/: tiny second-stage aggregate over (term, df_local, cf_local)
+    stats.json: N from docmap count, per-field total_len from dict cf sums
+
+Two passes over the source are deliberate: Ray Data pipelines have one
+sink each, and materializing the ingested corpus to feed two sinks
+would pin the whole input in the object store. The docmap pass never
+tokenizes; the postings pass never hashes sha256.
+
+Scale notes (100 TB / 10^12 files):
+- doc_id is a 63-bit hash of the configured id columns — deterministic
+  under ANY parallelism, no global sort / no coordination (vs dense ids
+  which need a global order). Posting lists tolerate sparse ids via
+  delta+varbyte.
+- hot terms ("def", "import" appear in ~every doc) never form one
+  giant shuffle group: the group key is (term, bucket) and bucket =
+  doc_id % num_buckets, so the hottest group is ~N/num_buckets docs.
+  This is the salted repartitioning of hot terms — the salt is the doc
+  shard, so no second pass is needed to detect hot keys and the
+  query-time merge is trivial (buckets partition the doc space).
+- the tokenizer emits ONE row per (term, bucket) per input batch with
+  list-typed columns — the shuffle moves packed arrays, not one row
+  per posting.
+- resumable: build_index_resumable() splits the input files into
+  shards, builds each shard as an independent sub-index under
+  shards/shard_XXXXX/, and records completion in manifest.json; a
+  rerun skips completed shards (idempotent overwrite per shard). The
+  query engine reads the union of shards (doc spaces are disjoint
+  because every doc lives in exactly one shard).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import shutil
+from typing import Iterable
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from search_engine_ray.analysis import STOP_TOKENS, TOKEN_RE, edge_ngrams
+from search_engine_ray.codec import (
+    block_delta_encode,
+    varbyte_byte_lengths,
+    varbyte_encode,
+)
+from search_engine_ray.config import IndexConfig, term_part
+
+_MASK63 = (1 << 63) - 1
+
+
+def doc_uid(parts: Iterable[str]) -> int:
+    """Deterministic 63-bit doc id from the configured id columns."""
+    h = hashlib.sha256("\x00".join(parts).encode("utf-8")).digest()
+    return int.from_bytes(h[:8], "big") & _MASK63
+
+
+def make_ingest_fn(config: IndexConfig, sha_col: str | None):
+    """map_batches fn: add doc_id + bucket (and content_sha256 when
+    sha_col is given — the per-row integrity invariant, input_hint).
+
+    sha256 is inherently per-row (C-speed hashlib); everything else is
+    vectorized.
+    """
+
+    id_cols = list(config.id_cols)
+    nb = config.num_buckets
+
+    def ingest(batch: pa.Table) -> pa.Table:
+        idvals = [batch[c].to_pylist() for c in id_cols]
+        uids = np.fromiter(
+            (doc_uid(str(v) for v in row) for row in zip(*idvals)),
+            dtype=np.int64,
+            count=batch.num_rows,
+        )
+        batch = batch.append_column("doc_id", pa.array(uids, pa.int64())).append_column(
+            "bucket", pa.array(uids % nb, pa.int32())
+        )
+        if sha_col is not None:
+            shas = [
+                hashlib.sha256(s.encode("utf-8") if s is not None else b"").hexdigest()
+                for s in batch[sha_col].to_pylist()
+            ]
+            batch = batch.append_column("content_sha256", pa.array(shas, pa.string()))
+        return batch
+
+    return ingest
+
+
+class TokenizePartials:
+    """Stateful SPIMI stage (actor pool): regex compiled once per actor;
+    per batch emits pre-aggregated partial postings.
+
+    Output schema: term:string, bucket:int32, doc_ids:list<int64>,
+    tfs:list<int32>, dls:list<int32> — one row per (term, bucket) seen
+    in the batch. This is the combiner that keeps the groupby shuffle
+    row count at O(vocab x buckets) per batch instead of O(postings).
+    """
+
+    EMPTY = pa.table(
+        {
+            "term": pa.array([], pa.string()),
+            "bucket": pa.array([], pa.int32()),
+            "doc_ids": pa.array([], pa.list_(pa.int64())),
+            "tfs": pa.array([], pa.list_(pa.int32())),
+            "dls": pa.array([], pa.list_(pa.int32())),
+        }
+    )
+
+    def __init__(self, config: IndexConfig):
+        self.config = config
+        self.token_re = TOKEN_RE
+        self.stop = STOP_TOKENS
+
+    def _field_tokens(self, texts: list, spec) -> tuple[list[str], np.ndarray, np.ndarray]:
+        """tokens, doc index per token, and per-doc field length."""
+        findall = self.token_re.findall
+        stop = self.stop
+        toks: list[str] = []
+        doc_ix: list[int] = []
+        dls = np.zeros(len(texts), dtype=np.int32)
+        for i, text in enumerate(texts):
+            if not text:
+                continue
+            ts = [t for t in findall(text.lower()) if t not in stop]
+            dls[i] = len(ts)
+            toks.extend(ts)
+            doc_ix.extend([i] * len(ts))
+        return toks, np.asarray(doc_ix, dtype=np.int64), dls
+
+    def _partials(
+        self,
+        prefix: str,
+        toks: list[str],
+        doc_ix: np.ndarray,
+        dls: np.ndarray,
+        uids: np.ndarray,
+        out: list[pa.Table],
+    ) -> None:
+        if not toks:
+            return
+        codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+        nv = len(uniq)
+        # tf per (doc, term), fully vectorized
+        key = doc_ix * nv + codes
+        uk, counts = np.unique(key, return_counts=True)
+        d = uk // nv
+        c = uk % nv
+        ids = uids[d]
+        buckets = (ids % self.config.num_buckets).astype(np.int32)
+        field_dl = dls[d]
+        order = np.lexsort((ids, buckets, c))
+        c, buckets, ids = c[order], buckets[order], ids[order]
+        tf, field_dl = counts[order].astype(np.int32), field_dl[order]
+        # group boundaries where (term, bucket) changes
+        change = np.empty(c.size, dtype=bool)
+        change[0] = True
+        np.not_equal(c[1:], c[:-1], out=change[1:])
+        change[1:] |= buckets[1:] != buckets[:-1]
+        starts = np.nonzero(change)[0]
+        offsets = np.append(starts, c.size).astype(np.int32)
+        terms = pa.array([prefix + uniq[i] for i in c[starts]], pa.string())
+        out.append(
+            pa.table(
+                {
+                    "term": terms,
+                    "bucket": pa.array(buckets[starts], pa.int32()),
+                    "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(ids, pa.int64())),
+                    "tfs": pa.ListArray.from_arrays(offsets, pa.array(tf, pa.int32())),
+                    "dls": pa.ListArray.from_arrays(offsets, pa.array(field_dl, pa.int32())),
+                }
+            )
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        uids = batch["doc_id"].to_numpy()
+        out: list[pa.Table] = []
+        for spec in self.config.fields:
+            texts = batch[spec.name].to_pylist()
+            toks, doc_ix, dls = self._field_tokens(texts, spec)
+            self._partials(f"{spec.code}:", toks, doc_ix, dls, uids, out)
+            if spec.ngram:
+                # edge-n-gram namespace for autocomplete (S2): expand
+                # each token to prefixes; tf of a gram = sum of tfs of
+                # tokens sharing the prefix; dl shared with the field.
+                gtoks: list[str] = []
+                gdoc: list[int] = []
+                for t, dix in zip(toks, doc_ix.tolist()):
+                    for g in edge_ngrams(t, spec.ngram_min, spec.ngram_max):
+                        gtoks.append(g)
+                        gdoc.append(dix)
+                self._partials(
+                    f"{spec.code}>:",
+                    gtoks,
+                    np.asarray(gdoc, dtype=np.int64),
+                    dls,
+                    uids,
+                    out,
+                )
+        if not out:
+            return self.EMPTY
+        return pa.concat_tables(out)
+
+
+def make_encode_group_fn(config: IndexConfig):
+    """map_groups fn for one (term, bucket) group: merge the partial
+    lists, sort by doc_id, block-restart delta + varbyte encode all
+    three streams, emit one index row with per-block skip/block-max
+    metadata (first_doc, byte offsets, max_tf, min_dl).
+
+    block-max bound: BM25's tf-part is increasing in tf and decreasing
+    in dl, so (max_tf, min_dl) per block gives a valid per-block upper
+    bound computable at query time once idf/avgdl are known — no global
+    stats needed at encode time."""
+
+    bs = config.block_size
+    nparts = config.num_parts
+
+    def encode_group(t: pa.Table) -> pa.Table:
+        term = t["term"][0].as_py()
+        bucket = t["bucket"][0].as_py()
+        ids = t["doc_ids"].combine_chunks().flatten().to_numpy()
+        tfs = t["tfs"].combine_chunks().flatten().to_numpy()
+        dls = t["dls"].combine_chunks().flatten().to_numpy()
+        order = np.argsort(ids, kind="stable")
+        ids, tfs, dls = ids[order], tfs[order], dls[order]
+        n = ids.size
+        block_starts = np.arange(0, n, bs, dtype=np.int64)
+        gaps = block_delta_encode(ids, block_starts)
+        cum_doc = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(gaps))))
+        cum_tf = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(tfs))))
+        cum_dl = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(dls))))
+        blk_max_tf = np.maximum.reduceat(tfs, block_starts)
+        blk_min_dl = np.minimum.reduceat(dls, block_starts)
+        return pa.table(
+            {
+                "term": [term],
+                "bucket": pa.array([bucket], pa.int32()),
+                "part": pa.array([term_part(term, nparts)], pa.int32()),
+                "df_local": pa.array([n], pa.int64()),
+                "cf_local": pa.array([int(tfs.sum())], pa.int64()),
+                "doc_bytes": pa.array([varbyte_encode(gaps)], pa.large_binary()),
+                "tf_bytes": pa.array([varbyte_encode(tfs)], pa.large_binary()),
+                "dl_bytes": pa.array([varbyte_encode(dls)], pa.large_binary()),
+                "blk_first": pa.array([ids[block_starts].tolist()], pa.list_(pa.int64())),
+                "blk_doc_off": pa.array([cum_doc[block_starts].tolist()], pa.list_(pa.int64())),
+                "blk_tf_off": pa.array([cum_tf[block_starts].tolist()], pa.list_(pa.int64())),
+                "blk_dl_off": pa.array([cum_dl[block_starts].tolist()], pa.list_(pa.int64())),
+                "blk_max_tf": pa.array([blk_max_tf.tolist()], pa.list_(pa.int32())),
+                "blk_min_dl": pa.array([blk_min_dl.tolist()], pa.list_(pa.int32())),
+            }
+        )
+
+    return encode_group
+
+
+def build_index(
+    source,
+    out_dir: str,
+    config: IndexConfig | None = None,
+    sha_col: str | None = None,
+) -> dict:
+    """Build a full index under out_dir from a Dataset or parquet path(s).
+
+    Returns the stats dict. Layout::
+
+        out_dir/postings/part=K/...   out_dir/dict/part=K/...
+        out_dir/docmap/bucket=K/...   out_dir/stats.json  manifest.json
+
+    Written to out_dir+".tmp" then atomically renamed (E5 full-refresh
+    sink semantics, lamda/group_sellable_inventory.py:46-48).
+    """
+    import ray.data as rd
+
+    config = config or IndexConfig()
+    sha_col = sha_col or config.fields[0].name
+
+    def _read(cols: list[str]):
+        if isinstance(source, (str, list)):
+            return rd.read_parquet(source, columns=sorted(set(cols)))
+        # an in-memory Dataset: column-prune with select_columns
+        return source.select_columns(sorted(set(cols)))
+
+    tmp_dir = out_dir + ".tmp"
+    shutil.rmtree(tmp_dir, ignore_errors=True)
+    os.makedirs(tmp_dir, exist_ok=True)
+
+    # ---- pass A: docmap (no tokenize) --------------------------------
+    docmap_in_cols = list(config.id_cols) + [
+        c for c in config.docmap_cols if c != "content_sha256"
+    ] + [sha_col]
+    docmap = (
+        _read(docmap_in_cols)
+        .map_batches(make_ingest_fn(config, sha_col), batch_format="pyarrow")
+        .select_columns(["doc_id", "bucket", *config.docmap_cols])
+    )
+    docmap.write_parquet(os.path.join(tmp_dir, "docmap"), partition_cols=["bucket"])
+
+    # ---- pass B: postings (no sha256) --------------------------------
+    text_cols = list(config.id_cols) + [f.name for f in config.fields]
+    partials = (
+        _read(text_cols)
+        .map_batches(make_ingest_fn(config, None), batch_format="pyarrow")
+        .map_batches(
+            TokenizePartials,
+            batch_format="pyarrow",
+            fn_constructor_args=(config,),
+            concurrency=(1, 16),
+        )
+    )
+    postings = partials.groupby(["term", "bucket"]).map_groups(
+        make_encode_group_fn(config), batch_format="pyarrow"
+    )
+    postings.write_parquet(os.path.join(tmp_dir, "postings"), partition_cols=["part"])
+
+    # ---- dict: global df/cf per term (tiny aggregate over the
+    # one-row-per-(term,bucket) metadata, never over raw postings)
+    from ray.data.aggregate import Sum
+
+    dict_ds = (
+        rd.read_parquet(os.path.join(tmp_dir, "postings"), columns=["term", "df_local", "cf_local"])
+        .groupby("term")
+        .aggregate(Sum("df_local", alias_name="df"), Sum("cf_local", alias_name="cf"))
+    )
+
+    def add_part(t: pa.Table) -> pa.Table:
+        parts = [term_part(s, config.num_parts) for s in t["term"].to_pylist()]
+        return t.append_column("part", pa.array(parts, pa.int32()))
+
+    dict_ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
+        os.path.join(tmp_dir, "dict"), partition_cols=["part"]
+    )
+
+    # ---- stats: N from docmap count; per-field total token count from
+    # dict cf sums restricted to the field's exact-term namespace.
+    n_docs = rd.read_parquet(os.path.join(tmp_dir, "docmap"), columns=["doc_id"]).count()
+
+    def field_cf(t: pa.Table) -> pa.Table:
+        terms = t["term"].to_pylist()
+        codes = [s.split(":", 1)[0] for s in terms]
+        return pa.table({"fcode": pa.array(codes), "cf": t["cf"]})
+
+    cf_rows = (
+        rd.read_parquet(os.path.join(tmp_dir, "dict"), columns=["term", "cf"])
+        .map_batches(field_cf, batch_format="pyarrow")
+        .groupby("fcode")
+        .aggregate(Sum("cf", alias_name="total_len"))
+        .to_pandas()
+    )
+    cf_by_code = dict(zip(cf_rows["fcode"], cf_rows["total_len"]))
+    stats = {
+        "n_docs": int(n_docs),
+        "fields": {
+            f.name: {
+                "total_len": int(cf_by_code.get(f.code, 0)),
+                "avgdl": (float(cf_by_code.get(f.code, 0)) / n_docs) if n_docs else 0.0,
+            }
+            for f in config.fields
+        },
+        "num_buckets": config.num_buckets,
+        "num_parts": config.num_parts,
+        "block_size": config.block_size,
+        "k1": config.k1,
+        "b": config.b,
+    }
+    with open(os.path.join(tmp_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
+        json.dump({"complete": True, "stats": stats}, f)
+
+    shutil.rmtree(out_dir, ignore_errors=True)
+    os.replace(tmp_dir, out_dir)
+    return stats
+
+
+def build_index_resumable(
+    input_files: list[str],
+    out_dir: str,
+    config: IndexConfig | None = None,
+    files_per_shard: int = 8,
+    sha_col: str | None = None,
+) -> dict:
+    """Checkpoint-resumable build: input files -> shards, each shard an
+    independent sub-index; completed shards are skipped on rerun
+    (per-partition lineage lives in manifest.json). Mirrors the
+    reference's incremental upsert idempotence (E2/E4,
+    lamda/store_product_sync.py:16-25) as overwrite-per-shard."""
+    config = config or IndexConfig()
+    os.makedirs(out_dir, exist_ok=True)
+    manifest_path = os.path.join(out_dir, "manifest.json")
+    manifest = {"shards": {}, "resumable": True}
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as f:
+            manifest = json.load(f)
+        manifest.setdefault("shards", {})
+
+    files = sorted(input_files)
+    shards = [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
+    for i, shard_files in enumerate(shards):
+        name = f"shard_{i:05d}"
+        entry = manifest["shards"].get(name)
+        if entry and entry.get("complete") and entry.get("files") == shard_files:
+            continue  # checkpoint hit: skip finished shard
+        shard_dir = os.path.join(out_dir, "shards", name)
+        stats = build_index(shard_files, shard_dir, config, sha_col)
+        manifest["shards"][name] = {
+            "complete": True,
+            "files": shard_files,
+            "n_docs": stats["n_docs"],
+        }
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+    return manifest

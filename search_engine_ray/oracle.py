@@ -1,0 +1,162 @@
+"""Brute-force BM25 oracle (SURVEY.md §5 item 2).
+
+Transparent reference implementation: tokenize every doc with the same
+analyzer, score every doc with the same scoring.py BM25 functions in
+the same clause order (so float64 results are bit-identical to the
+engine), full stable sort by (score desc, doc_id asc). O(N x Q) —
+test-scale only, never a Ray pipeline.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from search_engine_ray.analysis import analyze
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.index.build import doc_uid
+from search_engine_ray.query import scoring
+from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
+from search_engine_ray.query.qast import Compound, Prefix, Term
+
+
+@dataclass
+class OracleIndex:
+    config: IndexConfig
+    doc_ids: np.ndarray
+    tokens: dict[str, list[list[str]]]  # field -> per-doc token list
+    dls: dict[str, np.ndarray]
+    avgdl: dict[str, float]
+    meta: pd.DataFrame  # doc_id + docmap columns
+
+    @property
+    def n_docs(self) -> int:
+        return self.doc_ids.size
+
+
+def build_oracle(table: pa.Table, config: IndexConfig | None = None, sha_col: str | None = None) -> OracleIndex:
+    config = config or IndexConfig()
+    sha_col = sha_col or config.fields[0].name
+    df = table.to_pandas()
+    ids = np.array(
+        [doc_uid(str(df.iloc[i][c]) for c in config.id_cols) for i in range(len(df))],
+        dtype=np.int64,
+    )
+    order = np.argsort(ids, kind="stable")
+    df = df.iloc[order].reset_index(drop=True)
+    ids = ids[order]
+    tokens: dict[str, list[list[str]]] = {}
+    dls: dict[str, np.ndarray] = {}
+    avgdl: dict[str, float] = {}
+    for spec in config.fields:
+        toks = [analyze(t or "") for t in df[spec.name]]
+        tokens[spec.name] = toks
+        dl = np.array([len(t) for t in toks], dtype=np.int64)
+        dls[spec.name] = dl
+        # same expression as build_index stats: total_len / n_docs
+        avgdl[spec.name] = float(int(dl.sum()) / ids.size) if ids.size else 0.0
+    import hashlib
+
+    meta_cols = {"doc_id": ids}
+    for c in config.docmap_cols:
+        if c == "content_sha256":
+            meta_cols[c] = [
+                hashlib.sha256((s or "").encode("utf-8")).hexdigest() for s in df[sha_col]
+            ]
+        else:
+            meta_cols[c] = df[c].to_numpy()
+    return OracleIndex(config, ids, tokens, dls, avgdl, pd.DataFrame(meta_cols))
+
+
+def _leaf_tf_df(oix: OracleIndex, leaf) -> tuple[np.ndarray, int]:
+    """Per-doc tf and global df for a leaf (prefix tf sums matching
+    tokens — identical to the edge-n-gram index-time semantics)."""
+    toks = oix.tokens[leaf.field]
+    tf = np.zeros(oix.n_docs, dtype=np.int64)
+    if isinstance(leaf, Term):
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if t == leaf.token)
+    elif isinstance(leaf, Prefix):
+        p = leaf.prefix
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if t.startswith(p))
+    else:
+        raise TypeError(type(leaf))
+    return tf, int((tf > 0).sum())
+
+
+@dataclass
+class OracleResult:
+    total: int
+    hits: pd.DataFrame
+    facets: dict[str, dict] = dc_field(default_factory=dict)
+
+
+def oracle_search(
+    oix: OracleIndex,
+    q: Compound,
+    k: int = 10,
+    skip: int = 0,
+    filter_spec: FilterSpec | None = None,
+    boosts: tuple = (),
+    facet_fields: tuple[str, ...] = (),
+) -> OracleResult:
+    n = oix.n_docs
+    score = np.zeros(n)
+    must_all = np.ones(n, dtype=bool)
+    should_cnt = np.zeros(n, dtype=np.int64)
+    clauses = [(l, True) for l in q.must] + [(l, False) for l in q.should]
+    n_must = len(q.must)
+    for leaf, is_must in clauses:
+        tf, df = _leaf_tf_df(oix, leaf)
+        match = tf > 0
+        if df > 0:
+            if leaf.const_score is not None:
+                contrib = np.where(match, float(leaf.const_score), 0.0)
+            else:
+                tidf = float(scoring.idf(n, df))
+                dl = oix.dls[leaf.field]
+                contrib = np.where(
+                    match,
+                    scoring.bm25_score(tf, dl, tidf, oix.config.k1, oix.config.b, oix.avgdl[leaf.field]),
+                    0.0,
+                )
+            score = score + contrib
+        if is_must:
+            must_all &= match
+        else:
+            should_cnt += match.astype(np.int64)
+    matched = must_all.copy()
+    if q.min_should_match > 0:
+        matched &= should_cnt >= q.min_should_match
+    elif n_must == 0:
+        matched &= should_cnt > 0
+    if filter_spec is not None:
+        cols = {c: oix.meta[c].to_numpy() for c in filter_spec.columns}
+        matched &= filter_spec.eval(cols, n)
+    sel = np.nonzero(matched)[0]
+    sel_scores = score[sel]
+    for bst in boosts:
+        if isinstance(bst, DocAttrBoost):
+            vals = oix.meta[bst.col].to_numpy()[sel]
+            sel_scores = sel_scores + np.where(vals == bst.value, bst.add, 0.0)
+        else:  # ConditionalAddBoost with a raw ndarray id set
+            ids_set = np.asarray(
+                bst.doc_ids_ref if isinstance(bst.doc_ids_ref, np.ndarray) else bst.doc_ids_ref,
+                dtype=np.int64,
+            )
+            hit = np.isin(oix.doc_ids[sel], ids_set)
+            sel_scores = sel_scores + np.where(hit, bst.add, 0.0)
+    total = int(sel.size)
+    facets: dict[str, dict] = {}
+    for fcol in facet_fields:
+        vals = oix.meta[fcol].to_numpy()[sel]
+        u, c = np.unique(vals, return_counts=True)
+        facets[fcol] = {str(v): int(cc) for v, cc in zip(u, c)}
+    order = np.lexsort((oix.doc_ids[sel], -sel_scores))
+    page = order[skip : skip + k]
+    hits = pd.DataFrame({"doc_id": oix.doc_ids[sel][page], "score": sel_scores[page]})
+    return OracleResult(total, hits.reset_index(drop=True), facets)

@@ -1,0 +1,509 @@
+"""BM25 query executor: broadcast-query map over index partitions.
+
+Execution shape (SURVEY.md §3 "our lifecycle", M2):
+
+    read_parquet(index/postings, filter=term ISIN query_terms
+                                  AND part ISIN term_hash_parts)
+      -> groupby("bucket").map_groups(ScoreBuckets)   # per doc-shard scoring
+      -> tiny per-bucket tables: top-(skip+k) hits + match count + facets
+      -> driver merge (R13 $facet: total AND page from ONE scored pass)
+      -> docmap join for the page's metadata only
+
+Every bucket is scored independently (buckets partition the doc
+space), so query fan-out scales with num_buckets and the merge is a
+k-way heap over tiny tables — the exact scatter-gather the reference
+delegates to mongos/Lucene shards (SURVEY.md §4).
+
+The scorer is vectorized term-at-a-time: postings decode to numpy
+(delta+varbyte, block restarts), per-clause BM25 via scoring.py, and
+the combine is one np.unique + np.add.at pass. Clause contributions
+accumulate in clause order, matching the oracle bit-for-bit.
+
+Filters (R1-at-query, the reference's `$match` after `$search`) and
+facet counts (R16) read the bucket's docmap partition lazily and cache
+it in the actor — a partition-local lookup, not a shuffle. Conditional
+boosts (S5) take a broadcast doc-id set (`ray.put` once, read per
+actor) — the Ray-native form of the reference's `$lookup` + `$cond`
+stock boost (pipelines.py:62-80).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+from dataclasses import dataclass, field as dc_field
+from typing import Any, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
+
+from search_engine_ray.codec import block_delta_decode, varbyte_decode
+from search_engine_ray.config import IndexConfig, term_part
+from search_engine_ray.query import scoring
+from search_engine_ray.query.qast import Compound, Leaf, Prefix, Term
+
+POSTING_COLS = ["term", "bucket", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
+
+
+@dataclass(frozen=True)
+class FilterSpec:
+    """Post-search metadata predicate (reference `$match` after
+    `$search`, pipelines.py:55-61). Conditions AND together.
+    ops: == != > >= < <= in not_in"""
+
+    conditions: tuple[tuple[str, str, Any], ...] = ()
+
+    @property
+    def columns(self) -> tuple[str, ...]:
+        return tuple({c for c, _, _ in self.conditions})
+
+    def eval(self, table_cols: dict[str, np.ndarray], n: int) -> np.ndarray:
+        mask = np.ones(n, dtype=bool)
+        for col, op, val in self.conditions:
+            v = table_cols[col]
+            if op == "==":
+                mask &= v == val
+            elif op == "!=":
+                mask &= v != val
+            elif op == ">":
+                mask &= v > val
+            elif op == ">=":
+                mask &= v >= val
+            elif op == "<":
+                mask &= v < val
+            elif op == "<=":
+                mask &= v <= val
+            elif op == "in":
+                mask &= np.isin(v, list(val))
+            elif op == "not_in":
+                mask &= ~np.isin(v, list(val))
+            else:
+                raise ValueError(f"unknown op {op!r}")
+        return mask
+
+
+@dataclass(frozen=True)
+class ConditionalAddBoost:
+    """S5: score += add for docs in a broadcast id set (stock>0)."""
+
+    doc_ids_ref: Any  # ray.ObjectRef of a sorted int64 np array
+    add: float
+
+
+@dataclass(frozen=True)
+class DocAttrBoost:
+    """S6 (docmap form): score += add where docmap[col] == value."""
+
+    col: str
+    value: Any
+    add: float
+
+
+@dataclass
+class SearchResult:
+    total: int
+    hits: pd.DataFrame  # doc_id, score, + docmap columns; page already applied
+    facets: dict[str, dict[Any, int]] = dc_field(default_factory=dict)
+
+
+@dataclass(frozen=True)
+class _ResolvedLeaf:
+    clause_id: int
+    is_must: bool
+    term_keys: tuple[str, ...]  # >1 only for dictionary-expanded prefixes
+    idfs: tuple[float, ...]
+    avgdl: float
+    const_score: float | None
+
+
+class ScoreBuckets:
+    """map_groups callable (actor pool): scores one bucket's postings.
+
+    Emits rows  kind: "hit" (doc_id, score) | "total" (count) |
+    "facet" (field, value, count).
+    """
+
+    def __init__(
+        self,
+        leaves: list[_ResolvedLeaf],
+        k1: float,
+        b: float,
+        min_should_match: int,
+        n_take: int,
+        docmap_dirs: list[str],
+        filter_spec: FilterSpec | None,
+        boosts: tuple,
+        facet_fields: tuple[str, ...],
+        block_size: int,
+    ):
+        self.leaves = leaves
+        self.k1, self.b = k1, b
+        self.msm = min_should_match
+        self.n_take = n_take
+        self.block_size = block_size
+        self.docmap_dirs = docmap_dirs
+        self.filter_spec = filter_spec
+        self.facet_fields = facet_fields
+        self._docmap_cache: dict[int, dict[str, np.ndarray]] = {}
+        self.boosts = []
+        for bst in boosts:
+            if isinstance(bst, ConditionalAddBoost):
+                import ray
+
+                ids = bst.doc_ids_ref
+                if not isinstance(ids, np.ndarray):
+                    ids = ray.get(ids)  # broadcast: fetched once per actor
+                self.boosts.append(("ids", np.asarray(ids, dtype=np.int64), bst.add))
+            elif isinstance(bst, DocAttrBoost):
+                self.boosts.append(("attr", bst, None))
+            else:
+                raise TypeError(type(bst))
+        self.term_to_leaf: dict[str, tuple[int, float]] = {}
+        for li, leaf in enumerate(leaves):
+            for tk, tidf in zip(leaf.term_keys, leaf.idfs):
+                self.term_to_leaf[tk] = (li, tidf)
+
+    # -- docmap access (lazy, cached per bucket; partition-local read)
+    def _docmap(self, bucket: int, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        cached = self._docmap_cache.get(bucket)
+        need = ("doc_id",) + cols
+        if cached is not None and all(c in cached for c in need):
+            return cached
+        tables = []
+        for d in self.docmap_dirs:
+            bdir = os.path.join(d, f"bucket={bucket}")
+            if os.path.isdir(bdir):
+                tables.append(pq.read_table(bdir, columns=list(need)))
+        if tables:
+            t = pa.concat_tables(tables)
+            order = pc.sort_indices(t, sort_keys=[("doc_id", "ascending")])
+            t = t.take(order)
+            out = {c: t[c].to_numpy(zero_copy_only=False) for c in need}
+        else:
+            out = {c: np.empty(0, dtype=object) for c in need}
+            out["doc_id"] = np.empty(0, dtype=np.int64)
+        self._docmap_cache[bucket] = {**(cached or {}), **out}
+        return self._docmap_cache[bucket]
+
+    def _attr_for(self, bucket: int, ids: np.ndarray, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        dm = self._docmap(bucket, cols)
+        pos = np.searchsorted(dm["doc_id"], ids)
+        pos = np.clip(pos, 0, max(0, dm["doc_id"].size - 1))
+        if dm["doc_id"].size == 0:
+            raise RuntimeError(f"empty docmap for bucket {bucket}")
+        if not np.array_equal(dm["doc_id"][pos], ids):
+            raise RuntimeError("doc_id missing from docmap")
+        return {c: dm[c][pos] for c in cols}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bucket = int(t["bucket"][0].as_py())
+        terms = t["term"].to_pylist()
+        dfl = t["df_local"].to_numpy()
+        ids_parts: list[np.ndarray] = []
+        score_parts: list[np.ndarray] = []
+        leaf_of_part: list[int] = []
+        # decode rows grouped by leaf, in leaf order -> deterministic sum order
+        rows_by_leaf: dict[int, list[int]] = {}
+        for ri, term in enumerate(terms):
+            li, _ = self.term_to_leaf[term]
+            rows_by_leaf.setdefault(li, []).append(ri)
+        for li in sorted(rows_by_leaf):
+            leaf = self.leaves[li]
+            for ri in rows_by_leaf[li]:
+                n = int(dfl[ri])
+                gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
+                block_starts = np.arange(0, n, self.block_size, dtype=np.int64)
+                ids = block_delta_decode(gaps, block_starts)
+                tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n)
+                if leaf.const_score is not None:
+                    sc = np.full(n, float(leaf.const_score))
+                else:
+                    dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n)
+                    _, tidf = self.term_to_leaf[terms[ri]]
+                    sc = scoring.bm25_score(tfs, dls, tidf, self.k1, self.b, leaf.avgdl)
+                ids_parts.append(ids)
+                score_parts.append(sc)
+                leaf_of_part.append(li)
+        if not ids_parts:
+            return _result_table([], [], 0, [])
+        all_ids = np.concatenate(ids_parts)
+        all_scores = np.concatenate(score_parts)
+        uniq, inv = np.unique(all_ids, return_inverse=True)
+        score = np.zeros(uniq.size)
+        np.add.at(score, inv, all_scores)
+        # clause-match bookkeeping (a multi-key leaf counts once per doc)
+        n_must = sum(1 for lf in self.leaves if lf.is_must)
+        must_cnt = np.zeros(uniq.size, dtype=np.int32)
+        should_cnt = np.zeros(uniq.size, dtype=np.int32)
+        off = 0
+        seen_by_leaf: dict[int, np.ndarray] = {}
+        for pi, ids in enumerate(ids_parts):
+            li = leaf_of_part[pi]
+            seg = inv[off : off + ids.size]
+            prev = seen_by_leaf.get(li)
+            seen_by_leaf[li] = seg if prev is None else np.union1d(prev, seg)
+            off += ids.size
+        for li, seg in seen_by_leaf.items():
+            if self.leaves[li].is_must:
+                must_cnt[seg] += 1
+            else:
+                should_cnt[seg] += 1
+        matched = must_cnt == n_must
+        if self.msm > 0:
+            matched &= should_cnt >= self.msm
+        elif n_must == 0:
+            matched &= should_cnt > 0
+        m_ids = uniq[matched]
+        m_scores = score[matched]
+        # R1 metadata filter against this bucket's docmap partition
+        if self.filter_spec is not None and m_ids.size:
+            attrs = self._attr_for(bucket, m_ids, self.filter_spec.columns)
+            keep = self.filter_spec.eval(attrs, m_ids.size)
+            m_ids, m_scores = m_ids[keep], m_scores[keep]
+        # boosts AFTER matching+filtering (reference $project stage order)
+        for kind, payload, add in self.boosts:
+            if not m_ids.size:
+                break
+            if kind == "ids":
+                pos = np.searchsorted(payload, m_ids)
+                pos = np.clip(pos, 0, max(0, payload.size - 1))
+                in_set = payload.size > 0
+                hit = (payload[pos] == m_ids) if in_set else np.zeros(m_ids.size, bool)
+                m_scores = m_scores + np.where(hit, add, 0.0)
+            else:
+                bst: DocAttrBoost = payload
+                attrs = self._attr_for(bucket, m_ids, (bst.col,))
+                m_scores = m_scores + np.where(attrs[bst.col] == bst.value, bst.add, 0.0)
+        total = int(m_ids.size)
+        # facet counts over the full matched set (R16)
+        facet_rows: list[tuple[str, str, int]] = []
+        for fcol in self.facet_fields:
+            if m_ids.size:
+                vals = self._attr_for(bucket, m_ids, (fcol,))[fcol]
+                u, c = np.unique(vals, return_counts=True)
+                facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
+        # local top-(skip+k), deterministic tie-break (score desc,
+        # doc_id asc). Exact under ties: select everything >= the
+        # n_take-th score, then lexsort that candidate set.
+        if m_ids.size > self.n_take:
+            thresh = np.partition(m_scores, m_ids.size - self.n_take)[m_ids.size - self.n_take]
+            cand = np.nonzero(m_scores >= thresh)[0]
+            order = cand[np.lexsort((m_ids[cand], -m_scores[cand]))][: self.n_take]
+        else:
+            order = np.lexsort((m_ids, -m_scores))
+        return _result_table(m_ids[order], m_scores[order], total, facet_rows)
+
+
+def _result_table(ids, scores, total: int, facet_rows) -> pa.Table:
+    kinds = ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
+    doc_ids = list(map(int, ids)) + [0] + [0] * len(facet_rows)
+    scs = list(map(float, scores)) + [0.0] + [0.0] * len(facet_rows)
+    counts = [0] * len(ids) + [total] + [c for _, _, c in facet_rows]
+    ffields = [""] * len(ids) + [""] + [f for f, _, _ in facet_rows]
+    fvals = [""] * len(ids) + [""] + [v for _, v, _ in facet_rows]
+    return pa.table(
+        {
+            "kind": pa.array(kinds, pa.string()),
+            "doc_id": pa.array(doc_ids, pa.int64()),
+            "score": pa.array(scs, pa.float64()),
+            "count": pa.array(counts, pa.int64()),
+            "facet_field": pa.array(ffields, pa.string()),
+            "facet_value": pa.array(fvals, pa.string()),
+        }
+    )
+
+
+class SearchEngine:
+    """Query-side entry point over an index directory (single build or
+    resumable multi-shard layout)."""
+
+    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+        self.config = config or IndexConfig()
+        shard_glob = os.path.join(index_dir, "shards", "shard_*")
+        shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
+        self.dirs = shards or [index_dir]
+        self.stats = self._merge_stats()
+
+    def _merge_stats(self) -> dict:
+        merged: dict | None = None
+        for d in self.dirs:
+            with open(os.path.join(d, "stats.json")) as f:
+                s = json.load(f)
+            if merged is None:
+                merged = s
+            else:
+                merged["n_docs"] += s["n_docs"]
+                for fname, fs in s["fields"].items():
+                    merged["fields"][fname]["total_len"] += fs["total_len"]
+        assert merged is not None
+        for fs in merged["fields"].values():
+            fs["avgdl"] = fs["total_len"] / merged["n_docs"] if merged["n_docs"] else 0.0
+        self.block_size = merged["block_size"]
+        return merged
+
+    # ---- dictionary -------------------------------------------------
+    def _df_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
+        if not term_keys:
+            return {}
+        # explicit partition pruning: a query for Q terms touches <= Q
+        # part directories (part = hash(term) % num_parts)
+        parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+        flt = pc.field("term").isin(list(term_keys))
+        out: dict[str, int] = {}
+        for d in self.dirs:
+            files = [
+                f
+                for k in parts
+                for f in glob.glob(os.path.join(d, "dict", f"part={k}", "*.parquet"))
+            ]
+            if not files:
+                continue
+            t = pads.dataset(files).to_table(columns=["term", "df"], filter=flt)
+            for tk, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
+                out[tk] = out.get(tk, 0) + int(df)
+        return out
+
+    def _expand_prefix(self, leaf: Prefix) -> list[str]:
+        """Dictionary range-scan fallback when the prefix is outside the
+        edge-n-gram window (S2 'sorted-term-dictionary range scan')."""
+        spec = self.config.field_by_name(leaf.field)
+        lo = f"{spec.code}:{leaf.prefix}"
+        hi = f"{spec.code}:{leaf.prefix}\U0010ffff"
+        flt = (pc.field("term") >= lo) & (pc.field("term") < hi)
+        keys: set[str] = set()
+        for d in self.dirs:
+            # range scan cannot prune by term-hash part: read all parts'
+            # dictionary rows (term column only; row-group stats prune)
+            dsd = pads.dataset(os.path.join(d, "dict"))
+            keys.update(dsd.to_table(columns=["term"], filter=flt)["term"].to_pylist())
+        return sorted(keys)
+
+    def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
+        cfg = self.config
+        raw: list[tuple[int, bool, list[str], str, float | None]] = []
+        for ci, (leaf, is_must) in enumerate(
+            [(l, True) for l in q.must] + [(l, False) for l in q.should]
+        ):
+            if isinstance(leaf, Term):
+                keys = [cfg.term_key(leaf.field, leaf.token)]
+            elif isinstance(leaf, Prefix):
+                spec = cfg.field_by_name(leaf.field)
+                if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:
+                    keys = [cfg.prefix_key(leaf.field, leaf.prefix)]
+                else:
+                    keys = self._expand_prefix(leaf)
+            else:
+                raise TypeError(type(leaf))
+            raw.append((ci, is_must, keys, leaf.field, leaf.const_score))
+        all_keys = [k for _, _, keys, _, _ in raw for k in keys]
+        dfs = self._df_for_terms(all_keys)
+        n = self.stats["n_docs"]
+        out: list[_ResolvedLeaf] = []
+        for ci, is_must, keys, fname, const in raw:
+            keys = [k for k in keys if k in dfs]
+            out.append(
+                _ResolvedLeaf(
+                    clause_id=ci,
+                    is_must=is_must,
+                    term_keys=tuple(keys),
+                    idfs=tuple(float(scoring.idf(n, dfs[k])) for k in keys),
+                    avgdl=self.stats["fields"][fname]["avgdl"],
+                    const_score=const,
+                )
+            )
+        return out
+
+    # ---- search -----------------------------------------------------
+    def search(
+        self,
+        q: Compound,
+        k: int = 10,
+        skip: int = 0,
+        filter_spec: FilterSpec | None = None,
+        boosts: tuple = (),
+        facet_fields: tuple[str, ...] = (),
+        with_metadata: bool = True,
+    ) -> SearchResult:
+        import ray.data as rd
+
+        leaves = self._resolve(q)
+        n_must = sum(1 for lf in leaves if lf.is_must)
+        # a must clause with no indexed term can never match
+        if any(lf.is_must and not lf.term_keys for lf in leaves):
+            return SearchResult(0, _empty_hits())
+        term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
+        if not term_keys:
+            return SearchResult(0, _empty_hits())
+        # explicit partition pruning: only the <= Q part dirs that can
+        # hold the query terms are read; row-group stats on `term`
+        # prune further inside each dir.
+        parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+        flt = pc.field("term").isin(term_keys)
+        posting_files = [
+            f
+            for d in self.dirs
+            for k in parts
+            for f in glob.glob(os.path.join(d, "postings", f"part={k}", "*.parquet"))
+        ]
+        if not posting_files:
+            return SearchResult(0, _empty_hits())
+        ds = rd.read_parquet(posting_files, columns=POSTING_COLS, filter=flt)
+        scored = ds.groupby("bucket").map_groups(
+            ScoreBuckets,
+            fn_constructor_args=(
+                leaves,
+                self.stats["k1"],
+                self.stats["b"],
+                q.min_should_match,
+                skip + k,
+                [os.path.join(d, "docmap") for d in self.dirs],
+                filter_spec,
+                boosts,
+                facet_fields,
+                self.block_size,
+            ),
+            concurrency=(1, min(8, self.config.num_buckets)),
+            batch_format="pyarrow",
+        )
+        out = scored.to_pandas()
+        if out.empty:
+            return SearchResult(0, _empty_hits())
+        total = int(out.loc[out["kind"] == "total", "count"].sum())
+        hits = out[out["kind"] == "hit"][["doc_id", "score"]]
+        hits = hits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        hits = hits.iloc[skip : skip + k].reset_index(drop=True)
+        facets: dict[str, dict[str, int]] = {}
+        fr = out[out["kind"] == "facet"]
+        if len(fr):
+            agg = fr.groupby(["facet_field", "facet_value"])["count"].sum()
+            for (ff, fv), c in agg.items():
+                facets.setdefault(ff, {})[fv] = int(c)
+        if with_metadata and len(hits):
+            hits = self._attach_metadata(hits)
+        return SearchResult(total, hits, facets)
+
+    def _attach_metadata(self, hits: pd.DataFrame) -> pd.DataFrame:
+        ids = hits["doc_id"].to_numpy()
+        buckets = sorted({int(i) % self.config.num_buckets for i in ids})
+        flt = pc.field("doc_id").isin([int(i) for i in ids])
+        tables = []
+        for d in self.dirs:
+            for b in buckets:
+                bdir = os.path.join(d, "docmap", f"bucket={b}")
+                if os.path.isdir(bdir):
+                    tables.append(pads.dataset(bdir).to_table(filter=flt))
+        if not tables:
+            return hits
+        meta = pa.concat_tables(tables).to_pandas()
+        drop = [c for c in ("bucket",) if c in meta.columns]
+        meta = meta.drop(columns=drop)
+        return hits.merge(meta, on="doc_id", how="left")
+
+
+def _empty_hits() -> pd.DataFrame:
+    return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})

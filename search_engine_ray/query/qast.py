@@ -1,0 +1,76 @@
+"""Query AST + planner.
+
+Mirrors the reference's query surface (SURVEY.md S1-S3, S7, S8):
+
+- ``Term(field, token)``   — `$search.text` single term
+- ``Prefix(field, prefix)``— `$search.autocomplete` (edge-n-gram match)
+- ``Compound(must, should, min_should_match)`` — Atlas `compound`
+  (search_utils.py:126-152): every must clause is required; at least
+  ``min_should_match`` should clauses must match; the score is the sum
+  of ALL matching clauses' BM25 scores (Lucene BooleanQuery
+  sum-of-matching-clauses).
+- ``const_score`` on a clause — constant-score boost clause (S6,
+  search_utils.py:168-171): a matching doc adds the constant instead
+  of a BM25 score.
+
+``plan_keyword`` is the reference's keyword-length dispatch (S8,
+search_utils.py:75-76,123-124): a single-token keyword becomes an
+autocomplete OR over the prefix fields with minimumShouldMatch=1; a
+multi-token keyword becomes a text-AND over the primary field.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from search_engine_ray.analysis import normalize_query
+
+
+@dataclass(frozen=True)
+class Term:
+    field: str
+    token: str
+    const_score: float | None = None  # S6: fixed score contribution
+
+
+@dataclass(frozen=True)
+class Prefix:
+    field: str
+    prefix: str
+    const_score: float | None = None
+
+
+Leaf = Term | Prefix
+
+
+@dataclass(frozen=True)
+class Compound:
+    must: tuple[Leaf, ...] = ()
+    should: tuple[Leaf, ...] = ()
+    min_should_match: int = 0
+
+    @property
+    def leaves(self) -> tuple[Leaf, ...]:
+        return self.must + self.should
+
+
+def plan_keyword(
+    keyword: str,
+    *,
+    text_field: str,
+    prefix_fields: tuple[str, ...] = (),
+    min_should_match: int = 1,
+) -> Compound:
+    """Reference S8 dispatch: normalize (S7) then branch on term count."""
+    tokens = normalize_query(keyword)
+    if not tokens:
+        return Compound()
+    if len(tokens) == 1 and prefix_fields:
+        # 1-term -> autocomplete-OR over the prefix fields (mSM=1)
+        tok = tokens[0]
+        return Compound(
+            should=tuple(Prefix(f, tok) for f in prefix_fields),
+            min_should_match=min_should_match,
+        )
+    # multi-term -> text-AND on the primary field
+    return Compound(must=tuple(Term(text_field, t) for t in tokens))

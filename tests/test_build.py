@@ -1,0 +1,118 @@
+"""Index build invariants: sha256 row integrity, determinism across
+parallelism levels, checkpoint-resume (SURVEY.md §5 items 3-4)."""
+
+import glob
+import hashlib
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.dataset as pads
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.index import build_index, build_index_resumable
+from search_engine_ray.query import Compound, SearchEngine, Term
+
+
+def test_sha256_row_integrity(tiny_index, tiny_corpus):
+    """Per-row content sha256 equality source -> docmap (input_hint)."""
+    out, cfg, _ = tiny_index
+    dm = pads.dataset(os.path.join(out, "docmap"), partitioning="hive").to_table()
+    df = dm.to_pandas().set_index(["repo", "path"])
+    src = tiny_corpus.to_pandas()
+    assert len(df) == len(src)
+    for _, row in src.iterrows():
+        expect = hashlib.sha256(row["content"].encode()).hexdigest()
+        assert df.loc[(row["repo"], row["path"]), "content_sha256"] == expect
+
+
+def test_stats_consistency(tiny_index, tiny_corpus):
+    out, cfg, stats = tiny_index
+    assert stats["n_docs"] == tiny_corpus.num_rows
+    from search_engine_ray.analysis import analyze
+
+    total = sum(len(analyze(t)) for t in tiny_corpus["content"].to_pylist())
+    assert stats["fields"]["content"]["total_len"] == total
+
+
+def test_build_deterministic_across_parallelism(ray_session, tiny_corpus, tmp_path):
+    """Same corpus via different block structure -> identical query
+    results (deterministic doc ids + order-independent merge)."""
+    import ray.data as rd
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    build_index(rd.from_arrow(tiny_corpus).repartition(1), a, cfg)
+    build_index(rd.from_arrow(tiny_corpus).repartition(7), b, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    ra = SearchEngine(a, cfg).search(q, k=20)
+    rb = SearchEngine(b, cfg).search(q, k=20)
+    assert ra.total == rb.total
+    assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
+    np.testing.assert_array_equal(ra.hits["score"].to_numpy(), rb.hits["score"].to_numpy())
+
+
+def test_resumable_build_matches_single_build(ray_session, tiny_corpus, tmp_path):
+    import pyarrow.parquet as pq
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    # split the corpus into 4 input files
+    src = tmp_path / "src"
+    src.mkdir()
+    n = tiny_corpus.num_rows
+    files = []
+    for i in range(4):
+        p = str(src / f"part-{i}.parquet")
+        pq.write_table(tiny_corpus.slice(i * n // 4, n // 4), p)
+        files.append(p)
+
+    out_r = str(tmp_path / "resumable")
+    manifest = build_index_resumable(files, out_r, cfg, files_per_shard=1)
+    assert len(manifest["shards"]) == 4
+    assert all(s["complete"] for s in manifest["shards"].values())
+
+    # rerun: all shards skipped (mtimes unchanged)
+    mtimes = {d: os.path.getmtime(d) for d in glob.glob(os.path.join(out_r, "shards", "*"))}
+    build_index_resumable(files, out_r, cfg, files_per_shard=1)
+    assert mtimes == {d: os.path.getmtime(d) for d in glob.glob(os.path.join(out_r, "shards", "*"))}
+
+    # partial manifest -> only missing shards rebuilt, results identical
+    out_p = str(tmp_path / "partial")
+    build_index_resumable(files[:2], out_p, cfg, files_per_shard=1)
+    build_index_resumable(files, out_p, cfg, files_per_shard=1)
+
+    import ray.data as rd
+
+    out_s = str(tmp_path / "single")
+    build_index(rd.from_arrow(tiny_corpus), out_s, cfg)
+    q = Compound(must=(Term("content", "tokenizer"),))
+    rs = SearchEngine(out_s, cfg).search(q, k=20)
+    for out in (out_r, out_p):
+        rr = SearchEngine(out, cfg).search(q, k=20)
+        assert rr.total == rs.total
+        assert rr.hits["doc_id"].tolist() == rs.hits["doc_id"].tolist()
+        np.testing.assert_array_equal(rr.hits["score"].to_numpy(), rs.hits["score"].to_numpy())
+
+
+def test_postings_are_compressed_and_blocked(tiny_index):
+    out, cfg, _ = tiny_index
+    t = pads.dataset(glob.glob(os.path.join(out, "postings", "part=*", "*.parquet"))).to_table()
+    assert t.num_rows > 0
+    dfl = t["df_local"].to_numpy()
+    # hot-term salting: no single (term,bucket) group exceeds one bucket's doc count
+    assert dfl.max() <= 200
+    # block metadata sized ceil(df/block_size)
+    one = t.slice(0, 1).to_pylist()[0]
+    import math
+
+    assert len(one["blk_first"]) == math.ceil(one["df_local"] / cfg.block_size)
+
+
+def test_corpus_generator_deterministic(tiny_corpus):
+    from search_engine_ray.corpus import corpus_table
+
+    again = corpus_table(200, seed=42)
+    assert again.equals(tiny_corpus)

@@ -1,0 +1,129 @@
+"""Rank-parity: engine top-k ids AND BM25 scores vs the brute-force
+oracle (north rule). Engine and oracle share scoring.py and accumulate
+clause contributions in the same order, so scores must agree to 1e-9
+and ranking must be identical including doc_id tie-breaks."""
+
+import numpy as np
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.oracle import build_oracle, oracle_search
+from search_engine_ray.query import (
+    Compound,
+    ConditionalAddBoost,
+    DocAttrBoost,
+    FilterSpec,
+    Prefix,
+    SearchEngine,
+    Term,
+    plan_keyword,
+)
+
+# the reference's query vocabulary mapped to code-corpus analogs
+# (FIXTURES.md F2: "oil"/"milk"/"belt"/"rice" -> single terms,
+# "cadbury dairy milk" -> multi-term AND, "tok" -> autocomplete)
+QUERIES = [
+    Compound(must=(Term("content", "import"),)),
+    Compound(must=(Term("content", "tokenizer"),)),
+    Compound(must=(Term("content", "build_index"), Term("content", "merge_shards"))),
+    Compound(must=(Term("content", "inverted"), Term("content", "index"))),
+    Compound(should=(Prefix("path", "tok"), Prefix("repo", "org1")), min_should_match=1),
+    Compound(should=(Term("content", "wand"), Term("content", "bm25")), min_should_match=1),
+    Compound(
+        must=(Term("content", "def"),),
+        should=(Term("content", "scorer"), Term("content", "heap")),
+        min_should_match=0,
+    ),
+    Compound(must=(Term("content", "zzzzqqq"),)),  # zero-hit
+    Compound(),  # empty query
+]
+
+
+@pytest.fixture(scope="module")
+def oracle_ix(tiny_corpus):
+    return build_oracle(tiny_corpus, IndexConfig(num_buckets=4, num_parts=4))
+
+
+@pytest.fixture(scope="module")
+def engine(tiny_index):
+    out, cfg, _ = tiny_index
+    return SearchEngine(out, cfg)
+
+
+def assert_parity(res, ora, score_tol=1e-9):
+    assert res.total == ora.total
+    assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(
+        res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), rtol=0, atol=score_tol
+    )
+
+
+@pytest.mark.parametrize("qi", range(len(QUERIES)))
+def test_rank_parity(engine, oracle_ix, qi):
+    q = QUERIES[qi]
+    res = engine.search(q, k=10)
+    ora = oracle_search(oracle_ix, q, k=10)
+    assert_parity(res, ora)
+    assert len(res.hits) <= 10  # reference shape check len(data) <= limit
+
+
+def test_parity_with_filter(engine, oracle_ix):
+    q = Compound(must=(Term("content", "import"),))
+    fs = FilterSpec((("lang", "in", ("python", "go")),))
+    res = engine.search(q, k=10, filter_spec=fs)
+    ora = oracle_search(oracle_ix, q, k=10, filter_spec=fs)
+    assert_parity(res, ora)
+    assert res.total < engine.search(q, k=1).total
+
+
+def test_parity_with_attr_boost(engine, oracle_ix):
+    # S6 analog: lang == "rust" docs get +5 constant
+    q = Compound(must=(Term("content", "def"),))
+    boost = DocAttrBoost("lang", "rust", 5.0)
+    res = engine.search(q, k=10, boosts=(boost,))
+    ora = oracle_search(oracle_ix, q, k=10, boosts=(boost,))
+    assert_parity(res, ora)
+
+
+def test_parity_with_conditional_boost(engine, oracle_ix):
+    # S5 analog: +10 for docs in a broadcast "in stock" id set
+    rng = np.random.default_rng(3)
+    stocked = np.sort(rng.choice(oracle_ix.doc_ids, size=80, replace=False))
+    q = Compound(must=(Term("content", "import"),))
+    boost = ConditionalAddBoost(stocked, 10.0)
+    res = engine.search(q, k=10, boosts=(boost,))
+    ora = oracle_search(oracle_ix, q, k=10, boosts=(boost,))
+    assert_parity(res, ora)
+
+
+def test_parity_pagination(engine, oracle_ix):
+    # R12 skip/limit: page 2 must match the oracle's slice exactly
+    q = Compound(must=(Term("content", "import"),))
+    res = engine.search(q, k=5, skip=5)
+    ora = oracle_search(oracle_ix, q, k=5, skip=5)
+    assert_parity(res, ora)
+
+
+def test_facet_counts(engine, oracle_ix):
+    # R16: per-value counts over the full matched set
+    q = Compound(must=(Term("content", "import"),))
+    res = engine.search(q, k=3, facet_fields=("lang",))
+    ora = oracle_search(oracle_ix, q, k=3, facet_fields=("lang",))
+    assert res.facets["lang"] == ora.facets["lang"]
+    assert sum(res.facets["lang"].values()) == res.total
+
+
+def test_planner_dispatch(engine, oracle_ix):
+    # S8: single token -> autocomplete OR; multi token -> AND
+    q1 = plan_keyword("tok", text_field="content", prefix_fields=("path", "repo"))
+    assert q1.should and not q1.must
+    q2 = plan_keyword("5 kg build inverted index", text_field="content")
+    assert q2.must and not q2.should
+    for q in (q1, q2):
+        assert_parity(engine.search(q, k=10), oracle_search(oracle_ix, q, k=10))
+
+
+def test_metadata_attached(engine):
+    res = engine.search(Compound(must=(Term("content", "import"),)), k=3)
+    for col in ("repo", "path", "commit", "lang", "content_sha256"):
+        assert col in res.hits.columns
