@@ -1,44 +1,532 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+- ``entry()``: flagship pipeline (index build + BM25 search) over
+  /root/testdata/sf0.001.
+- ``queries()``: one callable per implemented operator/pipeline from
+  SURVEY.md §2 + the training-data ops (dedup / ANN / text analysis /
+  multimodal). Each takes ``sf_dir`` and returns a Dataset / pandas
+  DataFrame / pyarrow Table.
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  entry — including full Okapi BM25 scoring written out as SQL CTEs so
+  the search engine itself is oracle-checked, not just the relational
+  ring. Column names match the Ray side exactly.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: no
+ray.init()/ray.shutdown() here or in the library code these use.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# --------------------------------------------------------------------
+# shared SQL fragments (tokenizer MUST stay in lockstep with
+# search_engine_ray.analysis.TOKEN_RE / STOP_TOKENS)
+# --------------------------------------------------------------------
+_TOKS = (
+    "list_filter(regexp_extract_all(lower({col}), '[a-z0-9_]+'), "
+    "t -> t NOT IN ('rs','gm','ml','kg'))"
+)
+
+
+def _bm25_sql(
+    terms: list[str],
+    mode: str = "must",
+    k: int = 10,
+    boost_sql: str = "",
+    col: str = "text",
+    prefix: bool = False,
+) -> str:
+    """Textbook Okapi BM25 (k1=1.2, b=0.75) as DuckDB SQL — the same
+    formula/op-order as search_engine_ray.query.scoring (numerator
+    tf*2.2, denominator tf + 1.2*(1 - 0.75 + 0.75*dl/avgdl), idf
+    ln(1+(N-df+0.5)/(df+0.5)), avgdl = sum(dl)/N over the field)."""
+    toks = _TOKS.format(col=col)
+    if prefix:
+        tf_exprs = [
+            f"len(list_filter(ts, t -> t LIKE '{t}%')) AS tf{i}" for i, t in enumerate(terms)
+        ]
+    else:
+        tf_exprs = [f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}" for i, t in enumerate(terms)]
+    df_exprs = [f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))]
+    score_terms = [
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * tf{i} * 2.2 / "
+        f"(tf{i} + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)"
+        for i in range(len(terms))
+    ]
+    score = " + ".join(score_terms)
+    if boost_sql:
+        score = f"({score}) + ({boost_sql})"
+    joiner = " AND " if mode == "must" else " OR "
+    cond = joiner.join(f"tf{i} > 0" for i in range(len(terms)))
+    return f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl, {', '.join(tf_exprs)} FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, {', '.join(df_exprs)} FROM d)
+SELECT d.doc_id, round({score}, 4) AS score
+FROM d, s WHERE {cond}
+ORDER BY ({score}) DESC, d.doc_id LIMIT {k}
+"""
+
+
+# --------------------------------------------------------------------
+# engine/index helpers (index per sf_dir, cached under /tmp)
+# --------------------------------------------------------------------
+
+
+def _doc_engine(sf_dir: str):
+    from search_engine_ray.config import DOCUMENTS_CONFIG
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query import SearchEngine
+
+    tag = sf_dir.strip("/").replace("/", "_")
+    idx_dir = f"/tmp/ser_idx_cache/{tag}/documents"
+    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+        build_index(
+            os.path.join(sf_dir, "documents.parquet"), idx_dir, DOCUMENTS_CONFIG, sha_col="text"
+        )
+    return SearchEngine(idx_dir, DOCUMENTS_CONFIG)
+
+
+def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame:
+    """Engine-side mirror of _bm25_sql: score ALL matches, order by
+    full-precision score (doc_id tiebreak), take k, round for output."""
+    eng = _doc_engine(sf_dir)
+    df = eng.search_all(q, boosts=boosts).to_pandas()
+    df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+    return pd.DataFrame(
+        {"doc_id": df["doc_id"].to_numpy(), "score": np.round(df["score"].to_numpy(), 4)}
+    )
+
+
+def _docs_with_near_dups(sf_dir: str):
+    """documents ∪ perturbed copy (id+1000000, one token appended) —
+    a deterministic near-dup corpus for the dedup rows-only entries."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+
+    def _perturb(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(t["text"], "zz_dup_marker", " "),
+            }
+        )
+
+    return docs.union(docs.map_batches(_perturb, batch_format="pyarrow"))
+
+
+# --------------------------------------------------------------------
+# driver hooks
+# --------------------------------------------------------------------
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: build the inverted index over sf0.001 documents, run
+    the reference-analog keyword search, return the hit page."""
+    from search_engine_ray.pipelines import keyword_search
+
+    eng = _doc_engine("/root/testdata/sf0.001")
+    # multi-term keyword -> S8 dispatches to text-AND on the primary
+    # field (a 1-term keyword would dispatch to source-prefix
+    # autocomplete, which rightly matches nothing for English words)
+    res = keyword_search(
+        eng, "hash join", text_field="text", prefix_fields=("source",), k=10,
+        facet_fields=("lang",),
+    )
+    return res["data"]
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    import pyarrow.compute as pc
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    import search_engine_ray.ops.ann as ann
+    import search_engine_ray.ops.dedup as dd
+    import search_engine_ray.ops.relational as rel
+    import search_engine_ray.ops.text as txt
+    from search_engine_ray.ops.multimodal import featurize_media, synthetic_media_table
+    from search_engine_ray.query import Compound, ConditionalAddBoost, Prefix, Term, plan_keyword
+
+    def _rd():
+        import ray.data as rd
+
+        return rd
+
+    def _read(sf_dir: str, table: str, columns=None):
+        return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+    # ---- search / scoring (S1-S8) -----------------------------------
+    def s1_bm25_term(sf_dir):
+        return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)))
+
+    def s3_bm25_and(sf_dir):
+        return _bm25_query(sf_dir, Compound(must=(Term("text", "hash"), Term("text", "join"))))
+
+    def s3_bm25_should(sf_dir):
+        return _bm25_query(
+            sf_dir,
+            Compound(should=(Term("text", "spark"), Term("text", "window")), min_should_match=1),
+        )
+
+    def s2_prefix(sf_dir):
+        return _bm25_query(sf_dir, Compound(must=(Prefix("source", "src1"),)))
+
+    def s5_boost(sf_dir):
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "n_chars"]
+        )
+        ids = np.sort(
+            t.filter(pc.greater(t["n_chars"], 200))["doc_id"].to_numpy().astype(np.int64)
+        )
+        boost = ConditionalAddBoost(ids, 10.0)
+        return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)), boosts=(boost,))
+
+    def s7_normalizer(sf_dir):
+        # "5 kg vector rs" normalizes to the single term "vector" (S7)
+        q = plan_keyword("5 kg vector rs", text_field="text", prefix_fields=())
+        return _bm25_query(sf_dir, q)
+
+    # ---- relational ring (R1-R17) -----------------------------------
+    def r1_filter(sf_dir):
+        ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
+        return rel.filter_conditions(ds, [("l_quantity", ">", 45.0), ("l_returnflag", "==", "R")])
+
+    def r2_project(sf_dir):
+        ds = _read(sf_dir, "lineitem")
+        return rel.project(
+            ds,
+            keep=["l_orderkey", "l_linenumber"],
+            exprs={
+                "revenue": lambda t: pc.round(
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 4
+                )
+            },
+        )
+
+    def r3_join(sf_dir):
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_mktsegment"],
+        )
+        return rel.broadcast_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"], how="inner")
+
+    def r5_semijoin(sf_dir):
+        part = _read(sf_dir, "part", ["p_partkey", "p_name"])
+        li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"])
+        return rel.broadcast_join(part, li, on=["p_partkey"], right_on=["l_partkey"], how="left semi")
+
+    def r7_group_first(sf_dir):
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
+        return rel.group_dedup_first(
+            orders, "o_custkey", ["o_totalprice", "o_orderkey"], descending=[True, False]
+        )
+
+    def r8_group_sum(sf_dir):
+        ds = _read(sf_dir, "lineitem")
+        out = rel.grouped_aggregate(
+            ds,
+            ["l_returnflag", "l_linestatus"],
+            {
+                "sum_qty": ("sum", "l_quantity"),
+                "sum_price": ("sum", "l_extendedprice"),
+                "avg_disc": ("mean", "l_discount"),
+                "cnt": ("count", "l_quantity"),
+            },
+        ).to_pandas()
+        for c in ("sum_qty", "sum_price", "avg_disc"):
+            out[c] = out[c].round(2)
+        return out
+
+    def r10_explode(sf_dir):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        toks = txt.explode_tokens(docs, "text", ["doc_id"])
+        return rel.value_counts(toks, "token", alias="cnt")
+
+    def r11_topk(sf_dir):
+        orders = _read(sf_dir, "orders")
+        return rel.topk(orders, ["o_totalprice", "o_orderkey"], 50, descending=[True, False])
+
+    def r12_paginate(sf_dir):
+        orders = _read(sf_dir, "orders")
+        return rel.paginate(
+            orders, ["o_totalprice", "o_orderkey"], skip=20, limit=10, descending=[True, False]
+        )
+
+    def r15_distinct(sf_dir):
+        ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
+        return rel.distinct(ds, ["l_returnflag", "l_linestatus"])
+
+    def r16_facet_counts(sf_dir):
+        return rel.value_counts(_read(sf_dir, "documents", ["lang"]), "lang", alias="cnt")
+
+    def e6_events_rollup(sf_dir):
+        ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            day = pc.strftime(t["ts"], format="%Y-%m-%d")
+            return pa.table({"day": day, "event_type": t["event_type"], "value": t["value"]})
+
+        out = rel.grouped_aggregate(
+            ds.map_batches(_day, batch_format="pyarrow"),
+            ["day", "event_type"],
+            {"n": ("count", "value"), "sum_value": ("sum", "value")},
+        ).to_pandas()
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    # ---- text analysis ---------------------------------------------
+    def t_token_stats(sf_dir):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_token_stats(docs, "text").drop_columns(["text"])
+
+    def t_quality(sf_dir):
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_quality_score(docs, "text").drop_columns(["text"])
+
+    def t_lang_id(sf_dir):  # rows-only (heuristic, no SQL analog)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_lang_id(docs, "text").drop_columns(["text"])
+
+    def t_rolling_fp(sf_dir):  # rows-only
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_rolling_fingerprint(docs, "text").drop_columns(["text"])
+
+    # ---- dedup ------------------------------------------------------
+    def dedup_exact(sf_dir):
+        both = _docs_with_near_dups(sf_dir)  # exact dups: none -> all dup_count=1
+        return dd.exact_dedup(both, "text", "doc_id")
+
+    def dedup_minhash(sf_dir):  # rows-only
+        pairs = dd.minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
+        return pairs
+
+    def dedup_simhash(sf_dir):  # rows-only
+        return dd.simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3)
+
+    # ---- similarity search -----------------------------------------
+    def ann_cosine(sf_dir):
+        emb = _read(sf_dir, "embeddings")
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return ann.cosine_topk(emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10)
+
+    def ann_rp_lsh(sf_dir):  # rows-only
+        import ray.data as rd
+
+        emb = _read(sf_dir, "embeddings")
+
+        def _perturb(t: pa.Table) -> pa.Table:
+            vecs = t["embedding"].combine_chunks()
+            flat = pc.list_flatten(vecs).to_numpy(zero_copy_only=False).astype(np.float32)
+            flat = flat * np.float32(1.0001)  # same direction -> cos == 1
+            n = len(vecs)
+            d = flat.size // n
+            offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            emb = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+            return pa.table(
+                {
+                    "vec_id": pc.add(t["vec_id"], 1_000_000),
+                    "embedding": emb,
+                    "label": t["label"],
+                }
+            )
+
+        both = emb.union(emb.map_batches(_perturb, batch_format="pyarrow"))
+        return ann.rp_lsh_near_dup(both, threshold=0.999, n_planes=10)
+
+    # ---- multimodal plumbing (rows-only; deterministic fake decode)
+    def mm_features(sf_dir):
+        import ray.data as rd
+
+        media = rd.from_arrow(synthetic_media_table(200, "image", seed=3))
+        out = featurize_media(media, feature_dim=8).to_pandas()
+        out["feat0"] = out["features"].map(lambda f: round(float(f[0]), 6))
+        return out[["media_id", "kind", "payload_bytes", "feat0"]]
+
+    # ---- end-to-end pipelines --------------------------------------
+    def pipe_listing(sf_dir):
+        from search_engine_ray.pipelines import listing
+
+        docs = _read(sf_dir, "documents")
+        res = listing(
+            docs,
+            conditions=[("lang", "in", ["en", "de"])],
+            sort_keys=["n_chars", "doc_id"],
+            descending=[True, False],
+            page=1,
+            per_page=15,
+            sidebar_cols=("source",),
+        )
+        return res["rows"][["doc_id", "lang", "source", "n_chars"]]
+
+    def pipe_grouped_search(sf_dir):
+        from search_engine_ray.pipelines import grouped_search
+
+        eng = _doc_engine(sf_dir)
+        res = grouped_search(
+            eng, "vector", text_field="text", prefix_fields=(), group_col="source",
+            sum_col="n_chars", k=10,
+        )
+        page = res["data"].copy()
+        page["score"] = page["score"].round(4)
+        return page[["source", "doc_id", "score", "stock_sum", "variant_count"]]
+
+    return {
+        "s1_bm25_term": s1_bm25_term,
+        "s3_bm25_and": s3_bm25_and,
+        "s3_bm25_should": s3_bm25_should,
+        "s2_prefix": s2_prefix,
+        "s5_boost": s5_boost,
+        "s7_normalizer": s7_normalizer,
+        "r1_filter": r1_filter,
+        "r2_project": r2_project,
+        "r3_join": r3_join,
+        "r5_semijoin": r5_semijoin,
+        "r7_group_first": r7_group_first,
+        "r8_group_sum": r8_group_sum,
+        "r10_explode": r10_explode,
+        "r11_topk": r11_topk,
+        "r12_paginate": r12_paginate,
+        "r15_distinct": r15_distinct,
+        "r16_facet_counts": r16_facet_counts,
+        "e6_events_rollup": e6_events_rollup,
+        "t_token_stats": t_token_stats,
+        "t_quality": t_quality,
+        "t_lang_id": t_lang_id,
+        "t_rolling_fp": t_rolling_fp,
+        "dedup_exact": dedup_exact,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "ann_cosine": ann_cosine,
+        "ann_rp_lsh": ann_rp_lsh,
+        "mm_features": mm_features,
+        "pipe_listing": pipe_listing,
+        "pipe_grouped_search": pipe_grouped_search,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    toks = _TOKS.format(col="text")
+    grouped_search_sql = f"""
+WITH tok AS (SELECT doc_id, source, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, source, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+scored AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+         (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS raw_score
+  FROM d, s WHERE tf0 > 0),
+best AS (
+  SELECT doc_id, source, raw_score FROM scored
+  QUALIFY row_number() OVER (PARTITION BY source ORDER BY raw_score DESC, doc_id) = 1),
+agg AS (
+  SELECT source, sum(n_chars) AS stock_sum, count(*) AS variant_count
+  FROM scored GROUP BY source)
+SELECT b.source, b.doc_id, round(b.raw_score, 4) AS score, a.stock_sum, a.variant_count
+FROM best b JOIN agg a USING (source)
+ORDER BY b.raw_score DESC, b.doc_id LIMIT 10
+"""
+    return {
+        "s1_bm25_term": _bm25_sql(["vector"]),
+        "s3_bm25_and": _bm25_sql(["hash", "join"], mode="must"),
+        "s3_bm25_should": _bm25_sql(["spark", "window"], mode="should"),
+        "s2_prefix": _bm25_sql(["src1"], col="source", prefix=True),
+        "s5_boost": _bm25_sql(
+            ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"
+        ),
+        "s7_normalizer": _bm25_sql(["vector"]),
+        "r1_filter": (
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
+            "WHERE l_quantity > 45 AND l_returnflag = 'R'"
+        ),
+        "r2_project": (
+            "SELECT l_orderkey, l_linenumber, "
+            "round(l_extendedprice * (1 - l_discount), 4) AS revenue FROM lineitem"
+        ),
+        "r3_join": (
+            "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+            "FROM orders JOIN customer ON o_custkey = c_custkey"
+        ),
+        "r5_semijoin": (
+            "SELECT p_partkey, p_name FROM part "
+            "WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+        ),
+        "r7_group_first": (
+            "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+            "QUALIFY row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey ASC) = 1"
+        ),
+        "r8_group_sum": (
+            "SELECT l_returnflag, l_linestatus, round(sum(l_quantity), 2) AS sum_qty, "
+            "round(sum(l_extendedprice), 2) AS sum_price, round(avg(l_discount), 2) AS avg_disc, "
+            "count(*) AS cnt FROM lineitem GROUP BY 1, 2"
+        ),
+        "r10_explode": (
+            "SELECT t AS token, count(*) AS cnt FROM (SELECT unnest("
+            "regexp_extract_all(lower(text), '[a-z0-9_]+')) t FROM documents) GROUP BY 1"
+        ),
+        "r11_topk": (
+            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 50"
+        ),
+        "r12_paginate": (
+            "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10 OFFSET 20"
+        ),
+        "r15_distinct": "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+        "r16_facet_counts": "SELECT lang, count(*) AS cnt FROM documents GROUP BY 1",
+        "e6_events_rollup": (
+            "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "t_token_stats": (
+            "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens, "
+            "len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS n_uniq_tokens, "
+            "md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS fingerprint "
+            "FROM documents"
+        ),
+        "t_quality": (
+            "SELECT doc_id, round("
+            "0.4 * (len(list_distinct(regexp_extract_all(lower(text),'[a-z0-9_]+')))::DOUBLE"
+            " / len(regexp_extract_all(lower(text),'[a-z0-9_]+'))) + "
+            "0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) + "
+            "0.3 * (least(len(regexp_extract_all(lower(text),'[a-z0-9_]+')), 200)::DOUBLE / 200)"
+            ", 4) AS quality FROM documents"
+        ),
+        "dedup_exact": (
+            "WITH both_docs AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' FROM documents) "
+            "SELECT md5(text) AS digest, min(doc_id) AS doc_id, count(*) AS dup_count "
+            "FROM both_docs GROUP BY md5(text)"
+        ),
+        "ann_cosine": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)) "
+            "SELECT qid, e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
+        ),
+        "pipe_listing": (
+            "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "
+            "ORDER BY n_chars DESC, doc_id LIMIT 15"
+        ),
+        "pipe_grouped_search": grouped_search_sql,
+        # rows-only (non-SQL-expressible): t_lang_id, t_rolling_fp,
+        # dedup_minhash, dedup_simhash, ann_rp_lsh, mm_features
+    }

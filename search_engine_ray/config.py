@@ -61,6 +61,10 @@ class IndexConfig:
     # columns carried into the docmap (doc store) besides doc_id/bucket
     docmap_cols: tuple[str, ...] = ("repo", "path", "commit", "lang", "content_sha256")
     id_cols: tuple[str, ...] = ("repo", "path")
+    # when True, id_cols is a single pre-existing non-negative int64
+    # column used verbatim as doc_id (no hashing) — results then carry
+    # the source table's own ids (e.g. the `documents.doc_id` testdata)
+    use_native_id: bool = False
 
     def field_by_name(self, name: str) -> FieldSpec:
         for f in self.fields:
@@ -92,6 +96,7 @@ DOCUMENTS_CONFIG = IndexConfig(
     ),
     num_buckets=8,
     num_parts=4,
-    docmap_cols=("lang", "source", "content_sha256"),
+    docmap_cols=("lang", "source", "n_chars", "content_sha256"),
     id_cols=("doc_id",),
+    use_native_id=True,
 )

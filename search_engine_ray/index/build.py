@@ -88,15 +88,20 @@ def make_ingest_fn(config: IndexConfig, sha_col: str | None):
     nb = config.num_buckets
 
     def ingest(batch: pa.Table) -> pa.Table:
-        idvals = [batch[c].to_pylist() for c in id_cols]
-        uids = np.fromiter(
-            (doc_uid(str(v) for v in row) for row in zip(*idvals)),
-            dtype=np.int64,
-            count=batch.num_rows,
-        )
-        batch = batch.append_column("doc_id", pa.array(uids, pa.int64())).append_column(
-            "bucket", pa.array(uids % nb, pa.int32())
-        )
+        if config.use_native_id:
+            # the table's own int64 id column IS the doc_id
+            uids = batch[id_cols[0]].to_numpy().astype(np.int64, copy=False)
+            if "doc_id" not in batch.column_names:
+                batch = batch.append_column("doc_id", pa.array(uids, pa.int64()))
+        else:
+            idvals = [batch[c].to_pylist() for c in id_cols]
+            uids = np.fromiter(
+                (doc_uid(str(v) for v in row) for row in zip(*idvals)),
+                dtype=np.int64,
+                count=batch.num_rows,
+            )
+            batch = batch.append_column("doc_id", pa.array(uids, pa.int64()))
+        batch = batch.append_column("bucket", pa.array(uids % nb, pa.int32()))
         if sha_col is not None:
             shas = [
                 hashlib.sha256(s.encode("utf-8") if s is not None else b"").hexdigest()

@@ -1,0 +1,234 @@
+"""Similarity search over an embedding column (task brief):
+
+- `cosine_topk`: exact brute-force cosine top-k — the baseline. The
+  query matrix is broadcast once per actor; each batch is one numpy
+  matmul; per-batch partial top-k keeps the shuffle tiny (num_blocks
+  x Q x k rows), final per-query merge is a groupby.
+- `rp_lsh_near_dup`: all-pairs near-duplicate detection via random-
+  hyperplane LSH bucketing (signature groupby), pairwise verify only
+  inside buckets.
+- `IVFIndex`: the scale path — coarse k-means centroids (driver-side
+  over a sample, broadcast), assignments written as cluster-partitioned
+  Parquet; a query reads only its nprobe closest clusters' partitions.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from ray.data import Dataset
+
+
+def _to_matrix(chunked, dim: int | None = None) -> np.ndarray:
+    """list<float> column -> (n, d) float64 matrix, zero-copy flatten."""
+    arr = chunked.combine_chunks() if isinstance(chunked, pa.ChunkedArray) else chunked
+    flat = pc.list_flatten(arr).to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    d = dim or (flat.size // n if n else 0)
+    return flat.reshape(n, d)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return m / norms
+
+
+class _BruteScore:
+    """Actor: holds the normalized query matrix; per batch emits each
+    query's local top-k (qid, vec_id, cos)."""
+
+    def __init__(self, queries: np.ndarray, qids: np.ndarray, k: int, vec_col: str, id_col: str):
+        self.qn = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.k = k
+        self.vec_col, self.id_col = vec_col, id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        m = _normalize(_to_matrix(t[self.vec_col], self.qn.shape[1]))
+        sims = m @ self.qn.T  # (batch, Q)
+        n, q = sims.shape
+        k = min(self.k, n)
+        # per-query partial top-k without full sort
+        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q):
+            sel = part[:, j]
+            out_q.append(np.full(k, self.qids[j], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims[sel, j])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def cosine_topk(
+    ds: Dataset,
+    queries: np.ndarray,
+    qids: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Exact cosine top-k of each query against the dataset. Returns
+    (qid, vec_id, cos) rows, cos rounded to 4 (deterministic ranking:
+    cos desc, vec_id asc on the rounded value)."""
+    partial = ds.map_batches(
+        _BruteScore,
+        fn_constructor_args=(queries, qids, k + (1 if exclude_self else 0), vec_col, id_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cos"] = df["cos"].round(4)
+        if exclude_self:
+            df = df[df["qid"] != df["vec_id"]]
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return partial.groupby("qid").map_groups(_final, batch_format="pandas")
+
+
+def rp_lsh_near_dup(
+    ds: Dataset,
+    threshold: float = 0.9,
+    n_planes: int = 12,
+    seed: int = 11,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_bucket: int = 512,
+) -> Dataset:
+    """All-pairs embedding near-dups: random-hyperplane signatures ->
+    bucket groupby -> exact pairwise cosine inside buckets only.
+    Returns (a, b, cos) with cos >= threshold, a < b."""
+    from ray.data.aggregate import Max
+
+    dim_probe = ds.take(1)[0][vec_col]
+    dim = len(dim_probe)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((dim, n_planes))
+
+    def _sig(t: pa.Table) -> pa.Table:
+        m = _normalize(_to_matrix(t[vec_col], dim))
+        bits = (m @ planes) > 0
+        bucket = np.zeros(m.shape[0], dtype=np.int64)
+        for j in range(n_planes):
+            bucket |= bits[:, j].astype(np.int64) << j
+        return pa.table(
+            {
+                "bucket": pa.array(bucket, pa.int64()),
+                id_col: t[id_col],
+                vec_col: t[vec_col],
+            }
+        )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        if ids.size < 2 or ids.size > max_bucket:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                                 "cos": np.empty(0, np.float64)})
+        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
+        sims = m @ m.T
+        ai, bi = np.triu_indices(ids.size, k=1)
+        cos = np.round(sims[ai, bi], 4)
+        keep = cos >= threshold
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "cos": cos[keep]})
+
+    sig = ds.map_batches(_sig, batch_format="pyarrow")
+    pairs = sig.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
+
+
+class IVFIndex:
+    """IVF coarse quantizer: build = assign every vector to its nearest
+    centroid and write cluster-partitioned Parquet; search = score only
+    the nprobe closest clusters' partitions (partition-pruned read).
+
+    Centroids come from deterministic k-means over a driver-side sample
+    (sample size bounded; the full assignment pass is distributed)."""
+
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "centroids.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+
+    @staticmethod
+    def build(
+        ds: Dataset,
+        index_dir: str,
+        n_clusters: int = 16,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_size: int = 4096,
+        iters: int = 10,
+        seed: int = 5,
+    ) -> "IVFIndex":
+        sample = ds.limit(sample_size).to_pandas()
+        m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        rng = np.random.default_rng(seed)
+        cent = m[rng.choice(m.shape[0], size=min(n_clusters, m.shape[0]), replace=False)]
+        for _ in range(iters):  # spherical k-means on the sample
+            assign = np.argmax(m @ cent.T, axis=1)
+            for c in range(cent.shape[0]):
+                sel = m[assign == c]
+                if len(sel):
+                    v = sel.mean(axis=0)
+                    n = np.linalg.norm(v)
+                    if n > 0:
+                        cent[c] = v / n
+        dim = cent.shape[1]
+
+        def _assign(t: pa.Table) -> pa.Table:
+            mm = _normalize(_to_matrix(t[vec_col], dim))
+            cl = np.argmax(mm @ cent.T, axis=1).astype(np.int32)
+            return pa.table(
+                {id_col: t[id_col], vec_col: t[vec_col], "cluster": pa.array(cl, pa.int32())}
+            )
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
+        )
+        with open(os.path.join(index_dir, "centroids.json"), "w") as f:
+            json.dump(
+                {"centroids": cent.tolist(), "vec_col": vec_col, "id_col": id_col}, f
+            )
+        return IVFIndex(index_dir)
+
+    def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
+        qn = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
+        order = np.argsort(-(self.centroids @ qn))[:nprobe]
+        import glob as _glob
+
+        frags = [
+            f
+            for c in order
+            for f in _glob.glob(os.path.join(self.dir, "vectors", f"cluster={c}", "*.parquet"))
+        ]
+        if not frags:
+            return pd.DataFrame({self.id_col: [], "cos": []})
+        t = pads.dataset(frags).to_table(columns=[self.id_col, self.vec_col])
+        m = _normalize(_to_matrix(t[self.vec_col]))
+        sims = np.round(m @ qn, 4)
+        ids = t[self.id_col].to_numpy()
+        order2 = np.lexsort((ids, -sims))[:k]
+        return pd.DataFrame({self.id_col: ids[order2], "cos": sims[order2]})

@@ -1,0 +1,371 @@
+"""Deduplication operators (task brief: exact, MinHash+LSH, SimHash,
+n-gram Jaccard) as Ray Data pipelines over a documents-shaped table.
+
+Scale design:
+- exact dedup is a hash-partition groupby on the content digest with a
+  map-side combiner (the shuffle moves one row per distinct digest per
+  block, not the corpus).
+- MinHash/SimHash signatures are computed batch-vectorized in numpy
+  (one reduceat per permutation across ALL docs in the batch — no
+  per-doc inner loop over permutations).
+- LSH banding turns near-dup search into a groupby on band buckets:
+  candidates only ever meet inside a bucket, so the all-pairs blowup
+  is bounded by bucket size (capped; oversized buckets are hot-key
+  skew and are dropped with a count — same salting philosophy as the
+  index build).
+- verification (exact n-gram Jaccard / hamming) runs on the candidate
+  pairs only; candidate doc payloads are broadcast once (they are
+  orders of magnitude smaller than the corpus — at larger candidate
+  cardinality swap the broadcast for a repartition-join on doc_id).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from dataclasses import dataclass
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Min, Sum
+
+from search_engine_ray.analysis import TOKEN_RE
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _digest64(values: list[str]) -> np.ndarray:
+    return np.array(
+        [int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big") for v in values],
+        dtype=np.uint64,
+    )
+
+
+def _shingle_hashes(texts: list[str], w: int) -> tuple[np.ndarray, np.ndarray]:
+    """All shingle hashes concatenated + per-doc offsets (len n+1)."""
+    hashes: list[np.ndarray] = []
+    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
+    for i, s in enumerate(texts):
+        toks = TOKEN_RE.findall((s or "").lower())
+        if len(toks) >= w:
+            sh = [" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
+        else:
+            sh = [" ".join(toks)] if toks else []
+        h = _digest64(sorted(set(sh))) if sh else np.empty(0, dtype=np.uint64)
+        hashes.append(h)
+        offsets[i + 1] = offsets[i] + h.size
+    flat = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
+    return flat, offsets
+
+
+# ---------------------------------------------------------------- exact
+
+
+def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """Exact dedup: keep min(id) per content digest, annotate with the
+    multiplicity (R17, reference search_utils.py:7-23 O(n²) dedup —
+    ours is a hash-partition groupby). Output: digest, doc_id, dup_count."""
+
+    def _digest(t: pa.Table) -> pa.Table:
+        ds_ = [hashlib.md5((s or "").encode("utf-8")).hexdigest() for s in t[text_col].to_pylist()]
+        return pa.table({"digest": pa.array(ds_, pa.string()), id_col: t[id_col]})
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        # map-side combiner: one row per digest per block
+        g = df.groupby("digest", sort=False)[id_col].agg(["min", "count"]).reset_index()
+        return g.rename(columns={"min": id_col, "count": "dup_count"})
+
+    partial = ds.map_batches(_digest, batch_format="pyarrow").map_batches(
+        _partial, batch_format="pandas"
+    )
+    return partial.groupby("digest").aggregate(
+        Min(id_col, alias_name=id_col), Sum("dup_count", alias_name="dup_count")
+    )
+
+
+# ------------------------------------------------------------- MinHash
+
+
+@dataclass(frozen=True)
+class MinHashParams:
+    num_perm: int = 64
+    bands: int = 16  # rows per band = num_perm // bands
+    shingle_w: int = 3
+    seed: int = 7
+    max_bucket: int = 64  # hot-bucket cap (skew guard)
+
+    @property
+    def rows(self) -> int:
+        assert self.num_perm % self.bands == 0
+        return self.num_perm // self.bands
+
+
+def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(p.seed)
+    a = rng.integers(1, _MERSENNE, size=p.num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=p.num_perm, dtype=np.uint64)
+    return a, b
+
+
+class MinHashSignatures:
+    """map_batches actor: doc -> (doc_id, sig:list<uint64>[num_perm]).
+    Permutation coefficients are built once per actor (__init__)."""
+
+    def __init__(self, text_col: str, id_col: str, params: MinHashParams):
+        self.text_col, self.id_col, self.p = text_col, id_col, params
+        self.a, self.b = _perm_coeffs(params)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        texts = t[self.text_col].to_pylist()
+        flat, offsets = _shingle_hashes(texts, self.p.shingle_w)
+        n = len(texts)
+        sigs = np.full((n, self.p.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
+        if flat.size:
+            nonempty = np.nonzero(np.diff(offsets) > 0)[0]
+            starts = offsets[nonempty]
+            for k in range(self.p.num_perm):
+                # universal hash of every shingle, then per-doc min
+                hv = (self.a[k] * flat + self.b[k]) % np.uint64(_MERSENNE)
+                sigs[nonempty, k] = np.minimum.reduceat(hv, starts)
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "sig": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.reshape(-1).astype(np.int64), pa.int64()), self.p.num_perm
+                ),
+            }
+        )
+
+
+def minhash_signatures(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", params: MinHashParams | None = None
+) -> Dataset:
+    params = params or MinHashParams()
+    return ds.map_batches(
+        MinHashSignatures,
+        fn_constructor_args=(text_col, id_col, params),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def _band_rows(sig_table: pa.Table, id_col: str, p: MinHashParams) -> pa.Table:
+    """sig rows -> one row per (doc, band) with the band bucket key."""
+    ids = sig_table[id_col].to_numpy()
+    sigs = (
+        sig_table["sig"].combine_chunks().flatten().to_numpy().reshape(-1, p.num_perm)
+    )
+    n = ids.size
+    buckets = np.empty((n, p.bands), dtype=np.int64)
+    for bidx in range(p.bands):
+        band = np.ascontiguousarray(sigs[:, bidx * p.rows : (bidx + 1) * p.rows])
+        raw = band.view(np.uint8).reshape(n, -1)
+        for i in range(n):
+            h = hashlib.md5(raw[i].tobytes() + bytes([bidx])).digest()
+            buckets[i, bidx] = int.from_bytes(h[:8], "big", signed=True)
+    return pa.table(
+        {
+            "bucket": pa.array(buckets.reshape(-1), pa.int64()),
+            id_col: pa.array(np.repeat(ids, p.bands), pa.int64()),
+        }
+    )
+
+
+def _candidate_pairs(ds_bands: Dataset, id_col: str, max_bucket: int) -> Dataset:
+    """groupby(bucket) -> unordered candidate pairs (a < b); buckets
+    larger than max_bucket are skew hot-keys and are skipped."""
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        ids = np.unique(df[id_col].to_numpy())
+        if ids.size < 2 or ids.size > max_bucket:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(ids.size, k=1)
+        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+
+    pairs = ds_bands.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    # a pair can surface from several bands: dedupe via groupby
+    return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+
+
+class _JaccardVerify:
+    """Verify candidate pairs with exact shingle-set Jaccard. The
+    candidate docs' shingle sets are broadcast once per actor (they
+    are << corpus; at larger scale replace with a doc_id join)."""
+
+    def __init__(self, shingle_table: pa.Table, id_col: str):
+        ids = shingle_table[id_col].to_numpy()
+        sets = shingle_table["shingles"].to_pylist()
+        self.sets = {int(i): frozenset(s) for i, s in zip(ids, sets)}
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy()
+        b = t["b"].to_numpy()
+        jac = np.zeros(a.size, dtype=np.float64)
+        for i in range(a.size):
+            sa = self.sets.get(int(a[i]), frozenset())
+            sb = self.sets.get(int(b[i]), frozenset())
+            u = len(sa | sb)
+            jac[i] = (len(sa & sb) / u) if u else 0.0
+        return pa.table(
+            {"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(jac, 4), pa.float64())}
+        )
+
+
+def minhash_lsh_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    params: MinHashParams | None = None,
+    threshold: float = 0.5,
+) -> Dataset:
+    """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard
+    verification: (a, b, jaccard) with jaccard >= threshold, a < b.
+
+    shingle -> minhash -> band -> bucket groupby -> candidate pairs ->
+    exact verify. LSH threshold ~ (1/bands)^(1/rows)."""
+    import pyarrow.compute as pc
+
+    p = params or MinHashParams()
+    sigs = minhash_signatures(ds, text_col, id_col, p)
+    bands = sigs.map_batches(
+        lambda t: _band_rows(t, id_col, p), batch_format="pyarrow"
+    )
+    pairs = _candidate_pairs(bands, id_col, p.max_bucket)
+
+    # collect candidate pairs driver-side (they are tiny relative to
+    # the corpus: only docs that LSH-collided), fetch their shingle
+    # sets once and broadcast to the verify actors
+    import ray
+    import ray.data as rd
+
+    pair_df = pairs.to_pandas()
+    pair_all = pa.table(
+        {"a": pa.array(pair_df["a"], pa.int64()), "b": pa.array(pair_df["b"], pa.int64())}
+    )
+    cand_ids = set(pair_df["a"]) | set(pair_df["b"])
+    if not cand_ids:
+        return rd.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+                 "jaccard": pa.array([], pa.float64())}
+            )
+        )
+
+    def _shingles(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(sorted(cand_ids)))
+        t = t.filter(mask)
+        texts = t[text_col].to_pylist()
+        out = []
+        for s in texts:
+            toks = TOKEN_RE.findall((s or "").lower())
+            w = p.shingle_w
+            if len(toks) >= w:
+                sh = sorted({" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)})
+            else:
+                sh = [" ".join(toks)] if toks else []
+            out.append(sh)
+        return pa.table({id_col: t[id_col], "shingles": pa.array(out, pa.list_(pa.string()))})
+
+    shingle_tbl_parts = [
+        ray.get(r) for r in ds.map_batches(_shingles, batch_format="pyarrow").to_arrow_refs()
+    ]
+    shingle_tbl = pa.concat_tables([s for s in shingle_tbl_parts if s.num_rows] or shingle_tbl_parts)
+
+    verified = (
+        rd.from_arrow(pair_all)
+        .map_batches(
+            _JaccardVerify,
+            fn_constructor_args=(shingle_tbl, id_col),
+            batch_format="pyarrow",
+            concurrency=(1, 4),
+        )
+    )
+    return verified.filter(expr=f"jaccard >= {threshold}")
+
+
+# ------------------------------------------------------------- SimHash
+
+
+def simhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> Dataset:
+    """64-bit SimHash per doc: sum tf-weighted ±1 per bit of each
+    token's md5-64, sign -> bit. Vectorized over the batch via
+    unpackbits + reduceat."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        n = len(texts)
+        out = np.zeros(n, dtype=np.uint64)
+        tok_hashes: list[np.ndarray] = []
+        tok_tfs: list[np.ndarray] = []
+        offsets = np.zeros(n + 1, dtype=np.int64)
+        for i, s in enumerate(texts):
+            toks = TOKEN_RE.findall((s or "").lower())
+            if toks:
+                uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
+                tok_hashes.append(_digest64(list(uniq)))
+                tok_tfs.append(tf.astype(np.int64))
+                offsets[i + 1] = offsets[i] + uniq.size
+            else:
+                offsets[i + 1] = offsets[i]
+        if offsets[-1]:
+            flat = np.concatenate(tok_hashes)
+            tfs = np.concatenate(tok_tfs)
+            bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+            contrib = (bits.astype(np.int64) * 2 - 1) * tfs[:, None]
+            nonempty = np.nonzero(np.diff(offsets) > 0)[0]
+            sums = np.add.reduceat(contrib, offsets[nonempty], axis=0)
+            fp_bits = (sums > 0).astype(np.uint8)
+            packed = np.packbits(fp_bits, axis=1, bitorder="little").copy().view(np.uint64).ravel()
+            out[nonempty] = packed
+        return pa.table({id_col: t[id_col], "simhash": pa.array(out.astype(np.int64), pa.int64())})
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def simhash_pairs(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", max_hamming: int = 3,
+    max_bucket: int = 256,
+) -> Dataset:
+    """Near-dup pairs with hamming(simhash) <= max_hamming, found by
+    exact-match blocking on each 16-bit quarter of the fingerprint
+    (a pair within hamming<=3 collides on >=1 of 4 quarters)."""
+    sigs = simhash_signatures(ds, text_col, id_col)
+
+    def _blocks(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy()
+        fps = t["simhash"].to_numpy().astype(np.uint64)
+        parts = []
+        for q in range(4):
+            quarter = ((fps >> np.uint64(16 * q)) & np.uint64(0xFFFF)).astype(np.int64)
+            parts.append(
+                pa.table(
+                    {
+                        "bucket": pa.array(quarter + (q << 32), pa.int64()),
+                        id_col: pa.array(ids, pa.int64()),
+                        "simhash": pa.array(fps.astype(np.int64), pa.int64()),
+                    }
+                )
+            )
+        return pa.concat_tables(parts)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
+        ids = df[id_col].to_numpy()
+        fps = df["simhash"].to_numpy().astype(np.uint64)
+        if ids.size < 2 or ids.size > max_bucket:
+            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                                 "hamming": np.empty(0, np.int64)})
+        ai, bi = np.triu_indices(ids.size, k=1)
+        x = fps[ai] ^ fps[bi]
+        ham = np.zeros(x.size, dtype=np.int64)
+        for _ in range(64):
+            ham += (x & np.uint64(1)).astype(np.int64)
+            x >>= np.uint64(1)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+
+    blocks = sigs.map_batches(_blocks, batch_format="pyarrow")
+    pairs = blocks.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))

@@ -1,0 +1,302 @@
+"""Relational operators over ray.data.Dataset (SURVEY.md §2.2 R1-R18).
+
+Every op is a Dataset -> Dataset transform built on map_batches over
+zero-copy Arrow batches / the built-in groupby-aggregate shuffle; no
+driver-side row loops. Design notes per op:
+
+- filters (R1, reference `$match`, pipelines.py passim): vectorized
+  pyarrow.compute mask inside map_batches; for partition columns use
+  read-time pushdown instead (read_parquet(filter=...)).
+- broadcast join (R3/R4/R5, reference `$lookup`, pipelines.py:62-72,
+  94-112): the small side is a plain pyarrow Table shipped once into
+  each actor (fn_constructor_args go through the object store, so N
+  actors fetch one copy each — not per batch); the per-batch join is
+  Acero `Table.join` (hash join, vectorized).
+- group-dedup-first (R7, `$sort`+`$group $first`, pipelines.py:586-599):
+  two-stage — a per-batch partial "best row per key" combiner BEFORE
+  the shuffle (so the groupby moves at most one row per key per block,
+  not the whole table), then the same reduction per group. "first"
+  honors the sort spec, reproducing best-scored-variant-wins.
+- top-k (R11/R12, `$sort`+`$skip/$limit`): per-block bounded partial
+  top-k, then a sort over the K x num_blocks survivors — never a full
+  all-to-all sort of the input.
+- grouped aggregates / distinct / facet counts (R8/R15/R16): Ray's
+  hash-shuffle groupby.aggregate (it partial-aggregates map-side).
+- explode (R10, `$unwind`): flat_map-style map_batches emitting one
+  row per list element via pc.list_flatten + parent-index take.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+Condition = tuple[str, str, Any]  # (column, op, value)
+
+_OPS: dict[str, Callable] = {
+    "==": pc.equal,
+    "!=": pc.not_equal,
+    ">": pc.greater,
+    ">=": pc.greater_equal,
+    "<": pc.less,
+    "<=": pc.less_equal,
+}
+
+
+def _mask(t: pa.Table, conditions: Sequence[Condition]) -> pa.ChunkedArray:
+    mask = None
+    for col, op, val in conditions:
+        if op == "in":
+            m = pc.is_in(t[col], value_set=pa.array(list(val)))
+        elif op == "not_in":
+            m = pc.invert(pc.is_in(t[col], value_set=pa.array(list(val))))
+        else:
+            m = _OPS[op](t[col], val)
+        mask = m if mask is None else pc.and_kleene(mask, m)
+    return mask
+
+
+def filter_conditions(ds: Dataset, conditions: Sequence[Condition]) -> Dataset:
+    """R1 `$match`: AND of simple predicates, vectorized pc kernels."""
+    conditions = tuple(conditions)
+    if not conditions:
+        return ds
+
+    def _f(t: pa.Table) -> pa.Table:
+        return t.filter(_mask(t, conditions))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def project(
+    ds: Dataset,
+    keep: Sequence[str] = (),
+    exprs: dict[str, Callable[[pa.Table], pa.Array]] | None = None,
+) -> Dataset:
+    """R2 `$project`: select `keep` columns and append computed columns
+    (each expr is a vectorized pa.Table -> Array function)."""
+    keep = list(keep)
+    exprs = exprs or {}
+
+    def _p(t: pa.Table) -> pa.Table:
+        out = t.select(keep) if keep else t
+        for name, fn in exprs.items():
+            arr = fn(t)
+            if name in out.column_names:
+                out = out.set_column(out.column_names.index(name), name, arr)
+            else:
+                out = out.append_column(name, arr)
+        return out
+
+    return ds.map_batches(_p, batch_format="pyarrow")
+
+
+class _BroadcastJoin:
+    """Actor-pool batch joiner: the small side lives in the actor
+    (fetched from the object store once per actor), each batch joins
+    via Acero's vectorized hash join."""
+
+    def __init__(self, small: pa.Table, keys: list[str], right_keys: list[str], join_type: str):
+        self.small = small.combine_chunks()
+        self.keys = keys
+        self.right_keys = right_keys
+        self.join_type = join_type
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out = batch.join(
+            self.small,
+            keys=self.keys,
+            right_keys=self.right_keys,
+            join_type=self.join_type,
+        )
+        return out.combine_chunks()
+
+
+def broadcast_join(
+    ds: Dataset,
+    small: pa.Table,
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> Dataset:
+    """R3/R4 `$lookup` as a broadcast hash join (small side << big side).
+
+    how: "inner" | "left outer" | "left semi" (R5 semi-join, reference
+    `$match data≠[]`, pipelines.py:369-375) | "left anti".
+    Multi-key joins (R4 `let`+`$expr`) just pass several columns.
+    """
+    right_keys = list(right_on or on)
+    return ds.map_batches(
+        _BroadcastJoin,
+        fn_constructor_args=(small, list(on), right_keys, how),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def semi_join_ids(ds: Dataset, col: str, ids, keep: bool = True) -> Dataset:
+    """R5 fast path: keep (or drop) rows whose `col` is in a broadcast
+    id set — `pc.is_in` against a constant array, no join machinery."""
+    id_arr = pa.array(sorted(set(ids)))
+
+    def _f(t: pa.Table) -> pa.Table:
+        m = pc.is_in(t[col], value_set=id_arr)
+        return t.filter(m if keep else pc.invert(m))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def _best_rows(df: pd.DataFrame, key: list[str], sort_keys: list[str], ascending: list[bool]) -> pd.DataFrame:
+    """First row per key under the sort spec (stable; deterministic)."""
+    return (
+        df.sort_values(sort_keys, ascending=ascending, kind="mergesort")
+        .drop_duplicates(subset=key, keep="first")
+    )
+
+
+def group_dedup_first(
+    ds: Dataset,
+    key: str | Sequence[str],
+    sort_keys: Sequence[str],
+    descending: Sequence[bool] | bool = False,
+) -> Dataset:
+    """R7 `$sort` + `$group {$first}` (pipelines.py:586-599): one row
+    per key = the best row under the sort spec. Include the key (and a
+    unique id) in sort_keys for fully deterministic output.
+
+    Two-stage: map-side combiner keeps <=1 row per key per block, then
+    the groupby shuffle reduces the survivors — the shuffle payload is
+    O(distinct keys), not O(rows)."""
+    key = [key] if isinstance(key, str) else list(key)
+    sort_keys = list(sort_keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    asc = [not d for d in descending]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return _best_rows(df, key, sort_keys, asc)
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return partial.groupby(key).map_groups(_partial, batch_format="pandas")
+
+
+def grouped_aggregate(ds: Dataset, key: str | Sequence[str], aggs: dict[str, tuple[str, str]]) -> Dataset:
+    """R8 `$group` + `$sum`/... : aggs maps output column -> (op, col)
+    with op in {sum, count, mean, min, max}. Uses Ray's hash-shuffle
+    aggregate (partial map-side combine built in)."""
+    key = [key] if isinstance(key, str) else list(key)
+    specs = []
+    for out_name, (op, col) in aggs.items():
+        if op == "sum":
+            specs.append(Sum(col, alias_name=out_name))
+        elif op == "count":
+            specs.append(Count(alias_name=out_name))
+        elif op == "mean":
+            specs.append(Mean(col, alias_name=out_name))
+        elif op == "min":
+            specs.append(Min(col, alias_name=out_name))
+        elif op == "max":
+            specs.append(Max(col, alias_name=out_name))
+        else:
+            raise ValueError(op)
+    return ds.groupby(key).aggregate(*specs)
+
+
+def distinct(ds: Dataset, cols: str | Sequence[str]) -> Dataset:
+    """R15 distinct: groupby with no aggregates = distinct keys."""
+    cols = [cols] if isinstance(cols, str) else list(cols)
+    return ds.groupby(cols).aggregate(Count(alias_name="_c")).drop_columns(["_c"])
+
+
+def value_counts(ds: Dataset, col: str, alias: str = "cnt") -> Dataset:
+    """R16 facet counts (value histogram) — `Counter(...)` at scale."""
+    return ds.groupby(col).aggregate(Count(alias_name=alias))
+
+
+def topk(ds: Dataset, sort_keys: Sequence[str], k: int, descending: Sequence[bool] | bool = True) -> Dataset:
+    """R11+R12 bounded top-k: per-block partial top-k (map-side), then
+    one global sort over the <=k-per-block survivors + limit. Never a
+    full sort of the input."""
+    sort_keys = list(sort_keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    asc = [not d for d in descending]
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        return df.sort_values(sort_keys, ascending=asc, kind="mergesort").head(k)
+
+    return ds.map_batches(_partial, batch_format="pandas").sort(sort_keys, descending=list(descending)).limit(k)
+
+
+def paginate(
+    ds: Dataset,
+    sort_keys: Sequence[str],
+    skip: int,
+    limit: int,
+    descending: Sequence[bool] | bool = True,
+) -> Dataset:
+    """R12 `$skip`+`$limit`: top-(skip+limit) then drop the first skip
+    rows (done on the tiny survivor set)."""
+    page = topk(ds, sort_keys, skip + limit, descending)
+
+    def _slice(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[skip : skip + limit]
+
+    # survivors are <= skip+limit rows: a single-block final slice
+    return page.repartition(1).map_batches(_slice, batch_format="pandas")
+
+
+def facet_page(
+    ds: Dataset,
+    sort_keys: Sequence[str],
+    skip: int,
+    limit: int,
+    descending: Sequence[bool] | bool = True,
+    facet_cols: Sequence[str] = (),
+) -> dict:
+    """R13 `$facet` {total, data} + R16 sidebar counts from ONE input
+    dataset (the scored/filtered stream is consumed once per branch but
+    stays lazy/streaming; no driver-side row loop).
+
+    Returns {"total": int, "data": pandas page, "facets": {col: {value:
+    count}}} — the reference's `$facet` + Counter response shape
+    (pipelines.py:28-42, app.py:377-378)."""
+    total = ds.count()
+    page = paginate(ds, sort_keys, skip, limit, descending).to_pandas()
+    facets: dict[str, dict] = {}
+    for col in facet_cols:
+        vc = value_counts(ds, col).to_pandas()
+        facets[col] = dict(zip(vc[col], vc["cnt"]))
+    return {"total": int(total), "data": page, "facets": facets}
+
+
+def explode_list(ds: Dataset, list_col: str, out_col: str, keep: Sequence[str]) -> Dataset:
+    """R10 `$unwind`: one output row per list element; parent columns
+    repeated via take on the parent indices (vectorized)."""
+    keep = list(keep)
+
+    def _e(t: pa.Table) -> pa.Table:
+        lists = t[list_col].combine_chunks()
+        if isinstance(lists, pa.ChunkedArray):
+            lists = lists.combine_chunks()
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists)
+        out = t.select(keep).take(parents)
+        return out.append_column(out_col, flat)
+
+    return ds.map_batches(_e, batch_format="pyarrow")
+
+
+def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
+    def _r(t: pa.Table) -> pa.Table:
+        return t.rename_columns([mapping.get(c, c) for c in t.column_names])
+
+    return ds.map_batches(_r, batch_format="pyarrow")

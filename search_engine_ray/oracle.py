@@ -41,10 +41,13 @@ def build_oracle(table: pa.Table, config: IndexConfig | None = None, sha_col: st
     config = config or IndexConfig()
     sha_col = sha_col or config.fields[0].name
     df = table.to_pandas()
-    ids = np.array(
-        [doc_uid(str(df.iloc[i][c]) for c in config.id_cols) for i in range(len(df))],
-        dtype=np.int64,
-    )
+    if config.use_native_id:
+        ids = df[config.id_cols[0]].to_numpy().astype(np.int64)
+    else:
+        ids = np.array(
+            [doc_uid(str(df.iloc[i][c]) for c in config.id_cols) for i in range(len(df))],
+            dtype=np.int64,
+        )
     order = np.argsort(ids, kind="stable")
     df = df.iloc[order].reset_index(drop=True)
     ids = ids[order]

@@ -140,11 +140,16 @@ class ScoreBuckets:
         boosts: tuple,
         facet_fields: tuple[str, ...],
         block_size: int,
+        emit_all_cols: tuple[str, ...] | None = None,
     ):
         self.leaves = leaves
         self.k1, self.b = k1, b
         self.msm = min_should_match
         self.n_take = n_take
+        # emit_all mode (search_all): return EVERY matched doc as
+        # (doc_id, score, *emit_all_cols) — feeds downstream Dataset
+        # ops (grouped search); no top-k, no kind-tagged rows.
+        self.emit_all_cols = emit_all_cols
         self.block_size = block_size
         self.docmap_dirs = docmap_dirs
         self.filter_spec = filter_spec
@@ -230,6 +235,13 @@ class ScoreBuckets:
                 score_parts.append(sc)
                 leaf_of_part.append(li)
         if not ids_parts:
+            if self.emit_all_cols is not None:
+                cols = {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+                if self.emit_all_cols:
+                    dm = self._docmap(bucket, tuple(self.emit_all_cols))
+                    for c in self.emit_all_cols:
+                        cols[c] = pa.array(dm[c][:0])
+                return pa.table(cols)
             return _result_table([], [], 0, [])
         all_ids = np.concatenate(ids_parts)
         all_scores = np.concatenate(score_parts)
@@ -279,6 +291,18 @@ class ScoreBuckets:
                 bst: DocAttrBoost = payload
                 attrs = self._attr_for(bucket, m_ids, (bst.col,))
                 m_scores = m_scores + np.where(attrs[bst.col] == bst.value, bst.add, 0.0)
+        if self.emit_all_cols is not None:
+            cols = {"doc_id": pa.array(m_ids, pa.int64()),
+                    "score": pa.array(m_scores, pa.float64())}
+            if m_ids.size and self.emit_all_cols:
+                attrs = self._attr_for(bucket, m_ids, tuple(self.emit_all_cols))
+                for c in self.emit_all_cols:
+                    cols[c] = pa.array(attrs[c])
+            elif self.emit_all_cols:
+                dm = self._docmap(bucket, tuple(self.emit_all_cols))
+                for c in self.emit_all_cols:
+                    cols[c] = pa.array(dm[c][:0])
+            return pa.table(cols)
         total = int(m_ids.size)
         # facet counts over the full matched set (R16)
         facet_rows: list[tuple[str, str, int]] = []
@@ -487,6 +511,57 @@ class SearchEngine:
             hits = self._attach_metadata(hits)
         return SearchResult(total, hits, facets)
 
+    def search_all(
+        self,
+        q: Compound,
+        filter_spec: FilterSpec | None = None,
+        boosts: tuple = (),
+        attach_cols: tuple[str, ...] = (),
+    ):
+        """Score EVERY matching doc and return a lazy Dataset of
+        (doc_id, score, *attach_cols) — the input to grouped/dedup
+        pipelines (reference v2 grouped search scores the full match
+        set before `$group`, pipelines.py:484-563). attach_cols are
+        docmap columns looked up partition-locally inside the scorer
+        (no shuffle join)."""
+        import ray.data as rd
+
+        leaves = self._resolve(q)
+        if any(lf.is_must and not lf.term_keys for lf in leaves):
+            return rd.from_arrow(_empty_all_table(attach_cols))
+        term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
+        if not term_keys:
+            return rd.from_arrow(_empty_all_table(attach_cols))
+        parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+        flt = pc.field("term").isin(term_keys)
+        posting_files = [
+            f
+            for d in self.dirs
+            for k in parts
+            for f in glob.glob(os.path.join(d, "postings", f"part={k}", "*.parquet"))
+        ]
+        if not posting_files:
+            return rd.from_arrow(_empty_all_table(attach_cols))
+        ds = rd.read_parquet(posting_files, columns=POSTING_COLS, filter=flt)
+        return ds.groupby("bucket").map_groups(
+            ScoreBuckets,
+            fn_constructor_args=(
+                leaves,
+                self.stats["k1"],
+                self.stats["b"],
+                q.min_should_match,
+                0,
+                [os.path.join(d, "docmap") for d in self.dirs],
+                filter_spec,
+                boosts,
+                (),
+                self.block_size,
+                tuple(attach_cols),
+            ),
+            concurrency=(1, min(8, self.config.num_buckets)),
+            batch_format="pyarrow",
+        )
+
     def _attach_metadata(self, hits: pd.DataFrame) -> pd.DataFrame:
         ids = hits["doc_id"].to_numpy()
         buckets = sorted({int(i) % self.config.num_buckets for i in ids})
@@ -507,3 +582,10 @@ class SearchEngine:
 
 def _empty_hits() -> pd.DataFrame:
     return pd.DataFrame({"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")})
+
+
+def _empty_all_table(attach_cols: tuple[str, ...]) -> pa.Table:
+    cols = {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
+    for c in attach_cols:
+        cols[c] = pa.array([], pa.string())
+    return pa.table(cols)

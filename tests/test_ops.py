@@ -1,0 +1,370 @@
+"""Operator-ring tests: relational ops vs DuckDB, dedup, ANN, text,
+multimodal plumbing (SURVEY.md §2.2 + task-brief training-data ops)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+import search_engine_ray.ops.ann as ann
+import search_engine_ray.ops.dedup as dd
+import search_engine_ray.ops.relational as rel
+import search_engine_ray.ops.text as txt
+from search_engine_ray.ops.multimodal import (
+    DecodeAndFeaturize,
+    featurize_media,
+    sample_frames,
+    synthetic_media_table,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "part", "documents", "embeddings", "events"]:
+        c.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    return c
+
+
+@pytest.fixture(scope="module")
+def lineitem(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def documents(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+def _sorted(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)]
+    return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+
+def assert_frames_equal(ray_df: pd.DataFrame, duck_df: pd.DataFrame):
+    pd.testing.assert_frame_equal(_sorted(ray_df), _sorted(duck_df), check_dtype=False)
+
+
+def test_filter_conditions(lineitem, con):
+    out = rel.filter_conditions(
+        lineitem, [("l_quantity", ">", 45.0), ("l_returnflag", "==", "R")]
+    ).to_pandas()
+    exp = con.sql(
+        "SELECT * FROM lineitem WHERE l_quantity > 45 AND l_returnflag = 'R'"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_filter_in(lineitem, con):
+    out = rel.filter_conditions(lineitem, [("l_returnflag", "in", ["A", "N"])]).count()
+    exp = con.sql("SELECT count(*) c FROM lineitem WHERE l_returnflag IN ('A','N')").fetchone()[0]
+    assert out == exp
+
+
+def test_project(lineitem, con):
+    import pyarrow.compute as pc
+
+    out = rel.project(
+        lineitem,
+        keep=["l_orderkey", "l_linenumber"],
+        exprs={
+            "revenue": lambda t: pc.round(
+                pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 4
+            )
+        },
+    ).to_pandas()
+    exp = con.sql(
+        "SELECT l_orderkey, l_linenumber, round(l_extendedprice * (1 - l_discount), 4) AS revenue FROM lineitem"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_broadcast_join(ray_session, con):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey", "o_totalprice"])
+    cust = pq.read_table(f"{SF}/customer.parquet", columns=["c_custkey", "c_name", "c_mktsegment"])
+    out = rel.broadcast_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"], how="inner").to_pandas()
+    exp = con.sql(
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_mktsegment "
+        "FROM orders JOIN customer ON o_custkey = c_custkey"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_semi_and_anti_join(ray_session, con):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    part = rd.read_parquet(f"{SF}/part.parquet", columns=["p_partkey", "p_name"])
+    li = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_partkey"])
+    semi = rel.broadcast_join(part, li, on=["p_partkey"], right_on=["l_partkey"], how="left semi").to_pandas()
+    exp = con.sql(
+        "SELECT p_partkey, p_name FROM part WHERE p_partkey IN (SELECT l_partkey FROM lineitem)"
+    ).df()
+    assert_frames_equal(semi, exp)
+    anti = rel.broadcast_join(part, li, on=["p_partkey"], right_on=["l_partkey"], how="left anti").count()
+    expa = con.sql(
+        "SELECT count(*) c FROM part WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem)"
+    ).fetchone()[0]
+    assert anti == expa
+
+
+def test_group_dedup_first(ray_session, con):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    out = rel.group_dedup_first(
+        orders, "o_custkey", ["o_totalprice", "o_orderkey"], descending=[True, False]
+    ).to_pandas()[["o_custkey", "o_orderkey", "o_totalprice"]]
+    exp = con.sql(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+        "QUALIFY row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) = 1"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_grouped_aggregate(lineitem, con):
+    out = rel.grouped_aggregate(
+        lineitem,
+        ["l_returnflag", "l_linestatus"],
+        {"sum_qty": ("sum", "l_quantity"), "cnt": ("count", "l_quantity"), "max_price": ("max", "l_extendedprice")},
+    ).to_pandas()
+    out["sum_qty"] = out["sum_qty"].round(4)
+    exp = con.sql(
+        "SELECT l_returnflag, l_linestatus, round(sum(l_quantity),4) AS sum_qty, "
+        "count(*) AS cnt, max(l_extendedprice) AS max_price "
+        "FROM lineitem GROUP BY 1, 2"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_distinct_and_value_counts(lineitem, con):
+    d = rel.distinct(lineitem, "l_returnflag").to_pandas()
+    exp = con.sql("SELECT DISTINCT l_returnflag FROM lineitem").df()
+    assert_frames_equal(d, exp)
+    vc = rel.value_counts(lineitem, "l_returnflag").to_pandas()
+    expc = con.sql("SELECT l_returnflag, count(*) AS cnt FROM lineitem GROUP BY 1").df()
+    assert_frames_equal(vc, expc)
+
+
+def test_topk_and_paginate(ray_session, con):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    out = rel.topk(orders, ["o_totalprice", "o_orderkey"], 25, descending=[True, False]).to_pandas()
+    exp = con.sql(
+        "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 25"
+    ).df()
+    pd.testing.assert_frame_equal(
+        out[["o_orderkey", "o_totalprice"]].reset_index(drop=True),
+        exp[["o_orderkey", "o_totalprice"]],
+        check_dtype=False,
+    )
+    page = rel.paginate(orders, ["o_totalprice", "o_orderkey"], skip=10, limit=5, descending=[True, False]).to_pandas()
+    expp = con.sql(
+        "SELECT * FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 5 OFFSET 10"
+    ).df()
+    pd.testing.assert_frame_equal(
+        page[["o_orderkey", "o_totalprice"]].reset_index(drop=True),
+        expp[["o_orderkey", "o_totalprice"]],
+        check_dtype=False,
+    )
+
+
+def test_facet_page(ray_session):
+    import ray.data as rd
+
+    orders = rd.read_parquet(f"{SF}/orders.parquet")
+    res = rel.facet_page(
+        orders, ["o_totalprice", "o_orderkey"], skip=0, limit=10,
+        descending=[True, False], facet_cols=["o_orderstatus"],
+    )
+    assert res["total"] == 1500
+    assert len(res["data"]) == 10
+    assert sum(res["facets"]["o_orderstatus"].values()) == 1500
+
+
+def test_explode_tokens(documents, con):
+    out = txt.explode_tokens(documents, "text", ["doc_id"])
+    counts = rel.value_counts(out, "token").to_pandas()
+    exp = con.sql(
+        "SELECT t AS token, count(*) AS cnt FROM "
+        "(SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) t FROM documents) GROUP BY 1"
+    ).df()
+    assert_frames_equal(counts, exp)
+
+
+def test_token_stats_and_fingerprint(documents, con):
+    out = txt.add_token_stats(documents, "text").to_pandas()[
+        ["doc_id", "n_tokens", "n_uniq_tokens", "fingerprint"]
+    ]
+    exp = con.sql(
+        "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens, "
+        "len(list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+'))) AS n_uniq_tokens, "
+        "md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS fingerprint "
+        "FROM documents"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_quality_score(documents, con):
+    out = txt.add_quality_score(documents, "text").to_pandas()[["doc_id", "quality"]]
+    exp = con.sql(
+        """
+        SELECT doc_id, round(
+          0.4 * (len(list_distinct(regexp_extract_all(lower(text),'[a-z0-9_]+')))::DOUBLE
+                 / len(regexp_extract_all(lower(text),'[a-z0-9_]+'))) +
+          0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) +
+          0.3 * (least(len(regexp_extract_all(lower(text),'[a-z0-9_]+')), 200)::DOUBLE / 200)
+        , 4) AS quality FROM documents
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_lang_id_and_rolling_fp(documents):
+    out = txt.add_lang_id(documents, "text").to_pandas()
+    assert set(out["lang_id"]) <= {"en", "de", "fr", "es", "zh", "und"}
+    fp = txt.add_rolling_fingerprint(documents, "text").to_pandas()
+    assert fp["rolling_fp"].nunique() > 1
+    # determinism
+    fp2 = txt.add_rolling_fingerprint(documents, "text").to_pandas()
+    assert fp.sort_values("doc_id")["rolling_fp"].tolist() == fp2.sort_values("doc_id")["rolling_fp"].tolist()
+
+
+def test_exact_dedup(ray_session, con):
+    import ray.data as rd
+
+    # inject real duplicates: union the table with itself
+    docs = rd.read_parquet(f"{SF}/documents.parquet", columns=["doc_id", "text"])
+    shifted = docs.map_batches(
+        lambda t: pa.table({"doc_id": pa.compute.add(t["doc_id"], 100000), "text": t["text"]}),
+        batch_format="pyarrow",
+    )
+    both = docs.union(shifted)
+    out = dd.exact_dedup(both, "text", "doc_id").to_pandas()
+    assert len(out) == 500
+    assert (out["dup_count"] == 2).all()
+    assert (out["doc_id"] < 100000).all()  # min id kept
+
+
+def test_minhash_lsh_near_dup(ray_session):
+    import ray.data as rd
+
+    # corpus with planted near-duplicates: doc i and i+1000 share ~all tokens
+    base = [
+        " ".join(f"tok{j}_{i}" for j in range(30)) for i in range(40)
+    ]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [
+        {"doc_id": 1000 + i, "text": t + " extra_tail_token"} for i, t in enumerate(base[:10])
+    ]
+    ds = rd.from_items(rows)
+    pairs = dd.minhash_lsh_pairs(ds, threshold=0.5).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert {(i, 1000 + i) for i in range(10)} <= found
+    # distinct docs share no shingles -> no false positives at 0.5
+    assert all(b - a == 1000 for a, b in found)
+    assert (pairs["jaccard"] >= 0.5).all()
+
+
+def test_simhash_near_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(0)
+    vocab = [f"w{i}" for i in range(500)]
+    texts = [" ".join(rng.choice(vocab, 60)) for _ in range(30)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(texts)]
+    # planted near-dup: one token changed
+    rows.append({"doc_id": 999, "text": texts[0].replace(texts[0].split()[0], "changed", 1)})
+    ds = rd.from_items(rows)
+    pairs = dd.simhash_pairs(ds, max_hamming=8).to_pandas()
+    assert ((pairs["a"] == 0) & (pairs["b"] == 999)).any()
+
+
+def test_cosine_topk_vs_duckdb(ray_session, con):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qdf = con.sql("SELECT vec_id, embedding FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY vec_id").df()
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ann.cosine_topk(emb, queries, qdf["vec_id"].to_numpy(), k=5).to_pandas()
+    exp = con.sql(
+        """
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2))
+        SELECT qid, vec_id, round(
+            list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 5
+        """
+    ).df()
+    assert_frames_equal(out[["qid", "vec_id", "cos"]], exp)
+
+
+def test_rp_lsh_near_dup(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(1)
+    base = rng.standard_normal((20, 16))
+    rows = [{"vec_id": i, "embedding": base[i].tolist()} for i in range(20)]
+    # planted near-dups: tiny perturbation
+    for i in range(5):
+        rows.append({"vec_id": 100 + i, "embedding": (base[i] + 0.01 * rng.standard_normal(16)).tolist()})
+    ds = rd.from_items(rows)
+    pairs = ann.rp_lsh_near_dup(ds, threshold=0.95, n_planes=8).to_pandas()
+    found = {(a, b) for a, b in zip(pairs["a"], pairs["b"])}
+    assert {(i, 100 + i) for i in range(5)} <= found
+
+
+def test_ivf_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = ann.IVFIndex.build(emb, str(tmp_path / "ivf"), n_clusters=8)
+    q = emb.take(1)[0]["embedding"]
+    res = idx.search(np.asarray(q), k=5, nprobe=8)  # nprobe=all -> exact
+    # with all clusters probed, results == brute force
+    brute = ann.cosine_topk(
+        emb, np.asarray(q, dtype=np.float64).reshape(1, -1), np.array([0]), k=6, exclude_self=False
+    ).to_pandas()
+    assert res["vec_id"].tolist() == brute["vec_id"].tolist()[:5]
+
+
+def test_multimodal_plumbing(ray_session):
+    import ray.data as rd
+
+    media = rd.from_arrow(synthetic_media_table(50, "video"))
+    feats = featurize_media(media, feature_dim=16).to_pandas()
+    assert len(feats) == 50
+    assert all(len(f) == 16 for f in feats["features"])
+    # determinism of the fake decode
+    feats2 = featurize_media(media, feature_dim=16).to_pandas()
+    a = np.stack(feats.sort_values("media_id")["features"].to_numpy())
+    b = np.stack(feats2.sort_values("media_id")["features"].to_numpy())
+    np.testing.assert_array_equal(a, b)
+    frames = sample_frames(media, max_frames=4).to_pandas()
+    assert frames.groupby("media_id").size().max() <= 4
+    with pytest.raises(NotImplementedError):
+        DecodeAndFeaturize(decode="real")
+
+
+def test_rename_and_explode_list(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": [1, 2], "vals": [[1, 2, 3], [4]]})
+    ds = rd.from_arrow(t)
+    out = rel.explode_list(ds, "vals", "v", keep=["k"]).to_pandas()
+    assert out.values.tolist() == [[1, 1], [1, 2], [1, 3], [2, 4]]
+    ren = rel.rename(ds, {"k": "key"}).schema().names
+    assert "key" in ren
