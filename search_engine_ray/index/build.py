@@ -58,13 +58,10 @@ from typing import Iterable
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from search_engine_ray.analysis import STOP_TOKENS, TOKEN_RE, edge_ngrams
-from search_engine_ray.codec import (
-    block_delta_encode,
-    varbyte_byte_lengths,
-    varbyte_encode,
-)
+from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
 from search_engine_ray.config import IndexConfig, term_part
 
 _MASK63 = (1 << 63) - 1
@@ -117,15 +114,20 @@ class TokenizePartials:
     """Stateful SPIMI stage (actor pool): regex compiled once per actor;
     per batch emits pre-aggregated partial postings.
 
-    Output schema: term:string, bucket:int32, doc_ids:list<int64>,
-    tfs:list<int32>, dls:list<int32> — one row per (term, bucket) seen
-    in the batch. This is the combiner that keeps the groupby shuffle
-    row count at O(vocab x buckets) per batch instead of O(postings).
+    Output schema: term:string, part:int32, bucket:int32,
+    doc_ids:list<int64>, tfs:list<int32>, dls:list<int32> — one row per
+    (term, bucket) seen in the batch. This is the combiner that keeps
+    the groupby shuffle row count at O(vocab x buckets) per batch
+    instead of O(postings); `part = hash(term) % num_parts` is
+    precomputed here so the merge can group by the COARSE key
+    (part, bucket) — num_parts x num_buckets groups total — and encode
+    every term of a partition in one vectorized call.
     """
 
     EMPTY = pa.table(
         {
             "term": pa.array([], pa.string()),
+            "part": pa.array([], pa.int32()),
             "bucket": pa.array([], pa.int32()),
             "doc_ids": pa.array([], pa.list_(pa.int64())),
             "tfs": pa.array([], pa.list_(pa.int32())),
@@ -185,11 +187,13 @@ class TokenizePartials:
         change[1:] |= buckets[1:] != buckets[:-1]
         starts = np.nonzero(change)[0]
         offsets = np.append(starts, c.size).astype(np.int32)
-        terms = pa.array([prefix + uniq[i] for i in c[starts]], pa.string())
+        term_strs = [prefix + uniq[i] for i in c[starts]]
+        parts = [term_part(t, self.config.num_parts) for t in term_strs]
         out.append(
             pa.table(
                 {
-                    "term": terms,
+                    "term": pa.array(term_strs, pa.string()),
+                    "part": pa.array(parts, pa.int32()),
                     "bucket": pa.array(buckets[starts], pa.int32()),
                     "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(ids, pa.int64())),
                     "tfs": pa.ListArray.from_arrays(offsets, pa.array(tf, pa.int32())),
@@ -228,56 +232,111 @@ class TokenizePartials:
         return pa.concat_tables(out)
 
 
-def make_encode_group_fn(config: IndexConfig):
-    """map_groups fn for one (term, bucket) group: merge the partial
-    lists, sort by doc_id, block-restart delta + varbyte encode all
-    three streams, emit one index row with per-block skip/block-max
-    metadata (first_doc, byte offsets, max_tf, min_dl).
+def _large_binary_from_slices(offs: np.ndarray, data: bytes) -> pa.LargeBinaryArray:
+    """Zero-copy LargeBinary column over one contiguous byte buffer:
+    value i = data[offs[i]:offs[i+1]]."""
+    return pa.LargeBinaryArray.from_buffers(
+        pa.large_binary(),
+        offs.size - 1,
+        [None, pa.py_buffer(np.ascontiguousarray(offs, dtype=np.int64)), pa.py_buffer(data)],
+    )
+
+
+def _list_from_offsets(offs: np.ndarray, values: pa.Array) -> pa.ListArray:
+    return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
+
+
+def make_encode_partition_fn(config: IndexConfig):
+    """map_groups fn for one (part, bucket) group — i.e. one on-disk
+    index partition. Encodes EVERY term of the partition in a single
+    vectorized pass (no per-term Python): with a code-corpus vocabulary
+    (one near-unique identifier per file path) the number of distinct
+    terms is O(corpus), so per-term Python calls are the difference
+    between minutes and hours at scale.
+
+    Per term: merge partial lists, sort by doc_id, block-restart delta
+    + varbyte encode the doc/tf/dl streams (one varbyte_encode call for
+    the WHOLE partition, per-term values are offset slices of that
+    buffer), per-block skip/block-max metadata (first_doc, byte
+    offsets, max_tf, min_dl).
 
     block-max bound: BM25's tf-part is increasing in tf and decreasing
     in dl, so (max_tf, min_dl) per block gives a valid per-block upper
-    bound computable at query time once idf/avgdl are known — no global
-    stats needed at encode time."""
+    bound computable at query time once idf/avgdl are known."""
 
     bs = config.block_size
-    nparts = config.num_parts
 
-    def encode_group(t: pa.Table) -> pa.Table:
-        term = t["term"][0].as_py()
-        bucket = t["bucket"][0].as_py()
-        ids = t["doc_ids"].combine_chunks().flatten().to_numpy()
-        tfs = t["tfs"].combine_chunks().flatten().to_numpy()
-        dls = t["dls"].combine_chunks().flatten().to_numpy()
-        order = np.argsort(ids, kind="stable")
-        ids, tfs, dls = ids[order], tfs[order], dls[order]
+    def encode_partition(t: pa.Table) -> pa.Table:
+        part = int(t["part"][0].as_py())
+        bucket = int(t["bucket"][0].as_py())
+        codes, uniq_terms = pd.factorize(
+            t["term"].to_numpy(zero_copy_only=False), sort=True
+        )
+        lists = t["doc_ids"].combine_chunks()
+        row_lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+        ids = lists.flatten().to_numpy()
+        tfs = t["tfs"].combine_chunks().flatten().to_numpy().astype(np.int64)
+        dls = t["dls"].combine_chunks().flatten().to_numpy().astype(np.int64)
+        post_code = np.repeat(codes.astype(np.int64), row_lens)
+        order = np.lexsort((ids, post_code))
+        ids, tfs, dls, post_code = ids[order], tfs[order], dls[order], post_code[order]
         n = ids.size
-        block_starts = np.arange(0, n, bs, dtype=np.int64)
-        gaps = block_delta_encode(ids, block_starts)
-        cum_doc = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(gaps))))
-        cum_tf = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(tfs))))
-        cum_dl = np.concatenate(([0], np.cumsum(varbyte_byte_lengths(dls))))
-        blk_max_tf = np.maximum.reduceat(tfs, block_starts)
-        blk_min_dl = np.minimum.reduceat(dls, block_starts)
+        # term boundaries (codes are 0..T-1, every code present)
+        term_lens = np.bincount(post_code, minlength=len(uniq_terms)).astype(np.int64)
+        term_starts = np.concatenate(([0], np.cumsum(term_lens)[:-1]))
+        term_ends = term_starts + term_lens
+        # block starts: every bs-th posting WITHIN its term
+        pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_lens)
+        blk_idx = np.nonzero(pos_in_term % bs == 0)[0]
+        # delta with restarts at block starts (term starts included)
+        gaps = np.empty_like(ids)
+        gaps[0:1] = ids[0:1]
+        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+        gaps[blk_idx] = ids[blk_idx]
+        # one varbyte encode per stream for the whole partition
+        bl_doc = varbyte_byte_lengths(gaps)
+        bl_tf = varbyte_byte_lengths(tfs)
+        bl_dl = varbyte_byte_lengths(dls)
+        cum_doc = np.concatenate(([0], np.cumsum(bl_doc)))
+        cum_tf = np.concatenate(([0], np.cumsum(bl_tf)))
+        cum_dl = np.concatenate(([0], np.cumsum(bl_dl)))
+        bounds = np.append(term_starts, n)
+        doc_bytes = _large_binary_from_slices(cum_doc[bounds], varbyte_encode(gaps))
+        tf_bytes = _large_binary_from_slices(cum_tf[bounds], varbyte_encode(tfs))
+        dl_bytes = _large_binary_from_slices(cum_dl[bounds], varbyte_encode(dls))
+        # per-block metadata, then per-term list boundaries over blocks
+        blk_term = post_code[blk_idx]
+        blocks_per_term = np.bincount(blk_term, minlength=len(uniq_terms))
+        blk_offs = np.concatenate(([0], np.cumsum(blocks_per_term)))
+        blk_first = ids[blk_idx]
+        # byte offsets of each block WITHIN its term's byte slices
+        t_start_of_blk = term_starts[blk_term]
+        blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
+        blk_tf_off = cum_tf[blk_idx] - cum_tf[t_start_of_blk]
+        blk_dl_off = cum_dl[blk_idx] - cum_dl[t_start_of_blk]
+        blk_max_tf = np.maximum.reduceat(tfs, blk_idx)
+        blk_min_dl = np.minimum.reduceat(dls, blk_idx)
+        cf_local = np.add.reduceat(tfs, term_starts) if n else np.empty(0, np.int64)
         return pa.table(
             {
-                "term": [term],
-                "bucket": pa.array([bucket], pa.int32()),
-                "part": pa.array([term_part(term, nparts)], pa.int32()),
-                "df_local": pa.array([n], pa.int64()),
-                "cf_local": pa.array([int(tfs.sum())], pa.int64()),
-                "doc_bytes": pa.array([varbyte_encode(gaps)], pa.large_binary()),
-                "tf_bytes": pa.array([varbyte_encode(tfs)], pa.large_binary()),
-                "dl_bytes": pa.array([varbyte_encode(dls)], pa.large_binary()),
-                "blk_first": pa.array([ids[block_starts].tolist()], pa.list_(pa.int64())),
-                "blk_doc_off": pa.array([cum_doc[block_starts].tolist()], pa.list_(pa.int64())),
-                "blk_tf_off": pa.array([cum_tf[block_starts].tolist()], pa.list_(pa.int64())),
-                "blk_dl_off": pa.array([cum_dl[block_starts].tolist()], pa.list_(pa.int64())),
-                "blk_max_tf": pa.array([blk_max_tf.tolist()], pa.list_(pa.int32())),
-                "blk_min_dl": pa.array([blk_min_dl.tolist()], pa.list_(pa.int32())),
+                "term": pa.array(uniq_terms, pa.string()),
+                "bucket": pa.array(np.full(len(uniq_terms), bucket, np.int32()), pa.int32()),
+                "part": pa.array(np.full(len(uniq_terms), part, np.int32()), pa.int32()),
+                "df_local": pa.array(term_lens, pa.int64()),
+                "cf_local": pa.array(cf_local, pa.int64()),
+                "doc_bytes": doc_bytes,
+                "tf_bytes": tf_bytes,
+                "dl_bytes": dl_bytes,
+                "blk_first": _list_from_offsets(blk_offs, pa.array(blk_first, pa.int64())),
+                "blk_doc_off": _list_from_offsets(blk_offs, pa.array(blk_doc_off, pa.int64())),
+                "blk_tf_off": _list_from_offsets(blk_offs, pa.array(blk_tf_off, pa.int64())),
+                "blk_dl_off": _list_from_offsets(blk_offs, pa.array(blk_dl_off, pa.int64())),
+                "blk_max_tf": _list_from_offsets(blk_offs, pa.array(blk_max_tf, pa.int32())),
+                "blk_min_dl": _list_from_offsets(blk_offs, pa.array(blk_min_dl, pa.int32())),
             }
         )
 
-    return encode_group
+    return encode_partition
 
 
 def build_index(
@@ -334,10 +393,16 @@ def build_index(
             concurrency=(1, 16),
         )
     )
-    postings = partials.groupby(["term", "bucket"]).map_groups(
-        make_encode_group_fn(config), batch_format="pyarrow"
+    # THE shuffle: coarse key (part, bucket) = one group per on-disk
+    # index partition (num_parts x num_buckets groups total); hot terms
+    # are already split across buckets (the salt), and the whole
+    # partition encodes in one vectorized call.
+    postings = partials.groupby(["part", "bucket"]).map_groups(
+        make_encode_partition_fn(config), batch_format="pyarrow"
     )
-    postings.write_parquet(os.path.join(tmp_dir, "postings"), partition_cols=["part"])
+    postings.write_parquet(
+        os.path.join(tmp_dir, "postings"), partition_cols=["part", "bucket"]
+    )
 
     # ---- dict: global df/cf per term (tiny aggregate over the
     # one-row-per-(term,bucket) metadata, never over raw postings)

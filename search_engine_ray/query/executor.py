@@ -1,30 +1,34 @@
-"""BM25 query executor: broadcast-query map over index partitions.
+"""BM25 query execution.
 
-Execution shape (SURVEY.md §3 "our lifecycle", M2):
+Two physical paths over the same scoring core (SURVEY.md §3, M2):
 
-    read_parquet(index/postings, filter=term ISIN query_terms
-                                  AND part ISIN term_hash_parts)
-      -> groupby("bucket").map_groups(ScoreBuckets)   # per doc-shard scoring
-      -> tiny per-bucket tables: top-(skip+k) hits + match count + facets
-      -> driver merge (R13 $facet: total AND page from ONE scored pass)
-      -> docmap join for the page's metadata only
+1. **Scatter-gather actor pool** (default for `search`): a small pool
+   of persistent `BucketScorer` actors, each owning a set of doc-shard
+   buckets. A query ships the resolved clause list to every actor; the
+   actor reads ONLY its buckets' posting partitions for the query's
+   terms (`postings/part=K/bucket=B/` — partition-pruned on both
+   keys + parquet row-group stats on `term`), scores them, and
+   returns (match_count, local top-k, facet counts). The driver does a
+   tiny k-way merge — the same mongos-style scatter-gather the
+   reference delegates to Atlas (SURVEY.md §4). Actors cache docmap
+   partitions across queries, so warm latency is milliseconds, not a
+   Dataset job per query.
 
-Every bucket is scored independently (buckets partition the doc
-space), so query fan-out scales with num_buckets and the merge is a
-k-way heap over tiny tables — the exact scatter-gather the reference
-delegates to mongos/Lucene shards (SURVEY.md §4).
+2. **Streaming Dataset path** (`search_all`): score EVERY matching doc
+   and return a lazy `Dataset` — the input to grouped/dedup/analytic
+   pipelines. read_parquet(hive) -> groupby("bucket") ->
+   map_groups(ScoreBuckets).
 
 The scorer is vectorized term-at-a-time: postings decode to numpy
 (delta+varbyte, block restarts), per-clause BM25 via scoring.py, and
 the combine is one np.unique + np.add.at pass. Clause contributions
 accumulate in clause order, matching the oracle bit-for-bit.
 
-Filters (R1-at-query, the reference's `$match` after `$search`) and
-facet counts (R16) read the bucket's docmap partition lazily and cache
-it in the actor — a partition-local lookup, not a shuffle. Conditional
-boosts (S5) take a broadcast doc-id set (`ray.put` once, read per
-actor) — the Ray-native form of the reference's `$lookup` + `$cond`
-stock boost (pipelines.py:62-80).
+Filters (R1-at-query, reference `$match` after `$search`) and facet
+counts (R16) read the bucket's docmap partition lazily and cache it in
+the actor. Conditional boosts (S5) take a broadcast doc-id set
+(`ray.put` once, read per actor) — the Ray-native form of the
+reference's `$lookup` + `$cond` stock boost (pipelines.py:62-80).
 """
 
 from __future__ import annotations
@@ -47,7 +51,7 @@ from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
 from search_engine_ray.query.qast import Compound, Leaf, Prefix, Term
 
-POSTING_COLS = ["term", "bucket", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
+POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
 
 
 @dataclass(frozen=True)
@@ -91,7 +95,7 @@ class FilterSpec:
 class ConditionalAddBoost:
     """S5: score += add for docs in a broadcast id set (stock>0)."""
 
-    doc_ids_ref: Any  # ray.ObjectRef of a sorted int64 np array
+    doc_ids_ref: Any  # ray.ObjectRef or np.ndarray of sorted int64 ids
     add: float
 
 
@@ -121,66 +125,37 @@ class _ResolvedLeaf:
     const_score: float | None
 
 
-class ScoreBuckets:
-    """map_groups callable (actor pool): scores one bucket's postings.
+@dataclass(frozen=True)
+class _QuerySpec:
+    """Everything a scorer needs for one query (picklable)."""
 
-    Emits rows  kind: "hit" (doc_id, score) | "total" (count) |
-    "facet" (field, value, count).
-    """
+    leaves: tuple[_ResolvedLeaf, ...]
+    k1: float
+    b: float
+    min_should_match: int
+    n_take: int
+    filter_spec: FilterSpec | None
+    boosts: tuple
+    facet_fields: tuple[str, ...]
+    block_size: int
+    emit_all_cols: tuple[str, ...] | None = None
 
-    def __init__(
-        self,
-        leaves: list[_ResolvedLeaf],
-        k1: float,
-        b: float,
-        min_should_match: int,
-        n_take: int,
-        docmap_dirs: list[str],
-        filter_spec: FilterSpec | None,
-        boosts: tuple,
-        facet_fields: tuple[str, ...],
-        block_size: int,
-        emit_all_cols: tuple[str, ...] | None = None,
-    ):
-        self.leaves = leaves
-        self.k1, self.b = k1, b
-        self.msm = min_should_match
-        self.n_take = n_take
-        # emit_all mode (search_all): return EVERY matched doc as
-        # (doc_id, score, *emit_all_cols) — feeds downstream Dataset
-        # ops (grouped search); no top-k, no kind-tagged rows.
-        self.emit_all_cols = emit_all_cols
-        self.block_size = block_size
-        self.docmap_dirs = docmap_dirs
-        self.filter_spec = filter_spec
-        self.facet_fields = facet_fields
-        self._docmap_cache: dict[int, dict[str, np.ndarray]] = {}
-        self.boosts = []
-        for bst in boosts:
-            if isinstance(bst, ConditionalAddBoost):
-                import ray
 
-                ids = bst.doc_ids_ref
-                if not isinstance(ids, np.ndarray):
-                    ids = ray.get(ids)  # broadcast: fetched once per actor
-                self.boosts.append(("ids", np.asarray(ids, dtype=np.int64), bst.add))
-            elif isinstance(bst, DocAttrBoost):
-                self.boosts.append(("attr", bst, None))
-            else:
-                raise TypeError(type(bst))
-        self.term_to_leaf: dict[str, tuple[int, float]] = {}
-        for li, leaf in enumerate(leaves):
-            for tk, tidf in zip(leaf.term_keys, leaf.idfs):
-                self.term_to_leaf[tk] = (li, tidf)
+class _DocmapCache:
+    """Per-bucket docmap columns, loaded lazily and kept across
+    queries (partition-local read, never a shuffle)."""
 
-    # -- docmap access (lazy, cached per bucket; partition-local read)
-    def _docmap(self, bucket: int, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
-        cached = self._docmap_cache.get(bucket)
-        need = ("doc_id",) + cols
+    def __init__(self, docmap_dirs: list[str]):
+        self.dirs = docmap_dirs
+        self._cache: dict[int, dict[str, np.ndarray]] = {}
+
+    def get(self, bucket: int, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        cached = self._cache.get(bucket)
+        need = ("doc_id",) + tuple(c for c in cols if c != "doc_id")
         if cached is not None and all(c in cached for c in need):
             return cached
         tables = []
-        for d in self.docmap_dirs:
+        for d in self.dirs:
             bdir = os.path.join(d, f"bucket={bucket}")
             if os.path.isdir(bdir):
                 tables.append(pq.read_table(bdir, columns=list(need)))
@@ -192,135 +167,167 @@ class ScoreBuckets:
         else:
             out = {c: np.empty(0, dtype=object) for c in need}
             out["doc_id"] = np.empty(0, dtype=np.int64)
-        self._docmap_cache[bucket] = {**(cached or {}), **out}
-        return self._docmap_cache[bucket]
+        self._cache[bucket] = {**(cached or {}), **out}
+        return self._cache[bucket]
 
-    def _attr_for(self, bucket: int, ids: np.ndarray, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
-        dm = self._docmap(bucket, cols)
-        pos = np.searchsorted(dm["doc_id"], ids)
-        pos = np.clip(pos, 0, max(0, dm["doc_id"].size - 1))
+    def attrs(self, bucket: int, ids: np.ndarray, cols: tuple[str, ...]) -> dict[str, np.ndarray]:
+        dm = self.get(bucket, cols)
         if dm["doc_id"].size == 0:
             raise RuntimeError(f"empty docmap for bucket {bucket}")
+        pos = np.searchsorted(dm["doc_id"], ids)
+        pos = np.clip(pos, 0, dm["doc_id"].size - 1)
         if not np.array_equal(dm["doc_id"][pos], ids):
             raise RuntimeError("doc_id missing from docmap")
         return {c: dm[c][pos] for c in cols}
 
-    def __call__(self, t: pa.Table) -> pa.Table:
-        bucket = int(t["bucket"][0].as_py())
-        terms = t["term"].to_pylist()
-        dfl = t["df_local"].to_numpy()
-        ids_parts: list[np.ndarray] = []
-        score_parts: list[np.ndarray] = []
-        leaf_of_part: list[int] = []
-        # decode rows grouped by leaf, in leaf order -> deterministic sum order
-        rows_by_leaf: dict[int, list[int]] = {}
-        for ri, term in enumerate(terms):
-            li, _ = self.term_to_leaf[term]
-            rows_by_leaf.setdefault(li, []).append(ri)
-        for li in sorted(rows_by_leaf):
-            leaf = self.leaves[li]
-            for ri in rows_by_leaf[li]:
-                n = int(dfl[ri])
-                gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
-                block_starts = np.arange(0, n, self.block_size, dtype=np.int64)
-                ids = block_delta_decode(gaps, block_starts)
-                tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n)
-                if leaf.const_score is not None:
-                    sc = np.full(n, float(leaf.const_score))
-                else:
-                    dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n)
-                    _, tidf = self.term_to_leaf[terms[ri]]
-                    sc = scoring.bm25_score(tfs, dls, tidf, self.k1, self.b, leaf.avgdl)
-                ids_parts.append(ids)
-                score_parts.append(sc)
-                leaf_of_part.append(li)
-        if not ids_parts:
-            if self.emit_all_cols is not None:
-                cols = {"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())}
-                if self.emit_all_cols:
-                    dm = self._docmap(bucket, tuple(self.emit_all_cols))
-                    for c in self.emit_all_cols:
-                        cols[c] = pa.array(dm[c][:0])
-                return pa.table(cols)
-            return _result_table([], [], 0, [])
-        all_ids = np.concatenate(ids_parts)
-        all_scores = np.concatenate(score_parts)
-        uniq, inv = np.unique(all_ids, return_inverse=True)
-        score = np.zeros(uniq.size)
-        np.add.at(score, inv, all_scores)
-        # clause-match bookkeeping (a multi-key leaf counts once per doc)
-        n_must = sum(1 for lf in self.leaves if lf.is_must)
-        must_cnt = np.zeros(uniq.size, dtype=np.int32)
-        should_cnt = np.zeros(uniq.size, dtype=np.int32)
-        off = 0
-        seen_by_leaf: dict[int, np.ndarray] = {}
-        for pi, ids in enumerate(ids_parts):
-            li = leaf_of_part[pi]
-            seg = inv[off : off + ids.size]
-            prev = seen_by_leaf.get(li)
-            seen_by_leaf[li] = seg if prev is None else np.union1d(prev, seg)
-            off += ids.size
-        for li, seg in seen_by_leaf.items():
-            if self.leaves[li].is_must:
-                must_cnt[seg] += 1
-            else:
-                should_cnt[seg] += 1
-        matched = must_cnt == n_must
-        if self.msm > 0:
-            matched &= should_cnt >= self.msm
-        elif n_must == 0:
-            matched &= should_cnt > 0
-        m_ids = uniq[matched]
-        m_scores = score[matched]
-        # R1 metadata filter against this bucket's docmap partition
-        if self.filter_spec is not None and m_ids.size:
-            attrs = self._attr_for(bucket, m_ids, self.filter_spec.columns)
-            keep = self.filter_spec.eval(attrs, m_ids.size)
-            m_ids, m_scores = m_ids[keep], m_scores[keep]
-        # boosts AFTER matching+filtering (reference $project stage order)
-        for kind, payload, add in self.boosts:
-            if not m_ids.size:
-                break
-            if kind == "ids":
-                pos = np.searchsorted(payload, m_ids)
-                pos = np.clip(pos, 0, max(0, payload.size - 1))
-                in_set = payload.size > 0
-                hit = (payload[pos] == m_ids) if in_set else np.zeros(m_ids.size, bool)
-                m_scores = m_scores + np.where(hit, add, 0.0)
-            else:
-                bst: DocAttrBoost = payload
-                attrs = self._attr_for(bucket, m_ids, (bst.col,))
-                m_scores = m_scores + np.where(attrs[bst.col] == bst.value, bst.add, 0.0)
-        if self.emit_all_cols is not None:
-            cols = {"doc_id": pa.array(m_ids, pa.int64()),
-                    "score": pa.array(m_scores, pa.float64())}
-            if m_ids.size and self.emit_all_cols:
-                attrs = self._attr_for(bucket, m_ids, tuple(self.emit_all_cols))
-                for c in self.emit_all_cols:
-                    cols[c] = pa.array(attrs[c])
-            elif self.emit_all_cols:
-                dm = self._docmap(bucket, tuple(self.emit_all_cols))
-                for c in self.emit_all_cols:
-                    cols[c] = pa.array(dm[c][:0])
-            return pa.table(cols)
-        total = int(m_ids.size)
-        # facet counts over the full matched set (R16)
-        facet_rows: list[tuple[str, str, int]] = []
-        for fcol in self.facet_fields:
-            if m_ids.size:
-                vals = self._attr_for(bucket, m_ids, (fcol,))[fcol]
-                u, c = np.unique(vals, return_counts=True)
-                facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
-        # local top-(skip+k), deterministic tie-break (score desc,
-        # doc_id asc). Exact under ties: select everything >= the
-        # n_take-th score, then lexsort that candidate set.
-        if m_ids.size > self.n_take:
-            thresh = np.partition(m_scores, m_ids.size - self.n_take)[m_ids.size - self.n_take]
-            cand = np.nonzero(m_scores >= thresh)[0]
-            order = cand[np.lexsort((m_ids[cand], -m_scores[cand]))][: self.n_take]
+
+def _resolve_boosts(boosts: tuple) -> list[tuple]:
+    out = []
+    for bst in boosts:
+        if isinstance(bst, ConditionalAddBoost):
+            ids = bst.doc_ids_ref
+            if not isinstance(ids, np.ndarray):
+                import ray
+
+                ids = ray.get(ids)  # broadcast: fetched once per actor
+            out.append(("ids", np.asarray(ids, dtype=np.int64), bst.add))
+        elif isinstance(bst, DocAttrBoost):
+            out.append(("attr", bst, None))
         else:
-            order = np.lexsort((m_ids, -m_scores))
-        return _result_table(m_ids[order], m_scores[order], total, facet_rows)
+            raise TypeError(type(bst))
+    return out
+
+
+def score_postings_table(
+    t: pa.Table,
+    bucket: int,
+    spec: _QuerySpec,
+    dmc: _DocmapCache,
+    resolved_boosts: list[tuple],
+) -> pa.Table:
+    """Score one bucket's posting rows for a query. The ONE scoring
+    core — used by the actor path, the Dataset path and tests."""
+    term_to_leaf: dict[str, tuple[int, float]] = {}
+    for li, leaf in enumerate(spec.leaves):
+        for tk, tidf in zip(leaf.term_keys, leaf.idfs):
+            term_to_leaf[tk] = (li, tidf)
+
+    terms = t["term"].to_pylist()
+    dfl = t["df_local"].to_numpy()
+    ids_parts: list[np.ndarray] = []
+    score_parts: list[np.ndarray] = []
+    leaf_of_part: list[int] = []
+    rows_by_leaf: dict[int, list[int]] = {}
+    for ri, term in enumerate(terms):
+        li, _ = term_to_leaf[term]
+        rows_by_leaf.setdefault(li, []).append(ri)
+    for li in sorted(rows_by_leaf):
+        leaf = spec.leaves[li]
+        for ri in rows_by_leaf[li]:
+            n = int(dfl[ri])
+            gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
+            block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
+            ids = block_delta_decode(gaps, block_starts)
+            tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n)
+            if leaf.const_score is not None:
+                sc = np.full(n, float(leaf.const_score))
+            else:
+                dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n)
+                _, tidf = term_to_leaf[terms[ri]]
+                sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
+            ids_parts.append(ids)
+            score_parts.append(sc)
+            leaf_of_part.append(li)
+    if not ids_parts:
+        return _finish(
+            np.empty(0, np.int64), np.empty(0, np.float64), bucket, spec, dmc, resolved_boosts
+        )
+    all_ids = np.concatenate(ids_parts)
+    all_scores = np.concatenate(score_parts)
+    uniq, inv = np.unique(all_ids, return_inverse=True)
+    score = np.zeros(uniq.size)
+    np.add.at(score, inv, all_scores)
+    # clause-match bookkeeping (a multi-key leaf counts once per doc)
+    n_must = sum(1 for lf in spec.leaves if lf.is_must)
+    must_cnt = np.zeros(uniq.size, dtype=np.int32)
+    should_cnt = np.zeros(uniq.size, dtype=np.int32)
+    off = 0
+    seen_by_leaf: dict[int, np.ndarray] = {}
+    for pi, ids in enumerate(ids_parts):
+        li = leaf_of_part[pi]
+        seg = inv[off : off + ids.size]
+        prev = seen_by_leaf.get(li)
+        seen_by_leaf[li] = seg if prev is None else np.union1d(prev, seg)
+        off += ids.size
+    for li, seg in seen_by_leaf.items():
+        if spec.leaves[li].is_must:
+            must_cnt[seg] += 1
+        else:
+            should_cnt[seg] += 1
+    matched = must_cnt == n_must
+    if spec.min_should_match > 0:
+        matched &= should_cnt >= spec.min_should_match
+    elif n_must == 0:
+        matched &= should_cnt > 0
+    return _finish(uniq[matched], score[matched], bucket, spec, dmc, resolved_boosts)
+
+
+def _finish(
+    m_ids: np.ndarray,
+    m_scores: np.ndarray,
+    bucket: int,
+    spec: _QuerySpec,
+    dmc: _DocmapCache,
+    resolved_boosts: list[tuple],
+) -> pa.Table:
+    # R1 metadata filter against this bucket's docmap partition
+    if spec.filter_spec is not None and m_ids.size:
+        attrs = dmc.attrs(bucket, m_ids, spec.filter_spec.columns)
+        keep = spec.filter_spec.eval(attrs, m_ids.size)
+        m_ids, m_scores = m_ids[keep], m_scores[keep]
+    # boosts AFTER matching+filtering (reference $project stage order)
+    for kind, payload, add in resolved_boosts:
+        if not m_ids.size:
+            break
+        if kind == "ids":
+            pos = np.searchsorted(payload, m_ids)
+            pos = np.clip(pos, 0, max(0, payload.size - 1))
+            hit = (payload[pos] == m_ids) if payload.size else np.zeros(m_ids.size, bool)
+            m_scores = m_scores + np.where(hit, add, 0.0)
+        else:
+            bst: DocAttrBoost = payload
+            attrs = dmc.attrs(bucket, m_ids, (bst.col,))
+            m_scores = m_scores + np.where(attrs[bst.col] == bst.value, bst.add, 0.0)
+    if spec.emit_all_cols is not None:
+        cols = {"doc_id": pa.array(m_ids, pa.int64()), "score": pa.array(m_scores, pa.float64())}
+        if spec.emit_all_cols:
+            if m_ids.size:
+                attrs = dmc.attrs(bucket, m_ids, tuple(spec.emit_all_cols))
+                for c in spec.emit_all_cols:
+                    cols[c] = pa.array(attrs[c])
+            else:
+                dm = dmc.get(bucket, tuple(spec.emit_all_cols))
+                for c in spec.emit_all_cols:
+                    cols[c] = pa.array(dm[c][:0])
+        return pa.table(cols)
+    total = int(m_ids.size)
+    # facet counts over the full matched set (R16)
+    facet_rows: list[tuple[str, str, int]] = []
+    for fcol in spec.facet_fields:
+        if m_ids.size:
+            vals = dmc.attrs(bucket, m_ids, (fcol,))[fcol]
+            u, c = np.unique(vals, return_counts=True)
+            facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
+    # local top-(skip+k), deterministic tie-break (score desc, doc_id
+    # asc). Exact under ties: select everything >= the n_take-th score,
+    # then lexsort that candidate set.
+    if m_ids.size > spec.n_take:
+        thresh = np.partition(m_scores, m_ids.size - spec.n_take)[m_ids.size - spec.n_take]
+        cand = np.nonzero(m_scores >= thresh)[0]
+        order = cand[np.lexsort((m_ids[cand], -m_scores[cand]))][: spec.n_take]
+    else:
+        order = np.lexsort((m_ids, -m_scores))
+    return _result_table(m_ids[order], m_scores[order], total, facet_rows)
 
 
 def _result_table(ids, scores, total: int, facet_rows) -> pa.Table:
@@ -342,16 +349,66 @@ def _result_table(ids, scores, total: int, facet_rows) -> pa.Table:
     )
 
 
+class ScoreBuckets:
+    """map_groups callable for the Dataset path: scores one bucket's
+    posting rows (grouped by the hive `bucket` column)."""
+
+    def __init__(self, spec: _QuerySpec, docmap_dirs: list[str]):
+        self.spec = spec
+        self.dmc = _DocmapCache(docmap_dirs)
+        self.resolved_boosts = _resolve_boosts(spec.boosts)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        bucket = int(t["bucket"][0].as_py())
+        return score_postings_table(t, bucket, self.spec, self.dmc, self.resolved_boosts)
+
+
+class _BucketScorerImpl:
+    """Persistent scorer owning a set of buckets: reads its buckets'
+    posting partitions for a query's terms, scores, returns the tiny
+    per-bucket result tables. Docmap partitions cached across queries."""
+
+    def __init__(self, index_dirs: list[str], buckets: list[int]):
+        self.index_dirs = index_dirs
+        self.buckets = buckets
+        self.dmc = _DocmapCache([os.path.join(d, "docmap") for d in index_dirs])
+
+    def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
+        resolved = _resolve_boosts(spec.boosts)
+        flt = pc.field("term").isin(term_keys)
+        outs = []
+        for b in self.buckets:
+            files = [
+                f
+                for d in self.index_dirs
+                for k in parts
+                for f in glob.glob(
+                    os.path.join(d, "postings", f"part={k}", f"bucket={b}", "*.parquet")
+                )
+            ]
+            if not files:
+                continue
+            t = pads.dataset(files).to_table(columns=POSTING_COLS, filter=flt)
+            if t.num_rows == 0:
+                continue
+            outs.append(score_postings_table(t, b, spec, self.dmc, resolved))
+        if not outs:
+            return _result_table([], [], 0, [])
+        return pa.concat_tables(outs)
+
+
 class SearchEngine:
     """Query-side entry point over an index directory (single build or
     resumable multi-shard layout)."""
 
-    def __init__(self, index_dir: str, config: IndexConfig | None = None):
+    def __init__(self, index_dir: str, config: IndexConfig | None = None, num_scorers: int = 8):
         self.config = config or IndexConfig()
         shard_glob = os.path.join(index_dir, "shards", "shard_*")
         shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
         self.dirs = shards or [index_dir]
         self.stats = self._merge_stats()
+        self.num_scorers = min(num_scorers, self.config.num_buckets)
+        self._actors: list | None = None
 
     def _merge_stats(self) -> dict:
         merged: dict | None = None
@@ -369,6 +426,22 @@ class SearchEngine:
             fs["avgdl"] = fs["total_len"] / merged["n_docs"] if merged["n_docs"] else 0.0
         self.block_size = merged["block_size"]
         return merged
+
+    # ---- scorer actor pool (lazy; persists across queries) ----------
+    def _scorer_pool(self) -> list:
+        if self._actors is None:
+            import ray
+
+            # num_cpus=0: the pool is latency-oriented and bursty —
+            # reserving whole cores would deadlock small clusters
+            # (actors pin CPUs forever); at sustained query load size
+            # the pool to cores and reserve instead.
+            cls = ray.remote(num_cpus=0)(_BucketScorerImpl)
+            assign: list[list[int]] = [[] for _ in range(self.num_scorers)]
+            for b in range(self.config.num_buckets):
+                assign[b % self.num_scorers].append(b)
+            self._actors = [cls.remote(self.dirs, bs) for bs in assign if bs]
+        return self._actors
 
     # ---- dictionary -------------------------------------------------
     def _df_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
@@ -442,7 +515,21 @@ class SearchEngine:
             )
         return out
 
-    # ---- search -----------------------------------------------------
+    def _make_spec(self, leaves, q, n_take, filter_spec, boosts, facet_fields, emit_all=None):
+        return _QuerySpec(
+            leaves=tuple(leaves),
+            k1=self.stats["k1"],
+            b=self.stats["b"],
+            min_should_match=q.min_should_match,
+            n_take=n_take,
+            filter_spec=filter_spec,
+            boosts=tuple(boosts),
+            facet_fields=tuple(facet_fields),
+            block_size=self.block_size,
+            emit_all_cols=emit_all,
+        )
+
+    # ---- search (scatter-gather over the actor pool) ----------------
     def search(
         self,
         q: Compound,
@@ -453,48 +540,19 @@ class SearchEngine:
         facet_fields: tuple[str, ...] = (),
         with_metadata: bool = True,
     ) -> SearchResult:
-        import ray.data as rd
+        import ray
 
         leaves = self._resolve(q)
-        n_must = sum(1 for lf in leaves if lf.is_must)
         # a must clause with no indexed term can never match
         if any(lf.is_must and not lf.term_keys for lf in leaves):
             return SearchResult(0, _empty_hits())
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
         if not term_keys:
             return SearchResult(0, _empty_hits())
-        # explicit partition pruning: only the <= Q part dirs that can
-        # hold the query terms are read; row-group stats on `term`
-        # prune further inside each dir.
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
-        flt = pc.field("term").isin(term_keys)
-        posting_files = [
-            f
-            for d in self.dirs
-            for k in parts
-            for f in glob.glob(os.path.join(d, "postings", f"part={k}", "*.parquet"))
-        ]
-        if not posting_files:
-            return SearchResult(0, _empty_hits())
-        ds = rd.read_parquet(posting_files, columns=POSTING_COLS, filter=flt)
-        scored = ds.groupby("bucket").map_groups(
-            ScoreBuckets,
-            fn_constructor_args=(
-                leaves,
-                self.stats["k1"],
-                self.stats["b"],
-                q.min_should_match,
-                skip + k,
-                [os.path.join(d, "docmap") for d in self.dirs],
-                filter_spec,
-                boosts,
-                facet_fields,
-                self.block_size,
-            ),
-            concurrency=(1, min(8, self.config.num_buckets)),
-            batch_format="pyarrow",
-        )
-        out = scored.to_pandas()
+        spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)
+        futs = [a.score.remote(parts, term_keys, spec) for a in self._scorer_pool()]
+        out = pa.concat_tables(ray.get(futs)).to_pandas()
         if out.empty:
             return SearchResult(0, _empty_hits())
         total = int(out.loc[out["kind"] == "total", "count"].sum())
@@ -511,6 +569,7 @@ class SearchEngine:
             hits = self._attach_metadata(hits)
         return SearchResult(total, hits, facets)
 
+    # ---- search_all (streaming Dataset path) ------------------------
     def search_all(
         self,
         q: Compound,
@@ -533,31 +592,30 @@ class SearchEngine:
         if not term_keys:
             return rd.from_arrow(_empty_all_table(attach_cols))
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+        # partition pruning by PATH selection (only the <= Q part dirs
+        # that can hold the query terms); `bucket` stays a hive field
+        # of the selected roots, `term` prunes row-groups in-file.
         flt = pc.field("term").isin(term_keys)
-        posting_files = [
-            f
+        roots = [
+            p
             for d in self.dirs
             for k in parts
-            for f in glob.glob(os.path.join(d, "postings", f"part={k}", "*.parquet"))
+            if os.path.isdir(p := os.path.join(d, "postings", f"part={k}"))
         ]
-        if not posting_files:
+        if not roots:
             return rd.from_arrow(_empty_all_table(attach_cols))
-        ds = rd.read_parquet(posting_files, columns=POSTING_COLS, filter=flt)
+        # one lazy read per part dir (read_parquet hive-discovers the
+        # bucket= subdirs of a single root), unioned into one stream
+        reads = [
+            rd.read_parquet(r, columns=POSTING_COLS + ["bucket"], filter=flt) for r in roots
+        ]
+        ds = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
+        spec = self._make_spec(
+            leaves, q, 0, filter_spec, boosts, (), emit_all=tuple(attach_cols)
+        )
         return ds.groupby("bucket").map_groups(
             ScoreBuckets,
-            fn_constructor_args=(
-                leaves,
-                self.stats["k1"],
-                self.stats["b"],
-                q.min_should_match,
-                0,
-                [os.path.join(d, "docmap") for d in self.dirs],
-                filter_spec,
-                boosts,
-                (),
-                self.block_size,
-                tuple(attach_cols),
-            ),
+            fn_constructor_args=(spec, [os.path.join(d, "docmap") for d in self.dirs]),
             concurrency=(1, min(8, self.config.num_buckets)),
             batch_format="pyarrow",
         )

@@ -99,7 +99,9 @@ def test_resumable_build_matches_single_build(ray_session, tiny_corpus, tmp_path
 
 def test_postings_are_compressed_and_blocked(tiny_index):
     out, cfg, _ = tiny_index
-    t = pads.dataset(glob.glob(os.path.join(out, "postings", "part=*", "*.parquet"))).to_table()
+    t = pads.dataset(
+        glob.glob(os.path.join(out, "postings", "part=*", "bucket=*", "*.parquet"))
+    ).to_table()
     assert t.num_rows > 0
     dfl = t["df_local"].to_numpy()
     # hot-term salting: no single (term,bucket) group exceeds one bucket's doc count
