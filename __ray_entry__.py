@@ -362,6 +362,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["feat0"] = out["features"].map(lambda f: round(float(f[0]), 6))
         return out[["media_id", "kind", "payload_bytes", "feat0"]]
 
+    # ---- sources / ETL ring ----------------------------------------
+    def e1_csv_source(sf_dir):
+        # E1 CSV reader (reference utils.py:6-34): parquet -> csv ->
+        # ray.data.read_csv -> grouped count; values must equal the
+        # parquet view's aggregate.
+        import ray.data as rd
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        csv_dir = f"/tmp/ser_csv_cache/{tag}"
+        if not os.path.exists(os.path.join(csv_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(csv_dir, ignore_errors=True)
+            _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]).write_csv(csv_dir)
+            open(os.path.join(csv_dir, "_DONE"), "w").write("ok")
+        import glob as _g
+
+        ds = rd.read_csv(sorted(_g.glob(os.path.join(csv_dir, "*.csv"))))
+        return rel.grouped_aggregate(
+            ds, "lang", {"cnt": ("count", "doc_id"), "sum_chars": ("sum", "n_chars")}
+        )
+
+    def e7_tags(sf_dir):
+        # E7 $push/$pull on a list column (reference lamda/tags.py)
+        from search_engine_ray.analysis import TOKEN_RE
+        from search_engine_ray.ops.arrays import list_pull, list_push
+
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+        def _mk_tags(t: pa.Table) -> pa.Table:
+            tags = [TOKEN_RE.findall((s or "").lower())[:3] for s in t["text"].to_pylist()]
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "lang": t["lang"],
+                    "tags": pa.array(tags, pa.list_(pa.string())),
+                }
+            )
+
+        ds = docs.map_batches(_mk_tags, batch_format="pyarrow")
+        ds = list_push(ds, "tags", "xx", where=("lang", "en"))
+        ds = list_pull(ds, "tags", "data")
+
+        def _join(t: pa.Table) -> pa.Table:
+            joined = [" ".join(x) for x in t["tags"].to_pylist()]
+            return pa.table({"doc_id": t["doc_id"], "tags": pa.array(joined, pa.string())})
+
+        return ds.map_batches(_join, batch_format="pyarrow")
+
     # ---- end-to-end pipelines --------------------------------------
     def pipe_listing(sf_dir):
         from search_engine_ray.pipelines import listing
@@ -409,6 +458,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r15_distinct": r15_distinct,
         "r16_facet_counts": r16_facet_counts,
         "e6_events_rollup": e6_events_rollup,
+        "e1_csv_source": e1_csv_source,
+        "e7_tags": e7_tags,
         "t_token_stats": t_token_stats,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -497,6 +548,16 @@ ORDER BY b.raw_score DESC, b.doc_id LIMIT 10
         "e6_events_rollup": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "e1_csv_source": (
+            "SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars FROM documents GROUP BY 1"
+        ),
+        "e7_tags": (
+            "WITH t AS (SELECT doc_id, lang, "
+            "(regexp_extract_all(lower(text), '[a-z0-9_]+'))[1:3] AS tags FROM documents), "
+            "p AS (SELECT doc_id, CASE WHEN lang = 'en' THEN list_append(tags, 'xx') "
+            "ELSE tags END AS tags FROM t) "
+            "SELECT doc_id, array_to_string(list_filter(tags, x -> x != 'data'), ' ') AS tags FROM p"
         ),
         "t_token_stats": (
             "SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS n_tokens, "

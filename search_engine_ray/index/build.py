@@ -49,6 +49,7 @@ Scale notes (100 TB / 10^12 files):
 
 from __future__ import annotations
 
+import glob
 import hashlib
 import json
 import os
@@ -59,12 +60,39 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+import pyarrow.dataset as pads
+import pyarrow.parquet as pq
 
 from search_engine_ray.analysis import STOP_TOKENS, TOKEN_RE, edge_ngrams
 from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
 from search_engine_ray.config import IndexConfig, term_part
 
 _MASK63 = (1 << 63) - 1
+
+
+def _stabilize_fsspec_http() -> None:
+    """Ray's parquet write path lazily imports
+    fsspec.implementations.http per call; in this env that import
+    fails (no aiohttp), and two threads racing the failing first
+    import can leave a half-initialized module in sys.modules whose
+    `HTTPFileSystem` lookup then raises plain ImportError — which
+    Ray's `except ModuleNotFoundError` does NOT catch. Register a
+    stable placeholder module once so the threaded passes never race
+    the import; the placeholder class never matches isinstance checks,
+    preserving Ray's `_is_http_filesystem` == False semantics."""
+    import sys as _sys
+    import types as _types
+
+    try:
+        from fsspec.implementations.http import HTTPFileSystem  # noqa: F401
+    except ImportError:
+        mod = _types.ModuleType("fsspec.implementations.http")
+
+        class HTTPFileSystem:  # placeholder; aiohttp absent here
+            pass
+
+        mod.HTTPFileSystem = HTTPFileSystem
+        _sys.modules["fsspec.implementations.http"] = mod
 
 
 def doc_uid(parts: Iterable[str]) -> int:
@@ -246,13 +274,12 @@ def _list_from_offsets(offs: np.ndarray, values: pa.Array) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
 
 
-def make_encode_partition_fn(config: IndexConfig):
-    """map_groups fn for one (part, bucket) group — i.e. one on-disk
-    index partition. Encodes EVERY term of the partition in a single
-    vectorized pass (no per-term Python): with a code-corpus vocabulary
-    (one near-unique identifier per file path) the number of distinct
-    terms is O(corpus), so per-term Python calls are the difference
-    between minutes and hours at scale.
+def encode_bucket_terms(t: pa.Table, part: int, bucket: int, bs: int) -> pa.Table:
+    """Encode one (part, bucket) index partition's postings — EVERY
+    term in a single vectorized pass (no per-term Python): with a
+    code-corpus vocabulary (one near-unique identifier per file path)
+    the number of distinct terms is O(corpus), so per-term Python calls
+    are the difference between minutes and hours at scale.
 
     Per term: merge partial lists, sort by doc_id, block-restart delta
     + varbyte encode the doc/tf/dl streams (one varbyte_encode call for
@@ -263,81 +290,72 @@ def make_encode_partition_fn(config: IndexConfig):
     block-max bound: BM25's tf-part is increasing in tf and decreasing
     in dl, so (max_tf, min_dl) per block gives a valid per-block upper
     bound computable at query time once idf/avgdl are known."""
-
-    bs = config.block_size
-
-    def encode_partition(t: pa.Table) -> pa.Table:
-        part = int(t["part"][0].as_py())
-        bucket = int(t["bucket"][0].as_py())
-        codes, uniq_terms = pd.factorize(
-            t["term"].to_numpy(zero_copy_only=False), sort=True
-        )
-        lists = t["doc_ids"].combine_chunks()
-        row_lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
-        ids = lists.flatten().to_numpy()
-        tfs = t["tfs"].combine_chunks().flatten().to_numpy().astype(np.int64)
-        dls = t["dls"].combine_chunks().flatten().to_numpy().astype(np.int64)
-        post_code = np.repeat(codes.astype(np.int64), row_lens)
-        order = np.lexsort((ids, post_code))
-        ids, tfs, dls, post_code = ids[order], tfs[order], dls[order], post_code[order]
-        n = ids.size
-        # term boundaries (codes are 0..T-1, every code present)
-        term_lens = np.bincount(post_code, minlength=len(uniq_terms)).astype(np.int64)
-        term_starts = np.concatenate(([0], np.cumsum(term_lens)[:-1]))
-        term_ends = term_starts + term_lens
-        # block starts: every bs-th posting WITHIN its term
-        pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_lens)
-        blk_idx = np.nonzero(pos_in_term % bs == 0)[0]
-        # delta with restarts at block starts (term starts included)
-        gaps = np.empty_like(ids)
-        gaps[0:1] = ids[0:1]
-        np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-        gaps[blk_idx] = ids[blk_idx]
-        # one varbyte encode per stream for the whole partition
-        bl_doc = varbyte_byte_lengths(gaps)
-        bl_tf = varbyte_byte_lengths(tfs)
-        bl_dl = varbyte_byte_lengths(dls)
-        cum_doc = np.concatenate(([0], np.cumsum(bl_doc)))
-        cum_tf = np.concatenate(([0], np.cumsum(bl_tf)))
-        cum_dl = np.concatenate(([0], np.cumsum(bl_dl)))
-        bounds = np.append(term_starts, n)
-        doc_bytes = _large_binary_from_slices(cum_doc[bounds], varbyte_encode(gaps))
-        tf_bytes = _large_binary_from_slices(cum_tf[bounds], varbyte_encode(tfs))
-        dl_bytes = _large_binary_from_slices(cum_dl[bounds], varbyte_encode(dls))
-        # per-block metadata, then per-term list boundaries over blocks
-        blk_term = post_code[blk_idx]
-        blocks_per_term = np.bincount(blk_term, minlength=len(uniq_terms))
-        blk_offs = np.concatenate(([0], np.cumsum(blocks_per_term)))
-        blk_first = ids[blk_idx]
-        # byte offsets of each block WITHIN its term's byte slices
-        t_start_of_blk = term_starts[blk_term]
-        blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
-        blk_tf_off = cum_tf[blk_idx] - cum_tf[t_start_of_blk]
-        blk_dl_off = cum_dl[blk_idx] - cum_dl[t_start_of_blk]
-        blk_max_tf = np.maximum.reduceat(tfs, blk_idx)
-        blk_min_dl = np.minimum.reduceat(dls, blk_idx)
-        cf_local = np.add.reduceat(tfs, term_starts) if n else np.empty(0, np.int64)
-        return pa.table(
-            {
-                "term": pa.array(uniq_terms, pa.string()),
-                "bucket": pa.array(np.full(len(uniq_terms), bucket, np.int32()), pa.int32()),
-                "part": pa.array(np.full(len(uniq_terms), part, np.int32()), pa.int32()),
-                "df_local": pa.array(term_lens, pa.int64()),
-                "cf_local": pa.array(cf_local, pa.int64()),
-                "doc_bytes": doc_bytes,
-                "tf_bytes": tf_bytes,
-                "dl_bytes": dl_bytes,
-                "blk_first": _list_from_offsets(blk_offs, pa.array(blk_first, pa.int64())),
-                "blk_doc_off": _list_from_offsets(blk_offs, pa.array(blk_doc_off, pa.int64())),
-                "blk_tf_off": _list_from_offsets(blk_offs, pa.array(blk_tf_off, pa.int64())),
-                "blk_dl_off": _list_from_offsets(blk_offs, pa.array(blk_dl_off, pa.int64())),
-                "blk_max_tf": _list_from_offsets(blk_offs, pa.array(blk_max_tf, pa.int32())),
-                "blk_min_dl": _list_from_offsets(blk_offs, pa.array(blk_min_dl, pa.int32())),
-            }
-        )
-
-    return encode_partition
-
+    codes, uniq_terms = pd.factorize(
+        t["term"].to_numpy(zero_copy_only=False), sort=True
+    )
+    lists = t["doc_ids"].combine_chunks()
+    row_lens = np.asarray(pc.list_value_length(lists), dtype=np.int64)
+    ids = lists.flatten().to_numpy()
+    tfs = t["tfs"].combine_chunks().flatten().to_numpy().astype(np.int64)
+    dls = t["dls"].combine_chunks().flatten().to_numpy().astype(np.int64)
+    post_code = np.repeat(codes.astype(np.int64), row_lens)
+    order = np.lexsort((ids, post_code))
+    ids, tfs, dls, post_code = ids[order], tfs[order], dls[order], post_code[order]
+    n = ids.size
+    # term boundaries (codes are 0..T-1, every code present)
+    term_lens = np.bincount(post_code, minlength=len(uniq_terms)).astype(np.int64)
+    term_starts = np.concatenate(([0], np.cumsum(term_lens)[:-1]))
+    term_ends = term_starts + term_lens
+    # block starts: every bs-th posting WITHIN its term
+    pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_lens)
+    blk_idx = np.nonzero(pos_in_term % bs == 0)[0]
+    # delta with restarts at block starts (term starts included)
+    gaps = np.empty_like(ids)
+    gaps[0:1] = ids[0:1]
+    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
+    gaps[blk_idx] = ids[blk_idx]
+    # one varbyte encode per stream for the whole partition
+    bl_doc = varbyte_byte_lengths(gaps)
+    bl_tf = varbyte_byte_lengths(tfs)
+    bl_dl = varbyte_byte_lengths(dls)
+    cum_doc = np.concatenate(([0], np.cumsum(bl_doc)))
+    cum_tf = np.concatenate(([0], np.cumsum(bl_tf)))
+    cum_dl = np.concatenate(([0], np.cumsum(bl_dl)))
+    bounds = np.append(term_starts, n)
+    doc_bytes = _large_binary_from_slices(cum_doc[bounds], varbyte_encode(gaps))
+    tf_bytes = _large_binary_from_slices(cum_tf[bounds], varbyte_encode(tfs))
+    dl_bytes = _large_binary_from_slices(cum_dl[bounds], varbyte_encode(dls))
+    # per-block metadata, then per-term list boundaries over blocks
+    blk_term = post_code[blk_idx]
+    blocks_per_term = np.bincount(blk_term, minlength=len(uniq_terms))
+    blk_offs = np.concatenate(([0], np.cumsum(blocks_per_term)))
+    blk_first = ids[blk_idx]
+    # byte offsets of each block WITHIN its term's byte slices
+    t_start_of_blk = term_starts[blk_term]
+    blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
+    blk_tf_off = cum_tf[blk_idx] - cum_tf[t_start_of_blk]
+    blk_dl_off = cum_dl[blk_idx] - cum_dl[t_start_of_blk]
+    blk_max_tf = np.maximum.reduceat(tfs, blk_idx)
+    blk_min_dl = np.minimum.reduceat(dls, blk_idx)
+    cf_local = np.add.reduceat(tfs, term_starts) if n else np.empty(0, np.int64)
+    return pa.table(
+        {
+            "term": pa.array(uniq_terms, pa.string()),
+            "bucket": pa.array(np.full(len(uniq_terms), bucket, np.int32()), pa.int32()),
+            "part": pa.array(np.full(len(uniq_terms), part, np.int32()), pa.int32()),
+            "df_local": pa.array(term_lens, pa.int64()),
+            "cf_local": pa.array(cf_local, pa.int64()),
+            "doc_bytes": doc_bytes,
+            "tf_bytes": tf_bytes,
+            "dl_bytes": dl_bytes,
+            "blk_first": _list_from_offsets(blk_offs, pa.array(blk_first, pa.int64())),
+            "blk_doc_off": _list_from_offsets(blk_offs, pa.array(blk_doc_off, pa.int64())),
+            "blk_tf_off": _list_from_offsets(blk_offs, pa.array(blk_tf_off, pa.int64())),
+            "blk_dl_off": _list_from_offsets(blk_offs, pa.array(blk_dl_off, pa.int64())),
+            "blk_max_tf": _list_from_offsets(blk_offs, pa.array(blk_max_tf, pa.int32())),
+            "blk_min_dl": _list_from_offsets(blk_offs, pa.array(blk_min_dl, pa.int32())),
+        }
+    )
 
 def build_index(
     source,
@@ -369,76 +387,144 @@ def build_index(
     tmp_dir = out_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
+    import time as _time
 
-    # ---- pass A: docmap (no tokenize) --------------------------------
-    docmap_in_cols = list(config.id_cols) + [
-        c for c in config.docmap_cols if c != "content_sha256"
-    ] + [sha_col]
-    docmap = (
-        _read(docmap_in_cols)
-        .map_batches(make_ingest_fn(config, sha_col), batch_format="pyarrow")
-        .select_columns(["doc_id", "bucket", *config.docmap_cols])
-    )
-    docmap.write_parquet(os.path.join(tmp_dir, "docmap"), partition_cols=["bucket"])
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
 
-    # ---- pass B: postings (no sha256) --------------------------------
-    text_cols = list(config.id_cols) + [f.name for f in config.fields]
-    partials = (
-        _read(text_cols)
-        .map_batches(make_ingest_fn(config, None), batch_format="pyarrow")
-        .map_batches(
-            TokenizePartials,
-            batch_format="pyarrow",
-            fn_constructor_args=(config,),
-            concurrency=(1, 16),
+    # ---- passes A + B run CONCURRENTLY (two independent Ray jobs
+    # sharing the streaming executor; overlaps pass A's sha256/write
+    # IO with pass B's tokenize CPU). Two passes over the source are
+    # deliberate: each is one pipeline with one sink, and neither
+    # materializes the corpus.
+    def _docmap_pass():
+        # pass A: docmap (no tokenize)
+        docmap_in_cols = list(config.id_cols) + [
+            c for c in config.docmap_cols if c != "content_sha256"
+        ] + [sha_col]
+        docmap = (
+            _read(docmap_in_cols)
+            .map_batches(make_ingest_fn(config, sha_col), batch_format="pyarrow")
+            .select_columns(["doc_id", "bucket", *config.docmap_cols])
         )
+        docmap.write_parquet(os.path.join(tmp_dir, "docmap"), partition_cols=["bucket"])
+
+    def _partials_pass():
+        # pass B: postings partial runs (no sha256). THE exchange:
+        # partial postings land on disk hive-partitioned by `part` —
+        # each map task splits its OWN output across the part dirs, so
+        # there is no sort and no all-to-all object transfer (Ray's
+        # sort-based groupby was the anti-scaling stage: its reduce
+        # wall time grew with worker count). Classic SPIMI "write
+        # runs, merge runs per partition" with the filesystem (object
+        # store / shared FS on a cluster) as the exchange medium.
+        text_cols = list(config.id_cols) + [f.name for f in config.fields]
+        partials = (
+            _read(text_cols)
+            .map_batches(make_ingest_fn(config, None), batch_format="pyarrow")
+            .map_batches(
+                TokenizePartials,
+                batch_format="pyarrow",
+                fn_constructor_args=(config,),
+                concurrency=(1, 16),
+            )
+        )
+        partials.write_parquet(os.path.join(tmp_dir, "partials"), partition_cols=["part"])
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    _stabilize_fsspec_http()
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        fa = pool.submit(_docmap_pass)
+        fb = pool.submit(_partials_pass)
+        fa.result()
+        fb.result()
+    timings["ingest_passes_s"] = round(_time.perf_counter() - _t0, 3)
+    _t0 = _time.perf_counter()
+
+    # ---- merge: one task per part — read that part's partial runs,
+    # encode each bucket's terms in one vectorized call, write
+    # postings/part=K/bucket=B/, and compute the part's dictionary in
+    # the same pass (all buckets of a term share its hash part, so the
+    # "global" df/cf aggregate is part-local). Task memory is bounded
+    # by (postings bytes / num_parts) — size num_parts accordingly.
+    import ray as _ray
+
+    bs = config.block_size
+
+    @_ray.remote
+    def _merge_part(k: int, partial_dir: str, postings_dir: str, dict_file: str) -> dict:
+        t0 = _time.perf_counter()
+        files = glob.glob(os.path.join(partial_dir, "*.parquet"))
+        if not files:
+            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
+        t = pads.dataset(files).to_table(
+            columns=["term", "bucket", "doc_ids", "tfs", "dls"]
+        )
+        t = t.take(pc.sort_indices(t, sort_keys=[("bucket", "ascending")]))
+        barr = t["bucket"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], barr[1:] != barr[:-1])))[0]
+        ends = np.append(starts[1:], barr.size)
+        dict_parts = []
+        n_postings = 0
+        for s, e in zip(starts, ends):
+            b = int(barr[s])
+            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs)
+            n_postings += int(enc["df_local"].to_numpy().sum())
+            bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
+            os.makedirs(bdir, exist_ok=True)
+            pq.write_table(enc.drop_columns(["part", "bucket"]), os.path.join(bdir, "data.parquet"))
+            dict_parts.append(enc.select(["term", "df_local", "cf_local"]))
+        dd = pa.concat_tables(dict_parts).to_pandas()
+        dd = dd.groupby("term", sort=True).sum().reset_index()
+        dd = dd.rename(columns={"df_local": "df", "cf_local": "cf"})
+        os.makedirs(os.path.dirname(dict_file), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(dd, preserve_index=False), dict_file)
+        codes = dd["term"].str.split(":", n=1).str[0]
+        return {
+            "cf": dd.groupby(codes)["cf"].sum().to_dict(),
+            # per-partition lineage/metrics (north rule): what was
+            # merged, from which runs, how long it took
+            "metrics": {
+                "part": k,
+                "input_run_files": len(files),
+                "postings": n_postings,
+                "terms": int(len(dd)),
+                "buckets": int(starts.size),
+                "seconds": round(_time.perf_counter() - t0, 3),
+            },
+        }
+
+    futs = [
+        _merge_part.remote(
+            k,
+            os.path.join(tmp_dir, "partials", f"part={k}"),
+            os.path.join(tmp_dir, "postings"),
+            os.path.join(tmp_dir, "dict", f"part={k}", "dict.parquet"),
+        )
+        for k in range(config.num_parts)
+    ]
+    merge_results = _ray.get(futs)
+    cf_maps = [r["cf"] for r in merge_results]
+    shutil.rmtree(os.path.join(tmp_dir, "partials"), ignore_errors=True)
+    timings["merge_pass_s"] = round(_time.perf_counter() - _t0, 3)
+    with open(os.path.join(tmp_dir, "metrics.jsonl"), "w") as mf:
+        for r in merge_results:
+            mf.write(json.dumps({"stage": "merge_part", **r["metrics"]}) + "\n")
+    _t0 = _time.perf_counter()
+
+    # ---- stats: N from docmap parquet METADATA (no Ray job, no data
+    # read); per-field total token count from the dict tasks' returns.
+    n_docs = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(tmp_dir, "docmap", "bucket=*", "*.parquet"))
     )
-    # THE shuffle: coarse key (part, bucket) = one group per on-disk
-    # index partition (num_parts x num_buckets groups total); hot terms
-    # are already split across buckets (the salt), and the whole
-    # partition encodes in one vectorized call.
-    postings = partials.groupby(["part", "bucket"]).map_groups(
-        make_encode_partition_fn(config), batch_format="pyarrow"
-    )
-    postings.write_parquet(
-        os.path.join(tmp_dir, "postings"), partition_cols=["part", "bucket"]
-    )
-
-    # ---- dict: global df/cf per term (tiny aggregate over the
-    # one-row-per-(term,bucket) metadata, never over raw postings)
-    from ray.data.aggregate import Sum
-
-    dict_ds = (
-        rd.read_parquet(os.path.join(tmp_dir, "postings"), columns=["term", "df_local", "cf_local"])
-        .groupby("term")
-        .aggregate(Sum("df_local", alias_name="df"), Sum("cf_local", alias_name="cf"))
-    )
-
-    def add_part(t: pa.Table) -> pa.Table:
-        parts = [term_part(s, config.num_parts) for s in t["term"].to_pylist()]
-        return t.append_column("part", pa.array(parts, pa.int32()))
-
-    dict_ds.map_batches(add_part, batch_format="pyarrow").write_parquet(
-        os.path.join(tmp_dir, "dict"), partition_cols=["part"]
-    )
-
-    # ---- stats: N from docmap count; per-field total token count from
-    # dict cf sums restricted to the field's exact-term namespace.
-    n_docs = rd.read_parquet(os.path.join(tmp_dir, "docmap"), columns=["doc_id"]).count()
-
-    def field_cf(t: pa.Table) -> pa.Table:
-        terms = t["term"].to_pylist()
-        codes = [s.split(":", 1)[0] for s in terms]
-        return pa.table({"fcode": pa.array(codes), "cf": t["cf"]})
-
-    cf_rows = (
-        rd.read_parquet(os.path.join(tmp_dir, "dict"), columns=["term", "cf"])
-        .map_batches(field_cf, batch_format="pyarrow")
-        .groupby("fcode")
-        .aggregate(Sum("cf", alias_name="total_len"))
-        .to_pandas()
-    )
-    cf_by_code = dict(zip(cf_rows["fcode"], cf_rows["total_len"]))
+    cf_by_code: dict[str, int] = {}
+    for m in cf_maps:
+        for code, cf in m.items():
+            cf_by_code[code] = cf_by_code.get(code, 0) + int(cf)
+    timings["stats_pass_s"] = round(_time.perf_counter() - _t0, 3)
     stats = {
         "n_docs": int(n_docs),
         "fields": {
@@ -453,9 +539,12 @@ def build_index(
         "block_size": config.block_size,
         "k1": config.k1,
         "b": config.b,
+        "timings": timings,
     }
     with open(os.path.join(tmp_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
+    with open(os.path.join(tmp_dir, "metrics.jsonl"), "a") as mf:
+        mf.write(json.dumps({"stage": "build", "n_docs": int(n_docs), **timings}) + "\n")
     with open(os.path.join(tmp_dir, "manifest.json"), "w") as f:
         json.dump({"complete": True, "stats": stats}, f)
 

@@ -210,6 +210,28 @@ def grouped_aggregate(ds: Dataset, key: str | Sequence[str], aggs: dict[str, tup
     return ds.groupby(key).aggregate(*specs)
 
 
+def group_collect(ds: Dataset, key: str, value_cols: Sequence[str]) -> Dataset:
+    """R9 `$group` + `$push: $$ROOT` (pipeline_utils.py:12-21): collect
+    each group's rows into a list<struct> column `rows`. Prefer flat
+    aggregates where possible — this materializes whole groups."""
+    value_cols = list(value_cols)
+
+    def _collect(t: pa.Table) -> pa.Table:
+        k = t[key][0].as_py()
+        rows = t.select(value_cols).to_pylist()
+        struct_type = pa.struct(
+            [(c, t.schema.field(c).type) for c in value_cols]
+        )
+        return pa.table(
+            {
+                key: pa.array([k], t.schema.field(key).type),
+                "rows": pa.array([rows], pa.list_(struct_type)),
+            }
+        )
+
+    return ds.groupby(key).map_groups(_collect, batch_format="pyarrow")
+
+
 def distinct(ds: Dataset, cols: str | Sequence[str]) -> Dataset:
     """R15 distinct: groupby with no aggregates = distinct keys."""
     cols = [cols] if isinstance(cols, str) else list(cols)

@@ -52,6 +52,7 @@ from search_engine_ray.query import scoring
 from search_engine_ray.query.qast import Compound, Leaf, Prefix, Term
 
 POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
+BLK_COLS = ["blk_first", "blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_max_tf", "blk_min_dl"]
 
 
 @dataclass(frozen=True)
@@ -113,6 +114,7 @@ class SearchResult:
     total: int
     hits: pd.DataFrame  # doc_id, score, + docmap columns; page already applied
     facets: dict[str, dict[Any, int]] = dc_field(default_factory=dict)
+    total_exact: bool = True  # False when block-max pruning was used
 
 
 @dataclass(frozen=True)
@@ -139,6 +141,10 @@ class _QuerySpec:
     facet_fields: tuple[str, ...]
     block_size: int
     emit_all_cols: tuple[str, ...] | None = None
+    # block-max dynamic pruning (query/wand.py): only for pure-OR
+    # top-k with no filter/boost/facet needs; `total` becomes a lower
+    # bound (Lucene total-hit-threshold trade-off)
+    prune: bool = False
 
 
 class _DocmapCache:
@@ -211,6 +217,12 @@ def score_postings_table(
     for li, leaf in enumerate(spec.leaves):
         for tk, tidf in zip(leaf.term_keys, leaf.idfs):
             term_to_leaf[tk] = (li, tidf)
+
+    if spec.prune:
+        from search_engine_ray.query.wand import score_or_query_pruned
+
+        ids, scores, scanned = score_or_query_pruned(t, spec, term_to_leaf, spec.n_take)
+        return _result_table(ids, scores, scanned, [])
 
     terms = t["term"].to_pylist()
     dfl = t["df_local"].to_numpy()
@@ -376,6 +388,7 @@ class _BucketScorerImpl:
     def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
         resolved = _resolve_boosts(spec.boosts)
         flt = pc.field("term").isin(term_keys)
+        cols = POSTING_COLS + BLK_COLS if spec.prune else POSTING_COLS
         outs = []
         for b in self.buckets:
             files = [
@@ -388,7 +401,7 @@ class _BucketScorerImpl:
             ]
             if not files:
                 continue
-            t = pads.dataset(files).to_table(columns=POSTING_COLS, filter=flt)
+            t = pads.dataset(files).to_table(columns=cols, filter=flt)
             if t.num_rows == 0:
                 continue
             outs.append(score_postings_table(t, b, spec, self.dmc, resolved))
@@ -539,6 +552,7 @@ class SearchEngine:
         boosts: tuple = (),
         facet_fields: tuple[str, ...] = (),
         with_metadata: bool = True,
+        prune: bool = False,
     ) -> SearchResult:
         import ray
 
@@ -549,12 +563,25 @@ class SearchEngine:
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
         if not term_keys:
             return SearchResult(0, _empty_hits())
+        # pruning is rank-safe only for pure-OR top-k with no filter /
+        # boost / facet side-outputs (and makes `total` a lower bound)
+        prune = (
+            prune
+            and not q.must
+            and q.min_should_match <= 1
+            and filter_spec is None
+            and not boosts
+            and not facet_fields
+            and all(lf.const_score is None for lf in leaves)
+        )
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)
+        if prune:
+            spec = _QuerySpec(**{**spec.__dict__, "prune": True})
         futs = [a.score.remote(parts, term_keys, spec) for a in self._scorer_pool()]
         out = pa.concat_tables(ray.get(futs)).to_pandas()
         if out.empty:
-            return SearchResult(0, _empty_hits())
+            return SearchResult(0, _empty_hits(), total_exact=not prune)
         total = int(out.loc[out["kind"] == "total", "count"].sum())
         hits = out[out["kind"] == "hit"][["doc_id", "score"]]
         hits = hits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
@@ -567,7 +594,7 @@ class SearchEngine:
                 facets.setdefault(ff, {})[fv] = int(c)
         if with_metadata and len(hits):
             hits = self._attach_metadata(hits)
-        return SearchResult(total, hits, facets)
+        return SearchResult(total, hits, facets, total_exact=not prune)
 
     # ---- search_all (streaming Dataset path) ------------------------
     def search_all(

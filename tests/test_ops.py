@@ -368,3 +368,52 @@ def test_rename_and_explode_list(ray_session):
     assert out.values.tolist() == [[1, 1], [1, 2], [1, 3], [2, 4]]
     ren = rel.rename(ds, {"k": "key"}).schema().names
     assert "key" in ren
+
+
+def test_list_push_pull(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.ops.arrays import list_pull, list_push
+
+    t = pa.table(
+        {
+            "id": [1, 2, 3],
+            "lang": ["en", "de", "en"],
+            "tags": [["a", "b"], ["b"], []],
+        }
+    )
+    ds = rd.from_arrow(t)
+    pushed = list_push(ds, "tags", "xx", where=("lang", "en")).to_pandas().sort_values("id")
+    assert [list(x) for x in pushed["tags"]] == [["a", "b", "xx"], ["b"], ["xx"]]
+    pulled = list_pull(rd.from_arrow(t), "tags", "b").to_pandas().sort_values("id")
+    assert [list(x) for x in pulled["tags"]] == [["a"], [], []]
+
+
+def test_group_collect(ray_session):
+    import ray.data as rd
+
+    t = pa.table({"k": [1, 1, 2], "v": ["x", "y", "z"]})
+    out = rel.group_collect(rd.from_arrow(t), "k", ["v"]).to_pandas().sort_values("k")
+    got = {int(r["k"]): sorted(d["v"] for d in r["rows"]) for _, r in out.iterrows()}
+    assert got == {1: ["x", "y"], 2: ["z"]}
+
+
+def test_two_key_join(ray_session, con):
+    import ray.data as rd
+
+    # R4 compound-key join (reference let+$expr, pipelines.py:94-112)
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_quantity"])
+    import pyarrow.parquet as pq
+
+    small = pq.read_table(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey", "l_linenumber"])
+    small = small.slice(0, 100).rename_columns(["r_orderkey", "r_partkey", "r_linenumber"])
+    out = rel.broadcast_join(
+        li, small, on=["l_orderkey", "l_partkey"], right_on=["r_orderkey", "r_partkey"], how="inner"
+    ).to_pandas()
+    exp = con.sql(
+        "WITH s AS (SELECT l_orderkey r_orderkey, l_partkey r_partkey, l_linenumber r_linenumber "
+        "FROM lineitem LIMIT 100) "
+        "SELECT l.l_orderkey, l.l_partkey, l.l_quantity, s.r_linenumber "
+        "FROM lineitem l JOIN s ON l.l_orderkey = s.r_orderkey AND l.l_partkey = s.r_partkey"
+    ).df()
+    assert len(out) == len(exp)
