@@ -138,20 +138,32 @@ def rp_lsh_near_dup(
         )
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        if ids.size < 2 or ids.size > max_bucket:
+        # coarse group (bucket % 64): per-bucket singletons dropped
+        # vectorized; python loop only over real collision buckets
+        df = df.drop_duplicates(["bucket", id_col])
+        df = df[df.duplicated("bucket", keep=False)]
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            if ids.size > max_bucket:
+                continue
+            m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+            sims = m @ m.T
+            ai, bi = np.triu_indices(ids.size, k=1)
+            cos = np.round(sims[ai, bi], 4)
+            keep = cos >= threshold
+            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "cos": cos[keep]}))
+        if not out:
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
                                  "cos": np.empty(0, np.float64)})
-        m = _normalize(np.stack(df[vec_col].to_numpy()).astype(np.float64))
-        sims = m @ m.T
-        ai, bi = np.triu_indices(ids.size, k=1)
-        cos = np.round(sims[ai, bi], 4)
-        keep = cos >= threshold
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "cos": cos[keep]})
+        return pd.concat(out, ignore_index=True)
 
     sig = ds.map_batches(_sig, batch_format="pyarrow")
-    pairs = sig.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    coarse = sig.map_batches(
+        lambda df: df.assign(cg=df["bucket"] % 64), batch_format="pandas"
+    )
+    pairs = coarse.groupby("cg").map_groups(_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
 
 

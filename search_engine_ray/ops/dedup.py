@@ -173,18 +173,43 @@ def _band_rows(sig_table: pa.Table, id_col: str, p: MinHashParams) -> pa.Table:
     )
 
 
+_N_COARSE = 64
+
+
+def _pairs_within_buckets(df: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
+    """All (a<b) pairs of ids sharing a bucket, vectorized: singleton
+    buckets (the vast majority) are dropped with one duplicated() mask;
+    the python loop touches only real collision buckets. Buckets larger
+    than max_bucket are skew hot-keys and are skipped."""
+    df = df.drop_duplicates(["bucket", id_col])
+    df = df[df.duplicated("bucket", keep=False)]
+    outs_a: list[np.ndarray] = []
+    outs_b: list[np.ndarray] = []
+    for _, g in df.groupby("bucket", sort=False):
+        ids = np.sort(g[id_col].to_numpy())
+        if ids.size > max_bucket:
+            continue
+        ai, bi = np.triu_indices(ids.size, k=1)
+        outs_a.append(ids[ai])
+        outs_b.append(ids[bi])
+    if not outs_a:
+        return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
+    return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
+
+
 def _candidate_pairs(ds_bands: Dataset, id_col: str, max_bucket: int) -> Dataset:
-    """groupby(bucket) -> unordered candidate pairs (a < b); buckets
-    larger than max_bucket are skew hot-keys and are skipped."""
+    """Candidate pairs from band buckets. The shuffle groups by the
+    COARSE key bucket % 64 (not the raw bucket: buckets are near-unique
+    so per-bucket map_groups would make one Python call per row); the
+    per-group fn handles all of its buckets vectorized."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(df[id_col].to_numpy())
-        if ids.size < 2 or ids.size > max_bucket:
-            return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        return _pairs_within_buckets(df, id_col, max_bucket)
 
-    pairs = ds_bands.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    coarse = ds_bands.map_batches(
+        lambda df: df.assign(cg=df["bucket"] % _N_COARSE), batch_format="pandas"
+    )
+    pairs = coarse.groupby("cg").map_groups(_pairs, batch_format="pandas")
     # a pair can surface from several bands: dedupe via groupby
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
@@ -351,21 +376,32 @@ def simhash_pairs(
         return pa.concat_tables(parts)
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df.drop_duplicates(subset=[id_col]).sort_values(id_col)
-        ids = df[id_col].to_numpy()
-        fps = df["simhash"].to_numpy().astype(np.uint64)
-        if ids.size < 2 or ids.size > max_bucket:
+        # coarse group: handle every real collision bucket vectorized
+        df = df.drop_duplicates(["bucket", id_col])
+        df = df[df.duplicated("bucket", keep=False)]
+        out = []
+        for _, g in df.groupby("bucket", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            if ids.size > max_bucket:
+                continue
+            fps = g["simhash"].to_numpy().astype(np.uint64)
+            ai, bi = np.triu_indices(ids.size, k=1)
+            x = fps[ai] ^ fps[bi]
+            ham = np.zeros(x.size, dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = ham <= max_hamming
+            out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]}))
+        if not out:
             return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
                                  "hamming": np.empty(0, np.int64)})
-        ai, bi = np.triu_indices(ids.size, k=1)
-        x = fps[ai] ^ fps[bi]
-        ham = np.zeros(x.size, dtype=np.int64)
-        for _ in range(64):
-            ham += (x & np.uint64(1)).astype(np.int64)
-            x >>= np.uint64(1)
-        keep = ham <= max_hamming
-        return pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "hamming": ham[keep]})
+        return pd.concat(out, ignore_index=True)
 
     blocks = sigs.map_batches(_blocks, batch_format="pyarrow")
-    pairs = blocks.groupby("bucket").map_groups(_pairs, batch_format="pandas")
+    coarse = blocks.map_batches(
+        lambda df: df.assign(cg=df["bucket"] % _N_COARSE), batch_format="pandas"
+    )
+    pairs = coarse.groupby("cg").map_groups(_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
