@@ -198,6 +198,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         boost = ConditionalAddBoost(ids, 10.0)
         return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)), boosts=(boost,))
 
+    def s6_const_boost(sf_dir):
+        # S6 constant-score clause (search_utils.py:168-171): docs
+        # matching the boosted clause add a constant 5, not BM25
+        q = Compound(
+            must=(Term("text", "vector"),),
+            should=(Term("text", "slow", const_score=5.0),),
+        )
+        return _bm25_query(sf_dir, q)
+
     def s7_normalizer(sf_dir):
         # "5 kg vector rs" normalizes to the single term "vector" (S7)
         q = plan_keyword("5 kg vector rs", text_field="text", prefix_fields=())
@@ -269,6 +278,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.paginate(
             orders, ["o_totalprice", "o_orderkey"], skip=20, limit=10, descending=[True, False]
         )
+
+    def r13_count(sf_dir):
+        # R13/R14 `$facet.total` / `$count`: exact match-count of a
+        # filtered stream, returned as a one-row table
+        ds = _read(sf_dir, "lineitem", ["l_quantity", "l_returnflag"])
+        n = rel.filter_conditions(
+            ds, [("l_quantity", ">", 30.0), ("l_returnflag", "!=", "N")]
+        ).count()
+        return pd.DataFrame({"total": [int(n)]})
 
     def r15_distinct(sf_dir):
         ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus"])
@@ -439,8 +457,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         page["score"] = page["score"].round(4)
         return page[["source", "doc_id", "score", "stock_sum", "variant_count"]]
 
+    def pipe_listing_facets(sf_dir):
+        # the listing sidebar (R16 over the filtered set,
+        # pipelines.py:427-432): distinct source values with counts
+        docs = _read(sf_dir, "documents", ["lang", "source"])
+        filtered = rel.filter_conditions(docs, [("lang", "in", ["en", "de"])])
+        return rel.value_counts(filtered, "source", alias="cnt")
+
     return {
         "s1_bm25_term": s1_bm25_term,
+        "s6_const_boost": s6_const_boost,
+        "r13_count": r13_count,
+        "pipe_listing_facets": pipe_listing_facets,
         "s3_bm25_and": s3_bm25_and,
         "s3_bm25_should": s3_bm25_should,
         "s2_prefix": s2_prefix,
@@ -507,6 +535,30 @@ ORDER BY b.raw_score DESC, b.doc_id LIMIT 10
             ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"
         ),
         "s7_normalizer": _bm25_sql(["vector"]),
+        "s6_const_boost": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'slow')) AS tf1 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round(
+  ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))
+  + (CASE WHEN tf1 > 0 THEN 5 ELSE 0 END), 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))
+  + (CASE WHEN tf1 > 0 THEN 5 ELSE 0 END)) DESC, d.doc_id LIMIT 10
+""",
+        "r13_count": (
+            "SELECT count(*) AS total FROM lineitem "
+            "WHERE l_quantity > 30 AND l_returnflag != 'N'"
+        ),
+        "pipe_listing_facets": (
+            "SELECT source, count(*) AS cnt FROM documents "
+            "WHERE lang IN ('en','de') GROUP BY 1"
+        ),
         "r1_filter": (
             "SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag FROM lineitem "
             "WHERE l_quantity > 45 AND l_returnflag = 'R'"

@@ -65,3 +65,32 @@ def test_block_delta_roundtrip():
 def test_decode_count_mismatch_raises():
     with pytest.raises(ValueError):
         varbyte_decode(varbyte_encode(np.array([1, 2, 3], dtype=np.uint64)), count=2)
+
+
+# ---- property-based round-trips (hypothesis) ------------------------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=(1 << 63) - 1), max_size=200))
+def test_varbyte_roundtrip_property(vals):
+    arr = np.array(vals, dtype=np.uint64)
+    assert np.array_equal(varbyte_decode(varbyte_encode(arr), arr.size), arr)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 62)), min_size=1, max_size=300, unique=True),
+    st.integers(min_value=1, max_value=64),
+)
+def test_block_delta_roundtrip_property(ids, bs):
+    arr = np.sort(np.array(ids, dtype=np.int64))
+    starts = np.arange(0, arr.size, bs, dtype=np.int64)
+    gaps = block_delta_encode(arr, starts)
+    assert np.array_equal(block_delta_decode(gaps, starts), arr)
+    # every block start is an absolute value: each block decodes alone
+    for i, s in enumerate(starts):
+        e = min(int(s) + bs, arr.size)
+        sub = gaps[s:e]
+        assert np.array_equal(block_delta_decode(sub, np.array([0])), arr[s:e])
