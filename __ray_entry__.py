@@ -198,6 +198,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         boost = ConditionalAddBoost(ids, 10.0)
         return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)), boosts=(boost,))
 
+    def s2_range_scan(sf_dir):
+        # S2 fallback: prefix on a field with NO edge-n-grams -> sorted
+        # term-dictionary range scan; each expanded token scores with
+        # its OWN idf and the per-doc contributions sum (Lucene
+        # multi-term rewrite semantics). Ranking on the rounded score
+        # to absorb SQL SUM() float-order differences.
+        eng = _doc_engine(sf_dir)
+        q = Compound(must=(Prefix("text", "cust"),))
+        df = eng.search_all(q).to_pandas()
+        df["score"] = np.round(df["score"], 4)
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     def s6_const_boost(sf_dir):
         # S6 constant-score clause (search_utils.py:168-171): docs
         # matching the boosted clause add a constant 5, not BM25
@@ -466,6 +479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     return {
         "s1_bm25_term": s1_bm25_term,
+        "s2_range_scan": s2_range_scan,
         "s6_const_boost": s6_const_boost,
         "r13_count": r13_count,
         "pipe_listing_facets": pipe_listing_facets,
@@ -531,6 +545,19 @@ ORDER BY b.raw_score DESC, b.doc_id LIMIT 10
         "s3_bm25_and": _bm25_sql(["hash", "join"], mode="must"),
         "s3_bm25_should": _bm25_sql(["spark", "window"], mode="should"),
         "s2_prefix": _bm25_sql(["src1"], col="source", prefix=True),
+        "s2_range_scan": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d),
+e AS (SELECT doc_id, dl, unnest(list_filter(ts, t -> t LIKE 'cust%')) AS tk FROM d),
+tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM e GROUP BY 1, 2, 3),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, round(sum(
+    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))), 4) AS score
+FROM tf JOIN df USING (tk), s
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+""",
         "s5_boost": _bm25_sql(
             ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"
         ),
