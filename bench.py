@@ -98,12 +98,25 @@ def bench_queries(index_dir: str, cfg) -> dict:
         eng.search(q, k=10, with_metadata=False, prune=True)
         lat_pruned.append(time.perf_counter() - t0)
     lat, lat_pruned = np.array(lat), np.array(lat_pruned)
+    # concurrent QPS over the warm actor pool (the reference serves
+    # with 2 gunicorn workers; this is our analog measure)
+    from concurrent.futures import ThreadPoolExecutor
+
+    plans = [
+        plan_keyword(kw, text_field="content", prefix_fields=("path", "repo"))
+        for kw in QUERY_SET
+    ] * 3
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda q: eng.search(q, k=10, with_metadata=False), plans))
+    qps = len(plans) / (time.perf_counter() - t0)
     return {
         "bm25_p50_s": float(np.percentile(lat, 50)),
         "bm25_p99_s": float(np.percentile(lat, 99)),
         "bm25_mean_s": float(lat.mean()),
         "bm25_pruned_p50_s": float(np.percentile(lat_pruned, 50)),
         "bm25_pruned_mean_s": float(lat_pruned.mean()),
+        "bm25_concurrent_qps": round(qps, 1),
     }
 
 

@@ -27,6 +27,7 @@ from dataclasses import dataclass
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 from ray.data import Dataset
 from ray.data.aggregate import Count, Min, Sum
@@ -151,26 +152,56 @@ def minhash_signatures(
     )
 
 
+_MIX1 = np.uint64(0x9E3779B97F4A7C15)
+_MIX2 = np.uint64(0xC2B2AE3D27D4EB4F)
+
+
+def _band_buckets(sigs: np.ndarray, p: MinHashParams) -> np.ndarray:
+    """(n, num_perm) signatures -> (n, bands) bucket keys, fully
+    vectorized (splitmix-style polynomial mix — no per-row hashing)."""
+    n = sigs.shape[0]
+    buckets = np.empty((n, p.bands), dtype=np.uint64)
+    for bidx in range(p.bands):
+        band = sigs[:, bidx * p.rows : (bidx + 1) * p.rows]
+        acc = np.full(n, np.uint64(bidx + 1) * _MIX2, dtype=np.uint64)
+        for r in range(p.rows):
+            acc = (acc ^ band[:, r]) * _MIX1
+            acc ^= acc >> np.uint64(29)
+        buckets[:, bidx] = acc
+    return buckets.view(np.int64)
+
+
 def _band_rows(sig_table: pa.Table, id_col: str, p: MinHashParams) -> pa.Table:
     """sig rows -> one row per (doc, band) with the band bucket key."""
     ids = sig_table[id_col].to_numpy()
     sigs = (
         sig_table["sig"].combine_chunks().flatten().to_numpy().reshape(-1, p.num_perm)
+        .astype(np.uint64)
     )
-    n = ids.size
-    buckets = np.empty((n, p.bands), dtype=np.int64)
-    for bidx in range(p.bands):
-        band = np.ascontiguousarray(sigs[:, bidx * p.rows : (bidx + 1) * p.rows])
-        raw = band.view(np.uint8).reshape(n, -1)
-        for i in range(n):
-            h = hashlib.md5(raw[i].tobytes() + bytes([bidx])).digest()
-            buckets[i, bidx] = int.from_bytes(h[:8], "big", signed=True)
+    buckets = _band_buckets(sigs, p)
     return pa.table(
         {
             "bucket": pa.array(buckets.reshape(-1), pa.int64()),
             id_col: pa.array(np.repeat(ids, p.bands), pa.int64()),
         }
     )
+
+
+class MinHashBands:
+    """Fused actor stage: text -> shingle minhash signatures -> band
+    bucket rows (+ the coarse shuffle key) in ONE map_batches — no
+    intermediate signature dataset between two Ray jobs."""
+
+    def __init__(self, text_col: str, id_col: str, params: MinHashParams):
+        self.inner = MinHashSignatures(text_col, id_col, params)
+        self.p = params
+        self.id_col = id_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        sig_t = self.inner(t)
+        rows = _band_rows(sig_t, self.id_col, self.p)
+        cg = pc.bit_wise_and(rows["bucket"], _N_COARSE - 1)
+        return rows.append_column("cg", pc.cast(cg, pa.int64()))
 
 
 _N_COARSE = 64
@@ -199,17 +230,19 @@ def _pairs_within_buckets(df: pd.DataFrame, id_col: str, max_bucket: int) -> pd.
 
 def _candidate_pairs(ds_bands: Dataset, id_col: str, max_bucket: int) -> Dataset:
     """Candidate pairs from band buckets. The shuffle groups by the
-    COARSE key bucket % 64 (not the raw bucket: buckets are near-unique
-    so per-bucket map_groups would make one Python call per row); the
-    per-group fn handles all of its buckets vectorized."""
+    COARSE key `cg` = low bits of the bucket (not the raw bucket:
+    buckets are near-unique so per-bucket map_groups would make one
+    Python call per row); the per-group fn handles all of its buckets
+    vectorized. Expects a `cg` column (add one if absent)."""
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
         return _pairs_within_buckets(df, id_col, max_bucket)
 
-    coarse = ds_bands.map_batches(
-        lambda df: df.assign(cg=df["bucket"] % _N_COARSE), batch_format="pandas"
-    )
-    pairs = coarse.groupby("cg").map_groups(_pairs, batch_format="pandas")
+    if "cg" not in ds_bands.schema().names:
+        ds_bands = ds_bands.map_batches(
+            lambda df: df.assign(cg=df["bucket"] % _N_COARSE), batch_format="pandas"
+        )
+    pairs = ds_bands.groupby("cg").map_groups(_pairs, batch_format="pandas")
     # a pair can surface from several bands: dedupe via groupby
     return pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
 
@@ -250,12 +283,13 @@ def minhash_lsh_pairs(
 
     shingle -> minhash -> band -> bucket groupby -> candidate pairs ->
     exact verify. LSH threshold ~ (1/bands)^(1/rows)."""
-    import pyarrow.compute as pc
-
     p = params or MinHashParams()
-    sigs = minhash_signatures(ds, text_col, id_col, p)
-    bands = sigs.map_batches(
-        lambda t: _band_rows(t, id_col, p), batch_format="pyarrow"
+    # fused: text -> signatures -> band buckets (+ coarse key) in one stage
+    bands = ds.map_batches(
+        MinHashBands,
+        fn_constructor_args=(text_col, id_col, p),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
     )
     pairs = _candidate_pairs(bands, id_col, p.max_bucket)
 
