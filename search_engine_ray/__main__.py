@@ -1,0 +1,98 @@
+"""CLI: build and query indexes from the shell.
+
+    python -m search_engine_ray build  <corpus_parquet> <index_dir> [--resumable] [--buckets N] [--parts N]
+    python -m search_engine_ray search <index_dir> "<keyword>" [--k N] [--skip N] [--prune]
+    python -m search_engine_ray gen    <out_dir> <n_docs> [--seed S]
+
+Owns its Ray session (scripts own sessions; the library never calls
+ray.init — driver/pytest contexts initialise Ray themselves).
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import sys
+
+
+def _init():
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="search_engine_ray")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    b = sub.add_parser("build", help="build an inverted index from a parquet corpus")
+    b.add_argument("corpus")
+    b.add_argument("index_dir")
+    b.add_argument("--resumable", action="store_true")
+    b.add_argument("--buckets", type=int, default=16)
+    b.add_argument("--parts", type=int, default=8)
+    b.add_argument("--files-per-shard", type=int, default=8)
+
+    s = sub.add_parser("search", help="BM25 keyword search against an index")
+    s.add_argument("index_dir")
+    s.add_argument("keyword")
+    s.add_argument("--k", type=int, default=10)
+    s.add_argument("--skip", type=int, default=0)
+    s.add_argument("--prune", action="store_true")
+    s.add_argument("--buckets", type=int, default=16)
+    s.add_argument("--parts", type=int, default=8)
+
+    g = sub.add_parser("gen", help="write the deterministic synthetic corpus")
+    g.add_argument("out_dir")
+    g.add_argument("n_docs", type=int)
+    g.add_argument("--seed", type=int, default=42)
+    g.add_argument("--files", type=int, default=8)
+
+    args = ap.parse_args(argv)
+    _init()
+    from search_engine_ray.config import IndexConfig
+
+    if args.cmd == "build":
+        from search_engine_ray.index import build_index, build_index_resumable
+
+        cfg = IndexConfig(num_buckets=args.buckets, num_parts=args.parts)
+        if args.resumable:
+            files = sorted(glob.glob(f"{args.corpus}/*.parquet")) or [args.corpus]
+            out = build_index_resumable(files, args.index_dir, cfg, args.files_per_shard)
+        else:
+            out = build_index(args.corpus, args.index_dir, cfg)
+        print(json.dumps(out))
+    elif args.cmd == "search":
+        from search_engine_ray.query import SearchEngine, plan_keyword
+
+        cfg = IndexConfig(num_buckets=args.buckets, num_parts=args.parts)
+        eng = SearchEngine(args.index_dir, cfg)
+        q = plan_keyword(args.keyword, text_field="content", prefix_fields=("path", "repo"))
+        res = eng.search(q, k=args.k, skip=args.skip, prune=args.prune)
+        print(
+            json.dumps(
+                {
+                    "total": res.total,
+                    "total_exact": res.total_exact,
+                    "data": res.hits.to_dict(orient="records"),
+                }
+            )
+        )
+    elif args.cmd == "gen":
+        from search_engine_ray.corpus import write_corpus
+
+        write_corpus(args.out_dir, args.n_docs, seed=args.seed, files=args.files)
+        print(json.dumps({"out_dir": args.out_dir, "n_docs": args.n_docs}))
+    import ray
+
+    ray.shutdown()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
