@@ -63,7 +63,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from search_engine_ray.analysis import STOP_TOKENS, TOKEN_RE, edge_ngrams
+from search_engine_ray.analysis import STOP_TOKENS
 from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
 from search_engine_ray.config import IndexConfig, term_part
 
@@ -165,8 +165,6 @@ class TokenizePartials:
 
     def __init__(self, config: IndexConfig):
         self.config = config
-        self.token_re = TOKEN_RE
-        self.stop = STOP_TOKENS
 
     _STOP_ARR = pa.array(sorted(STOP_TOKENS) + [""])
 
@@ -246,20 +244,29 @@ class TokenizePartials:
                 # edge-n-gram namespace for autocomplete (S2): expand
                 # each token to prefixes; tf of a gram = sum of tfs of
                 # tokens sharing the prefix; dl shared with the field.
-                gtoks: list[str] = []
-                gdoc: list[int] = []
-                for t, dix in zip(toks, doc_ix.tolist()):
-                    for g in edge_ngrams(t, spec.ngram_min, spec.ngram_max):
-                        gtoks.append(g)
-                        gdoc.append(dix)
-                self._partials(
-                    f"{spec.code}>:",
-                    gtoks,
-                    np.asarray(gdoc, dtype=np.int64),
-                    dls,
-                    uids,
-                    out,
-                )
+                # Vectorized: one utf8_slice per gram length (the
+                # _partials aggregation dedups/sum-counts per doc).
+                tok_arr = pa.array(toks, pa.string())
+                lens = pc.utf8_length(tok_arr).to_numpy(zero_copy_only=False)
+                gtok_parts: list[np.ndarray] = []
+                gdoc_parts: list[np.ndarray] = []
+                for g in range(spec.ngram_min, spec.ngram_max + 1):
+                    mask = lens >= g
+                    if not mask.any():
+                        break
+                    sel = pa.array(mask)
+                    grams = pc.utf8_slice_codeunits(tok_arr.filter(sel), 0, g)
+                    gtok_parts.append(grams.to_numpy(zero_copy_only=False))
+                    gdoc_parts.append(doc_ix[mask])
+                if gtok_parts:
+                    self._partials(
+                        f"{spec.code}>:",
+                        np.concatenate(gtok_parts),
+                        np.concatenate(gdoc_parts),
+                        dls,
+                        uids,
+                        out,
+                    )
         if not out:
             return self.EMPTY
         return pa.concat_tables(out)
