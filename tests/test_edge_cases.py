@@ -1,0 +1,96 @@
+"""Edge-case robustness: empty corpus, single doc, null text, skewed
+hot term — build and query must not crash and must stay consistent."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.index import build_index
+from search_engine_ray.query import Compound, Prefix, SearchEngine, Term
+
+
+def test_single_doc_index(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "repo": ["o/r"],
+            "path": ["a.py"],
+            "commit": ["c" * 40],
+            "lang": ["python"],
+            "content": ["import tokenizer import"],
+        }
+    )
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "one")
+    stats = build_index(rd.from_arrow(t), out, cfg)
+    assert stats["n_docs"] == 1
+    assert stats["fields"]["content"]["avgdl"] == 3.0
+    eng = SearchEngine(out, cfg)
+    r = eng.search(Compound(must=(Term("content", "import"),)), k=5)
+    assert r.total == 1 and len(r.hits) == 1
+    # tf=2 for "import"
+    assert r.hits["score"].iloc[0] > 0
+
+
+def test_null_and_empty_content(ray_session, tmp_path):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "repo": ["o/r", "o/r", "o/r"],
+            "path": ["a.py", "b.py", "c.py"],
+            "commit": ["c" * 40] * 3,
+            "lang": ["python"] * 3,
+            "content": pa.array(["import x", "", None], pa.string()),
+        }
+    )
+    cfg = IndexConfig(num_buckets=2, num_parts=2)
+    out = str(tmp_path / "nulls")
+    stats = build_index(rd.from_arrow(t), out, cfg)
+    assert stats["n_docs"] == 3
+    eng = SearchEngine(out, cfg)
+    r = eng.search(Compound(must=(Term("content", "import"),)), k=5)
+    assert r.total == 1
+
+
+def test_hot_term_bucket_salting(ray_session, tmp_path):
+    """A term present in EVERY doc still never forms a merge group
+    larger than one bucket's doc count (the built-in salt)."""
+    import glob
+    import os
+
+    import pyarrow.dataset as pads
+    import ray.data as rd
+
+    n = 400
+    t = pa.table(
+        {
+            "repo": [f"o/r{i % 5}" for i in range(n)],
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c" * 40] * n,
+            "lang": ["python"] * n,
+            "content": ["hotterm filler%d" % i for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(num_buckets=8, num_parts=4)
+    out = str(tmp_path / "hot")
+    build_index(rd.from_arrow(t), out, cfg)
+    files = glob.glob(os.path.join(out, "postings", "part=*", "bucket=*", "*.parquet"))
+    pt = pads.dataset(files).to_table(columns=["term", "df_local"])
+    hot = pt.filter(pa.compute.equal(pt["term"], "c:hotterm"))
+    assert hot.num_rows == cfg.num_buckets  # split across every bucket
+    assert max(hot["df_local"].to_pylist()) < n  # no single giant group
+    assert sum(hot["df_local"].to_pylist()) == n
+    eng = SearchEngine(out, cfg)
+    assert eng.search(Compound(must=(Term("content", "hotterm"),)), k=3).total == n
+
+
+def test_prefix_longer_than_ngram_window(ray_session, tiny_index):
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    # prefix longer than ngram_max on an ngram field -> range-scan path
+    long_prefix = Prefix("path", "tokenizer_")
+    r = eng.search(Compound(should=(long_prefix,), min_should_match=1), k=5)
+    assert r.total >= 0  # must not crash; matches if any path token has the prefix
