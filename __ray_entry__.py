@@ -384,6 +384,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = emb.union(emb.map_batches(_perturb, batch_format="pyarrow"))
         return ann.rp_lsh_near_dup(both, threshold=0.999, n_planes=10)
 
+    def ann_ivf(sf_dir):  # rows-only (scale path: cluster-pruned read)
+        tag = sf_dir.strip("/").replace("/", "_")
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}"
+        emb = _read(sf_dir, "embeddings")
+        if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
+            ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)
+        idx = ann.IVFIndex(ivf_dir)
+        q = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = np.asarray(q["embedding"][0].as_py(), dtype=np.float64)
+        out = idx.search(qv, k=10, nprobe=8)  # nprobe=all -> exact
+        return out
+
     # ---- multimodal plumbing (rows-only; deterministic fake decode)
     def mm_features(sf_dir):
         import ray.data as rd
@@ -511,6 +523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "ann_cosine": ann_cosine,
         "ann_rp_lsh": ann_rp_lsh,
+        "ann_ivf": ann_ivf,
         "mm_features": mm_features,
         "pipe_listing": pipe_listing,
         "pipe_grouped_search": pipe_grouped_search,
@@ -667,6 +680,14 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
+        ),
+        "ann_ivf": (
+            "WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0) "
+            "SELECT e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
         "pipe_listing": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "

@@ -14,3 +14,21 @@ stages, explicit partitioning for every shuffle.
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    # lazy top-level API (keeps `import search_engine_ray` free of Ray)
+    if name in ("IndexConfig", "FieldSpec", "DOCUMENTS_CONFIG"):
+        import search_engine_ray.config as m
+
+        return getattr(m, name)
+    if name in ("build_index", "build_index_resumable"):
+        import search_engine_ray.index as m
+
+        return getattr(m, name)
+    if name in ("SearchEngine", "Compound", "Term", "Prefix", "plan_keyword",
+                "FilterSpec", "ConditionalAddBoost", "DocAttrBoost"):
+        import search_engine_ray.query as m
+
+        return getattr(m, name)
+    raise AttributeError(name)

@@ -385,6 +385,13 @@ class _BucketScorerImpl:
         self.buckets = buckets
         self.dmc = _DocmapCache([os.path.join(d, "docmap") for d in index_dirs])
 
+    def warm(self, cols: tuple[str, ...] = ()) -> int:
+        """Pre-load this scorer's docmap partitions (server startup)."""
+        n = 0
+        for b in self.buckets:
+            n += self.dmc.get(b, cols)["doc_id"].size
+        return n
+
     def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
         resolved = _resolve_boosts(spec.boosts)
         flt = pc.field("term").isin(term_keys)
@@ -455,6 +462,14 @@ class SearchEngine:
                 assign[b % self.num_scorers].append(b)
             self._actors = [cls.remote(self.dirs, bs) for bs in assign if bs]
         return self._actors
+
+    def prewarm(self) -> int:
+        """Spawn the scorer pool and pre-load every docmap partition —
+        server-startup warm-up so the first user query pays no actor
+        spin-up / docmap IO. Returns total docs cached."""
+        import ray
+
+        return sum(ray.get([a.warm.remote() for a in self._scorer_pool()]))
 
     # ---- dictionary -------------------------------------------------
     def _df_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
