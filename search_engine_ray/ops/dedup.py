@@ -252,10 +252,11 @@ class _JaccardVerify:
     candidate docs' shingle sets are broadcast once per actor (they
     are << corpus; at larger scale replace with a doc_id join)."""
 
-    def __init__(self, shingle_table: pa.Table, id_col: str):
+    def __init__(self, shingle_table: pa.Table, id_col: str, threshold: float):
         ids = shingle_table[id_col].to_numpy()
         sets = shingle_table["shingles"].to_pylist()
         self.sets = {int(i): frozenset(s) for i, s in zip(ids, sets)}
+        self.threshold = threshold
 
     def __call__(self, t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy()
@@ -266,8 +267,14 @@ class _JaccardVerify:
             sb = self.sets.get(int(b[i]), frozenset())
             u = len(sa | sb)
             jac[i] = (len(sa & sb) / u) if u else 0.0
+        jac = np.round(jac, 4)
+        keep = jac >= self.threshold  # fused threshold filter
         return pa.table(
-            {"a": t["a"], "b": t["b"], "jaccard": pa.array(np.round(jac, 4), pa.float64())}
+            {
+                "a": t["a"].filter(pa.array(keep)),
+                "b": t["b"].filter(pa.array(keep)),
+                "jaccard": pa.array(jac[keep], pa.float64()),
+            }
         )
 
 
@@ -291,15 +298,20 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 8),
     )
-    pairs = _candidate_pairs(bands, id_col, p.max_bucket)
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        return _pairs_within_buckets(df, id_col, p.max_bucket)
+
+    pairs = bands.groupby("cg").map_groups(_pairs, batch_format="pandas")
 
     # collect candidate pairs driver-side (they are tiny relative to
-    # the corpus: only docs that LSH-collided), fetch their shingle
-    # sets once and broadcast to the verify actors
+    # the corpus: only docs that LSH-collided); the cross-band pair
+    # dedupe happens HERE in pandas — a whole groupby shuffle saved
+    # vs deduping distributed-then-collecting anyway
     import ray
     import ray.data as rd
 
-    pair_df = pairs.to_pandas()
+    pair_df = pairs.to_pandas().drop_duplicates(["a", "b"])
     pair_all = pa.table(
         {"a": pa.array(pair_df["a"], pa.int64()), "b": pa.array(pair_df["b"], pa.int64())}
     )
@@ -332,16 +344,12 @@ def minhash_lsh_pairs(
     ]
     shingle_tbl = pa.concat_tables([s for s in shingle_tbl_parts if s.num_rows] or shingle_tbl_parts)
 
-    verified = (
-        rd.from_arrow(pair_all)
-        .map_batches(
-            _JaccardVerify,
-            fn_constructor_args=(shingle_tbl, id_col),
-            batch_format="pyarrow",
-            concurrency=(1, 4),
-        )
+    return rd.from_arrow(pair_all).map_batches(
+        _JaccardVerify,
+        fn_constructor_args=(shingle_tbl, id_col, threshold),
+        batch_format="pyarrow",
+        concurrency=(1, 4),
     )
-    return verified.filter(expr=f"jaccard >= {threshold}")
 
 
 # ------------------------------------------------------------- SimHash

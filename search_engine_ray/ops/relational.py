@@ -290,7 +290,13 @@ def facet_page(
 
     Returns {"total": int, "data": pandas page, "facets": {col: {value:
     count}}} — the reference's `$facet` + Counter response shape
-    (pipelines.py:28-42, app.py:377-378)."""
+    (pipelines.py:28-42, app.py:377-378).
+
+    The input is materialized once: total + page + each facet column
+    are separate consumers, and an unmaterialized Dataset would re-run
+    the upstream filter/score per consumer (object-store blocks spill
+    under pressure, so this stays memory-safe at scale)."""
+    ds = ds.materialize()
     total = ds.count()
     page = paginate(ds, sort_keys, skip, limit, descending).to_pandas()
     facets: dict[str, dict] = {}

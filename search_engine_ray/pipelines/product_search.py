@@ -74,7 +74,10 @@ def grouped_search(
     reference's "sort before $group so $first is the best variant"."""
     q = plan_keyword(keyword, text_field=text_field, prefix_fields=prefix_fields)
     attach = (group_col,) + ((sum_col,) if sum_col else ())
-    scored = engine.search_all(q, filter_spec=filter_spec, attach_cols=attach)
+    # materialize: the scored match set feeds TWO consumers (dedup +
+    # sums); without it Ray re-executes the read+score per consumer.
+    # Blocks live in the object store and spill under pressure.
+    scored = engine.search_all(q, filter_spec=filter_spec, attach_cols=attach).materialize()
     best = rel.group_dedup_first(
         scored, group_col, ["score", "doc_id"], descending=[True, False]
     )
