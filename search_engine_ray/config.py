@@ -65,6 +65,12 @@ class IndexConfig:
     # column used verbatim as doc_id (no hashing) — results then carry
     # the source table's own ids (e.g. the `documents.doc_id` testdata)
     use_native_id: bool = False
+    # cap on dictionary range-scan prefix expansion (Lucene's
+    # maxExpansions analog): at web scale a 2-char prefix can match
+    # millions of terms; the cap keeps query cost bounded (expansions
+    # beyond it are dropped lexicographically — raise for exhaustive
+    # semantics)
+    max_prefix_expansions: int = 4096
 
     def field_by_name(self, name: str) -> FieldSpec:
         for f in self.fields:

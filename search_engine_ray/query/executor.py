@@ -506,7 +506,8 @@ class SearchEngine:
             # dictionary rows (term column only; row-group stats prune)
             dsd = pads.dataset(os.path.join(d, "dict"))
             keys.update(dsd.to_table(columns=["term"], filter=flt)["term"].to_pylist())
-        return sorted(keys)
+        out = sorted(keys)
+        return out[: self.config.max_prefix_expansions]
 
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
