@@ -323,6 +323,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = out["sum_value"].round(2)
         return out
 
+    def r2_json_extract(sf_dir):
+        # semi-structured projection: pull props.k out of the JSON
+        # column and aggregate it (R2 scalar-expr analog for the
+        # training-data case of metadata-bearing JSON sidecars)
+        ds = _read(sf_dir, "events", ["event_type", "props"])
+
+        def _k(t: pa.Table) -> pa.Table:
+            import json as _json
+
+            ks = np.fromiter(
+                (_json.loads(s or "{}").get("k", -1) for s in t["props"].to_pylist()),
+                dtype=np.int64,
+                count=t.num_rows,
+            )
+            return pa.table({"event_type": t["event_type"], "k": pa.array(ks, pa.int64())})
+
+        return rel.grouped_aggregate(
+            ds.map_batches(_k, batch_format="pyarrow"),
+            "event_type",
+            {"n": ("count", "k"), "sum_k": ("sum", "k"), "max_k": ("max", "k")},
+        )
+
     # ---- text analysis ---------------------------------------------
     def t_token_stats(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -494,6 +516,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_range_scan": s2_range_scan,
         "s6_const_boost": s6_const_boost,
         "r13_count": r13_count,
+        "r2_json_extract": r2_json_extract,
         "pipe_listing_facets": pipe_listing_facets,
         "s3_bm25_and": s3_bm25_and,
         "s3_bm25_should": s3_bm25_should,
@@ -594,6 +617,12 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
         "r13_count": (
             "SELECT count(*) AS total FROM lineitem "
             "WHERE l_quantity > 30 AND l_returnflag != 'N'"
+        ),
+        "r2_json_extract": (
+            "SELECT event_type, count(*) AS n, "
+            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
+            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "FROM events GROUP BY 1"
         ),
         "pipe_listing_facets": (
             "SELECT source, count(*) AS cnt FROM documents "
