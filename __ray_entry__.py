@@ -227,8 +227,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     # ---- relational ring (R1-R17) -----------------------------------
     def r1_filter(sf_dir):
-        ds = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"])
-        return rel.filter_conditions(ds, [("l_quantity", ">", 45.0), ("l_returnflag", "==", "R")])
+        # predicate pushed INTO the parquet read (row-group pruning);
+        # rel.filter_conditions covers the in-stream case (tested)
+        from search_engine_ray.ops.sources import read_parquet_filtered
+
+        return read_parquet_filtered(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_quantity", "l_returnflag"],
+            conditions=[("l_quantity", ">", 45.0), ("l_returnflag", "==", "R")],
+        )
 
     def r2_project(sf_dir):
         ds = _read(sf_dir, "lineitem")
