@@ -204,6 +204,22 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
     return out
 
 
+def _binary_views(col) -> "callable":
+    """Zero-copy row accessor for a (Large)Binary column: returns
+    row_bytes(i) -> np.uint8 view into the arrow data buffer (no
+    per-row bytes copy — posting buffers can be large)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + arr.offset + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    base = arr.offset
+
+    def view(i: int) -> np.ndarray:
+        return data[offs[base + i] : offs[base + i + 1]]
+
+    return view
+
+
 def score_postings_table(
     t: pa.Table,
     bucket: int,
@@ -226,6 +242,9 @@ def score_postings_table(
 
     terms = t["term"].to_pylist()
     dfl = t["df_local"].to_numpy()
+    doc_view = _binary_views(t["doc_bytes"])
+    tf_view = _binary_views(t["tf_bytes"])
+    dl_view = _binary_views(t["dl_bytes"])
     ids_parts: list[np.ndarray] = []
     score_parts: list[np.ndarray] = []
     leaf_of_part: list[int] = []
@@ -237,14 +256,14 @@ def score_postings_table(
         leaf = spec.leaves[li]
         for ri in rows_by_leaf[li]:
             n = int(dfl[ri])
-            gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
+            gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
             block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
             ids = block_delta_decode(gaps, block_starts)
-            tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n)
+            tfs = varbyte_decode(tf_view(ri), n)
             if leaf.const_score is not None:
                 sc = np.full(n, float(leaf.const_score))
             else:
-                dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n)
+                dls = varbyte_decode(dl_view(ri), n)
                 _, tidf = term_to_leaf[terms[ri]]
                 sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
             ids_parts.append(ids)
