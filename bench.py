@@ -125,9 +125,10 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
     picks = [
-        "s1_bm25_term", "r1_filter", "r3_join", "r7_group_first", "r8_group_sum",
-        "r10_explode", "r11_topk", "t_token_stats", "t_quality", "dedup_exact",
-        "dedup_minhash", "dedup_simhash", "ann_cosine", "pipe_grouped_search",
+        "s1_bm25_term", "r1_filter", "r2_json_extract", "r3_join", "r7_group_first",
+        "r8_group_sum", "r10_explode", "r11_topk", "t_token_stats", "t_quality",
+        "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_cosine", "ann_ivf",
+        "e7_tags", "mm_features", "pipe_grouped_search", "pipe_listing",
     ]
     qs = entrymod.queries()
     out = {}
