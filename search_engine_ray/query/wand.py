@@ -44,13 +44,38 @@ from search_engine_ray.codec import block_delta_decode, varbyte_decode
 from search_engine_ray.query import scoring
 
 
+def _list_views(col):
+    """Zero-copy row accessor for a list<int> column: row(i) -> numpy
+    view of that row's values (no per-row as_py())."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    offs = arr.offsets.to_numpy(zero_copy_only=False)
+    vals = arr.values.to_numpy(zero_copy_only=False)
+
+    def view(i: int) -> np.ndarray:
+        return vals[offs[i] : offs[i + 1]]
+
+    return view
+
+
+def _bin_views(col):
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    off_dtype = np.int64 if pa.types.is_large_binary(arr.type) else np.int32
+    offs = np.frombuffer(arr.buffers()[1], dtype=off_dtype, count=len(arr) + arr.offset + 1)
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8) if arr.buffers()[2] else np.empty(0, np.uint8)
+    base = arr.offset
+
+    def view(i: int) -> np.ndarray:
+        return data[offs[base + i] : offs[base + i + 1]]
+
+    return view
+
+
 def _decode_kept(
-    buf: bytes, offs: np.ndarray, ends: np.ndarray, keep: np.ndarray, counts: np.ndarray
+    buf: np.ndarray, offs: np.ndarray, ends: np.ndarray, keep: np.ndarray, counts: np.ndarray
 ):
-    """Concatenate kept blocks' byte slices -> (values, block_starts)."""
-    mv = memoryview(buf)
-    parts = [mv[offs[i] : ends[i]] for i in np.nonzero(keep)[0]]
-    data = b"".join(parts)
+    """Concatenate kept blocks' byte views -> (values, block_starts)."""
+    kept = np.nonzero(keep)[0]
+    data = np.concatenate([buf[offs[i] : ends[i]] for i in kept]) if kept.size else np.empty(0, np.uint8)
     kept_counts = counts[keep]
     starts = np.concatenate(([0], np.cumsum(kept_counts)[:-1])) if kept_counts.size else np.empty(0, np.int64)
     vals = varbyte_decode(data, int(kept_counts.sum()))
@@ -67,14 +92,25 @@ def score_or_query_pruned(
     count of matches actually scored (>= |top-k|, <= true total)."""
     n_rows = t.num_rows
     rows = []
+    terms = t["term"].to_pylist()
+    dfl = t["df_local"].to_numpy()
+    v_max_tf = _list_views(t["blk_max_tf"])
+    v_min_dl = _list_views(t["blk_min_dl"])
+    v_first = _list_views(t["blk_first"])
+    v_doff = _list_views(t["blk_doc_off"])
+    v_toff = _list_views(t["blk_tf_off"])
+    v_loff = _list_views(t["blk_dl_off"])
+    v_doc = _bin_views(t["doc_bytes"])
+    v_tf = _bin_views(t["tf_bytes"])
+    v_dl = _bin_views(t["dl_bytes"])
     for ri in range(n_rows):
-        term = t["term"][ri].as_py()
-        li, tidf = term_to_leaf[term]
+        li, tidf = term_to_leaf[terms[ri]]
         leaf = spec.leaves[li]
-        df = int(t["df_local"][ri].as_py())
-        max_tf = np.asarray(t["blk_max_tf"][ri].as_py(), dtype=np.float64)
-        min_dl = np.asarray(t["blk_min_dl"][ri].as_py(), dtype=np.float64)
-        ub = scoring.block_upper_bound(max_tf, min_dl, tidf, spec.k1, spec.b, leaf.avgdl)
+        df = int(dfl[ri])
+        ub = scoring.block_upper_bound(
+            v_max_tf(ri).astype(np.float64), v_min_dl(ri).astype(np.float64),
+            tidf, spec.k1, spec.b, leaf.avgdl,
+        )
         rows.append((ri, tidf, leaf.avgdl, df, ub))
     # process highest-potential terms first
     rows.sort(key=lambda r: -float(r[4].max()) if r[4].size else 0.0)
@@ -91,7 +127,7 @@ def score_or_query_pruned(
         else:
             theta = -np.inf
         nblk = ub.size
-        blk_first = np.asarray(t["blk_first"][ri].as_py(), dtype=np.int64)
+        blk_first = v_first(ri).astype(np.int64, copy=False)
         # block posting counts: full bs except the last
         counts = np.full(nblk, bs, dtype=np.int64)
         if nblk:
@@ -105,12 +141,12 @@ def score_or_query_pruned(
             keep |= hi > lo
         if not keep.any():
             continue
-        d_off = np.asarray(t["blk_doc_off"][ri].as_py(), dtype=np.int64)
-        t_off = np.asarray(t["blk_tf_off"][ri].as_py(), dtype=np.int64)
-        l_off = np.asarray(t["blk_dl_off"][ri].as_py(), dtype=np.int64)
-        doc_buf = t["doc_bytes"][ri].as_py()
-        tf_buf = t["tf_bytes"][ri].as_py()
-        dl_buf = t["dl_bytes"][ri].as_py()
+        d_off = v_doff(ri).astype(np.int64, copy=False)
+        t_off = v_toff(ri).astype(np.int64, copy=False)
+        l_off = v_loff(ri).astype(np.int64, copy=False)
+        doc_buf = v_doc(ri)
+        tf_buf = v_tf(ri)
+        dl_buf = v_dl(ri)
         d_end = np.append(d_off[1:], len(doc_buf))
         t_end = np.append(t_off[1:], len(tf_buf))
         l_end = np.append(l_off[1:], len(dl_buf))
@@ -119,7 +155,7 @@ def score_or_query_pruned(
         tfs, _ = _decode_kept(tf_buf, t_off, t_end, keep, counts)
         dls, _ = _decode_kept(dl_buf, l_off, l_end, keep, counts)
         sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, avgdl)
-        li, _ = term_to_leaf[t["term"][ri].as_py()]
+        li, _ = term_to_leaf[terms[ri]]
         decoded_parts.append((li, ri, ids, sc))
         # merge into candidate set (ids sorted within a posting list);
         # copies: cand_scores is accumulated in place and must not
