@@ -145,6 +145,11 @@ class _QuerySpec:
     # top-k with no filter/boost/facet needs; `total` becomes a lower
     # bound (Lucene total-hit-threshold trade-off)
     prune: bool = False
+    # global pruning threshold established by a cheap phase-1 pass
+    # over the highest-impact term (a valid lower bound of the final
+    # k-th score: per-doc totals only grow with more clauses). Lets
+    # buckets prune even before they hold k local candidates.
+    initial_theta: float = float("-inf")
 
 
 class _DocmapCache:
@@ -612,7 +617,29 @@ class SearchEngine:
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)
         if prune:
-            spec = _QuerySpec(**{**spec.__dict__, "prune": True})
+            theta0 = float("-inf")
+            if len(term_keys) > 1:
+                # phase 1: kth best score of the HIGHEST-IDF (rarest,
+                # cheapest) term alone — a valid global lower bound of
+                # the final kth score, broadcast so every bucket can
+                # prune even before it holds k local candidates
+                best = max(
+                    ((lf, tk, idf) for lf in leaves for tk, idf in zip(lf.term_keys, lf.idfs)),
+                    key=lambda x: x[2],
+                )
+                lf1 = _ResolvedLeaf(0, False, (best[1],), (best[2],), best[0].avgdl, best[0].const_score)
+                spec1 = _QuerySpec(
+                    leaves=(lf1,), k1=spec.k1, b=spec.b, min_should_match=0,
+                    n_take=skip + k, filter_spec=None, boosts=(), facet_fields=(),
+                    block_size=spec.block_size,
+                )
+                p1 = sorted({term_part(best[1], self.config.num_parts)})
+                f1 = [a.score.remote(p1, [best[1]], spec1) for a in self._scorer_pool()]
+                h1 = pa.concat_tables(ray.get(f1)).to_pandas()
+                h1 = h1[h1["kind"] == "hit"]["score"].nlargest(skip + k)
+                if len(h1) >= skip + k:
+                    theta0 = float(h1.iloc[-1])
+            spec = _QuerySpec(**{**spec.__dict__, "prune": True, "initial_theta": theta0})
         futs = [a.score.remote(parts, term_keys, spec) for a in self._scorer_pool()]
         out = pa.concat_tables(ray.get(futs)).to_pandas()
         if out.empty:

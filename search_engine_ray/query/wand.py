@@ -121,11 +121,15 @@ def score_or_query_pruned(
     cand_scores = np.empty(0, dtype=np.float64)
     decoded_parts: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     bs = spec.block_size
+    theta0 = float(getattr(spec, "initial_theta", -np.inf))
     for j, (ri, tidf, avgdl, df, ub) in enumerate(rows):
         if cand_ids.size >= k:
-            theta = np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]
+            theta = max(
+                theta0,
+                float(np.partition(cand_scores, cand_scores.size - k)[cand_scores.size - k]),
+            )
         else:
-            theta = -np.inf
+            theta = theta0
         nblk = ub.size
         blk_first = v_first(ri).astype(np.int64, copy=False)
         # block posting counts: full bs except the last
