@@ -425,6 +425,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = idx.search(qv, k=10, nprobe=8)  # nprobe=all -> exact
         return out
 
+    def ann_ivf_batch(sf_dir):
+        # Dataset-native batched ANN over the IVF partitions
+        tag = sf_dir.strip("/").replace("/", "_")
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}"
+        emb = _read(sf_dir, "embeddings")
+        if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
+            ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)
+        idx = ann.IVFIndex(ivf_dir)
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return idx.search_batch(
+            queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, nprobe=8
+        )
+
     # ---- multimodal plumbing (rows-only; deterministic fake decode)
     def mm_features(sf_dir):
         import ray.data as rd
@@ -554,6 +569,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_cosine": ann_cosine,
         "ann_rp_lsh": ann_rp_lsh,
         "ann_ivf": ann_ivf,
+        "ann_ivf_batch": ann_ivf_batch,
         "mm_features": mm_features,
         "pipe_listing": pipe_listing,
         "pipe_grouped_search": pipe_grouped_search,
@@ -715,6 +731,15 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
+        ),
+        "ann_ivf_batch": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)) "
+            "SELECT qid, e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e CROSS JOIN q "
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
         ),
         "ann_ivf": (

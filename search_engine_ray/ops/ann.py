@@ -226,6 +226,88 @@ class IVFIndex:
             )
         return IVFIndex(index_dir)
 
+    def search_batch(
+        self, queries: np.ndarray, qids: np.ndarray, k: int = 10, nprobe: int = 4
+    ):
+        """Dataset-native batched ANN: for a BATCH of queries, read only
+        the union of their probe clusters' partitions (one lazy read
+        per cluster dir, unioned), score each partition against just
+        the queries probing it (broadcast matrix + per-cluster query
+        lists), partial top-k per block, final per-query merge.
+        Returns a Dataset of (qid, vec_id, cos)."""
+        import glob as _glob
+
+        import ray.data as rd
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        qids = np.asarray(qids, dtype=np.int64)
+        order = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        probing: dict[int, list[int]] = {}
+        for qi in range(qn.shape[0]):
+            for c in order[qi]:
+                probing.setdefault(int(c), []).append(qi)
+
+        reads = []
+        for c in sorted(probing):
+            files = _glob.glob(os.path.join(self.dir, "vectors", f"cluster={c}", "*.parquet"))
+            if not files:
+                continue
+            ds_c = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
+            cc = c
+
+            def _tag(t: pa.Table, _c=cc) -> pa.Table:
+                return t.append_column("cluster", pa.array(np.full(t.num_rows, _c, np.int32)))
+
+            reads.append(ds_c.map_batches(_tag, batch_format="pyarrow"))
+        if not reads:
+            return rd.from_arrow(
+                pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                          "cos": pa.array([], pa.float64())})
+            )
+        ds = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
+        vec_col, id_col = self.vec_col, self.id_col
+
+        def _score(t: pa.Table) -> pa.Table:
+            out_q, out_v, out_s = [], [], []
+            cl = t["cluster"].to_numpy()
+            for c in np.unique(cl):
+                sel = pa.array(cl == c)
+                sub = t.filter(sel)
+                qis = probing.get(int(c), [])
+                if not qis:
+                    continue
+                m = _normalize(_to_matrix(sub[vec_col], qn.shape[1]))
+                sims = m @ qn[qis].T
+                kk = min(k, m.shape[0])
+                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+                ids = sub[id_col].to_numpy()
+                for j, qi in enumerate(qis):
+                    s = part[:, j]
+                    out_q.append(np.full(kk, qids[qi], np.int64))
+                    out_v.append(ids[s])
+                    out_s.append(sims[s, j])
+            if not out_q:
+                return pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cos": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        partial = ds.map_batches(_score, batch_format="pyarrow")
+
+        def _final(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cos"] = df["cos"].round(4)
+            df = df.drop_duplicates(["qid", "vec_id"])
+            df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+            return df.head(k)
+
+        return partial.groupby("qid").map_groups(_final, batch_format="pandas")
+
     def search(self, query: np.ndarray, k: int = 10, nprobe: int = 4) -> pd.DataFrame:
         qn = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))[0]
         order = np.argsort(-(self.centroids @ qn))[:nprobe]

@@ -417,3 +417,19 @@ def test_two_key_join(ray_session, con):
         "FROM lineitem l JOIN s ON l.l_orderkey = s.r_orderkey AND l.l_partkey = s.r_partkey"
     ).df()
     assert len(out) == len(exp)
+
+
+def test_ivf_search_batch(ray_session, tmp_path):
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = ann.IVFIndex.build(emb, str(tmp_path / "ivfb"), n_clusters=8)
+    qt = pd.read_parquet(f"{SF}/embeddings.parquet").head(3)
+    queries = np.stack(qt["embedding"].to_numpy()).astype(np.float64)
+    qids = qt["vec_id"].to_numpy()
+    # nprobe = all clusters -> exact: must equal brute force incl. self
+    out = idx.search_batch(queries, qids, k=5, nprobe=8).to_pandas()
+    brute = ann.cosine_topk(emb, queries, qids, k=5, exclude_self=False).to_pandas()
+    got = out.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    exp = brute.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[["qid", "vec_id", "cos"]], exp[["qid", "vec_id", "cos"]], check_dtype=False)
