@@ -30,6 +30,41 @@ STOP_TOKENS = frozenset({"rs", "gm", "ml", "kg"})
 DUCKDB_TOKENIZE = "regexp_extract_all(lower({col}), '[a-z0-9_]+')"
 
 
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass(frozen=True)
+class Analyzer:
+    """A named analyzer (SURVEY §2.5b pluggable-analyzer surface).
+    `token_pattern` is the findall form (python side, oracle),
+    `split_pattern` its complement (Arrow split_pattern_regex form,
+    vectorized index side) — the analyzer-parity tests pin that the
+    two forms agree. `stop` is dropped at BOTH index and query time."""
+
+    name: str
+    token_pattern: str
+    split_pattern: str
+    stop: frozenset
+
+    def tokens(self, text: str) -> list[str]:
+        return re.findall(self.token_pattern, (text or "").lower())
+
+    def analyze(self, text: str) -> list[str]:
+        return [t for t in self.tokens(text) if t not in self.stop]
+
+
+ANALYZERS: dict[str, Analyzer] = {
+    # code-aware: keeps digits and underscores (identifiers whole)
+    "code": Analyzer("code", r"[a-z0-9_]+", r"[^a-z0-9_]+", STOP_TOKENS),
+    # letters-only (classic "simple" analyzer): digits/underscores split
+    "simple": Analyzer("simple", r"[a-z]+", r"[^a-z]+", frozenset()),
+}
+
+
+def get_analyzer(name: str) -> Analyzer:
+    return ANALYZERS[name]
+
+
 def tokenize(text: str) -> list[str]:
     """Lowercase + split on non-[a-z0-9_]; keeps stop tokens (raw)."""
     return TOKEN_RE.findall(text.lower())

@@ -65,6 +65,9 @@ class IndexConfig:
     # column used verbatim as doc_id (no hashing) — results then carry
     # the source table's own ids (e.g. the `documents.doc_id` testdata)
     use_native_id: bool = False
+    # named analyzer (analysis.ANALYZERS) applied at BOTH index and
+    # query time; register new ones there to plug in (SURVEY §2.5b)
+    analyzer: str = "code"
     # cap on dictionary range-scan prefix expansion (Lucene's
     # maxExpansions analog): at web scale a 2-char prefix can match
     # millions of terms; the cap keeps query cost bounded (expansions

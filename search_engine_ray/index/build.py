@@ -165,22 +165,24 @@ class TokenizePartials:
 
     def __init__(self, config: IndexConfig):
         self.config = config
+        from search_engine_ray.analysis import get_analyzer
 
-    _STOP_ARR = pa.array(sorted(STOP_TOKENS) + [""])
+        self.analyzer = get_analyzer(config.analyzer)
+        self._stop_arr = pa.array(sorted(self.analyzer.stop) + [""])
 
     def _field_tokens(self, column, spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """tokens, doc index per token, and per-doc field length —
         fully vectorized: Arrow C++ lower + regex split + flatten,
         empties/stop tokens dropped with one is_in mask. Semantics
-        identical to TOKEN_RE.findall(text.lower()) minus STOP_TOKENS
+        identical to the configured analyzer's findall form
         (asserted by the analyzer-parity unit tests)."""
         n = len(column)
         arr = column.combine_chunks() if isinstance(column, pa.ChunkedArray) else column
         arr = pc.fill_null(arr, "")
-        parts = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9_]+")
+        parts = pc.split_pattern_regex(pc.utf8_lower(arr), pattern=self.analyzer.split_pattern)
         flat = pc.list_flatten(parts)
         parents = pc.list_parent_indices(parts)
-        keep = pc.invert(pc.is_in(flat, value_set=self._STOP_ARR))
+        keep = pc.invert(pc.is_in(flat, value_set=self._stop_arr))
         flat = flat.filter(keep)
         parents = parents.filter(keep)
         doc_ix = parents.to_numpy(zero_copy_only=False).astype(np.int64)

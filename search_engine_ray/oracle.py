@@ -15,7 +15,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from search_engine_ray.analysis import analyze
+from search_engine_ray.analysis import get_analyzer
 from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
@@ -54,8 +54,9 @@ def build_oracle(table: pa.Table, config: IndexConfig | None = None, sha_col: st
     tokens: dict[str, list[list[str]]] = {}
     dls: dict[str, np.ndarray] = {}
     avgdl: dict[str, float] = {}
+    an = get_analyzer(config.analyzer)
     for spec in config.fields:
-        toks = [analyze(t or "") for t in df[spec.name]]
+        toks = [an.analyze(t or "") for t in df[spec.name]]
         tokens[spec.name] = toks
         dl = np.array([len(t) for t in toks], dtype=np.int64)
         dls[spec.name] = dl

@@ -47,3 +47,41 @@ def test_index_and_query_analyzers_agree():
     assert [t for t in analyze(text) if not t.isdigit() and t != "of"] == [
         t for t in normalize_query(text) if t != "of"
     ]
+
+
+def test_analyzer_registry_pluggable(ray_session, tmp_path):
+    """§2.5b: a different named analyzer changes index+query semantics
+    in lockstep; engine stays rank-identical to the oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.analysis import get_analyzer
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    simple = get_analyzer("simple")
+    assert simple.analyze("foo_bar 42 baz") == ["foo", "bar", "baz"]  # splits _ and digits
+    assert get_analyzer("code").analyze("foo_bar 42 baz") == ["foo_bar", "42", "baz"]
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 4,
+            "path": [f"f{i}.py" for i in range(4)],
+            "commit": ["c" * 40] * 4,
+            "lang": ["python"] * 4,
+            "content": ["foo_bar baz", "foo bar", "baz_foo", "nothing here"],
+        }
+    )
+    cfg = IndexConfig(num_buckets=2, num_parts=2, analyzer="simple")
+    out = str(tmp_path / "simple_idx")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(t, cfg)
+    # under "simple", foo_bar/baz_foo split: "foo" matches docs 0,1,2
+    q = Compound(must=(Term("content", "foo"),))
+    res = eng.search(q, k=10, with_metadata=False)
+    ora = oracle_search(oix, q, k=10)
+    assert res.total == ora.total == 3
+    assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
