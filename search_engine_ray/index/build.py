@@ -567,6 +567,31 @@ def build_index(
     return stats
 
 
+def add_tombstones(index_dir: str, doc_ids) -> int:
+    """Incremental DELETE (reference upsert/delete analog): record doc
+    ids as tombstones; queries exclude them immediately, and a later
+    shard rebuild compacts them away. Idempotent append (file named by
+    content hash). Returns the total tombstone count."""
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    tdir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tdir, exist_ok=True)
+    digest = hashlib.sha256(ids.tobytes()).hexdigest()[:16]
+    path = os.path.join(tdir, f"{digest}.parquet")
+    if not os.path.exists(path):
+        pq.write_table(pa.table({"doc_id": pa.array(ids, pa.int64())}), path)
+    return load_tombstones(index_dir).size
+
+
+def load_tombstones(index_dir: str) -> np.ndarray:
+    """Sorted unique tombstoned doc ids for an index dir (or its
+    shards' parent)."""
+    files = glob.glob(os.path.join(index_dir, "tombstones", "*.parquet"))
+    if not files:
+        return np.empty(0, dtype=np.int64)
+    t = pads.dataset(files).to_table(columns=["doc_id"])
+    return np.unique(t["doc_id"].to_numpy())
+
+
 def build_index_resumable(
     input_files: list[str],
     out_dir: str,

@@ -150,6 +150,9 @@ class _QuerySpec:
     # k-th score: per-doc totals only grow with more clauses). Lets
     # buckets prune even before they hold k local candidates.
     initial_theta: float = float("-inf")
+    # sorted int64 array of deleted doc ids (tombstones) — excluded
+    # from matches/totals/facets until the owning shard is rebuilt
+    tombstones: Any = None
 
 
 class _DocmapCache:
@@ -308,6 +311,15 @@ def score_postings_table(
     return _finish(uniq[matched], score[matched], bucket, spec, dmc, resolved_boosts)
 
 
+def _apply_tombstones(ids: np.ndarray, spec: _QuerySpec) -> np.ndarray:
+    """Boolean keep-mask dropping tombstoned doc ids."""
+    tomb = spec.tombstones
+    if tomb is None or not getattr(tomb, "size", 0) or not ids.size:
+        return np.ones(ids.size, dtype=bool)
+    pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
+    return tomb[pos] != ids
+
+
 def _finish(
     m_ids: np.ndarray,
     m_scores: np.ndarray,
@@ -316,6 +328,10 @@ def _finish(
     dmc: _DocmapCache,
     resolved_boosts: list[tuple],
 ) -> pa.Table:
+    # tombstoned (deleted) docs never count, page, or facet
+    if m_ids.size:
+        keep = _apply_tombstones(m_ids, spec)
+        m_ids, m_scores = m_ids[keep], m_scores[keep]
     # R1 metadata filter against this bucket's docmap partition
     if spec.filter_spec is not None and m_ids.size:
         attrs = dmc.attrs(bucket, m_ids, spec.filter_spec.columns)
@@ -451,6 +467,13 @@ class SearchEngine:
         shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
         self.dirs = shards or [index_dir]
         self.stats = self._merge_stats()
+        from search_engine_ray.index.build import load_tombstones
+
+        # deleted doc ids (small relative to corpus — a shard rebuild
+        # compacts them); shipped with each query spec
+        self.tombstones = load_tombstones(index_dir)
+        if self.tombstones.size == 0:
+            self.tombstones = None
         self.num_scorers = min(num_scorers, self.config.num_buckets)
         self._actors: list | None = None
 
@@ -580,6 +603,7 @@ class SearchEngine:
             facet_fields=tuple(facet_fields),
             block_size=self.block_size,
             emit_all_cols=emit_all,
+            tombstones=self.tombstones,
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -604,9 +628,12 @@ class SearchEngine:
         if not term_keys:
             return SearchResult(0, _empty_hits())
         # pruning is rank-safe only for pure-OR top-k with no filter /
-        # boost / facet side-outputs (and makes `total` a lower bound)
+        # boost / facet side-outputs (and makes `total` a lower bound);
+        # tombstones disable it (a pruned doc set can't be post-filtered
+        # safely without decoding)
         prune = (
             prune
+            and self.tombstones is None
             and not q.must
             and q.min_should_match <= 1
             and filter_spec is None

@@ -94,3 +94,37 @@ def test_prefix_longer_than_ngram_window(ray_session, tiny_index):
     long_prefix = Prefix("path", "tokenizer_")
     r = eng.search(Compound(should=(long_prefix,), min_should_match=1), k=5)
     assert r.total >= 0  # must not crash; matches if any path token has the prefix
+
+
+def test_tombstone_deletes(ray_session, tiny_corpus, tmp_path):
+    """Incremental DELETE: tombstoned docs vanish from totals, pages,
+    facets and search_all; rebuild compacts them away."""
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index
+    from search_engine_ray.index.build import add_tombstones, load_tombstones
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "tomb")
+    build_index(rd.from_arrow(tiny_corpus), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    before = eng.search(q, k=5, facet_fields=("lang",))
+    victims = before.hits["doc_id"].tolist()[:3]
+    n = add_tombstones(out, victims)
+    assert n == 3
+    assert load_tombstones(out).size == 3
+    eng2 = SearchEngine(out, cfg)  # reload picks up tombstones
+    after = eng2.search(q, k=5, facet_fields=("lang",))
+    assert after.total == before.total - 3
+    assert not set(victims) & set(after.hits["doc_id"])
+    assert sum(after.facets["lang"].values()) == after.total
+    # search_all excludes them too
+    sa = eng2.search_all(q).to_pandas()
+    assert len(sa) == after.total and not set(victims) & set(sa["doc_id"])
+    # idempotent re-delete
+    assert add_tombstones(out, victims) == 3
+    # prune falls back to exhaustive under tombstones (totals stay exact)
+    qo = Compound(should=(Term("content", "import"),))
+    rp = eng2.search(qo, k=5, prune=True, with_metadata=False)
+    assert rp.total_exact
