@@ -82,7 +82,10 @@ ORDER BY ({score}) DESC, d.doc_id LIMIT {k}
 # --------------------------------------------------------------------
 
 
+import threading as _threading
+
 _ENGINES: dict[str, Any] = {}
+_ENGINE_LOCK = _threading.Lock()
 
 
 def _doc_engine(sf_dir: str):
@@ -90,16 +93,17 @@ def _doc_engine(sf_dir: str):
     from search_engine_ray.index import build_index
     from search_engine_ray.query import SearchEngine
 
-    if sf_dir in _ENGINES:
+    with _ENGINE_LOCK:  # guard against concurrent first-build races
+        if sf_dir in _ENGINES:
+            return _ENGINES[sf_dir]
+        tag = sf_dir.strip("/").replace("/", "_")
+        idx_dir = f"/tmp/ser_idx_cache/{tag}/documents"
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(
+                os.path.join(sf_dir, "documents.parquet"), idx_dir, DOCUMENTS_CONFIG, sha_col="text"
+            )
+        _ENGINES[sf_dir] = SearchEngine(idx_dir, DOCUMENTS_CONFIG)
         return _ENGINES[sf_dir]
-    tag = sf_dir.strip("/").replace("/", "_")
-    idx_dir = f"/tmp/ser_idx_cache/{tag}/documents"
-    if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
-        build_index(
-            os.path.join(sf_dir, "documents.parquet"), idx_dir, DOCUMENTS_CONFIG, sha_col="text"
-        )
-    _ENGINES[sf_dir] = SearchEngine(idx_dir, DOCUMENTS_CONFIG)
-    return _ENGINES[sf_dir]
 
 
 def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame:
