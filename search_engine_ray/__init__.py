@@ -26,7 +26,7 @@ def __getattr__(name):
         import search_engine_ray.index as m
 
         return getattr(m, name)
-    if name in ("SearchEngine", "Compound", "Term", "Prefix", "plan_keyword",
+    if name in ("SearchEngine", "Compound", "Term", "Prefix", "Phonetic", "plan_keyword",
                 "FilterSpec", "ConditionalAddBoost", "DocAttrBoost"):
         import search_engine_ray.query as m
 

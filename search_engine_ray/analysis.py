@@ -93,6 +93,37 @@ def normalize_query(keyword: str) -> list[str]:
     return out
 
 
+_SOUNDEX_CODES = {
+    **dict.fromkeys("bfpv", "1"),
+    **dict.fromkeys("cgjkqsxz", "2"),
+    **dict.fromkeys("dt", "3"),
+    "l": "4",
+    **dict.fromkeys("mn", "5"),
+    "r": "6",
+}
+
+
+def soundex(token: str) -> str:
+    """Classic American Soundex (public algorithm) — the S9 phonetic
+    sounds-like analyzer (the reference's double-metaphone field is
+    fully commented out, metaphone.py:37-47; soundex gives the same
+    capability without the unavailable dependency). Non-alpha tokens
+    pass through unchanged."""
+    t = token.lower()
+    if not t or not t[0].isalpha():
+        return t
+    first = t[0]
+    codes = []
+    prev = _SOUNDEX_CODES.get(first, "")
+    for ch in t[1:]:
+        code = _SOUNDEX_CODES.get(ch, "")
+        if code and code != prev:
+            codes.append(code)
+        if ch not in "hw":  # h/w do not reset the run
+            prev = code
+    return (first.upper() + "".join(codes) + "000")[:4]
+
+
 def edge_ngrams(token: str, n_min: int, n_max: int) -> list[str]:
     """Edge n-grams for autocomplete (reference `$search.autocomplete`,
     edge-gram analyzer): prefixes of length n_min..min(n_max, len).

@@ -44,6 +44,9 @@ class FieldSpec:
     ngram: bool = False
     ngram_min: int = 2
     ngram_max: int = 8
+    # S9 sounds-like: additionally index each token's soundex key
+    # under the "<code>~:" namespace (reference metaphone.py, dormant)
+    phonetic: bool = False
 
 
 @dataclass(frozen=True)
@@ -89,6 +92,14 @@ class IndexConfig:
         if not spec.ngram:
             raise ValueError(f"field {field_name!r} has no edge-n-gram terms")
         return f"{spec.code}>:{gram}"
+
+    def phonetic_key(self, field_name: str, token: str) -> str:
+        from search_engine_ray.analysis import soundex
+
+        spec = self.field_by_name(field_name)
+        if not spec.phonetic:
+            raise ValueError(f"field {field_name!r} has no phonetic terms")
+        return f"{spec.code}~:{soundex(token)}"
 
 
 def term_part(term: str, num_parts: int) -> int:

@@ -269,6 +269,15 @@ class TokenizePartials:
                         uids,
                         out,
                     )
+            if spec.phonetic and len(toks):
+                # S9 sounds-like namespace: soundex key per token —
+                # computed on the batch's UNIQUE tokens only, mapped
+                # back through the factorize codes
+                from search_engine_ray.analysis import soundex
+
+                codes, uniq = pd.factorize(toks, sort=False)
+                keys = np.asarray([soundex(u) for u in uniq], dtype=object)
+                self._partials(f"{spec.code}~:", keys[codes], doc_ix, dls, uids, out)
         if not out:
             return self.EMPTY
         return pa.concat_tables(out)

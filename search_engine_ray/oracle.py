@@ -20,7 +20,7 @@ from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
 from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
-from search_engine_ray.query.qast import Compound, Prefix, Term
+from search_engine_ray.query.qast import Compound, Phonetic, Prefix, Term
 
 
 @dataclass
@@ -87,6 +87,12 @@ def _leaf_tf_df(oix: OracleIndex, leaf) -> tuple[np.ndarray, int]:
         p = leaf.prefix
         for i, ts in enumerate(toks):
             tf[i] = sum(1 for t in ts if t.startswith(p))
+    elif isinstance(leaf, Phonetic):
+        from search_engine_ray.analysis import soundex
+
+        key = soundex(leaf.token)
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if soundex(t) == key)
     else:
         raise TypeError(type(leaf))
     return tf, int((tf > 0).sum())

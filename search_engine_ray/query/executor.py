@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 from search_engine_ray.codec import block_delta_decode, varbyte_decode
 from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
-from search_engine_ray.query.qast import Compound, Leaf, Prefix, Term
+from search_engine_ray.query.qast import Compound, Leaf, Phonetic, Prefix, Term
 
 POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
 BLK_COLS = ["blk_first", "blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_max_tf", "blk_min_dl"]
@@ -564,6 +564,8 @@ class SearchEngine:
         ):
             if isinstance(leaf, Term):
                 keys = [cfg.term_key(leaf.field, leaf.token)]
+            elif isinstance(leaf, Phonetic):
+                keys = [cfg.phonetic_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Prefix):
                 spec = cfg.field_by_name(leaf.field)
                 if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:

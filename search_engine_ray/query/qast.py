@@ -40,7 +40,17 @@ class Prefix:
     const_score: float | None = None
 
 
-Leaf = Term | Prefix
+@dataclass(frozen=True)
+class Phonetic:
+    """S9 sounds-like: matches docs whose field contains a token with
+    the same soundex key (reference metaphone.py, dormant)."""
+
+    field: str
+    token: str
+    const_score: float | None = None
+
+
+Leaf = Term | Prefix | Phonetic
 
 
 @dataclass(frozen=True)

@@ -127,3 +127,47 @@ def test_metadata_attached(engine):
     res = engine.search(Compound(must=(Term("content", "import"),)), k=3)
     for col in ("repo", "path", "commit", "lang", "content_sha256"):
         assert col in res.hits.columns
+
+
+def test_phonetic_sounds_like(ray_session, tmp_path):
+    """S9: 'smith' finds 'smyth' via the soundex term namespace; engine
+    matches the brute-force oracle."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.analysis import soundex
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query.qast import Phonetic
+
+    assert soundex("smith") == soundex("smyth") == "S530"
+    assert soundex("robert") == soundex("rupert")
+    assert soundex("smith") != soundex("lorenzo")
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 4,
+            "path": [f"f{i}.py" for i in range(4)],
+            "commit": ["c" * 40] * 4,
+            "lang": ["python"] * 4,
+            "content": ["mr smith here", "ms smyth there", "smithy forge", "lorenzo"],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c", phonetic=True),
+                FieldSpec("path", "p", ngram=True),
+                FieldSpec("repo", "r", ngram=True)),
+        num_buckets=2, num_parts=2,
+    )
+    out = str(tmp_path / "phon")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Phonetic("content", "smith"),))
+    res = eng.search(q, k=10, with_metadata=True)
+    ora = oracle_search(build_oracle(t, cfg), q, k=10)
+    # smith, smyth AND smithy all map to S530 (trailing y adds no
+    # code in classic soundex); lorenzo does not match
+    assert res.total == ora.total == 3
+    assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), atol=1e-9)
