@@ -85,3 +85,30 @@ def test_analyzer_registry_pluggable(ray_session, tmp_path):
     ora = oracle_search(oix, q, k=10)
     assert res.total == ora.total == 3
     assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+
+
+# ---- property: vectorized (Arrow) tokenizer == python analyzer ------
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=150, deadline=None)
+@given(st.lists(st.text(max_size=60), min_size=1, max_size=8))
+def test_arrow_tokenizer_matches_python(texts):
+    import pyarrow as pa
+
+    from search_engine_ray.analysis import get_analyzer
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.index.build import TokenizePartials
+
+    tp = TokenizePartials(IndexConfig())
+    an = get_analyzer("code")
+    col = pa.array(texts, pa.string())
+    toks, doc_ix, dls = tp._field_tokens(col, IndexConfig().fields[0])
+    # reconstruct per-doc tokens from the flattened arrays
+    got = [[] for _ in texts]
+    for t, i in zip(toks.tolist(), doc_ix.tolist()):
+        got[i].append(t)
+    want = [an.analyze(s) for s in texts]
+    assert got == want
+    assert dls.tolist() == [len(w) for w in want]
