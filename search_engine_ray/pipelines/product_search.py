@@ -40,14 +40,22 @@ def keyword_search(
     filter_spec: FilterSpec | None = None,
     boosts: tuple = (),
     facet_fields: tuple[str, ...] = (),
+    prune: bool = False,
 ) -> dict[str, Any]:
     """v1 search: {total, data} — one scored pass produces BOTH the
-    match count and the page (R13 $facet semantics)."""
+    match count and the page (R13 $facet semantics). prune=True opts
+    into block-max pruning where eligible (total becomes a bound)."""
     q = plan_keyword(keyword, text_field=text_field, prefix_fields=prefix_fields)
     res = engine.search(
-        q, k=k, skip=skip, filter_spec=filter_spec, boosts=boosts, facet_fields=facet_fields
+        q, k=k, skip=skip, filter_spec=filter_spec, boosts=boosts,
+        facet_fields=facet_fields, prune=prune,
     )
-    return {"total": res.total, "data": res.hits, "facets": res.facets}
+    return {
+        "total": res.total,
+        "total_exact": res.total_exact,
+        "data": res.hits,
+        "facets": res.facets,
+    }
 
 
 def grouped_search(
