@@ -1,0 +1,49 @@
+"""Pipeline response-shape tests (reference shape conformance,
+FIXTURES.md §shape / test_cases/test_app.py:8-31 analog)."""
+
+import math
+
+from search_engine_ray.pipelines import grouped_search, keyword_search, listing
+from search_engine_ray.query import SearchEngine
+
+
+def test_keyword_search_shape(tiny_index):
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    res = keyword_search(
+        eng, "import tokenizer", text_field="content",
+        prefix_fields=("path", "repo"), k=7, facet_fields=("lang",),
+    )
+    assert set(res) == {"total", "total_exact", "data", "facets"}
+    assert isinstance(res["total"], int) and res["total_exact"] is True
+    assert len(res["data"]) <= 7  # reference bound: len(data) <= limit
+    assert sum(res["facets"].get("lang", {}).values()) in (0, res["total"])
+
+
+def test_grouped_search_shape(tiny_index):
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    res = grouped_search(
+        eng, "import", text_field="content", prefix_fields=(),
+        group_col="lang", k=3,
+    )
+    assert set(res) == {"total", "data"}
+    assert len(res["data"]) <= 3
+    # one row per group, best-scored variant first ordering
+    assert res["data"]["lang"].is_unique
+    scores = res["data"]["score"].tolist()
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_listing_shape(ray_session):
+    import ray.data as rd
+
+    docs = rd.read_parquet("/root/testdata/sf0.001/documents.parquet")
+    res = listing(
+        docs, conditions=[("lang", "==", "en")], sort_keys=["n_chars", "doc_id"],
+        descending=[True, False], page=2, per_page=7, sidebar_cols=("source",),
+    )
+    assert set(res) == {"count", "rows", "currentPage", "numFound", "lastPage", "filters"}
+    assert res["currentPage"] == 2 and res["count"] == len(res["rows"]) <= 7
+    assert res["lastPage"] == math.ceil(res["numFound"] / 7)
+    assert sum(res["filters"]["source"].values()) == res["numFound"]
