@@ -278,18 +278,110 @@ class _JaccardVerify:
         )
 
 
+def _verify_pairs_join(
+    ds: Dataset, pair_df: pd.DataFrame, text_col: str, id_col: str,
+    p: MinHashParams, threshold: float,
+) -> Dataset:
+    """Extreme-scale verify path: NO candidate broadcast. Shingle sets
+    flow to their pairs through a doc-keyed groupby (each candidate
+    doc's shingles meet its pair memberships in one group), then a
+    pair-keyed groupby computes exact Jaccard from the two sides.
+    Two shuffles, payload bounded by candidate docs only."""
+    import ray.data as rd
+
+    # pair membership rows: one per (doc, pair, side) — arrow blocks
+    # so the union with the arrow shingle rows is homogeneous
+    docs = np.concatenate([pair_df["a"].to_numpy(), pair_df["b"].to_numpy()]).astype(np.int64)
+    mem_t = pa.table(
+        {
+            "doc": pa.array(docs, pa.int64()),
+            "pair_a": pa.array(np.tile(pair_df["a"].to_numpy(), 2).astype(np.int64), pa.int64()),
+            "pair_b": pa.array(np.tile(pair_df["b"].to_numpy(), 2).astype(np.int64), pa.int64()),
+            "shingles": pa.array([[]] * docs.size, pa.list_(pa.string())),
+        }
+    )
+    cand = set(docs.tolist())
+    mem_ds = rd.from_arrow(mem_t)
+
+    def _doc_shingles(t: pa.Table) -> pa.Table:
+        mask = pc.is_in(t[id_col], value_set=pa.array(sorted(cand)))
+        t = t.filter(mask)
+        out = []
+        for s in t[text_col].to_pylist():
+            toks = TOKEN_RE.findall((s or "").lower())
+            w = p.shingle_w
+            if len(toks) >= w:
+                sh = sorted({" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)})
+            else:
+                sh = [" ".join(toks)] if toks else []
+            out.append(sh)
+        return pa.table(
+            {
+                "doc": pa.array(t[id_col].to_numpy(), pa.int64()),
+                "pair_a": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                "pair_b": pa.array(np.full(t.num_rows, -1), pa.int64()),
+                "shingles": pa.array(out, pa.list_(pa.string())),
+            }
+        )
+
+    shingle_rows = ds.map_batches(_doc_shingles, batch_format="pyarrow")
+    both = mem_ds.union(shingle_rows)
+
+    def _attach(df: pd.DataFrame) -> pd.DataFrame:
+        # group = one doc: its shingle row + its pair-membership rows
+        sh_rows = df[df["pair_a"] < 0]
+        sh = sh_rows["shingles"].iloc[0] if len(sh_rows) else []
+        mem_rows = df[df["pair_a"] >= 0]
+        return pd.DataFrame(
+            {
+                "pair_a": mem_rows["pair_a"],
+                "pair_b": mem_rows["pair_b"],
+                "doc": mem_rows["doc"],
+                "shingles": [list(sh)] * len(mem_rows),
+            }
+        )
+
+    attached = both.groupby("doc").map_groups(_attach, batch_format="pandas")
+
+    def _jaccard(df: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, out_j = [], [], []
+        for (a, b), g in df.groupby(["pair_a", "pair_b"], sort=False):
+            sides = {int(r["doc"]): set(r["shingles"]) for _, r in g.iterrows()}
+            sa, sb = sides.get(int(a), set()), sides.get(int(b), set())
+            u = len(sa | sb)
+            j = round(len(sa & sb) / u, 4) if u else 0.0
+            if j >= threshold:
+                out_a.append(a)
+                out_b.append(b)
+                out_j.append(j)
+        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+
+    coarse = attached.map_batches(
+        lambda df: df.assign(pg=(df["pair_a"] * 31 + df["pair_b"]) % _N_COARSE),
+        batch_format="pandas",
+    )
+    return coarse.groupby("pg").map_groups(_jaccard, batch_format="pandas")
+
+
 def minhash_lsh_pairs(
     ds: Dataset,
     text_col: str = "text",
     id_col: str = "doc_id",
     params: MinHashParams | None = None,
     threshold: float = 0.5,
+    verify: str = "broadcast",
 ) -> Dataset:
     """Near-duplicate pairs via MinHash + LSH banding + exact Jaccard
     verification: (a, b, jaccard) with jaccard >= threshold, a < b.
 
     shingle -> minhash -> band -> bucket groupby -> candidate pairs ->
-    exact verify. LSH threshold ~ (1/bands)^(1/rows)."""
+    exact verify. LSH threshold ~ (1/bands)^(1/rows).
+
+    verify="broadcast" (default): candidate shingle sets broadcast to
+    the verify actors — right while candidates << corpus.
+    verify="join": doc-keyed + pair-keyed groupbys move shingles to
+    pairs with NO broadcast — the path for candidate sets too large to
+    hold in one memory."""
     p = params or MinHashParams()
     # fused: text -> signatures -> band buckets (+ coarse key) in one stage
     bands = ds.map_batches(
@@ -312,6 +404,8 @@ def minhash_lsh_pairs(
     import ray.data as rd
 
     pair_df = pairs.to_pandas().drop_duplicates(["a", "b"])
+    if verify == "join" and len(pair_df):
+        return _verify_pairs_join(ds, pair_df, text_col, id_col, p, threshold)
     pair_all = pa.table(
         {"a": pa.array(pair_df["a"], pa.int64()), "b": pa.array(pair_df["b"], pa.int64())}
     )

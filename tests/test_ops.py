@@ -433,3 +433,17 @@ def test_ivf_search_batch(ray_session, tmp_path):
     got = out.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
     exp = brute.sort_values(["qid", "cos", "vec_id"], ascending=[True, False, True]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[["qid", "vec_id", "cos"]], exp[["qid", "vec_id", "cos"]], check_dtype=False)
+
+
+def test_minhash_join_verify_matches_broadcast(ray_session):
+    import ray.data as rd
+
+    base = [" ".join(f"tk{j}_{i}" for j in range(25)) for i in range(25)]
+    rows = [{"doc_id": i, "text": t} for i, t in enumerate(base)]
+    rows += [{"doc_id": 1000 + i, "text": t + " tail"} for i, t in enumerate(base[:8])]
+    ds = rd.from_items(rows)
+    a = dd.minhash_lsh_pairs(ds, threshold=0.5, verify="broadcast").to_pandas()
+    b = dd.minhash_lsh_pairs(ds, threshold=0.5, verify="join").to_pandas()
+    ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
+    kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
+    assert ka == kb and len(ka) >= 8
