@@ -601,6 +601,115 @@ def load_tombstones(index_dir: str) -> np.ndarray:
     return np.unique(t["doc_id"].to_numpy())
 
 
+def compact_tombstones(index_dir: str, config: IndexConfig | None = None) -> int:
+    """Physically remove tombstoned docs: rewrite ONLY the affected
+    (part, bucket) posting partitions + docmap buckets + their dicts
+    and stats, then clear the tombstones. One Ray task per affected
+    bucket (partition-local, no shuffle). Returns docs removed."""
+    from search_engine_ray.codec import block_delta_decode, varbyte_decode
+
+    config = config or IndexConfig()
+    tomb = load_tombstones(index_dir)
+    if tomb.size == 0:
+        return 0
+    import ray as _ray
+
+    bs = config.block_size
+    affected = sorted({int(t) % config.num_buckets for t in tomb})
+
+    @_ray.remote
+    def _compact_bucket(b: int) -> int:
+        removed = 0
+        # docmap
+        for f in glob.glob(os.path.join(index_dir, "docmap", f"bucket={b}", "*.parquet")):
+            t = pq.read_table(f)
+            ids = t["doc_id"].to_numpy()
+            pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
+            keep = tomb[pos] != ids
+            removed += int((~keep).sum())
+            pq.write_table(t.filter(pa.array(keep)), f)
+        # postings: decode -> drop tombstoned -> re-encode per part
+        for k in range(config.num_parts):
+            files = glob.glob(
+                os.path.join(index_dir, "postings", f"part={k}", f"bucket={b}", "*.parquet")
+            )
+            if not files:
+                continue
+            t = pads.dataset(files).to_table()
+            terms, d_ids, d_tfs, d_dls = [], [], [], []
+            for ri in range(t.num_rows):
+                n = int(t["df_local"][ri].as_py())
+                gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
+                ids = block_delta_decode(gaps, np.arange(0, n, bs, dtype=np.int64))
+                tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n).astype(np.int64)
+                dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n).astype(np.int64)
+                pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
+                keep = tomb[pos] != ids
+                if keep.any():
+                    terms.append(t["term"][ri].as_py())
+                    d_ids.append(ids[keep].tolist())
+                    d_tfs.append(tfs[keep].tolist())
+                    d_dls.append(dls[keep].tolist())
+            out_file = os.path.join(index_dir, "postings", f"part={k}", f"bucket={b}", "data.parquet")
+            for f in files:
+                os.remove(f)
+            if terms:
+                partial = pa.table(
+                    {
+                        "term": pa.array(terms, pa.string()),
+                        "bucket": pa.array(np.full(len(terms), b, np.int32()), pa.int32()),
+                        "doc_ids": pa.array(d_ids, pa.list_(pa.int64())),
+                        "tfs": pa.array(d_tfs, pa.list_(pa.int32())),
+                        "dls": pa.array(d_dls, pa.list_(pa.int32())),
+                    }
+                )
+                enc = encode_bucket_terms(partial, k, b, bs)
+                pq.write_table(enc.drop_columns(["part", "bucket"]), out_file)
+        return removed
+
+    removed = sum(_ray.get([_compact_bucket.remote(b) for b in affected]))
+
+    # rebuild dicts for every part (df/cf changed) + refresh stats
+    @_ray.remote
+    def _redict(k: int) -> dict:
+        files = glob.glob(os.path.join(index_dir, "postings", f"part={k}", "bucket=*", "*.parquet"))
+        dict_file = os.path.join(index_dir, "dict", f"part={k}", "dict.parquet")
+        if not files:
+            if os.path.exists(dict_file):
+                os.remove(dict_file)
+            return {}
+        t = pads.dataset(files).to_table(columns=["term", "df_local", "cf_local"])
+        dd = t.to_pandas().groupby("term", sort=True).sum().reset_index()
+        dd = dd.rename(columns={"df_local": "df", "cf_local": "cf"})
+        os.makedirs(os.path.dirname(dict_file), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(dd, preserve_index=False), dict_file)
+        codes = dd["term"].str.split(":", n=1).str[0]
+        return dd.groupby(codes)["cf"].sum().to_dict()
+
+    cf_maps = _ray.get([_redict.remote(k) for k in range(config.num_parts)])
+    n_docs = sum(
+        pq.read_metadata(f).num_rows
+        for f in glob.glob(os.path.join(index_dir, "docmap", "bucket=*", "*.parquet"))
+    )
+    cf_by_code: dict[str, int] = {}
+    for m in cf_maps:
+        for code, cf in m.items():
+            cf_by_code[code] = cf_by_code.get(code, 0) + int(cf)
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        stats = json.load(f)
+    stats["n_docs"] = int(n_docs)
+    for fld in config.fields:
+        tl = int(cf_by_code.get(fld.code, 0))
+        stats["fields"][fld.name] = {
+            "total_len": tl,
+            "avgdl": (tl / n_docs) if n_docs else 0.0,
+        }
+    with open(os.path.join(index_dir, "stats.json"), "w") as f:
+        json.dump(stats, f, indent=2)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    return removed
+
+
 def build_index_resumable(
     input_files: list[str],
     out_dir: str,

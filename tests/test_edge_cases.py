@@ -128,3 +128,53 @@ def test_tombstone_deletes(ray_session, tiny_corpus, tmp_path):
     qo = Compound(should=(Term("content", "import"),))
     rp = eng2.search(qo, k=5, prune=True, with_metadata=False)
     assert rp.total_exact
+
+
+def test_tombstone_compaction(ray_session, tiny_corpus, tmp_path):
+    """compact_tombstones physically removes deleted docs: results
+    equal the tombstone-filtered view, stats shrink, tombstones clear,
+    and scoring idf/avgdl reflect the smaller corpus (equal to an
+    oracle built on the surviving docs)."""
+    import numpy as np
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index
+    from search_engine_ray.index.build import (
+        add_tombstones,
+        compact_tombstones,
+        load_tombstones,
+    )
+    from search_engine_ray.oracle import build_oracle, oracle_search
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "cmp")
+    build_index(rd.from_arrow(tiny_corpus), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    victims = eng.search(q, k=4, with_metadata=False).hits["doc_id"].tolist()
+    add_tombstones(out, victims)
+    removed = compact_tombstones(out, cfg)
+    assert removed == 4
+    assert load_tombstones(out).size == 0
+    eng2 = SearchEngine(out, cfg)
+    assert eng2.tombstones is None
+    assert eng2.stats["n_docs"] == tiny_corpus.num_rows - 4
+
+    # surviving-corpus oracle must agree EXACTLY (idf/avgdl recomputed)
+    import pyarrow.dataset as pads
+
+    dm = pads.dataset(f"{out}/docmap", partitioning="hive").to_table()
+    keep_keys = set(zip(dm["repo"].to_pylist(), dm["path"].to_pylist()))
+    mask = [
+        (r, p) in keep_keys
+        for r, p in zip(tiny_corpus["repo"].to_pylist(), tiny_corpus["path"].to_pylist())
+    ]
+    import pyarrow as pa
+
+    survivors = tiny_corpus.filter(pa.array(mask))
+    assert survivors.num_rows == tiny_corpus.num_rows - 4
+    res = eng2.search(q, k=10, with_metadata=False)
+    ora = oracle_search(build_oracle(survivors, cfg), q, k=10)
+    assert res.total == ora.total
+    assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), atol=1e-9)
