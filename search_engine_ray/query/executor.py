@@ -234,9 +234,15 @@ def score_postings_table(
     spec: _QuerySpec,
     dmc: _DocmapCache,
     resolved_boosts: list[tuple],
+    decode_cache: dict | None = None,
 ) -> pa.Table:
     """Score one bucket's posting rows for a query. The ONE scoring
-    core — used by the actor path, the Dataset path and tests."""
+    core — used by the actor path, the Dataset path and tests.
+
+    decode_cache: optional (bucket, term) -> (ids, tfs, dls) cache kept
+    by persistent scorer actors — repeated query terms skip the varbyte
+    decode (the index is immutable for an engine's lifetime; engines
+    are reconstructed after tombstone/compaction changes)."""
     term_to_leaf: dict[str, tuple[int, float]] = {}
     for li, leaf in enumerate(spec.leaves):
         for tk, tidf in zip(leaf.term_keys, leaf.idfs):
@@ -264,14 +270,23 @@ def score_postings_table(
         leaf = spec.leaves[li]
         for ri in rows_by_leaf[li]:
             n = int(dfl[ri])
-            gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
-            block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
-            ids = block_delta_decode(gaps, block_starts)
-            tfs = varbyte_decode(tf_view(ri), n)
+            key = (bucket, terms[ri])
+            cached = decode_cache.get(key) if decode_cache is not None else None
+            if cached is not None:
+                ids, tfs, dls = cached
+            else:
+                gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+                block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
+                ids = block_delta_decode(gaps, block_starts)
+                tfs = varbyte_decode(tf_view(ri), n)
+                dls = varbyte_decode(dl_view(ri), n)
+                if decode_cache is not None:
+                    if len(decode_cache) >= 4096:  # simple epoch clear
+                        decode_cache.clear()
+                    decode_cache[key] = (ids, tfs, dls)
             if leaf.const_score is not None:
                 sc = np.full(n, float(leaf.const_score))
             else:
-                dls = varbyte_decode(dl_view(ri), n)
                 _, tidf = term_to_leaf[terms[ri]]
                 sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
             ids_parts.append(ids)
@@ -424,6 +439,7 @@ class _BucketScorerImpl:
         self.index_dirs = index_dirs
         self.buckets = buckets
         self.dmc = _DocmapCache([os.path.join(d, "docmap") for d in index_dirs])
+        self._post_cache: dict = {}  # (bucket, term) -> decoded postings
 
     def warm(self, cols: tuple[str, ...] = ()) -> int:
         """Pre-load this scorer's docmap partitions (server startup)."""
@@ -451,7 +467,8 @@ class _BucketScorerImpl:
             t = pads.dataset(files).to_table(columns=cols, filter=flt)
             if t.num_rows == 0:
                 continue
-            outs.append(score_postings_table(t, b, spec, self.dmc, resolved))
+            cache = None if spec.prune else self._post_cache
+            outs.append(score_postings_table(t, b, spec, self.dmc, resolved, cache))
         if not outs:
             return _result_table([], [], 0, [])
         return pa.concat_tables(outs)
