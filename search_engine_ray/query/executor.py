@@ -235,14 +235,18 @@ def score_postings_table(
     dmc: _DocmapCache,
     resolved_boosts: list[tuple],
     decode_cache: dict | None = None,
+    row_keys: list | None = None,
 ) -> pa.Table:
     """Score one bucket's posting rows for a query. The ONE scoring
     core — used by the actor path, the Dataset path and tests.
 
-    decode_cache: optional (bucket, term) -> (ids, tfs, dls) cache kept
-    by persistent scorer actors — repeated query terms skip the varbyte
-    decode (the index is immutable for an engine's lifetime; engines
-    are reconstructed after tombstone/compaction changes)."""
+    decode_cache: optional cache kept by persistent scorer actors —
+    repeated query terms skip the varbyte decode (the index is
+    immutable for an engine's lifetime; engines are reconstructed
+    after tombstone/compaction changes). row_keys MUST uniquely
+    identify each posting row (several shards can hold rows for the
+    same (bucket, term)); when absent, (bucket, term) is used — only
+    valid for single-shard reads."""
     term_to_leaf: dict[str, tuple[int, float]] = {}
     for li, leaf in enumerate(spec.leaves):
         for tk, tidf in zip(leaf.term_keys, leaf.idfs):
@@ -270,7 +274,7 @@ def score_postings_table(
         leaf = spec.leaves[li]
         for ri in rows_by_leaf[li]:
             n = int(dfl[ri])
-            key = (bucket, terms[ri])
+            key = row_keys[ri] if row_keys is not None else (bucket, terms[ri])
             cached = decode_cache.get(key) if decode_cache is not None else None
             if cached is not None:
                 ids, tfs, dls = cached
@@ -454,21 +458,31 @@ class _BucketScorerImpl:
         cols = POSTING_COLS + BLK_COLS if spec.prune else POSTING_COLS
         outs = []
         for b in self.buckets:
-            files = [
-                f
-                for d in self.index_dirs
-                for k in parts
-                for f in glob.glob(
-                    os.path.join(d, "postings", f"part={k}", f"bucket={b}", "*.parquet")
-                )
-            ]
-            if not files:
+            # read per index dir so cache keys can carry the shard id
+            # (several shards hold rows for the same (bucket, term))
+            tables: list[pa.Table] = []
+            row_keys: list = []
+            for di, d in enumerate(self.index_dirs):
+                files = [
+                    f
+                    for k in parts
+                    for f in glob.glob(
+                        os.path.join(d, "postings", f"part={k}", f"bucket={b}", "*.parquet")
+                    )
+                ]
+                if not files:
+                    continue
+                td = pads.dataset(files).to_table(columns=cols, filter=flt)
+                if td.num_rows:
+                    tables.append(td)
+                    row_keys += [(di, b, tm) for tm in td["term"].to_pylist()]
+            if not tables:
                 continue
-            t = pads.dataset(files).to_table(columns=cols, filter=flt)
-            if t.num_rows == 0:
-                continue
+            t = pa.concat_tables(tables)
             cache = None if spec.prune else self._post_cache
-            outs.append(score_postings_table(t, b, spec, self.dmc, resolved, cache))
+            outs.append(
+                score_postings_table(t, b, spec, self.dmc, resolved, cache, row_keys)
+            )
         if not outs:
             return _result_table([], [], 0, [])
         return pa.concat_tables(outs)
