@@ -460,8 +460,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # parquet view's aggregate.
         import ray.data as rd
 
+        # cache keyed on source mtime+size so a regenerated testdata
+        # parquet invalidates the dump (round-1 used only the sf tag)
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
         tag = sf_dir.strip("/").replace("/", "_")
-        csv_dir = f"/tmp/ser_csv_cache/{tag}"
+        csv_dir = f"/tmp/ser_csv_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
         if not os.path.exists(os.path.join(csv_dir, "_DONE")):
             import shutil
 
@@ -471,9 +475,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         import glob as _g
 
         ds = rd.read_csv(sorted(_g.glob(os.path.join(csv_dir, "*.csv"))))
-        return rel.grouped_aggregate(
+        out = rel.grouped_aggregate(
             ds, "lang", {"cnt": ("count", "doc_id"), "sum_chars": ("sum", "n_chars")}
-        )
+        ).to_pandas()
+        # CSV round-trip + Ray sum typing can drift (int32/float); pin
+        # both aggregates to int64 to match the BIGINT-cast oracle
+        out["cnt"] = out["cnt"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out
 
     def e7_tags(sf_dir):
         # E7 $push/$pull on a list column (reference lamda/tags.py)
@@ -597,7 +606,9 @@ best AS (
   SELECT doc_id, source, raw_score FROM scored
   QUALIFY row_number() OVER (PARTITION BY source ORDER BY raw_score DESC, doc_id) = 1),
 agg AS (
-  SELECT source, sum(n_chars) AS stock_sum, count(*) AS variant_count
+  -- CAST: DuckDB sum(BIGINT) is HUGEINT and hash-mismatches int64
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS stock_sum,
+         count(*) AS variant_count
   FROM scored GROUP BY source)
 SELECT b.source, b.doc_id, round(b.raw_score, 4) AS score, a.stock_sum, a.variant_count
 FROM best b JOIN agg a USING (source)
@@ -646,9 +657,11 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "WHERE l_quantity > 30 AND l_returnflag != 'N'"
         ),
         "r2_json_extract": (
+            # COALESCE(..., -1): pin missing-key semantics to -1 on BOTH
+            # sides (the Ray side fills .get("k", -1))
             "SELECT event_type, count(*) AS n, "
-            "sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k, "
-            "max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k "
+            "CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)) AS BIGINT) AS sum_k, "
+            "max(COALESCE(CAST(json_extract_string(props, '$.k') AS BIGINT), -1)) AS max_k "
             "FROM events GROUP BY 1"
         ),
         "pipe_listing_facets": (
@@ -698,7 +711,10 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
         ),
         "e1_csv_source": (
-            "SELECT lang, count(*) AS cnt, sum(n_chars) AS sum_chars FROM documents GROUP BY 1"
+            # CAST .. BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which
+            # hash-mismatches the Ray int64 even when values agree
+            "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1"
         ),
         "e7_tags": (
             "WITH t AS (SELECT doc_id, lang, "

@@ -188,6 +188,69 @@ def group_dedup_first(
     return partial.groupby(key).map_groups(_partial, batch_format="pandas")
 
 
+def group_best_with_aggs(
+    ds: Dataset,
+    key: str,
+    sort_keys: Sequence[str],
+    descending: Sequence[bool] | bool,
+    sum_cols: dict[str, str] | None = None,
+    count_alias: str = "variant_count",
+    num_shards: int = 64,
+) -> Dataset:
+    """R7+R8 fused: per group, the best row under the sort spec PLUS
+    grouped sums and a row count — the v2 grouped-search tail
+    (`$sort -> $group {$first×cols, $sum}`, pipelines.py:586-599) in
+    ONE shuffle with no driver-side merge.
+
+    Two-stage: a map-side pandas combiner reduces each block to <=1 row
+    per key (best-row columns + partial sums/count), then a shuffle on
+    a COARSE shard key (hash(key) % num_shards — near-unique group keys
+    would otherwise mean one map_groups call per group) and a
+    vectorized per-shard pandas groupby finishes the reduction. The
+    shuffle moves O(distinct keys x blocks) rows, never the input."""
+    sort_keys = list(sort_keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    asc = [not d for d in descending]
+    sum_cols = dict(sum_cols or {})
+    psum = {alias: f"_ps_{alias}" for alias in sum_cols}
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            out = df.copy()
+            for alias in sum_cols:
+                out[psum[alias]] = pd.Series(dtype="int64")
+            out["_pc"] = pd.Series(dtype="int64")
+            out["_shard"] = pd.Series(dtype="int64")
+            return out
+        g = df.groupby(key, sort=False)
+        best = _best_rows(df, [key], sort_keys, asc)
+        agg = pd.DataFrame(index=g.size().index)
+        for alias, col in sum_cols.items():
+            agg[psum[alias]] = g[col].sum()
+        agg["_pc"] = g.size()
+        out = best.merge(agg.reset_index(), on=key, how="left")
+        out["_shard"] = (
+            pd.util.hash_pandas_object(out[key], index=False).to_numpy() % num_shards
+        ).astype("int64")
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        if not len(df):
+            return df.drop(columns=["_shard"])
+        best = _best_rows(df, [key], sort_keys, asc)
+        g = df.groupby(key, sort=False)
+        agg = pd.DataFrame(index=g.size().index)
+        for alias in sum_cols:
+            agg[alias] = g[psum[alias]].sum()
+        agg[count_alias] = g["_pc"].sum()
+        out = best.merge(agg.reset_index(), on=key, how="left")
+        return out.drop(columns=["_shard", "_pc", *psum.values()])
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return partial.groupby("_shard").map_groups(_final, batch_format="pandas")
+
+
 def grouped_aggregate(ds: Dataset, key: str | Sequence[str], aggs: dict[str, tuple[str, str]]) -> Dataset:
     """R8 `$group` + `$sum`/... : aggs maps output column -> (op, col)
     with op in {sum, count, mean, min, max}. Uses Ray's hash-shuffle

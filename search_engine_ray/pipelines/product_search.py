@@ -72,36 +72,35 @@ def grouped_search(
 ) -> dict[str, Any]:
     """v2 grouped search (retail variant, pipelines.py:566-661):
 
-        search_all -> [sort by score before group]
-          group_dedup_first(group_col, best score wins)     # $first
-        + grouped_aggregate(sum_col)                        # $sum
-          -> join (tiny, driver-side on <= distinct groups)
-          -> sort -> page
+        search_all -> group_best_with_aggs(group_col)
+          (one fused shuffle: $sort-before-$group best-variant $first
+           + $sum stock + variant count — no driver-side merge)
+        -> materialize (one row per group, object store)
+        -> count (total) + bounded top-k page
 
     The dedup honors score-desc/doc_id-asc order, reproducing the
-    reference's "sort before $group so $first is the best variant"."""
+    reference's "sort before $group so $first is the best variant".
+    Nothing larger than the page ever reaches the driver: the reduced
+    per-group set stays distributed for both the count and the top-k."""
     q = plan_keyword(keyword, text_field=text_field, prefix_fields=prefix_fields)
     attach = (group_col,) + ((sum_col,) if sum_col else ())
-    # materialize: the scored match set feeds TWO consumers (dedup +
-    # sums); without it Ray re-executes the read+score per consumer.
-    # Blocks live in the object store and spill under pressure.
-    scored = engine.search_all(q, filter_spec=filter_spec, attach_cols=attach).materialize()
-    best = rel.group_dedup_first(
-        scored, group_col, ["score", "doc_id"], descending=[True, False]
+    scored = engine.search_all(q, filter_spec=filter_spec, attach_cols=attach)
+    reduced = rel.group_best_with_aggs(
+        scored,
+        group_col,
+        ["score", "doc_id"],
+        descending=[True, False],
+        sum_cols={"stock_sum": sum_col} if sum_col else None,
     )
-    if sum_col:
-        sums = rel.grouped_aggregate(
-            scored, group_col, {"stock_sum": ("sum", sum_col), "variant_count": ("count", sum_col)}
-        ).to_pandas()
-    else:
-        sums = rel.grouped_aggregate(
-            scored, group_col, {"variant_count": ("count", "doc_id")}
-        ).to_pandas()
-    best_df = best.to_pandas()
-    out = best_df.merge(sums, on=group_col, how="left")
-    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-    total = len(out)
-    page = out.iloc[skip : skip + k].reset_index(drop=True)
+    # one row per distinct group, in the OBJECT STORE (spills under
+    # pressure) — two consumers below (count + page) share it
+    reduced = reduced.materialize()
+    total = int(reduced.count())
+    page = (
+        rel.paginate(reduced, ["score", "doc_id"], skip=skip, limit=k, descending=[True, False])
+        .to_pandas()
+        .reset_index(drop=True)
+    )
     return {"total": total, "data": page}
 
 

@@ -247,15 +247,20 @@ def score_postings_table(
     identify each posting row (several shards can hold rows for the
     same (bucket, term)); when absent, (bucket, term) is used — only
     valid for single-shard reads."""
-    term_to_leaf: dict[str, tuple[int, float]] = {}
+    # term -> ALL owning (leaf, idf) pairs: the same term key may back
+    # several clauses (same token in must AND should, or a
+    # dictionary-expanded Prefix overlapping another clause's exact
+    # term). Each owning clause gets its own score part + match
+    # bookkeeping, mirroring Lucene's per-clause BooleanQuery sum.
+    term_to_leaves: dict[str, list[tuple[int, float]]] = {}
     for li, leaf in enumerate(spec.leaves):
         for tk, tidf in zip(leaf.term_keys, leaf.idfs):
-            term_to_leaf[tk] = (li, tidf)
+            term_to_leaves.setdefault(tk, []).append((li, tidf))
 
     if spec.prune:
         from search_engine_ray.query.wand import score_or_query_pruned
 
-        ids, scores, scanned = score_or_query_pruned(t, spec, term_to_leaf, spec.n_take)
+        ids, scores, scanned = score_or_query_pruned(t, spec, term_to_leaves, spec.n_take)
         return _result_table(ids, scores, scanned, [])
 
     terms = t["term"].to_pylist()
@@ -266,13 +271,13 @@ def score_postings_table(
     ids_parts: list[np.ndarray] = []
     score_parts: list[np.ndarray] = []
     leaf_of_part: list[int] = []
-    rows_by_leaf: dict[int, list[int]] = {}
+    rows_by_leaf: dict[int, list[tuple[int, float]]] = {}
     for ri, term in enumerate(terms):
-        li, _ = term_to_leaf[term]
-        rows_by_leaf.setdefault(li, []).append(ri)
+        for li, tidf in term_to_leaves[term]:
+            rows_by_leaf.setdefault(li, []).append((ri, tidf))
     for li in sorted(rows_by_leaf):
         leaf = spec.leaves[li]
-        for ri in rows_by_leaf[li]:
+        for ri, tidf in rows_by_leaf[li]:
             n = int(dfl[ri])
             key = row_keys[ri] if row_keys is not None else (bucket, terms[ri])
             cached = decode_cache.get(key) if decode_cache is not None else None
@@ -291,7 +296,6 @@ def score_postings_table(
             if leaf.const_score is not None:
                 sc = np.full(n, float(leaf.const_score))
             else:
-                _, tidf = term_to_leaf[terms[ri]]
                 sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
             ids_parts.append(ids)
             score_parts.append(sc)

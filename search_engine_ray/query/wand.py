@@ -83,7 +83,7 @@ def _decode_kept(
 
 
 def score_or_query_pruned(
-    t: pa.Table, spec, term_to_leaf: dict[str, tuple[int, float]], k: int
+    t: pa.Table, spec, term_to_leaves: dict[str, list[tuple[int, float]]], k: int
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Top-k for a pure-OR query over one bucket's posting rows.
 
@@ -104,17 +104,19 @@ def score_or_query_pruned(
     v_tf = _bin_views(t["tf_bytes"])
     v_dl = _bin_views(t["dl_bytes"])
     for ri in range(n_rows):
-        li, tidf = term_to_leaf[terms[ri]]
-        leaf = spec.leaves[li]
-        df = int(dfl[ri])
-        ub = scoring.block_upper_bound(
-            v_max_tf(ri).astype(np.float64), v_min_dl(ri).astype(np.float64),
-            tidf, spec.k1, spec.b, leaf.avgdl,
-        )
-        rows.append((ri, tidf, leaf.avgdl, df, ub))
+        # one scoring entry per (posting row, owning clause): a term
+        # key backing several clauses contributes each clause's part
+        for li, tidf in term_to_leaves[terms[ri]]:
+            leaf = spec.leaves[li]
+            df = int(dfl[ri])
+            ub = scoring.block_upper_bound(
+                v_max_tf(ri).astype(np.float64), v_min_dl(ri).astype(np.float64),
+                tidf, spec.k1, spec.b, leaf.avgdl,
+            )
+            rows.append((li, ri, tidf, leaf.avgdl, df, ub))
     # process highest-potential terms first
-    rows.sort(key=lambda r: -float(r[4].max()) if r[4].size else 0.0)
-    maxes = np.array([float(r[4].max()) if r[4].size else 0.0 for r in rows])
+    rows.sort(key=lambda r: -float(r[5].max()) if r[5].size else 0.0)
+    maxes = np.array([float(r[5].max()) if r[5].size else 0.0 for r in rows])
     suffix = np.concatenate((np.cumsum(maxes[::-1])[::-1][1:], [0.0]))
 
     cand_ids = np.empty(0, dtype=np.int64)
@@ -122,7 +124,7 @@ def score_or_query_pruned(
     decoded_parts: list[tuple[int, int, np.ndarray, np.ndarray]] = []
     bs = spec.block_size
     theta0 = float(getattr(spec, "initial_theta", -np.inf))
-    for j, (ri, tidf, avgdl, df, ub) in enumerate(rows):
+    for j, (li, ri, tidf, avgdl, df, ub) in enumerate(rows):
         if cand_ids.size >= k:
             theta = max(
                 theta0,
@@ -159,7 +161,6 @@ def score_or_query_pruned(
         tfs, _ = _decode_kept(tf_buf, t_off, t_end, keep, counts)
         dls, _ = _decode_kept(dl_buf, l_off, l_end, keep, counts)
         sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, avgdl)
-        li, _ = term_to_leaf[terms[ri]]
         decoded_parts.append((li, ri, ids, sc))
         # merge into candidate set (ids sorted within a posting list);
         # copies: cand_scores is accumulated in place and must not

@@ -171,3 +171,43 @@ def test_phonetic_sounds_like(ray_session, tmp_path):
     assert res.total == ora.total == 3
     assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
     np.testing.assert_allclose(res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), atol=1e-9)
+
+
+def test_duplicate_term_across_clauses(engine, oracle_ix):
+    """Round-2 regression: the same token in must AND should must score
+    BOTH clauses (term->leaf was a dict keyed by term, so the earlier
+    clause's score and must-match bookkeeping were silently dropped —
+    legitimate matches came back empty)."""
+    q = Compound(
+        must=(Term("content", "import"),),
+        should=(Term("content", "import"),),
+        min_should_match=0,
+    )
+    res = engine.search(q, k=10)
+    ora = oracle_search(oracle_ix, q, k=10)
+    assert res.total > 0
+    assert_parity(res, ora)
+    # the duplicated clause doubles every matched doc's score
+    single = engine.search(Compound(must=(Term("content", "import"),)), k=10)
+    assert res.total == single.total
+    np.testing.assert_allclose(
+        res.hits["score"].to_numpy(), 2 * single.hits["score"].to_numpy(), atol=1e-9
+    )
+
+
+def test_prefix_expansion_overlapping_term(engine):
+    """A dictionary range-scan Prefix whose expansion includes another
+    clause's exact term key: the must clause's bookkeeping must survive
+    (round-1: must_cnt never reached n_must -> empty result)."""
+    base = engine.search(Compound(must=(Term("content", "tokenizer"),)), k=10)
+    assert base.total > 0
+    q = Compound(
+        must=(Term("content", "tokenizer"),),
+        should=(Prefix("content", "token"),),  # range scan: content has no ngrams
+        min_should_match=0,
+    )
+    res = engine.search(q, k=10)
+    assert res.total == base.total  # same match set (should never restricts)
+    # every matched doc gains the overlapping expansion's contribution
+    merged = res.hits.merge(base.hits, on="doc_id", suffixes=("_dup", "_single"))
+    assert (merged["score_dup"] > merged["score_single"]).all()
