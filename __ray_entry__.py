@@ -97,7 +97,9 @@ def _doc_engine(sf_dir: str):
         if sf_dir in _ENGINES:
             return _ENGINES[sf_dir]
         tag = sf_dir.strip("/").replace("/", "_")
-        idx_dir = f"/tmp/ser_idx_cache/{tag}/documents"
+        # _v2: DOCUMENTS_CONFIG gained the phonetic namespace (S9) —
+        # the version suffix invalidates round-1 cached indexes
+        idx_dir = f"/tmp/ser_idx_cache/{tag}/documents_v2"
         if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
             build_index(
                 os.path.join(sf_dir, "documents.parquet"), idx_dir, DOCUMENTS_CONFIG, sha_col="text"
@@ -135,6 +137,111 @@ def _docs_with_near_dups(sf_dir: str):
         )
 
     return docs.union(docs.map_batches(_perturb, batch_format="pyarrow"))
+
+
+def _soundex_sql(v: str) -> str:
+    """DuckDB expression computing analysis.soundex({v}) for a
+    lowercase [a-z0-9_]+ token — used by the s9_phonetic oracle.
+    Mirrors the Python exactly: drop h/w after the first char, map
+    letters to digit codes (digits/underscore act like vowels),
+    collapse adjacent duplicate codes (RE2 has no backrefs, so one
+    regexp_replace per code digit), drop the first char's code run,
+    drop vowels, pad to 4."""
+    base = f"substr({v},1,1) || regexp_replace(substr({v},2), '[hw]', '', 'g')"
+    digits = (
+        f"translate({base}, 'bfpvcgjkqsxzdtlmnraeiouy0123456789_', "
+        "'11112222222233455600000000000000000')"
+    )
+    collapsed = digits
+    for c in "0123456":
+        collapsed = f"regexp_replace({collapsed}, '{c}+', '{c}', 'g')"
+    code = f"replace(substr({collapsed}, 2), '0', '')"
+    return (
+        f"CASE WHEN NOT regexp_matches({v}, '^[a-z]') THEN {v} "
+        f"ELSE substr(upper(substr({v},1,1)) || {code} || '000', 1, 4) END"
+    )
+
+
+# shared CTE: the perturbed near-dup corpus used by the dedup entries
+_BOTH_DOCS_SQL = (
+    "both_docs AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' FROM documents)"
+)
+
+# all-pairs exact token-3-shingle Jaccard over the perturbed corpus —
+# the value oracle for dedup_ngram (exact-recall shingle blocking) and
+# dedup_minhash (LSH + exact verify; equality checked empirically on
+# the deterministic test corpora)
+_JACCARD_ALLPAIRS_SQL = f"""
+WITH {_BOTH_DOCS_SQL},
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM both_docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(ts) >= 3 THEN
+         list_distinct(list_transform(range(1, len(ts) - 1),
+                                      j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+            WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+            ELSE [] END AS shingles
+       FROM tok),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+          FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id
+          GROUP BY 1, 2)
+SELECT a, b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
+"""
+
+# all-pairs 64-bit SimHash hamming <= 3 over the perturbed corpus.
+# Recomputes the engine's md5-derived tf-weighted sign-sum fingerprint
+# bit-by-bit in SQL (ops/dedup.py simhash_signatures): bit j of a
+# token's 64-bit hash = bit (j%4) of hex digit 16 - j//4 of md5[:16]
+# interpreted big-endian. Quarter-blocking recall is exact (pigeonhole:
+# <=3 differing bits leave >=1 clean 16-bit quarter), so the engine's
+# candidate generation provably finds every hamming<=3 pair.
+_SIMHASH_ALLPAIRS_SQL = f"""
+WITH {_BOTH_DOCS_SQL},
+tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tk
+        FROM both_docs),
+tf AS (SELECT doc_id, tk, count(*) AS tf, md5(tk) AS m FROM tok GROUP BY 1, 2),
+bits AS (
+  SELECT doc_id, j,
+         sum(tf * (2 * ((strpos('0123456789abcdef',
+                                substr(m, 16 - (j // 4), 1)) - 1)
+                        // (1 << (j % 4)) % 2) - 1)) AS s
+  FROM tf CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+  GROUP BY 1, 2),
+fp AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN s > 0 AND j < 63 THEN (1::BIGINT << j)
+                       WHEN s > 0 AND j = 63 THEN -9223372036854775807 - 1
+                       ELSE 0 END) AS BIGINT) AS f
+  FROM bits GROUP BY 1)
+SELECT f1.doc_id AS a, f2.doc_id AS b,
+       CAST(bit_count(xor(f1.f, f2.f)) AS BIGINT) AS hamming
+FROM fp f1 JOIN fp f2 ON f1.doc_id < f2.doc_id
+WHERE bit_count(xor(f1.f, f2.f)) <= 3
+"""
+
+# all-pairs cosine >= 0.999 over embeddings + float32-perturbed copy
+# (the ann_rp_lsh entry's corpus). Identical-direction planted pairs
+# always share every random-hyperplane sign, so RP-LSH recall on them
+# is exact.
+_RP_LSH_ALLPAIRS_SQL = """
+WITH both_e AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000,
+         list_transform(embedding, x -> CAST(x * CAST(1.0001 AS FLOAT) AS FLOAT))
+  FROM embeddings),
+n AS (SELECT vec_id, embedding::DOUBLE[] AS e,
+             sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+      FROM both_e)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) AS cos
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.e, b.e) / (a.nrm * b.nrm), 4) >= 0.999
+"""
 
 
 # --------------------------------------------------------------------
@@ -229,6 +336,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         q = plan_keyword("5 kg vector rs", text_field="text", prefix_fields=())
         return _bm25_query(sf_dir, q)
 
+    def s8_dispatch(sf_dir):
+        # S8 keyword-length dispatch (reference search_utils.py:75-76,
+        # app.py:470-486): one entry exercising BOTH planner branches —
+        # 1-term -> autocomplete-OR over the prefix fields, multi-term
+        # -> text-AND on the primary field.
+        out = []
+        for branch, kw in (("one_term", "src1"), ("multi_term", "hash join")):
+            q = plan_keyword(kw, text_field="text", prefix_fields=("source",))
+            df = _bm25_query(sf_dir, q)
+            df.insert(0, "branch", branch)
+            out.append(df)
+        return pd.concat(out, ignore_index=True)
+
+    def s9_phonetic(sf_dir):
+        # S9 sounds-like (reference metaphone.py:37-47, dormant):
+        # "vektor" soundexes to V236 == soundex("vector"), so the
+        # phonetic namespace matches docs containing "vector"
+        from search_engine_ray.query import Phonetic
+
+        return _bm25_query(sf_dir, Compound(must=(Phonetic("text", "vektor"),)))
+
     # ---- relational ring (R1-R17) -----------------------------------
     def r1_filter(sf_dir):
         # predicate pushed INTO the parquet read (row-group pruning);
@@ -261,10 +389,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return rel.broadcast_join(orders, cust, on=["o_custkey"], right_on=["c_custkey"], how="inner")
 
+    def r4_two_key_join(sf_dir):
+        # R4 correlated two-key $lookup (reference pipelines.py:94-112
+        # joins on (product_id, store_id)): composite-key broadcast
+        # join of lineitem against the returned-lines slice on the
+        # (l_orderkey, l_linenumber) primary key
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
+        small = pq.read_table(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+        )
+        small = small.filter(pc.equal(small["l_returnflag"], "R"))
+        small = small.select(["l_orderkey", "l_linenumber", "l_extendedprice"]).rename_columns(
+            ["rk", "rl", "ret_price"]
+        )
+        return rel.broadcast_join(
+            li, small, on=["l_orderkey", "l_linenumber"], right_on=["rk", "rl"], how="inner"
+        )
+
     def r5_semijoin(sf_dir):
         part = _read(sf_dir, "part", ["p_partkey", "p_name"])
         li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"])
         return rel.broadcast_join(part, li, on=["p_partkey"], right_on=["l_partkey"], how="left semi")
+
+    def r6_map_enrich(sf_dir):
+        # R6 in-memory hash-join enrichment (reference p_data_map,
+        # lamda/store_product_sync.py:63-70): broadcast dict lookup
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+        )
+        mapping = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        return rel.broadcast_map_enrich(orders, mapping, "o_custkey", "segment", default="NONE")
+
+    def r9_group_collect(sf_dir):
+        # R9 $group + $push $$ROOT (reference pipeline_utils.py:12-21):
+        # collect each segment's customer ids; emitted as a sorted
+        # joined string so the value hash is order-stable
+        cust = _read(sf_dir, "customer", ["c_mktsegment", "c_custkey"])
+        out = rel.group_collect(cust, "c_mktsegment", ["c_custkey"]).to_pandas()
+        out["members"] = out["rows"].map(
+            lambda rs: ",".join(str(r["c_custkey"]) for r in sorted(rs, key=lambda x: x["c_custkey"]))
+        )
+        return out[["c_mktsegment", "members"]]
 
     def r7_group_first(sf_dir):
         orders = _read(sf_dir, "orders", ["o_custkey", "o_orderkey", "o_totalprice"])
@@ -378,12 +545,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = _docs_with_near_dups(sf_dir)  # exact dups: none -> all dup_count=1
         return dd.exact_dedup(both, "text", "doc_id")
 
-    def dedup_minhash(sf_dir):  # rows-only
-        pairs = dd.minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
-        return pairs
+    def dedup_minhash(sf_dir):
+        return dd.minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
 
-    def dedup_simhash(sf_dir):  # rows-only
+    def dedup_simhash(sf_dir):
         return dd.simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3)
+
+    def dedup_ngram(sf_dir):
+        # exact-recall all-pairs n-gram Jaccard (shared-shingle
+        # blocking — unlike LSH, provably finds every J>=threshold
+        # pair, so the all-pairs SQL is a true value oracle)
+        return dd.ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
 
     # ---- similarity search -----------------------------------------
     def ann_cosine(sf_dir):
@@ -484,6 +656,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_chars"] = out["sum_chars"].astype("int64")
         return out
 
+    def e2_incremental(sf_dir):
+        # E2 incremental extract (CDC-lite lookback, reference
+        # `WHERE updated_at > t - Δ`, lamda/inventory_sync.py:14-22):
+        # the predicate is pushed INTO the parquet read (row-group
+        # pruning on ts), then the slice is rolled up
+        import datetime
+
+        from search_engine_ray.ops.sources import read_parquet_filtered
+
+        cutoff = datetime.datetime(2024, 1, 20)
+        ds = read_parquet_filtered(
+            os.path.join(sf_dir, "events.parquet"),
+            columns=["ts", "event_type", "value"],
+            conditions=[("ts", ">=", cutoff)],
+        )
+        out = rel.grouped_aggregate(
+            ds, "event_type", {"n": ("count", "value"), "sum_value": ("sum", "value")}
+        ).to_pandas()
+        out["sum_value"] = out["sum_value"].round(2)
+        return out
+
+    def e4_upsert_sink(sf_dir):
+        # E4 bulk upsert sink (reference UpdateOne(upsert=True) batches,
+        # lamda/store_product_sync.py:50-74): write the base snapshot
+        # partitioned by lang, upsert the 'en' partition with modified
+        # rows, read back — the final state must reflect the upsert
+        import shutil
+
+        from search_engine_ray.ops import sinks
+
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = sf_dir.strip("/").replace("/", "_")
+        out_dir = f"/tmp/ser_sink_cache/{tag}_{int(st.st_mtime)}/e4"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        sinks.upsert_partitions(docs, out_dir, ["lang"])
+        upd = rel.project(
+            rel.filter_conditions(docs, [("lang", "==", "en")]),
+            keep=["doc_id", "lang"],
+            exprs={"n_chars": lambda t: pc.add(t["n_chars"], 1000)},
+        )
+        sinks.upsert_partitions(upd, out_dir, ["lang"])
+        import ray.data as rd
+
+        back = rd.read_parquet(out_dir)
+        out = rel.grouped_aggregate(
+            back, "lang", {"cnt": ("count", "doc_id"), "sum_chars": ("sum", "n_chars")}
+        ).to_pandas()
+        out["cnt"] = out["cnt"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        out["lang"] = out["lang"].astype(str)
+        return out
+
+    def e5_full_refresh(sf_dir):
+        # E5 full-refresh sink (reference delete_many + insert,
+        # lamda/group_sellable_inventory.py:46-48): write a snapshot,
+        # then atomically replace it with a filtered refresh — only the
+        # second snapshot's rows must survive
+        import shutil
+
+        from search_engine_ray.ops import sinks
+
+        st = os.stat(os.path.join(sf_dir, "documents.parquet"))
+        tag = sf_dir.strip("/").replace("/", "_")
+        out_dir = f"/tmp/ser_sink_cache/{tag}_{int(st.st_mtime)}/e5"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+        sinks.full_refresh(docs, out_dir)
+        sinks.full_refresh(rel.filter_conditions(docs, [("lang", "in", ["en", "de"])]), out_dir)
+        import ray.data as rd
+
+        out = rel.value_counts(rd.read_parquet(out_dir), "lang", alias="cnt").to_pandas()
+        out["cnt"] = out["cnt"].astype("int64")
+        return out
+
+    def e8_log_sink(sf_dir):
+        # E8 append-only log sink (reference per-request log inserts,
+        # app.py:62-64): one log row appended per search; read the log
+        # back — totals must equal the match counts
+        import tempfile
+
+        from search_engine_ray.ops import sinks
+
+        eng = _doc_engine(sf_dir)
+        log_dir = tempfile.mkdtemp(prefix="ser_e8_log_")
+        for kw in ("vector", "hash join", "spark"):
+            q = plan_keyword(kw, text_field="text", prefix_fields=())
+            res = eng.search(q, k=5, with_metadata=False)
+            sinks.append_log(
+                pa.table({"keyword": [kw], "total": pa.array([res.total], pa.int64())}),
+                log_dir,
+                name=kw.replace(" ", "_"),
+            )
+        return sinks.read_log(log_dir).to_pandas()
+
     def e7_tags(sf_dir):
         # E7 $push/$pull on a list column (reference lamda/tags.py)
         from search_engine_ray.analysis import TOKEN_RE
@@ -558,10 +825,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s2_prefix": s2_prefix,
         "s5_boost": s5_boost,
         "s7_normalizer": s7_normalizer,
+        "s8_dispatch": s8_dispatch,
+        "s9_phonetic": s9_phonetic,
         "r1_filter": r1_filter,
         "r2_project": r2_project,
         "r3_join": r3_join,
+        "r4_two_key_join": r4_two_key_join,
         "r5_semijoin": r5_semijoin,
+        "r6_map_enrich": r6_map_enrich,
+        "r9_group_collect": r9_group_collect,
         "r7_group_first": r7_group_first,
         "r8_group_sum": r8_group_sum,
         "r10_explode": r10_explode,
@@ -571,7 +843,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r16_facet_counts": r16_facet_counts,
         "e6_events_rollup": e6_events_rollup,
         "e1_csv_source": e1_csv_source,
+        "e2_incremental": e2_incremental,
+        "e4_upsert_sink": e4_upsert_sink,
+        "e5_full_refresh": e5_full_refresh,
         "e7_tags": e7_tags,
+        "e8_log_sink": e8_log_sink,
         "t_token_stats": t_token_stats,
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
@@ -579,6 +855,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
+        "dedup_ngram": dedup_ngram,
         "ann_cosine": ann_cosine,
         "ann_rp_lsh": ann_rp_lsh,
         "ann_ivf": ann_ivf,
@@ -614,8 +891,75 @@ SELECT b.source, b.doc_id, round(b.raw_score, 4) AS score, a.stock_sum, a.varian
 FROM best b JOIN agg a USING (source)
 ORDER BY b.raw_score DESC, b.doc_id LIMIT 10
 """
+    sx = _soundex_sql("t")
+    toks_plain = _TOKS.format(col="text")
+    s9_sql = f"""
+WITH tok AS (SELECT doc_id, {toks_plain} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> ({sx}) = 'V236')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round(
+  ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+  (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+  (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) DESC, d.doc_id
+LIMIT 10
+"""
+    s8_sql = (
+        f"SELECT 'one_term' AS branch, t1.* FROM ({_bm25_sql(['src1'], col='source', prefix=True)}) t1 "
+        f"UNION ALL SELECT 'multi_term' AS branch, t2.* FROM ({_bm25_sql(['hash', 'join'], mode='must')}) t2"
+    )
+    e8_sql = f"""
+WITH tok AS (SELECT {toks_plain} AS ts FROM documents)
+SELECT 'vector' AS keyword, count(*) AS total FROM tok
+WHERE len(list_filter(ts, t -> t = 'vector')) > 0
+UNION ALL
+SELECT 'hash join', count(*) FROM tok
+WHERE len(list_filter(ts, t -> t = 'hash')) > 0
+  AND len(list_filter(ts, t -> t = 'join')) > 0
+UNION ALL
+SELECT 'spark', count(*) FROM tok
+WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+"""
     return {
         "s1_bm25_term": _bm25_sql(["vector"]),
+        "s8_dispatch": s8_sql,
+        "s9_phonetic": s9_sql,
+        "r4_two_key_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
+            "r.l_extendedprice AS ret_price FROM lineitem l "
+            "JOIN (SELECT l_orderkey, l_linenumber, l_extendedprice FROM lineitem "
+            "      WHERE l_returnflag = 'R') r "
+            "ON l.l_orderkey = r.l_orderkey AND l.l_linenumber = r.l_linenumber"
+        ),
+        "r6_map_enrich": (
+            "SELECT o_orderkey, o_custkey, COALESCE(c_mktsegment, 'NONE') AS segment "
+            "FROM orders LEFT JOIN customer ON o_custkey = c_custkey"
+        ),
+        "r9_group_collect": (
+            "SELECT c_mktsegment, array_to_string(list(c_custkey ORDER BY c_custkey), ',') "
+            "AS members FROM customer GROUP BY 1"
+        ),
+        "e2_incremental": (
+            "SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY 1"
+        ),
+        "e4_upsert_sink": (
+            "SELECT lang, count(*) AS cnt, "
+            "CAST(sum(n_chars + CASE WHEN lang = 'en' THEN 1000 ELSE 0 END) AS BIGINT) "
+            "AS sum_chars FROM documents GROUP BY 1"
+        ),
+        "e5_full_refresh": (
+            "SELECT lang, count(*) AS cnt FROM documents "
+            "WHERE lang IN ('en', 'de') GROUP BY 1"
+        ),
+        "e8_log_sink": e8_sql,
+        "dedup_ngram": _JACCARD_ALLPAIRS_SQL,
+        "dedup_minhash": _JACCARD_ALLPAIRS_SQL,
+        "dedup_simhash": _SIMHASH_ALLPAIRS_SQL,
+        "ann_rp_lsh": _RP_LSH_ALLPAIRS_SQL,
         "s3_bm25_and": _bm25_sql(["hash", "join"], mode="must"),
         "s3_bm25_should": _bm25_sql(["spark", "window"], mode="should"),
         "s2_prefix": _bm25_sql(["src1"], col="source", prefix=True),
@@ -775,6 +1119,6 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "ORDER BY n_chars DESC, doc_id LIMIT 15"
         ),
         "pipe_grouped_search": grouped_search_sql,
-        # rows-only (non-SQL-expressible): t_lang_id, t_rolling_fp,
-        # dedup_minhash, dedup_simhash, ann_rp_lsh, mm_features
+        # rows-only (non-SQL-expressible): t_lang_id, t_rolling_fp
+        # (heuristics), mm_features (stubbed decode)
     }

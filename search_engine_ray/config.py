@@ -111,7 +111,9 @@ def term_part(term: str, num_parts: int) -> int:
 # column names; this config adapts the same engine to it.
 DOCUMENTS_CONFIG = IndexConfig(
     fields=(
-        FieldSpec("text", "c"),
+        # phonetic=True: S9 sounds-like namespace over the text field
+        # (driver entry s9_phonetic; oracle computes soundex in SQL)
+        FieldSpec("text", "c", phonetic=True),
         FieldSpec("source", "p", ngram=True),
     ),
     num_buckets=8,

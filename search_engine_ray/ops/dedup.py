@@ -37,6 +37,14 @@ from search_engine_ray.analysis import TOKEN_RE
 _MERSENNE = (1 << 61) - 1
 
 
+def _round4_half_up(x: np.ndarray) -> np.ndarray:
+    """round(x, 4) with half-away-from-zero ties (DuckDB `round`
+    semantics) — np.round's banker's rounding flips exact .xxxx5
+    values (e.g. 5/32) the other way and breaks oracle hash parity.
+    Valid for the non-negative similarity values used here."""
+    return np.floor(np.asarray(x, dtype=np.float64) * 10000.0 + 0.5) / 10000.0
+
+
 def _digest64(values: list[str]) -> np.ndarray:
     return np.array(
         [int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "big") for v in values],
@@ -267,7 +275,7 @@ class _JaccardVerify:
             sb = self.sets.get(int(b[i]), frozenset())
             u = len(sa | sb)
             jac[i] = (len(sa & sb) / u) if u else 0.0
-        jac = np.round(jac, 4)
+        jac = _round4_half_up(jac)
         keep = jac >= self.threshold  # fused threshold filter
         return pa.table(
             {
@@ -349,7 +357,7 @@ def _verify_pairs_join(
             sides = {int(r["doc"]): set(r["shingles"]) for _, r in g.iterrows()}
             sa, sb = sides.get(int(a), set()), sides.get(int(b), set())
             u = len(sa | sb)
-            j = round(len(sa & sb) / u, 4) if u else 0.0
+            j = float(_round4_half_up(len(sa & sb) / u)) if u else 0.0
             if j >= threshold:
                 out_a.append(a)
                 out_b.append(b)
@@ -444,6 +452,99 @@ def minhash_lsh_pairs(
         batch_format="pyarrow",
         concurrency=(1, 4),
     )
+
+
+# ------------------------------------------------- exact n-gram Jaccard
+
+
+def ngram_jaccard_pairs(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 4096,
+) -> Dataset:
+    """EXACT all-pairs n-gram Jaccard near-dup pairs: (a, b, jaccard)
+    with round(jaccard,4) >= threshold, a < b.
+
+    Candidate generation is shared-shingle blocking: any pair with
+    J > 0 shares >= 1 shingle, so (unlike MinHash-LSH banding) recall
+    is exact, not probabilistic — this is the oracle-checkable dedup
+    path; MinHash stays the cheap scale path. Fully distributed:
+
+      doc -> distinct shingle-hash rows carrying the doc's shingle-set
+      size -> coarse-key groupby (hash & 63; shingles are near-unique
+      so per-shingle map_groups would be one call per row) -> co-
+      occurrence pair rows -> groupby(a,b) counts = |intersection|
+      (sizes ride along, so NO broadcast, no driver hop) ->
+      jaccard = i / (sz_a + sz_b - i).
+
+    max_shingle_df skips shingles shared by more docs (hot-key guard;
+    on dirty web corpora a boilerplate shingle would otherwise emit
+    df^2 pair rows — a documented approximation at scale, a no-op on
+    test corpora)."""
+
+    def _rows(t: pa.Table) -> pa.Table:
+        texts = t[text_col].to_pylist()
+        flat, offsets = _shingle_hashes(texts, w)
+        ids = t[id_col].to_numpy().astype(np.int64)
+        sizes = np.diff(offsets)
+        parents = np.repeat(np.arange(len(texts)), sizes)
+        sh = flat.view(np.int64)
+        return pa.table(
+            {
+                "sh": pa.array(sh, pa.int64()),
+                "doc": pa.array(ids[parents], pa.int64()),
+                "sz": pa.array(sizes[parents].astype(np.int64), pa.int64()),
+                "cg": pa.array(sh & np.int64(_N_COARSE - 1), pa.int64()),
+            }
+        )
+
+    def _pairs(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df.duplicated("sh", keep=False)]
+        out_a, out_b, out_sa, out_sb = [], [], [], []
+        for _, g in df.groupby("sh", sort=False):
+            if len(g) > max_shingle_df:
+                continue
+            g = g.sort_values("doc")
+            ids = g["doc"].to_numpy()
+            szs = g["sz"].to_numpy()
+            ai, bi = np.triu_indices(ids.size, k=1)
+            out_a.append(ids[ai])
+            out_b.append(ids[bi])
+            out_sa.append(szs[ai])
+            out_sb.append(szs[bi])
+        if not out_a:
+            return pd.DataFrame(
+                {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),
+                 "sz_a": np.empty(0, np.int64), "sz_b": np.empty(0, np.int64)}
+            )
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b),
+             "sz_a": np.concatenate(out_sa), "sz_b": np.concatenate(out_sb)}
+        )
+
+    rows = ds.map_batches(_rows, batch_format="pyarrow")
+    co = rows.groupby("cg").map_groups(_pairs, batch_format="pandas")
+    inter = co.groupby(["a", "b"]).aggregate(
+        Count(alias_name="inter"), Min("sz_a", alias_name="sz_a"), Min("sz_b", alias_name="sz_b")
+    )
+
+    def _jaccard(t: pa.Table) -> pa.Table:
+        i = t["inter"].to_numpy().astype(np.float64)
+        u = t["sz_a"].to_numpy() + t["sz_b"].to_numpy() - t["inter"].to_numpy()
+        jac = _round4_half_up(i / np.maximum(u, 1))
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "a": t["a"].filter(keep),
+                "b": t["b"].filter(keep),
+                "jaccard": pa.array(jac[jac >= threshold], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(_jaccard, batch_format="pyarrow")
 
 
 # ------------------------------------------------------------- SimHash

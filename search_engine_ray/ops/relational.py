@@ -142,6 +142,40 @@ def broadcast_join(
     )
 
 
+class _MapEnrich:
+    """Actor: holds the broadcast key->value mapping (fetched from the
+    object store once per actor); per batch one vectorized pandas map."""
+
+    def __init__(self, mapping: dict, key_col: str, out_col: str, default):
+        self.series = pd.Series(mapping)
+        self.key_col, self.out_col, self.default = key_col, out_col, default
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        out = df.copy()
+        out[self.out_col] = df[self.key_col].map(self.series).fillna(self.default)
+        return out
+
+
+def broadcast_map_enrich(
+    ds: Dataset,
+    mapping: dict,
+    key_col: str,
+    out_col: str,
+    default=None,
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> Dataset:
+    """R6 in-memory hash-join enrichment (reference p_data_map pattern,
+    lamda/store_product_sync.py:63-70 / utils.py:59-67): map each row's
+    key through a broadcast python dict — the STORE_WH_MAP-style small
+    routing table shipped once per actor, never per batch."""
+    return ds.map_batches(
+        _MapEnrich,
+        fn_constructor_args=(mapping, key_col, out_col, default),
+        batch_format="pandas",
+        concurrency=concurrency,
+    )
+
+
 def semi_join_ids(ds: Dataset, col: str, ids, keep: bool = True) -> Dataset:
     """R5 fast path: keep (or drop) rows whose `col` is in a broadcast
     id set — `pc.is_in` against a constant array, no join machinery."""

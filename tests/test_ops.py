@@ -447,3 +447,117 @@ def test_minhash_join_verify_matches_broadcast(ray_session):
     ka = sorted(zip(a["a"], a["b"], a["jaccard"]))
     kb = sorted(zip(b["a"], b["b"], b["jaccard"]))
     assert ka == kb and len(ka) >= 8
+
+
+def test_ngram_jaccard_exact_recall(documents, con):
+    """ngram_jaccard_pairs vs brute-force all-pairs SQL: shared-shingle
+    blocking recall is exact, values match DuckDB half-up rounding."""
+    import pyarrow.compute as pc
+
+    def _perturb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(t["text"], "zz_dup_marker", " "),
+            }
+        )
+
+    both = documents.select_columns(["doc_id", "text"]).union(
+        documents.select_columns(["doc_id", "text"]).map_batches(_perturb, batch_format="pyarrow")
+    )
+    out = dd.ngram_jaccard_pairs(both, threshold=0.5).to_pandas()
+    exp = con.sql(
+        """
+        WITH both_docs AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' FROM documents),
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM both_docs),
+        sh AS (SELECT doc_id,
+               CASE WHEN len(ts) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(ts) - 1),
+                                              j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+                    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')] ELSE [] END AS shingles
+               FROM tok),
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+        inter AS (SELECT e1.doc_id AS a, e2.doc_id AS b, count(*) AS i
+                  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.doc_id < e2.doc_id GROUP BY 1, 2)
+        SELECT a, b, round(i::DOUBLE / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.doc_id
+        WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+    assert len(out) >= documents.count()  # every planted pair found
+
+
+def test_broadcast_map_enrich(lineitem, con):
+    mapping = {"R": "returned", "N": "none", "A": "ack"}
+    out = rel.broadcast_map_enrich(
+        lineitem.select_columns(["l_orderkey", "l_linenumber", "l_returnflag"]),
+        mapping, "l_returnflag", "flag_name", default="?",
+    ).to_pandas()
+    exp = con.sql(
+        "SELECT l_orderkey, l_linenumber, l_returnflag, "
+        "CASE l_returnflag WHEN 'R' THEN 'returned' WHEN 'N' THEN 'none' "
+        "WHEN 'A' THEN 'ack' ELSE '?' END AS flag_name FROM lineitem"
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_group_best_with_aggs(lineitem, con):
+    out = rel.group_best_with_aggs(
+        lineitem.select_columns(["l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"]),
+        "l_orderkey",
+        ["l_extendedprice", "l_linenumber"],
+        descending=[True, False],
+        sum_cols={"qty_sum": "l_quantity"},
+        count_alias="n_lines",
+    ).to_pandas()
+    exp = con.sql(
+        """
+        WITH best AS (
+          SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem
+          QUALIFY row_number() OVER (PARTITION BY l_orderkey
+                  ORDER BY l_extendedprice DESC, l_linenumber) = 1),
+        agg AS (SELECT l_orderkey, sum(l_quantity) AS qty_sum, count(*) AS n_lines
+                FROM lineitem GROUP BY 1)
+        SELECT b.*, a.qty_sum, a.n_lines FROM best b JOIN agg a USING (l_orderkey)
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+
+
+def test_sinks_upsert_full_refresh_append(ray_session, tmp_path, documents, con):
+    import ray.data as rd
+
+    from search_engine_ray.ops import sinks
+
+    base = documents.select_columns(["doc_id", "lang", "n_chars"])
+    out_dir = str(tmp_path / "upsert")
+    # E4: base write, then an upsert batch overwriting one partition
+    sinks.upsert_partitions(base, out_dir, ["lang"])
+    upd = rel.project(
+        rel.filter_conditions(base, [("lang", "==", "en")]),
+        keep=["doc_id", "lang"],
+        exprs={"n_chars": lambda t: pa.compute.add(t["n_chars"], 7)},
+    )
+    sinks.upsert_partitions(upd, out_dir, ["lang"])
+    back = rd.read_parquet(out_dir).to_pandas()
+    exp = con.sql(
+        "SELECT doc_id, n_chars + CASE WHEN lang='en' THEN 7 ELSE 0 END AS n_chars, "
+        "lang FROM documents"
+    ).df()
+    back["lang"] = back["lang"].astype(str)
+    assert_frames_equal(back, exp)
+    # E5: second refresh replaces the first snapshot entirely
+    ref_dir = str(tmp_path / "refresh")
+    sinks.full_refresh(base, ref_dir)
+    sinks.full_refresh(rel.filter_conditions(base, [("lang", "==", "de")]), ref_dir)
+    n_de = int(con.sql("SELECT count(*) FROM documents WHERE lang = 'de'").fetchone()[0])
+    assert rd.read_parquet(ref_dir).count() == n_de
+    # E8: append-only — each call adds a file, nothing is rewritten
+    log_dir = str(tmp_path / "log")
+    sinks.append_log(pa.table({"q": ["a"], "total": [1]}), log_dir)
+    sinks.append_log(pa.table({"q": ["b"], "total": [2]}), log_dir)
+    log = sinks.read_log(log_dir).to_pandas().sort_values("q").reset_index(drop=True)
+    assert log["q"].tolist() == ["a", "b"] and log["total"].tolist() == [1, 2]
