@@ -452,7 +452,14 @@ def build_index(
                 concurrency=(1, 16),
             )
         )
-        partials.write_parquet(os.path.join(tmp_dir, "partials"), partition_cols=["part"])
+        # hive-partitioned by (part, bucket): the merge task then
+        # streams ONE bucket dir at a time, so merge memory is bounded
+        # by the largest (part, bucket) slice — postings/(parts x
+        # buckets) — structurally, at ANY corpus size (round-1 loaded
+        # a whole part into one table, num_parts was the only bound)
+        partials.write_parquet(
+            os.path.join(tmp_dir, "partials"), partition_cols=["part", "bucket"]
+        )
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -479,26 +486,34 @@ def build_index(
     @_ray.remote
     def _merge_part(k: int, partial_dir: str, postings_dir: str, dict_file: str) -> dict:
         t0 = _time.perf_counter()
-        files = glob.glob(os.path.join(partial_dir, "*.parquet"))
-        if not files:
-            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
-        t = pads.dataset(files).to_table(
-            columns=["term", "bucket", "doc_ids", "tfs", "dls"]
+        bucket_dirs = sorted(
+            glob.glob(os.path.join(partial_dir, "bucket=*")),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
         )
-        t = t.take(pc.sort_indices(t, sort_keys=[("bucket", "ascending")]))
-        barr = t["bucket"].to_numpy()
-        starts = np.nonzero(np.concatenate(([True], barr[1:] != barr[:-1])))[0]
-        ends = np.append(starts[1:], barr.size)
+        n_files = 0
         dict_parts = []
         n_postings = 0
-        for s, e in zip(starts, ends):
-            b = int(barr[s])
-            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs)
+        n_buckets_seen = 0
+        # stream bucket-by-bucket: only one (part, bucket) slice of the
+        # partials is ever in memory, whatever the corpus size
+        for bdir_in in bucket_dirs:
+            files = glob.glob(os.path.join(bdir_in, "*.parquet"))
+            if not files:
+                continue
+            n_files += len(files)
+            b = int(bdir_in.rsplit("=", 1)[1])
+            t = pads.dataset(files).to_table(columns=["term", "doc_ids", "tfs", "dls"])
+            if not t.num_rows:
+                continue
+            n_buckets_seen += 1
+            enc = encode_bucket_terms(t, k, b, bs)
             n_postings += int(enc["df_local"].to_numpy().sum())
             bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
             os.makedirs(bdir, exist_ok=True)
             pq.write_table(enc.drop_columns(["part", "bucket"]), os.path.join(bdir, "data.parquet"))
             dict_parts.append(enc.select(["term", "df_local", "cf_local"]))
+        if not dict_parts:
+            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
         dd = pa.concat_tables(dict_parts).to_pandas()
         dd = dd.groupby("term", sort=True).sum().reset_index()
         dd = dd.rename(columns={"df_local": "df", "cf_local": "cf"})
@@ -511,10 +526,10 @@ def build_index(
             # merged, from which runs, how long it took
             "metrics": {
                 "part": k,
-                "input_run_files": len(files),
+                "input_run_files": n_files,
                 "postings": n_postings,
                 "terms": int(len(dd)),
-                "buckets": int(starts.size),
+                "buckets": n_buckets_seen,
                 "seconds": round(_time.perf_counter() - t0, 3),
             },
         }
@@ -578,9 +593,14 @@ def build_index(
 
 def add_tombstones(index_dir: str, doc_ids) -> int:
     """Incremental DELETE (reference upsert/delete analog): record doc
-    ids as tombstones; queries exclude them immediately, and a later
-    shard rebuild compacts them away. Idempotent append (file named by
-    content hash). Returns the total tombstone count."""
+    ids as tombstones; a later compaction removes them physically.
+    Visibility: SearchEngine re-reads the tombstone files whenever the
+    tombstone directory changes (they are tiny), so existing engines —
+    including their persistent scorer pools — exclude new deletes on
+    the next search() without reconstruction. Compaction, by contrast,
+    rewrites postings in place: engines must be reconstructed after
+    compact_tombstones. Idempotent append (file named by content
+    hash). Returns the total tombstone count."""
     ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
     tdir = os.path.join(index_dir, "tombstones")
     os.makedirs(tdir, exist_ok=True)
@@ -605,13 +625,32 @@ def compact_tombstones(index_dir: str, config: IndexConfig | None = None) -> int
     """Physically remove tombstoned docs: rewrite ONLY the affected
     (part, bucket) posting partitions + docmap buckets + their dicts
     and stats, then clear the tombstones. One Ray task per affected
-    bucket (partition-local, no shuffle). Returns docs removed."""
-    from search_engine_ray.codec import block_delta_decode, varbyte_decode
+    bucket (partition-local, no shuffle). Returns docs removed.
 
+    Handles BOTH layouts: a single build (index_dir holds postings/
+    docmap/dict/stats.json directly) and a resumable multi-shard index
+    (those live under index_dir/shards/shard_*/ while tombstones stay
+    at the parent) — each shard is compacted and its stats refreshed;
+    the parent tombstones are cleared only after every shard succeeds.
+    Live SearchEngine instances (and their scorer actors' decode
+    caches) must be reconstructed after compaction."""
     config = config or IndexConfig()
     tomb = load_tombstones(index_dir)
     if tomb.size == 0:
         return 0
+    shard_glob = os.path.join(index_dir, "shards", "shard_*")
+    shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
+    removed = 0
+    for d in shards or [index_dir]:
+        removed += _compact_one_dir(d, tomb, config)
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    return removed
+
+
+def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> int:
+    """Compact one single-build index dir against a tombstone set."""
+    from search_engine_ray.codec import block_delta_decode, varbyte_decode
+
     import ray as _ray
 
     bs = config.block_size
@@ -706,7 +745,6 @@ def compact_tombstones(index_dir: str, config: IndexConfig | None = None) -> int
         }
     with open(os.path.join(index_dir, "stats.json"), "w") as f:
         json.dump(stats, f, indent=2)
-    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
     return removed
 
 

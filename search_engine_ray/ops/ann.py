@@ -57,12 +57,16 @@ class _BruteScore:
         sims = m @ self.qn.T  # (batch, Q)
         n, q = sims.shape
         k = min(self.k, n)
-        # per-query partial top-k without full sort
-        part = np.argpartition(-sims, k - 1, axis=0)[:k]  # (k, Q)
         out_q, out_v, out_s = [], [], []
         for j in range(q):
-            sel = part[:, j]
-            out_q.append(np.full(k, self.qids[j], dtype=np.int64))
+            # keep everything within ROUNDING distance of the k-th
+            # unrounded value: the final ranking orders by round(cos,4)
+            # with vec_id tiebreak, and two values rounding equal can
+            # differ by < 1e-4 — a fixed-size argpartition could drop
+            # the one the tiebreak keeps (exact-parity tie bug)
+            kth = np.partition(sims[:, j], n - k)[n - k]
+            sel = np.nonzero(sims[:, j] >= kth - 1e-4)[0]
+            out_q.append(np.full(sel.size, self.qids[j], dtype=np.int64))
             out_v.append(ids[sel])
             out_s.append(sims[sel, j])
         return pa.table(
@@ -279,11 +283,13 @@ class IVFIndex:
                 m = _normalize(_to_matrix(sub[vec_col], qn.shape[1]))
                 sims = m @ qn[qis].T
                 kk = min(k, m.shape[0])
-                part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
                 ids = sub[id_col].to_numpy()
                 for j, qi in enumerate(qis):
-                    s = part[:, j]
-                    out_q.append(np.full(kk, qids[qi], np.int64))
+                    # same rounding-distance slack as _BruteScore: the
+                    # final order is by round(cos,4) + vec_id tiebreak
+                    kth = np.partition(sims[:, j], m.shape[0] - kk)[m.shape[0] - kk]
+                    s = np.nonzero(sims[:, j] >= kth - 1e-4)[0]
+                    out_q.append(np.full(s.size, qids[qi], np.int64))
                     out_v.append(ids[s])
                     out_s.append(sims[s, j])
             if not out_q:

@@ -287,33 +287,34 @@ class _JaccardVerify:
 
 
 def _verify_pairs_join(
-    ds: Dataset, pair_df: pd.DataFrame, text_col: str, id_col: str,
+    ds: Dataset, pairs: Dataset, text_col: str, id_col: str,
     p: MinHashParams, threshold: float,
 ) -> Dataset:
-    """Extreme-scale verify path: NO candidate broadcast. Shingle sets
-    flow to their pairs through a doc-keyed groupby (each candidate
-    doc's shingles meet its pair memberships in one group), then a
-    pair-keyed groupby computes exact Jaccard from the two sides.
-    Two shuffles, payload bounded by candidate docs only."""
-    import ray.data as rd
+    """Extreme-scale verify path: NO candidate broadcast and NO driver
+    hop. `pairs` is the (deduped) candidate-pair Dataset. Shingle sets
+    flow to their pairs through a doc-keyed groupby (each doc's
+    shingles meet its pair memberships in one group; docs with no
+    membership rows emit nothing), then a pair-keyed groupby computes
+    exact Jaccard from the two sides. Every doc's shingle set crosses
+    the shuffle once — the price of holding neither the pair list nor
+    the candidate id set in any single memory."""
 
-    # pair membership rows: one per (doc, pair, side) — arrow blocks
-    # so the union with the arrow shingle rows is homogeneous
-    docs = np.concatenate([pair_df["a"].to_numpy(), pair_df["b"].to_numpy()]).astype(np.int64)
-    mem_t = pa.table(
-        {
-            "doc": pa.array(docs, pa.int64()),
-            "pair_a": pa.array(np.tile(pair_df["a"].to_numpy(), 2).astype(np.int64), pa.int64()),
-            "pair_b": pa.array(np.tile(pair_df["b"].to_numpy(), 2).astype(np.int64), pa.int64()),
-            "shingles": pa.array([[]] * docs.size, pa.list_(pa.string())),
-        }
-    )
-    cand = set(docs.tolist())
-    mem_ds = rd.from_arrow(mem_t)
+    def _memberships(t: pa.Table) -> pa.Table:
+        a = t["a"].to_numpy().astype(np.int64)
+        b = t["b"].to_numpy().astype(np.int64)
+        docs = np.concatenate([a, b])
+        return pa.table(
+            {
+                "doc": pa.array(docs, pa.int64()),
+                "pair_a": pa.array(np.tile(a, 2), pa.int64()),
+                "pair_b": pa.array(np.tile(b, 2), pa.int64()),
+                "shingles": pa.array([[]] * docs.size, pa.list_(pa.string())),
+            }
+        )
+
+    mem_ds = pairs.map_batches(_memberships, batch_format="pyarrow")
 
     def _doc_shingles(t: pa.Table) -> pa.Table:
-        mask = pc.is_in(t[id_col], value_set=pa.array(sorted(cand)))
-        t = t.filter(mask)
         out = []
         for s in t[text_col].to_pylist():
             toks = TOKEN_RE.findall((s or "").lower())
@@ -404,16 +405,22 @@ def minhash_lsh_pairs(
 
     pairs = bands.groupby("cg").map_groups(_pairs, batch_format="pandas")
 
-    # collect candidate pairs driver-side (they are tiny relative to
-    # the corpus: only docs that LSH-collided); the cross-band pair
-    # dedupe happens HERE in pandas — a whole groupby shuffle saved
-    # vs deduping distributed-then-collecting anyway
+    if verify == "join":
+        # fully distributed path: cross-band dedupe via a (a,b) groupby
+        # and verification via doc-keyed joins — the candidate pairs
+        # NEVER land on the driver (a dirty web corpus can produce
+        # billions of them)
+        deduped = pairs.groupby(["a", "b"]).aggregate(Count(alias_name="_n")).drop_columns(["_n"])
+        return _verify_pairs_join(ds, deduped, text_col, id_col, p, threshold)
+
+    # broadcast path: collect candidate pairs driver-side (they are
+    # tiny relative to the corpus: only docs that LSH-collided); the
+    # cross-band pair dedupe happens HERE in pandas — a whole groupby
+    # shuffle saved vs deduping distributed-then-collecting anyway
     import ray
     import ray.data as rd
 
     pair_df = pairs.to_pandas().drop_duplicates(["a", "b"])
-    if verify == "join" and len(pair_df):
-        return _verify_pairs_join(ds, pair_df, text_col, id_col, p, threshold)
     pair_all = pa.table(
         {"a": pa.array(pair_df["a"], pa.int64()), "b": pa.array(pair_df["b"], pa.int64())}
     )

@@ -67,21 +67,56 @@ def synthetic_media_table(n: int, kind: str = "image", seed: int = 3) -> pa.Tabl
 class DecodeAndFeaturize:
     """Actor-pool stage: binary payload -> fixed-size feature vector.
 
-    decode="real": would load the codec library here (once per actor)
-    — STUB: raises NotImplementedError with the intended dependency.
+    decode="real": loads Pillow ONCE per actor (__init__) and decodes
+    each payload as an image — resize to a dim-sized thumbnail, feature
+    vector = row-mean luminance. Raises NotImplementedError at actor
+    construction when Pillow is not importable (this container has no
+    media libraries).
     decode="fake": deterministic pseudo-decode — features are a seeded
     function of the payload bytes (sha256-expanded), so tests can
-    assert exact values and the full actor/batch path runs."""
+    assert exact values and the full actor/batch path runs.
+    decode="auto": real when Pillow imports, else fake — the runtime
+    selection path."""
 
     def __init__(self, feature_dim: int = 32, decode: str = "fake"):
-        if decode == "real":
-            raise NotImplementedError(
-                "real media decode requires pillow/torchaudio/pyav, not in this container; "
-                "use decode='fake' to exercise the pipeline plumbing"
-            )
         self.dim = feature_dim
+        self._image_mod = None
+        if decode == "auto":
+            decode = "real" if self._try_pillow() else "fake"
+        if decode == "real" and not self._try_pillow():
+            raise NotImplementedError(
+                "real media decode requires pillow (PIL), not importable here; "
+                "use decode='fake' (or 'auto') to exercise the pipeline plumbing"
+            )
+        self.decode = decode
+
+    def _try_pillow(self) -> bool:
+        if self._image_mod is None:
+            try:
+                from PIL import Image  # pillow: public, optional
+
+                self._image_mod = Image
+            except ImportError:
+                self._image_mod = False
+        return bool(self._image_mod)
+
+    def _features_real(self, payload: bytes) -> np.ndarray:
+        """Pillow decode -> dim x dim grayscale thumbnail -> row means.
+        Undecodable payloads yield a zero vector (corrupt-file policy:
+        keep the row, null-like features — never kill the pipeline)."""
+        import io
+
+        try:
+            img = self._image_mod.open(io.BytesIO(payload)).convert("L")
+            img = img.resize((self.dim, self.dim))
+            px = np.asarray(img, dtype=np.float64) / 255.0
+            return px.mean(axis=1)
+        except Exception:
+            return np.zeros(self.dim, dtype=np.float64)
 
     def _features(self, payload: bytes) -> np.ndarray:
+        if self.decode == "real":
+            return self._features_real(payload)
         # deterministic fake "decode": expand the payload digest into
         # `dim` floats in [0, 1)
         h = hashlib.sha256(payload).digest()

@@ -502,15 +502,34 @@ class SearchEngine:
         shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
         self.dirs = shards or [index_dir]
         self.stats = self._merge_stats()
-        from search_engine_ray.index.build import load_tombstones
-
-        # deleted doc ids (small relative to corpus — a shard rebuild
-        # compacts them); shipped with each query spec
-        self.tombstones = load_tombstones(index_dir)
-        if self.tombstones.size == 0:
-            self.tombstones = None
+        self.index_dir = index_dir
+        # deleted doc ids (small relative to corpus — compaction removes
+        # them physically); refreshed whenever the tombstone dir changes
+        # so deletes take effect on the NEXT search without rebuilding
+        # the engine or its scorer pool; shipped with each query spec
+        self._tomb_key: tuple | None = None
+        self.tombstones: np.ndarray | None = None
+        self._refresh_tombstones()
         self.num_scorers = min(num_scorers, self.config.num_buckets)
         self._actors: list | None = None
+
+    def _refresh_tombstones(self) -> None:
+        tdir = os.path.join(self.index_dir, "tombstones")
+        try:
+            names = sorted(os.listdir(tdir))
+            key = (len(names), tuple(names[:64]), os.stat(tdir).st_mtime_ns)
+        except FileNotFoundError:
+            key = None
+        if key == self._tomb_key:
+            return
+        self._tomb_key = key
+        if key is None:
+            self.tombstones = None
+            return
+        from search_engine_ray.index.build import load_tombstones
+
+        t = load_tombstones(self.index_dir)
+        self.tombstones = t if t.size else None
 
     def _merge_stats(self) -> dict:
         merged: dict | None = None
@@ -657,13 +676,16 @@ class SearchEngine:
     ) -> SearchResult:
         import ray
 
+        self._refresh_tombstones()
         leaves = self._resolve(q)
-        # a must clause with no indexed term can never match
+        # a must clause with no indexed term can never match; total=0
+        # is provably exact on these early returns regardless of the
+        # prune request (nothing was skipped)
         if any(lf.is_must and not lf.term_keys for lf in leaves):
-            return SearchResult(0, _empty_hits())
+            return SearchResult(0, _empty_hits(), total_exact=True)
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
         if not term_keys:
-            return SearchResult(0, _empty_hits())
+            return SearchResult(0, _empty_hits(), total_exact=True)
         # pruning is rank-safe only for pure-OR top-k with no filter /
         # boost / facet side-outputs (and makes `total` a lower bound);
         # tombstones disable it (a pruned doc set can't be post-filtered
@@ -707,7 +729,10 @@ class SearchEngine:
         futs = [a.score.remote(parts, term_keys, spec) for a in self._scorer_pool()]
         out = pa.concat_tables(ray.get(futs)).to_pandas()
         if out.empty:
-            return SearchResult(0, _empty_hits(), total_exact=not prune)
+            # pruning scores every doc until the candidate pool can
+            # bound the rest; an empty pool means no matches existed,
+            # so total=0 is exact even under pruning
+            return SearchResult(0, _empty_hits(), total_exact=True)
         total = int(out.loc[out["kind"] == "total", "count"].sum())
         hits = out[out["kind"] == "hit"][["doc_id", "score"]]
         hits = hits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
@@ -738,6 +763,7 @@ class SearchEngine:
         (no shuffle join)."""
         import ray.data as rd
 
+        self._refresh_tombstones()
         leaves = self._resolve(q)
         if any(lf.is_must and not lf.term_keys for lf in leaves):
             return rd.from_arrow(_empty_all_table(attach_cols))

@@ -178,3 +178,64 @@ def test_tombstone_compaction(ray_session, tiny_corpus, tmp_path):
     assert res.total == ora.total
     assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
     np.testing.assert_allclose(res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), atol=1e-9)
+
+
+def test_tombstones_visible_to_live_engine(ray_session, tiny_corpus, tmp_path):
+    """Round-2: deletes take effect on the NEXT search of an EXISTING
+    engine (tombstones are re-read when the tombstone dir changes) —
+    no engine reconstruction needed."""
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index
+    from search_engine_ray.index.build import add_tombstones
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "live")
+    build_index(rd.from_arrow(tiny_corpus), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    before = eng.search(q, k=5, with_metadata=False)
+    victims = before.hits["doc_id"].tolist()[:2]
+    add_tombstones(out, victims)
+    after = eng.search(q, k=5, with_metadata=False)  # SAME engine
+    assert after.total == before.total - 2
+    assert not set(victims) & set(after.hits["doc_id"])
+
+
+def test_tombstone_compaction_sharded(ray_session, tiny_corpus, tmp_path):
+    """Round-2 regression (ADVICE): compact_tombstones on a resumable
+    multi-shard index must compact every shard and clear the parent
+    tombstones (round-1 read the single-build layout only and crashed
+    on stats.json)."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.index.build import (
+        add_tombstones,
+        build_index_resumable,
+        compact_tombstones,
+        load_tombstones,
+    )
+
+    src = str(tmp_path / "src")
+    rd.from_arrow(tiny_corpus).repartition(4).write_parquet(src)
+    import glob as g
+
+    files = sorted(g.glob(f"{src}/*.parquet"))
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "sharded")
+    manifest = build_index_resumable(files, out, cfg, files_per_shard=2)
+    assert len(manifest["shards"]) == 2
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    before = eng.search(q, k=6, with_metadata=False)
+    victims = before.hits["doc_id"].tolist()[:4]
+    add_tombstones(out, victims)
+    removed = compact_tombstones(out, cfg)
+    assert removed == 4
+    assert load_tombstones(out).size == 0
+    eng2 = SearchEngine(out, cfg)
+    assert eng2.stats["n_docs"] == tiny_corpus.num_rows - 4
+    after = eng2.search(q, k=10, with_metadata=False)
+    assert after.total == before.total - 4
+    assert not set(victims) & set(after.hits["doc_id"])

@@ -561,3 +561,31 @@ def test_sinks_upsert_full_refresh_append(ray_session, tmp_path, documents, con)
     sinks.append_log(pa.table({"q": ["b"], "total": [2]}), log_dir)
     log = sinks.read_log(log_dir).to_pandas().sort_values("q").reset_index(drop=True)
     assert log["q"].tolist() == ["a", "b"] and log["total"].tolist() == [1, 2]
+
+
+def test_multimodal_decode_selection(ray_session):
+    """decode='auto' selects real iff Pillow imports; decode='real'
+    raises cleanly without it; the fake path stays deterministic."""
+    try:
+        import PIL  # noqa: F401
+
+        have_pil = True
+    except ImportError:
+        have_pil = False
+    d = DecodeAndFeaturize(feature_dim=8, decode="auto")
+    assert d.decode == ("real" if have_pil else "fake")
+    if not have_pil:
+        with pytest.raises(NotImplementedError):
+            DecodeAndFeaturize(feature_dim=8, decode="real")
+    else:
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("L", (16, 16), color=128).save(buf, format="PNG")
+        real = DecodeAndFeaturize(feature_dim=8, decode="real")
+        f = real._features(buf.getvalue())
+        assert f.shape == (8,) and abs(float(f.mean()) - 128 / 255) < 0.01
+        # corrupt payloads degrade to zeros, never raise
+        assert (real._features(b"not an image") == 0).all()
