@@ -71,6 +71,13 @@ class IndexConfig:
     # named analyzer (analysis.ANALYZERS) applied at BOTH index and
     # query time; register new ones there to plug in (SURVEY §2.5b)
     analyzer: str = "code"
+    # merge-task memory bound: at build time num_parts is RAISED (never
+    # lowered) so that one part's decoded partial postings stay under
+    # this many bytes — the merge task loads exactly one part
+    # (index/build.py _merge_part), so this caps its heap at ANY corpus
+    # size. Set auto_num_parts=False to pin num_parts exactly.
+    merge_part_target_bytes: int = 1 << 30
+    auto_num_parts: bool = True
     # cap on dictionary range-scan prefix expansion (Lucene's
     # maxExpansions analog): at web scale a 2-char prefix can match
     # millions of terms; the cap keeps query cost bounded (expansions
@@ -105,6 +112,23 @@ class IndexConfig:
 def term_part(term: str, num_parts: int) -> int:
     """Stable (process-independent) term -> disk-partition hash."""
     return zlib.crc32(term.encode("utf-8")) % num_parts
+
+
+# decoded in-memory partials ≈ this multiple of the compressed source
+# parquet bytes (int64-heavy posting arrays vs compressed text)
+_PARTIAL_EXPANSION = 3
+
+
+def derive_num_parts(config: IndexConfig, input_bytes: int) -> int:
+    """num_parts such that one part's decoded partials fit the merge
+    task's memory target. Only ever RAISES config.num_parts (small
+    corpora keep the configured layout); identity when
+    auto_num_parts=False or the input size is unknown."""
+    if not config.auto_num_parts or not input_bytes:
+        return config.num_parts
+    est = int(input_bytes) * _PARTIAL_EXPANSION
+    derived = -(-est // config.merge_part_target_bytes)
+    return max(config.num_parts, int(derived))
 
 
 # The corpus table for the driver's `documents` testdata uses different

@@ -65,7 +65,33 @@ import pyarrow.parquet as pq
 
 from search_engine_ray.analysis import STOP_TOKENS
 from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
-from search_engine_ray.config import IndexConfig, term_part
+from search_engine_ray.config import IndexConfig, derive_num_parts, term_part
+
+
+def _input_bytes(source) -> int:
+    """Best-effort input size estimate for the num_parts derivation:
+    on-disk bytes for parquet paths, Ray's size estimate for in-memory
+    Datasets, 0 (= keep configured num_parts) when unknown."""
+    if isinstance(source, (str, list)):
+        paths = [source] if isinstance(source, str) else list(source)
+        total = 0
+        for p in paths:
+            if os.path.isdir(p):
+                total += sum(
+                    os.path.getsize(f)
+                    for f in glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True)
+                )
+            elif os.path.exists(p):
+                total += os.path.getsize(p)
+        return total
+    try:
+        # only consult size_bytes() when the Dataset is already
+        # materialized — on a lazy plan it would trigger execution
+        if source._plan.has_computed_output():
+            return int(source.size_bytes() or 0)
+    except Exception:
+        pass
+    return 0
 
 _MASK63 = (1 << 63) - 1
 
@@ -400,6 +426,15 @@ def build_index(
 
     config = config or IndexConfig()
     sha_col = sha_col or config.fields[0].name
+    # memory bound for the merge pass: raise num_parts so one part's
+    # decoded partials fit merge_part_target_bytes (identity for small
+    # corpora / auto_num_parts=False). The effective value is recorded
+    # in stats.json; SearchEngine reconciles its config from there.
+    eff_parts = derive_num_parts(config, _input_bytes(source))
+    if eff_parts != config.num_parts:
+        from dataclasses import replace as _dc_replace
+
+        config = _dc_replace(config, num_parts=eff_parts)
 
     def _read(cols: list[str]):
         if isinstance(source, (str, list)):
@@ -452,14 +487,7 @@ def build_index(
                 concurrency=(1, 16),
             )
         )
-        # hive-partitioned by (part, bucket): the merge task then
-        # streams ONE bucket dir at a time, so merge memory is bounded
-        # by the largest (part, bucket) slice — postings/(parts x
-        # buckets) — structurally, at ANY corpus size (round-1 loaded
-        # a whole part into one table, num_parts was the only bound)
-        partials.write_parquet(
-            os.path.join(tmp_dir, "partials"), partition_cols=["part", "bucket"]
-        )
+        partials.write_parquet(os.path.join(tmp_dir, "partials"), partition_cols=["part"])
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -486,34 +514,31 @@ def build_index(
     @_ray.remote
     def _merge_part(k: int, partial_dir: str, postings_dir: str, dict_file: str) -> dict:
         t0 = _time.perf_counter()
-        bucket_dirs = sorted(
-            glob.glob(os.path.join(partial_dir, "bucket=*")),
-            key=lambda d: int(d.rsplit("=", 1)[1]),
+        files = glob.glob(os.path.join(partial_dir, "*.parquet"))
+        if not files:
+            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
+        n_files = len(files)
+        # one part's partial runs in memory: bounded by construction —
+        # num_parts was derived from the input size so a part is at
+        # most ~merge_part_target_bytes decoded (see _derive_num_parts)
+        t = pads.dataset(files).to_table(
+            columns=["term", "bucket", "doc_ids", "tfs", "dls"]
         )
-        n_files = 0
+        t = t.take(pc.sort_indices(t, sort_keys=[("bucket", "ascending")]))
+        barr = t["bucket"].to_numpy()
+        starts = np.nonzero(np.concatenate(([True], barr[1:] != barr[:-1])))[0]
+        ends = np.append(starts[1:], barr.size)
         dict_parts = []
         n_postings = 0
-        n_buckets_seen = 0
-        # stream bucket-by-bucket: only one (part, bucket) slice of the
-        # partials is ever in memory, whatever the corpus size
-        for bdir_in in bucket_dirs:
-            files = glob.glob(os.path.join(bdir_in, "*.parquet"))
-            if not files:
-                continue
-            n_files += len(files)
-            b = int(bdir_in.rsplit("=", 1)[1])
-            t = pads.dataset(files).to_table(columns=["term", "doc_ids", "tfs", "dls"])
-            if not t.num_rows:
-                continue
-            n_buckets_seen += 1
-            enc = encode_bucket_terms(t, k, b, bs)
+        n_buckets_seen = int(starts.size)
+        for s, e in zip(starts, ends):
+            b = int(barr[s])
+            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs)
             n_postings += int(enc["df_local"].to_numpy().sum())
             bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
             os.makedirs(bdir, exist_ok=True)
             pq.write_table(enc.drop_columns(["part", "bucket"]), os.path.join(bdir, "data.parquet"))
             dict_parts.append(enc.select(["term", "df_local", "cf_local"]))
-        if not dict_parts:
-            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
         dd = pa.concat_tables(dict_parts).to_pandas()
         dd = dd.groupby("term", sort=True).sum().reset_index()
         dd = dd.rename(columns={"df_local": "df", "cf_local": "cf"})
@@ -771,6 +796,17 @@ def build_index_resumable(
 
     files = sorted(input_files)
     shards = [files[i : i + files_per_shard] for i in range(0, len(files), files_per_shard)]
+    # one num_parts for EVERY shard (query-side partition pruning
+    # computes term_part once and probes each shard with the same part
+    # ids): derive from the per-shard input size, record it in the
+    # manifest so resumed runs stay consistent even if file sizes
+    # changed since the first run
+    from dataclasses import replace as _dc_replace
+
+    if "num_parts" not in manifest:
+        per_shard = _input_bytes(files) // max(len(shards), 1)
+        manifest["num_parts"] = derive_num_parts(config, per_shard)
+    config = _dc_replace(config, num_parts=int(manifest["num_parts"]), auto_num_parts=False)
     for i, shard_files in enumerate(shards):
         name = f"shard_{i:05d}"
         entry = manifest["shards"].get(name)

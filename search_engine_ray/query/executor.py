@@ -502,6 +502,18 @@ class SearchEngine:
         shards = sorted(d for d in glob.glob(shard_glob) if os.path.isdir(d))
         self.dirs = shards or [index_dir]
         self.stats = self._merge_stats()
+        # the build may have RAISED num_parts for its merge memory
+        # bound (config.auto_num_parts); the on-disk layout in
+        # stats.json is authoritative for partition pruning
+        from dataclasses import replace as _dc_replace
+
+        layout = {
+            k: int(self.stats[k])
+            for k in ("num_parts", "num_buckets")
+            if self.stats.get(k) is not None
+        }
+        if any(getattr(self.config, k) != v for k, v in layout.items()):
+            self.config = _dc_replace(self.config, **layout)
         self.index_dir = index_dir
         # deleted doc ids (small relative to corpus — compaction removes
         # them physically); refreshed whenever the tombstone dir changes

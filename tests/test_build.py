@@ -118,3 +118,55 @@ def test_corpus_generator_deterministic(tiny_corpus):
 
     again = corpus_table(200, seed=42)
     assert again.equals(tiny_corpus)
+
+
+def test_derive_num_parts_bound():
+    """Round-2: num_parts derives from input size so one part's decoded
+    partials never exceed the merge task's memory target."""
+    from search_engine_ray.config import IndexConfig, derive_num_parts
+
+    cfg = IndexConfig(num_parts=8, merge_part_target_bytes=1 << 30)
+    assert derive_num_parts(cfg, 0) == 8  # unknown size -> configured
+    assert derive_num_parts(cfg, 1 << 20) == 8  # small corpus -> unchanged
+    # 100 GiB input * 3x expansion / 1 GiB target = 300 parts
+    assert derive_num_parts(cfg, 100 << 30) == 300
+    # derived parts x target always covers the estimated decoded bytes
+    for gb in (1, 7, 64, 1024):
+        n = derive_num_parts(cfg, gb << 30)
+        assert n * cfg.merge_part_target_bytes >= (gb << 30) * 3
+    frozen = IndexConfig(num_parts=8, auto_num_parts=False)
+    assert derive_num_parts(frozen, 100 << 30) == 8
+
+
+def test_auto_num_parts_build_query_parity(ray_session, tiny_corpus, tmp_path):
+    """A build whose num_parts was auto-raised must produce identical
+    query results; the engine reconciles its layout from stats.json
+    even when constructed with the original (smaller) config."""
+    import ray.data as rd
+
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    src = str(tmp_path / "src")
+    rd.from_arrow(tiny_corpus).write_parquet(src)
+    base_cfg = IndexConfig(num_buckets=4, num_parts=2)
+    out_a = str(tmp_path / "idx_default")
+    build_index(src, out_a, base_cfg)
+    # absurdly small target -> derivation raises num_parts
+    tiny_cfg = IndexConfig(num_buckets=4, num_parts=2, merge_part_target_bytes=1 << 14)
+    out_b = str(tmp_path / "idx_many_parts")
+    stats_b = build_index(src, out_b, tiny_cfg)
+    assert stats_b["num_parts"] > 2
+    ea = SearchEngine(out_a, base_cfg)
+    # construct with the ORIGINAL config: engine must pick up the
+    # on-disk num_parts from stats.json
+    eb = SearchEngine(out_b, tiny_cfg)
+    assert eb.config.num_parts == stats_b["num_parts"]
+    for tok in ("import", "tokenizer", "def"):
+        q = Compound(must=(Term("content", tok),))
+        ra = ea.search(q, k=10, with_metadata=False)
+        rb = eb.search(q, k=10, with_metadata=False)
+        assert ra.total == rb.total
+        assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
+        assert ra.hits["score"].tolist() == rb.hits["score"].tolist()
