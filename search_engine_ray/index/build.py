@@ -196,8 +196,9 @@ class TokenizePartials:
         self.analyzer = get_analyzer(config.analyzer)
         self._stop_arr = pa.array(sorted(self.analyzer.stop) + [""])
 
-    def _field_tokens(self, column, spec) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """tokens, doc index per token, and per-doc field length —
+    def _field_tokens(self, column, spec) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+        """tokens (Arrow StringArray — NEVER materialized as Python
+        strings), doc index per token, and per-doc field length —
         fully vectorized: Arrow C++ lower + regex split + flatten,
         empties/stop tokens dropped with one is_in mask. Semantics
         identical to the configured analyzer's findall form
@@ -211,15 +212,16 @@ class TokenizePartials:
         keep = pc.invert(pc.is_in(flat, value_set=self._stop_arr))
         flat = flat.filter(keep)
         parents = parents.filter(keep)
+        if isinstance(flat, pa.ChunkedArray):
+            flat = flat.combine_chunks()
         doc_ix = parents.to_numpy(zero_copy_only=False).astype(np.int64)
         dls = np.bincount(doc_ix, minlength=n).astype(np.int32)
-        toks = flat.to_numpy(zero_copy_only=False)
-        return toks, doc_ix, dls
+        return flat, doc_ix, dls
 
     def _partials(
         self,
         prefix: str,
-        toks: list[str],
+        toks: pa.Array,
         doc_ix: np.ndarray,
         dls: np.ndarray,
         uids: np.ndarray,
@@ -227,11 +229,25 @@ class TokenizePartials:
     ) -> None:
         if len(toks) == 0:
             return
-        codes, uniq = pd.factorize(np.asarray(toks, dtype=object), sort=False)
+        # Arrow C++ dictionary encode: term codes without ever creating
+        # per-token Python strings (pd.factorize on an object array was
+        # a top-3 cost of the whole build)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        denc = toks.dictionary_encode() if not pa.types.is_dictionary(toks.type) else toks
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        uniq = denc.dictionary
         nv = len(uniq)
-        # tf per (doc, term), fully vectorized
+        # tf per (doc, term): one sort + run-length boundaries
+        # (np.unique flattens/copies first — measurably slower)
         key = doc_ix * nv + codes
-        uk, counts = np.unique(key, return_counts=True)
+        ks = np.sort(key)
+        bmask = np.empty(ks.size, dtype=bool)
+        bmask[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=bmask[1:])
+        kstarts = np.nonzero(bmask)[0]
+        uk = ks[kstarts]
+        counts = np.diff(np.append(kstarts, ks.size))
         d = uk // nv
         c = uk % nv
         ids = uids[d]
@@ -247,12 +263,17 @@ class TokenizePartials:
         change[1:] |= buckets[1:] != buckets[:-1]
         starts = np.nonzero(change)[0]
         offsets = np.append(starts, c.size).astype(np.int32)
-        term_strs = [prefix + uniq[i] for i in c[starts]]
+        # prefix every UNIQUE term once in Arrow, then take per group
+        prefixed = pc.binary_join_element_wise(
+            pa.array([prefix] * nv, pa.string()), pc.cast(uniq, pa.string()), ""
+        )
+        term_arr = prefixed.take(pa.array(c[starts], pa.int64()))
+        term_strs = term_arr.to_pylist()  # needed for the crc32 part keys
         parts = [term_part(t, self.config.num_parts) for t in term_strs]
         out.append(
             pa.table(
                 {
-                    "term": pa.array(term_strs, pa.string()),
+                    "term": term_arr,
                     "part": pa.array(parts, pa.int32()),
                     "bucket": pa.array(buckets[starts], pa.int32()),
                     "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(ids, pa.int64())),
@@ -273,23 +294,25 @@ class TokenizePartials:
                 # each token to prefixes; tf of a gram = sum of tfs of
                 # tokens sharing the prefix; dl shared with the field.
                 # Vectorized: one utf8_slice per gram length (the
-                # _partials aggregation dedups/sum-counts per doc).
-                tok_arr = pa.array(toks, pa.string())
-                lens = pc.utf8_length(tok_arr).to_numpy(zero_copy_only=False)
-                gtok_parts: list[np.ndarray] = []
+                # _partials aggregation dedups/sum-counts per doc);
+                # grams stay Arrow end to end.
+                lens = pc.utf8_length(toks).to_numpy(zero_copy_only=False)
+                gtok_parts: list[pa.Array] = []
                 gdoc_parts: list[np.ndarray] = []
                 for g in range(spec.ngram_min, spec.ngram_max + 1):
                     mask = lens >= g
                     if not mask.any():
                         break
                     sel = pa.array(mask)
-                    grams = pc.utf8_slice_codeunits(tok_arr.filter(sel), 0, g)
-                    gtok_parts.append(grams.to_numpy(zero_copy_only=False))
+                    grams = pc.utf8_slice_codeunits(toks.filter(sel), 0, g)
+                    if isinstance(grams, pa.ChunkedArray):
+                        grams = grams.combine_chunks()
+                    gtok_parts.append(grams)
                     gdoc_parts.append(doc_ix[mask])
                 if gtok_parts:
                     self._partials(
                         f"{spec.code}>:",
-                        np.concatenate(gtok_parts),
+                        pa.concat_arrays(gtok_parts),
                         np.concatenate(gdoc_parts),
                         dls,
                         uids,
@@ -297,13 +320,17 @@ class TokenizePartials:
                     )
             if spec.phonetic and len(toks):
                 # S9 sounds-like namespace: soundex key per token —
-                # computed on the batch's UNIQUE tokens only, mapped
-                # back through the factorize codes
+                # computed on the batch's UNIQUE tokens only (Arrow
+                # dictionary), expanded back per token with one take
+                # (so _partials re-merges same-key-different-token tfs)
                 from search_engine_ray.analysis import soundex
 
-                codes, uniq = pd.factorize(toks, sort=False)
-                keys = np.asarray([soundex(u) for u in uniq], dtype=object)
-                self._partials(f"{spec.code}~:", keys[codes], doc_ix, dls, uids, out)
+                denc = toks.dictionary_encode()
+                keys = pa.array(
+                    [soundex(u) for u in denc.dictionary.to_pylist()], pa.string()
+                )
+                phon = keys.take(denc.indices)
+                self._partials(f"{spec.code}~:", phon, doc_ix, dls, uids, out)
         if not out:
             return self.EMPTY
         return pa.concat_tables(out)
