@@ -52,21 +52,79 @@ def _digest64(values: list[str]) -> np.ndarray:
     )
 
 
-def _shingle_hashes(texts: list[str], w: int) -> tuple[np.ndarray, np.ndarray]:
-    """All shingle hashes concatenated + per-doc offsets (len n+1)."""
-    hashes: list[np.ndarray] = []
-    offsets = np.zeros(len(texts) + 1, dtype=np.int64)
-    for i, s in enumerate(texts):
-        toks = TOKEN_RE.findall((s or "").lower())
-        if len(toks) >= w:
-            sh = [" ".join(toks[j : j + w]) for j in range(len(toks) - w + 1)]
-        else:
-            sh = [" ".join(toks)] if toks else []
-        h = _digest64(sorted(set(sh))) if sh else np.empty(0, dtype=np.uint64)
-        hashes.append(h)
-        offsets[i + 1] = offsets[i] + h.size
-    flat = np.concatenate(hashes) if hashes else np.empty(0, dtype=np.uint64)
-    return flat, offsets
+_POLY_B = np.uint64(1_099_511_628_211)  # FNV-prime-style odd multiplier
+
+
+def _arrow_token_stream(col) -> tuple[np.ndarray, np.ndarray, int]:
+    """(per-token 64-bit hash, doc index per token, n_docs) — Arrow
+    tokenize (lower + split + flatten) and md5 computed only per
+    UNIQUE token (dictionary encode), never per occurrence."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    n = len(arr)
+    parts = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9_]+")
+    flat = pc.list_flatten(parts)
+    parents = pc.list_parent_indices(parts)
+    keep = pc.not_equal(flat, "")
+    flat = flat.filter(keep)
+    parents = parents.filter(keep)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    doc_ix = parents.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(flat) == 0:
+        return np.empty(0, np.uint64), doc_ix, n
+    denc = flat.dictionary_encode()
+    uh = _digest64(denc.dictionary.to_pylist())
+    th = uh[denc.indices.to_numpy(zero_copy_only=False)]
+    return th, doc_ix, n
+
+
+def _shingle_hashes(col, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct per-doc shingle hashes (sorted within doc) concatenated
+    + per-doc offsets (len n+1). Shingle hash = degree-(w-1) polynomial
+    over the window's token hashes — computed for the WHOLE batch with
+    w shifted adds (doc boundaries masked), no per-doc Python loop
+    (docs shorter than w tokens hash their full token run; only those
+    few go through a fallback loop)."""
+    th, doc_ix, n = _arrow_token_stream(col)
+    if th.size == 0:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    sizes = np.bincount(doc_ix, minlength=n)
+    ds_list: list[np.ndarray] = []
+    hs_list: list[np.ndarray] = []
+    m = th.size - w + 1
+    if m > 0:
+        h = np.zeros(m, dtype=np.uint64)
+        for j in range(w):
+            h = h * _POLY_B + th[j : j + m]
+        valid = doc_ix[:m] == doc_ix[w - 1 : w - 1 + m]
+        ds_list.append(doc_ix[:m][valid])
+        hs_list.append(h[valid])
+    short = np.nonzero((sizes > 0) & (sizes < w))[0]
+    if short.size:
+        tok_offs = np.concatenate(([0], np.cumsum(sizes)))
+        sd, sh = [], []
+        for d0 in short:
+            hh = np.uint64(0)
+            for v in th[tok_offs[d0] : tok_offs[d0 + 1]]:
+                hh = hh * _POLY_B + v
+            sd.append(d0)
+            sh.append(hh)
+        ds_list.append(np.asarray(sd, dtype=np.int64))
+        hs_list.append(np.asarray(sh, dtype=np.uint64))
+    if not ds_list:
+        return np.empty(0, dtype=np.uint64), np.zeros(n + 1, dtype=np.int64)
+    d = np.concatenate(ds_list)
+    hv = np.concatenate(hs_list)
+    order = np.lexsort((hv, d))
+    d, hv = d[order], hv[order]
+    keep = np.empty(d.size, dtype=bool)
+    keep[0] = True
+    keep[1:] = (d[1:] != d[:-1]) | (hv[1:] != hv[:-1])
+    d, hv = d[keep], hv[keep]
+    counts = np.bincount(d, minlength=n)
+    offsets = np.concatenate(([0], np.cumsum(counts))).astype(np.int64)
+    return hv, offsets
 
 
 # ---------------------------------------------------------------- exact
@@ -127,9 +185,8 @@ class MinHashSignatures:
         self.a, self.b = _perm_coeffs(params)
 
     def __call__(self, t: pa.Table) -> pa.Table:
-        texts = t[self.text_col].to_pylist()
-        flat, offsets = _shingle_hashes(texts, self.p.shingle_w)
-        n = len(texts)
+        flat, offsets = _shingle_hashes(t[self.text_col], self.p.shingle_w)
+        n = t.num_rows
         sigs = np.full((n, self.p.num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
         if flat.size:
             nonempty = np.nonzero(np.diff(offsets) > 0)[0]
@@ -493,11 +550,10 @@ def ngram_jaccard_pairs(
     test corpora)."""
 
     def _rows(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        flat, offsets = _shingle_hashes(texts, w)
+        flat, offsets = _shingle_hashes(t[text_col], w)
         ids = t[id_col].to_numpy().astype(np.int64)
         sizes = np.diff(offsets)
-        parents = np.repeat(np.arange(len(texts)), sizes)
+        parents = np.repeat(np.arange(t.num_rows), sizes)
         sh = flat.view(np.int64)
         return pa.table(
             {
@@ -563,31 +619,33 @@ def simhash_signatures(ds: Dataset, text_col: str = "text", id_col: str = "doc_i
     unpackbits + reduceat."""
 
     def _f(t: pa.Table) -> pa.Table:
-        texts = t[text_col].to_pylist()
-        n = len(texts)
+        # whole-batch vectorized: md5 once per UNIQUE token, tf per
+        # (doc, token) via one sort + run-length, sign-sums via one
+        # reduceat over doc boundaries (round-1 looped docs in Python
+        # and re-hashed every doc's tokens)
+        th, doc_ix, n = _arrow_token_stream(t[text_col])
         out = np.zeros(n, dtype=np.uint64)
-        tok_hashes: list[np.ndarray] = []
-        tok_tfs: list[np.ndarray] = []
-        offsets = np.zeros(n + 1, dtype=np.int64)
-        for i, s in enumerate(texts):
-            toks = TOKEN_RE.findall((s or "").lower())
-            if toks:
-                uniq, tf = np.unique(np.asarray(toks, dtype=object), return_counts=True)
-                tok_hashes.append(_digest64(list(uniq)))
-                tok_tfs.append(tf.astype(np.int64))
-                offsets[i + 1] = offsets[i] + uniq.size
-            else:
-                offsets[i + 1] = offsets[i]
-        if offsets[-1]:
-            flat = np.concatenate(tok_hashes)
-            tfs = np.concatenate(tok_tfs)
-            bits = np.unpackbits(flat.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+        if th.size:
+            # (doc, token-hash) tf counts; th is md5-derived so the
+            # hash IS the token identity
+            order = np.lexsort((th, doc_ix))
+            d_s, h_s = doc_ix[order], th[order]
+            bmask = np.empty(d_s.size, dtype=bool)
+            bmask[0] = True
+            bmask[1:] = (d_s[1:] != d_s[:-1]) | (h_s[1:] != h_s[:-1])
+            starts = np.nonzero(bmask)[0]
+            tfs = np.diff(np.append(starts, d_s.size))
+            d_u, h_u = d_s[starts], h_s[starts]
+            bits = np.unpackbits(h_u.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
             contrib = (bits.astype(np.int64) * 2 - 1) * tfs[:, None]
-            nonempty = np.nonzero(np.diff(offsets) > 0)[0]
-            sums = np.add.reduceat(contrib, offsets[nonempty], axis=0)
+            dmask = np.empty(d_u.size, dtype=bool)
+            dmask[0] = True
+            dmask[1:] = d_u[1:] != d_u[:-1]
+            dstarts = np.nonzero(dmask)[0]
+            sums = np.add.reduceat(contrib, dstarts, axis=0)
             fp_bits = (sums > 0).astype(np.uint8)
             packed = np.packbits(fp_bits, axis=1, bitorder="little").copy().view(np.uint64).ravel()
-            out[nonempty] = packed
+            out[d_u[dstarts]] = packed
         return pa.table({id_col: t[id_col], "simhash": pa.array(out.astype(np.int64), pa.int64())})
 
     return ds.map_batches(_f, batch_format="pyarrow")
