@@ -252,21 +252,21 @@ def run_scaling() -> dict:
         pairs.append((lo, hi, hi / (4.0 * lo)))
     best_lo = max(p[0] for p in pairs)
     best_hi = max(p[1] for p in pairs)
-    best_pair = max(pairs, key=lambda p: p[2])
     hw_lo = _hw_capacity(levels[0])
     hw_hi = _hw_capacity(levels[1])
     hw_ratio = hw_hi / hw_lo  # <= 4.0; the hardware ceiling
-    eff_raw = best_pair[2]
-    eff_vs_hw = best_pair[1] / (hw_ratio * best_pair[0]) if hw_ratio else 0.0
+    # headline = fastest-observed per level (each level's cleanest
+    # window); a single pair can be wildly distorted when noise hits
+    # one of its two runs, so every pair's ratio is reported alongside
+    eff_raw = best_hi / (4.0 * best_lo)
+    eff_vs_hw = best_hi / (hw_ratio * best_lo) if hw_ratio else 0.0
     return {
         "metric": f"scaling_efficiency_{levels[0]}_to_{levels[1]}_cpus",
         "value": round(eff_raw, 3),
         "unit": "ratio",
         "queries": {
-            f"docs_per_sec_{levels[0]}cpu": round(best_pair[0], 1),
-            f"docs_per_sec_{levels[1]}cpu": round(best_pair[1], 1),
-            f"best_docs_per_sec_{levels[0]}cpu": round(best_lo, 1),
-            f"best_docs_per_sec_{levels[1]}cpu": round(best_hi, 1),
+            f"docs_per_sec_{levels[0]}cpu": round(best_lo, 1),
+            f"docs_per_sec_{levels[1]}cpu": round(best_hi, 1),
             "pair_efficiencies": [round(p[2], 3) for p in pairs],
             "hw_capacity_ratio": round(hw_ratio, 2),
             "efficiency_vs_hw_ceiling": round(eff_vs_hw, 3),
