@@ -88,6 +88,16 @@ def bench_queries(index_dir: str, cfg) -> dict:
     from search_engine_ray.query import SearchEngine, plan_keyword
 
     eng = SearchEngine(index_dir, cfg)
+    # cold first query = actor spin-up + docmap IO, reported separately;
+    # prewarm() is the server-startup path, so the p50/p99 below are
+    # true warm latencies instead of cold-start artifacts
+    t0 = time.perf_counter()
+    eng.search(
+        plan_keyword(QUERY_SET[0], text_field="content", prefix_fields=("path", "repo")),
+        k=10, with_metadata=False,
+    )
+    cold_s = time.perf_counter() - t0
+    eng.prewarm()
     lat, lat_pruned = [], []
     for kw in QUERY_SET:
         q = plan_keyword(kw, text_field="content", prefix_fields=("path", "repo"))
@@ -111,6 +121,7 @@ def bench_queries(index_dir: str, cfg) -> dict:
         list(pool.map(lambda q: eng.search(q, k=10, with_metadata=False), plans))
     qps = len(plans) / (time.perf_counter() - t0)
     return {
+        "bm25_cold_first_query_s": round(cold_s, 4),
         "bm25_p50_s": float(np.percentile(lat, 50)),
         "bm25_p99_s": float(np.percentile(lat, 99)),
         "bm25_mean_s": float(lat.mean()),
@@ -125,10 +136,15 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
     import __ray_entry__ as entrymod
 
     picks = [
-        "s1_bm25_term", "r1_filter", "r2_json_extract", "r3_join", "r7_group_first",
+        "s1_bm25_term", "s8_dispatch", "s9_phonetic", "r1_filter", "r2_json_extract",
+        "r3_join", "r4_two_key_join", "r7_group_first",
         "r8_group_sum", "r10_explode", "r11_topk", "t_token_stats", "t_quality",
-        "dedup_exact", "dedup_minhash", "dedup_simhash", "ann_cosine", "ann_ivf",
-        "e7_tags", "mm_features", "pipe_grouped_search", "pipe_listing",
+        # dedup_ngram excluded: the EXACT all-pairs path is O(sum df^2)
+        # by design (MinHash is the scale path) and sf0.1's organic
+        # shingle sharing makes it minutes-long
+        "dedup_exact", "dedup_minhash", "dedup_simhash",
+        "ann_cosine", "ann_ivf", "ann_ivf_batch",
+        "e4_upsert_sink", "e7_tags", "mm_features", "pipe_grouped_search", "pipe_listing",
     ]
     qs = entrymod.queries()
     out = {}

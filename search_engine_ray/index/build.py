@@ -727,31 +727,50 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
             if not files:
                 continue
             t = pads.dataset(files).to_table()
-            terms, d_ids, d_tfs, d_dls = [], [], [], []
+            # zero-copy row views into the posting byte buffers (the
+            # round-1 loop copied every row with .as_py()); per-row
+            # decode remains, but all array work stays numpy
+            from search_engine_ray.query.executor import _binary_views
+
+            doc_view = _binary_views(t["doc_bytes"])
+            tf_view = _binary_views(t["tf_bytes"])
+            dl_view = _binary_views(t["dl_bytes"])
+            dfl = t["df_local"].to_numpy()
+            keep_rows: list[int] = []
+            id_parts: list[np.ndarray] = []
+            tf_parts: list[np.ndarray] = []
+            dl_parts: list[np.ndarray] = []
+            lens: list[int] = []
             for ri in range(t.num_rows):
-                n = int(t["df_local"][ri].as_py())
-                gaps = varbyte_decode(t["doc_bytes"][ri].as_py(), n).astype(np.int64)
+                n = int(dfl[ri])
+                gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
                 ids = block_delta_decode(gaps, np.arange(0, n, bs, dtype=np.int64))
-                tfs = varbyte_decode(t["tf_bytes"][ri].as_py(), n).astype(np.int64)
-                dls = varbyte_decode(t["dl_bytes"][ri].as_py(), n).astype(np.int64)
                 pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
                 keep = tomb[pos] != ids
                 if keep.any():
-                    terms.append(t["term"][ri].as_py())
-                    d_ids.append(ids[keep].tolist())
-                    d_tfs.append(tfs[keep].tolist())
-                    d_dls.append(dls[keep].tolist())
+                    keep_rows.append(ri)
+                    id_parts.append(ids[keep])
+                    tf_parts.append(varbyte_decode(tf_view(ri), n).astype(np.int32)[keep])
+                    dl_parts.append(varbyte_decode(dl_view(ri), n).astype(np.int32)[keep])
+                    lens.append(int(keep.sum()))
             out_file = os.path.join(index_dir, "postings", f"part={k}", f"bucket={b}", "data.parquet")
             for f in files:
                 os.remove(f)
-            if terms:
+            if keep_rows:
+                offs = np.concatenate(([0], np.cumsum(lens))).astype(np.int32)
                 partial = pa.table(
                     {
-                        "term": pa.array(terms, pa.string()),
-                        "bucket": pa.array(np.full(len(terms), b, np.int32()), pa.int32()),
-                        "doc_ids": pa.array(d_ids, pa.list_(pa.int64())),
-                        "tfs": pa.array(d_tfs, pa.list_(pa.int32())),
-                        "dls": pa.array(d_dls, pa.list_(pa.int32())),
+                        "term": t["term"].take(pa.array(keep_rows, pa.int64())),
+                        "bucket": pa.array(np.full(len(keep_rows), b, np.int32()), pa.int32()),
+                        "doc_ids": _list_from_offsets(
+                            offs, pa.array(np.concatenate(id_parts), pa.int64())
+                        ),
+                        "tfs": _list_from_offsets(
+                            offs, pa.array(np.concatenate(tf_parts), pa.int32())
+                        ),
+                        "dls": _list_from_offsets(
+                            offs, pa.array(np.concatenate(dl_parts), pa.int32())
+                        ),
                     }
                 )
                 enc = encode_bucket_terms(partial, k, b, bs)

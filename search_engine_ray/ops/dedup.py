@@ -547,7 +547,11 @@ def ngram_jaccard_pairs(
     max_shingle_df skips shingles shared by more docs (hot-key guard;
     on dirty web corpora a boilerplate shingle would otherwise emit
     df^2 pair rows — a documented approximation at scale, a no-op on
-    test corpora)."""
+    test corpora).
+
+    COST MODEL: pair-row volume is O(sum over shingles of df^2) — this
+    is the EXACT path, priced accordingly; prefer minhash_lsh_pairs
+    when the corpus shares boilerplate phrasing at scale."""
 
     def _rows(t: pa.Table) -> pa.Table:
         flat, offsets = _shingle_hashes(t[text_col], w)

@@ -47,3 +47,17 @@ def test_listing_shape(ray_session):
     assert res["currentPage"] == 2 and res["count"] == len(res["rows"]) <= 7
     assert res["lastPage"] == math.ceil(res["numFound"] / 7)
     assert sum(res["filters"]["source"].values()) == res["numFound"]
+
+
+def test_grouped_search_zero_hit(ray_session, tiny_index):
+    """The distributed grouped tail must survive an empty match set."""
+    from search_engine_ray.pipelines import grouped_search
+    from search_engine_ray.query import SearchEngine
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    res = grouped_search(
+        eng, "zzzzqqqxx", text_field="content", prefix_fields=(),
+        group_col="repo", sum_col=None, k=5,
+    )
+    assert res["total"] == 0 and len(res["data"]) == 0
