@@ -753,18 +753,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def e7_tags(sf_dir):
         # E7 $push/$pull on a list column (reference lamda/tags.py)
-        from search_engine_ray.analysis import TOKEN_RE
         from search_engine_ray.ops.arrays import list_pull, list_push
+        from search_engine_ray.ops.text import _flat_tokens
 
         docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
 
         def _mk_tags(t: pa.Table) -> pa.Table:
-            tags = [TOKEN_RE.findall((s or "").lower())[:3] for s in t["text"].to_pylist()]
+            # first 3 tokens per doc, fully vectorized: token stream +
+            # per-doc offsets, take the first min(3, count) of each
+            flat, parents, n = _flat_tokens(t["text"])
+            counts = np.bincount(parents, minlength=n)
+            starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+            take_n = np.minimum(counts, 3)
+            out_starts = np.concatenate(([0], np.cumsum(take_n)))
+            total = int(out_starts[-1])
+            # position within each doc's run = global index - run start
+            idx = (
+                np.repeat(starts, take_n)
+                + np.arange(total)
+                - np.repeat(out_starts[:-1], take_n)
+            )
+            offs = out_starts.astype(np.int32)
+            vals = flat.take(pa.array(idx, pa.int64()))
+            if isinstance(vals, pa.ChunkedArray):
+                vals = vals.combine_chunks()
+            tags = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
                     "lang": t["lang"],
-                    "tags": pa.array(tags, pa.list_(pa.string())),
+                    "tags": tags,
                 }
             )
 
