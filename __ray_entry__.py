@@ -546,7 +546,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dd.exact_dedup(both, "text", "doc_id")
 
     def dedup_minhash(sf_dir):
-        return dd.minhash_lsh_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
+        # bands=32 x rows=2: band-collision prob at the J=0.5 threshold
+        # is 1-(1-0.25)^32 ~ 0.9999, so LSH recall at the boundary is
+        # near-exhaustive and the all-pairs Jaccard SQL holds as a
+        # value oracle (16x4 banding would miss a boundary pair ~36%
+        # of the time if the corpus ever grew one)
+        return dd.minhash_lsh_pairs(
+            _docs_with_near_dups(sf_dir),
+            threshold=0.5,
+            params=dd.MinHashParams(num_perm=64, bands=32),
+        )
 
     def dedup_simhash(sf_dir):
         return dd.simhash_pairs(_docs_with_near_dups(sf_dir), max_hamming=3)

@@ -705,6 +705,20 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
 
     import ray as _ray
 
+    # the ON-DISK layout is authoritative: the build may have raised
+    # num_parts (auto derivation) beyond the caller's config — using
+    # config.num_parts here would skip parts >= it, resurrecting
+    # deleted docs and corrupting the recomputed avgdl/total_len
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        _layout = json.load(f)
+    if _layout.get("num_parts") or _layout.get("num_buckets"):
+        from dataclasses import replace as _dc_replace
+
+        config = _dc_replace(
+            config,
+            num_parts=int(_layout.get("num_parts", config.num_parts)),
+            num_buckets=int(_layout.get("num_buckets", config.num_buckets)),
+        )
     bs = config.block_size
     affected = sorted({int(t) % config.num_buckets for t in tomb})
 
@@ -850,8 +864,16 @@ def build_index_resumable(
     from dataclasses import replace as _dc_replace
 
     if "num_parts" not in manifest:
-        per_shard = _input_bytes(files) // max(len(shards), 1)
-        manifest["num_parts"] = derive_num_parts(config, per_shard)
+        if manifest["shards"]:
+            # legacy manifest (predates the num_parts key): its shards
+            # were built with the caller's configured num_parts — pin
+            # THAT, never derive, or resumed shards would get a
+            # different layout than the completed ones and query-side
+            # part pruning would silently miss postings
+            manifest["num_parts"] = config.num_parts
+        else:
+            per_shard = _input_bytes(files) // max(len(shards), 1)
+            manifest["num_parts"] = derive_num_parts(config, per_shard)
     config = _dc_replace(config, num_parts=int(manifest["num_parts"]), auto_num_parts=False)
     for i, shard_files in enumerate(shards):
         name = f"shard_{i:05d}"

@@ -25,6 +25,8 @@ import pyarrow.dataset as pads
 
 from ray.data import Dataset
 
+from search_engine_ray.ops.rounding import round_half_up
+
 
 def _to_matrix(chunked, dim: int | None = None) -> np.ndarray:
     """list<float> column -> (n, d) float64 matrix, zero-copy flatten."""
@@ -99,7 +101,7 @@ def cosine_topk(
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy()
-        df["cos"] = df["cos"].round(4)
+        df["cos"] = round_half_up(df["cos"].to_numpy())
         if exclude_self:
             df = df[df["qid"] != df["vec_id"]]
         df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
@@ -155,7 +157,7 @@ def rp_lsh_near_dup(
             m = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
             sims = m @ m.T
             ai, bi = np.triu_indices(ids.size, k=1)
-            cos = np.round(sims[ai, bi], 4)
+            cos = round_half_up(sims[ai, bi])
             keep = cos >= threshold
             out.append(pd.DataFrame({"a": ids[ai][keep], "b": ids[bi][keep], "cos": cos[keep]}))
         if not out:
@@ -307,7 +309,7 @@ class IVFIndex:
 
         def _final(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy()
-            df["cos"] = df["cos"].round(4)
+            df["cos"] = round_half_up(df["cos"].to_numpy())
             df = df.drop_duplicates(["qid", "vec_id"])
             df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
             return df.head(k)
@@ -328,7 +330,7 @@ class IVFIndex:
             return pd.DataFrame({self.id_col: [], "cos": []})
         t = pads.dataset(frags).to_table(columns=[self.id_col, self.vec_col])
         m = _normalize(_to_matrix(t[self.vec_col]))
-        sims = np.round(m @ qn, 4)
+        sims = round_half_up(m @ qn)
         ids = t[self.id_col].to_numpy()
         order2 = np.lexsort((ids, -sims))[:k]
         return pd.DataFrame({self.id_col: ids[order2], "cos": sims[order2]})

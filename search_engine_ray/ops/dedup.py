@@ -37,12 +37,7 @@ from search_engine_ray.analysis import TOKEN_RE
 _MERSENNE = (1 << 61) - 1
 
 
-def _round4_half_up(x: np.ndarray) -> np.ndarray:
-    """round(x, 4) with half-away-from-zero ties (DuckDB `round`
-    semantics) — np.round's banker's rounding flips exact .xxxx5
-    values (e.g. 5/32) the other way and breaks oracle hash parity.
-    Valid for the non-negative similarity values used here."""
-    return np.floor(np.asarray(x, dtype=np.float64) * 10000.0 + 0.5) / 10000.0
+from search_engine_ray.ops.rounding import round_half_up as _round4_half_up
 
 
 def _digest64(values: list[str]) -> np.ndarray:
@@ -394,20 +389,29 @@ def _verify_pairs_join(
     both = mem_ds.union(shingle_rows)
 
     def _attach(df: pd.DataFrame) -> pd.DataFrame:
-        # group = one doc: its shingle row + its pair-membership rows
-        sh_rows = df[df["pair_a"] < 0]
-        sh = sh_rows["shingles"].iloc[0] if len(sh_rows) else []
+        # COARSE group (doc & 63): per-doc map_groups would make one
+        # Python call per corpus document (the measured anti-scaling
+        # pattern); instead one call handles all of a shard's docs and
+        # a vectorized merge joins shingle rows onto membership rows.
+        # Docs with no membership rows (non-candidates — the vast
+        # majority) drop out in the inner merge.
         mem_rows = df[df["pair_a"] >= 0]
-        return pd.DataFrame(
-            {
-                "pair_a": mem_rows["pair_a"],
-                "pair_b": mem_rows["pair_b"],
-                "doc": mem_rows["doc"],
-                "shingles": [list(sh)] * len(mem_rows),
-            }
+        if not len(mem_rows):
+            return pd.DataFrame(
+                {"pair_a": [], "pair_b": [], "doc": [], "shingles": []}
+            ).astype({"pair_a": "int64", "pair_b": "int64", "doc": "int64", "shingles": object})
+        sh_rows = df[df["pair_a"] < 0][["doc", "shingles"]]
+        out = mem_rows[["pair_a", "pair_b", "doc"]].merge(sh_rows, on="doc", how="left")
+        out["shingles"] = out["shingles"].map(
+            lambda s: list(s) if isinstance(s, (list, np.ndarray)) else []
         )
+        return out
 
-    attached = both.groupby("doc").map_groups(_attach, batch_format="pandas")
+    coarse_doc = both.map_batches(
+        lambda df: df.assign(dg=(df["doc"].to_numpy() & (_N_COARSE - 1))),
+        batch_format="pandas",
+    )
+    attached = coarse_doc.groupby("dg").map_groups(_attach, batch_format="pandas")
 
     def _jaccard(df: pd.DataFrame) -> pd.DataFrame:
         out_a, out_b, out_j = [], [], []

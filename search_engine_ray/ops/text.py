@@ -152,7 +152,11 @@ def add_lang_id(ds: Dataset, text_col: str = "text") -> Dataset:
         best_hits = hits[np.arange(n), best_j]
         codes = np.array([c for c, _ in profiles], dtype=object)
         langs = np.where(best_hits > 0, codes[best_j], "und")
-        cjk = pc.match_substring_regex(arr, "[一-鿿]").to_numpy(zero_copy_only=False)
+        # CJK scan capped at the first 2000 chars (same semantic/cost
+        # bound as the original per-row implementation: a long document
+        # quoting CJK in its tail is NOT reclassified)
+        head = pc.utf8_slice_codeunits(arr, 0, 2000)
+        cjk = pc.match_substring_regex(head, "[一-鿿]").to_numpy(zero_copy_only=False)
         langs = np.where(cjk, "zh", langs)
         return t.append_column("lang_id", pa.array(langs.tolist(), pa.string()))
 

@@ -239,3 +239,34 @@ def test_tombstone_compaction_sharded(ray_session, tiny_corpus, tmp_path):
     after = eng2.search(q, k=10, with_metadata=False)
     assert after.total == before.total - 4
     assert not set(victims) & set(after.hits["doc_id"])
+
+
+def test_compaction_respects_derived_num_parts(ray_session, tiny_corpus, tmp_path):
+    """Round-2 review fix: compact_tombstones must read the on-disk
+    num_parts from stats.json — a build with auto-raised num_parts
+    compacted with the caller's smaller config would skip parts,
+    resurrect deleted docs and corrupt avgdl."""
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index
+    from search_engine_ray.index.build import add_tombstones, compact_tombstones
+
+    src = str(tmp_path / "src")
+    rd.from_arrow(tiny_corpus).write_parquet(src)
+    # absurdly small target -> num_parts raised above the configured 2
+    cfg = IndexConfig(num_buckets=4, num_parts=2, merge_part_target_bytes=1 << 14)
+    out = str(tmp_path / "auto")
+    stats = build_index(src, out, cfg)
+    assert stats["num_parts"] > 2
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "import"),))
+    before = eng.search(q, k=5, with_metadata=False)
+    victims = before.hits["doc_id"].tolist()[:3]
+    add_tombstones(out, victims)
+    removed = compact_tombstones(out, cfg)  # caller passes the SMALL config
+    assert removed == 3
+    eng2 = SearchEngine(out, cfg)
+    after = eng2.search(q, k=10, with_metadata=False)
+    assert after.total == before.total - 3
+    assert not set(victims) & set(after.hits["doc_id"])
+    assert eng2.stats["n_docs"] == tiny_corpus.num_rows - 3
