@@ -26,6 +26,8 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 
+from search_engine_ray.ops.rounding import round_half_up
+
 # --------------------------------------------------------------------
 # shared SQL fragments (tokenizer MUST stay in lockstep with
 # search_engine_ray.analysis.TOKEN_RE / STOP_TOKENS)
@@ -115,7 +117,7 @@ def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame
     df = eng.search_all(q, boosts=boosts).to_pandas()
     df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
     return pd.DataFrame(
-        {"doc_id": df["doc_id"].to_numpy(), "score": np.round(df["score"].to_numpy(), 4)}
+        {"doc_id": df["doc_id"].to_numpy(), "score": round_half_up(df["score"].to_numpy())}
     )
 
 
@@ -318,7 +320,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         eng = _doc_engine(sf_dir)
         q = Compound(must=(Prefix("text", "cust"),))
         df = eng.search_all(q).to_pandas()
-        df["score"] = np.round(df["score"], 4)
+        df["score"] = round_half_up(df["score"].to_numpy())
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
 
@@ -376,7 +378,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
             keep=["l_orderkey", "l_linenumber"],
             exprs={
                 "revenue": lambda t: pc.round(
-                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])), 4
+                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
+                    4,
+                    round_mode="half_towards_infinity",  # DuckDB round() tie semantics
                 )
             },
         )
@@ -452,7 +456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         ).to_pandas()
         for c in ("sum_qty", "sum_price", "avg_disc"):
-            out[c] = out[c].round(2)
+            out[c] = round_half_up(out[c].to_numpy(), 2)
         return out
 
     def r10_explode(sf_dir):
@@ -498,7 +502,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["day", "event_type"],
             {"n": ("count", "value"), "sum_value": ("sum", "value")},
         ).to_pandas()
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
         return out
 
     def r2_json_extract(sf_dir):
@@ -683,7 +687,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rel.grouped_aggregate(
             ds, "event_type", {"n": ("count", "value"), "sum_value": ("sum", "value")}
         ).to_pandas()
-        out["sum_value"] = out["sum_value"].round(2)
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
         return out
 
     def e4_upsert_sink(sf_dir):
@@ -830,7 +834,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sum_col="n_chars", k=10,
         )
         page = res["data"].copy()
-        page["score"] = page["score"].round(4)
+        page["score"] = round_half_up(page["score"].to_numpy())
         return page[["source", "doc_id", "score", "stock_sum", "variant_count"]]
 
     def pipe_listing_facets(sf_dir):
