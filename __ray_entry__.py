@@ -111,13 +111,18 @@ def _doc_engine(sf_dir: str):
 
 
 def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame:
-    """Engine-side mirror of _bm25_sql: score ALL matches, order by
-    full-precision score (doc_id tiebreak), take k, round for output."""
+    """Engine-side mirror of _bm25_sql via the scatter-gather top-k
+    path (rank-identical to a full-precision sort with doc_id
+    tiebreak — the oracle's ORDER BY — and milliseconds warm instead
+    of a Dataset job per query); scores rounded for output only."""
     eng = _doc_engine(sf_dir)
-    df = eng.search_all(q, boosts=boosts).to_pandas()
-    df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort").head(k)
+    res = eng.search(q, k=k, boosts=boosts, with_metadata=False)
+    hits = res.hits
     return pd.DataFrame(
-        {"doc_id": df["doc_id"].to_numpy(), "score": round_half_up(df["score"].to_numpy())}
+        {
+            "doc_id": hits["doc_id"].to_numpy(),
+            "score": round_half_up(hits["score"].to_numpy()),
+        }
     )
 
 
@@ -604,7 +609,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_ivf(sf_dir):  # rows-only (scale path: cluster-pruned read)
         tag = sf_dir.strip("/").replace("/", "_")
-        ivf_dir = f"/tmp/ser_ivf_cache/{tag}"
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
         emb = _read(sf_dir, "embeddings")
         if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
             ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)
@@ -617,7 +622,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_ivf_batch(sf_dir):
         # Dataset-native batched ANN over the IVF partitions
         tag = sf_dir.strip("/").replace("/", "_")
-        ivf_dir = f"/tmp/ser_ivf_cache/{tag}"
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
         emb = _read(sf_dir, "embeddings")
         if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
             ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)

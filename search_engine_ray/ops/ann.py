@@ -223,9 +223,15 @@ class IVFIndex:
             )
 
         os.makedirs(index_dir, exist_ok=True)
-        ds.map_batches(_assign, batch_format="pyarrow").write_parquet(
-            os.path.join(index_dir, "vectors"), partition_cols=["cluster"]
-        )
+        # repartition before the partitioned write: without it every
+        # input block writes one tiny file per cluster it touches
+        # (blocks x clusters files), and the query-side read pays per-
+        # file metadata costs. n_clusters blocks -> ~one file per
+        # cluster; n_clusters grows with corpus size, so blocks stay
+        # bounded at scale too.
+        ds.map_batches(_assign, batch_format="pyarrow").repartition(
+            max(n_clusters, 8)
+        ).write_parquet(os.path.join(index_dir, "vectors"), partition_cols=["cluster"])
         with open(os.path.join(index_dir, "centroids.json"), "w") as f:
             json.dump(
                 {"centroids": cent.tolist(), "vec_col": vec_col, "id_col": id_col}, f
@@ -253,36 +259,37 @@ class IVFIndex:
             for c in order[qi]:
                 probing.setdefault(int(c), []).append(qi)
 
-        reads = []
-        for c in sorted(probing):
-            files = _glob.glob(os.path.join(self.dir, "vectors", f"cluster={c}", "*.parquet"))
-            if not files:
-                continue
-            ds_c = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
-            cc = c
-
-            def _tag(t: pa.Table, _c=cc) -> pa.Table:
-                return t.append_column("cluster", pa.array(np.full(t.num_rows, _c, np.int32)))
-
-            reads.append(ds_c.map_batches(_tag, batch_format="pyarrow"))
-        if not reads:
+        # ONE packed read over the union of probed clusters' files —
+        # Ray bundles small files into few read tasks; per-cluster
+        # Datasets + union made one task per tiny file (measured 10x
+        # slower). Cluster membership is recomputed per batch from the
+        # broadcast centroids (the same argmax the build used), so no
+        # per-cluster tagging pass is needed.
+        files = [
+            f
+            for c in sorted(probing)
+            for f in _glob.glob(os.path.join(self.dir, "vectors", f"cluster={c}", "*.parquet"))
+        ]
+        if not files:
             return rd.from_arrow(
                 pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
                           "cos": pa.array([], pa.float64())})
             )
-        ds = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
+        ds = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
         vec_col, id_col = self.vec_col, self.id_col
+        centroids = self.centroids
 
         def _score(t: pa.Table) -> pa.Table:
             out_q, out_v, out_s = [], [], []
-            cl = t["cluster"].to_numpy()
+            m_all = _normalize(_to_matrix(t[vec_col], qn.shape[1]))
+            cl = np.argmax(m_all @ centroids.T, axis=1)
             for c in np.unique(cl):
-                sel = pa.array(cl == c)
-                sub = t.filter(sel)
+                sel = cl == c
                 qis = probing.get(int(c), [])
                 if not qis:
                     continue
-                m = _normalize(_to_matrix(sub[vec_col], qn.shape[1]))
+                m = m_all[sel]
+                sub = t.filter(pa.array(sel))
                 sims = m @ qn[qis].T
                 kk = min(k, m.shape[0])
                 ids = sub[id_col].to_numpy()
