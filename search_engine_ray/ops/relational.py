@@ -389,18 +389,49 @@ def facet_page(
     count}}} — the reference's `$facet` + Counter response shape
     (pipelines.py:28-42, app.py:377-378).
 
-    The input is materialized once: total + page + each facet column
-    are separate consumers, and an unmaterialized Dataset would re-run
-    the upstream filter/score per consumer (object-store blocks spill
-    under pressure, so this stays memory-safe at scale)."""
+    The input is materialized once: the page + the facet job are
+    separate consumers, and an unmaterialized Dataset would re-run the
+    upstream filter/score per consumer (object-store blocks spill
+    under pressure, so this stays memory-safe at scale).
+
+    ALL facet columns and the total ride ONE melt-style aggregate
+    (one (col, value) row per cell -> one groupby), instead of a
+    count job plus one value_counts job per column."""
     ds = ds.materialize()
-    total = ds.count()
     page = paginate(ds, sort_keys, skip, limit, descending).to_pandas()
     facets: dict[str, dict] = {}
-    for col in facet_cols:
-        vc = value_counts(ds, col).to_pandas()
-        facets[col] = dict(zip(vc[col], vc["cnt"]))
-    return {"total": int(total), "data": page, "facets": facets}
+    if facet_cols:
+        cols = list(facet_cols)
+
+        def _melt(t: pa.Table) -> pa.Table:
+            parts = [
+                pa.table(
+                    {
+                        "facet_col": pa.array([c] * t.num_rows, pa.string()),
+                        # fill_null: a null group key must still count
+                        # toward the total (and show in the sidebar)
+                        "facet_val": pc.fill_null(pc.cast(t[c], pa.string()), "__null__"),
+                    }
+                )
+                for c in cols
+            ]
+            return pa.concat_tables(parts)
+
+        vc = (
+            ds.map_batches(_melt, batch_format="pyarrow")
+            .groupby(["facet_col", "facet_val"])
+            .aggregate(Count(alias_name="cnt"))
+            .to_pandas()
+        )
+        for c in cols:
+            sub = vc[vc["facet_col"] == c]
+            facets[c] = dict(zip(sub["facet_val"], sub["cnt"].astype(int)))
+        # the total falls out of the same aggregate (every row
+        # contributes exactly one cell per facet column)
+        total = int(vc[vc["facet_col"] == cols[0]]["cnt"].sum())
+    else:
+        total = int(ds.count())
+    return {"total": total, "data": page, "facets": facets}
 
 
 def explode_list(ds: Dataset, list_col: str, out_col: str, keep: Sequence[str]) -> Dataset:
