@@ -29,7 +29,9 @@ import time
 
 SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
 NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "40000"))
+# 200k: at 40k the build is startup-dominated (~5s of ~8s) and the
+# docs/s headline mostly measured Ray session warm-up + host noise
+BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "200000"))
 CORPUS_DIR = f"/tmp/bench_corpus_{BENCH_DOCS}"
 QUERY_SET = [
     "import", "tokenizer", "build_index merge_shards", "inverted index",
