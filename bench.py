@@ -183,7 +183,8 @@ def run_single(num_cpus: int, with_sf: bool) -> dict:
     }
 
 
-SCALE_DOCS = int(os.environ.get("SCALE_DOCS", "600000"))
+# 1.2M: fixed session/job costs (~2s) distort the ratio at 600k
+SCALE_DOCS = int(os.environ.get("SCALE_DOCS", "1200000"))
 SCALE_N = int(os.environ.get("SCALE_N", "4"))  # N vs 4N cpus
 
 

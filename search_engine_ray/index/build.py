@@ -586,8 +586,12 @@ def build_index(
             },
         }
 
+    # merge tasks are memory-bandwidth-heavy (whole-partition lexsort +
+    # varbyte encode); SER_MERGE_CPUS>1 reserves extra cpu slots per
+    # task to cap concurrent merges on bandwidth-starved hosts
+    merge_cpus = float(os.environ.get("SER_MERGE_CPUS", "1"))
     futs = [
-        _merge_part.remote(
+        _merge_part.options(num_cpus=merge_cpus).remote(
             k,
             os.path.join(tmp_dir, "partials", f"part={k}"),
             os.path.join(tmp_dir, "postings"),
