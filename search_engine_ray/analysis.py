@@ -124,6 +124,125 @@ def soundex(token: str) -> str:
     return (first.upper() + "".join(codes) + "000")[:4]
 
 
+_VOWELS = frozenset("aeiou")
+
+
+def metaphone(token: str) -> str:
+    """Classic Metaphone (Lawrence Philips, 1990 — public algorithm,
+    implemented from the published rule set): the phonetic key family
+    the reference's dormant metaphone.py used (double-metaphone's
+    predecessor). Index and query share this exact function, so
+    self-consistency — not parity with any particular library — is
+    what matters. Non-alpha tokens pass through unchanged."""
+    t = token.lower()
+    if not t or not t[0].isalpha():
+        return t
+    t = "".join(ch for ch in t if ch.isalpha())
+    # initial-cluster transformations
+    for pre, rep in (("ae", "e"), ("gn", "n"), ("kn", "n"), ("pn", "n"),
+                     ("wr", "r"), ("wh", "w")):
+        if t.startswith(pre):
+            t = rep + t[len(pre):]
+            break
+    if t.startswith("x"):
+        t = "s" + t[1:]
+    out: list[str] = []
+    i, n = 0, len(t)
+    while i < n:
+        c = t[i]
+        # drop duplicate adjacent letters except c
+        if i > 0 and c == t[i - 1] and c != "c":
+            i += 1
+            continue
+        nxt = t[i + 1] if i + 1 < n else ""
+        nxt2 = t[i + 2] if i + 2 < n else ""
+        prev = t[i - 1] if i > 0 else ""
+        if c in _VOWELS:
+            if i == 0:
+                out.append(c.upper())
+        elif c == "b":
+            if not (i == n - 1 and prev == "m"):  # -mb is silent b
+                out.append("B")
+        elif c == "c":
+            if nxt == "i" and nxt2 == "a":  # -cia-
+                out.append("X")
+            elif nxt == "h":
+                out.append("K" if prev == "s" else "X")  # sch -> k
+            elif nxt in "iey":
+                out.append("S")
+            else:
+                out.append("K")
+        elif c == "d":
+            if nxt == "g" and nxt2 in "eiy":
+                out.append("J")
+                i += 1  # the g is consumed by dge/dgi/dgy
+            else:
+                out.append("T")
+        elif c == "g":
+            if nxt == "h" and not (i + 2 < n and t[i + 2] in _VOWELS):
+                pass  # -gh- not before vowel: silent
+            elif nxt == "n":
+                pass  # -gn(ed): silent
+            elif nxt in "iey":
+                out.append("J")
+            else:
+                out.append("K")
+        elif c == "h":
+            if prev in _VOWELS and nxt not in _VOWELS:
+                pass  # vowel-h-consonant: silent
+            elif prev in "csptg":
+                pass  # handled by the preceding consonant's rule
+            else:
+                out.append("H")
+        elif c == "k":
+            if prev != "c":
+                out.append("K")
+        elif c == "p":
+            out.append("F" if nxt == "h" else "P")
+        elif c == "q":
+            out.append("K")
+        elif c == "s":
+            if nxt == "h":
+                out.append("X")
+            elif nxt == "i" and nxt2 in "oa":  # -sio-, -sia-
+                out.append("X")
+            else:
+                out.append("S")
+        elif c == "t":
+            if nxt == "i" and nxt2 in "oa":  # -tio-, -tia-
+                out.append("X")
+            elif nxt == "h":
+                out.append("0")  # theta
+            elif nxt == "c" and nxt2 == "h":
+                pass  # -tch-: silent t
+            else:
+                out.append("T")
+        elif c == "v":
+            out.append("F")
+        elif c == "w":
+            if nxt in _VOWELS:
+                out.append("W")
+        elif c == "x":
+            out.append("KS")
+        elif c == "y":
+            if nxt in _VOWELS:
+                out.append("Y")
+        elif c in "fjlmnr":
+            out.append(c.upper())
+        elif c == "z":
+            out.append("S")
+        i += 1
+    return "".join(out)
+
+
+# registry: FieldSpec.phonetic_algo selects the key function; index
+# and query resolve through the same entry (SURVEY §2.5b analyzers)
+PHONETIC_ALGOS: dict[str, "callable"] = {
+    "soundex": soundex,
+    "metaphone": metaphone,
+}
+
+
 def edge_ngrams(token: str, n_min: int, n_max: int) -> list[str]:
     """Edge n-grams for autocomplete (reference `$search.autocomplete`,
     edge-gram analyzer): prefixes of length n_min..min(n_max, len).

@@ -44,9 +44,12 @@ class FieldSpec:
     ngram: bool = False
     ngram_min: int = 2
     ngram_max: int = 8
-    # S9 sounds-like: additionally index each token's soundex key
+    # S9 sounds-like: additionally index each token's phonetic key
     # under the "<code>~:" namespace (reference metaphone.py, dormant)
     phonetic: bool = False
+    # which key function (analysis.PHONETIC_ALGOS): "soundex" (default)
+    # or "metaphone" (classic Metaphone, the reference family)
+    phonetic_algo: str = "soundex"
 
 
 @dataclass(frozen=True)
@@ -101,12 +104,12 @@ class IndexConfig:
         return f"{spec.code}>:{gram}"
 
     def phonetic_key(self, field_name: str, token: str) -> str:
-        from search_engine_ray.analysis import soundex
+        from search_engine_ray.analysis import PHONETIC_ALGOS
 
         spec = self.field_by_name(field_name)
         if not spec.phonetic:
             raise ValueError(f"field {field_name!r} has no phonetic terms")
-        return f"{spec.code}~:{soundex(token)}"
+        return f"{spec.code}~:{PHONETIC_ALGOS[spec.phonetic_algo](token)}"
 
 
 def term_part(term: str, num_parts: int) -> int:

@@ -319,15 +319,16 @@ class TokenizePartials:
                         out,
                     )
             if spec.phonetic and len(toks):
-                # S9 sounds-like namespace: soundex key per token —
+                # S9 sounds-like namespace: phonetic key per token —
                 # computed on the batch's UNIQUE tokens only (Arrow
                 # dictionary), expanded back per token with one take
                 # (so _partials re-merges same-key-different-token tfs)
-                from search_engine_ray.analysis import soundex
+                from search_engine_ray.analysis import PHONETIC_ALGOS
 
+                algo = PHONETIC_ALGOS[spec.phonetic_algo]
                 denc = toks.dictionary_encode()
                 keys = pa.array(
-                    [soundex(u) for u in denc.dictionary.to_pylist()], pa.string()
+                    [algo(u) for u in denc.dictionary.to_pylist()], pa.string()
                 )
                 phon = keys.take(denc.indices)
                 self._partials(f"{spec.code}~:", phon, doc_ix, dls, uids, out)

@@ -88,11 +88,12 @@ def _leaf_tf_df(oix: OracleIndex, leaf) -> tuple[np.ndarray, int]:
         for i, ts in enumerate(toks):
             tf[i] = sum(1 for t in ts if t.startswith(p))
     elif isinstance(leaf, Phonetic):
-        from search_engine_ray.analysis import soundex
+        from search_engine_ray.analysis import PHONETIC_ALGOS
 
-        key = soundex(leaf.token)
+        algo = PHONETIC_ALGOS[oix.config.field_by_name(leaf.field).phonetic_algo]
+        key = algo(leaf.token)
         for i, ts in enumerate(toks):
-            tf[i] = sum(1 for t in ts if soundex(t) == key)
+            tf[i] = sum(1 for t in ts if algo(t) == key)
     else:
         raise TypeError(type(leaf))
     return tf, int((tf > 0).sum())

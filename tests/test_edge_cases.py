@@ -270,3 +270,25 @@ def test_compaction_respects_derived_num_parts(ray_session, tiny_corpus, tmp_pat
     assert after.total == before.total - 3
     assert not set(victims) & set(after.hits["doc_id"])
     assert eng2.stats["n_docs"] == tiny_corpus.num_rows - 3
+
+
+def test_empty_corpus_build_and_search(ray_session, tmp_path):
+    """Zero-row input: build succeeds with n_docs=0 and queries return
+    empty exact results (no crash anywhere in the pipeline)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index import build_index
+
+    t = pa.table(
+        {c: pa.array([], pa.string()) for c in ("repo", "path", "commit", "lang", "content")}
+    )
+    src = str(tmp_path / "empty.parquet")
+    pq.write_table(t, src)
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "empty_idx")
+    stats = build_index(src, out, cfg)
+    assert stats["n_docs"] == 0
+    eng = SearchEngine(out, cfg)
+    r = eng.search(Compound(must=(Term("content", "x"),)), k=5)
+    assert r.total == 0 and r.total_exact

@@ -211,3 +211,44 @@ def test_prefix_expansion_overlapping_term(engine):
     # every matched doc gains the overlapping expansion's contribution
     merged = res.hits.merge(base.hits, on="doc_id", suffixes=("_dup", "_single"))
     assert (merged["score_dup"] > merged["score_single"]).all()
+
+
+def test_phonetic_metaphone_algo(ray_session, tmp_path):
+    """S9 with the classic-Metaphone key family (the reference's
+    dormant metaphone.py lineage): 'nite' finds 'knight'; engine
+    matches the brute-force oracle under the same algorithm."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.analysis import metaphone
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query.qast import Phonetic
+
+    assert metaphone("knight") == metaphone("night") == "NT"
+    assert metaphone("phone") == metaphone("fone")
+    assert metaphone("smith") != metaphone("lorenzo")
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 4,
+            "path": [f"f{i}.py" for i in range(4)],
+            "commit": ["c" * 40] * 4,
+            "lang": ["python"] * 4,
+            "content": ["the knight rides", "at night we code", "fone home", "lorenzo"],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c", phonetic=True, phonetic_algo="metaphone"),),
+        num_buckets=2,
+        num_parts=2,
+    )
+    out = str(tmp_path / "mp")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Phonetic("content", "nite"),))
+    res = eng.search(q, k=5, with_metadata=False)
+    ora = oracle_search(build_oracle(t, cfg), q, k=5)
+    assert res.total == 2  # knight + night
+    assert_parity(res, ora)
