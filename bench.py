@@ -208,8 +208,9 @@ def _hw_capacity(procs: int, seconds: float = 2.0) -> float:
         return float(sum(p.map(_spin, [seconds] * procs)))
 
 
-def scale_build_once(num_cpus: int, n_docs: int) -> float:
-    """Fresh-process single build (pool pre-warmed), returns docs/s."""
+def scale_build_once(num_cpus: int, n_docs: int) -> dict:
+    """Fresh-process single build (pool pre-warmed) + warm concurrent
+    query throughput over the built index: {docs_per_sec, qps}."""
     from search_engine_ray.config import IndexConfig
     from search_engine_ray.corpus import write_corpus
     from search_engine_ray.index import build_index
@@ -232,10 +233,29 @@ def scale_build_once(num_cpus: int, n_docs: int) -> float:
     rd.range(100000).map_batches(lambda b: b).materialize()  # warm pool
     cfg = IndexConfig(num_buckets=32, num_parts=16)
     t0 = time.perf_counter()
-    stats = build_index(corpus, f"/tmp/bench_scale_idx_{num_cpus}", cfg)
+    idx_dir = f"/tmp/bench_scale_idx_{num_cpus}"
+    stats = build_index(corpus, idx_dir, cfg)
     dt = time.perf_counter() - t0
+    # query-side throughput at this cpu level (north rule reports BM25
+    # latency/throughput alongside the build): warm scatter-gather
+    # pool, 8 concurrent clients over the fixed query set
+    from concurrent.futures import ThreadPoolExecutor
+
+    from search_engine_ray.query import SearchEngine, plan_keyword
+
+    eng = SearchEngine(idx_dir, cfg)
+    eng.prewarm()
+    plans = [
+        plan_keyword(kw, text_field="content", prefix_fields=("path", "repo"))
+        for kw in QUERY_SET
+    ] * 3
+    list(map(lambda q: eng.search(q, k=10, with_metadata=False), plans[:4]))  # warm postings
+    tq = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda q: eng.search(q, k=10, with_metadata=False), plans))
+    qps = len(plans) / (time.perf_counter() - tq)
     ray.shutdown()
-    return stats["n_docs"] / dt
+    return {"docs_per_sec": stats["n_docs"] / dt, "qps": qps}
 
 
 SCALE_REPS = int(os.environ.get("SCALE_REPS", "3"))
@@ -255,19 +275,23 @@ def run_scaling() -> dict:
     ceiling a perfectly-scaling system could reach on this box."""
     levels = (SCALE_N, 4 * SCALE_N)
 
-    def _one(n: int) -> float:
+    def _one(n: int) -> dict:
         proc = subprocess.run(
             [sys.executable, os.path.abspath(__file__), "--scale-build", str(n)],
             capture_output=True, text=True, timeout=3600,
             cwd=os.path.dirname(os.path.abspath(__file__)),
         )
         line = [l for l in proc.stdout.strip().splitlines() if l.startswith("{")][-1]
-        return float(json.loads(line)["docs_per_sec"])
+        return json.loads(line)
 
     pairs = []
+    qps = {levels[0]: [], levels[1]: []}
     for _ in range(SCALE_REPS):
-        lo = _one(levels[0])
-        hi = _one(levels[1])
+        lo_r = _one(levels[0])
+        hi_r = _one(levels[1])
+        lo, hi = float(lo_r["docs_per_sec"]), float(hi_r["docs_per_sec"])
+        qps[levels[0]].append(float(lo_r["qps"]))
+        qps[levels[1]].append(float(hi_r["qps"]))
         pairs.append((lo, hi, hi / (4.0 * lo)))
     best_lo = max(p[0] for p in pairs)
     best_hi = max(p[1] for p in pairs)
@@ -289,6 +313,9 @@ def run_scaling() -> dict:
             "pair_efficiencies": [round(p[2], 3) for p in pairs],
             "hw_capacity_ratio": round(hw_ratio, 2),
             "efficiency_vs_hw_ceiling": round(eff_vs_hw, 3),
+            f"query_qps_{levels[0]}cpu": round(max(qps[levels[0]]), 1),
+            f"query_qps_{levels[1]}cpu": round(max(qps[levels[1]]), 1),
+            "query_qps_ratio": round(max(qps[levels[1]]) / max(qps[levels[0]]), 2),
         },
         "sf": SF_DIR,
         "num_cpus": levels[1],
@@ -300,7 +327,7 @@ if __name__ == "__main__":
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--scale-build":
-        print(json.dumps({"docs_per_sec": scale_build_once(int(sys.argv[2]), SCALE_DOCS)}))
+        print(json.dumps(scale_build_once(int(sys.argv[2]), SCALE_DOCS)))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         # internal: one fresh-process build+query run (no sf pipelines)
         print(json.dumps(run_single(int(sys.argv[2]), with_sf=False)))

@@ -524,6 +524,8 @@ class SearchEngine:
         self._refresh_tombstones()
         self.num_scorers = min(num_scorers, self.config.num_buckets)
         self._actors: list | None = None
+        # (dir, part) -> dictionary table, loaded lazily per touched part
+        self._dict_tables: dict[tuple[str, int], pa.Table] = {}
 
     def _refresh_tombstones(self) -> None:
         tdir = os.path.join(self.index_dir, "tombstones")
@@ -585,40 +587,59 @@ class SearchEngine:
         return sum(ray.get([a.warm.remote() for a in self._scorer_pool()]))
 
     # ---- dictionary -------------------------------------------------
+    def _dict_table(self, d: str, part: int) -> pa.Table:
+        """One (shard dir, part)'s dictionary, loaded once and cached
+        in-engine. Re-reading the dict parquet from the driver on EVERY
+        query was the serial bottleneck capping concurrent QPS (~12
+        regardless of cluster size). The cache is bounded by the
+        DICTIONARY (vocabulary x 16 bytes), not the corpus, and only
+        the parts a query actually touches load; at extreme vocabulary
+        sizes move the lookup into the scorer actors instead."""
+        key = (d, part)
+        t = self._dict_tables.get(key)
+        if t is None:
+            files = glob.glob(os.path.join(d, "dict", f"part={part}", "*.parquet"))
+            if files:
+                t = pads.dataset(files).to_table(columns=["term", "df"]).combine_chunks()
+            else:
+                t = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+            self._dict_tables[key] = t
+        return t
+
     def _df_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
         if not term_keys:
             return {}
         # explicit partition pruning: a query for Q terms touches <= Q
         # part directories (part = hash(term) % num_parts)
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
-        flt = pc.field("term").isin(list(term_keys))
+        keyset = pa.array(sorted(set(term_keys)))
         out: dict[str, int] = {}
         for d in self.dirs:
-            files = [
-                f
-                for k in parts
-                for f in glob.glob(os.path.join(d, "dict", f"part={k}", "*.parquet"))
-            ]
-            if not files:
-                continue
-            t = pads.dataset(files).to_table(columns=["term", "df"], filter=flt)
-            for tk, df in zip(t["term"].to_pylist(), t["df"].to_pylist()):
-                out[tk] = out.get(tk, 0) + int(df)
+            for k in parts:
+                t = self._dict_table(d, k)
+                if not t.num_rows:
+                    continue
+                sub = t.filter(pc.is_in(t["term"], value_set=keyset))
+                for tk, df in zip(sub["term"].to_pylist(), sub["df"].to_pylist()):
+                    out[tk] = out.get(tk, 0) + int(df)
         return out
 
     def _expand_prefix(self, leaf: Prefix) -> list[str]:
         """Dictionary range-scan fallback when the prefix is outside the
-        edge-n-gram window (S2 'sorted-term-dictionary range scan')."""
+        edge-n-gram window (S2 'sorted-term-dictionary range scan') —
+        in-memory over the cached dict tables (range scans cannot prune
+        by term-hash part, so every part's dictionary is consulted)."""
         spec = self.config.field_by_name(leaf.field)
         lo = f"{spec.code}:{leaf.prefix}"
         hi = f"{spec.code}:{leaf.prefix}\U0010ffff"
-        flt = (pc.field("term") >= lo) & (pc.field("term") < hi)
         keys: set[str] = set()
         for d in self.dirs:
-            # range scan cannot prune by term-hash part: read all parts'
-            # dictionary rows (term column only; row-group stats prune)
-            dsd = pads.dataset(os.path.join(d, "dict"))
-            keys.update(dsd.to_table(columns=["term"], filter=flt)["term"].to_pylist())
+            for k in range(self.config.num_parts):
+                t = self._dict_table(d, k)
+                if not t.num_rows:
+                    continue
+                m = pc.and_(pc.greater_equal(t["term"], lo), pc.less(t["term"], hi))
+                keys.update(t.filter(m)["term"].to_pylist())
         out = sorted(keys)
         return out[: self.config.max_prefix_expansions]
 
