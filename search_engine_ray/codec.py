@@ -22,22 +22,24 @@ import numpy as np
 _THRESHOLDS = [np.uint64(1) << np.uint64(7 * i) for i in range(1, 10)]
 
 
-def varbyte_encode(values: np.ndarray) -> bytes:
-    """Encode a uint64/int64 (non-negative) array to varbyte bytes."""
+def varbyte_encode(values: np.ndarray, nb: np.ndarray | None = None) -> bytes:
+    """Encode a uint64/int64 (non-negative) array to varbyte bytes.
+
+    `nb` is the optional precomputed output of varbyte_byte_lengths for
+    the same values — callers that already need the lengths (for block
+    offset math) pass it back in to skip a second 9-pass scan."""
     v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
     if v.size == 0:
         return b""
-    # bytes needed per value: 1 + number of thresholds <= value
-    nb = np.ones(v.shape, dtype=np.int64)
-    for t in _THRESHOLDS:
-        nb += (v >= t).astype(np.int64)
+    if nb is None:
+        nb = varbyte_byte_lengths(v)
     ends = np.cumsum(nb)
     starts = ends - nb
     out = np.empty(int(ends[-1]), dtype=np.uint8)
-    for i in range(10):
+    # loop bound = widest value's byte count, not the format maximum:
+    # tf/dl streams are 1-2 bytes wide, so this is 1-2 passes, not 10
+    for i in range(int(nb.max())):
         mask = nb > i
-        if not mask.any():
-            break
         byte = ((v[mask] >> np.uint64(7 * i)) & np.uint64(0x7F)).astype(np.uint8)
         cont = (nb[mask] - 1) > i
         byte[cont] |= 0x80
@@ -68,7 +70,14 @@ def varbyte_byte_lengths(values: np.ndarray) -> np.ndarray:
     """Encoded byte length per value (for block offset computation)."""
     v = np.ascontiguousarray(values).astype(np.uint64, copy=False)
     nb = np.ones(v.shape, dtype=np.int64)
+    if v.size == 0:
+        return nb
+    # stop at the widest value actually present: each threshold test is
+    # a full-array pass, and small-int streams (tf, dl) need only one
+    vmax = v.max()
     for t in _THRESHOLDS:
+        if vmax < t:
+            break
         nb += (v >= t).astype(np.int64)
     return nb
 
