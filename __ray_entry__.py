@@ -541,11 +541,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_quality_score(docs, "text").drop_columns(["text"])
 
-    def t_lang_id(sf_dir):  # rows-only (heuristic, no SQL analog)
+    def t_lang_id(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_lang_id(docs, "text").drop_columns(["text"])
 
-    def t_rolling_fp(sf_dir):  # rows-only
+    def t_rolling_fp(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_rolling_fingerprint(docs, "text").drop_columns(["text"])
 
@@ -959,6 +959,68 @@ UNION ALL
 SELECT 'spark', count(*) FROM tok
 WHERE len(list_filter(ts, t -> t = 'spark')) > 0
 """
+    # t_lang_id: marker-hit counts per profile (list_filter lambda) +
+    # a CASE cascade in sorted profile-code order. At stage i the
+    # condition only compares against LATER codes: if every earlier
+    # stage failed, the global max lives in {i..end}, so "h_i >= all
+    # later" picks exactly np.argmax's first-max tiebreak. CJK
+    # override (first 2000 chars) wins, like the Arrow path.
+    from search_engine_ray.ops.text import _LANG_MARKERS
+
+    plain_toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')"
+    lang_codes = sorted(k for k, v in _LANG_MARKERS.items() if v)
+    hit_cols = ", ".join(
+        "len(list_filter(ts, t -> t IN ({}))) AS h_{}".format(
+            ", ".join(f"'{w}'" for w in sorted(_LANG_MARKERS[c])), c
+        )
+        for c in lang_codes
+    )
+    argmax_cases = " ".join(
+        "WHEN {} THEN '{}'".format(
+            " AND ".join([f"h_{c} >= h_{o}" for o in lang_codes[i + 1 :]] or ["TRUE"]), c
+        )
+        for i, c in enumerate(lang_codes)
+    )
+    lang_sql = f"""
+WITH tok AS (SELECT doc_id, text, {plain_toks} AS ts FROM documents),
+hits AS (SELECT doc_id, text, {hit_cols} FROM tok)
+SELECT doc_id,
+  CASE WHEN regexp_matches(substr(coalesce(text, ''), 1, 2000), '[一-鿿]') THEN 'zh'
+       WHEN greatest({", ".join("h_" + c for c in lang_codes)}) = 0 THEN 'und'
+       {argmax_cases} END AS lang_id
+FROM hits
+"""
+    # t_rolling_fp: token hash = md5_number_upper (first 8 md5 bytes
+    # little-endian, the Python side's exact definition); 5-token
+    # Horner rolling hash with mod 2^64 after every multiply (HUGEINT
+    # intermediates stay < 2^85, uint64 wraparound == mod 2^64); min
+    # over full windows, min raw hash for <5-token docs, 0 for empty;
+    # final two's-complement fold to BIGINT matches astype(int64)
+    M = "18446744073709551616::HUGEINT"
+    H = "9223372036854775808::HUGEINT"
+    wh = (
+        f"((((((((lag(th, 4) OVER w) * 1000003) % {M} + lag(th, 3) OVER w) * 1000003) % {M}"
+        f" + lag(th, 2) OVER w) * 1000003 % {M} + lag(th, 1) OVER w) * 1000003 % {M} + th) % {M})"
+    )
+    fold = "CASE WHEN {v} >= " + H + " THEN {v} - " + M + " ELSE {v} END"
+    rolling_sql = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({plain_toks}) AS tk,
+         unnest(range(1, len({plain_toks}) + 1)) AS pos
+  FROM documents),
+h AS (SELECT doc_id, pos, md5_number_upper(tk)::HUGEINT AS th FROM tok),
+win AS (
+  SELECT doc_id, th, {wh} AS wh
+  FROM h WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+agg AS (
+  SELECT doc_id, count(*) AS n_tok, min(th) AS min_t, min(wh) AS min_w
+  FROM win GROUP BY doc_id)
+SELECT d.doc_id,
+  CAST(CASE WHEN a.doc_id IS NULL THEN 0
+            WHEN a.n_tok < 5 THEN {fold.format(v="a.min_t")}
+            ELSE {fold.format(v="a.min_w")} END AS BIGINT) AS rolling_fp
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
     return {
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
@@ -1155,6 +1217,7 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "ORDER BY n_chars DESC, doc_id LIMIT 15"
         ),
         "pipe_grouped_search": grouped_search_sql,
-        # rows-only (non-SQL-expressible): t_lang_id, t_rolling_fp
-        # (heuristics), mm_features (stubbed decode)
+        "t_lang_id": lang_sql,
+        "t_rolling_fp": rolling_sql,
+        # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }

@@ -136,7 +136,8 @@ def add_lang_id(ds: Dataset, text_col: str = "text") -> Dataset:
     codepoints -> zh; otherwise the language whose marker-stopword
     hit-count is highest (ties broken by language code; 'und' when no
     marker hits). Marker hits counted with one is_in + bincount per
-    profile. Not SQL-expressible -> rows-only driver check."""
+    profile. SQL value oracle: list_filter hit counts + a CASE-cascade
+    argmax in profile order (``oracle_sql()['t_lang_id']``)."""
     profiles = sorted((k, v) for k, v in _LANG_MARKERS.items() if v)
 
     def _f(t: pa.Table) -> pa.Table:
@@ -170,7 +171,11 @@ def add_rolling_fingerprint(ds: Dataset, text_col: str = "text", window: int = 5
     md5-derived but computed once per DISTINCT token (factorize), and
     the rolling pass runs over the whole batch's flat token stream
     with doc boundaries masked — no per-doc Python loop.
-    Deterministic; rows-only driver check (no SQL analog)."""
+
+    The token hash is the first 8 md5 digest bytes LITTLE-endian —
+    exactly DuckDB's ``md5_number_upper`` — so the whole op (Horner
+    rolling hash mod 2^64 included) has an exact SQL value oracle
+    (``__ray_entry__.oracle_sql()['t_rolling_fp']``)."""
     B = np.uint64(1_000_003)
     w = int(window)
 
@@ -182,7 +187,7 @@ def add_rolling_fingerprint(ds: Dataset, text_col: str = "text", window: int = 5
             codes, uniq = pd.factorize(toks, sort=False)
             uh = np.fromiter(
                 (
-                    int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "big")
+                    int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "little")
                     for u in uniq
                 ),
                 dtype=np.uint64,

@@ -241,6 +241,54 @@ def test_lang_id_and_rolling_fp(documents):
     assert fp.sort_values("doc_id")["rolling_fp"].tolist() == fp2.sort_values("doc_id")["rolling_fp"].tolist()
 
 
+def test_lang_and_rolling_sql_oracles_on_crafted_docs(ray_session):
+    """Pin the SQL-oracle semantics of add_lang_id / add_rolling_fingerprint
+    on inputs the synthetic corpus never produces: non-English profiles,
+    argmax ties (first-max in sorted code order), CJK override, the
+    2000-char CJK scan cap, <window-token docs, empty and NULL text."""
+    import ray.data as rd
+
+    import __ray_entry__ as E
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": list(range(10)),
+            "text": [
+                "der hund und die katze ist nicht ein problem mit von auf",  # de
+                "le chat est dans la maison et les chiens pour sur",  # fr
+                "the cat der hund",  # tie en/de on 2 hits -> de (sorted first)
+                "漢字のテキスト 中文文本",  # CJK -> zh
+                ("x " * 1200) + " 漢字",  # CJK past the 2000-char cap -> NOT zh
+                "for to of",  # en, 3 tokens (< window) -> min raw hash
+                "one two three four five six seven",  # no markers -> und, full window
+                "",  # empty -> 0 fingerprint, und
+                None,  # NULL text
+                "el perro y la casa es una del en por para",  # es
+            ],
+        }
+    )
+    ds = rd.from_pandas(docs)
+    lang = txt.add_lang_id(ds, "text").to_pandas().sort_values("doc_id").reset_index(drop=True)
+    fp = (
+        txt.add_rolling_fingerprint(ds, "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert lang["lang_id"].tolist() == [
+        "de", "fr", "de", "zh", "und", "en", "und", "und", "und", "es",
+    ]
+    assert fp.loc[7, "rolling_fp"] == 0 and fp.loc[8, "rolling_fp"] == 0
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    osql = E.oracle_sql()
+    lang_sql = con.execute(osql["t_lang_id"]).df().sort_values("doc_id").reset_index(drop=True)
+    fp_sql = con.execute(osql["t_rolling_fp"]).df().sort_values("doc_id").reset_index(drop=True)
+    assert lang["lang_id"].tolist() == lang_sql["lang_id"].tolist()
+    assert fp["rolling_fp"].tolist() == fp_sql["rolling_fp"].astype("int64").tolist()
+
+
 def test_exact_dedup(ray_session, con):
     import ray.data as rd
 
