@@ -258,6 +258,77 @@ def scale_build_once(num_cpus: int, n_docs: int) -> dict:
     return {"docs_per_sec": stats["n_docs"] / dt, "qps": qps}
 
 
+def _qps_worker(idx_dir: str, num_cpus: int, n_rounds: int) -> dict:
+    """One query-serving replica: own Ray runtime (the sandbox analog
+    of one app-server process/node), engine + scorer pool over the
+    SHARED on-disk index, 8 concurrent clients over the fixed query
+    set. Prints {"qps": ...} — aggregated by run_qps_scaling."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from search_engine_ray.query import SearchEngine, plan_keyword
+
+    _init_ray(num_cpus)
+    import ray
+
+    eng = SearchEngine(idx_dir)
+    eng.prewarm()
+    plans = [
+        plan_keyword(kw, text_field="content", prefix_fields=("path", "repo"))
+        for kw in QUERY_SET
+    ] * n_rounds
+    list(map(lambda q: eng.search(q, k=10, with_metadata=False), plans[: len(QUERY_SET)]))
+    t0 = time.perf_counter()
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        list(pool.map(lambda q: eng.search(q, k=10, with_metadata=False), plans))
+    dt = time.perf_counter() - t0
+    ray.shutdown()
+    return {"qps": len(plans) / dt, "queries": len(plans), "seconds": round(dt, 2)}
+
+
+def run_qps_scaling() -> dict:
+    """Query-throughput scaling evidence: one engine's scatter-gather
+    QPS is RPC-bound and flat in cluster width (every query fans one
+    RPC per scorer), so throughput scales by ENGINE REPLICATION — the
+    reference's own model (gunicorn -w 2, start.sh:4). Measure R=1 vs
+    R=2 independent replica processes (each its own Ray runtime and
+    actor pool, both over the same on-disk index, 8 cpus each) and
+    report the aggregate-QPS ratio."""
+    idx_dir = f"/tmp/bench_scale_idx_16"
+    if not os.path.exists(os.path.join(idx_dir, "stats.json")):
+        scale_build_once(16, SCALE_DOCS)
+
+    def _spawn(n_replicas: int) -> float:
+        procs = [
+            subprocess.Popen(
+                [sys.executable, os.path.abspath(__file__), "--qps-worker", idx_dir, "8"],
+                stdout=subprocess.PIPE, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            for _ in range(n_replicas)
+        ]
+        total = 0.0
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            line = [l for l in out.strip().splitlines() if l.startswith("{")][-1]
+            total += float(json.loads(line)["qps"])
+        return total
+
+    q1 = _spawn(1)
+    q2 = _spawn(2)
+    return {
+        "metric": "query_qps_replication_1_to_2",
+        "value": round(q2 / q1, 3),
+        "unit": "ratio",
+        "queries": {
+            "qps_1_replica": round(q1, 1),
+            "qps_2_replicas_aggregate": round(q2, 1),
+        },
+        "sf": SF_DIR,
+        "num_cpus": 16,
+        "bench_docs": SCALE_DOCS,
+    }
+
+
 SCALE_REPS = int(os.environ.get("SCALE_REPS", "3"))
 
 
@@ -328,6 +399,10 @@ if __name__ == "__main__":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--scale-build":
         print(json.dumps(scale_build_once(int(sys.argv[2]), SCALE_DOCS)))
+    elif sys.argv[1:2] == ["--qps-scaling"]:
+        print(json.dumps(run_qps_scaling()))
+    elif len(sys.argv) > 3 and sys.argv[1] == "--qps-worker":
+        print(json.dumps(_qps_worker(sys.argv[2], int(sys.argv[3]), n_rounds=6)))
     elif len(sys.argv) > 2 and sys.argv[1] == "--single":
         # internal: one fresh-process build+query run (no sf pipelines)
         print(json.dumps(run_single(int(sys.argv[2]), with_sf=False)))

@@ -493,6 +493,7 @@ def build_index(
     # materializes the corpus.
     def _docmap_pass():
         # pass A: docmap (no tokenize)
+        _tp = _time.perf_counter()
         docmap_in_cols = list(config.id_cols) + [
             c for c in config.docmap_cols if c != "content_sha256"
         ] + [sha_col]
@@ -502,8 +503,10 @@ def build_index(
             .select_columns(["doc_id", "bucket", *config.docmap_cols])
         )
         docmap.write_parquet(os.path.join(tmp_dir, "docmap"), partition_cols=["bucket"])
+        timings["docmap_pass_s"] = round(_time.perf_counter() - _tp, 3)
 
     def _partials_pass():
+        _tp = _time.perf_counter()
         # pass B: postings partial runs (no sha256). THE exchange:
         # partial postings land on disk hive-partitioned by `part` —
         # each map task splits its OWN output across the part dirs, so
@@ -524,6 +527,7 @@ def build_index(
             )
         )
         partials.write_parquet(os.path.join(tmp_dir, "partials"), partition_cols=["part"])
+        timings["partials_pass_s"] = round(_time.perf_counter() - _tp, 3)
 
     from concurrent.futures import ThreadPoolExecutor
 
@@ -575,14 +579,24 @@ def build_index(
             os.makedirs(bdir, exist_ok=True)
             pq.write_table(enc.drop_columns(["part", "bucket"]), os.path.join(bdir, "data.parquet"))
             dict_parts.append(enc.select(["term", "df_local", "cf_local"]))
-        dd = pa.concat_tables(dict_parts).to_pandas()
-        dd = dd.groupby("term", sort=True).sum().reset_index()
-        dd = dd.rename(columns={"df_local": "df", "cf_local": "cf"})
+        # dict aggregate + term sort in Arrow (terms are ASCII — field
+        # code prefix + [a-z0-9_] tokens — so Arrow binary order ==
+        # the previous pandas sort order); pandas only touches the
+        # aggregated vocab-size result for the tiny cf-by-code map
+        agg = (
+            pa.concat_tables(dict_parts)
+            .group_by("term")
+            .aggregate([("df_local", "sum"), ("cf_local", "sum")])
+            .rename_columns(["term", "df", "cf"])
+            .sort_by("term")
+        )
+        dd = agg.select(["term", "df", "cf"])
         os.makedirs(os.path.dirname(dict_file), exist_ok=True)
-        pq.write_table(pa.Table.from_pandas(dd, preserve_index=False), dict_file)
-        codes = dd["term"].str.split(":", n=1).str[0]
+        pq.write_table(dd, dict_file)
+        ddf = dd.select(["term", "cf"]).to_pandas()
+        codes = ddf["term"].str.split(":", n=1).str[0]
         return {
-            "cf": dd.groupby(codes)["cf"].sum().to_dict(),
+            "cf": ddf.groupby(codes)["cf"].sum().to_dict(),
             # per-partition lineage/metrics (north rule): what was
             # merged, from which runs, how long it took
             "metrics": {
