@@ -67,6 +67,11 @@ from search_engine_ray.analysis import STOP_TOKENS
 from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
 from search_engine_ray.config import IndexConfig, derive_num_parts, term_part
 
+# On-disk postings layout version. v2 = rank-encoded doc streams (each
+# posting stores its rank in the bucket's sorted docmap universe, not the
+# raw 63-bit hash). Readers refuse other versions; bump on layout change.
+POSTINGS_FORMAT = 2
+
 
 def _input_bytes(source) -> int:
     """Best-effort input size estimate for the num_parts derivation:
@@ -351,14 +356,29 @@ def _list_from_offsets(offs: np.ndarray, values: pa.Array) -> pa.ListArray:
     return pa.ListArray.from_arrays(pa.array(offs, pa.int32()), values)
 
 
-def encode_bucket_terms(t: pa.Table, part: int, bucket: int, bs: int) -> pa.Table:
+def encode_bucket_terms(
+    t: pa.Table, part: int, bucket: int, bs: int, universe: np.ndarray
+) -> pa.Table:
     """Encode one (part, bucket) index partition's postings — EVERY
     term in a single vectorized pass (no per-term Python): with a
     code-corpus vocabulary (one near-unique identifier per file path)
     the number of distinct terms is O(corpus), so per-term Python calls
     are the difference between minutes and hours at scale.
 
-    Per term: merge partial lists, sort by doc_id, block-restart delta
+    Postings format v2 — RANK-encoded doc stream: `universe` is the
+    bucket's sorted doc_id array (its docmap partition); the stream
+    stores each posting's RANK in that universe, delta-encoded with
+    block restarts, instead of the raw 63-bit hash. Rank gaps average
+    D_bucket/df (1-2 varbyte bytes) where hash gaps average 2^63/df
+    (9 bytes) — ~6x smaller doc stream, and the merge lexsort runs on
+    int32 keys instead of int64 (half the sort bandwidth, the measured
+    scaling bottleneck). Rank order == hash order (monotone), so every
+    consumer translates ranks back through the SAME universe
+    immediately after decode and all downstream id logic is unchanged.
+    `blk_first` metadata stays in HASH space so block skipping
+    (query/wand.py) needs no universe until a block is decoded.
+
+    Per term: merge partial lists, sort by rank, block-restart delta
     + varbyte encode the doc/tf/dl streams (one varbyte_encode call for
     the WHOLE partition, per-term values are offset slices of that
     buffer), per-block skip/block-max metadata (first_doc, byte
@@ -383,10 +403,17 @@ def encode_bucket_terms(t: pa.Table, part: int, bucket: int, bs: int) -> pa.Tabl
     ids = lists.flatten().to_numpy()
     tfs = t["tfs"].combine_chunks().flatten().to_numpy().astype(np.int64)
     dls = t["dls"].combine_chunks().flatten().to_numpy().astype(np.int64)
-    post_code = np.repeat(codes.astype(np.int64), row_lens)
-    order = np.lexsort((ids, post_code))
-    ids, tfs, dls, post_code = ids[order], tfs[order], dls[order], post_code[order]
-    n = ids.size
+    # hash -> dense rank in the bucket universe, validated (a posting
+    # doc id absent from the docmap would corrupt the rank stream)
+    if universe.size >= 2**31:
+        raise ValueError("bucket universe exceeds int32 rank space; raise num_buckets")
+    ranks = np.searchsorted(universe, ids).astype(np.int32)
+    if ids.size and not np.array_equal(universe[ranks], ids):
+        raise ValueError(f"posting doc_id missing from docmap bucket={bucket}")
+    post_code = np.repeat(codes.astype(np.int32), row_lens)
+    order = np.lexsort((ranks, post_code))
+    ranks, tfs, dls, post_code = ranks[order], tfs[order], dls[order], post_code[order]
+    n = ranks.size
     # term boundaries (codes are 0..T-1, every code present)
     term_lens = np.bincount(post_code, minlength=len(uniq_terms)).astype(np.int64)
     term_starts = np.concatenate(([0], np.cumsum(term_lens)[:-1]))
@@ -394,11 +421,12 @@ def encode_bucket_terms(t: pa.Table, part: int, bucket: int, bs: int) -> pa.Tabl
     # block starts: every bs-th posting WITHIN its term
     pos_in_term = np.arange(n, dtype=np.int64) - np.repeat(term_starts, term_lens)
     blk_idx = np.nonzero(pos_in_term % bs == 0)[0]
-    # delta with restarts at block starts (term starts included)
-    gaps = np.empty_like(ids)
-    gaps[0:1] = ids[0:1]
-    np.subtract(ids[1:], ids[:-1], out=gaps[1:])
-    gaps[blk_idx] = ids[blk_idx]
+    # delta with restarts at block starts (term starts included) —
+    # rank gaps, int32 throughout (rank < 2^31 by the universe check)
+    gaps = np.empty_like(ranks)
+    gaps[0:1] = ranks[0:1]
+    np.subtract(ranks[1:], ranks[:-1], out=gaps[1:])
+    gaps[blk_idx] = ranks[blk_idx]
     # one varbyte encode per stream for the whole partition
     bl_doc = varbyte_byte_lengths(gaps)
     bl_tf = varbyte_byte_lengths(tfs)
@@ -414,7 +442,9 @@ def encode_bucket_terms(t: pa.Table, part: int, bucket: int, bs: int) -> pa.Tabl
     blk_term = post_code[blk_idx]
     blocks_per_term = np.bincount(blk_term, minlength=len(uniq_terms))
     blk_offs = np.concatenate(([0], np.cumsum(blocks_per_term)))
-    blk_first = ids[blk_idx]
+    # block-first stays a HASH doc id: skip logic compares it against
+    # query-side candidate ids without needing the universe
+    blk_first = universe[ranks[blk_idx]]
     # byte offsets of each block WITHIN its term's byte slices
     t_start_of_blk = term_starts[blk_term]
     blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
@@ -552,7 +582,9 @@ def build_index(
     bs = config.block_size
 
     @_ray.remote
-    def _merge_part(k: int, partial_dir: str, postings_dir: str, dict_file: str) -> dict:
+    def _merge_part(
+        k: int, partial_dir: str, postings_dir: str, dict_file: str, docmap_dir: str
+    ) -> dict:
         t0 = _time.perf_counter()
         files = glob.glob(os.path.join(partial_dir, "*.parquet"))
         if not files:
@@ -573,7 +605,15 @@ def build_index(
         n_buckets_seen = int(starts.size)
         for s, e in zip(starts, ends):
             b = int(barr[s])
-            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs)
+            # the bucket's rank universe: its docmap partition's sorted
+            # doc ids, read lazily per bucket (8 bytes/doc, column- and
+            # partition-pruned; at extreme scale slice merge tasks by
+            # (part, bucket range) so each reads only its buckets)
+            udir = os.path.join(docmap_dir, f"bucket={b}")
+            universe = np.sort(
+                pads.dataset(udir).to_table(columns=["doc_id"])["doc_id"].to_numpy()
+            )
+            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs, universe)
             n_postings += int(enc["df_local"].to_numpy().sum())
             bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
             os.makedirs(bdir, exist_ok=True)
@@ -619,6 +659,7 @@ def build_index(
             os.path.join(tmp_dir, "partials", f"part={k}"),
             os.path.join(tmp_dir, "postings"),
             os.path.join(tmp_dir, "dict", f"part={k}", "dict.parquet"),
+            os.path.join(tmp_dir, "docmap"),
         )
         for k in range(config.num_parts)
     ]
@@ -643,6 +684,7 @@ def build_index(
             cf_by_code[code] = cf_by_code.get(code, 0) + int(cf)
     timings["stats_pass_s"] = round(_time.perf_counter() - _t0, 3)
     stats = {
+        "postings_format": POSTINGS_FORMAT,
         "n_docs": int(n_docs),
         "fields": {
             f.name: {
@@ -738,6 +780,12 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
     # deleted docs and corrupting the recomputed avgdl/total_len
     with open(os.path.join(index_dir, "stats.json")) as f:
         _layout = json.load(f)
+    if _layout.get("postings_format") != POSTINGS_FORMAT:
+        raise ValueError(
+            f"index at {index_dir} has postings_format="
+            f"{_layout.get('postings_format')}; this build only reads v2 "
+            "(rank-encoded) postings — rebuild the index"
+        )
     if _layout.get("num_parts") or _layout.get("num_buckets"):
         from dataclasses import replace as _dc_replace
 
@@ -752,14 +800,21 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
     @_ray.remote
     def _compact_bucket(b: int) -> int:
         removed = 0
-        # docmap
+        # docmap; the PRE-filter doc set is the rank universe the
+        # existing postings were encoded against, the POST-filter set
+        # is the universe the rewritten postings use
+        old_parts: list[np.ndarray] = []
         for f in glob.glob(os.path.join(index_dir, "docmap", f"bucket={b}", "*.parquet")):
             t = pq.read_table(f)
             ids = t["doc_id"].to_numpy()
+            old_parts.append(ids)
             pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
             keep = tomb[pos] != ids
             removed += int((~keep).sum())
             pq.write_table(t.filter(pa.array(keep)), f)
+        old_univ = np.sort(np.concatenate(old_parts)) if old_parts else np.empty(0, np.int64)
+        upos = np.clip(np.searchsorted(tomb, old_univ), 0, tomb.size - 1)
+        new_univ = old_univ[tomb[upos] != old_univ]
         # postings: decode -> drop tombstoned -> re-encode per part
         for k in range(config.num_parts):
             files = glob.glob(
@@ -785,7 +840,8 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
             for ri in range(t.num_rows):
                 n = int(dfl[ri])
                 gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
-                ids = block_delta_decode(gaps, np.arange(0, n, bs, dtype=np.int64))
+                ranks = block_delta_decode(gaps, np.arange(0, n, bs, dtype=np.int64))
+                ids = old_univ[ranks]  # rank stream -> hash doc ids
                 pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
                 keep = tomb[pos] != ids
                 if keep.any():
@@ -814,7 +870,7 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
                         ),
                     }
                 )
-                enc = encode_bucket_terms(partial, k, b, bs)
+                enc = encode_bucket_terms(partial, k, b, bs, new_univ)
                 pq.write_table(enc.drop_columns(["part", "bucket"]), out_file)
         return removed
 

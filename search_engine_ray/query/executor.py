@@ -236,6 +236,7 @@ def score_postings_table(
     resolved_boosts: list[tuple],
     decode_cache: dict | None = None,
     row_keys: list | None = None,
+    row_univ: list | None = None,
 ) -> pa.Table:
     """Score one bucket's posting rows for a query. The ONE scoring
     core — used by the actor path, the Dataset path and tests.
@@ -246,7 +247,13 @@ def score_postings_table(
     after tombstone/compaction changes). row_keys MUST uniquely
     identify each posting row (several shards can hold rows for the
     same (bucket, term)); when absent, (bucket, term) is used — only
-    valid for single-shard reads."""
+    valid for single-shard reads.
+
+    row_univ: per-row rank universe (the owning SHARD's sorted docmap
+    doc_id array for this bucket) — postings format v2 stores doc
+    ranks, translated to hash ids right after decode. When absent the
+    bucket's merged docmap is used, which equals the shard universe
+    only for single-shard reads (same caveat as row_keys)."""
     # term -> ALL owning (leaf, idf) pairs: the same term key may back
     # several clauses (same token in must AND should, or a
     # dictionary-expanded Prefix overlapping another clause's exact
@@ -260,7 +267,11 @@ def score_postings_table(
     if spec.prune:
         from search_engine_ray.query.wand import score_or_query_pruned
 
-        ids, scores, scanned = score_or_query_pruned(t, spec, term_to_leaves, spec.n_take)
+        if row_univ is None:
+            row_univ = [dmc.get(bucket, ())["doc_id"]] * t.num_rows
+        ids, scores, scanned = score_or_query_pruned(
+            t, spec, term_to_leaves, spec.n_take, row_univ
+        )
         return _result_table(ids, scores, scanned, [])
 
     terms = t["term"].to_pylist()
@@ -286,7 +297,11 @@ def score_postings_table(
             else:
                 gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
                 block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
-                ids = block_delta_decode(gaps, block_starts)
+                ranks = block_delta_decode(gaps, block_starts)
+                # v2 rank stream -> hash doc ids (still ascending:
+                # rank order is hash order within the universe)
+                univ = row_univ[ri] if row_univ is not None else dmc.get(bucket, ())["doc_id"]
+                ids = univ[ranks]
                 tfs = varbyte_decode(tf_view(ri), n)
                 dls = varbyte_decode(dl_view(ri), n)
                 if decode_cache is not None:
@@ -426,16 +441,36 @@ def _result_table(ids, scores, total: int, facet_rows) -> pa.Table:
 
 class ScoreBuckets:
     """map_groups callable for the Dataset path: scores one bucket's
-    posting rows (grouped by the hive `bucket` column)."""
+    posting rows (grouped by the hive `bucket` column). Multi-shard
+    reads carry a `shard` column (added at read time in search_all) so
+    each row's rank stream decodes against its OWN shard's universe;
+    single-shard reads use the bucket's merged docmap directly."""
 
     def __init__(self, spec: _QuerySpec, docmap_dirs: list[str]):
         self.spec = spec
+        self.docmap_dirs = docmap_dirs
         self.dmc = _DocmapCache(docmap_dirs)
         self.resolved_boosts = _resolve_boosts(spec.boosts)
+        self._univ_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _univ(self, di: int, b: int) -> np.ndarray:
+        if len(self.docmap_dirs) == 1:
+            return self.dmc.get(b, ())["doc_id"]
+        u = self._univ_cache.get((di, b))
+        if u is None:
+            bdir = os.path.join(self.docmap_dirs[di], f"bucket={b}")
+            u = np.sort(pads.dataset(bdir).to_table(columns=["doc_id"])["doc_id"].to_numpy())
+            self._univ_cache[(di, b)] = u
+        return u
 
     def __call__(self, t: pa.Table) -> pa.Table:
         bucket = int(t["bucket"][0].as_py())
-        return score_postings_table(t, bucket, self.spec, self.dmc, self.resolved_boosts)
+        row_univ = None
+        if "shard" in t.column_names:
+            row_univ = [self._univ(int(s), bucket) for s in t["shard"].to_numpy()]
+        return score_postings_table(
+            t, bucket, self.spec, self.dmc, self.resolved_boosts, row_univ=row_univ
+        )
 
 
 class _BucketScorerImpl:
@@ -448,6 +483,19 @@ class _BucketScorerImpl:
         self.buckets = buckets
         self.dmc = _DocmapCache([os.path.join(d, "docmap") for d in index_dirs])
         self._post_cache: dict = {}  # (bucket, term) -> decoded postings
+        self._univ_cache: dict[tuple[int, int], np.ndarray] = {}
+
+    def _univ(self, di: int, b: int) -> np.ndarray:
+        """Rank universe of shard di's bucket b (sorted doc ids). With
+        one shard the merged docmap IS the universe — reuse the dmc."""
+        if len(self.index_dirs) == 1:
+            return self.dmc.get(b, ())["doc_id"]
+        u = self._univ_cache.get((di, b))
+        if u is None:
+            bdir = os.path.join(self.index_dirs[di], "docmap", f"bucket={b}")
+            u = np.sort(pads.dataset(bdir).to_table(columns=["doc_id"])["doc_id"].to_numpy())
+            self._univ_cache[(di, b)] = u
+        return u
 
     def warm(self, cols: tuple[str, ...] = ()) -> int:
         """Pre-load this scorer's docmap partitions (server startup)."""
@@ -466,6 +514,7 @@ class _BucketScorerImpl:
             # (several shards hold rows for the same (bucket, term))
             tables: list[pa.Table] = []
             row_keys: list = []
+            row_univ: list = []
             for di, d in enumerate(self.index_dirs):
                 files = [
                     f
@@ -480,12 +529,13 @@ class _BucketScorerImpl:
                 if td.num_rows:
                     tables.append(td)
                     row_keys += [(di, b, tm) for tm in td["term"].to_pylist()]
+                    row_univ += [self._univ(di, b)] * td.num_rows
             if not tables:
                 continue
             t = pa.concat_tables(tables)
             cache = None if spec.prune else self._post_cache
             outs.append(
-                score_postings_table(t, b, spec, self.dmc, resolved, cache, row_keys)
+                score_postings_table(t, b, spec, self.dmc, resolved, cache, row_keys, row_univ)
             )
         if not outs:
             return _result_table([], [], 0, [])
@@ -550,6 +600,14 @@ class SearchEngine:
         for d in self.dirs:
             with open(os.path.join(d, "stats.json")) as f:
                 s = json.load(f)
+            from search_engine_ray.index.build import POSTINGS_FORMAT
+
+            if s.get("postings_format") != POSTINGS_FORMAT:
+                raise ValueError(
+                    f"index shard {d} has postings_format={s.get('postings_format')}; "
+                    f"this engine reads v{POSTINGS_FORMAT} (rank-encoded) postings — "
+                    "rebuild the index"
+                )
             if merged is None:
                 merged = s
             else:
@@ -809,18 +867,29 @@ class SearchEngine:
         # of the selected roots, `term` prunes row-groups in-file.
         flt = pc.field("term").isin(term_keys)
         roots = [
-            p
-            for d in self.dirs
+            (di, p)
+            for di, d in enumerate(self.dirs)
             for k in parts
             if os.path.isdir(p := os.path.join(d, "postings", f"part={k}"))
         ]
         if not roots:
             return rd.from_arrow(_empty_all_table(attach_cols))
         # one lazy read per part dir (read_parquet hive-discovers the
-        # bucket= subdirs of a single root), unioned into one stream
-        reads = [
-            rd.read_parquet(r, columns=POSTING_COLS + ["bucket"], filter=flt) for r in roots
-        ]
+        # bucket= subdirs of a single root), unioned into one stream;
+        # multi-shard reads are tagged with their shard index so the
+        # scorer decodes each row's rank stream with the right universe
+        multi = len(self.dirs) > 1
+        reads = []
+        for di, r in roots:
+            dsr = rd.read_parquet(r, columns=POSTING_COLS + ["bucket"], filter=flt)
+            if multi:
+                dsr = dsr.map_batches(
+                    lambda t, _di=di: t.append_column(
+                        "shard", pa.array(np.full(t.num_rows, _di, np.int32))
+                    ),
+                    batch_format="pyarrow",
+                )
+            reads.append(dsr)
         ds = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
         spec = self._make_spec(
             leaves, q, 0, filter_spec, boosts, (), emit_all=tuple(attach_cols)

@@ -83,9 +83,18 @@ def _decode_kept(
 
 
 def score_or_query_pruned(
-    t: pa.Table, spec, term_to_leaves: dict[str, list[tuple[int, float]]], k: int
+    t: pa.Table,
+    spec,
+    term_to_leaves: dict[str, list[tuple[int, float]]],
+    k: int,
+    row_univ: list,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Top-k for a pure-OR query over one bucket's posting rows.
+
+    row_univ: per posting row, the owning shard's sorted docmap ids —
+    the v2 rank streams decode to ranks which are translated through
+    it per kept block; `blk_first` metadata is already in hash space
+    so skip decisions never touch the universe.
 
     Returns (doc_ids, scores, scanned_matches): the top-k candidate
     pool ordered (score desc, id asc), with exact scores; and the
@@ -157,7 +166,7 @@ def score_or_query_pruned(
         t_end = np.append(t_off[1:], len(tf_buf))
         l_end = np.append(l_off[1:], len(dl_buf))
         gaps, starts = _decode_kept(doc_buf, d_off, d_end, keep, counts)
-        ids = block_delta_decode(gaps.astype(np.int64), starts)
+        ids = row_univ[ri][block_delta_decode(gaps.astype(np.int64), starts)]
         tfs, _ = _decode_kept(tf_buf, t_off, t_end, keep, counts)
         dls, _ = _decode_kept(dl_buf, l_off, l_end, keep, counts)
         sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, avgdl)
