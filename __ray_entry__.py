@@ -384,10 +384,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ds,
             keep=["l_orderkey", "l_linenumber"],
             exprs={
-                "revenue": lambda t: pc.round(
-                    pc.multiply(t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])),
-                    4,
-                    round_mode="half_towards_infinity",  # DuckDB round() tie semantics
+                # round_half_up (not pc.round): pyarrow's round keeps a
+                # last-ulp residue (27036.546000000002) where DuckDB's
+                # round() lands on the nearest-to-decimal double
+                "revenue": lambda t: pa.array(
+                    round_half_up(
+                        pc.multiply(
+                            t["l_extendedprice"], pc.subtract(1.0, t["l_discount"])
+                        ).to_numpy()
+                    )
                 )
             },
         )
