@@ -563,10 +563,30 @@ def build_index(
 
     _stabilize_fsspec_http()
 
+    import ray as _ray
+
+    @_ray.remote
+    def _load_universe(docmap_dir: str, b: int) -> np.ndarray:
+        """Sorted doc_id universe of one docmap bucket — computed ONCE
+        per bucket (not once per (part, bucket): a redundant per-part
+        read measurably dominated the merge pass) and shared with every
+        merge task through the object store (zero-copy numpy reads;
+        per-bucket refs so a task only fetches buckets it touches)."""
+        udir = os.path.join(docmap_dir, f"bucket={b}")
+        if not os.path.isdir(udir):
+            return np.empty(0, dtype=np.int64)
+        return np.sort(pads.dataset(udir).to_table(columns=["doc_id"])["doc_id"].to_numpy())
+
     with ThreadPoolExecutor(max_workers=2) as pool:
         fa = pool.submit(_docmap_pass)
         fb = pool.submit(_partials_pass)
         fa.result()
+        # universe tasks start as soon as the docmap lands, overlapping
+        # the (longer) partials pass
+        univ_refs = {
+            b: _load_universe.remote(os.path.join(tmp_dir, "docmap"), b)
+            for b in range(config.num_buckets)
+        }
         fb.result()
     timings["ingest_passes_s"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
@@ -577,13 +597,11 @@ def build_index(
     # the same pass (all buckets of a term share its hash part, so the
     # "global" df/cf aggregate is part-local). Task memory is bounded
     # by (postings bytes / num_parts) — size num_parts accordingly.
-    import ray as _ray
-
     bs = config.block_size
 
     @_ray.remote
     def _merge_part(
-        k: int, partial_dir: str, postings_dir: str, dict_file: str, docmap_dir: str
+        k: int, partial_dir: str, postings_dir: str, dict_file: str, univ_refs: dict
     ) -> dict:
         t0 = _time.perf_counter()
         files = glob.glob(os.path.join(partial_dir, "*.parquet"))
@@ -605,14 +623,10 @@ def build_index(
         n_buckets_seen = int(starts.size)
         for s, e in zip(starts, ends):
             b = int(barr[s])
-            # the bucket's rank universe: its docmap partition's sorted
-            # doc ids, read lazily per bucket (8 bytes/doc, column- and
-            # partition-pruned; at extreme scale slice merge tasks by
-            # (part, bucket range) so each reads only its buckets)
-            udir = os.path.join(docmap_dir, f"bucket={b}")
-            universe = np.sort(
-                pads.dataset(udir).to_table(columns=["doc_id"])["doc_id"].to_numpy()
-            )
+            # the bucket's rank universe: fetched from the object store
+            # (computed once per bucket by _load_universe; zero-copy
+            # read shared by all merge tasks on the node)
+            universe = _ray.get(univ_refs[b])
             enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs, universe)
             n_postings += int(enc["df_local"].to_numpy().sum())
             bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
@@ -659,7 +673,7 @@ def build_index(
             os.path.join(tmp_dir, "partials", f"part={k}"),
             os.path.join(tmp_dir, "postings"),
             os.path.join(tmp_dir, "dict", f"part={k}", "dict.parquet"),
-            os.path.join(tmp_dir, "docmap"),
+            univ_refs,
         )
         for k in range(config.num_parts)
     ]

@@ -268,21 +268,32 @@ _N_COARSE = 64
 
 
 def _pairs_within_buckets(df: pd.DataFrame, id_col: str, max_bucket: int) -> pd.DataFrame:
-    """All (a<b) pairs of ids sharing a bucket, vectorized: singleton
-    buckets (the vast majority) are dropped with one duplicated() mask;
-    the python loop touches only real collision buckets. Buckets larger
-    than max_bucket are skew hot-keys and are skipped."""
+    """All (a<b) pairs of ids sharing a bucket, vectorized end-to-end:
+    sort by (bucket, id), find group boundaries, then emit triu pairs
+    batched by bucket SIZE (one fancy-index per distinct collision size
+    — no Python call per bucket). Buckets larger than max_bucket are
+    skew hot-keys and are skipped."""
     df = df.drop_duplicates(["bucket", id_col])
-    df = df[df.duplicated("bucket", keep=False)]
+    bkt = df["bucket"].to_numpy()
+    ids_all = df[id_col].to_numpy()
+    order = np.lexsort((ids_all, bkt))
+    bkt, ids_all = bkt[order], ids_all[order]
+    starts = np.nonzero(np.concatenate(([True], bkt[1:] != bkt[:-1])))[0]
+    lens = np.diff(np.append(starts, bkt.size))
+    keep = (lens >= 2) & (lens <= max_bucket)
+    starts, lens = starts[keep], lens[keep]
     outs_a: list[np.ndarray] = []
     outs_b: list[np.ndarray] = []
-    for _, g in df.groupby("bucket", sort=False):
-        ids = np.sort(g[id_col].to_numpy())
-        if ids.size > max_bucket:
-            continue
-        ai, bi = np.triu_indices(ids.size, k=1)
-        outs_a.append(ids[ai])
-        outs_b.append(ids[bi])
+    # batch groups by their size (few distinct collision-bucket sizes)
+    # so pair emission is one fancy-index per size class, not a Python
+    # call per bucket
+    for s in np.unique(lens):
+        gs = starts[lens == s]
+        idx = gs[:, None] + np.arange(s)
+        ai, bi = np.triu_indices(int(s), k=1)
+        d = ids_all[idx]  # id asc within bucket => a < b
+        outs_a.append(d[:, ai].ravel())
+        outs_b.append(d[:, bi].ravel())
     if not outs_a:
         return pd.DataFrame({"a": np.empty(0, np.int64), "b": np.empty(0, np.int64)})
     return pd.DataFrame({"a": np.concatenate(outs_a), "b": np.concatenate(outs_b)})
@@ -573,19 +584,30 @@ def ngram_jaccard_pairs(
         )
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
-        df = df[df.duplicated("sh", keep=False)]
+        # vectorized co-occurrence: sort by (sh, doc), find group
+        # boundaries, then emit each group's triu pairs batched by
+        # group SIZE (a handful of distinct df values) — no Python
+        # loop over the ~per-row-unique shingle groups
+        sh = df["sh"].to_numpy()
+        doc = df["doc"].to_numpy()
+        sz = df["sz"].to_numpy()
+        order = np.lexsort((doc, sh))
+        sh, doc, sz = sh[order], doc[order], sz[order]
+        starts = np.nonzero(np.concatenate(([True], sh[1:] != sh[:-1])))[0]
+        lens = np.diff(np.append(starts, sh.size))
+        keep = (lens >= 2) & (lens <= max_shingle_df)
+        starts, lens = starts[keep], lens[keep]
         out_a, out_b, out_sa, out_sb = [], [], [], []
-        for _, g in df.groupby("sh", sort=False):
-            if len(g) > max_shingle_df:
-                continue
-            g = g.sort_values("doc")
-            ids = g["doc"].to_numpy()
-            szs = g["sz"].to_numpy()
-            ai, bi = np.triu_indices(ids.size, k=1)
-            out_a.append(ids[ai])
-            out_b.append(ids[bi])
-            out_sa.append(szs[ai])
-            out_sb.append(szs[bi])
+        for s in np.unique(lens):
+            gs = starts[lens == s]
+            idx = gs[:, None] + np.arange(s)  # (n_groups_of_size_s, s)
+            ai, bi = np.triu_indices(int(s), k=1)
+            d = doc[idx]
+            z = sz[idx]
+            out_a.append(d[:, ai].ravel())  # doc asc within group => a < b
+            out_b.append(d[:, bi].ravel())
+            out_sa.append(z[:, ai].ravel())
+            out_sb.append(z[:, bi].ravel())
         if not out_a:
             return pd.DataFrame(
                 {"a": np.empty(0, np.int64), "b": np.empty(0, np.int64),

@@ -1,12 +1,14 @@
 """Multimodal column plumbing (task brief): image/audio/video as
 opaque `binary` columns with typed metadata.
 
-The decode kernels themselves are STUBBED (the image/audio libraries
-are not in this container): `decode="real"` raises NotImplementedError
-at actor construction; `decode="fake"` produces a deterministic fake
-decode (bytes -> seeded pixel/sample array) so the Ray-side plumbing —
-schema, actor-pool signature, batch sizing, output layout — is real
-and tested end-to-end.
+Image decode has a REAL guarded path: `decode="real"` loads Pillow
+once per actor and decodes/thumbnails each payload (raises
+NotImplementedError at actor construction when PIL is not importable —
+as in this container); `decode="auto"` selects real-when-available,
+else the deterministic fake decode (bytes -> seeded pixel/sample
+array) so the Ray-side plumbing — schema, actor-pool signature, batch
+sizing, output layout — is real and tested end-to-end either way.
+Video frame-sampling remains a declared stub (needs pyav).
 
 Scale notes: media payloads are large, so these stages use small
 `batch_size` and an actor pool (decoder state initialized once per

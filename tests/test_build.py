@@ -90,11 +90,25 @@ def test_resumable_build_matches_single_build(ray_session, tiny_corpus, tmp_path
     build_index(rd.from_arrow(tiny_corpus), out_s, cfg)
     q = Compound(must=(Term("content", "tokenizer"),))
     rs = SearchEngine(out_s, cfg).search(q, k=20)
+    # Dataset path too: search_all on a multi-shard index decodes each
+    # row's rank stream against its OWN shard's universe (shard-tagged
+    # reads) — must match the single-build stream exactly
+    sa_s = (
+        SearchEngine(out_s, cfg)
+        .search_all(q)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
     for out in (out_r, out_p):
-        rr = SearchEngine(out, cfg).search(q, k=20)
+        eng = SearchEngine(out, cfg)
+        rr = eng.search(q, k=20)
         assert rr.total == rs.total
         assert rr.hits["doc_id"].tolist() == rs.hits["doc_id"].tolist()
         np.testing.assert_array_equal(rr.hits["score"].to_numpy(), rs.hits["score"].to_numpy())
+        sa_r = eng.search_all(q).to_pandas().sort_values("doc_id").reset_index(drop=True)
+        assert sa_r["doc_id"].tolist() == sa_s["doc_id"].tolist()
+        np.testing.assert_allclose(sa_r["score"].to_numpy(), sa_s["score"].to_numpy())
 
 
 def test_postings_are_compressed_and_blocked(tiny_index):
