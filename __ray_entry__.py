@@ -98,12 +98,13 @@ def _doc_engine(sf_dir: str):
     with _ENGINE_LOCK:  # guard against concurrent first-build races
         if sf_dir in _ENGINES:
             return _ENGINES[sf_dir]
-        from search_engine_ray.index.build import POSTINGS_FORMAT
+        from search_engine_ray.index.build import CODEC_FORMATS
 
         tag = sf_dir.strip("/").replace("/", "_")
         # cache keyed on schema rev (_v2: phonetic namespace) AND the
         # on-disk postings format, so format bumps auto-invalidate
-        idx_dir = f"/tmp/ser_idx_cache/{tag}/documents_v2_pf{POSTINGS_FORMAT}"
+        _pf = CODEC_FORMATS[DOCUMENTS_CONFIG.codec]
+        idx_dir = f"/tmp/ser_idx_cache/{tag}/documents_v2_pf{_pf}"
         if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
             build_index(
                 os.path.join(sf_dir, "documents.parquet"), idx_dir, DOCUMENTS_CONFIG, sha_col="text"

@@ -62,6 +62,12 @@ class IndexConfig:
     num_buckets: int = 16
     num_parts: int = 8
     block_size: int = 128
+    # posting-stream codec: "for" (bit-packed frame-of-reference,
+    # postings format v3 — PForDelta-style binary packing, ~2x smaller
+    # doc/tf streams than varbyte on rank-gap data) or "varbyte"
+    # (format v2). Readers accept both; the stats.json postings_format
+    # records which one an index was built with.
+    codec: str = "for"
     k1: float = 1.2
     b: float = 0.75
     # columns carried into the docmap (doc store) besides doc_id/bucket

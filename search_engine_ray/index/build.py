@@ -64,13 +64,23 @@ import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
 from search_engine_ray.analysis import STOP_TOKENS
-from search_engine_ray.codec import varbyte_byte_lengths, varbyte_encode
+from search_engine_ray.codec import (
+    for_encode_partition,
+    varbyte_byte_lengths,
+    varbyte_encode,
+)
 from search_engine_ray.config import IndexConfig, derive_num_parts, term_part
 
-# On-disk postings layout version. v2 = rank-encoded doc streams (each
+# On-disk postings layout versions. v2 = rank-encoded doc streams (each
 # posting stores its rank in the bucket's sorted docmap universe, not the
-# raw 63-bit hash). Readers refuse other versions; bump on layout change.
+# raw 63-bit hash) with varbyte stream encoding; v3 = the same rank
+# streams bit-packed with the FOR codec (codec.for_encode_partition).
+# Readers accept both and dispatch on stats.json's postings_format;
+# writers pick by IndexConfig.codec. Bump on layout change.
 POSTINGS_FORMAT = 2
+POSTINGS_FORMAT_FOR = 3
+CODEC_FORMATS = {"varbyte": POSTINGS_FORMAT, "for": POSTINGS_FORMAT_FOR}
+READABLE_FORMATS = frozenset(CODEC_FORMATS.values())
 
 
 def _input_bytes(source) -> int:
@@ -357,7 +367,8 @@ def _list_from_offsets(offs: np.ndarray, values: pa.Array) -> pa.ListArray:
 
 
 def encode_bucket_terms(
-    t: pa.Table, part: int, bucket: int, bs: int, universe: np.ndarray
+    t: pa.Table, part: int, bucket: int, bs: int, universe: np.ndarray,
+    codec: str = "for",
 ) -> pa.Table:
     """Encode one (part, bucket) index partition's postings — EVERY
     term in a single vectorized pass (no per-term Python): with a
@@ -427,17 +438,32 @@ def encode_bucket_terms(
     gaps[0:1] = ranks[0:1]
     np.subtract(ranks[1:], ranks[:-1], out=gaps[1:])
     gaps[blk_idx] = ranks[blk_idx]
-    # one varbyte encode per stream for the whole partition
-    bl_doc = varbyte_byte_lengths(gaps)
-    bl_tf = varbyte_byte_lengths(tfs)
-    bl_dl = varbyte_byte_lengths(dls)
-    cum_doc = np.concatenate(([0], np.cumsum(bl_doc)))
-    cum_tf = np.concatenate(([0], np.cumsum(bl_tf)))
-    cum_dl = np.concatenate(([0], np.cumsum(bl_dl)))
-    bounds = np.append(term_starts, n)
-    doc_bytes = _large_binary_from_slices(cum_doc[bounds], varbyte_encode(gaps, bl_doc))
-    tf_bytes = _large_binary_from_slices(cum_tf[bounds], varbyte_encode(tfs, bl_tf))
-    dl_bytes = _large_binary_from_slices(cum_dl[bounds], varbyte_encode(dls, bl_dl))
+    if codec == "for":
+        # v3: bit-packed FOR streams (codec.for_encode_partition) —
+        # absolute block-first ranks ride the fixed header, in-block
+        # gaps/tfs/dls pack at bits-of-block-max. One vectorized call
+        # per stream for the whole partition, same as varbyte.
+        fr = ranks[blk_idx].astype(np.int64) if blk_idx.size else np.empty(0, np.int64)
+        buf_doc, bnd_doc, blk_doc_off = for_encode_partition(gaps, term_starts, blk_idx, firsts=fr)
+        buf_tf, bnd_tf, blk_tf_off = for_encode_partition(tfs, term_starts, blk_idx)
+        buf_dl, bnd_dl, blk_dl_off = for_encode_partition(dls, term_starts, blk_idx)
+        doc_bytes = _large_binary_from_slices(bnd_doc, buf_doc)
+        tf_bytes = _large_binary_from_slices(bnd_tf, buf_tf)
+        dl_bytes = _large_binary_from_slices(bnd_dl, buf_dl)
+    elif codec == "varbyte":
+        # v2: one varbyte encode per stream for the whole partition
+        bl_doc = varbyte_byte_lengths(gaps)
+        bl_tf = varbyte_byte_lengths(tfs)
+        bl_dl = varbyte_byte_lengths(dls)
+        cum_doc = np.concatenate(([0], np.cumsum(bl_doc)))
+        cum_tf = np.concatenate(([0], np.cumsum(bl_tf)))
+        cum_dl = np.concatenate(([0], np.cumsum(bl_dl)))
+        bounds = np.append(term_starts, n)
+        doc_bytes = _large_binary_from_slices(cum_doc[bounds], varbyte_encode(gaps, bl_doc))
+        tf_bytes = _large_binary_from_slices(cum_tf[bounds], varbyte_encode(tfs, bl_tf))
+        dl_bytes = _large_binary_from_slices(cum_dl[bounds], varbyte_encode(dls, bl_dl))
+    else:
+        raise ValueError(f"unknown postings codec {codec!r}")
     # per-block metadata, then per-term list boundaries over blocks
     blk_term = post_code[blk_idx]
     blocks_per_term = np.bincount(blk_term, minlength=len(uniq_terms))
@@ -445,11 +471,12 @@ def encode_bucket_terms(
     # block-first stays a HASH doc id: skip logic compares it against
     # query-side candidate ids without needing the universe
     blk_first = universe[ranks[blk_idx]]
-    # byte offsets of each block WITHIN its term's byte slices
-    t_start_of_blk = term_starts[blk_term]
-    blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
-    blk_tf_off = cum_tf[blk_idx] - cum_tf[t_start_of_blk]
-    blk_dl_off = cum_dl[blk_idx] - cum_dl[t_start_of_blk]
+    if codec == "varbyte":
+        # byte offsets of each block WITHIN its term's byte slices
+        t_start_of_blk = term_starts[blk_term]
+        blk_doc_off = cum_doc[blk_idx] - cum_doc[t_start_of_blk]
+        blk_tf_off = cum_tf[blk_idx] - cum_tf[t_start_of_blk]
+        blk_dl_off = cum_dl[blk_idx] - cum_dl[t_start_of_blk]
     blk_max_tf = np.maximum.reduceat(tfs, blk_idx)
     blk_min_dl = np.minimum.reduceat(dls, blk_idx)
     cf_local = np.add.reduceat(tfs, term_starts) if n else np.empty(0, np.int64)
@@ -491,6 +518,10 @@ def build_index(
     import ray.data as rd
 
     config = config or IndexConfig()
+    if config.codec not in CODEC_FORMATS:
+        raise ValueError(
+            f"unknown postings codec {config.codec!r}; pick one of {sorted(CODEC_FORMATS)}"
+        )
     sha_col = sha_col or config.fields[0].name
     # memory bound for the merge pass: raise num_parts so one part's
     # decoded partials fit merge_part_target_bytes (identity for small
@@ -598,6 +629,7 @@ def build_index(
     # "global" df/cf aggregate is part-local). Task memory is bounded
     # by (postings bytes / num_parts) — size num_parts accordingly.
     bs = config.block_size
+    codec = config.codec
 
     @_ray.remote
     def _merge_part(
@@ -627,7 +659,7 @@ def build_index(
             # (computed once per bucket by _load_universe; zero-copy
             # read shared by all merge tasks on the node)
             universe = _ray.get(univ_refs[b])
-            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs, universe)
+            enc = encode_bucket_terms(t.slice(s, e - s), k, b, bs, universe, codec=codec)
             n_postings += int(enc["df_local"].to_numpy().sum())
             bdir = os.path.join(postings_dir, f"part={k}", f"bucket={b}")
             os.makedirs(bdir, exist_ok=True)
@@ -698,7 +730,7 @@ def build_index(
             cf_by_code[code] = cf_by_code.get(code, 0) + int(cf)
     timings["stats_pass_s"] = round(_time.perf_counter() - _t0, 3)
     stats = {
-        "postings_format": POSTINGS_FORMAT,
+        "postings_format": CODEC_FORMATS[config.codec],
         "n_docs": int(n_docs),
         "fields": {
             f.name: {
@@ -784,7 +816,7 @@ def compact_tombstones(index_dir: str, config: IndexConfig | None = None) -> int
 
 def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> int:
     """Compact one single-build index dir against a tombstone set."""
-    from search_engine_ray.codec import block_delta_decode, varbyte_decode
+    from search_engine_ray.codec import block_delta_decode, for_decode_term, varbyte_decode
 
     import ray as _ray
 
@@ -794,12 +826,14 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
     # deleted docs and corrupting the recomputed avgdl/total_len
     with open(os.path.join(index_dir, "stats.json")) as f:
         _layout = json.load(f)
-    if _layout.get("postings_format") != POSTINGS_FORMAT:
+    fmt = _layout.get("postings_format")
+    if fmt not in READABLE_FORMATS:
         raise ValueError(
-            f"index at {index_dir} has postings_format="
-            f"{_layout.get('postings_format')}; this build only reads v2 "
-            "(rank-encoded) postings — rebuild the index"
+            f"index at {index_dir} has postings_format={fmt}; this build "
+            f"reads {sorted(READABLE_FORMATS)} (rank-encoded) postings — "
+            "rebuild the index"
         )
+    disk_codec = "for" if fmt == POSTINGS_FORMAT_FOR else "varbyte"
     if _layout.get("num_parts") or _layout.get("num_buckets"):
         from dataclasses import replace as _dc_replace
 
@@ -853,7 +887,14 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
             lens: list[int] = []
             for ri in range(t.num_rows):
                 n = int(dfl[ri])
-                gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+                if fmt == POSTINGS_FORMAT_FOR:
+                    gaps = for_decode_term(doc_view(ri), n, bs, with_firsts=True)
+                    tfs_ri = for_decode_term(tf_view(ri), n, bs, with_firsts=False)
+                    dls_ri = for_decode_term(dl_view(ri), n, bs, with_firsts=False)
+                else:
+                    gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+                    tfs_ri = varbyte_decode(tf_view(ri), n)
+                    dls_ri = varbyte_decode(dl_view(ri), n)
                 ranks = block_delta_decode(gaps, np.arange(0, n, bs, dtype=np.int64))
                 ids = old_univ[ranks]  # rank stream -> hash doc ids
                 pos = np.clip(np.searchsorted(tomb, ids), 0, tomb.size - 1)
@@ -861,8 +902,8 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
                 if keep.any():
                     keep_rows.append(ri)
                     id_parts.append(ids[keep])
-                    tf_parts.append(varbyte_decode(tf_view(ri), n).astype(np.int32)[keep])
-                    dl_parts.append(varbyte_decode(dl_view(ri), n).astype(np.int32)[keep])
+                    tf_parts.append(tfs_ri.astype(np.int32)[keep])
+                    dl_parts.append(dls_ri.astype(np.int32)[keep])
                     lens.append(int(keep.sum()))
             out_file = os.path.join(index_dir, "postings", f"part={k}", f"bucket={b}", "data.parquet")
             for f in files:
@@ -884,7 +925,7 @@ def _compact_one_dir(index_dir: str, tomb: np.ndarray, config: IndexConfig) -> i
                         ),
                     }
                 )
-                enc = encode_bucket_terms(partial, k, b, bs, new_univ)
+                enc = encode_bucket_terms(partial, k, b, bs, new_univ, codec=disk_codec)
                 pq.write_table(enc.drop_columns(["part", "bucket"]), out_file)
         return removed
 

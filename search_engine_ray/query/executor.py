@@ -46,7 +46,7 @@ import pyarrow.compute as pc
 import pyarrow.dataset as pads
 import pyarrow.parquet as pq
 
-from search_engine_ray.codec import block_delta_decode, varbyte_decode
+from search_engine_ray.codec import block_delta_decode, for_decode_term, varbyte_decode
 from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
 from search_engine_ray.query.qast import Compound, Leaf, Phonetic, Prefix, Term
@@ -140,6 +140,9 @@ class _QuerySpec:
     boosts: tuple
     facet_fields: tuple[str, ...]
     block_size: int
+    # on-disk stream codec of the index being queried: 2 = varbyte,
+    # 3 = bit-packed FOR (build.CODEC_FORMATS) — decoders dispatch
+    postings_format: int = 2
     emit_all_cols: tuple[str, ...] | None = None
     # block-max dynamic pruning (query/wand.py): only for pure-OR
     # top-k with no filter/boost/facet needs; `total` becomes a lower
@@ -295,15 +298,20 @@ def score_postings_table(
             if cached is not None:
                 ids, tfs, dls = cached
             else:
-                gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+                if spec.postings_format == 3:
+                    gaps = for_decode_term(doc_view(ri), n, spec.block_size, with_firsts=True)
+                    tfs = for_decode_term(tf_view(ri), n, spec.block_size, with_firsts=False)
+                    dls = for_decode_term(dl_view(ri), n, spec.block_size, with_firsts=False)
+                else:
+                    gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+                    tfs = varbyte_decode(tf_view(ri), n)
+                    dls = varbyte_decode(dl_view(ri), n)
                 block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
                 ranks = block_delta_decode(gaps, block_starts)
-                # v2 rank stream -> hash doc ids (still ascending:
+                # rank stream -> hash doc ids (still ascending:
                 # rank order is hash order within the universe)
                 univ = row_univ[ri] if row_univ is not None else dmc.get(bucket, ())["doc_id"]
                 ids = univ[ranks]
-                tfs = varbyte_decode(tf_view(ri), n)
-                dls = varbyte_decode(dl_view(ri), n)
                 if decode_cache is not None:
                     if len(decode_cache) >= 4096:  # simple epoch clear
                         decode_cache.clear()
@@ -600,16 +608,22 @@ class SearchEngine:
         for d in self.dirs:
             with open(os.path.join(d, "stats.json")) as f:
                 s = json.load(f)
-            from search_engine_ray.index.build import POSTINGS_FORMAT
+            from search_engine_ray.index.build import READABLE_FORMATS
 
-            if s.get("postings_format") != POSTINGS_FORMAT:
+            if s.get("postings_format") not in READABLE_FORMATS:
                 raise ValueError(
                     f"index shard {d} has postings_format={s.get('postings_format')}; "
-                    f"this engine reads v{POSTINGS_FORMAT} (rank-encoded) postings — "
-                    "rebuild the index"
+                    f"this engine reads {sorted(READABLE_FORMATS)} (rank-encoded) "
+                    "postings — rebuild the index"
                 )
             if merged is None:
                 merged = s
+            elif s["postings_format"] != merged["postings_format"]:
+                raise ValueError(
+                    "index shards mix postings formats "
+                    f"({merged['postings_format']} vs {s['postings_format']}) — "
+                    "rebuild with one codec"
+                )
             else:
                 merged["n_docs"] += s["n_docs"]
                 for fname, fs in s["fields"].items():
@@ -618,6 +632,7 @@ class SearchEngine:
         for fs in merged["fields"].values():
             fs["avgdl"] = fs["total_len"] / merged["n_docs"] if merged["n_docs"] else 0.0
         self.block_size = merged["block_size"]
+        self.postings_format = int(merged["postings_format"])
         return merged
 
     # ---- scorer actor pool (lazy; persists across queries) ----------
@@ -749,6 +764,7 @@ class SearchEngine:
             boosts=tuple(boosts),
             facet_fields=tuple(facet_fields),
             block_size=self.block_size,
+            postings_format=self.postings_format,
             emit_all_cols=emit_all,
             tombstones=self.tombstones,
         )
@@ -808,7 +824,7 @@ class SearchEngine:
                 spec1 = _QuerySpec(
                     leaves=(lf1,), k1=spec.k1, b=spec.b, min_should_match=0,
                     n_take=skip + k, filter_spec=None, boosts=(), facet_fields=(),
-                    block_size=spec.block_size,
+                    block_size=spec.block_size, postings_format=spec.postings_format,
                 )
                 p1 = sorted({term_part(best[1], self.config.num_parts)})
                 f1 = [a.score.remote(p1, [best[1]], spec1) for a in self._scorer_pool()]

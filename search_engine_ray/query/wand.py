@@ -40,7 +40,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from search_engine_ray.codec import block_delta_decode, varbyte_decode
+from search_engine_ray.codec import block_delta_decode, for_decode_blocks, varbyte_decode
 from search_engine_ray.query import scoring
 
 
@@ -156,19 +156,27 @@ def score_or_query_pruned(
             keep |= hi > lo
         if not keep.any():
             continue
-        d_off = v_doff(ri).astype(np.int64, copy=False)
-        t_off = v_toff(ri).astype(np.int64, copy=False)
-        l_off = v_loff(ri).astype(np.int64, copy=False)
         doc_buf = v_doc(ri)
         tf_buf = v_tf(ri)
         dl_buf = v_dl(ri)
-        d_end = np.append(d_off[1:], len(doc_buf))
-        t_end = np.append(t_off[1:], len(tf_buf))
-        l_end = np.append(l_off[1:], len(dl_buf))
-        gaps, starts = _decode_kept(doc_buf, d_off, d_end, keep, counts)
-        ids = row_univ[ri][block_delta_decode(gaps.astype(np.int64), starts)]
-        tfs, _ = _decode_kept(tf_buf, t_off, t_end, keep, counts)
-        dls, _ = _decode_kept(dl_buf, l_off, l_end, keep, counts)
+        if spec.postings_format == 3:
+            # v3 FOR slices: per-block widths/offsets come from the
+            # slice's own header — decode only the kept blocks
+            gaps, starts = for_decode_blocks(doc_buf, df, bs, keep, with_firsts=True)
+            ids = row_univ[ri][block_delta_decode(gaps, starts)]
+            tfs, _ = for_decode_blocks(tf_buf, df, bs, keep, with_firsts=False)
+            dls, _ = for_decode_blocks(dl_buf, df, bs, keep, with_firsts=False)
+        else:
+            d_off = v_doff(ri).astype(np.int64, copy=False)
+            t_off = v_toff(ri).astype(np.int64, copy=False)
+            l_off = v_loff(ri).astype(np.int64, copy=False)
+            d_end = np.append(d_off[1:], len(doc_buf))
+            t_end = np.append(t_off[1:], len(tf_buf))
+            l_end = np.append(l_off[1:], len(dl_buf))
+            gaps, starts = _decode_kept(doc_buf, d_off, d_end, keep, counts)
+            ids = row_univ[ri][block_delta_decode(gaps.astype(np.int64), starts)]
+            tfs, _ = _decode_kept(tf_buf, t_off, t_end, keep, counts)
+            dls, _ = _decode_kept(dl_buf, l_off, l_end, keep, counts)
         sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, avgdl)
         decoded_parts.append((li, ri, ids, sc))
         # merge into candidate set (ids sorted within a posting list);

@@ -184,3 +184,54 @@ def test_auto_num_parts_build_query_parity(ray_session, tiny_corpus, tmp_path):
         assert ra.total == rb.total
         assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
         assert ra.hits["score"].tolist() == rb.hits["score"].tolist()
+
+
+def test_codec_parity_varbyte_vs_for(ray_session, tiny_corpus, tmp_path):
+    """The same corpus built with the varbyte (v2) and FOR (v3) codecs
+    returns identical results on both the exhaustive and the
+    block-max-pruned query paths, and the FOR postings are smaller."""
+    import glob as _glob
+    import json as _json
+
+    import ray.data as rd
+
+    a = str(tmp_path / "vb")
+    b = str(tmp_path / "for")
+    cfg_vb = IndexConfig(num_buckets=4, num_parts=4, codec="varbyte")
+    cfg_for = IndexConfig(num_buckets=4, num_parts=4, codec="for")
+    build_index(rd.from_arrow(tiny_corpus), a, cfg_vb)
+    build_index(rd.from_arrow(tiny_corpus), b, cfg_for)
+    with open(f"{a}/stats.json") as f:
+        assert _json.load(f)["postings_format"] == 2
+    with open(f"{b}/stats.json") as f:
+        assert _json.load(f)["postings_format"] == 3
+    ea, eb = SearchEngine(a, cfg_vb), SearchEngine(b, cfg_for)
+    for q in (
+        Compound(must=(Term("content", "import"),)),
+        Compound(should=(Term("content", "def"), Term("content", "return"))),
+    ):
+        ra, rb = ea.search(q, k=25), eb.search(q, k=25)
+        assert ra.total == rb.total
+        assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
+        np.testing.assert_array_equal(
+            ra.hits["score"].to_numpy(), rb.hits["score"].to_numpy()
+        )
+    # pruned top-k (wand) agrees across codecs too
+    qp = Compound(should=(Term("content", "import"), Term("content", "self")))
+    pa_, pb_ = ea.search(qp, k=10, prune=True), eb.search(qp, k=10, prune=True)
+    assert pa_.hits["doc_id"].tolist() == pb_.hits["doc_id"].tolist()
+
+    def _stream_bytes(d):
+        # raw (uncompressed) stream bytes — what the codec controls;
+        # parquet's own page compression masks the delta on disk
+        tot = 0
+        for f in _glob.glob(os.path.join(d, "postings", "**", "*.parquet"), recursive=True):
+            t = pads.dataset(f).to_table(columns=["doc_bytes", "tf_bytes", "dl_bytes"])
+            tot += sum(t[c].combine_chunks().nbytes for c in t.column_names)
+        return tot
+
+    # at 200 tiny docs most terms are singletons where the FOR header
+    # (5 B) loses to a short varbyte rank; allow a small regression
+    # here — at 100k docs the FOR streams measure ~31% smaller
+    # (BASELINE.md codec table)
+    assert _stream_bytes(b) < 1.25 * _stream_bytes(a)
