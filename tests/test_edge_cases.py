@@ -130,11 +130,13 @@ def test_tombstone_deletes(ray_session, tiny_corpus, tmp_path):
     assert rp.total_exact
 
 
-def test_tombstone_compaction(ray_session, tiny_corpus, tmp_path):
+@pytest.mark.parametrize("codec", ["for", "varbyte"])
+def test_tombstone_compaction(ray_session, tiny_corpus, tmp_path, codec):
     """compact_tombstones physically removes deleted docs: results
     equal the tombstone-filtered view, stats shrink, tombstones clear,
     and scoring idf/avgdl reflect the smaller corpus (equal to an
-    oracle built on the surviving docs)."""
+    oracle built on the surviving docs). Runs under BOTH postings
+    codecs — compaction decodes and re-encodes with the on-disk one."""
     import numpy as np
     import ray.data as rd
 
@@ -146,7 +148,7 @@ def test_tombstone_compaction(ray_session, tiny_corpus, tmp_path):
     )
     from search_engine_ray.oracle import build_oracle, oracle_search
 
-    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    cfg = IndexConfig(num_buckets=4, num_parts=4, codec=codec)
     out = str(tmp_path / "cmp")
     build_index(rd.from_arrow(tiny_corpus), out, cfg)
     eng = SearchEngine(out, cfg)
