@@ -540,6 +540,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n": ("count", "k"), "sum_k": ("sum", "k"), "max_k": ("max", "k")},
         )
 
+    def r19_window_agg(sf_dir):
+        # tumbling-window aggregate (hourly) — the windowed-aggregate
+        # custom operator; window key rides the pre-combined hash
+        # aggregate (ops/relational.py window_aggregate)
+        ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+        out = rel.window_aggregate(
+            ds, "ts", 3600,
+            {"n": ("count", "value"), "sum_value": ("sum", "value")},
+            keys=["event_type"],
+        ).to_pandas()
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
+        return out
+
+    def r20_asof_join(sf_dir):
+        # as-of join: each purchase picks up the user's most recent
+        # prior click (coarse-shard co-location + one vectorized
+        # pandas.merge_asof per shard, ops/relational.py asof_join);
+        # right side pre-deduped to one row per (user, ts) so the
+        # DuckDB ASOF JOIN oracle is deterministic
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+        purchases = rel.filter_conditions(ev, [("event_type", "==", "purchase")]).select_columns(
+            ["event_id", "user_id", "ts"]
+        )
+        clicks = rel.grouped_aggregate(
+            rel.filter_conditions(ev, [("event_type", "==", "click")]).select_columns(
+                ["user_id", "ts", "value"]
+            ),
+            ["user_id", "ts"],
+            {"click_value": ("max", "value")},
+        )
+        out = rel.asof_join(purchases, clicks, by="user_id", ts_col="ts").to_pandas()
+        for src, dst in (("ts", "pts"), ("right_ts", "click_ts")):
+            out[dst] = out[src].astype("datetime64[us]").astype("int64")
+        # side-tag null padding promotes event_id to float64 in the
+        # per-shard frames; values are exact ints — pin the dtype
+        out["event_id"] = out["event_id"].astype("int64")
+        return out[["event_id", "user_id", "pts", "click_ts", "click_value"]]
+
     # ---- text analysis ---------------------------------------------
     def t_token_stats(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -886,6 +924,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r15_distinct": r15_distinct,
         "r16_facet_counts": r16_facet_counts,
         "e6_events_rollup": e6_events_rollup,
+        "r19_window_agg": r19_window_agg,
+        "r20_asof_join": r20_asof_join,
         "e1_csv_source": e1_csv_source,
         "e2_incremental": e2_incremental,
         "e4_upsert_sink": e4_upsert_sink,
@@ -1159,6 +1199,21 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
         "e6_events_rollup": (
             "SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, count(*) AS n, "
             "round(sum(value), 2) AS sum_value FROM events GROUP BY 1, 2"
+        ),
+        "r19_window_agg": (
+            "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "r20_asof_join": (
+            "WITH clicks AS (SELECT user_id, ts, max(value) AS click_value "
+            "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
+            "purchases AS (SELECT event_id, user_id, ts FROM events "
+            "WHERE event_type = 'purchase') "
+            "SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS pts, "
+            "CAST(epoch_us(c.ts) AS BIGINT) AS click_ts, c.click_value "
+            "FROM purchases p ASOF JOIN clicks c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"
         ),
         "e1_csv_source": (
             # CAST .. BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which

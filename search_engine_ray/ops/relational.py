@@ -456,3 +456,127 @@ def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(_r, batch_format="pyarrow")
+
+
+def window_aggregate(
+    ds: Dataset,
+    ts_col: str,
+    every_s: int,
+    aggs: dict[str, tuple[str, str]],
+    keys: Sequence[str] = (),
+) -> Dataset:
+    """Tumbling-window aggregate: bucket each row into the window
+    `floor(epoch_seconds(ts) / every_s) * every_s` and aggregate per
+    (window_start, *keys). The window key is computed vectorized in
+    Arrow inside map_batches and then rides the same pre-combined hash
+    aggregate as any grouped_aggregate — one shuffle whose payload is
+    one row per (window, keys) per block, so a century of events at
+    hourly windows still moves only the combined partials.
+
+    window_start is emitted as int64 EPOCH SECONDS (not a timestamp)
+    so downstream comparisons are typing-stable across engines.
+    Assumes epochs >= 0 (Arrow integer division truncates toward
+    zero, which equals floor for non-negative values)."""
+    keys = list(keys)
+
+    def _win(t: pa.Table) -> pa.Table:
+        ep = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
+        w = pc.multiply(pc.divide(ep, every_s), every_s)
+        cols = {"window_start": w}
+        for k in keys:
+            cols[k] = t[k]
+        for _, (_, c) in aggs.items():
+            if c not in cols:
+                cols[c] = t[c]
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.map_batches(_win, batch_format="pyarrow"), ["window_start"] + keys, aggs
+    )
+
+
+def asof_join(
+    left: Dataset,
+    right: Dataset,
+    by: str,
+    ts_col: str,
+    num_shards: int = 32,
+    direction: str = "backward",
+) -> Dataset:
+    """As-of join: attach to each left row the right row with the
+    greatest right.ts <= left.ts (direction="backward"; "forward" =
+    least right.ts >= left.ts) sharing the same `by` key. Inner
+    semantics: left rows with no match are dropped (keeps result
+    typing exact — no NULL-vs-NaN drift against SQL oracles).
+
+    Scale shape: both sides are hash-partitioned on a COARSE shard of
+    `by` (`by % num_shards`) with a side tag, co-locating each key's
+    rows in one exchange without a global sort; each shard then runs
+    ONE vectorized pandas.merge_asof (C-speed, handles the per-key
+    grouping internally) — the same coarse-key groupby pattern as the
+    dedup ops, so a shard holds many keys and no per-key Python runs.
+    Right rows should be unique per (by, ts): among exact duplicates
+    merge_asof keeps the last in sort order, which no SQL oracle pins.
+
+    Column names must be disjoint apart from `by`/`ts_col`; the right
+    ts is emitted as `right_<ts_col>`."""
+    if direction not in ("backward", "forward"):
+        raise ValueError(direction)
+
+    l_schema = left.schema()
+    r_schema = right.schema()
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    clash = (set(l_cols) & set(r_cols)) - {by, ts_col}
+    if clash:
+        raise ValueError(f"overlapping non-key columns: {sorted(clash)}")
+
+    all_cols = l_cols + [c for c in r_cols if c not in (by, ts_col)] + [f"right_{ts_col}"]
+    # NOTE: keep ts_col a TIMESTAMP type through the join — pandas
+    # represents unmatched rows as NaT natively; an int64 epoch column
+    # would be promoted to float64 by the NaNs and lose microsecond
+    # precision above 2^53 even for the rows that survive dropna.
+    types = {}
+    l_t = {n: t for n, t in zip(l_schema.names, l_schema.types)}
+    r_t = {n: t for n, t in zip(r_schema.names, r_schema.types)}
+    for c in all_cols:
+        types[c] = l_t.get(c) or (r_t[ts_col] if c == f"right_{ts_col}" else r_t[c])
+
+    def _pad(side: int):
+        def f(t: pa.Table) -> pa.Table:
+            n = t.num_rows
+            cols = {}
+            for c in all_cols:
+                if c in t.column_names:
+                    cols[c] = t[c]
+                elif side == 1 and c == f"right_{ts_col}":
+                    cols[c] = t[ts_col]
+                else:
+                    cols[c] = pa.nulls(n, types[c])
+            cols["_side"] = pa.array(np.full(n, side, np.int8))
+            cols["_shard"] = pc.cast(
+                pc.bit_wise_and(pc.cast(t[by], pa.int64()), num_shards - 1), pa.int32()
+            )
+            return pa.table(cols)
+
+        return f
+
+    both = left.map_batches(_pad(0), batch_format="pyarrow").union(
+        right.map_batches(_pad(1), batch_format="pyarrow")
+    )
+    r_val_cols = [c for c in r_cols if c not in (by, ts_col)] + [f"right_{ts_col}"]
+
+    def _merge(df: pd.DataFrame) -> pd.DataFrame:
+        l = df[df["_side"] == 0][l_cols].sort_values(ts_col, kind="stable")
+        r = df[df["_side"] == 1][[by] + r_val_cols + [ts_col]].sort_values(
+            ts_col, kind="stable"
+        )
+        if l.empty or r.empty:
+            return pd.DataFrame(columns=all_cols)
+        out = pd.merge_asof(
+            l, r, on=ts_col, by=by, direction=direction, allow_exact_matches=True
+        )
+        return out.dropna(subset=[f"right_{ts_col}"])[all_cols]
+
+    assert num_shards & (num_shards - 1) == 0, "num_shards must be a power of two"
+    return both.groupby("_shard").map_groups(_merge, batch_format="pandas")

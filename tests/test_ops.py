@@ -637,3 +637,70 @@ def test_multimodal_decode_selection(ray_session):
         assert f.shape == (8,) and abs(float(f.mean()) - 128 / 255) < 0.01
         # corrupt payloads degrade to zeros, never raise
         assert (real._features(b"not an image") == 0).all()
+
+
+def test_window_aggregate(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    got = rel.window_aggregate(
+        ev, "ts", 3600, {"n": ("count", "value"), "sum_value": ("sum", "value")},
+        keys=["event_type"],
+    ).to_pandas()
+    exp = con.sql(
+        "SELECT CAST(floor(epoch(ts)/3600)*3600 AS BIGINT) AS window_start, "
+        "event_type, count(*) AS n, sum(value) AS sum_value FROM events GROUP BY 1, 2"
+    ).df()
+    got["sum_value"] = got["sum_value"].round(6)
+    exp["sum_value"] = exp["sum_value"].round(6)
+    assert_frames_equal(got, exp)
+
+
+def test_asof_join_vs_duckdb(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "user_id", "ts", "event_type", "value"])
+    left = rel.filter_conditions(ev, [("event_type", "==", "purchase")]).select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+    right = rel.grouped_aggregate(
+        rel.filter_conditions(ev, [("event_type", "==", "click")]).select_columns(
+            ["user_id", "ts", "value"]
+        ),
+        ["user_id", "ts"],
+        {"click_value": ("max", "value")},
+    )
+    got = rel.asof_join(left, right, by="user_id", ts_col="ts").to_pandas()
+    got["ts"] = got["ts"].astype("datetime64[us]").astype("int64")
+    got["right_ts"] = got["right_ts"].astype("datetime64[us]").astype("int64")
+    exp = con.sql(
+        "WITH clicks AS (SELECT user_id, ts, max(value) AS click_value "
+        "FROM events WHERE event_type='click' GROUP BY 1,2), "
+        "purchases AS (SELECT event_id, user_id, ts FROM events WHERE event_type='purchase') "
+        "SELECT p.event_id, p.user_id, CAST(epoch_us(p.ts) AS BIGINT) AS ts, "
+        "CAST(epoch_us(c.ts) AS BIGINT) AS right_ts, c.click_value "
+        "FROM purchases p ASOF JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.ts"
+    ).df()
+    assert_frames_equal(got, exp)
+
+
+def test_asof_join_forward_and_validation(ray_session):
+    import ray.data as rd
+
+    l = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3], "k": [7, 7, 8],
+        "ts": pd.to_datetime([10, 20, 30], unit="s").astype("datetime64[us]"),
+    }))
+    r = rd.from_pandas(pd.DataFrame({
+        "k": [7, 7, 8], "v": [1.0, 2.0, 3.0],
+        "ts": pd.to_datetime([15, 25, 5], unit="s").astype("datetime64[us]"),
+    }))
+    fwd = rel.asof_join(l, r, by="k", ts_col="ts", direction="forward").to_pandas()
+    # id=1 (t=10) -> first k=7 right at/after 10 = t=15 (v=1); id=2 (t=20) -> t=25 (v=2);
+    # id=3 (k=8, t=30) has no right at/after 30 -> dropped
+    assert sorted(zip(fwd["id"], fwd["v"])) == [(1, 1.0), (2, 2.0)]
+    with pytest.raises(ValueError):
+        rel.asof_join(l, r, by="k", ts_col="ts", direction="sideways")
+    with pytest.raises(ValueError):
+        # overlapping non-key column name
+        rel.asof_join(l, l, by="k", ts_col="ts")
