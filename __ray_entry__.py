@@ -202,6 +202,24 @@ FROM inter JOIN sizes sa ON inter.a = sa.doc_id JOIN sizes sb ON inter.b = sb.do
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
 """
 
+# duplicate clusters from the exact-recall Jaccard pair set: the
+# transitive closure (recursive CTE) labels every paired doc with the
+# min doc_id reachable from it — the same fixpoint the distributed
+# min-label propagation in ops/dedup.py connected_components reaches
+_COMPONENTS_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ALLPAIRS_SQL}),
+edges AS (
+  SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
+  UNION SELECT a, a FROM jp UNION SELECT b, b FROM jp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u
+)
+SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
+"""
+
 # all-pairs 64-bit SimHash hamming <= 3 over the perturbed corpus.
 # Recomputes the engine's md5-derived tf-weighted sign-sum fingerprint
 # bit-by-bit in SQL (ops/dedup.py simhash_signatures): bit j of a
@@ -281,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import search_engine_ray.ops.ann as ann
     import search_engine_ray.ops.dedup as dd
     import search_engine_ray.ops.relational as rel
+    import search_engine_ray.ops.sketch as sk
     import search_engine_ray.ops.text as txt
     from search_engine_ray.ops.multimodal import featurize_media, synthetic_media_table
     from search_engine_ray.query import Compound, ConditionalAddBoost, Prefix, Term, plan_keyword
@@ -578,6 +597,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["event_id"] = out["event_id"].astype("int64")
         return out[["event_id", "user_id", "pts", "click_ts", "click_value"]]
 
+    def r21_range_join(sf_dir):
+        # broadcast range join: events.value against a small OVERLAPPING
+        # interval table (constant dim table, the reference's
+        # STORE_WH_MAP static-broadcast pattern) — one row per
+        # (event, containing band); overlaps make it a true range join
+        # (multi-match), not mere binning
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+        bands = pa.table(
+            {
+                "band": [f"band_{i:02d}" for i in range(13)],
+                "lo": [i * 40.0 for i in range(13)],
+                "hi": [i * 40.0 + 60.0 for i in range(13)],
+            }
+        )
+        out = rel.range_join(ev, bands, "value").to_pandas()
+        return out[["event_id", "value", "band", "lo", "hi"]]
+
+    def r23_group_topn(sf_dir):
+        # per-group top-N (windowed row_number pattern): 3 priciest
+        # lineitems per returnflag, deterministic tiebreak by ids
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        )
+        out = rel.group_topn(
+            li, "l_returnflag",
+            ["l_extendedprice", "l_orderkey", "l_linenumber"],
+            n=3, descending=[True, False, False],
+        )
+        return out.to_pandas()[
+            ["l_returnflag", "l_orderkey", "l_linenumber", "l_extendedprice"]
+        ]
+
+    def r22_hash_join(sf_dir):
+        # large x large equi-join: both sides hash-partitioned (Ray
+        # shuffle join), no broadcast — the scale path when neither
+        # side fits a worker heap
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_extendedprice"])
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderstatus"])
+        out = rel.hash_join(
+            li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=16
+        )
+        return out.to_pandas()[
+            ["l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus"]
+        ]
+
+    # ---- sketches / summary statistics -----------------------------
+    def sketch_kmv(sf_dir):
+        # KMV distinct-count: k=64 < 150 true distinct user_ids, so
+        # the estimator path (not the exact-count fallback) is what
+        # the oracle checks
+        ev = _read(sf_dir, "events", ["user_id"])
+        return pd.DataFrame({"distinct_est": [sk.kmv_distinct(ev, "user_id", k=64)]})
+
+    def sketch_quantiles(sf_dir):
+        # exact discrete quantiles from one value-histogram shuffle;
+        # q values are binary-exact (q*n has no float fuzz vs DuckDB)
+        li = _read(sf_dir, "lineitem", ["l_quantity"])
+        return sk.histogram_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
+
     # ---- text analysis ---------------------------------------------
     def t_token_stats(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -620,6 +699,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # blocking — unlike LSH, provably finds every J>=threshold
         # pair, so the all-pairs SQL is a true value oracle)
         return dd.ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
+
+    def dedup_components(sf_dir):
+        # pairs -> duplicate clusters: distributed min-label
+        # propagation over the exact-recall ngram pair set (so the
+        # recursive-CTE closure in SQL sees the identical edge set);
+        # component = min doc_id reachable = the canonical keeper
+        pairs = dd.ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
+        return dd.connected_components(pairs)
 
     # ---- similarity search -----------------------------------------
     def ann_cosine(sf_dir):
@@ -926,6 +1013,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e6_events_rollup": e6_events_rollup,
         "r19_window_agg": r19_window_agg,
         "r20_asof_join": r20_asof_join,
+        "r21_range_join": r21_range_join,
+        "r22_hash_join": r22_hash_join,
+        "r23_group_topn": r23_group_topn,
+        "sketch_kmv": sketch_kmv,
+        "sketch_quantiles": sketch_quantiles,
         "e1_csv_source": e1_csv_source,
         "e2_incremental": e2_incremental,
         "e4_upsert_sink": e4_upsert_sink,
@@ -940,6 +1032,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
+        "dedup_components": dedup_components,
         "ann_cosine": ann_cosine,
         "ann_rp_lsh": ann_rp_lsh,
         "ann_ivf": ann_ivf,
@@ -1103,6 +1196,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         ),
         "e8_log_sink": e8_sql,
         "dedup_ngram": _JACCARD_ALLPAIRS_SQL,
+        "dedup_components": _COMPONENTS_SQL,
         "dedup_minhash": _JACCARD_ALLPAIRS_SQL,
         "dedup_simhash": _SIMHASH_ALLPAIRS_SQL,
         "ann_rp_lsh": _RP_LSH_ALLPAIRS_SQL,
@@ -1214,6 +1308,40 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "CAST(epoch_us(c.ts) AS BIGINT) AS click_ts, c.click_value "
             "FROM purchases p ASOF JOIN clicks c "
             "ON p.user_id = c.user_id AND p.ts >= c.ts"
+        ),
+        "r21_range_join": (
+            "WITH bands AS (SELECT printf('band_%02d', i) AS band, i * 40.0 AS lo, "
+            "i * 40.0 + 60.0 AS hi FROM range(13) t(i)) "
+            "SELECT e.event_id, e.value, b.band, b.lo, b.hi "
+            "FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi"
+        ),
+        "r22_hash_join": (
+            "SELECT l.l_orderkey, l.l_linenumber, l.l_extendedprice, "
+            "o.o_custkey, o.o_orderstatus "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+        ),
+        "r23_group_topn": (
+            "SELECT l_returnflag, l_orderkey, l_linenumber, l_extendedprice "
+            "FROM lineitem QUALIFY row_number() OVER ("
+            "PARTITION BY l_returnflag "
+            "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3"
+        ),
+        "sketch_kmv": (
+            # same KMV estimator: k smallest distinct md5-upper-64
+            # hashes, (k-1)/U_(k); DuckDB round() is half-away like
+            # the engine's round_half_up
+            "WITH h AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv "
+            "FROM events), "
+            "k AS (SELECT hv FROM h ORDER BY hv LIMIT 64), "
+            "s AS (SELECT count(*) AS c, max(hv) AS kth FROM k) "
+            "SELECT CASE WHEN c < 64 THEN CAST(c AS DOUBLE) "
+            "ELSE round(63 / (CAST(kth AS DOUBLE) / 18446744073709551616.0), 4) END "
+            "AS distinct_est FROM s"
+        ),
+        "sketch_quantiles": (
+            "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem "
+            "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
+            "UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem"
         ),
         "e1_csv_source": (
             # CAST .. BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which

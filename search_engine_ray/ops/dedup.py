@@ -737,3 +737,126 @@ def simhash_pairs(
     )
     pairs = coarse.groupby("cg").map_groups(_pairs, batch_format="pandas")
     return pairs.groupby(["a", "b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def connected_components(
+    pairs: Dataset,
+    a_col: str = "a",
+    b_col: str = "b",
+    id_out: str = "doc_id",
+    comp_out: str = "component",
+    max_iters: int = 25,
+    num_shards: int = 32,
+) -> Dataset:
+    """Cluster near-dup candidate pairs into connected components:
+    one row per doc appearing in any pair, labeled with the MINIMUM
+    doc id reachable from it (= a canonical representative per
+    duplicate cluster, the step after `minhash_lsh_pairs` /
+    `simhash_pairs` that turns pairs into keep/drop decisions).
+
+    Distributed min-label propagation — no driver-side union-find:
+    the symmetric edge list (with self-loops) is materialized once (it
+    is the candidate-pair graph, orders of magnitude smaller than the
+    corpus). Each round co-locates edges and current labels on a
+    COARSE hash shard of the node (the asof_join exchange pattern —
+    NOT Dataset.join, whose hash aggregator emits schema-less empty
+    partitions that break downstream stages), runs ONE vectorized
+    pandas merge per shard emitting label(u) candidates for every
+    neighbor v with a per-(shard, v) partial min, then a global
+    groupby-min folds the partials. Labels are monotone non-increasing
+    per node, so for numeric ids a label-sum aggregate is an EXACT
+    convergence check (one cheap scan, no compare join); non-numeric
+    ids use a per-row 64-bit content checksum sum (change detection
+    missed w.p. ~2^-64; max_iters bounds the loop regardless). Rounds
+    needed = O(log2 longest path); real near-dup clusters are tiny
+    (pairs/triples), so 2-3 rounds.
+    """
+
+    def _sym(t: pa.Table) -> pa.Table:
+        ca, cb = t[a_col], t[b_col]
+        return pa.concat_tables([
+            pa.table({"u": ca, "v": cb}),
+            pa.table({"u": cb, "v": ca}),
+            pa.table({"u": ca, "v": ca}),
+            pa.table({"u": cb, "v": cb}),
+        ])
+
+    edges = pairs.map_batches(_sym, batch_format="pyarrow").materialize()
+    _sch = edges.schema()
+    numeric = pa.types.is_integer(_sch.types[_sch.names.index("v")])
+
+    def _norm_labels(df: pd.DataFrame) -> pd.DataFrame:
+        # (group key, min) from any upstream naming -> (node, label)
+        out = df.iloc[:, :2].copy()
+        out.columns = ["node", "label"]
+        return out
+
+    def _shard_of(arr: np.ndarray) -> np.ndarray:
+        return (pd.util.hash_array(arr) % num_shards).astype(np.int32)
+
+    def _tag_edges(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            "_shard": _shard_of(df["u"].to_numpy()),
+            "_side": np.zeros(len(df), np.int8),
+            "u": df["u"], "v": df["v"], "label": df["u"],  # placeholder col
+        })
+
+    def _tag_labels(df: pd.DataFrame) -> pd.DataFrame:
+        df = _norm_labels(df)
+        return pd.DataFrame({
+            "_shard": _shard_of(df["node"].to_numpy()),
+            "_side": np.ones(len(df), np.int8),
+            "u": df["node"], "v": df["node"],  # placeholder col
+            "label": df["label"],
+        })
+
+    def _propagate(df: pd.DataFrame) -> pd.DataFrame:
+        e = df[df["_side"] == 0][["u", "v"]]
+        lab = df[df["_side"] == 1][["u", "label"]]
+        if e.empty or lab.empty:
+            return pd.DataFrame({"node": lab["u"][:0], "label": lab["label"][:0]})
+        m = e.merge(lab, on="u", how="inner")
+        part = m.groupby("v", sort=False)["label"].min().reset_index()
+        part.columns = ["node", "label"]
+        return part
+
+    tagged_edges = edges.map_batches(_tag_edges, batch_format="pandas").materialize()
+
+    def _checksum(lab: Dataset) -> int:
+        def _h(df: pd.DataFrame) -> pd.DataFrame:
+            df = _norm_labels(df)
+            h = pd.util.hash_array(df["node"].to_numpy()) ^ pd.util.hash_array(
+                df["label"].to_numpy()
+            )
+            # int64 view: sums wrap, which is fine for change detection
+            return pd.DataFrame({"c": h.view(np.int64)})
+
+        return int(lab.map_batches(_h, batch_format="pandas").sum("c") or 0)
+
+    def _label_sum(lab: Dataset) -> int:
+        def _s(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({"s": _norm_labels(df)["label"].astype("int64")})
+
+        return int(lab.map_batches(_s, batch_format="pandas").sum("s") or 0)
+
+    labels = edges.groupby("u").aggregate(Min("v", alias_name="label")).materialize()
+    fingerprint = _label_sum if numeric else _checksum
+    prev = fingerprint(labels)
+    for _ in range(max_iters):
+        both = tagged_edges.union(labels.map_batches(_tag_labels, batch_format="pandas"))
+        partials = both.groupby("_shard").map_groups(_propagate, batch_format="pandas")
+        new = (
+            partials.groupby("node").aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        cur = fingerprint(new)
+        labels = new
+        if cur == prev:
+            break
+        prev = cur
+
+    def _out(df: pd.DataFrame) -> pd.DataFrame:
+        df = _norm_labels(df)
+        return pd.DataFrame({id_out: df["node"], comp_out: df["label"]})
+
+    return labels.map_batches(_out, batch_format="pandas")

@@ -222,6 +222,54 @@ def group_dedup_first(
     return partial.groupby(key).map_groups(_partial, batch_format="pandas")
 
 
+def group_topn(
+    ds: Dataset,
+    key: str | Sequence[str],
+    sort_keys: Sequence[str],
+    n: int,
+    descending: Sequence[bool] | bool = False,
+    num_shards: int = 64,
+) -> Dataset:
+    """Per-group top-N under the sort spec (the SQL
+    ``QUALIFY row_number() OVER (PARTITION BY key ORDER BY ...) <= N``
+    window pattern; generalizes group_dedup_first from N=1). Include a
+    unique id in sort_keys for fully deterministic output.
+
+    Two-stage: a map-side pandas combiner keeps <=N rows per key per
+    block (so the shuffle payload is O(N x distinct keys x blocks),
+    never the input), then a COARSE shard groupby (hash(key) %
+    num_shards — near-unique keys would otherwise mean one Python
+    call per group) and one vectorized per-shard groupby-head finishes
+    the selection."""
+    key = [key] if isinstance(key, str) else list(key)
+    sort_keys = list(sort_keys)
+    if isinstance(descending, bool):
+        descending = [descending] * len(sort_keys)
+    asc = [not d for d in descending]
+
+    def _topn(df: pd.DataFrame) -> pd.DataFrame:
+        return (
+            df.sort_values(sort_keys, ascending=asc, kind="mergesort")
+            .groupby(key, sort=False)
+            .head(n)
+        )
+
+    def _partial(df: pd.DataFrame) -> pd.DataFrame:
+        out = _topn(df)
+        out = out.assign(
+            _shard=(
+                pd.util.hash_pandas_object(out[key], index=False).to_numpy() % num_shards
+            ).astype("int64")
+        )
+        return out
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        return _topn(df.drop(columns=["_shard"]))
+
+    partial = ds.map_batches(_partial, batch_format="pandas")
+    return partial.groupby("_shard").map_groups(_final, batch_format="pandas")
+
+
 def group_best_with_aggs(
     ds: Dataset,
     key: str,
@@ -580,3 +628,98 @@ def asof_join(
 
     assert num_shards & (num_shards - 1) == 0, "num_shards must be a power of two"
     return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
+
+
+def range_join(
+    ds: Dataset,
+    intervals: pa.Table,
+    value_col: str,
+    lo_col: str = "lo",
+    hi_col: str = "hi",
+) -> Dataset:
+    """Broadcast range join: emit one output row per (input row,
+    interval) pair with ``lo <= value < hi``. Intervals may overlap
+    (multi-match) and rows matching nothing are dropped.
+
+    Scale shape: the interval table is SMALL and broadcast once per
+    actor (same fn_constructor_args pattern as broadcast_join — one
+    object-store fetch per actor, not per batch); the big side
+    streams. Each batch does one vectorized pass per interval
+    (k passes of boolean mask + take), which beats building the
+    row x interval cross product whenever k << batch size."""
+
+    class _RangeJoin:
+        def __init__(self, iv: pa.Table):
+            self.lo = np.asarray(iv[lo_col])
+            self.hi = np.asarray(iv[hi_col])
+            self.iv = iv
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            v = np.asarray(t[value_col])
+            parts = []
+            for i in range(self.lo.size):
+                mask = (v >= self.lo[i]) & (v < self.hi[i])
+                if not mask.any():
+                    continue
+                rows = t.filter(pa.array(mask))
+                for name in self.iv.column_names:
+                    rows = rows.append_column(
+                        name, pa.nulls(rows.num_rows, self.iv.schema.field(name).type).fill_null(
+                            self.iv[name][i].as_py()
+                        )
+                    )
+                parts.append(rows)
+            if not parts:
+                out_fields = list(t.schema) + list(self.iv.schema)
+                return pa.table(
+                    {f.name: pa.nulls(0, f.type) for f in out_fields}
+                )
+            return pa.concat_tables(parts)
+
+    clash = set(intervals.column_names) & set(ds.schema().names)
+    if clash:
+        raise ValueError(f"overlapping column names: {sorted(clash)}")
+    return ds.map_batches(
+        _RangeJoin,
+        fn_constructor_args=(intervals,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
+def hash_join(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> Dataset:
+    """Large x large equi-join: both sides hash-partitioned on the key,
+    one partition-local hash join per partition (Ray Data's shuffle
+    JoinOperator). The complement to `broadcast_join` — use THAT when
+    one side fits in a worker's heap (it avoids the all-to-all
+    entirely); use this when both sides are big (reference `$lookup`
+    between two full collections, pipelines.py:62-72, at a scale where
+    neither side broadcasts).
+
+    how: "inner" | "left_outer" | "right_outer" | "full_outer".
+
+    num_partitions defaults from the combined input size so one
+    partition (~128 MB of both sides + the join hash table) fits a
+    2 GiB worker heap at any input size — the knob that keeps this
+    safe at 100 TB; pass it explicitly to override.
+    """
+    if num_partitions is None:
+        try:
+            total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
+        except Exception:
+            total = 0
+        num_partitions = max(8, -(-total // (128 << 20)))
+    return left.join(
+        right,
+        join_type=how,
+        num_partitions=int(num_partitions),
+        on=tuple(on),
+        right_on=tuple(right_on) if right_on else None,
+    )

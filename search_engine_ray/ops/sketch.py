@@ -1,0 +1,102 @@
+"""Sketch / summary-statistics operators for 100-TB-scale profiling
+(task brief: training-data pipeline analytics beyond the reference).
+
+- KMV (K-minimum-values) distinct-count sketch: DETERMINISTIC given
+  the hash, so unlike HLL it is value-checkable against a SQL oracle
+  (the k smallest md5 hashes and the (k-1)/U_(k) estimator are both
+  expressible in DuckDB). Per block only the k smallest hashes
+  survive (map-side combiner), the global merge is a bounded top-k —
+  the shuffle payload is O(k x blocks) regardless of input size.
+- histogram quantiles: EXACT discrete quantiles via a distributed
+  value histogram — the shuffle moves one row per distinct value per
+  block, then the (distinct values, count) table is reduced on the
+  driver. Correct per DuckDB's quantile_disc rule (element at
+  ceil(q*n), 1-indexed). Assumes a DISCRETE / bounded-cardinality
+  column (flags, categories, quantized measures); for continuous
+  columns quantize first — a 100-TB float column with all-distinct
+  values needs a streaming sketch (t-digest) instead, which has no
+  exact oracle.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ray.data import Dataset
+
+from search_engine_ray.ops.relational import distinct, topk, value_counts
+from search_engine_ray.ops.rounding import round_half_up
+
+_TWO64 = float(1 << 64)
+
+
+def _md5_upper64(values: list[str]) -> np.ndarray:
+    """First 8 md5 bytes, little-endian — DuckDB's md5_number_upper."""
+    return np.array(
+        [int.from_bytes(hashlib.md5(v.encode("utf-8")).digest()[:8], "little") for v in values],
+        dtype=np.uint64,
+    )
+
+
+def kmv_distinct(ds: Dataset, col: str, k: int = 256) -> float:
+    """Approximate distinct count of `col` via the KMV sketch:
+    hash every value to (0, 2^64), keep the k smallest distinct
+    hashes; if fewer than k survive the count is exact, else
+    estimate = (k-1) / (kth_smallest / 2^64).
+
+    Values are hashed as their string form (md5_number_upper
+    semantics) so the estimate is reproducible in SQL. The final <=k
+    hashes are collected on the driver (k values — not a data-scale
+    materialization). Estimate is rounded half-away-from-zero to 4
+    decimals to pin float formatting against the oracle."""
+
+    # hashes travel as int64 via the order-preserving remap h ^ 2^63
+    # (uint64 degrades to pickled objects in the groupby/sort shuffle)
+    _FLIP = np.uint64(1 << 63)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = pc.unique(pc.cast(t[col], pa.string()))
+        h = np.unique(_md5_upper64(vals.to_pylist()))  # sorts ascending
+        return pa.table({"h": (h[:k] ^ _FLIP).view(np.int64)})
+
+    # the same value appears in many blocks: dedupe the per-block
+    # survivors (shuffle payload <= k x blocks rows) before the global
+    # bounded top-k picks the k smallest DISTINCT hashes
+    survivors = topk(
+        distinct(ds.map_batches(_partial, batch_format="pyarrow"), "h"),
+        ["h"], k, descending=False,
+    )
+    signed = np.unique(survivors.to_pandas()["h"].to_numpy(dtype=np.int64))[:k]
+    hs = signed.view(np.uint64) ^ _FLIP
+    if hs.size < k:
+        return float(hs.size)
+    return round_half_up((k - 1) / (float(hs[-1]) / _TWO64), 4)
+
+
+def histogram_quantiles(
+    ds: Dataset, col: str, qs: Sequence[float]
+) -> pd.DataFrame:
+    """Exact discrete quantiles of `col` (DuckDB quantile_disc
+    semantics: the ceil(q*n)-th smallest element, 1-indexed; q=0 is
+    the minimum). One distributed value-histogram shuffle; the
+    per-distinct-value counts are reduced driver-side (bounded by the
+    column's cardinality — see module docstring)."""
+    hist = value_counts(ds, col, alias="_n").to_pandas().sort_values(col)
+    counts = hist["_n"].to_numpy(dtype=np.int64)
+    cum = np.cumsum(counts)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        raise ValueError("histogram_quantiles over an empty dataset")
+    out_q, out_v = [], []
+    for q in qs:
+        rank = max(1, int(np.ceil(q * n)))
+        idx = int(np.searchsorted(cum, rank, side="left"))
+        out_q.append(q)
+        out_v.append(hist[col].iloc[idx])
+    return pd.DataFrame({"q": out_q, "value": out_v})

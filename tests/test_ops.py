@@ -704,3 +704,137 @@ def test_asof_join_forward_and_validation(ray_session):
     with pytest.raises(ValueError):
         # overlapping non-key column name
         rel.asof_join(l, l, by="k", ts_col="ts")
+
+
+def test_range_join(ray_session):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3, 4],
+        "v": [5.0, 15.0, 25.0, 99.0],
+    }))
+    # overlapping bands: [0,20) and [10,30) -> v=15 matches BOTH;
+    # v=99 matches nothing and is dropped
+    iv = pa.table({
+        "band": ["a", "b"],
+        "lo": [0.0, 10.0],
+        "hi": [20.0, 30.0],
+    })
+    got = rel.range_join(ds, iv, "v").to_pandas()
+    pairs = sorted(zip(got["id"], got["band"]))
+    assert pairs == [(1, "a"), (2, "a"), (2, "b"), (3, "b")]
+    assert set(got.columns) == {"id", "v", "band", "lo", "hi"}
+    # boundary semantics: lo inclusive, hi exclusive
+    edge = rd.from_pandas(pd.DataFrame({"id": [9], "v": [20.0]}))
+    e = rel.range_join(edge, iv, "v").to_pandas()
+    assert list(e["band"]) == ["b"]
+    # empty result keeps the full output schema (to_pandas on a fully
+    # empty Dataset drops columns, so assert on the Dataset schema)
+    none = rd.from_pandas(pd.DataFrame({"id": [9], "v": [-1.0]}))
+    nds = rel.range_join(none, iv, "v")
+    assert nds.count() == 0
+    assert set(nds.schema().names) == {"id", "v", "band", "lo", "hi"}
+    with pytest.raises(ValueError):
+        rel.range_join(ds, pa.table({"v": [1.0], "lo": [0.0], "hi": [1.0]}), "v")
+
+
+def test_kmv_distinct(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    # exact-fallback path: distinct(200) < k=512 -> exact count
+    ds = rd.from_pandas(pd.DataFrame({"x": np.arange(1000) % 200}))
+    assert sk.kmv_distinct(ds, "x", k=512) == 200.0
+    # estimator path: k=64 < 200 distinct -> within 35% of truth
+    est = sk.kmv_distinct(ds, "x", k=64)
+    assert 130 <= est <= 270, est
+
+
+def test_histogram_quantiles_vs_duckdb(ray_session, con):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["value"])
+    got = sk.histogram_quantiles(ev, "value", [0.0, 0.25, 0.5, 0.75, 1.0])
+    for _, row in got.iterrows():
+        exp = con.sql(
+            f"SELECT quantile_disc(value, {row['q']}) FROM events"
+        ).fetchone()[0]
+        assert row["value"] == exp, (row["q"], row["value"], exp)
+
+
+def test_group_topn_vs_duckdb(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_id", "event_type", "value"])
+    got = rel.group_topn(
+        ev, "event_type", ["value", "event_id"], n=5, descending=[True, False]
+    ).to_pandas()[["event_type", "event_id", "value"]]
+    exp = con.sql(
+        "SELECT event_type, event_id, value FROM events QUALIFY row_number() OVER ("
+        "PARTITION BY event_type ORDER BY value DESC, event_id) <= 5"
+    ).df()
+    assert_frames_equal(got, exp)
+
+
+def test_group_topn_small(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "k": ["a", "a", "a", "b"], "id": [1, 2, 3, 4], "v": [9, 9, 1, 5],
+    }))
+    out = rel.group_topn(ds, "k", ["v", "id"], n=2, descending=[True, False]).to_pandas()
+    assert sorted(zip(out["k"], out["id"])) == [("a", 1), ("a", 2), ("b", 4)]
+
+
+def test_connected_components(ray_session):
+    import ray.data as rd
+
+    # chain 1-2-3 (diameter 2 forces >1 propagation round), pair 10-11,
+    # and a duplicate edge; singletons (docs in no pair) are excluded
+    pairs = rd.from_pandas(pd.DataFrame({
+        "a": [2, 1, 10, 1],
+        "b": [3, 2, 11, 2],
+    }))
+    got = dd.connected_components(pairs).to_pandas()
+    got = got.sort_values("doc_id").reset_index(drop=True)
+    assert list(got["doc_id"]) == [1, 2, 3, 10, 11]
+    assert list(got["component"]) == [1, 1, 1, 10, 10]
+    # string ids exercise the non-numeric convergence path
+    spairs = rd.from_pandas(pd.DataFrame({
+        "a": ["b", "a"], "b": ["c", "b"],
+    }))
+    sgot = dd.connected_components(spairs).to_pandas().sort_values("doc_id")
+    assert list(sgot["component"]) == ["a", "a", "a"]
+
+
+def test_hash_join_vs_duckdb(ray_session, con):
+    import ray.data as rd
+
+    li = rd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    orders = rd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    got = rel.hash_join(
+        li, orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8
+    ).to_pandas()[["l_orderkey", "l_quantity", "o_custkey"]]
+    exp = con.sql(
+        "SELECT l.l_orderkey, l.l_quantity, o.o_custkey "
+        "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey"
+    ).df()
+    assert_frames_equal(got, exp)
+
+
+def test_hash_join_outer(ray_session):
+    import ray.data as rd
+
+    l = rd.from_pandas(pd.DataFrame({"k": [1, 2, 3], "a": [10, 20, 30]}))
+    r = rd.from_pandas(pd.DataFrame({"j": [2, 3, 4], "b": [200, 300, 400]}))
+    out = rel.hash_join(
+        l, r, on=["k"], right_on=["j"], how="left_outer", num_partitions=4
+    ).to_pandas()
+    out = out.sort_values("k").reset_index(drop=True)
+    assert list(out["k"]) == [1, 2, 3]
+    assert out.loc[0, "b"] != out.loc[0, "b"]  # NaN for unmatched k=1
+    assert list(out["b"].dropna().astype("int64")) == [200, 300]
