@@ -657,6 +657,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_quantity"])
         return sk.histogram_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
 
+    def t_hash_sample(sf_dir):
+        # deterministic hash sample (rate 0.25): reproducible,
+        # coordination-free, whole-key keep/drop — the scale-safe
+        # sampling primitive
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        return sk.hash_sample(docs, "doc_id", 0.25)
+
+    def pipe_curation(sf_dir):
+        # the flagship training-data composition: lang-ID -> quality
+        # -> filter -> exact dedup, one streaming lineage; input is
+        # the corpus plus an exact-duplicate copy so the dedup stage
+        # provably halves the duplicated mass
+        from search_engine_ray.pipelines import curate
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _dup(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"doc_id": pc.add(t["doc_id"], 2000000), "text": t["text"]}
+            )
+
+        both = docs.union(docs.map_batches(_dup, batch_format="pyarrow"))
+        return curate(both)
+
     # ---- text analysis ---------------------------------------------
     def t_token_stats(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
@@ -1018,6 +1042,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r23_group_topn": r23_group_topn,
         "sketch_kmv": sketch_kmv,
         "sketch_quantiles": sketch_quantiles,
+        "t_hash_sample": t_hash_sample,
+        "pipe_curation": pipe_curation,
         "e1_csv_source": e1_csv_source,
         "e2_incremental": e2_incremental,
         "e4_upsert_sink": e4_upsert_sink,
@@ -1122,14 +1148,42 @@ WHERE len(list_filter(ts, t -> t = 'spark')) > 0
         )
         for i, c in enumerate(lang_codes)
     )
-    lang_sql = f"""
-WITH tok AS (SELECT doc_id, text, {plain_toks} AS ts FROM documents),
+    def _lang_sql_for(table: str) -> str:
+        return f"""
+WITH tok AS (SELECT doc_id, text, {plain_toks} AS ts FROM {table}),
 hits AS (SELECT doc_id, text, {hit_cols} FROM tok)
 SELECT doc_id,
   CASE WHEN regexp_matches(substr(coalesce(text, ''), 1, 2000), '[一-鿿]') THEN 'zh'
        WHEN greatest({", ".join("h_" + c for c in lang_codes)}) = 0 THEN 'und'
        {argmax_cases} END AS lang_id
 FROM hits
+"""
+
+    lang_sql = _lang_sql_for("documents")
+
+    def _quality_sql_for(table: str) -> str:
+        return (
+            "SELECT doc_id, round("
+            "0.4 * (len(list_distinct(regexp_extract_all(lower(text),'[a-z0-9_]+')))::DOUBLE"
+            " / len(regexp_extract_all(lower(text),'[a-z0-9_]+'))) + "
+            "0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) + "
+            "0.3 * (least(len(regexp_extract_all(lower(text),'[a-z0-9_]+')), 200)::DOUBLE / 200)"
+            f", 4) AS quality FROM {table}"
+        )
+
+    # pipe_curation: the full curation composition (lang-ID -> quality
+    # -> filter -> exact dedup keeping min doc_id) over the corpus plus
+    # an exact-duplicate copy, all reusing the per-stage oracles above
+    curation_sql = f"""
+WITH cd AS (SELECT doc_id, text FROM documents
+            UNION ALL SELECT doc_id + 2000000, text FROM documents),
+lang AS ({_lang_sql_for("cd")}),
+qual AS ({_quality_sql_for("cd")}),
+j AS (SELECT c.doc_id, c.text, l.lang_id, q.quality
+      FROM cd c JOIN lang l USING (doc_id) JOIN qual q USING (doc_id)
+      WHERE l.lang_id = 'en' AND q.quality >= 0.55)
+SELECT doc_id, lang_id, quality FROM j
+QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
 """
     # t_rolling_fp: token hash = md5_number_upper (first 8 md5 bytes
     # little-endian, the Python side's exact definition); 5-token
@@ -1362,13 +1416,13 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9_]+'), ' ')) AS fingerprint "
             "FROM documents"
         ),
-        "t_quality": (
-            "SELECT doc_id, round("
-            "0.4 * (len(list_distinct(regexp_extract_all(lower(text),'[a-z0-9_]+')))::DOUBLE"
-            " / len(regexp_extract_all(lower(text),'[a-z0-9_]+'))) + "
-            "0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) + "
-            "0.3 * (least(len(regexp_extract_all(lower(text),'[a-z0-9_]+')), 200)::DOUBLE / 200)"
-            ", 4) AS quality FROM documents"
+        "t_quality": _quality_sql_for("documents"),
+        "pipe_curation": curation_sql,
+        "t_hash_sample": (
+            # deterministic hash sampling at rate 0.25: threshold is
+            # exactly 2^62, md5_number_upper = first 8 md5 bytes LE
+            "SELECT doc_id, lang, n_chars FROM documents "
+            "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) < 4611686018427387904"
         ),
         "dedup_exact": (
             "WITH both_docs AS ("

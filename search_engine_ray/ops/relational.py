@@ -190,6 +190,10 @@ def semi_join_ids(ds: Dataset, col: str, ids, keep: bool = True) -> Dataset:
 
 def _best_rows(df: pd.DataFrame, key: list[str], sort_keys: list[str], ascending: list[bool]) -> pd.DataFrame:
     """First row per key under the sort spec (stable; deterministic)."""
+    if df.empty:
+        # an all-filtered input reaches the shuffle as schema-less
+        # empty blocks; sorting would KeyError on the missing columns
+        return df
     return (
         df.sort_values(sort_keys, ascending=ascending, kind="mergesort")
         .drop_duplicates(subset=key, keep="first")

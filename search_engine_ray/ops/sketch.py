@@ -79,6 +79,25 @@ def kmv_distinct(ds: Dataset, col: str, k: int = 256) -> float:
     return round_half_up((k - 1) / (float(hs[-1]) / _TWO64), 4)
 
 
+def hash_sample(ds: Dataset, col: str, rate: float, salt: str = "") -> Dataset:
+    """Deterministic hash sampling: keep rows whose
+    md5_upper64(str(value) + salt) < rate * 2^64. Unlike random
+    sampling this is reproducible across runs and cluster sizes, keeps
+    or drops ALL rows sharing a key (sample by user/doc, not by row),
+    and needs no coordination — a pure streaming filter. Change `salt`
+    to draw an independent sample."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thresh = np.uint64(min(int(rate * _TWO64), (1 << 64) - 1))
+
+    def _f(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[col], pa.string()).to_pylist()
+        h = _md5_upper64([v + salt for v in vals])
+        return t.filter(pa.array(h < thresh))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def histogram_quantiles(
     ds: Dataset, col: str, qs: Sequence[float]
 ) -> pd.DataFrame:

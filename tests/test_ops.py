@@ -752,6 +752,51 @@ def test_kmv_distinct(ray_session):
     assert 130 <= est <= 270, est
 
 
+def test_hash_sample(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    ds = rd.from_pandas(pd.DataFrame({"id": np.arange(2000), "v": np.arange(2000) * 2}))
+    out = sk.hash_sample(ds, "id", 0.25).to_pandas()
+    # deterministic: the same call yields the same rows
+    out2 = sk.hash_sample(ds, "id", 0.25).to_pandas()
+    assert sorted(out["id"]) == sorted(out2["id"])
+    assert 0.18 < len(out) / 2000 < 0.32
+    # a different salt draws an independent sample
+    out3 = sk.hash_sample(ds, "id", 0.25, salt="x").to_pandas()
+    assert sorted(out3["id"]) != sorted(out["id"])
+    # edge rates
+    assert sk.hash_sample(ds, "id", 0.0).count() == 0
+    assert sk.hash_sample(ds, "id", 1.0).count() == 2000
+    with pytest.raises(ValueError):
+        sk.hash_sample(ds, "id", 1.5)
+
+
+def test_curate_pipeline(ray_session):
+    import ray.data as rd
+
+    from search_engine_ray.pipelines import curate
+
+    # high-uniqueness English text: ~160 distinct alphabetic words
+    # plus en stopword markers -> quality well above the threshold
+    from itertools import product
+
+    words = ["".join(p) for p in product("abcdefghijkl", repeat=2)][:160]
+    good = "the and is of to " + " ".join(words)
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [good, good, "der hund und die katze sind schnell und laut", "x"],
+    })
+    out = curate(rd.from_pandas(docs)).to_pandas()
+    # doc 2 is an exact dup of 1 (min id kept); 3 is German; 4 too low quality
+    assert list(out["doc_id"]) == [1]
+    assert list(out["lang_id"]) == ["en"]
+    # all-filtered input degrades to an empty result, not an error
+    none = curate(rd.from_pandas(docs.assign(text="x y z")))
+    assert none.count() == 0
+
+
 def test_histogram_quantiles_vs_duckdb(ray_session, con):
     import ray.data as rd
 
