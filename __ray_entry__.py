@@ -643,6 +643,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus"]
         ]
 
+    def r24_sessionize(sf_dir):
+        # event-stream sessionization: new session after >30 min of
+        # user inactivity; per-user 1-based session numbering
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        out = rel.sessionize(
+            ev, by="user_id", ts_col="ts", gap_s=1800, tiebreak="event_id"
+        ).to_pandas()
+        out["ts"] = out["ts"].astype("datetime64[us]").astype("int64")
+        out["session_seq"] = out["session_seq"].astype("int64")
+        return out[["event_id", "user_id", "ts", "session_seq"]]
+
     # ---- sketches / summary statistics -----------------------------
     def sketch_kmv(sf_dir):
         # KMV distinct-count: k=64 < 150 true distinct user_ids, so
@@ -663,6 +674,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sampling primitive
         docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
         return sk.hash_sample(docs, "doc_id", 0.25)
+
+    def t_strat_sample(sf_dir):
+        # stratified rebalancing: keep all 'en', half 'de', a quarter
+        # of everything else — rate thresholds are exact powers of two
+        # so the SQL constants match bit-for-bit
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+        return sk.stratified_hash_sample(
+            docs, "doc_id", {"en": 1.0, "de": 0.5}, "lang", default_rate=0.25
+        )
+
+    def t_top_terms(sf_dir):
+        # heavy hitters by composition: explode -> count -> bounded
+        # top-k (no full sort)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        toks = txt.explode_tokens(docs, "text", ["doc_id"]).select_columns(["token"])
+        counts = rel.value_counts(toks, "token", alias="cnt")
+        return rel.topk(counts, ["cnt", "token"], 20, descending=[True, False])
 
     def pipe_curation(sf_dir):
         # the flagship training-data composition: lang-ID -> quality
@@ -1040,9 +1068,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r21_range_join": r21_range_join,
         "r22_hash_join": r22_hash_join,
         "r23_group_topn": r23_group_topn,
+        "r24_sessionize": r24_sessionize,
         "sketch_kmv": sketch_kmv,
         "sketch_quantiles": sketch_quantiles,
         "t_hash_sample": t_hash_sample,
+        "t_strat_sample": t_strat_sample,
+        "t_top_terms": t_top_terms,
         "pipe_curation": pipe_curation,
         "e1_csv_source": e1_csv_source,
         "e2_incremental": e2_incremental,
@@ -1380,6 +1411,17 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "PARTITION BY l_returnflag "
             "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3"
         ),
+        "r24_sessionize": (
+            "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events), "
+            "f AS (SELECT event_id, user_id, tsu, "
+            "CASE WHEN lag(tsu) OVER w IS NULL OR tsu - lag(tsu) OVER w > 1800000000 "
+            "THEN 1 ELSE 0 END AS flag FROM e "
+            "WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)) "
+            "SELECT event_id, user_id, tsu AS ts, "
+            "CAST(sum(flag) OVER (PARTITION BY user_id ORDER BY tsu, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq "
+            "FROM f"
+        ),
         "sketch_kmv": (
             # same KMV estimator: k smallest distinct md5-upper-64
             # hashes, (k-1)/U_(k); DuckDB round() is half-away like
@@ -1423,6 +1465,20 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             # exactly 2^62, md5_number_upper = first 8 md5 bytes LE
             "SELECT doc_id, lang, n_chars FROM documents "
             "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) < 4611686018427387904"
+        ),
+        "t_strat_sample": (
+            # thresholds: 1.0 -> 2^64-1 (the engine clamps), 0.5 ->
+            # 2^63, default 0.25 -> 2^62
+            "SELECT doc_id, lang FROM documents "
+            "WHERE md5_number_upper(CAST(doc_id AS VARCHAR)) < CASE lang "
+            "WHEN 'en' THEN 18446744073709551615 "
+            "WHEN 'de' THEN 9223372036854775808 "
+            "ELSE 4611686018427387904 END"
+        ),
+        "t_top_terms": (
+            "SELECT t AS token, count(*) AS cnt FROM (SELECT unnest("
+            "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
+            "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
         ),
         "dedup_exact": (
             "WITH both_docs AS ("

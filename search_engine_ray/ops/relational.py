@@ -634,6 +634,53 @@ def asof_join(
     return both.groupby("_shard").map_groups(_merge, batch_format="pandas")
 
 
+def sessionize(
+    ds: Dataset,
+    by: str,
+    ts_col: str,
+    gap_s: float,
+    out_col: str = "session_seq",
+    tiebreak: str | None = None,
+    num_shards: int = 64,
+) -> Dataset:
+    """Sessionization: number each row with its key's session index
+    (1-based), where a new session starts when the time since the
+    key's previous event exceeds `gap_s` seconds — the standard
+    event-stream session split.
+
+    Scale shape: rows are co-located on a COARSE hash shard of `by`
+    (one exchange, same pattern as asof_join — a shard holds many
+    keys), then ONE vectorized pandas pass per shard: sort by
+    (key, ts, tiebreak), diff against the previous row, per-key cumsum
+    of the new-session flags. Sessions never span keys and a key never
+    spans shards, so per-shard numbering is globally correct. Provide
+    `tiebreak` (a unique column) for deterministic numbering when
+    timestamps tie."""
+    order = [by, ts_col] + ([tiebreak] if tiebreak else [])
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        return df.assign(
+            _shard=(pd.util.hash_array(df[by].to_numpy()) % num_shards).astype("int64")
+        )
+
+    def _number(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.drop(columns=["_shard"]).sort_values(order, kind="mergesort")
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        new_key = (df[by] != df[by].shift()).to_numpy()
+        # int64 diff, not Series.shift: shift() would promote epoch-us
+        # to float64 and lose precision above 2^53
+        d = np.zeros(len(ts), np.int64)
+        if len(ts) > 1:
+            d[1:] = ts[1:] - ts[:-1]
+        flag = (new_key | (d > int(gap_s * 1e6))).astype("int64")
+        df[out_col] = pd.Series(flag, index=df.index).groupby(df[by]).cumsum()
+        return df
+
+    return ds.map_batches(_tag, batch_format="pandas").groupby("_shard").map_groups(
+        _number, batch_format="pandas"
+    )
+
+
 def range_join(
     ds: Dataset,
     intervals: pa.Table,

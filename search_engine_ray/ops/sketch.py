@@ -98,6 +98,39 @@ def hash_sample(ds: Dataset, col: str, rate: float, salt: str = "") -> Dataset:
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def stratified_hash_sample(
+    ds: Dataset,
+    col: str,
+    rates: dict,
+    strata_col: str,
+    default_rate: float = 0.0,
+    salt: str = "",
+) -> Dataset:
+    """Deterministic stratified sampling: like `hash_sample`, but the
+    keep-rate depends on the row's stratum (e.g. sample 'en' at 1%,
+    low-resource languages at 100% — the standard rebalancing move in
+    training-data curation). The rate map is tiny and ships inside the
+    task closure; the filter is a pure streaming map_batches with the
+    same whole-key determinism as hash_sample."""
+    for r in list(rates.values()) + [default_rate]:
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rates must be in [0, 1], got {r}")
+    thresh = {
+        s: np.uint64(min(int(r * _TWO64), (1 << 64) - 1)) for s, r in rates.items()
+    }
+    dflt = np.uint64(min(int(default_rate * _TWO64), (1 << 64) - 1))
+
+    def _f(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[col], pa.string()).to_pylist()
+        h = _md5_upper64([v + salt for v in vals])
+        cuts = np.array(
+            [thresh.get(s, dflt) for s in t[strata_col].to_pylist()], dtype=np.uint64
+        )
+        return t.filter(pa.array(h < cuts))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def histogram_quantiles(
     ds: Dataset, col: str, qs: Sequence[float]
 ) -> pd.DataFrame:

@@ -706,6 +706,27 @@ def test_asof_join_forward_and_validation(ray_session):
         rel.asof_join(l, l, by="k", ts_col="ts")
 
 
+def test_sessionize(ray_session):
+    import ray.data as rd
+
+    ev = pd.DataFrame({
+        "id": [1, 2, 3, 4, 5, 6],
+        "u": [7, 7, 7, 8, 8, 7],
+        "ts": pd.to_datetime(
+            # u=7: 0s, 10s, 2000s (gap>30min? no, gap_s=60 here) ...
+            [0, 10, 100, 5, 6, 15], unit="s"
+        ).astype("datetime64[us]"),
+    })
+    got = rel.sessionize(
+        rd.from_pandas(ev), by="u", ts_col="ts", gap_s=60, tiebreak="id"
+    ).to_pandas().sort_values("id")
+    # u=7 ordered by ts: id1(0s) s1, id2(10s) s1, id6(15s) s1, id3(100s) s2
+    # u=8: id4(5s) s1, id5(6s) s1
+    assert dict(zip(got["id"], got["session_seq"])) == {
+        1: 1, 2: 1, 6: 1, 3: 2, 4: 1, 5: 1,
+    }
+
+
 def test_range_join(ray_session):
     import pyarrow as pa
     import ray.data as rd
@@ -771,6 +792,29 @@ def test_hash_sample(ray_session):
     assert sk.hash_sample(ds, "id", 1.0).count() == 2000
     with pytest.raises(ValueError):
         sk.hash_sample(ds, "id", 1.5)
+
+
+def test_stratified_hash_sample(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    df = pd.DataFrame({"id": np.arange(3000), "grp": ["a", "b", "c"] * 1000})
+    ds = rd.from_pandas(df)
+    out = sk.stratified_hash_sample(
+        ds, "id", {"a": 1.0, "b": 0.0}, "grp", default_rate=0.5
+    ).to_pandas()
+    by = out.groupby("grp").size()
+    assert by.get("a", 0) == 1000      # rate 1.0 keeps all
+    assert by.get("b", 0) == 0         # rate 0.0 drops all
+    assert 350 < by.get("c", 0) < 650  # default 0.5
+    # consistent with hash_sample: same hash, same salt -> the kept
+    # 'c' ids are exactly hash_sample(rate=0.5) of the c stratum
+    c_only = rd.from_pandas(df[df["grp"] == "c"])
+    plain = sk.hash_sample(c_only, "id", 0.5).to_pandas()
+    assert sorted(out[out["grp"] == "c"]["id"]) == sorted(plain["id"])
+    with pytest.raises(ValueError):
+        sk.stratified_hash_sample(ds, "id", {"a": 2.0}, "grp")
 
 
 def test_curate_pipeline(ray_session):
