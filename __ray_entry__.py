@@ -614,6 +614,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = rel.range_join(ev, bands, "value").to_pandas()
         return out[["event_id", "value", "band", "lo", "hi"]]
 
+    def r25_bloom_join(sf_dir):
+        # selective large x large join: the right side keeps ~10% of
+        # orders, so the Bloom prefilter drops most left rows BEFORE
+        # the shuffle; conservative construction means the result is
+        # identical to the plain join the SQL oracle runs
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        orders = rel.filter_conditions(
+            _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+            [("o_totalprice", ">", 450000.0)],
+        )
+        out = rel.hash_join(
+            li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+            num_partitions=16, prefilter=True,
+        )
+        return out.to_pandas()[["l_orderkey", "l_quantity", "o_totalprice"]]
+
     def r23_group_topn(sf_dir):
         # per-group top-N (windowed row_number pattern): 3 priciest
         # lineitems per returnflag, deterministic tiebreak by ids
@@ -1069,6 +1085,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r22_hash_join": r22_hash_join,
         "r23_group_topn": r23_group_topn,
         "r24_sessionize": r24_sessionize,
+        "r25_bloom_join": r25_bloom_join,
         "sketch_kmv": sketch_kmv,
         "sketch_quantiles": sketch_quantiles,
         "t_hash_sample": t_hash_sample,
@@ -1410,6 +1427,11 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "FROM lineitem QUALIFY row_number() OVER ("
             "PARTITION BY l_returnflag "
             "ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber) <= 3"
+        ),
+        "r25_bloom_join": (
+            "SELECT l.l_orderkey, l.l_quantity, o.o_totalprice "
+            "FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey "
+            "WHERE o.o_totalprice > 450000.0"
         ),
         "r24_sessionize": (
             "WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events), "

@@ -141,7 +141,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s1_bm25_term", "s8_dispatch", "s9_phonetic", "r1_filter", "r2_json_extract",
         "r3_join", "r4_two_key_join", "r7_group_first",
         "r8_group_sum", "r10_explode", "r11_topk", "r21_range_join", "r22_hash_join",
-        "r23_group_topn", "r24_sessionize", "sketch_kmv", "sketch_quantiles",
+        "r23_group_topn", "r24_sessionize", "r25_bloom_join", "sketch_kmv", "sketch_quantiles",
         "t_hash_sample", "t_token_stats", "t_quality",
         # dedup_ngram excluded: the EXACT all-pairs path is O(sum df^2)
         # by design (MinHash is the scale path) and sf0.1's organic

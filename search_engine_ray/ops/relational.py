@@ -738,6 +738,86 @@ def range_join(
     )
 
 
+def _bloom_positions(vals: np.ndarray, num_bits: int, num_hashes: int) -> np.ndarray:
+    """(n, num_hashes) bit positions via Kirsch-Mitzenmacher double
+    hashing over pandas' vectorized 64-bit hash (deterministic across
+    processes). Fully vectorized — no per-row Python."""
+    h = pd.util.hash_array(vals)
+    h1 = (h & np.uint64(0xFFFFFFFF)).astype(np.uint64)
+    h2 = ((h >> np.uint64(32)) | np.uint64(1)).astype(np.uint64)
+    i = np.arange(num_hashes, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(num_bits)).astype(np.int64)
+
+
+def bloom_semi_filter(
+    ds: Dataset,
+    col: str,
+    keys: Dataset,
+    key_col: str | None = None,
+    num_bits: int = 1 << 23,
+    num_hashes: int = 5,
+) -> Dataset:
+    """Semi-join reduction: drop `ds` rows whose `col` value is
+    provably absent from `keys[key_col]`, using a Bloom filter built
+    distributedly over the key side. CONSERVATIVE by construction —
+    no false negatives, so composing it before an exact join never
+    changes the result; it only shrinks what the all-to-all shuffle
+    has to move (the point at 100 TB: a filter costs one broadcast of
+    num_bits/8 bytes, a shuffle costs the whole table).
+
+    Build: each key block sets its bits into a private bitmap; block
+    bitmaps are OR-reduced in one combine stage (64 per task) and the
+    survivors on the driver — bitmap traffic is O(blocks/64 x
+    num_bits/8), never the keys themselves. Probe: one vectorized
+    bit-test per batch against the broadcast bitmap (shipped once per
+    actor). Default 1 MiB bitmap + 5 hashes ≈ 2-3% false positives at
+    1M distinct keys; scale num_bits with the key cardinality."""
+    key_col = key_col or col
+    nbytes = num_bits // 8
+
+    def _block_bitmap(t: pa.Table) -> pa.Table:
+        bm = np.zeros(nbytes, dtype=np.uint8)
+        vals = t[key_col].to_numpy(zero_copy_only=False)
+        if vals.size:
+            pos = _bloom_positions(vals, num_bits, num_hashes).ravel()
+            np.bitwise_or.at(bm, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bm": pa.array([bm.tobytes()], pa.binary())})
+
+    def _or_rows(t: pa.Table) -> pa.Table:
+        acc = np.zeros(nbytes, dtype=np.uint8)
+        for b in t["bm"].to_pylist():
+            acc |= np.frombuffer(b, dtype=np.uint8)
+        return pa.table({"bm": pa.array([acc.tobytes()], pa.binary())})
+
+    combined = (
+        keys.map_batches(_block_bitmap, batch_format="pyarrow")
+        .map_batches(_or_rows, batch_format="pyarrow", batch_size=64)
+        .take_all()
+    )
+    bitmap = np.zeros(nbytes, dtype=np.uint8)
+    for row in combined:
+        bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
+
+    class _Probe:
+        def __init__(self, bm: np.ndarray):
+            self.bm = bm
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            vals = t[col].to_numpy(zero_copy_only=False)
+            if not vals.size:
+                return t
+            pos = _bloom_positions(vals, num_bits, num_hashes)
+            bits = (self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+            return t.filter(pa.array(bits.all(axis=1)))
+
+    return ds.map_batches(
+        _Probe,
+        fn_constructor_args=(bitmap,),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+
 def hash_join(
     left: Dataset,
     right: Dataset,
@@ -745,6 +825,7 @@ def hash_join(
     right_on: Sequence[str] | None = None,
     how: str = "inner",
     num_partitions: int | None = None,
+    prefilter: bool = False,
 ) -> Dataset:
     """Large x large equi-join: both sides hash-partitioned on the key,
     one partition-local hash join per partition (Ray Data's shuffle
@@ -760,7 +841,18 @@ def hash_join(
     partition (~128 MB of both sides + the join hash table) fits a
     2 GiB worker heap at any input size — the knob that keeps this
     safe at 100 TB; pass it explicitly to override.
+
+    prefilter=True (inner single-key joins) Bloom-filters the left
+    side against the right keys before the shuffle (bloom_semi_filter)
+    — conservative, so the result is unchanged; the all-to-all moves
+    only left rows that can possibly match. Costs one extra pass over
+    the right key column, so use it when left ≫ matching-left.
     """
+    if prefilter:
+        if how != "inner" or len(on) != 1:
+            raise ValueError("prefilter requires an inner single-key join")
+        rk = (right_on or on)[0]
+        left = bloom_semi_filter(left, on[0], right.select_columns([rk]), key_col=rk)
     if num_partitions is None:
         try:
             total = (left.size_bytes() or 0) + (right.size_bytes() or 0)

@@ -915,6 +915,34 @@ def test_hash_join_vs_duckdb(ray_session, con):
     assert_frames_equal(got, exp)
 
 
+def test_bloom_semi_filter_and_prefilter_join(ray_session):
+    import ray.data as rd
+
+    left = rd.from_pandas(pd.DataFrame({"k": np.arange(10000), "a": np.arange(10000)}))
+    right = rd.from_pandas(pd.DataFrame({"k": np.arange(100), "b": np.arange(100) * 3}))
+    # conservative: every true match survives; FPs only add a few rows
+    kept = rel.bloom_semi_filter(left, "k", right.select_columns(["k"])).to_pandas()
+    assert set(range(100)) <= set(kept["k"])
+    assert len(kept) < 400  # 10k rows shrunk to ~matches (+ ~2-3% FP)
+    # prefiltered join == plain join, exactly
+    plain = rel.hash_join(left, right, on=["k"], num_partitions=8).to_pandas()
+    pre = rel.hash_join(
+        left, right, on=["k"], num_partitions=8, prefilter=True
+    ).to_pandas()
+    cols = sorted(plain.columns)
+    pd.testing.assert_frame_equal(
+        plain[cols].sort_values(cols).reset_index(drop=True),
+        pre[cols].sort_values(cols).reset_index(drop=True),
+    )
+    with pytest.raises(ValueError):
+        rel.hash_join(left, right, on=["k"], how="left_outer", prefilter=True)
+    # string keys hash consistently too
+    sl = rd.from_pandas(pd.DataFrame({"s": [f"u{i}" for i in range(1000)]}))
+    sr = rd.from_pandas(pd.DataFrame({"s": [f"u{i}" for i in range(0, 1000, 50)]}))
+    sk_ = rel.bloom_semi_filter(sl, "s", sr).to_pandas()
+    assert set(sr.to_pandas()["s"]) <= set(sk_["s"]) and len(sk_) < 100
+
+
 def test_hash_join_outer(ray_session):
     import ray.data as rd
 
