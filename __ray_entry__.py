@@ -386,6 +386,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return _bm25_query(sf_dir, Compound(must=(Phonetic("text", "vektor"),)))
 
+    def s10_fuzzy(sf_dir):
+        # S10 fuzzy match (Lucene FuzzyQuery): "vectr" expands against
+        # the term dictionary to every token within 1 Levenshtein edit
+        # ("vector", plus whatever else the corpus holds); each
+        # expansion scores with its OWN idf and per-doc contributions
+        # sum — the same multi-term rewrite as the s2 range scan.
+        # Ranking on the rounded score absorbs SQL SUM() float order.
+        from search_engine_ray.query import Fuzzy
+
+        eng = _doc_engine(sf_dir)
+        q = Compound(must=(Fuzzy("text", "vectr", max_edits=1),))
+        df = eng.search_all(q).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
+    def s11_phrase(sf_dir):
+        # S11 phrase query ("hash join" as ONE BM25 clause) over the
+        # positional sidecar index: per-bucket vectorized adjacency
+        # chain (intersect1d over rank<<32|pos keys), tf = phrase
+        # occurrences, df = docs containing the phrase. The sidecar is
+        # built once per cached index (atomic-subtree rename).
+        from search_engine_ray.query.phrase import phrase_search_all
+
+        eng = _doc_engine(sf_dir)
+        d = eng.dirs[0]
+        if not os.path.isdir(os.path.join(d, "positions")):
+            from search_engine_ray.config import DOCUMENTS_CONFIG
+            from search_engine_ray.index import build_positions
+
+            build_positions(
+                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+            )
+        df = phrase_search_all(eng, "text", "hash join").to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     # ---- relational ring (R1-R17) -----------------------------------
     def r1_filter(sf_dir):
         # predicate pushed INTO the parquet read (row-group pruning);
@@ -1064,6 +1102,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s7_normalizer": s7_normalizer,
         "s8_dispatch": s8_dispatch,
         "s9_phonetic": s9_phonetic,
+        "s10_fuzzy": s10_fuzzy,
+        "s11_phrase": s11_phrase,
         "r1_filter": r1_filter,
         "r2_project": r2_project,
         "r3_join": r3_join,
@@ -1317,6 +1357,31 @@ SELECT tf.doc_id, round(sum(
     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))), 4) AS score
 FROM tf JOIN df USING (tk), s
 GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+""",
+        "s10_fuzzy": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d),
+e AS (SELECT doc_id, dl, unnest(list_filter(ts, t -> levenshtein(t, 'vectr') <= 1)) AS tk FROM d),
+tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM e GROUP BY 1, 2, 3),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, round(sum(
+    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))), 4) AS score
+FROM tf JOIN df USING (tk), s
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+""",
+        "s11_phrase": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+      len(list_filter(range(1, len(ts)), i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS ptf
+      FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE ptf > 0) AS df FROM d)
+SELECT d.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
+FROM d, s WHERE ptf > 0
+ORDER BY score DESC, d.doc_id LIMIT 10
 """,
         "s5_boost": _bm25_sql(
             ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"

@@ -93,6 +93,34 @@ def normalize_query(keyword: str) -> list[str]:
     return out
 
 
+def levenshtein(a: str, b: str, cap: int | None = None) -> int:
+    """Unit-cost edit distance (insert / delete / substitute) —
+    identical to DuckDB's ``levenshtein``, which the S10 fuzzy-match
+    SQL oracles call. Two-row DP with an optional early exit: with a
+    ``cap``, once a whole DP row exceeds it the true distance can only
+    grow, so ``cap + 1`` is returned immediately (callers test
+    ``<= cap``). Dictionary candidates are length-banded before this
+    runs, so the DP only sees near-misses."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    if cap is not None and abs(la - lb) > cap:
+        return cap + 1
+    if not la or not lb:
+        return max(la, lb)
+    prev = list(range(lb + 1))
+    cur = [0] * (lb + 1)
+    for i in range(1, la + 1):
+        cur[0] = i
+        ca = a[i - 1]
+        for j in range(1, lb + 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != b[j - 1]))
+        if cap is not None and min(cur) > cap:
+            return cap + 1
+        prev, cur = cur, prev
+    return prev[lb]
+
+
 _SOUNDEX_CODES = {
     **dict.fromkeys("bfpv", "1"),
     **dict.fromkeys("cgjkqsxz", "2"),

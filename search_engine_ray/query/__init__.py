@@ -1,5 +1,6 @@
 from search_engine_ray.query.qast import (  # noqa: F401
     Compound,
+    Fuzzy,
     Phonetic,
     Prefix,
     Term,
@@ -11,4 +12,9 @@ from search_engine_ray.query.executor import (  # noqa: F401
     FilterSpec,
     SearchEngine,
     SearchResult,
+)
+from search_engine_ray.query.phrase import (  # noqa: F401
+    phrase_postings,
+    phrase_search,
+    phrase_search_all,
 )

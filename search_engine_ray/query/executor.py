@@ -49,7 +49,7 @@ import pyarrow.parquet as pq
 from search_engine_ray.codec import block_delta_decode, for_decode_term, varbyte_decode
 from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
-from search_engine_ray.query.qast import Compound, Leaf, Phonetic, Prefix, Term
+from search_engine_ray.query.qast import Compound, Fuzzy, Leaf, Phonetic, Prefix, Term
 
 POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
 BLK_COLS = ["blk_first", "blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_max_tf", "blk_min_dl"]
@@ -716,6 +716,41 @@ class SearchEngine:
         out = sorted(keys)
         return out[: self.config.max_prefix_expansions]
 
+    def _expand_fuzzy(self, leaf: Fuzzy) -> list[str]:
+        """S10 fuzzy match: expand the token against the sorted term
+        dictionary to every term within `max_edits` Levenshtein edits
+        (Lucene FuzzyQuery's dictionary expansion). Exact recall: the
+        field-code range narrows to the exact-term namespace, a
+        vectorized utf8_length band (|len(t) - len(q)| <= max_edits —
+        a necessary condition for any edit distance) prunes candidates,
+        and every survivor runs the capped DP. Like the prefix range
+        scan this consults every part's dictionary (edits cannot prune
+        by term-hash part) and caps at max_prefix_expansions."""
+        from search_engine_ray.analysis import levenshtein
+
+        spec = self.config.field_by_name(leaf.field)
+        q, k = leaf.token, leaf.max_edits
+        lo = f"{spec.code}:"
+        hi = f"{spec.code}:\U0010ffff"
+        pre = len(lo)
+        keys: set[str] = set()
+        for d in self.dirs:
+            for part in range(self.config.num_parts):
+                t = self._dict_table(d, part)
+                if not t.num_rows:
+                    continue
+                m = pc.and_(pc.greater_equal(t["term"], lo), pc.less(t["term"], hi))
+                terms = t.filter(m)["term"]
+                tl = pc.utf8_length(terms)
+                band = pc.and_(
+                    pc.greater_equal(tl, pre + len(q) - k),
+                    pc.less_equal(tl, pre + len(q) + k),
+                )
+                for key in terms.filter(band).to_pylist():
+                    if key not in keys and levenshtein(key[pre:], q, k) <= k:
+                        keys.add(key)
+        return sorted(keys)[: self.config.max_prefix_expansions]
+
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
         raw: list[tuple[int, bool, list[str], str, float | None]] = []
@@ -726,6 +761,8 @@ class SearchEngine:
                 keys = [cfg.term_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Phonetic):
                 keys = [cfg.phonetic_key(leaf.field, leaf.token)]
+            elif isinstance(leaf, Fuzzy):
+                keys = self._expand_fuzzy(leaf)
             elif isinstance(leaf, Prefix):
                 spec = cfg.field_by_name(leaf.field)
                 if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:

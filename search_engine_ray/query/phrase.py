@@ -1,0 +1,198 @@
+"""Phrase queries over the positional sidecar index.
+
+Execution (Ray-Data-native, per bucket)::
+
+    read_parquet(positions/part=K/..., filter=term in phrase_terms)
+      -> groupby("bucket").map_groups(_chain)   # <= m rows per group
+      -> (doc_id, ptf, dl) postings of the PHRASE
+    df = count()  ->  BM25(idf(df), tf=ptf, dl) map  ->  top-k
+
+The chain step is one vectorized sorted-set intersection per adjacent
+token pair: every (doc, position) occurrence is packed into one int64
+``rank << 32 | pos`` key, so "token j+1 follows token j" is
+``intersect1d(keys_j + 1, keys_{j+1})`` across ALL candidate docs at
+once — no per-doc Python. A phrase of m terms reads at most m part
+directories (the same hash-part pruning as term queries) and each
+bucket's group holds at most m rows, so the shuffle payload is tiny
+and scales with vocabulary, never the corpus.
+
+Scoring semantics (pinned by the s11_phrase SQL oracle): the phrase is
+ONE BM25 clause — tf = number of phrase occurrences in the doc,
+df = number of docs containing the phrase, dl = the field's analyzed
+token count. Same formula, same op order as scoring.py everywhere.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.dataset as pads
+
+from search_engine_ray.config import term_part
+from search_engine_ray.index.positions import decode_positions_term
+from search_engine_ray.query import scoring
+
+
+def _analyzed(engine, phrase) -> list[str]:
+    if isinstance(phrase, str):
+        from search_engine_ray.analysis import get_analyzer
+
+        return get_analyzer(engine.config.analyzer).analyze(phrase)
+    return list(phrase)
+
+
+def _chain_keys(streams: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]):
+    """Adjacency chain over per-term (ranks, tfs, dls, positions).
+    Returns (doc_ranks, ptf) of the phrase occurrences."""
+    keys = []
+    for ranks, tfs, _dls, pos in streams:
+        keys.append((np.repeat(ranks.astype(np.int64), tfs) << np.int64(32)) | pos.astype(np.int64))
+    cur = keys[0]
+    for j in range(1, len(keys)):
+        cur = np.intersect1d(cur + 1, keys[j], assume_unique=True)
+        if cur.size == 0:
+            break
+    if cur.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_ranks, ptf = np.unique(cur >> np.int64(32), return_counts=True)
+    return doc_ranks, ptf
+
+
+def phrase_postings(engine, field: str, phrase):
+    """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
+    the phrase. Raises if the positional sidecar is missing."""
+    import ray.data as rd
+
+    tokens = _analyzed(engine, phrase)
+    cfg = engine.config
+    if not tokens:
+        return rd.from_arrow(_EMPTY_POSTINGS)
+    term_keys = [cfg.term_key(field, t) for t in tokens]
+    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys})
+    keyset = sorted(set(term_keys))
+    tomb = engine.tombstones
+    pieces = []
+    for d in engine.dirs:
+        pos_root = os.path.join(d, "positions")
+        if not os.path.isdir(pos_root):
+            raise RuntimeError(
+                f"positions sidecar missing under {d!r}; run index.build_positions first"
+            )
+        roots = [
+            r for k in parts if os.path.isdir(r := os.path.join(pos_root, f"part={k}"))
+        ]
+        if not roots:
+            continue
+        # one lazy read per part dir (read_parquet hive-discovers the
+        # bucket= subdirs of a single root only), unioned
+        reads = [
+            rd.read_parquet(
+                r,
+                columns=[
+                    "term", "bucket", "df_local",
+                    "doc_bytes", "tf_bytes", "dl_bytes", "pos_bytes",
+                ],
+                filter=pc.field("term").isin(keyset),
+            )
+            for r in roots
+        ]
+        ds = reads[0] if len(reads) == 1 else reads[0].union(*reads[1:])
+        docmap_dir = os.path.join(d, "docmap")
+
+        def _chain(df: pd.DataFrame, _dm=docmap_dir) -> pd.DataFrame:
+            empty = pd.DataFrame(
+                {
+                    "doc_id": pd.Series([], dtype="int64"),
+                    "ptf": pd.Series([], dtype="int64"),
+                    "dl": pd.Series([], dtype="int64"),
+                }
+            )
+            by_term: dict[str, tuple] = {}
+            for row in df.itertuples(index=False):
+                by_term[row.term] = decode_positions_term(
+                    row.doc_bytes, row.tf_bytes, row.dl_bytes, row.pos_bytes, int(row.df_local)
+                )
+            if any(tk not in by_term for tk in term_keys):
+                return empty
+            streams = [by_term[tk] for tk in term_keys]
+            doc_ranks, ptf = _chain_keys(streams)
+            if doc_ranks.size == 0:
+                return empty
+            b = int(df["bucket"].iloc[0])
+            universe = np.sort(
+                pads.dataset(os.path.join(_dm, f"bucket={b}"))
+                .to_table(columns=["doc_id"])["doc_id"]
+                .to_numpy()
+            )
+            ids = universe[doc_ranks]
+            # dl from the LAST token's stream (all tokens of one doc
+            # share the field dl; the last is where the chain ended)
+            ranks_last, _, dls_last, _ = streams[-1]
+            dl = dls_last[np.searchsorted(ranks_last, doc_ranks)]
+            if tomb is not None and tomb.size:
+                keep = ~np.isin(ids, tomb, assume_unique=False)
+                ids, ptf, dl = ids[keep], ptf[keep], dl[keep]
+            return pd.DataFrame(
+                {
+                    "doc_id": ids.astype(np.int64),
+                    "ptf": ptf.astype(np.int64),
+                    "dl": dl.astype(np.int64),
+                }
+            )
+
+        pieces.append(ds.groupby("bucket").map_groups(_chain, batch_format="pandas"))
+    if not pieces:
+        return rd.from_arrow(_EMPTY_POSTINGS)
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return out
+
+
+_EMPTY_POSTINGS = pa.table(
+    {
+        "doc_id": pa.array([], pa.int64()),
+        "ptf": pa.array([], pa.int64()),
+        "dl": pa.array([], pa.int64()),
+    }
+)
+
+
+def phrase_search_all(engine, field: str, phrase):
+    """Score EVERY doc containing the phrase; returns a Dataset of
+    (doc_id, score) — the phrase analog of SearchEngine.search_all.
+    One materialize of the (small) phrase match set feeds both the
+    global-df count and the scoring pass."""
+    import ray.data as rd
+
+    mat = phrase_postings(engine, field, phrase).materialize()
+    df = mat.count()
+    if df == 0:
+        return rd.from_arrow(
+            pa.table({"doc_id": pa.array([], pa.int64()), "score": pa.array([], pa.float64())})
+        )
+    stats = engine.stats
+    tidf = float(scoring.idf(stats["n_docs"], df))
+    k1, b = stats["k1"], stats["b"]
+    avgdl = stats["fields"][field]["avgdl"]
+
+    def _score(t: pa.Table) -> pa.Table:
+        sc = scoring.bm25_score(t["ptf"].to_numpy(), t["dl"].to_numpy(), tidf, k1, b, avgdl)
+        return pa.table({"doc_id": t["doc_id"], "score": pa.array(sc, pa.float64())})
+
+    return mat.map_batches(_score, batch_format="pyarrow")
+
+
+def phrase_search(engine, field: str, phrase, k: int = 10) -> pd.DataFrame:
+    """Top-k phrase search: (doc_id, score) page ordered by
+    (score desc, doc_id asc), full precision."""
+    from search_engine_ray.ops import relational as rel
+
+    scored = phrase_search_all(engine, field, phrase)
+    page = rel.topk(scored, ["score", "doc_id"], k=k, descending=[True, False]).to_pandas()
+    return page.reset_index(drop=True)

@@ -50,7 +50,22 @@ class Phonetic:
     const_score: float | None = None
 
 
-Leaf = Term | Prefix | Phonetic
+@dataclass(frozen=True)
+class Fuzzy:
+    """S10 fuzzy term (Lucene FuzzyQuery semantics): matches docs
+    containing any indexed token within `max_edits` Levenshtein edits
+    of `token` (distance 0, the exact term, included). Resolved by a
+    dictionary expansion + multi-term rewrite — each expanded term
+    scores with its OWN idf and per-doc contributions sum, exactly
+    like the Prefix range-scan path."""
+
+    field: str
+    token: str
+    max_edits: int = 1
+    const_score: float | None = None
+
+
+Leaf = Term | Prefix | Phonetic | Fuzzy
 
 
 @dataclass(frozen=True)

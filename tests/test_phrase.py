@@ -1,0 +1,140 @@
+"""Phrase queries over the positional sidecar: build + decode
+round-trip, adjacency-chain parity vs a brute-force Python scan, and
+BM25 score parity (same scoring.py formula both sides)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from search_engine_ray.analysis import analyze
+from search_engine_ray.config import IndexConfig
+from search_engine_ray.index import build_index, build_positions
+from search_engine_ray.query import SearchEngine, phrase_postings, phrase_search
+from search_engine_ray.query import scoring
+
+
+@pytest.fixture(scope="module")
+def pos_index(ray_session, tiny_corpus, tmp_path_factory):
+    """Index + positional sidecar over the tiny corpus (content field)."""
+    import ray.data as rd
+
+    out = str(tmp_path_factory.mktemp("posidx") / "tiny")
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    build_index(rd.from_arrow(tiny_corpus), out, cfg)
+    build_positions(rd.from_arrow(tiny_corpus), out, cfg, field_names=("content",))
+    return out, cfg
+
+
+def _brute_phrase(corpus: pa.Table, tokens: list[str]) -> dict[int, tuple[int, int]]:
+    """doc_id -> (phrase tf, dl) by scanning analyzed token lists."""
+    from search_engine_ray.index.build import doc_uid
+
+    out = {}
+    repo, path, content = (corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    m = len(tokens)
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        ptf = sum(
+            1 for i in range(len(ts) - m + 1) if ts[i : i + m] == tokens
+        )
+        if ptf:
+            out[doc_uid([str(r), str(p)])] = (ptf, len(ts))
+    return out
+
+
+@pytest.mark.parametrize(
+    "phrase",
+    [
+        ["import", "yield"],
+        ["class", "with"],
+        ["lambda", "return", "yield"],
+        ["tokenizer"],  # single-token degenerate: ptf == tf
+    ],
+)
+def test_phrase_postings_match_brute_force(pos_index, tiny_corpus, phrase):
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    exp = _brute_phrase(tiny_corpus, phrase)
+    got = phrase_postings(eng, "content", phrase).to_pandas()
+    assert len(got) == len(exp), phrase
+    for row in got.itertuples(index=False):
+        assert exp[row.doc_id] == (row.ptf, row.dl), (phrase, row.doc_id)
+    # at least one of the parametrized phrases must actually match
+    if phrase == ["import", "yield"]:
+        assert len(exp) > 0
+
+
+def test_phrase_search_scores_and_ranking(pos_index, tiny_corpus):
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    tokens = ["import", "yield"]
+    exp = _brute_phrase(tiny_corpus, tokens)
+    assert exp
+    n = eng.stats["n_docs"]
+    avgdl = eng.stats["fields"]["content"]["avgdl"]
+    tidf = float(scoring.idf(n, len(exp)))
+    want = {
+        d: float(scoring.bm25_score(np.array([tf]), np.array([dl]), tidf, 1.2, 0.75, avgdl)[0])
+        for d, (tf, dl) in exp.items()
+    }
+    page = phrase_search(eng, "content", "import yield", k=10)
+    order = sorted(want.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert page["doc_id"].tolist() == [d for d, _ in order]
+    np.testing.assert_allclose(
+        page["score"].to_numpy(), np.array([s for _, s in order]), rtol=0, atol=1e-9
+    )
+
+
+def test_phrase_no_match_and_missing_term(pos_index):
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    # term absent from the corpus entirely
+    assert phrase_postings(eng, "content", ["zzzqqq", "yield"]).count() == 0
+    # both terms exist but never adjacently in this exact order?
+    # (query an implausible inversion; if it does occur the check
+    # still validates against brute force)
+    assert phrase_search(eng, "content", "zzzqqq", k=5).empty
+
+
+def test_phrase_requires_sidecar(tiny_index):
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    with pytest.raises(RuntimeError, match="positions sidecar"):
+        phrase_postings(eng, "content", ["import", "yield"]).count()
+
+
+def test_positions_encode_decode_roundtrip():
+    """encode_positions_bucket <-> decode_positions_term on a
+    hand-built partial table (multi-batch merge: segments permuted)."""
+    from search_engine_ray.index.positions import (
+        decode_positions_term,
+        encode_positions_bucket,
+    )
+
+    universe = np.array([10, 20, 30, 40], dtype=np.int64)
+    # two partial rows for the same term (two batches), one for another
+    t = pa.table(
+        {
+            "term": ["c:a", "c:a", "c:b"],
+            "bucket": pa.array([0, 0, 0], pa.int32()),
+            "doc_ids": [[30], [10, 20], [20]],
+            "tfs": pa.array([[2], [1, 3], [1]], pa.list_(pa.int32())),
+            "dls": pa.array([[7], [4, 9], [9]], pa.list_(pa.int32())),
+            "pos": pa.array([[1, 5], [0, 2, 4, 8], [3]], pa.list_(pa.int32())),
+        }
+    )
+    enc = encode_positions_bucket(t, 0, universe)
+    assert enc["term"].to_pylist() == ["c:a", "c:b"]
+    i_a = 0
+    ranks, tfs, dls, pos = decode_positions_term(
+        enc["doc_bytes"][i_a].as_py(),
+        enc["tf_bytes"][i_a].as_py(),
+        enc["dl_bytes"][i_a].as_py(),
+        enc["pos_bytes"][i_a].as_py(),
+        int(enc["df_local"][i_a].as_py()),
+    )
+    # doc order by rank: 10 (rank 0), 20 (rank 1), 30 (rank 2)
+    assert universe[ranks].tolist() == [10, 20, 30]
+    assert tfs.tolist() == [1, 3, 2]
+    assert dls.tolist() == [4, 9, 7]
+    assert pos.tolist() == [0, 2, 4, 8, 1, 5]

@@ -252,3 +252,65 @@ def test_phonetic_metaphone_algo(ray_session, tmp_path):
     ora = oracle_search(build_oracle(t, cfg), q, k=5)
     assert res.total == 2  # knight + night
     assert_parity(res, ora)
+
+
+def test_levenshtein_matches_duckdb():
+    """The S10 edit distance must agree with DuckDB's `levenshtein`
+    (the function the driver's fuzzy SQL oracle calls) on arbitrary
+    token pairs, and the capped fast path must stay consistent."""
+    import duckdb
+
+    from search_engine_ray.analysis import levenshtein
+
+    rng = np.random.default_rng(7)
+    vocab = ["", "a", "vector", "vectr", "victor", "build_index",
+             "merge_shards", "tokenizer", "tokeniser", "wand", "wind"]
+    rand = [
+        "".join(rng.choice(list("abcdez_01"), size=rng.integers(0, 9)))
+        for _ in range(40)
+    ]
+    words = vocab + rand
+    con = duckdb.connect()
+    for a in words:
+        for b in words:
+            exp = con.sql("SELECT levenshtein(?, ?)", params=[a, b]).fetchone()[0]
+            assert levenshtein(a, b) == exp, (a, b)
+            for cap in (0, 1, 2):
+                got = levenshtein(a, b, cap)
+                assert (got <= cap) == (exp <= cap), (a, b, cap)
+                if exp <= cap:
+                    assert got == exp
+
+
+def test_fuzzy_multi_term_rewrite(engine, oracle_ix, tiny_corpus):
+    """S10: Fuzzy('content', tok, 1) must equal the explicit multi-term
+    rewrite — a should-OR of every corpus token within 1 edit, each
+    scoring with its own idf (the exact semantics the s10_fuzzy SQL
+    oracle encodes)."""
+    from search_engine_ray.analysis import analyze, levenshtein
+    from search_engine_ray.oracle import oracle_search
+    from search_engine_ray.query import Fuzzy
+
+    vocab = set()
+    for s in tiny_corpus["content"].to_pylist():
+        vocab.update(analyze(s or ""))
+
+    for tok, k in (("tokenzer", 1), ("wnd", 1), ("mergeshards", 2)):
+        exp_terms = sorted(t for t in vocab if levenshtein(t, tok, k) <= k)
+        assert exp_terms, tok  # the test is vacuous if nothing expands
+        got = engine._expand_fuzzy(Fuzzy("content", tok, max_edits=k))
+        assert got == [f"c:{t}" for t in exp_terms]
+        res = engine.search(Compound(must=(Fuzzy("content", tok, max_edits=k),)), k=10)
+        rewrite = Compound(
+            should=tuple(Term("content", t) for t in exp_terms), min_should_match=1
+        )
+        ora = oracle_search(oracle_ix, rewrite, k=10)
+        assert_parity(res, ora)
+
+
+def test_fuzzy_zero_expansion(engine):
+    """A fuzzy token nothing comes close to matches no docs."""
+    from search_engine_ray.query import Fuzzy
+
+    res = engine.search(Compound(must=(Fuzzy("content", "qqqqzzzz"),)), k=10)
+    assert res.total == 0 and len(res.hits) == 0
