@@ -424,6 +424,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
 
+    def s12_proximity(sf_dir):
+        # S12 ordered proximity pair: "hash ... scan" with the second
+        # token 1-3 positions after the first; tf counts matched
+        # position PAIRS (what a SQL positions self-join counts), df =
+        # docs with any pair, scored as one BM25 clause. Same sidecar
+        # and chain machinery as s11 with per-gap intersections.
+        from search_engine_ray.query.phrase import phrase_search_all
+
+        eng = _doc_engine(sf_dir)
+        d = eng.dirs[0]
+        if not os.path.isdir(os.path.join(d, "positions")):
+            from search_engine_ray.config import DOCUMENTS_CONFIG
+            from search_engine_ray.index import build_positions
+
+            build_positions(
+                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+            )
+        df = phrase_search_all(eng, "text", ["hash", "scan"], window=3).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     # ---- relational ring (R1-R17) -----------------------------------
     def r1_filter(sf_dir):
         # predicate pushed INTO the parquet read (row-group pruning);
@@ -1104,6 +1126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s9_phonetic": s9_phonetic,
         "s10_fuzzy": s10_fuzzy,
         "s11_phrase": s11_phrase,
+        "s12_proximity": s12_proximity,
         "r1_filter": r1_filter,
         "r2_project": r2_project,
         "r3_join": r3_join,
@@ -1382,6 +1405,21 @@ SELECT d.doc_id, round(
     (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
 FROM d, s WHERE ptf > 0
 ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        "s12_proximity": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'hash'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'scan'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 3 GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
 """,
         "s5_boost": _bm25_sql(
             ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"

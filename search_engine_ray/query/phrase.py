@@ -46,12 +46,15 @@ def _analyzed(engine, phrase) -> list[str]:
     return list(phrase)
 
 
+def _occurrence_keys(stream) -> np.ndarray:
+    ranks, tfs, _dls, pos = stream
+    return (np.repeat(ranks.astype(np.int64), tfs) << np.int64(32)) | pos.astype(np.int64)
+
+
 def _chain_keys(streams: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]):
     """Adjacency chain over per-term (ranks, tfs, dls, positions).
     Returns (doc_ranks, ptf) of the phrase occurrences."""
-    keys = []
-    for ranks, tfs, _dls, pos in streams:
-        keys.append((np.repeat(ranks.astype(np.int64), tfs) << np.int64(32)) | pos.astype(np.int64))
+    keys = [_occurrence_keys(s) for s in streams]
     cur = keys[0]
     for j in range(1, len(keys)):
         cur = np.intersect1d(cur + 1, keys[j], assume_unique=True)
@@ -63,13 +66,37 @@ def _chain_keys(streams: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarr
     return doc_ranks, ptf
 
 
-def phrase_postings(engine, field: str, phrase):
+def _pair_window_keys(streams, window: int):
+    """Ordered proximity for a PAIR: count (i, j) occurrence pairs with
+    ``1 <= pos_j - pos_i <= window`` — one intersect1d per gap value
+    (w tiny), all docs at once. A position-pair is unique per (j, gap),
+    so summing per-gap intersections counts pairs exactly (the same
+    count a SQL positions self-join produces)."""
+    k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
+    hits = []
+    for delta in range(1, window + 1):
+        m = np.intersect1d(k1 + delta, k2, assume_unique=True)
+        if m.size:
+            hits.append(m >> np.int64(32))
+    if not hits:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    doc_ranks, ptf = np.unique(np.concatenate(hits), return_counts=True)
+    return doc_ranks, ptf
+
+
+def phrase_postings(engine, field: str, phrase, window: int = 1):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
-    the phrase. Raises if the positional sidecar is missing."""
+    the phrase. Raises if the positional sidecar is missing.
+
+    window=1 is the exact phrase (each next token immediately follows).
+    window>1 is ordered proximity, PAIRS only: ptf counts (i, j)
+    position pairs with ``1 <= pos_j - pos_i <= window``."""
     import ray.data as rd
 
     tokens = _analyzed(engine, phrase)
     cfg = engine.config
+    if window > 1 and len(tokens) != 2:
+        raise ValueError("window > 1 supports exactly two tokens (ordered proximity pair)")
     if not tokens:
         return rd.from_arrow(_EMPTY_POSTINGS)
     term_keys = [cfg.term_key(field, t) for t in tokens]
@@ -120,7 +147,10 @@ def phrase_postings(engine, field: str, phrase):
             if any(tk not in by_term for tk in term_keys):
                 return empty
             streams = [by_term[tk] for tk in term_keys]
-            doc_ranks, ptf = _chain_keys(streams)
+            if window > 1:
+                doc_ranks, ptf = _pair_window_keys(streams, window)
+            else:
+                doc_ranks, ptf = _chain_keys(streams)
             if doc_ranks.size == 0:
                 return empty
             b = int(df["bucket"].iloc[0])
@@ -163,14 +193,14 @@ _EMPTY_POSTINGS = pa.table(
 )
 
 
-def phrase_search_all(engine, field: str, phrase):
+def phrase_search_all(engine, field: str, phrase, window: int = 1):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
     One materialize of the (small) phrase match set feeds both the
     global-df count and the scoring pass."""
     import ray.data as rd
 
-    mat = phrase_postings(engine, field, phrase).materialize()
+    mat = phrase_postings(engine, field, phrase, window=window).materialize()
     df = mat.count()
     if df == 0:
         return rd.from_arrow(
@@ -188,11 +218,11 @@ def phrase_search_all(engine, field: str, phrase):
     return mat.map_batches(_score, batch_format="pyarrow")
 
 
-def phrase_search(engine, field: str, phrase, k: int = 10) -> pd.DataFrame:
+def phrase_search(engine, field: str, phrase, k: int = 10, window: int = 1) -> pd.DataFrame:
     """Top-k phrase search: (doc_id, score) page ordered by
     (score desc, doc_id asc), full precision."""
     from search_engine_ray.ops import relational as rel
 
-    scored = phrase_search_all(engine, field, phrase)
+    scored = phrase_search_all(engine, field, phrase, window=window)
     page = rel.topk(scored, ["score", "doc_id"], k=k, descending=[True, False]).to_pandas()
     return page.reset_index(drop=True)

@@ -138,3 +138,32 @@ def test_positions_encode_decode_roundtrip():
     assert tfs.tolist() == [1, 3, 2]
     assert dls.tolist() == [4, 9, 7]
     assert pos.tolist() == [0, 2, 4, 8, 1, 5]
+
+
+def test_proximity_pair_window(pos_index, tiny_corpus):
+    """S12 ordered proximity: ptf counts (i, j) position pairs with
+    1 <= j - i <= window — parity vs a brute-force pair scan, and
+    window=1 must equal the exact-phrase path."""
+    from search_engine_ray.index.build import doc_uid
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    a, b, w = "import", "yield", 3
+    exp = {}
+    for r, p, text in zip(*(tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))):
+        ts = analyze(text or "")
+        pa_pos = [i for i, t in enumerate(ts) if t == a]
+        pb_pos = [j for j, t in enumerate(ts) if t == b]
+        ptf = sum(1 for i in pa_pos for j in pb_pos if 1 <= j - i <= w)
+        if ptf:
+            exp[doc_uid([str(r), str(p)])] = (ptf, len(ts))
+    got = phrase_postings(eng, "content", [a, b], window=w).to_pandas()
+    assert len(got) == len(exp) and len(exp) > 0
+    for row in got.itertuples(index=False):
+        assert exp[row.doc_id] == (row.ptf, row.dl)
+    # window=1 == exact phrase
+    g1 = phrase_postings(eng, "content", [a, b], window=1).to_pandas()
+    ge = phrase_postings(eng, "content", [a, b]).to_pandas()
+    assert g1.sort_values("doc_id").values.tolist() == ge.sort_values("doc_id").values.tolist()
+    with pytest.raises(ValueError, match="two tokens"):
+        phrase_postings(eng, "content", [a, b, a], window=2)
