@@ -446,6 +446,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
 
+    def s13_synonyms(sf_dir):
+        # S13 SynonymQuery blend: ("big", "fast") score as ONE
+        # pseudo-term — tf summed across the set, idf from the max
+        # per-token df. NOT an OR-rewrite: a doc using both words
+        # scores like one using either twice.
+        from search_engine_ray.query import Synonyms
+
+        q = Compound(must=(Synonyms("text", ("big", "fast")),))
+        return _bm25_query(sf_dir, q)
+
     # ---- relational ring (R1-R17) -----------------------------------
     def r1_filter(sf_dir):
         # predicate pushed INTO the parquet read (row-group pruning);
@@ -1127,6 +1137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s10_fuzzy": s10_fuzzy,
         "s11_phrase": s11_phrase,
         "s12_proximity": s12_proximity,
+        "s13_synonyms": s13_synonyms,
         "r1_filter": r1_filter,
         "r2_project": r2_project,
         "r3_join": r3_join,
@@ -1420,6 +1431,21 @@ SELECT m.doc_id, round(
     ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
     (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
 FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        "s13_synonyms": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+      len(list_filter(ts, t -> t IN ('big', 'fast'))) AS tf0,
+      len(list_filter(ts, t -> t = 'big')) AS h1,
+      len(list_filter(ts, t -> t = 'fast')) AS h2 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+      greatest(count(*) FILTER (WHERE h1 > 0), count(*) FILTER (WHERE h2 > 0)) AS df FROM d)
+SELECT d.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY (ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) DESC, d.doc_id LIMIT 10
 """,
         "s5_boost": _bm25_sql(
             ["vector"], boost_sql="CASE WHEN d.n_chars > 200 THEN 10 ELSE 0 END"

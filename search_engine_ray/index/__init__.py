@@ -1,2 +1,3 @@
 from search_engine_ray.index.build import build_index, build_index_resumable  # noqa: F401
+from search_engine_ray.index.merge import merge_indexes  # noqa: F401
 from search_engine_ray.index.positions import build_positions  # noqa: F401

@@ -20,7 +20,7 @@ from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
 from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
-from search_engine_ray.query.qast import Compound, Phonetic, Prefix, Term
+from search_engine_ray.query.qast import Compound, Phonetic, Prefix, Synonyms, Term
 
 
 @dataclass
@@ -94,6 +94,16 @@ def _leaf_tf_df(oix: OracleIndex, leaf) -> tuple[np.ndarray, int]:
         key = algo(leaf.token)
         for i, ts in enumerate(toks):
             tf[i] = sum(1 for t in ts if algo(t) == key)
+    elif isinstance(leaf, Synonyms):
+        # SynonymQuery: tf sums over the set; the returned df is the
+        # MAX per-token df (what the blended idf is computed from)
+        syn = set(leaf.tokens)
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if t in syn)
+        max_df = max(
+            (sum(1 for ts in toks if tok in ts) for tok in leaf.tokens), default=0
+        )
+        return tf, int(max_df)
     else:
         raise TypeError(type(leaf))
     return tf, int((tf > 0).sum())

@@ -3,6 +3,7 @@ from search_engine_ray.query.qast import (  # noqa: F401
     Fuzzy,
     Phonetic,
     Prefix,
+    Synonyms,
     Term,
     plan_keyword,
 )

@@ -49,7 +49,15 @@ import pyarrow.parquet as pq
 from search_engine_ray.codec import block_delta_decode, for_decode_term, varbyte_decode
 from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
-from search_engine_ray.query.qast import Compound, Fuzzy, Leaf, Phonetic, Prefix, Term
+from search_engine_ray.query.qast import (
+    Compound,
+    Fuzzy,
+    Leaf,
+    Phonetic,
+    Prefix,
+    Synonyms,
+    Term,
+)
 
 POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
 BLK_COLS = ["blk_first", "blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_max_tf", "blk_min_dl"]
@@ -125,6 +133,11 @@ class _ResolvedLeaf:
     idfs: tuple[float, ...]
     avgdl: float
     const_score: float | None
+    # Lucene SynonymQuery semantics: the leaf's keys score as ONE
+    # pseudo-term — tf summed across keys per doc, single idf from the
+    # max per-key df (idfs holds that one value repeated). Mutually
+    # exclusive with pruning (WAND bounds assume per-key parts).
+    blend: bool = False
 
 
 @dataclass(frozen=True)
@@ -289,35 +302,56 @@ def score_postings_table(
     for ri, term in enumerate(terms):
         for li, tidf in term_to_leaves[term]:
             rows_by_leaf.setdefault(li, []).append((ri, tidf))
+    def _decode_row(ri: int):
+        n = int(dfl[ri])
+        key = row_keys[ri] if row_keys is not None else (bucket, terms[ri])
+        cached = decode_cache.get(key) if decode_cache is not None else None
+        if cached is not None:
+            return cached
+        if spec.postings_format == 3:
+            gaps = for_decode_term(doc_view(ri), n, spec.block_size, with_firsts=True)
+            tfs = for_decode_term(tf_view(ri), n, spec.block_size, with_firsts=False)
+            dls = for_decode_term(dl_view(ri), n, spec.block_size, with_firsts=False)
+        else:
+            gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
+            tfs = varbyte_decode(tf_view(ri), n)
+            dls = varbyte_decode(dl_view(ri), n)
+        block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
+        ranks = block_delta_decode(gaps, block_starts)
+        # rank stream -> hash doc ids (still ascending:
+        # rank order is hash order within the universe)
+        univ = row_univ[ri] if row_univ is not None else dmc.get(bucket, ())["doc_id"]
+        ids = univ[ranks]
+        if decode_cache is not None:
+            if len(decode_cache) >= 4096:  # simple epoch clear
+                decode_cache.clear()
+            decode_cache[key] = (ids, tfs, dls)
+        return ids, tfs, dls
+
     for li in sorted(rows_by_leaf):
         leaf = spec.leaves[li]
+        if leaf.blend and leaf.const_score is None:
+            # SynonymQuery: merge the leaf's keys into ONE pseudo-term
+            # (tf summed per doc, shared blended idf) before BM25
+            rows = rows_by_leaf[li]
+            decoded = [_decode_row(ri) for ri, _ in rows]
+            all_ids = np.concatenate([d[0] for d in decoded])
+            all_tfs = np.concatenate([np.asarray(d[1], dtype=np.int64) for d in decoded])
+            all_dls = np.concatenate([np.asarray(d[2], dtype=np.int64) for d in decoded])
+            uids, uinv = np.unique(all_ids, return_inverse=True)
+            tfsum = np.zeros(uids.size, dtype=np.int64)
+            np.add.at(tfsum, uinv, all_tfs)
+            dlu = np.zeros(uids.size, dtype=np.int64)
+            dlu[uinv] = all_dls  # same doc, same field dl on every key
+            sc = scoring.bm25_score(tfsum, dlu, rows[0][1], spec.k1, spec.b, leaf.avgdl)
+            ids_parts.append(uids)
+            score_parts.append(sc)
+            leaf_of_part.append(li)
+            continue
         for ri, tidf in rows_by_leaf[li]:
-            n = int(dfl[ri])
-            key = row_keys[ri] if row_keys is not None else (bucket, terms[ri])
-            cached = decode_cache.get(key) if decode_cache is not None else None
-            if cached is not None:
-                ids, tfs, dls = cached
-            else:
-                if spec.postings_format == 3:
-                    gaps = for_decode_term(doc_view(ri), n, spec.block_size, with_firsts=True)
-                    tfs = for_decode_term(tf_view(ri), n, spec.block_size, with_firsts=False)
-                    dls = for_decode_term(dl_view(ri), n, spec.block_size, with_firsts=False)
-                else:
-                    gaps = varbyte_decode(doc_view(ri), n).astype(np.int64)
-                    tfs = varbyte_decode(tf_view(ri), n)
-                    dls = varbyte_decode(dl_view(ri), n)
-                block_starts = np.arange(0, n, spec.block_size, dtype=np.int64)
-                ranks = block_delta_decode(gaps, block_starts)
-                # rank stream -> hash doc ids (still ascending:
-                # rank order is hash order within the universe)
-                univ = row_univ[ri] if row_univ is not None else dmc.get(bucket, ())["doc_id"]
-                ids = univ[ranks]
-                if decode_cache is not None:
-                    if len(decode_cache) >= 4096:  # simple epoch clear
-                        decode_cache.clear()
-                    decode_cache[key] = (ids, tfs, dls)
+            ids, tfs, dls = _decode_row(ri)
             if leaf.const_score is not None:
-                sc = np.full(n, float(leaf.const_score))
+                sc = np.full(ids.size, float(leaf.const_score))
             else:
                 sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
             ids_parts.append(ids)
@@ -753,16 +787,20 @@ class SearchEngine:
 
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
-        raw: list[tuple[int, bool, list[str], str, float | None]] = []
+        raw: list[tuple[int, bool, list[str], str, float | None, bool]] = []
         for ci, (leaf, is_must) in enumerate(
             [(l, True) for l in q.must] + [(l, False) for l in q.should]
         ):
+            blend = False
             if isinstance(leaf, Term):
                 keys = [cfg.term_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Phonetic):
                 keys = [cfg.phonetic_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Fuzzy):
                 keys = self._expand_fuzzy(leaf)
+            elif isinstance(leaf, Synonyms):
+                keys = [cfg.term_key(leaf.field, t) for t in leaf.tokens]
+                blend = True
             elif isinstance(leaf, Prefix):
                 spec = cfg.field_by_name(leaf.field)
                 if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:
@@ -771,21 +809,28 @@ class SearchEngine:
                     keys = self._expand_prefix(leaf)
             else:
                 raise TypeError(type(leaf))
-            raw.append((ci, is_must, keys, leaf.field, leaf.const_score))
-        all_keys = [k for _, _, keys, _, _ in raw for k in keys]
+            raw.append((ci, is_must, keys, leaf.field, leaf.const_score, blend))
+        all_keys = [k for _, _, keys, _, _, _ in raw for k in keys]
         dfs = self._df_for_terms(all_keys)
         n = self.stats["n_docs"]
         out: list[_ResolvedLeaf] = []
-        for ci, is_must, keys, fname, const in raw:
+        for ci, is_must, keys, fname, const, blend in raw:
             keys = [k for k in keys if k in dfs]
+            if blend and keys:
+                # SynonymQuery: one idf from the max per-key df
+                bidf = float(scoring.idf(n, max(dfs[k] for k in keys)))
+                idfs = tuple(bidf for _ in keys)
+            else:
+                idfs = tuple(float(scoring.idf(n, dfs[k])) for k in keys)
             out.append(
                 _ResolvedLeaf(
                     clause_id=ci,
                     is_must=is_must,
                     term_keys=tuple(keys),
-                    idfs=tuple(float(scoring.idf(n, dfs[k])) for k in keys),
+                    idfs=idfs,
                     avgdl=self.stats["fields"][fname]["avgdl"],
                     const_score=const,
+                    blend=blend,
                 )
             )
         return out
@@ -842,7 +887,7 @@ class SearchEngine:
             and filter_spec is None
             and not boosts
             and not facet_fields
-            and all(lf.const_score is None for lf in leaves)
+            and all(lf.const_score is None and not lf.blend for lf in leaves)
         )
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)

@@ -65,7 +65,22 @@ class Fuzzy:
     const_score: float | None = None
 
 
-Leaf = Term | Prefix | Phonetic | Fuzzy
+@dataclass(frozen=True)
+class Synonyms:
+    """S13 synonym set (Lucene SynonymQuery semantics): the tokens
+    score as ONE pseudo-term — per-doc tf is the SUM over the set,
+    idf comes from the MAX per-token df — so a doc saying "fast" twice
+    and "quick" once scores exactly like one saying "fast" three
+    times. Distinct from a should-OR rewrite, which would sum k
+    separate BM25 clauses and over-weight docs that use several
+    synonyms."""
+
+    field: str
+    tokens: tuple[str, ...]
+    const_score: float | None = None
+
+
+Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms
 
 
 @dataclass(frozen=True)

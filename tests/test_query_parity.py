@@ -314,3 +314,28 @@ def test_fuzzy_zero_expansion(engine):
 
     res = engine.search(Compound(must=(Fuzzy("content", "qqqqzzzz"),)), k=10)
     assert res.total == 0 and len(res.hits) == 0
+
+
+def test_synonyms_blended_scoring(engine, oracle_ix, tiny_corpus):
+    """S13 SynonymQuery: tf sums over the set, idf from the max
+    per-token df — engine matches the oracle, and the blend is NOT an
+    OR-rewrite (docs holding several synonyms score as one term)."""
+    from search_engine_ray.query import Synonyms
+
+    q = Compound(must=(Synonyms("content", ("wand", "bm25")),))
+    res = engine.search(q, k=10)
+    ora = oracle_search(oracle_ix, q, k=10)
+    assert res.total > 0
+    assert_parity(res, ora)
+    # same match set as the OR rewrite, different scores on docs
+    # containing BOTH synonyms
+    orq = Compound(
+        should=(Term("content", "wand"), Term("content", "bm25")), min_should_match=1
+    )
+    assert res.total == engine.search(orq, k=1).total
+    # a blend inside a compound with another must clause
+    q2 = Compound(must=(Synonyms("content", ("wand", "bm25")), Term("content", "def")))
+    assert_parity(engine.search(q2, k=10), oracle_search(oracle_ix, q2, k=10))
+    # missing synonym tokens are dropped; all-missing must -> no match
+    q3 = Compound(must=(Synonyms("content", ("zzzqqq1", "zzzqqq2")),))
+    assert engine.search(q3, k=5).total == 0
