@@ -812,6 +812,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_rolling_fingerprint(docs, "text").drop_columns(["text"])
 
+    def t_bpe_tokens(sf_dir):
+        # token counting for LLM budgeting (task brief: "whitespace +
+        # a BPE-ish regex"): both counts are single RE2 kernels whose
+        # semantics are identical in Arrow and DuckDB
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_bpe_token_stats(docs, "text").drop_columns(["text"])
+
+    def t_unigram_lp(sf_dir):
+        # CCNet-style unigram-LM scoring: vocab-bounded model build +
+        # broadcast scoring pass
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.unigram_logprob(docs, "text").drop_columns(["text"])
+
+    def t_decontaminate(sf_dir):
+        # GPT-3-style benchmark decontamination: eval set = every
+        # 97th doc; flag corpus docs sharing any 3-token shingle
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        et = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
+        return dd.contamination_flags(docs, ev, w=3)
+
+    def s14_snippet(sf_dir):
+        # keyword-in-context highlighter (Lucene highlighter analog):
+        # first occurrence position + a +/-2-token window
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.extract_snippets(docs, "vector", context=2)
+
     # ---- dedup ------------------------------------------------------
     def dedup_exact(sf_dir):
         both = _docs_with_near_dups(sf_dir)  # exact dups: none -> all dup_count=1
@@ -1176,6 +1205,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_quality": t_quality,
         "t_lang_id": t_lang_id,
         "t_rolling_fp": t_rolling_fp,
+        "t_bpe_tokens": t_bpe_tokens,
+        "t_unigram_lp": t_unigram_lp,
+        "t_decontaminate": t_decontaminate,
+        "s14_snippet": s14_snippet,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1193,6 +1226,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(col="text")
+    from search_engine_ray.ops.text import BPE_PATTERN, WS_PATTERN
+
+    # both patterns are RE2 on both sides (Arrow count_substring_regex
+    # / DuckDB regexp_extract_all), so the counts agree bit-for-bit;
+    # only SQL-quote escaping differs
+    _bpe = BPE_PATTERN.replace("'", "''")
+    _bpe_tokens_sql = (
+        "SELECT doc_id, "
+        f"len(regexp_extract_all(coalesce(text, ''), '{WS_PATTERN}')) AS n_ws_tokens, "
+        f"len(regexp_extract_all(coalesce(text, ''), '{_bpe}')) AS n_bpe_tokens "
+        "FROM documents"
+    )
     grouped_search_sql = f"""
 WITH tok AS (SELECT doc_id, source, n_chars, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, source, n_chars, len(ts) AS dl,
@@ -1610,6 +1655,39 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "FROM documents"
         ),
         "t_quality": _quality_sql_for("documents"),
+        "t_bpe_tokens": _bpe_tokens_sql,
+        "t_unigram_lp": f"""
+WITH tok AS (SELECT doc_id, unnest({plain_toks}) AS tk FROM documents),
+cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tok),
+per AS (SELECT t.doc_id, sum(-ln(c::DOUBLE / n)) AS s, count(*) AS m
+        FROM tok t JOIN cnt USING (tk), tot GROUP BY 1)
+SELECT d.doc_id, round(COALESCE(per.s / per.m, 0), 4) AS neg_logprob
+FROM documents d LEFT JOIN per USING (doc_id)
+""",
+        "t_decontaminate": f"""
+WITH tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),
+sh AS (SELECT doc_id,
+       CASE WHEN len(ts) >= 3 THEN
+         list_distinct(list_transform(range(1, len(ts) - 1),
+                                      j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+            WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+            ELSE [] END AS shingles
+       FROM tok),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0)
+SELECT d.doc_id,
+       CAST(d.doc_id IN (SELECT DISTINCT doc_id FROM e JOIN ev USING (s)) AS BIGINT)
+       AS contaminated
+FROM documents d
+""",
+        "s14_snippet": f"""
+WITH tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),
+m AS (SELECT doc_id, ts, list_position(ts, 'vector') AS ix FROM tok)
+SELECT doc_id, CAST(ix AS BIGINT) AS first_pos,
+       array_to_string(ts[greatest(ix-2,1):least(ix+2,len(ts))], ' ') AS snippet
+FROM m WHERE ix > 0
+""",
         "pipe_curation": curation_sql,
         "t_hash_sample": (
             # deterministic hash sampling at rate 0.25: threshold is

@@ -860,3 +860,74 @@ def connected_components(
         return pd.DataFrame({id_out: df["node"], comp_out: df["label"]})
 
     return labels.map_batches(_out, batch_format="pandas")
+
+
+# ---------------------------------------------------- decontamination
+
+
+class _ContaminationCheck:
+    """Actor stage flagging docs that share any shingle with the
+    broadcast blocklist. The sorted hash array ships once per actor
+    via fn_constructor_args (object store); each batch is one
+    vectorized np.isin over its distinct per-doc shingle hashes."""
+
+    def __init__(self, block: np.ndarray, text_col: str, id_col: str, w: int):
+        self.block = block
+        self.text_col = text_col
+        self.id_col = id_col
+        self.w = w
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        hv, offs = _shingle_hashes(t[self.text_col], self.w)
+        n = len(offs) - 1
+        doc_ix = np.repeat(np.arange(n, dtype=np.int64), np.diff(offs))
+        hit = np.isin(hv, self.block, assume_unique=False)
+        flag = np.bincount(doc_ix[hit], minlength=n) > 0
+        return pa.table(
+            {
+                self.id_col: t[self.id_col],
+                "contaminated": pa.array(flag.astype(np.int64), pa.int64()),
+            }
+        )
+
+
+def contamination_flags(
+    ds: Dataset,
+    eval_side,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> Dataset:
+    """Benchmark decontamination (GPT-3-style n-gram overlap filter):
+    flag every corpus doc sharing at least one ``w``-token shingle
+    with the eval/benchmark corpus ``eval_side`` (a Dataset or a
+    pyarrow Table with ``text_col``). GPT-3's published procedure is
+    this op with w=13; the default w=3 suits the tiny test corpora.
+
+    Scale shape: the blocklist is the EVAL set's shingles — small by
+    construction (benchmarks are thousands of docs, not billions) —
+    collected once, deduplicated, and broadcast to an actor pool; the
+    corpus streams through one ``np.isin`` per batch. Shingles compare
+    by the same 64-bit polynomial-over-md5 hash as the Jaccard ring
+    (collision odds ~2^-64 per pair; docs shorter than ``w`` tokens
+    hash their full token run, mirroring `_shingle_hashes`). Output is
+    `(id_col, contaminated:int64)` — filter or route on it."""
+    if isinstance(eval_side, pa.Table):
+        batches = [eval_side]
+    else:
+        batches = eval_side.select_columns([text_col]).iter_batches(
+            batch_format="pyarrow", batch_size=4096
+        )
+    parts = []
+    for bt in batches:
+        hv, _offs = _shingle_hashes(bt[text_col], w)
+        if hv.size:
+            parts.append(np.unique(hv))
+    block = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    return ds.map_batches(
+        _ContaminationCheck,
+        fn_constructor_args=(block, text_col, id_col, w),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )

@@ -222,6 +222,165 @@ def add_rolling_fingerprint(ds: Dataset, text_col: str = "text", window: int = 5
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+# GPT-2-style BPE pre-tokenizer, RE2-safe (no lookahead — RE2 has
+# none, and both Arrow's count_substring_regex and DuckDB's
+# regexp_extract_all run RE2 leftmost-first, so the counts agree
+# bit-for-bit; pinned by the t_bpe_tokens oracle): contraction
+# suffixes, optionally-space-prefixed letter runs, 1-3 digit groups
+# (cl100k-style number splitting), punctuation runs, whitespace runs.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]{1,3}| ?[^\sA-Za-z0-9]+|\s+"
+WS_PATTERN = r"\S+"
+
+
+def add_bpe_token_stats(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Token counting for training-data budgeting (task brief:
+    "whitespace + a BPE-ish regex"): append
+
+        n_ws_tokens  — whitespace-separated chunks (``\\S+`` matches)
+        n_bpe_tokens — BPE pre-tokenizer segments (``BPE_PATTERN``),
+                       the standard proxy for LLM token cost
+
+    Both are single Arrow ``count_substring_regex`` kernels per batch —
+    no token materialization at all, so the op streams at column-scan
+    speed."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        arr = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        arr = pc.fill_null(arr, "")
+        ws = pc.count_substring_regex(arr, pattern=WS_PATTERN)
+        bpe = pc.count_substring_regex(arr, pattern=BPE_PATTERN)
+        return t.append_column("n_ws_tokens", pc.cast(ws, pa.int64())).append_column(
+            "n_bpe_tokens", pc.cast(bpe, pa.int64())
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
+class _UnigramScorer:
+    """Actor stage scoring docs against a broadcast unigram LM.
+    Model arrays ship once per actor via fn_constructor_args (object
+    store), never per batch; per-batch lookup is one hash get_indexer
+    over the batch's UNIQUE tokens (dictionary encode)."""
+
+    def __init__(self, terms: np.ndarray, logp: np.ndarray, oov_lp: float, text_col: str):
+        self.index = pd.Index(terms)
+        self.logp = logp
+        self.oov = float(oov_lp)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[self.text_col])
+        sums = np.zeros(n, dtype=np.float64)
+        m = np.zeros(n, dtype=np.int64)
+        if len(flat):
+            denc = flat.dictionary_encode()
+            ui = self.index.get_indexer(denc.dictionary.to_numpy(zero_copy_only=False))
+            ulp = np.where(ui >= 0, self.logp[np.maximum(ui, 0)], self.oov)
+            tok_lp = ulp[denc.indices.to_numpy(zero_copy_only=False)]
+            sums = np.bincount(parents, weights=-tok_lp, minlength=n)
+            m = np.bincount(parents, minlength=n)
+        from .rounding import round_half_up
+
+        score = np.where(m > 0, round_half_up(np.divide(sums, np.maximum(m, 1))), 0.0)
+        return t.append_column("neg_logprob", pa.array(score, pa.float64()))
+
+
+def unigram_logprob(
+    ds: Dataset,
+    text_col: str = "text",
+    model_ds: Dataset | None = None,
+    concurrency: tuple[int, int] | int = (1, 8),
+) -> Dataset:
+    """CCNet-style unigram language-model scoring: per-doc mean
+    negative log-probability under corpus unigram frequencies —
+    ``neg_logprob = round(avg(-ln(count(tok)/total_tokens)), 4)``
+    (low = typical text, high = rare-token noise; the classic
+    perplexity-bucket signal for training-data curation).
+
+    Two phases: (1) the model — one explode + value-counts shuffle,
+    output bounded by VOCABULARY size, not corpus size; (2) scoring —
+    the (term, logp) arrays broadcast once per actor, per-batch
+    vectorized lookup. At 100 TB the vocab table is the only
+    materialized state and it is millions of rows, not billions.
+    Unseen tokens (when scoring a different corpus than the model's,
+    ``model_ds``) take logp = ln(1/total)."""
+    from .relational import value_counts
+
+    src = model_ds if model_ds is not None else ds
+    model = value_counts(
+        explode_tokens(src.select_columns([text_col]), text_col, []), "token", alias="cnt"
+    ).to_pandas()
+    total = float(model["cnt"].sum()) if len(model) else 1.0
+    terms = model["token"].to_numpy()
+    logp = np.log(model["cnt"].to_numpy().astype(np.float64) / total)
+    oov_lp = float(np.log(1.0 / total))
+    return ds.map_batches(
+        _UnigramScorer,
+        fn_constructor_args=(terms, logp, oov_lp, text_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def extract_snippets(
+    ds: Dataset,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 2,
+) -> Dataset:
+    """Keyword-in-context highlighter (Lucene highlighter analog,
+    reference response-shaping ring): for every doc containing
+    ``term``, emit its FIRST occurrence position (1-based) and a
+    snippet of ``context`` tokens either side. Re-analyzes stored
+    text per batch (the unified-highlighter strategy) — one Arrow
+    tokenize + vectorized first-hit select + one gather per batch,
+    no per-doc Python."""
+    c = int(context)
+
+    def _f(t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[text_col])
+        counts = np.bincount(parents, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        hp = np.nonzero(pc.equal(flat, term).to_numpy(zero_copy_only=False))[0]
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        if hp.size == 0:
+            return pa.table(
+                {
+                    id_col: ids.slice(0, 0),
+                    "first_pos": pa.array([], pa.int64()),
+                    "snippet": pa.array([], pa.string()),
+                }
+            )
+        hd = parents[hp]
+        first = np.ones(hd.size, dtype=bool)
+        first[1:] = hd[1:] != hd[:-1]  # parents nondecreasing, hp ascending
+        matched, first_global = hd[first], hp[first]
+        ix0 = first_global - starts[matched]
+        s0 = np.maximum(ix0 - c, 0)
+        e0 = np.minimum(ix0 + c + 1, counts[matched])
+        w = e0 - s0
+        offs = np.concatenate(([0], np.cumsum(w)))
+        idx = (
+            np.repeat(starts[matched] + s0, w)
+            + np.arange(offs[-1])
+            - np.repeat(offs[:-1], w)
+        )
+        vals = flat.take(pa.array(idx, pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        return pa.table(
+            {
+                id_col: ids.take(pa.array(matched, pa.int64())),
+                "first_pos": pa.array(ix0 + 1, pa.int64()),
+                "snippet": pc.binary_join(lists, " "),
+            }
+        )
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
     """doc -> one row per token (R10 flat-map analog; the build-side
     posting explosion re-used as a user-facing op). Pure Arrow:
@@ -229,6 +388,8 @@ def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
 
     def _f(t: pa.Table) -> pa.Table:
         flat, parents, _n = _flat_tokens(t[text_col])
+        if not keep:  # token stream only (e.g. vocabulary builds)
+            return pa.table({"token": flat})
         out = t.select(keep).take(pa.array(parents, pa.int64()))
         return out.append_column("token", flat)
 

@@ -1,0 +1,127 @@
+"""Unit tests for the round-2 text/training-data additions: BPE-ish
+token counting, unigram-LM scoring, benchmark decontamination, and
+keyword-in-context snippets. Value parity with DuckDB is covered by
+test_entry.py's oracle gate; these pin edge-case semantics."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data as rd
+
+from search_engine_ray.ops import dedup as dd
+from search_engine_ray.ops import text as txt
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "pack my box with five dozen liquor jugs 123",
+    "the quick brown cat sleeps",
+    "",
+    "one two",
+    "don't stop 12345 now!",
+]
+
+
+def _docs():
+    return rd.from_arrow(
+        pa.table({"doc_id": pa.array(range(len(TEXTS)), pa.int64()), "text": TEXTS})
+    )
+
+
+def test_bpe_token_stats(ray_session):
+    out = (
+        txt.add_bpe_token_stats(_docs(), "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # hand-checked: "don't stop 12345 now!" -> don | 't | _stop |
+    # _123 | 45 | _now | !  (digits split into <=3-char groups)
+    assert out["n_bpe_tokens"].tolist() == [9, 9, 5, 0, 2, 7]
+    assert out["n_ws_tokens"].tolist() == [9, 9, 5, 0, 2, 4]
+    # empty text scores 0 tokens under both counters
+    assert out.loc[3, "n_bpe_tokens"] == 0 and out.loc[3, "n_ws_tokens"] == 0
+
+
+def test_unigram_logprob_hand_values(ray_session):
+    # corpus of 4 tokens: a a b c -> p(a)=1/2, p(b)=p(c)=1/4
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": ["a a b", "c"]})
+    )
+    out = txt.unigram_logprob(ds, "text").to_pandas().sort_values("doc_id")
+    exp0 = round((2 * -np.log(0.5) + -np.log(0.25)) / 3, 4)
+    exp1 = round(-np.log(0.25), 4)
+    assert out["neg_logprob"].tolist() == pytest.approx([exp0, exp1])
+
+
+def test_unigram_logprob_empty_doc_and_oov(ray_session):
+    ds = rd.from_arrow(
+        pa.table({"doc_id": pa.array([0, 1], pa.int64()), "text": ["a a", ""]})
+    )
+    out = txt.unigram_logprob(ds, "text").to_pandas().sort_values("doc_id")
+    assert out["neg_logprob"].tolist() == [0.0, 0.0]
+    # scoring a foreign corpus: unseen tokens take ln(1/total)
+    model = rd.from_arrow(pa.table({"text": ["a a b c"]}))
+    ds2 = rd.from_arrow(pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["zzz"]}))
+    out2 = txt.unigram_logprob(ds2, "text", model_ds=model).to_pandas()
+    assert out2["neg_logprob"].tolist() == pytest.approx([round(-np.log(1 / 4), 4)])
+
+
+def test_extract_snippets_window_edges(ray_session):
+    out = (
+        txt.extract_snippets(_docs(), "the", context=2)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # "the" first occurs at position 1 -> window clamps at the start;
+    # only the FIRST occurrence is reported (doc 0 has two)
+    assert out["doc_id"].tolist() == [0, 2]
+    assert out["first_pos"].tolist() == [1, 1]
+    assert out["snippet"].tolist() == ["the quick brown", "the quick brown"]
+    # term at the tail -> window clamps at the end
+    tail = (
+        txt.extract_snippets(_docs(), "sleeps", context=2)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert tail["first_pos"].tolist() == [5]
+    assert tail["snippet"].tolist() == ["brown cat sleeps"]
+    # absent term -> empty result; per-block schema stays stable
+    # (Dataset.to_pandas on a fully-empty Dataset drops column names —
+    # a Ray 2.49 quirk — so check the block schema directly)
+    none = txt.extract_snippets(_docs(), "zzzz")
+    assert none.count() == 0
+    assert none.schema().names == ["doc_id", "first_pos", "snippet"]
+
+
+def test_contamination_flags_planted_overlap(ray_session):
+    # eval doc shares the 3-gram "quick brown fox" with corpus doc 0
+    # only; doc 2 ("quick brown cat") must NOT be flagged
+    ev = pa.table({"doc_id": pa.array([100], pa.int64()), "text": ["quick brown fox trot"]})
+    out = (
+        dd.contamination_flags(_docs(), ev, w=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [1, 0, 0, 0, 0, 0]
+
+
+def test_contamination_short_doc_full_run(ray_session):
+    # docs shorter than w hash their full token run: "one two" matches
+    # an identical short eval doc but nothing longer
+    ev = pa.table({"doc_id": pa.array([0], pa.int64()), "text": ["one two"]})
+    out = (
+        dd.contamination_flags(_docs(), ev, w=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["contaminated"].tolist() == [0, 0, 0, 0, 1, 0]
+
+
+def test_contamination_empty_blocklist(ray_session):
+    ev = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
+    out = dd.contamination_flags(_docs(), ev, w=3).to_pandas()
+    assert out["contaminated"].sum() == 0 and len(out) == len(TEXTS)
