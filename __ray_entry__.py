@@ -835,6 +835,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
         return dd.contamination_flags(docs, ev, w=3)
 
+    def t_repetition(sf_dir):
+        # Gopher-style repetition signals: duplicate-line fraction +
+        # top-bigram token coverage
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_repetition_scores(docs, "text").drop_columns(["text"])
+
+    def s15_crossfields(sf_dir):
+        # S15 cross-field blended term (Lucene BlendedTermQuery +
+        # DisMax, ES multi_match cross_fields): blended df across
+        # text+source, per-field length norms, best + 0.3*(rest).
+        # Two branches exercise a text-resident and a source-resident
+        # token through the same blend.
+        from search_engine_ray.query import CrossFields
+
+        out = []
+        for branch, tok in (("text_term", "vector"), ("source_term", "src1")):
+            q = Compound(must=(CrossFields(("text", "source"), tok, tie_breaker=0.3),))
+            df = _bm25_query(sf_dir, q)
+            df.insert(0, "branch", branch)
+            out.append(df)
+        return pd.concat(out, ignore_index=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1208,7 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bpe_tokens": t_bpe_tokens,
         "t_unigram_lp": t_unigram_lp,
         "t_decontaminate": t_decontaminate,
+        "t_repetition": t_repetition,
         "s14_snippet": s14_snippet,
+        "s15_crossfields": s15_crossfields,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1280,6 +1304,41 @@ LIMIT 10
     s8_sql = (
         f"SELECT 'one_term' AS branch, t1.* FROM ({_bm25_sql(['src1'], col='source', prefix=True)}) t1 "
         f"UNION ALL SELECT 'multi_term' AS branch, t2.* FROM ({_bm25_sql(['hash', 'join'], mode='must')}) t2"
+    )
+
+    def _xf_sql(tok: str, tie: float = 0.3) -> str:
+        # S15 cross-field blend: blended df = min(dfc+dfp, N) shared by
+        # both fields' BM25 parts; combine = best + tie*(sum - best)
+        tc = _TOKS.format(col="text")
+        tp = _TOKS.format(col="source")
+        bdf = "least(s.dfc + s.dfp, s.n)"
+        bidf = f"ln(1 + (s.n - {bdf} + 0.5) / ({bdf} + 0.5))"
+        sc_c = (
+            f"CASE WHEN tfc > 0 THEN {bidf} * tfc * 2.2 / "
+            f"(tfc + 1.2 * (1 - 0.75 + 0.75 * d.dlc / (s.tc / s.n))) ELSE 0 END"
+        )
+        sc_p = (
+            f"CASE WHEN tfp > 0 THEN {bidf} * tfp * 2.2 / "
+            f"(tfp + 1.2 * (1 - 0.75 + 0.75 * d.dlp / (s.tp / s.n))) ELSE 0 END"
+        )
+        comb = f"greatest(sc_c, sc_p) + {tie} * (sc_c + sc_p - greatest(sc_c, sc_p))"
+        return f"""
+WITH d AS (SELECT doc_id, len({tc}) AS dlc, len({tp}) AS dlp,
+       len(list_filter({tc}, t -> t = '{tok}')) AS tfc,
+       len(list_filter({tp}, t -> t = '{tok}')) AS tfp
+       FROM documents),
+s AS (SELECT count(*) AS n, sum(dlc) AS tc, sum(dlp) AS tp,
+       count(*) FILTER (WHERE tfc > 0) AS dfc,
+       count(*) FILTER (WHERE tfp > 0) AS dfp FROM d),
+sc AS (SELECT d.doc_id, {sc_c} AS sc_c, {sc_p} AS sc_p
+       FROM d, s WHERE tfc > 0 OR tfp > 0)
+SELECT doc_id, round({comb}, 4) AS score
+FROM sc ORDER BY ({comb}) DESC, doc_id LIMIT 10
+"""
+
+    s15_sql = (
+        f"SELECT 'text_term' AS branch, t1.* FROM ({_xf_sql('vector')}) t1 "
+        f"UNION ALL SELECT 'source_term' AS branch, t2.* FROM ({_xf_sql('src1')}) t2"
     )
     e8_sql = f"""
 WITH tok AS (SELECT {toks_plain} AS ts FROM documents)
@@ -1386,6 +1445,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
     return {
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
+        "s15_crossfields": s15_sql,
         "s9_phonetic": s9_sql,
         "r4_two_key_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "
@@ -1680,6 +1740,19 @@ SELECT d.doc_id,
        CAST(d.doc_id IN (SELECT DISTINCT doc_id FROM e JOIN ev USING (s)) AS BIGINT)
        AS contaminated
 FROM documents d
+""",
+        "t_repetition": f"""
+WITH lines AS (SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
+tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),
+bg AS (SELECT doc_id, len(ts) AS n_tok,
+       unnest(list_transform(range(1, len(ts)), j -> ts[j] || ' ' || ts[j+1])) AS b
+       FROM tok),
+cnt AS (SELECT doc_id, n_tok, b, count(*) AS c FROM bg GROUP BY 1, 2, 3),
+mx AS (SELECT doc_id, max(c) AS mc, any_value(n_tok) AS n_tok FROM cnt GROUP BY 1)
+SELECT l.doc_id,
+  round(1 - len(list_distinct(l.ls))::DOUBLE / len(l.ls), 4) AS dup_line_frac,
+  round(COALESCE(2.0 * mx.mc / mx.n_tok, 0), 4) AS top_bigram_frac
+FROM lines l LEFT JOIN mx USING (doc_id)
 """,
         "s14_snippet": f"""
 WITH tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),

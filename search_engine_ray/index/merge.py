@@ -278,3 +278,130 @@ def merge_indexes(
     shutil.rmtree(out_dir, ignore_errors=True)
     os.replace(tmp_dir, out_dir)
     return stats
+
+
+# ------------------------------------------------- tiered merge policy
+
+
+def plan_tiered_merge(shard_docs: dict[str, int], fanout: int = 8) -> list[list[str]]:
+    """One round of a tiered merge policy (Lucene TieredMergePolicy /
+    LSM compaction, simplified): shards are bucketed into geometric
+    size tiers — tier = floor(log_fanout(n_docs / base)) with base =
+    the smallest non-empty shard — and every tier holding more than
+    ``fanout`` members contributes one merge of its ``fanout`` smallest
+    shards. Merging only same-tier peers keeps write amplification
+    O(log_fanout(N/base)) per doc over the index's lifetime (the LSM
+    argument); a giant shard is never rewritten to absorb a tiny one.
+
+    Pure function of {shard_name: n_docs} -> groups of names (each of
+    size >= 2), deterministic (ties broken by name). Callers loop:
+    plan -> execute -> re-plan until no groups remain."""
+    if fanout < 2:
+        raise ValueError("fanout must be >= 2")
+    sizes = sorted(((max(int(v), 1), k) for k, v in shard_docs.items()))
+    if not sizes:
+        return []
+    base = sizes[0][0]
+    tiers: dict[int, list[tuple[int, str]]] = {}
+    for sz, name in sizes:
+        t = 0
+        span = base * fanout
+        while sz >= span:  # tier t covers [base*fanout^t, base*fanout^(t+1))
+            t += 1
+            span *= fanout
+        tiers.setdefault(t, []).append((sz, name))
+    groups = []
+    for t in sorted(tiers):
+        members = tiers[t]
+        if len(members) > fanout:
+            groups.append([name for _sz, name in members[:fanout]])
+    return groups
+
+
+def compact_shards(
+    parent_dir: str,
+    config: IndexConfig | None = None,
+    fanout: int = 8,
+    max_rounds: int = 16,
+) -> dict:
+    """Apply the tiered merge policy to a resumable index
+    (``parent_dir/shards/shard_*`` + ``manifest.json``) until no tier
+    is over-full: each planned group is merged with ``merge_indexes``
+    into a new shard, the manifest is updated, and the source shards
+    are removed. Parent-level tombstones are left INTACT (they apply
+    globally and are physically folded by ``compact_tombstones`` /
+    a full ``merge_indexes``); per-shard tombstones fold into the
+    merged shard as usual.
+
+    Crash safety / lineage: the merged shard is first written under a
+    dot-prefixed name the engine's ``shards/shard_*`` glob cannot see,
+    the manifest then records the swap intent (``pending``), and only
+    then is the new shard renamed in and the sources deleted — a rerun
+    finishes any interrupted swap before planning more work. Like
+    ``compact_tombstones``, run this without live readers (engines
+    hold per-shard caches).
+
+    Returns the final manifest."""
+    manifest_path = os.path.join(parent_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    shards = manifest.get("shards", {})
+    if not manifest.get("resumable") or not shards:
+        raise ValueError(f"{parent_dir} is not a resumable multi-shard index")
+    shard_root = os.path.join(parent_dir, "shards")
+    config = config or IndexConfig()
+    from dataclasses import replace as _dc_replace
+
+    if "num_parts" in manifest:
+        config = _dc_replace(
+            config, num_parts=int(manifest["num_parts"]), auto_num_parts=False
+        )
+
+    def _save():
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def _finish_pending():
+        p = manifest.get("pending")
+        if not p:
+            return
+        hidden = os.path.join(shard_root, "." + p["new"])
+        final = os.path.join(shard_root, p["new"])
+        if os.path.isdir(hidden) and not os.path.isdir(final):
+            os.replace(hidden, final)
+        for src in p["sources"]:
+            shutil.rmtree(os.path.join(shard_root, src), ignore_errors=True)
+            shards.pop(src, None)
+        if os.path.isdir(final):
+            shards[p["new"]] = p["entry"]
+        manifest.pop("pending", None)
+        _save()
+
+    _finish_pending()
+    seq = int(manifest.get("merge_seq", 0))
+    for _ in range(max_rounds):
+        plan = plan_tiered_merge(
+            {k: v.get("n_docs", 0) for k, v in shards.items()}, fanout
+        )
+        if not plan:
+            break
+        for group in plan:
+            seq += 1
+            new_name = f"shard_m{seq:05d}"
+            hidden = os.path.join(shard_root, "." + new_name)
+            stats = merge_indexes(
+                [os.path.join(shard_root, g) for g in group], hidden, config
+            )
+            entry = {
+                "complete": True,
+                "files": sorted(
+                    fp for g in group for fp in shards[g].get("files", [])
+                ),
+                "n_docs": int(stats["n_docs"]),
+                "merged_from": list(group),
+            }
+            manifest["merge_seq"] = seq
+            manifest["pending"] = {"new": new_name, "sources": list(group), "entry": entry}
+            _save()
+            _finish_pending()
+    return manifest

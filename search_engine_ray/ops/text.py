@@ -322,6 +322,68 @@ def unigram_logprob(
     )
 
 
+def add_repetition_scores(ds: Dataset, text_col: str = "text") -> Dataset:
+    """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
+    simplified to token counts so each has an exact SQL oracle):
+
+        dup_line_frac   = 1 - distinct_lines / lines
+        top_bigram_frac = tokens covered by the most frequent
+                          token 2-gram = 2 * max_bigram_count
+                          / n_tokens    (0 when n_tokens < 2)
+
+    Both rounded half-away to 4dp. Vectorized batch-wide: lines via
+    one plain-split kernel + factorize, bigrams via the 64-bit token
+    hash stream with doc boundaries masked, run-length counts from ONE
+    lexsort — no per-doc Python."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        from .rounding import round_half_up
+
+        arr = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        arr = pc.fill_null(arr, "")
+        n = len(arr)
+        # --- duplicate-line fraction ---
+        parts = pc.split_pattern(arr, pattern="\n")
+        lines = pc.list_flatten(parts)
+        lparents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+        n_lines = np.bincount(lparents, minlength=n).astype(np.float64)
+        if len(lines):
+            codes, uniq = pd.factorize(lines.to_numpy(zero_copy_only=False), sort=False)
+            nv = max(len(uniq), 1)
+            uk = np.unique(lparents * nv + codes)
+            n_dist = np.bincount(uk // nv, minlength=n).astype(np.float64)
+        else:
+            n_dist = np.zeros(n)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            dup_frac = np.where(n_lines > 0, 1.0 - n_dist / np.maximum(n_lines, 1), 0.0)
+        # --- top-bigram token fraction ---
+        from .dedup import _arrow_token_stream
+
+        th, doc_ix, _ = _arrow_token_stream(arr)
+        n_tok = np.bincount(doc_ix, minlength=n).astype(np.int64)
+        top = np.zeros(n, dtype=np.int64)
+        if th.size >= 2:
+            m = th.size - 1
+            same = doc_ix[:m] == doc_ix[1:]
+            bd, bh = doc_ix[:m][same], (th[:m][same] * np.uint64(1_099_511_628_211) + th[1:][same])
+            if bd.size:
+                order = np.lexsort((bh, bd))
+                bd, bh = bd[order], bh[order]
+                new_run = np.ones(bd.size, dtype=bool)
+                new_run[1:] = (bd[1:] != bd[:-1]) | (bh[1:] != bh[:-1])
+                run_ids = np.cumsum(new_run) - 1
+                run_len = np.bincount(run_ids)
+                run_doc = bd[new_run]
+                np.maximum.at(top, run_doc, run_len)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            big_frac = np.where(n_tok >= 2, 2.0 * top / np.maximum(n_tok, 1), 0.0)
+        return t.append_column(
+            "dup_line_frac", pa.array(round_half_up(dup_frac), pa.float64())
+        ).append_column("top_bigram_frac", pa.array(round_half_up(big_frac), pa.float64()))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def extract_snippets(
     ds: Dataset,
     term: str,

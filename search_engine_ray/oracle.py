@@ -20,7 +20,14 @@ from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
 from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
-from search_engine_ray.query.qast import Compound, Phonetic, Prefix, Synonyms, Term
+from search_engine_ray.query.qast import (
+    Compound,
+    CrossFields,
+    Phonetic,
+    Prefix,
+    Synonyms,
+    Term,
+)
 
 
 @dataclass
@@ -132,6 +139,48 @@ def oracle_search(
     clauses = [(l, True) for l in q.must] + [(l, False) for l in q.should]
     n_must = len(q.must)
     for leaf, is_must in clauses:
+        if isinstance(leaf, CrossFields):
+            # BlendedTermQuery + DisMax: per-field BM25 with its own
+            # length norm, shared blended idf (df = min(sum dfs, N)),
+            # combine = best + tie_breaker * (sum of the rest)
+            per = []
+            for f in leaf.fields:
+                tf_f = np.array(
+                    [sum(1 for t in ts if t == leaf.token) for ts in oix.tokens[f]],
+                    dtype=np.int64,
+                )
+                per.append((f, tf_f))
+            bdf = min(sum(int((tf_f > 0).sum()) for _, tf_f in per), n)
+            match = np.zeros(n, dtype=bool)
+            for _, tf_f in per:
+                match |= tf_f > 0
+            if bdf > 0:
+                if leaf.const_score is not None:
+                    score = score + np.where(match, float(leaf.const_score), 0.0)
+                else:
+                    tidf = float(scoring.idf(n, bdf))
+                    stack = np.stack(
+                        [
+                            np.where(
+                                tf_f > 0,
+                                scoring.bm25_score(
+                                    tf_f, oix.dls[f], tidf,
+                                    oix.config.k1, oix.config.b, oix.avgdl[f],
+                                ),
+                                0.0,
+                            )
+                            for f, tf_f in per
+                        ]
+                    )
+                    best, tot = stack.max(axis=0), stack.sum(axis=0)
+                    score = score + np.where(
+                        match, best + leaf.tie_breaker * (tot - best), 0.0
+                    )
+            if is_must:
+                must_all &= match
+            else:
+                should_cnt += match.astype(np.int64)
+            continue
         tf, df = _leaf_tf_df(oix, leaf)
         match = tf > 0
         if df > 0:

@@ -51,6 +51,7 @@ from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
 from search_engine_ray.query.qast import (
     Compound,
+    CrossFields,
     Fuzzy,
     Leaf,
     Phonetic,
@@ -138,6 +139,14 @@ class _ResolvedLeaf:
     # max per-key df (idfs holds that one value repeated). Mutually
     # exclusive with pruning (WAND bounds assume per-key parts).
     blend: bool = False
+    # Lucene BlendedTermQuery + DisMax (qast.CrossFields): keys are the
+    # same token across FIELDS, idfs hold the shared blended idf
+    # (df = min(sum per-field dfs, N)) repeated, avgdls the per-key
+    # field avgdl, and per-doc scores combine as
+    # max + tie_breaker*(sum - max). Also prune-exclusive.
+    dismax: bool = False
+    tie_breaker: float = 0.0
+    avgdls: tuple[float, ...] | None = None
 
 
 @dataclass(frozen=True)
@@ -330,6 +339,31 @@ def score_postings_table(
 
     for li in sorted(rows_by_leaf):
         leaf = spec.leaves[li]
+        if leaf.dismax and leaf.const_score is None:
+            # BlendedTermQuery + DisMax: score each FIELD's postings
+            # with its own length norm (shared blended idf baked into
+            # leaf.idfs), then per doc: best + tie*(sum of the rest)
+            rows = rows_by_leaf[li]
+            f_ids, f_sc = [], []
+            for ri, tidf in rows:
+                ids, tfs, dls = _decode_row(ri)
+                kidx = leaf.term_keys.index(terms[ri])
+                sc = scoring.bm25_score(
+                    tfs, dls, tidf, spec.k1, spec.b, leaf.avgdls[kidx]
+                )
+                f_ids.append(ids)
+                f_sc.append(sc)
+            all_f_ids = np.concatenate(f_ids)
+            all_f_sc = np.concatenate(f_sc)
+            uids, uinv = np.unique(all_f_ids, return_inverse=True)
+            best = np.zeros(uids.size)
+            tot = np.zeros(uids.size)
+            np.maximum.at(best, uinv, all_f_sc)  # BM25 scores are > 0
+            np.add.at(tot, uinv, all_f_sc)
+            ids_parts.append(uids)
+            score_parts.append(best + leaf.tie_breaker * (tot - best))
+            leaf_of_part.append(li)
+            continue
         if leaf.blend and leaf.const_score is None:
             # SynonymQuery: merge the leaf's keys into ONE pseudo-term
             # (tf summed per doc, shared blended idf) before BM25
@@ -787,11 +821,14 @@ class SearchEngine:
 
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
-        raw: list[tuple[int, bool, list[str], str, float | None, bool]] = []
+        # raw entry: (clause_id, is_must, keys, field-per-key, const,
+        # blend, dismax, tie_breaker)
+        raw: list[tuple] = []
         for ci, (leaf, is_must) in enumerate(
             [(l, True) for l in q.must] + [(l, False) for l in q.should]
         ):
-            blend = False
+            blend = dismax = False
+            tie = 0.0
             if isinstance(leaf, Term):
                 keys = [cfg.term_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Phonetic):
@@ -801,6 +838,11 @@ class SearchEngine:
             elif isinstance(leaf, Synonyms):
                 keys = [cfg.term_key(leaf.field, t) for t in leaf.tokens]
                 blend = True
+            elif isinstance(leaf, CrossFields):
+                keys = [cfg.term_key(f, leaf.token) for f in leaf.fields]
+                fields = list(leaf.fields)
+                dismax = True
+                tie = float(leaf.tie_breaker)
             elif isinstance(leaf, Prefix):
                 spec = cfg.field_by_name(leaf.field)
                 if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:
@@ -809,16 +851,28 @@ class SearchEngine:
                     keys = self._expand_prefix(leaf)
             else:
                 raise TypeError(type(leaf))
-            raw.append((ci, is_must, keys, leaf.field, leaf.const_score, blend))
-        all_keys = [k for _, _, keys, _, _, _ in raw for k in keys]
+            if not dismax:
+                fields = [leaf.field] * len(keys)
+            raw.append((ci, is_must, keys, fields, leaf.const_score, blend, dismax, tie))
+        all_keys = [k for r in raw for k in r[2]]
         dfs = self._df_for_terms(all_keys)
         n = self.stats["n_docs"]
         out: list[_ResolvedLeaf] = []
-        for ci, is_must, keys, fname, const, blend in raw:
-            keys = [k for k in keys if k in dfs]
+        for ci, is_must, keys, fields, const, blend, dismax, tie in raw:
+            kept = [(k, f) for k, f in zip(keys, fields) if k in dfs]
+            keys = [k for k, _ in kept]
+            fields = [f for _, f in kept]
             if blend and keys:
                 # SynonymQuery: one idf from the max per-key df
                 bidf = float(scoring.idf(n, max(dfs[k] for k in keys)))
+                idfs = tuple(bidf for _ in keys)
+            elif dismax and keys:
+                # BlendedTermQuery: df blended across fields —
+                # min(sum per-field dfs, N) (the Elasticsearch
+                # combined/cross-field blend; capped at N since a doc
+                # matching in several fields is still one doc)
+                bdf = min(sum(dfs[k] for k in keys), n)
+                bidf = float(scoring.idf(n, bdf))
                 idfs = tuple(bidf for _ in keys)
             else:
                 idfs = tuple(float(scoring.idf(n, dfs[k])) for k in keys)
@@ -828,9 +882,16 @@ class SearchEngine:
                     is_must=is_must,
                     term_keys=tuple(keys),
                     idfs=idfs,
-                    avgdl=self.stats["fields"][fname]["avgdl"],
+                    avgdl=self.stats["fields"][fields[0]]["avgdl"]
+                    if fields
+                    else next(iter(self.stats["fields"].values()))["avgdl"],
                     const_score=const,
                     blend=blend,
+                    dismax=dismax,
+                    tie_breaker=tie,
+                    avgdls=tuple(self.stats["fields"][f]["avgdl"] for f in fields)
+                    if dismax
+                    else None,
                 )
             )
         return out
@@ -887,7 +948,10 @@ class SearchEngine:
             and filter_spec is None
             and not boosts
             and not facet_fields
-            and all(lf.const_score is None and not lf.blend for lf in leaves)
+            and all(
+                lf.const_score is None and not lf.blend and not lf.dismax
+                for lf in leaves
+            )
         )
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)

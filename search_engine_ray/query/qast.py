@@ -80,7 +80,26 @@ class Synonyms:
     const_score: float | None = None
 
 
-Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms
+@dataclass(frozen=True)
+class CrossFields:
+    """S15 cross-field blended term (Lucene BlendedTermQuery combined
+    through DisjunctionMaxQuery — the engine behind Elasticsearch
+    ``multi_match type=cross_fields``): one term looked up in several
+    fields as if they were one logical field. The document frequency
+    is BLENDED across the fields — df = min(sum of per-field dfs, N) —
+    so a term that is rare in one field but common in another cannot
+    masquerade as globally rare; each field still scores BM25 with its
+    OWN length normalization (and the shared blended idf); the per-doc
+    combine is DisMax: best field + tie_breaker * (sum of the rest).
+    tie_breaker=1.0 degrades to a plain sum, 0.0 to a pure max."""
+
+    fields: tuple[str, ...]
+    token: str
+    tie_breaker: float = 0.0
+    const_score: float | None = None
+
+
+Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields
 
 
 @dataclass(frozen=True)

@@ -137,3 +137,88 @@ def test_merge_rejects_bucket_mismatch(ray_session, tiny_corpus, tmp_path):
     build_index(files[1], str(tmp_path / "b"), IndexConfig(num_buckets=8, num_parts=2))
     with pytest.raises(ValueError, match="num_buckets"):
         merge_indexes([str(tmp_path / "a"), str(tmp_path / "b")], str(tmp_path / "m"))
+
+
+# ------------------------------------------------- tiered merge policy
+
+
+def test_plan_tiered_merge_policy():
+    from search_engine_ray.index.merge import plan_tiered_merge
+
+    # an over-full tier merges its fanout smallest members
+    assert plan_tiered_merge({f"s{i}": 100 for i in range(5)}, fanout=4) == [
+        ["s0", "s1", "s2", "s3"]
+    ]
+    # a giant shard is never rewritten to absorb small peers
+    plan = plan_tiered_merge(
+        {"big": 100_000, "a": 10, "b": 12, "c": 11, "d": 9, "e": 8}, fanout=4
+    )
+    assert plan == [["e", "d", "a", "c"]] and "big" not in plan[0]
+    # nothing over-full -> no work
+    assert plan_tiered_merge({"a": 10, "b": 12}, fanout=4) == []
+    assert plan_tiered_merge({}, fanout=4) == []
+    with pytest.raises(ValueError):
+        plan_tiered_merge({"a": 1}, fanout=1)
+
+
+def test_compact_shards_parity_and_recovery(ray_session, tiny_corpus, tmp_path):
+    import json
+
+    from search_engine_ray.index.merge import compact_shards
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    files = _split(tiny_corpus, tmp_path, n_files=6)
+    out = str(tmp_path / "tiered")
+    build_index_resumable(files, out, cfg, files_per_shard=1)
+    shard_root = os.path.join(out, "shards")
+    assert len(glob.glob(os.path.join(shard_root, "shard_*"))) == 6
+
+    # capture results BEFORE compaction (compaction deletes source
+    # shard dirs, so the pre-compaction engine itself must not be
+    # queried afterwards — the documented no-live-readers caveat)
+    before = [SearchEngine(out, cfg).search(q, k=10) for q in QUERIES]
+    manifest = compact_shards(out, cfg, fanout=4)
+    shards_after = sorted(glob.glob(os.path.join(shard_root, "shard_*")))
+    # 6 equal shards, fanout 4: one round merges 4 -> [merged, s4, s5]
+    assert len(shards_after) == 3
+    assert sum(e["n_docs"] for e in manifest["shards"].values()) == tiny_corpus.num_rows
+    assert not glob.glob(os.path.join(shard_root, ".shard_*"))  # no hidden leftovers
+
+    after = SearchEngine(out, cfg)
+
+    def _check_vs_before(eng):
+        for q, ra in zip(QUERIES, before):
+            rb = eng.search(q, k=10)
+            assert ra.total == rb.total
+            assert ra.hits["doc_id"].tolist() == rb.hits["doc_id"].tolist()
+            np.testing.assert_allclose(
+                ra.hits["score"].to_numpy(), rb.hits["score"].to_numpy(), rtol=0, atol=1e-9
+            )
+
+    _check_vs_before(after)
+
+    # interrupted-swap recovery: simulate a crash after the hidden
+    # merge completed but before the rename — a rerun must finish it
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    victims = sorted(m["shards"])[:2]
+    hidden_name = "shard_m99999"
+    merge_indexes(
+        [os.path.join(shard_root, v) for v in victims],
+        os.path.join(shard_root, "." + hidden_name),
+        cfg,
+    )
+    n_docs = sum(m["shards"][v]["n_docs"] for v in victims)
+    m["pending"] = {
+        "new": hidden_name,
+        "sources": victims,
+        "entry": {"complete": True, "files": [], "n_docs": n_docs},
+    }
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+    m2 = compact_shards(out, cfg, fanout=4)
+    assert "pending" not in m2
+    assert hidden_name in m2["shards"]
+    assert not any(v in m2["shards"] for v in victims)
+    _check_vs_before(SearchEngine(out, cfg))

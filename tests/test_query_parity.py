@@ -339,3 +339,94 @@ def test_synonyms_blended_scoring(engine, oracle_ix, tiny_corpus):
     # missing synonym tokens are dropped; all-missing must -> no match
     q3 = Compound(must=(Synonyms("content", ("zzzqqq1", "zzzqqq2")),))
     assert engine.search(q3, k=5).total == 0
+
+
+def test_crossfields_blended_dismax(ray_session, tmp_path):
+    """S15 cross-field blended term (Lucene BlendedTermQuery + DisMax,
+    ES multi_match cross_fields): blended df = min(sum per-field dfs,
+    N), per-field length norms, per-doc combine best + tie*(rest)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import scoring
+    from search_engine_ray.query.qast import CrossFields
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 5,
+            "path": [
+                "alpha/beta.py",      # alpha in path only
+                "gamma/one.py",
+                "alpha/two.py",       # alpha in BOTH fields
+                "delta/three.py",
+                "alpha/alpha.py",     # alpha twice in path
+            ],
+            "commit": ["c" * 40] * 5,
+            "lang": ["python"] * 5,
+            "content": [
+                "beta code here",
+                "alpha appears in the body text",   # alpha in content only
+                "alpha alpha repeated in body",     # alpha in BOTH fields
+                "nothing relevant",
+                "plain text",
+            ],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c"),
+                FieldSpec("path", "p", ngram=True),
+                FieldSpec("repo", "r", ngram=True)),
+        num_buckets=2, num_parts=2,
+    )
+    out = str(tmp_path / "xf")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(t, cfg)
+
+    from search_engine_ray.index.build import doc_uid
+
+    uid = {
+        i: doc_uid(str(v) for v in (t["repo"][i].as_py(), t["path"][i].as_py()))
+        for i in range(5)
+    }
+
+    for tie in (0.0, 0.3, 1.0):
+        q = Compound(must=(CrossFields(("content", "path"), "alpha", tie_breaker=tie),))
+        res = eng.search(q, k=10)
+        ora = oracle_search(oix, q, k=10)
+        assert res.total == 4  # docs 0, 1, 2, 4
+        assert_parity(res, ora)
+
+    # blended idf: df = min(df_content + df_path, N) = min(2+3, 5) = 5
+    # (NOT the per-field 2 or 3) — pin by hand for the path-only doc 0:
+    # tf=1 in path (dl=3 tokens: alpha, beta, py), content misses
+    q = Compound(must=(CrossFields(("content", "path"), "alpha", tie_breaker=0.0),))
+    res = eng.search(q, k=10)
+    bidf = float(scoring.idf(5, 5))
+    dl_path = np.array([3]); tf = np.array([1])
+    avgdl_path = oix.avgdl["path"]
+    exp0 = scoring.bm25_score(tf, dl_path, bidf, cfg.k1, cfg.b, avgdl_path)[0]
+    got = dict(zip(res.hits["doc_id"].tolist(), res.hits["score"].tolist()))
+    assert abs(got[uid[0]] - exp0) < 1e-9
+
+    # dismax combine on the both-fields doc 2: tie=0 -> max of the two
+    # field scores; tie=1 -> their sum
+    r0 = eng.search(q, k=10)
+    r1 = eng.search(
+        Compound(must=(CrossFields(("content", "path"), "alpha", tie_breaker=1.0),)), k=10
+    )
+    s0 = dict(zip(r0.hits["doc_id"].tolist(), r0.hits["score"].tolist()))
+    s1 = dict(zip(r1.hits["doc_id"].tolist(), r1.hits["score"].tolist()))
+    assert s1[uid[2]] > s0[uid[2]]  # second field adds under tie=1
+    assert abs(s1[uid[0]] - s0[uid[0]]) < 1e-12  # single-field docs unaffected
+
+    # inside a compound with another clause + missing-token edge
+    q2 = Compound(
+        must=(CrossFields(("content", "path"), "alpha", 0.5), Term("content", "body")),
+    )
+    assert_parity(eng.search(q2, k=10), oracle_search(oix, q2, k=10))
+    q3 = Compound(must=(CrossFields(("content", "path"), "zzzmissing"),))
+    assert eng.search(q3, k=5).total == 0

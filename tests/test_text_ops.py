@@ -95,6 +95,32 @@ def test_extract_snippets_window_edges(ray_session):
     assert none.schema().names == ["doc_id", "first_pos", "snippet"]
 
 
+def test_repetition_scores(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(4), pa.int64()),
+                "text": [
+                    "x y\nx y\nz",           # 3 lines, 2 distinct; bigram "x y" x2 of 4 bigrams, 5 toks
+                    "a b c d",               # no repetition
+                    "",                       # degenerate
+                    "w w w w",               # bigram "w w" x3, 4 toks
+                ],
+            }
+        )
+    )
+    out = (
+        txt.add_repetition_scores(ds, "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["dup_line_frac"].tolist() == pytest.approx([round(1 - 2 / 3, 4), 0.0, 0.0, 0.0])
+    assert out["top_bigram_frac"].tolist() == pytest.approx(
+        [round(2 * 2 / 5, 4), round(2 * 1 / 4, 4), 0.0, round(2 * 3 / 4, 4)]
+    )
+
+
 def test_contamination_flags_planted_overlap(ray_session):
     # eval doc shares the 3-gram "quick brown fox" with corpus doc 0
     # only; doc 2 ("quick brown cat") must NOT be flagged
