@@ -835,6 +835,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
         return dd.contamination_flags(docs, ev, w=3)
 
+    def t_pii_clean(sf_dir):
+        # PII redaction stage over a corpus with deterministically
+        # planted contacts (docs with doc_id % 7 == 0 get an email, a
+        # URL and an IP appended; the corpus itself has none)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            suffix = pa.array(
+                np.where(
+                    ids % 7 == 0,
+                    " contact bob@example.com via https://ex.com/a?b=1 at 10.0.0.1",
+                    "",
+                ).tolist(),
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "text": pc.binary_join_element_wise(t["text"], suffix, ""),
+                }
+            )
+
+        return txt.add_pii_clean(
+            docs.map_batches(_plant, batch_format="pyarrow")
+        ).drop_columns(["text"])
+
     def t_repetition(sf_dir):
         # Gopher-style repetition signals: duplicate-line fraction +
         # top-bigram token coverage
@@ -1231,6 +1258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_unigram_lp": t_unigram_lp,
         "t_decontaminate": t_decontaminate,
         "t_repetition": t_repetition,
+        "t_pii_clean": t_pii_clean,
         "s14_snippet": s14_snippet,
         "s15_crossfields": s15_crossfields,
         "dedup_exact": dedup_exact,
@@ -1262,6 +1290,23 @@ def oracle_sql() -> dict[str, str]:
         f"len(regexp_extract_all(coalesce(text, ''), '{_bpe}')) AS n_bpe_tokens "
         "FROM documents"
     )
+    from search_engine_ray.ops.text import EMAIL_PATTERN, IPV4_PATTERN, URL_PATTERN
+
+    _pii_clean_sql = f"""
+WITH planted AS (
+  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+    THEN ' contact bob@example.com via https://ex.com/a?b=1 at 10.0.0.1'
+    ELSE '' END AS text
+  FROM documents)
+SELECT doc_id,
+  len(regexp_extract_all(text, '{EMAIL_PATTERN}')) AS n_emails,
+  len(regexp_extract_all(text, '{URL_PATTERN}')) AS n_urls,
+  len(regexp_extract_all(text, '{IPV4_PATTERN}')) AS n_ips,
+  trim(regexp_replace(regexp_replace(regexp_replace(text,
+    '{URL_PATTERN}', '<URL>', 'g'), '{EMAIL_PATTERN}', '<EMAIL>', 'g'),
+    '\\s+', ' ', 'g')) AS clean
+FROM planted
+"""
     grouped_search_sql = f"""
 WITH tok AS (SELECT doc_id, source, n_chars, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, source, n_chars, len(ts) AS dl,
@@ -1741,6 +1786,7 @@ SELECT d.doc_id,
        AS contaminated
 FROM documents d
 """,
+        "t_pii_clean": _pii_clean_sql,
         "t_repetition": f"""
 WITH lines AS (SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
 tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),

@@ -322,6 +322,46 @@ def unigram_logprob(
     )
 
 
+# PII / boilerplate patterns, RE2 on both sides (Arrow kernels and
+# DuckDB regexp_* run the same engine, so counts and replacements
+# agree exactly; pinned by the t_pii_clean oracle)
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_PATTERN = r"https?://[^\s]+"
+IPV4_PATTERN = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def add_pii_clean(ds: Dataset, text_col: str = "text", out_col: str = "clean") -> Dataset:
+    """PII / boilerplate curation stage (the RefinedWeb/C4-style
+    redaction pass): append per-doc pattern counts
+
+        n_emails, n_urls, n_ips   (int64)
+
+    and ``out_col`` — the text with URLs replaced by ``<URL>``, emails
+    by ``<EMAIL>`` (URLs first, so a mailto-ish URL cannot leak an
+    address), whitespace runs collapsed to one space, and the result
+    trimmed. All seven kernels are single vectorized RE2 passes; no
+    token or row materialization."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        arr = t[text_col].combine_chunks() if isinstance(t[text_col], pa.ChunkedArray) else t[text_col]
+        arr = pc.fill_null(arr, "")
+        counts = {
+            "n_emails": pc.count_substring_regex(arr, pattern=EMAIL_PATTERN),
+            "n_urls": pc.count_substring_regex(arr, pattern=URL_PATTERN),
+            "n_ips": pc.count_substring_regex(arr, pattern=IPV4_PATTERN),
+        }
+        clean = pc.replace_substring_regex(arr, pattern=URL_PATTERN, replacement="<URL>")
+        clean = pc.replace_substring_regex(clean, pattern=EMAIL_PATTERN, replacement="<EMAIL>")
+        clean = pc.utf8_trim_whitespace(
+            pc.replace_substring_regex(clean, pattern=r"\s+", replacement=" ")
+        )
+        for name, c in counts.items():
+            t = t.append_column(name, pc.cast(c, pa.int64()))
+        return t.append_column(out_col, clean)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def add_repetition_scores(ds: Dataset, text_col: str = "text") -> Dataset:
     """Gopher-style repetition quality signals (Rae et al. 2021 §A1.1,
     simplified to token counts so each has an exact SQL oracle):

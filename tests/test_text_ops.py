@@ -151,3 +151,33 @@ def test_contamination_empty_blocklist(ray_session):
     ev = pa.table({"doc_id": pa.array([], pa.int64()), "text": pa.array([], pa.string())})
     out = dd.contamination_flags(_docs(), ev, w=3).to_pandas()
     assert out["contaminated"].sum() == 0 and len(out) == len(TEXTS)
+
+
+def test_pii_clean(ray_session):
+    ds = rd.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(3), pa.int64()),
+                "text": [
+                    "mail bob@example.com  or  a.b+c@x.co.uk\nnow",
+                    "see https://ex.com/a?b=1 from 10.0.0.1",
+                    "nothing here",
+                ],
+            }
+        )
+    )
+    out = (
+        txt.add_pii_clean(ds, "text")
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["n_emails"].tolist() == [2, 0, 0]
+    assert out["n_urls"].tolist() == [0, 1, 0]
+    assert out["n_ips"].tolist() == [0, 1, 0]
+    # redacted + whitespace-collapsed + trimmed
+    assert out["clean"].tolist() == [
+        "mail <EMAIL> or <EMAIL> now",
+        "see <URL> from 10.0.0.1",
+        "nothing here",
+    ]
