@@ -1039,3 +1039,99 @@ def build_index_resumable(
         with open(manifest_path, "w") as f:
             json.dump(manifest, f, indent=2)
     return manifest
+
+
+def upsert_documents(
+    parent_dir: str,
+    table,
+    config: IndexConfig | None = None,
+    sha_col: str | None = None,
+) -> dict:
+    """Index-level bulk upsert — the reference's ``UpdateOne(...,
+    upsert=True)`` batches (lamda/store_product_sync.py:50-74) applied
+    to the INDEX itself, with Lucene ``updateDocument`` (delete+add)
+    semantics: every incoming doc REPLACES the stored doc with the same
+    id if one exists, else is added.
+
+    Over a resumable layout (``parent_dir/shards/`` + manifest):
+
+    1. incoming ids are intersected with each shard's docmap (one
+       doc_id-column scan per shard — at extreme scale swap in a
+       per-shard Bloom filter of ids to skip untouched shards);
+    2. matches are tombstoned at the parent and physically compacted
+       (``compact_tombstones`` rewrites only the affected partitions
+       and is oracle-exact, so no query-time version masking is ever
+       needed — the hot path stays untouched);
+    3. the incoming batch is built as a NEW delta shard (same pinned
+       num_parts as its siblings) and registered in the manifest —
+       the tiered merge policy (``merge.compact_shards``) later folds
+       small delta shards together.
+
+    Incoming ids must be unique within the batch (last-writer-wins
+    across CALLS comes from the delete+add order; within one batch it
+    would be ambiguous, so it raises). Live engines must be
+    reconstructed afterwards, same rule as compaction. Returns
+    ``{"replaced", "added", "shard"}``."""
+    import ray.data as rd
+
+    config = config or IndexConfig()
+    manifest_path = os.path.join(parent_dir, "manifest.json")
+    with open(manifest_path) as f:
+        manifest = json.load(f)
+    if not manifest.get("resumable"):
+        raise ValueError(f"{parent_dir} is not a resumable multi-shard index")
+    from dataclasses import replace as _dc_replace
+
+    if "num_parts" in manifest:
+        config = _dc_replace(
+            config, num_parts=int(manifest["num_parts"]), auto_num_parts=False
+        )
+
+    if config.use_native_id:
+        ids = np.asarray(table[config.id_cols[0]].to_numpy(), dtype=np.int64)
+    else:
+        cols = [table[c].to_pylist() for c in config.id_cols]
+        ids = np.array(
+            [doc_uid(str(v) for v in row) for row in zip(*cols)], dtype=np.int64
+        )
+    if np.unique(ids).size != ids.size:
+        raise ValueError("incoming batch holds duplicate doc ids (ambiguous upsert)")
+
+    shard_root = os.path.join(parent_dir, "shards")
+    shard_dirs = sorted(
+        d for d in glob.glob(os.path.join(shard_root, "shard_*")) if os.path.isdir(d)
+    )
+    hit_parts = []
+    for d in shard_dirs:
+        dm = pads.dataset(
+            os.path.join(d, "docmap"), partitioning="hive"
+        ).to_table(columns=["doc_id"])
+        existing = dm["doc_id"].to_numpy()
+        hit_parts.append(ids[np.isin(ids, existing)])
+    hits = np.unique(np.concatenate(hit_parts)) if hit_parts else np.empty(0, np.int64)
+    if hits.size:
+        add_tombstones(parent_dir, hits)
+        compact_tombstones(parent_dir, config)
+
+    seq = int(manifest.get("upsert_seq", 0)) + 1
+    name = f"shard_u{seq:05d}"
+    shard_dir = os.path.join(shard_root, name)
+    stats = build_index(rd.from_arrow(table), shard_dir, config, sha_col)
+    manifest["upsert_seq"] = seq
+    if hits.size:
+        # compaction refreshed each shard's stats.json; sync the
+        # manifest's n_docs so the tiered merge policy sees true sizes
+        for d in shard_dirs:
+            key = os.path.basename(d)
+            if key in manifest.get("shards", {}):
+                with open(os.path.join(d, "stats.json")) as f:
+                    manifest["shards"][key]["n_docs"] = int(json.load(f)["n_docs"])
+    manifest.setdefault("shards", {})[name] = {
+        "complete": True,
+        "files": [],
+        "n_docs": int(stats["n_docs"]),
+        "upsert": True,
+    }
+    with open(manifest_path, "w") as f:
+        json.dump(manifest, f, indent=2)
+    return {"replaced": int(hits.size), "added": int(ids.size - hits.size), "shard": name}

@@ -294,3 +294,125 @@ def test_empty_corpus_build_and_search(ray_session, tmp_path):
     eng = SearchEngine(out, cfg)
     r = eng.search(Compound(must=(Term("content", "x"),)), k=5)
     assert r.total == 0 and r.total_exact
+
+
+def test_upsert_documents_delete_add_parity(ray_session, tiny_corpus, tmp_path):
+    """Index-level bulk upsert (Lucene updateDocument semantics):
+    replacing docs by id + adding new ones yields an index that is
+    rank/score-identical to a fresh build over the upserted logical
+    corpus; a second upsert of the same ids is last-writer-wins."""
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index_resumable, upsert_documents
+    from search_engine_ray.oracle import build_oracle, oracle_search
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    src = tmp_path / "src"
+    src.mkdir()
+    files = []
+    for i in range(3):
+        p = str(src / f"part-{i}.parquet")
+        hi = 200 if i == 2 else (i + 1) * 66
+        pq.write_table(tiny_corpus.slice(i * 66, hi - i * 66), p)
+        files.append(p)
+    out = str(tmp_path / "ups")
+    build_index_resumable(files, out, cfg, files_per_shard=1)
+
+    # replace 5 existing docs (same repo/path => same uid, new content)
+    # and add 3 brand-new docs
+    rep = [0, 1, 50, 120, 199]
+    up = pa.table(
+        {
+            "repo": [tiny_corpus["repo"][i].as_py() for i in rep] + ["new/repo"] * 3,
+            "path": [tiny_corpus["path"][i].as_py() for i in rep]
+            + [f"brand_new_{j}.py" for j in range(3)],
+            "commit": ["d" * 40] * 8,
+            "lang": ["python"] * 8,
+            "content": [f"replacement zzznewterm text number {i}" for i in rep]
+            + [f"added zzznewterm doc {j}" for j in range(3)],
+        }
+    )
+    up = up.select(tiny_corpus.column_names).cast(
+        pa.schema([tiny_corpus.schema.field(c) for c in tiny_corpus.column_names])
+    )
+    res = upsert_documents(out, up, cfg)
+    assert res["replaced"] == 5 and res["added"] == 3
+
+    # logical corpus after the upsert
+    keep = np.ones(tiny_corpus.num_rows, dtype=bool)
+    keep[rep] = False
+    logical = pa.concat_tables([tiny_corpus.filter(pa.array(keep)), up])
+    oix = build_oracle(logical, cfg)
+
+    eng = SearchEngine(out, cfg)
+    assert eng.stats["n_docs"] == logical.num_rows
+    for q in (
+        Compound(must=(Term("content", "zzznewterm"),)),   # only in upserted docs
+        Compound(must=(Term("content", "import"),)),        # broad term
+        Compound(must=(Term("content", "replacement"), Term("content", "text"))),
+    ):
+        r = eng.search(q, k=10)
+        o = oracle_search(oix, q, k=10)
+        assert r.total == o.total
+        assert r.hits["doc_id"].tolist() == o.hits["doc_id"].tolist()
+        np.testing.assert_allclose(
+            r.hits["score"].to_numpy(), o.hits["score"].to_numpy(), rtol=0, atol=1e-9
+        )
+    # replaced docs' OLD content must be gone
+    assert eng.search(Compound(must=(Term("content", "zzznewterm"),)), k=10).total == 8
+
+    # second upsert of one id: last writer wins
+    up2 = up.slice(0, 1).set_column(
+        4, "content", pa.array(["rewritten qqqfinal body"], pa.string())
+    )
+    res2 = upsert_documents(out, up2, cfg)
+    assert res2["replaced"] == 1 and res2["added"] == 0
+    eng2 = SearchEngine(out, cfg)
+    assert eng2.search(Compound(must=(Term("content", "qqqfinal"),)), k=5).total == 1
+    assert eng2.search(Compound(must=(Term("content", "zzznewterm"),)), k=10).total == 7
+    assert eng2.stats["n_docs"] == logical.num_rows
+
+    # duplicate ids within one batch are ambiguous -> reject
+    dup = pa.concat_tables([up.slice(0, 1), up.slice(0, 1)])
+    with pytest.raises(ValueError):
+        upsert_documents(out, dup, cfg)
+
+
+def test_upsert_can_empty_a_shard(ray_session, tmp_path):
+    """Replacing EVERY doc of one shard leaves an empty shard behind —
+    builds, stats and queries must stay consistent."""
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index import build_index_resumable, upsert_documents
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 6,
+            "path": [f"f{i}.py" for i in range(6)],
+            "commit": ["c" * 40] * 6,
+            "lang": ["python"] * 6,
+            "content": [f"alpha beta doc{i}" for i in range(6)],
+        }
+    )
+    src = tmp_path / "s"
+    src.mkdir()
+    files = []
+    for i in range(3):
+        p = str(src / f"p{i}.parquet")
+        pq.write_table(t.slice(i * 2, 2), p)
+        files.append(p)
+    out = str(tmp_path / "ups2")
+    cfg = IndexConfig(num_buckets=2, num_parts=2)
+    build_index_resumable(files, out, cfg, files_per_shard=1)
+
+    up = t.slice(0, 2).set_column(
+        4, "content", pa.array(["gamma replaced one", "gamma replaced two"], pa.string())
+    )
+    res = upsert_documents(out, up, cfg)
+    assert res["replaced"] == 2 and res["added"] == 0
+    eng = SearchEngine(out, cfg)
+    assert eng.stats["n_docs"] == 6
+    assert eng.search(Compound(must=(Term("content", "gamma"),)), k=5).total == 2
+    assert eng.search(Compound(must=(Term("content", "alpha"),)), k=10).total == 4
+    assert eng.search(Compound(must=(Term("content", "doc0"),)), k=5).total == 0
