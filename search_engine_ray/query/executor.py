@@ -178,6 +178,13 @@ class _QuerySpec:
     # sorted int64 array of deleted doc ids (tombstones) — excluded
     # from matches/totals/facets until the owning shard is rebuilt
     tombstones: Any = None
+    # deep-pagination cursor (ES search_after): only docs strictly
+    # AFTER (score, doc_id) in (score desc, doc_id asc) order make the
+    # page; totals/facets still cover the full matched set. Applied
+    # inside every bucket BEFORE its local top-k, so page depth never
+    # inflates n_take (skip/limit at offset 10^6 ships 10^6 candidates
+    # per bucket; a cursor ships k).
+    search_after: tuple | None = None
 
 
 class _DocmapCache:
@@ -484,6 +491,14 @@ def _finish(
             vals = dmc.attrs(bucket, m_ids, (fcol,))[fcol]
             u, c = np.unique(vals, return_counts=True)
             facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
+    # search_after cursor: the page starts strictly after (score,
+    # doc_id); totals/facets above already cover the full match set.
+    # Score equality across buckets is reliable — the float64 op order
+    # is fixed, so a doc's score is identical wherever it is computed.
+    if spec.search_after is not None and m_ids.size:
+        ca, cd = float(spec.search_after[0]), int(spec.search_after[1])
+        keep = (m_scores < ca) | ((m_scores == ca) & (m_ids > cd))
+        m_ids, m_scores = m_ids[keep], m_scores[keep]
     # local top-(skip+k), deterministic tie-break (score desc, doc_id
     # asc). Exact under ties: select everything >= the n_take-th score,
     # then lexsort that candidate set.
@@ -896,7 +911,10 @@ class SearchEngine:
             )
         return out
 
-    def _make_spec(self, leaves, q, n_take, filter_spec, boosts, facet_fields, emit_all=None):
+    def _make_spec(
+        self, leaves, q, n_take, filter_spec, boosts, facet_fields,
+        emit_all=None, search_after=None,
+    ):
         return _QuerySpec(
             leaves=tuple(leaves),
             k1=self.stats["k1"],
@@ -910,6 +928,7 @@ class SearchEngine:
             postings_format=self.postings_format,
             emit_all_cols=emit_all,
             tombstones=self.tombstones,
+            search_after=search_after,
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -923,9 +942,18 @@ class SearchEngine:
         facet_fields: tuple[str, ...] = (),
         with_metadata: bool = True,
         prune: bool = False,
+        search_after: tuple | None = None,
     ) -> SearchResult:
+        """search_after: deep-pagination cursor (score, doc_id) of the
+        LAST hit of the previous page — the page starts strictly after
+        it in (score desc, doc_id asc) order. Unlike skip (which ships
+        skip+k candidates per bucket), a cursor ships only k however
+        deep the page is. Mutually exclusive with skip; disables
+        pruning (the cursor invalidates the WAND theta bound)."""
         import ray
 
+        if search_after is not None and skip:
+            raise ValueError("search_after and skip are mutually exclusive")
         self._refresh_tombstones()
         leaves = self._resolve(q)
         # a must clause with no indexed term can never match; total=0
@@ -943,6 +971,7 @@ class SearchEngine:
         prune = (
             prune
             and self.tombstones is None
+            and search_after is None
             and not q.must
             and q.min_should_match <= 1
             and filter_spec is None
@@ -954,7 +983,10 @@ class SearchEngine:
             )
         )
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
-        spec = self._make_spec(leaves, q, skip + k, filter_spec, boosts, facet_fields)
+        spec = self._make_spec(
+            leaves, q, skip + k, filter_spec, boosts, facet_fields,
+            search_after=search_after,
+        )
         if prune:
             theta0 = float("-inf")
             if len(term_keys) > 1:
@@ -999,6 +1031,108 @@ class SearchEngine:
         if with_metadata and len(hits):
             hits = self._attach_metadata(hits)
         return SearchResult(total, hits, facets, total_exact=not prune)
+
+    # ---- explain (Lucene Explanation analog) -------------------------
+    def explain(self, q: Compound, doc_id: int, boosts: tuple = ()) -> dict:
+        """Per-clause score breakdown for one document (Lucene
+        ``IndexSearcher.explain``): each clause is re-scored through
+        the SAME scoring core (`score_postings_table`) restricted to
+        the doc's bucket, so clause contributions sum EXACTLY (same
+        float64 op order) to ``search()``'s score for a matching doc.
+        A debug/audit surface — one synchronous bucket read per call,
+        never part of the hot path."""
+        self._refresh_tombstones()
+        from dataclasses import replace as _dc_replace
+
+        doc_id = int(doc_id)
+        bucket = doc_id % self.config.num_buckets
+        leaves = self._resolve(q)
+        impl = _BucketScorerImpl(self.dirs, [bucket])
+        n_must = sum(1 for lf in leaves if lf.is_must)
+        clauses, total, must_cnt, should_cnt = [], 0.0, 0, 0
+        for lf in leaves:
+            contrib, matched = 0.0, False
+            if lf.term_keys:
+                solo = _dc_replace(lf, clause_id=0, is_must=False)
+                spec = self._make_spec(
+                    (solo,),
+                    Compound(),
+                    1 << 30,  # keep every candidate: the doc must surface
+                    None,
+                    (),
+                    (),
+                )
+                parts = sorted(
+                    {term_part(tk, self.config.num_parts) for tk in lf.term_keys}
+                )
+                t = impl.score(parts, list(lf.term_keys), spec)
+                kinds = t["kind"].to_numpy(zero_copy_only=False)
+                ids = t["doc_id"].to_numpy()
+                hit = (kinds == "hit") & (ids == doc_id)
+                if hit.any():
+                    matched = True
+                    contrib = float(t["score"].to_numpy()[hit][0])
+            total += contrib
+            if lf.is_must:
+                must_cnt += matched
+            else:
+                should_cnt += matched
+            kind = (
+                "const" if lf.const_score is not None
+                else "synonym_blend" if lf.blend
+                else "cross_fields_dismax" if lf.dismax
+                else "bm25"
+            )
+            clauses.append(
+                {
+                    "clause_id": lf.clause_id,
+                    "is_must": lf.is_must,
+                    "kind": kind,
+                    "term_keys": list(lf.term_keys),
+                    "idfs": list(lf.idfs),
+                    "avgdl": lf.avgdl,
+                    "matched": matched,
+                    "score": contrib,
+                }
+            )
+        matched = must_cnt == n_must
+        if q.min_should_match > 0:
+            matched &= should_cnt >= q.min_should_match
+        elif n_must == 0:
+            matched &= should_cnt > 0
+        if self.tombstones is not None and np.isin(doc_id, self.tombstones):
+            matched = False
+        boost_rows = []
+        for kind_, payload, add in _resolve_boosts(tuple(boosts)):
+            if kind_ == "ids":
+                hit = bool(payload.size) and bool(
+                    payload[np.clip(np.searchsorted(payload, doc_id), 0, payload.size - 1)]
+                    == doc_id
+                )
+                boost_rows.append({"kind": "id_set", "add": add, "applied": matched and hit})
+                if matched and hit:
+                    total += add
+            else:
+                bst: DocAttrBoost = payload
+                try:
+                    val = impl.dmc.attrs(
+                        bucket, np.array([doc_id], np.int64), (bst.col,)
+                    )[bst.col][0]
+                    hit = val == bst.value
+                except RuntimeError:  # unknown doc_id
+                    hit = False
+                boost_rows.append(
+                    {"kind": f"attr:{bst.col}", "add": bst.add, "applied": bool(matched and hit)}
+                )
+                if matched and hit:
+                    total += bst.add
+        return {
+            "doc_id": doc_id,
+            "matched": bool(matched),
+            "score": float(total) if matched else 0.0,
+            "clauses": clauses,
+            "boosts": boost_rows,
+        }
 
     # ---- search_all (streaming Dataset path) ------------------------
     def search_all(

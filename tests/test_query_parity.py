@@ -430,3 +430,81 @@ def test_crossfields_blended_dismax(ray_session, tmp_path):
     assert_parity(eng.search(q2, k=10), oracle_search(oix, q2, k=10))
     q3 = Compound(must=(CrossFields(("content", "path"), "zzzmissing"),))
     assert eng.search(q3, k=5).total == 0
+
+
+def test_search_after_cursor(engine):
+    """Deep pagination via search_after: walking k-sized pages with the
+    (score, doc_id) cursor reproduces the full ranking exactly, totals
+    stay full-set, and it agrees with skip/limit pagination."""
+    import pandas as pd
+
+    q = Compound(
+        should=(Term("content", "import"), Term("content", "def")), min_should_match=1
+    )
+    probe = engine.search(q, k=1, with_metadata=False)
+    assert probe.total > 10
+    full = engine.search(q, k=probe.total, with_metadata=False)
+
+    pages, cursor = [], None
+    while True:
+        r = engine.search(q, k=7, search_after=cursor, with_metadata=False)
+        assert r.total == probe.total  # totals unaffected by the cursor
+        if not len(r.hits):
+            break
+        pages.append(r.hits)
+        cursor = (float(r.hits["score"].iloc[-1]), int(r.hits["doc_id"].iloc[-1]))
+    walked = pd.concat(pages, ignore_index=True)
+    assert walked["doc_id"].tolist() == full.hits["doc_id"].tolist()
+    np.testing.assert_allclose(
+        walked["score"].to_numpy(), full.hits["score"].to_numpy(), rtol=0, atol=0
+    )
+
+    # cursor page == the equivalent skip page
+    p2_skip = engine.search(q, k=7, skip=7, with_metadata=False)
+    c1 = (float(full.hits["score"].iloc[6]), int(full.hits["doc_id"].iloc[6]))
+    p2_cur = engine.search(q, k=7, search_after=c1, with_metadata=False)
+    assert p2_cur.hits["doc_id"].tolist() == p2_skip.hits["doc_id"].tolist()
+
+    with pytest.raises(ValueError):
+        engine.search(q, k=7, skip=7, search_after=c1)
+
+
+def test_explain_clause_breakdown(engine, oracle_ix):
+    """explain(): per-clause contributions sum exactly to search()'s
+    score (same scoring core, same float op order); non-matching and
+    unknown docs report matched=False."""
+    q = Compound(
+        must=(Term("content", "import"),),
+        should=(Term("content", "def"), Term("content", "zzzzqqq")),
+        min_should_match=0,
+    )
+    res = engine.search(q, k=5, with_metadata=False)
+    top = int(res.hits["doc_id"].iloc[0])
+    exp = engine.explain(q, top)
+    assert exp["matched"] is True
+    assert exp["score"] == pytest.approx(float(res.hits["score"].iloc[0]), abs=1e-12)
+    assert sum(c["score"] for c in exp["clauses"]) == pytest.approx(exp["score"], abs=1e-12)
+    assert [c["is_must"] for c in exp["clauses"]] == [True, False, False]
+    assert exp["clauses"][0]["matched"]  # the must clause
+    assert not exp["clauses"][2]["matched"]  # zzzzqqq matches nothing
+
+    # boost accounting
+    boost = ConditionalAddBoost(np.array([top], dtype=np.int64), 10.0)
+    res_b = engine.search(q, k=5, boosts=(boost,), with_metadata=False)
+    got_b = dict(zip(res_b.hits["doc_id"].tolist(), res_b.hits["score"].tolist()))
+    exp_b = engine.explain(q, top, boosts=(boost,))
+    assert exp_b["boosts"][0]["applied"] is True
+    assert exp_b["score"] == pytest.approx(got_b[top], abs=1e-12)
+
+    # a doc that fails the must clause
+    only_def = engine.search(
+        Compound(must=(Term("content", "def"),)), k=50, with_metadata=False
+    )
+    importers = set(engine.search(q, k=10_000, with_metadata=False).hits["doc_id"])
+    non = [d for d in only_def.hits["doc_id"] if d not in importers]
+    if non:
+        e2 = engine.explain(q, int(non[0]))
+        assert e2["matched"] is False and e2["score"] == 0.0
+    # unknown doc id
+    e3 = engine.explain(q, 1)
+    assert e3["matched"] is False
