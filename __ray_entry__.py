@@ -884,6 +884,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.append(df)
         return pd.concat(out, ignore_index=True)
 
+    def s16_stats_facet(sf_dir):
+        # S16 metric aggregation on the matched set (ES stats
+        # aggregation): numeric docmap stats ride the same single
+        # scoring pass as the facet counts — matching never repeats
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=1,
+            with_metadata=False,
+            stat_fields=("n_chars",),
+        )
+        s = r.stats["n_chars"]
+        return pd.DataFrame(
+            {
+                "total": [int(r.total)],
+                "sum_chars": [int(s["sum"])],
+                "min_chars": [int(s["min"])],
+                "max_chars": [int(s["max"])],
+                "avg_chars": [float(round_half_up(np.array([s["avg"]]))[0])],
+            }
+        )
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1261,6 +1283,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_pii_clean": t_pii_clean,
         "s14_snippet": s14_snippet,
         "s15_crossfields": s15_crossfields,
+        "s16_stats_facet": s16_stats_facet,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1491,6 +1514,16 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
         "s15_crossfields": s15_sql,
+        "s16_stats_facet": f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(list_filter(ts, t -> t = 'vector')) AS tf FROM tok)
+SELECT count(*) AS total,
+       CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+       CAST(min(n_chars) AS BIGINT) AS min_chars,
+       CAST(max(n_chars) AS BIGINT) AS max_chars,
+       round(avg(n_chars), 4) AS avg_chars
+FROM d WHERE tf > 0
+""",
         "s9_phonetic": s9_sql,
         "r4_two_key_join": (
             "SELECT l.l_orderkey, l.l_linenumber, l.l_quantity, "

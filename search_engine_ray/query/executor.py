@@ -124,6 +124,9 @@ class SearchResult:
     hits: pd.DataFrame  # doc_id, score, + docmap columns; page already applied
     facets: dict[str, dict[Any, int]] = dc_field(default_factory=dict)
     total_exact: bool = True  # False when block-max pruning was used
+    # per stat_fields column: {"count", "sum", "min", "max", "avg"}
+    # over the FULL matched set (ES stats aggregation)
+    stats: dict[str, dict[str, float]] = dc_field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -178,6 +181,11 @@ class _QuerySpec:
     # sorted int64 array of deleted doc ids (tombstones) — excluded
     # from matches/totals/facets until the owning shard is rebuilt
     tombstones: Any = None
+    # ES-style metric aggregations: per-bucket (count, sum, min, max)
+    # of these numeric docmap columns over the FULL matched set,
+    # merged at the driver (avg = sum/count there). Rides the same
+    # single pass as facet counts — matching is never repeated.
+    stat_fields: tuple[str, ...] = ()
     # deep-pagination cursor (ES search_after): only docs strictly
     # AFTER (score, doc_id) in (score desc, doc_id asc) order make the
     # page; totals/facets still cover the full matched set. Applied
@@ -491,6 +499,18 @@ def _finish(
             vals = dmc.attrs(bucket, m_ids, (fcol,))[fcol]
             u, c = np.unique(vals, return_counts=True)
             facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
+    # numeric metric aggregations over the full matched set (ES stats
+    # aggregation): per-bucket partials, merged at the driver
+    stat_rows: list[tuple[str, str, float]] = []
+    for scol in spec.stat_fields:
+        if m_ids.size:
+            vals = dmc.attrs(bucket, m_ids, (scol,))[scol].astype(np.float64)
+            stat_rows += [
+                (scol, "count", float(vals.size)),
+                (scol, "sum", float(vals.sum())),
+                (scol, "min", float(vals.min())),
+                (scol, "max", float(vals.max())),
+            ]
     # search_after cursor: the page starts strictly after (score,
     # doc_id); totals/facets above already cover the full match set.
     # Score equality across buckets is reliable — the float64 op order
@@ -508,16 +528,23 @@ def _finish(
         order = cand[np.lexsort((m_ids[cand], -m_scores[cand]))][: spec.n_take]
     else:
         order = np.lexsort((m_ids, -m_scores))
-    return _result_table(m_ids[order], m_scores[order], total, facet_rows)
+    return _result_table(m_ids[order], m_scores[order], total, facet_rows, stat_rows)
 
 
-def _result_table(ids, scores, total: int, facet_rows) -> pa.Table:
-    kinds = ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
-    doc_ids = list(map(int, ids)) + [0] + [0] * len(facet_rows)
-    scs = list(map(float, scores)) + [0.0] + [0.0] * len(facet_rows)
-    counts = [0] * len(ids) + [total] + [c for _, _, c in facet_rows]
-    ffields = [""] * len(ids) + [""] + [f for f, _, _ in facet_rows]
-    fvals = [""] * len(ids) + [""] + [v for _, v, _ in facet_rows]
+def _result_table(ids, scores, total: int, facet_rows, stat_rows=()) -> pa.Table:
+    # stat rows carry their float value in the `score` column
+    kinds = (
+        ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
+        + ["stat"] * len(stat_rows)
+    )
+    doc_ids = list(map(int, ids)) + [0] + [0] * (len(facet_rows) + len(stat_rows))
+    scs = (
+        list(map(float, scores)) + [0.0] + [0.0] * len(facet_rows)
+        + [v for _, _, v in stat_rows]
+    )
+    counts = [0] * len(ids) + [total] + [c for _, _, c in facet_rows] + [0] * len(stat_rows)
+    ffields = [""] * len(ids) + [""] + [f for f, _, _ in facet_rows] + [f for f, _, _ in stat_rows]
+    fvals = [""] * len(ids) + [""] + [v for _, v, _ in facet_rows] + [op for _, op, _ in stat_rows]
     return pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
@@ -913,7 +940,7 @@ class SearchEngine:
 
     def _make_spec(
         self, leaves, q, n_take, filter_spec, boosts, facet_fields,
-        emit_all=None, search_after=None,
+        emit_all=None, search_after=None, stat_fields=(),
     ):
         return _QuerySpec(
             leaves=tuple(leaves),
@@ -929,6 +956,7 @@ class SearchEngine:
             emit_all_cols=emit_all,
             tombstones=self.tombstones,
             search_after=search_after,
+            stat_fields=tuple(stat_fields),
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -943,6 +971,7 @@ class SearchEngine:
         with_metadata: bool = True,
         prune: bool = False,
         search_after: tuple | None = None,
+        stat_fields: tuple[str, ...] = (),
     ) -> SearchResult:
         """search_after: deep-pagination cursor (score, doc_id) of the
         LAST hit of the previous page — the page starts strictly after
@@ -977,6 +1006,7 @@ class SearchEngine:
             and filter_spec is None
             and not boosts
             and not facet_fields
+            and not stat_fields
             and all(
                 lf.const_score is None and not lf.blend and not lf.dismax
                 for lf in leaves
@@ -985,7 +1015,7 @@ class SearchEngine:
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         spec = self._make_spec(
             leaves, q, skip + k, filter_spec, boosts, facet_fields,
-            search_after=search_after,
+            search_after=search_after, stat_fields=tuple(stat_fields),
         )
         if prune:
             theta0 = float("-inf")
@@ -1028,9 +1058,23 @@ class SearchEngine:
             agg = fr.groupby(["facet_field", "facet_value"])["count"].sum()
             for (ff, fv), c in agg.items():
                 facets.setdefault(ff, {})[fv] = int(c)
+        stats: dict[str, dict[str, float]] = {}
+        sr = out[out["kind"] == "stat"]
+        if len(sr):
+            for col, g in sr.groupby("facet_field"):
+                by_op = {op: gg["score"] for op, gg in g.groupby("facet_value")}
+                cnt = float(by_op["count"].sum())
+                s = {
+                    "count": cnt,
+                    "sum": float(by_op["sum"].sum()),
+                    "min": float(by_op["min"].min()),
+                    "max": float(by_op["max"].max()),
+                }
+                s["avg"] = s["sum"] / cnt if cnt else 0.0
+                stats[str(col)] = s
         if with_metadata and len(hits):
             hits = self._attach_metadata(hits)
-        return SearchResult(total, hits, facets, total_exact=not prune)
+        return SearchResult(total, hits, facets, total_exact=not prune, stats=stats)
 
     # ---- explain (Lucene Explanation analog) -------------------------
     def explain(self, q: Compound, doc_id: int, boosts: tuple = ()) -> dict:

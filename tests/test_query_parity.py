@@ -508,3 +508,55 @@ def test_explain_clause_breakdown(engine, oracle_ix):
     # unknown doc id
     e3 = engine.explain(q, 1)
     assert e3["matched"] is False
+
+
+def test_stats_aggregation(ray_session, tmp_path):
+    """S16 metric aggregation: per-bucket (count,sum,min,max) partials
+    over the FULL matched set merge to exact global stats; facets and
+    the page ride the same pass."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+
+    n = 40
+    t = pa.table(
+        {
+            "repo": ["o/r"] * n,
+            "path": [f"f{i}.py" for i in range(n)],
+            "commit": ["c" * 40] * n,
+            "lang": ["python" if i % 2 else "go" for i in range(n)],
+            "size_kb": pa.array([10 + 3 * i for i in range(n)], pa.int64()),
+            "content": [("alpha beta " if i % 4 else "beta only ") + f"doc{i}" for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c"),
+                FieldSpec("path", "p", ngram=True),
+                FieldSpec("repo", "r", ngram=True)),
+        num_buckets=4, num_parts=2,
+        docmap_cols=("lang", "size_kb", "content_sha256"),
+    )
+    out = str(tmp_path / "stats")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    r = eng.search(
+        Compound(must=(Term("content", "alpha"),)),
+        k=5, with_metadata=False, stat_fields=("size_kb",), facet_fields=("lang",),
+    )
+    matched = [i for i in range(n) if i % 4]  # docs containing "alpha"
+    sizes = np.array([10 + 3 * i for i in matched], dtype=np.float64)
+    assert r.total == len(matched)
+    s = r.stats["size_kb"]
+    assert s["count"] == len(matched)
+    assert s["sum"] == sizes.sum()
+    assert s["min"] == sizes.min() and s["max"] == sizes.max()
+    assert s["avg"] == pytest.approx(sizes.mean())
+    assert sum(r.facets["lang"].values()) == r.total
+    # zero-match query -> empty stats dict
+    r0 = eng.search(
+        Compound(must=(Term("content", "zzzq"),)), k=5,
+        with_metadata=False, stat_fields=("size_kb",),
+    )
+    assert r0.total == 0 and r0.stats == {}
