@@ -906,6 +906,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def s17_suggest(sf_dir):
+        # S17 'did you mean' (Lucene DirectSpellChecker): dictionary
+        # terms within 2 edits of the misspelling, ranked by
+        # (distance, df desc, term)
+        eng = _doc_engine(sf_dir)
+        rows = eng.suggest("text", "vectr", max_edits=2, k=5)
+        out = pd.DataFrame(rows, columns=["term", "df", "distance"])
+        out["df"] = out["df"].astype("int64")
+        out["distance"] = out["distance"].astype("int64")
+        return out
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1284,6 +1295,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s14_snippet": s14_snippet,
         "s15_crossfields": s15_crossfields,
         "s16_stats_facet": s16_stats_facet,
+        "s17_suggest": s17_suggest,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1514,6 +1526,13 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
         "s15_crossfields": s15_sql,
+        "s17_suggest": f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
+dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)
+SELECT t AS term, df, CAST(levenshtein(t, 'vectr') AS BIGINT) AS distance
+FROM dfreq WHERE t != 'vectr' AND levenshtein(t, 'vectr') <= 2
+ORDER BY distance, df DESC, term LIMIT 5
+""",
         "s16_stats_facet": f"""
 WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, n_chars, len(list_filter(ts, t -> t = 'vector')) AS tf FROM tok)

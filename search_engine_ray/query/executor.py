@@ -861,6 +861,51 @@ class SearchEngine:
                         keys.add(key)
         return sorted(keys)[: self.config.max_prefix_expansions]
 
+    def suggest(
+        self, field: str, token: str, max_edits: int = 2, k: int = 5
+    ) -> list[dict]:
+        """'Did you mean' spelling suggestions (Lucene
+        DirectSpellChecker analog): dictionary terms of ``field``
+        within ``max_edits`` Levenshtein edits of ``token``, ranked by
+        (edit distance asc, df desc, term asc) — closer corrections
+        first, popularity breaks ties. The exact token is excluded.
+        Same field-code range scan + length-banded capped-DP expansion
+        as the Fuzzy leaf; dfs summed across shards. Returns
+        ``[{"term", "df", "distance"}, ...]`` (top k)."""
+        from search_engine_ray.analysis import levenshtein
+
+        spec = self.config.field_by_name(field)
+        lo, hi = f"{spec.code}:", f"{spec.code}:\U0010ffff"
+        pre = len(lo)
+        dfs: dict[str, int] = {}
+        for d in self.dirs:
+            for part in range(self.config.num_parts):
+                t = self._dict_table(d, part)
+                if not t.num_rows:
+                    continue
+                m = pc.and_(pc.greater_equal(t["term"], lo), pc.less(t["term"], hi))
+                sub = t.filter(m)
+                tl = pc.utf8_length(sub["term"])
+                band = pc.and_(
+                    pc.greater_equal(tl, pre + len(token) - max_edits),
+                    pc.less_equal(tl, pre + len(token) + max_edits),
+                )
+                sub = sub.filter(band)
+                for key, df in zip(sub["term"].to_pylist(), sub["df"].to_pylist()):
+                    bare = key[pre:]
+                    if bare != token:
+                        dfs[bare] = dfs.get(bare, 0) + int(df)
+        scored = [
+            (dist, -df, term)
+            for term, df in dfs.items()
+            if (dist := levenshtein(term, token, max_edits)) <= max_edits
+        ]
+        scored.sort()
+        return [
+            {"term": term, "df": -negdf, "distance": dist}
+            for dist, negdf, term in scored[:k]
+        ]
+
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
         # raw entry: (clause_id, is_must, keys, field-per-key, const,

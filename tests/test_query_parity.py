@@ -560,3 +560,51 @@ def test_stats_aggregation(ray_session, tmp_path):
         with_metadata=False, stat_fields=("size_kb",),
     )
     assert r0.total == 0 and r0.stats == {}
+
+
+def test_suggest_did_you_mean(ray_session, tmp_path):
+    """S17 spelling suggestions: ranked by (distance, df desc, term);
+    the exact token is excluded; phonetic/ngram namespaces never leak."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 6,
+            "path": [f"f{i}.py" for i in range(6)],
+            "commit": ["c" * 40] * 6,
+            "lang": ["python"] * 6,
+            "content": [
+                "vector vector vector",   # df(vector)=3 docs below
+                "vector base",
+                "vector victor",          # victor df=1, distance 2
+                "vectors here",           # vectors distance 1
+                "unrelated words",
+                "vect short",             # vect distance 1 (deletion)
+            ],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c", phonetic=True),
+                FieldSpec("path", "p", ngram=True),
+                FieldSpec("repo", "r", ngram=True)),
+        num_buckets=2, num_parts=2,
+    )
+    out = str(tmp_path / "sugg")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    got = eng.suggest("content", "vectr", max_edits=2, k=5)
+    terms = [g["term"] for g in got]
+    # distance 1: vector (df 3), vect (df 1); distance 2: vectors,
+    # victor (df tie -> term asc)
+    assert terms[:4] == ["vector", "vect", "vectors", "victor"]
+    assert [g["distance"] for g in got[:4]] == [1, 1, 2, 2]
+    assert got[0]["df"] == 3
+    assert all(g["term"] != "vectr" for g in got)
+    # exact token excluded even when indexed
+    got2 = eng.suggest("content", "vector", max_edits=1, k=5)
+    assert all(g["term"] != "vector" for g in got2)
+    assert "vectors" in [g["term"] for g in got2]
