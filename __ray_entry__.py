@@ -917,6 +917,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["distance"] = out["distance"].astype("int64")
         return out
 
+    def s18_mlt(sf_dir):
+        # S18 More-Like-This (Lucene MoreLikeThis): seed = doc 0's
+        # text; top-5 tf*idf terms -> should-OR; per-term idfs,
+        # contributions sum; ranked on the rounded score like
+        # s2_range_scan (absorbs SQL SUM float order)
+        eng = _doc_engine(sf_dir)
+        seed = (
+            pq.read_table(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            )
+            .filter(pc.equal(pc.field("doc_id"), 0))["text"][0]
+            .as_py()
+        )
+        q = eng.mlt_query(seed, "text", max_terms=5)
+        df = eng.search_all(q).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1296,6 +1315,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s15_crossfields": s15_crossfields,
         "s16_stats_facet": s16_stats_facet,
         "s17_suggest": s17_suggest,
+        "s18_mlt": s18_mlt,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1526,6 +1546,27 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
         "s15_crossfields": s15_sql,
+        "s18_mlt": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d),
+seed AS (SELECT unnest(ts) AS t FROM tok WHERE doc_id = 0),
+stf AS (SELECT t, count(*) AS tf FROM seed GROUP BY 1),
+docfreq AS (SELECT tk, count(*) AS df FROM
+            (SELECT doc_id, unnest(list_distinct(ts)) AS tk FROM tok) GROUP BY 1),
+sel AS (SELECT stf.t FROM stf JOIN docfreq ON stf.t = docfreq.tk, s
+        ORDER BY (ln(1 + (s.n - docfreq.df + 0.5) / (docfreq.df + 0.5)) * stf.tf)
+                 DESC, stf.t LIMIT 5),
+e AS (SELECT doc_id, dl, unnest(ts) AS tk FROM d),
+tf AS (SELECT e.doc_id, e.dl, e.tk, count(*) AS tf
+       FROM e JOIN sel ON e.tk = sel.t GROUP BY 1, 2, 3),
+df2 AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, round(sum(
+    ln(1 + (s.n - df2.df + 0.5) / (df2.df + 0.5)) * tf.tf * 2.2 /
+    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))), 4) AS score
+FROM tf JOIN df2 USING (tk), s
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+""",
         "s17_suggest": f"""
 WITH tok AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
 dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)

@@ -906,6 +906,41 @@ class SearchEngine:
             for dist, negdf, term in scored[:k]
         ]
 
+    def mlt_query(
+        self,
+        text: str,
+        field: str,
+        max_terms: int = 10,
+        min_should_match: int = 1,
+    ) -> Compound:
+        """More-Like-This (Lucene MoreLikeThis): analyze the seed
+        ``text`` with the index analyzer, rank its terms by
+        tf(in seed) * idf(in corpus) — frequent here, rare everywhere —
+        keep the top ``max_terms`` (ties broken by term asc), and
+        return the should-OR Compound that finds similar documents.
+        Terms absent from the index (df = 0) are dropped, like
+        Lucene's. Pure planning: one dictionary df lookup, no
+        scoring pass."""
+        from search_engine_ray.analysis import get_analyzer
+
+        toks = get_analyzer(self.config.analyzer).analyze(text or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        keys = {t: self.config.term_key(field, t) for t in tf}
+        dfs = self._df_for_terms(list(keys.values()))
+        n = self.stats["n_docs"]
+        ranked = sorted(
+            (-tf[t] * float(scoring.idf(n, dfs[keys[t]])), t)
+            for t in tf
+            if keys[t] in dfs
+        )
+        chosen = [t for _, t in ranked[:max_terms]]
+        return Compound(
+            should=tuple(Term(field, t) for t in chosen),
+            min_should_match=min_should_match,
+        )
+
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
         # raw entry: (clause_id, is_must, keys, field-per-key, const,

@@ -608,3 +608,28 @@ def test_suggest_did_you_mean(ray_session, tmp_path):
     got2 = eng.suggest("content", "vector", max_edits=1, k=5)
     assert all(g["term"] != "vector" for g in got2)
     assert "vectors" in [g["term"] for g in got2]
+
+
+def test_more_like_this(engine, oracle_ix, tiny_corpus):
+    """S18 MLT: term selection = top tf*idf of the seed's analyzed
+    tokens (df=0 terms dropped, ties by term); the returned Compound
+    scores rank-identically to the oracle; the seed doc itself ranks
+    first when it is in the corpus."""
+    seed_text = tiny_corpus["content"][0].as_py()
+    q = engine.mlt_query(seed_text, "content", max_terms=5)
+    assert len(q.should) == 5 and not q.must and q.min_should_match == 1
+    res = engine.search(q, k=10, with_metadata=False)
+    ora = oracle_search(oracle_ix, q, k=10)
+    assert_parity(res, ora)
+    # the seed doc contains every selected term -> it must match
+    from search_engine_ray.index.build import doc_uid
+
+    seed_uid = doc_uid(
+        str(v) for v in (tiny_corpus["repo"][0].as_py(), tiny_corpus["path"][0].as_py())
+    )
+    assert seed_uid in set(
+        engine.search(q, k=res.total, with_metadata=False).hits["doc_id"]
+    )
+    # unknown-vocabulary seed -> empty query
+    q0 = engine.mlt_query("zzzq qqqz xxxy", "content", max_terms=5)
+    assert not q0.should
