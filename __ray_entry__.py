@@ -1216,6 +1216,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return ds.map_batches(_join, batch_format="pyarrow")
 
     # ---- end-to-end pipelines --------------------------------------
+    def pipe_hybrid(sf_dir):
+        # hybrid retrieval: BM25 top-50 ('vector') + cosine top-50
+        # (query = embedding of vec 0) fused with Reciprocal Rank
+        # Fusion (k0=60) — the ES/OpenSearch `rrf` combiner
+        from search_engine_ray.pipelines import hybrid_search
+
+        eng = _doc_engine(sf_dir)
+        emb = _read(sf_dir, "embeddings")
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = np.asarray(qt["embedding"][0].as_py(), dtype=np.float64)
+        out = hybrid_search(
+            eng,
+            Compound(must=(Term("text", "vector"),)),
+            emb,
+            qv,
+            k=10,
+            depth=50,
+            query_id=0,
+        )
+        out["rank_0"] = out["rank_0"].astype("int64")
+        out["rank_1"] = out["rank_1"].astype("int64")
+        return out
+
     def pipe_listing(sf_dir):
         from search_engine_ray.pipelines import listing
 
@@ -1326,6 +1349,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_batch": ann_ivf_batch,
         "mm_features": mm_features,
+        "pipe_hybrid": pipe_hybrid,
         "pipe_listing": pipe_listing,
         "pipe_grouped_search": pipe_grouped_search,
     }
@@ -1958,6 +1982,35 @@ FROM m WHERE ix > 0
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "
             "ORDER BY n_chars DESC, doc_id LIMIT 15"
         ),
+        "pipe_hybrid": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY
+    (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+     (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) DESC, doc_id) AS r
+  FROM d, s WHERE tf0 > 0 QUALIFY r <= 50),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+sem0 AS (
+  SELECT e.vec_id AS doc_id, round(
+    list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+    (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+     sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos
+  FROM embeddings e, q WHERE e.vec_id != 0),
+sem AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r
+        FROM sem0 QUALIFY r <= 50),
+fused AS (
+  SELECT COALESCE(l.doc_id, m.doc_id) AS doc_id,
+         COALESCE(1.0 / (60 + l.r), 0) + COALESCE(1.0 / (60 + m.r), 0) AS rrf,
+         COALESCE(l.r, 0) AS rank_0, COALESCE(m.r, 0) AS rank_1
+  FROM lex l FULL OUTER JOIN sem m ON l.doc_id = m.doc_id)
+SELECT CAST(doc_id AS BIGINT) AS doc_id, rrf,
+       CAST(rank_0 AS BIGINT) AS rank_0, CAST(rank_1 AS BIGINT) AS rank_1
+FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+""",
         "pipe_grouped_search": grouped_search_sql,
         "t_lang_id": lang_sql,
         "t_rolling_fp": rolling_sql,

@@ -2,6 +2,7 @@
 (SURVEY.md §3): keyword search, grouped search, filtered listing."""
 
 from search_engine_ray.pipelines.curation import curate
+from search_engine_ray.pipelines.hybrid import hybrid_search, rrf_fuse  # noqa: F401
 from search_engine_ray.pipelines.product_search import (
     grouped_search,
     keyword_search,

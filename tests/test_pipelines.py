@@ -61,3 +61,24 @@ def test_grouped_search_zero_hit(ray_session, tiny_index):
         group_col="repo", sum_col=None, k=5,
     )
     assert res["total"] == 0 and len(res["data"]) == 0
+
+
+def test_rrf_fuse_hand_values(ray_session):
+    """RRF: 1/(k0+rank) sums, absent lists contribute 0, ties break by
+    id; a doc ranked in both lists beats single-list docs nearby."""
+    import pandas as pd
+
+    from search_engine_ray.pipelines import rrf_fuse
+
+    a = pd.DataFrame({"doc_id": [10, 20, 30]})  # ranks 1..3
+    b = pd.DataFrame({"doc_id": [20, 40]})      # ranks 1..2
+    out = rrf_fuse([a, b], k0=60, k=10)
+    # doc 20: a-rank 2, b-rank 1
+    assert out.iloc[0]["doc_id"] == 20
+    assert out.iloc[0]["rrf"] == 1 / 62 + 1 / 61
+    assert out.iloc[0]["rank_0"] == 2 and out.iloc[0]["rank_1"] == 1
+    # doc 10: only a, rank 1
+    row10 = out[out["doc_id"] == 10].iloc[0]
+    assert row10["rrf"] == 1 / 61 and row10["rank_1"] == 0
+    # full ordering: 20, 10, 40, 30
+    assert out["doc_id"].tolist() == [20, 10, 40, 30]
