@@ -99,12 +99,13 @@ def _shingle_hashes(col, w: int) -> tuple[np.ndarray, np.ndarray]:
     if short.size:
         tok_offs = np.concatenate(([0], np.cumsum(sizes)))
         sd, sh = [], []
-        for d0 in short:
-            hh = np.uint64(0)
-            for v in th[tok_offs[d0] : tok_offs[d0 + 1]]:
-                hh = hh * _POLY_B + v
-            sd.append(d0)
-            sh.append(hh)
+        with np.errstate(over="ignore"):  # uint64 wraparound is the hash
+            for d0 in short:
+                hh = np.uint64(0)
+                for v in th[tok_offs[d0] : tok_offs[d0 + 1]]:
+                    hh = hh * _POLY_B + v
+                sd.append(d0)
+                sh.append(hh)
         ds_list.append(np.asarray(sd, dtype=np.int64))
         hs_list.append(np.asarray(sh, dtype=np.uint64))
     if not ds_list:
