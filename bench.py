@@ -149,6 +149,11 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "dedup_exact", "dedup_minhash", "dedup_simhash",
         "ann_cosine", "ann_ivf", "ann_ivf_batch",
         "e4_upsert_sink", "e7_tags", "mm_features", "pipe_grouped_search", "pipe_listing",
+        # round-2 additions: LLM-budget token counts, PII redaction,
+        # decontamination, unigram-LM scoring, repetition filters,
+        # snippets, hybrid RRF retrieval
+        "t_bpe_tokens", "t_pii_clean", "t_decontaminate", "t_unigram_lp",
+        "t_repetition", "s14_snippet", "pipe_hybrid",
     ]
     qs = entrymod.queries()
     out = {}
