@@ -1086,6 +1086,19 @@ def upsert_documents(
         config = _dc_replace(
             config, num_parts=int(manifest["num_parts"]), auto_num_parts=False
         )
+    else:
+        # legacy manifest (predates the num_parts key): the delta shard
+        # MUST match its siblings' on-disk layout or query-side part
+        # pruning would silently miss postings — pin from the first
+        # existing shard's stats.json
+        first = sorted(glob.glob(os.path.join(parent_dir, "shards", "shard_*")))
+        if first:
+            with open(os.path.join(first[0], "stats.json")) as f:
+                config = _dc_replace(
+                    config,
+                    num_parts=int(json.load(f)["num_parts"]),
+                    auto_num_parts=False,
+                )
 
     if config.use_native_id:
         ids = np.asarray(table[config.id_cols[0]].to_numpy(), dtype=np.int64)

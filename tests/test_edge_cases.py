@@ -416,3 +416,44 @@ def test_upsert_can_empty_a_shard(ray_session, tmp_path):
     assert eng.search(Compound(must=(Term("content", "gamma"),)), k=5).total == 2
     assert eng.search(Compound(must=(Term("content", "alpha"),)), k=10).total == 4
     assert eng.search(Compound(must=(Term("content", "doc0"),)), k=5).total == 0
+
+
+def test_upsert_legacy_manifest_pins_sibling_layout(ray_session, tiny_corpus, tmp_path):
+    """A manifest predating the num_parts key must not let the delta
+    shard derive a different on-disk layout than its siblings (mixed
+    num_parts would silently break query-side part pruning)."""
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.index import build_index_resumable, upsert_documents
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    src = tmp_path / "src"
+    src.mkdir()
+    p = str(src / "all.parquet")
+    pq.write_table(tiny_corpus, p)
+    out = str(tmp_path / "legacy")
+    build_index_resumable([p], out, cfg, files_per_shard=1)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m.pop("num_parts", None)  # simulate the legacy manifest
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    up = tiny_corpus.slice(0, 2).set_column(
+        4, "content",
+        pa.array(["legacy upsert qqlegacy one", "legacy upsert qqlegacy two"],
+                 tiny_corpus.schema.field("content").type),
+    )
+    # auto_num_parts would derive a tiny-layout value from 2 docs;
+    # the fallback must pin the sibling shard's num_parts=4 instead
+    res = upsert_documents(out, up, IndexConfig(num_buckets=4, num_parts=1, auto_num_parts=True))
+    assert res["replaced"] == 2
+    delta = os.path.join(out, "shards", res["shard"])
+    with open(os.path.join(delta, "stats.json")) as f:
+        assert json.load(f)["num_parts"] == 4
+    eng = SearchEngine(out, cfg)
+    assert eng.search(Compound(must=(Term("content", "qqlegacy"),)), k=5).total == 2
