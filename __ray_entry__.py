@@ -854,7 +854,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return pa.table(
                 {
                     "doc_id": t["doc_id"],
-                    "text": pc.binary_join_element_wise(t["text"], suffix, ""),
+                    # fill_null BEFORE the append so a null text still
+                    # receives its planted suffix, like the SQL's
+                    # coalesce(text,'') || suffix
+                    "text": pc.binary_join_element_wise(
+                        pc.fill_null(t["text"], ""), suffix, ""
+                    ),
                 }
             )
 
@@ -1373,7 +1378,7 @@ def oracle_sql() -> dict[str, str]:
 
     _pii_clean_sql = f"""
 WITH planted AS (
-  SELECT doc_id, text || CASE WHEN doc_id % 7 = 0
+  SELECT doc_id, coalesce(text, '') || CASE WHEN doc_id % 7 = 0
     THEN ' contact bob@example.com via https://ex.com/a?b=1 at 10.0.0.1'
     ELSE '' END AS text
   FROM documents)

@@ -1055,16 +1055,20 @@ def upsert_documents(
 
     Over a resumable layout (``parent_dir/shards/`` + manifest):
 
-    1. incoming ids are intersected with each shard's docmap (one
-       doc_id-column scan per shard — at extreme scale swap in a
-       per-shard Bloom filter of ids to skip untouched shards);
-    2. matches are tombstoned at the parent and physically compacted
+    1. the delta shard is built FIRST, under a dot-prefixed name the
+       engine's ``shards/shard_*`` glob cannot see, with the full
+       on-disk layout (num_parts, num_buckets, block_size, codec)
+       pinned from the sibling shards' stats.json — a mismatched delta
+       would silently lose documents to part/bucket pruning;
+    2. the manifest records the swap intent (``pending_upsert``:
+       shard name, entry, ids to delete) — a rerun replays any
+       interrupted upsert to completion before planning new work;
+    3. matches are tombstoned at the parent and physically compacted
        (``compact_tombstones`` rewrites only the affected partitions
        and is oracle-exact, so no query-time version masking is ever
-       needed — the hot path stays untouched);
-    3. the incoming batch is built as a NEW delta shard (same pinned
-       num_parts as its siblings) and registered in the manifest —
-       the tiered merge policy (``merge.compact_shards``) later folds
+       needed; replay is idempotent — already-removed ids compact to
+       a no-op), then the hidden delta is renamed in and registered.
+       The tiered merge policy (``merge.compact_shards``) later folds
        small delta shards together.
 
     Incoming ids must be unique within the batch (last-writer-wins
@@ -1082,23 +1086,69 @@ def upsert_documents(
         raise ValueError(f"{parent_dir} is not a resumable multi-shard index")
     from dataclasses import replace as _dc_replace
 
-    if "num_parts" in manifest:
+    shard_root = os.path.join(parent_dir, "shards")
+
+    def _shard_dirs() -> list[str]:
+        return sorted(
+            d
+            for d in glob.glob(os.path.join(shard_root, "shard_*"))
+            if os.path.isdir(d)
+        )
+
+    # pin the FULL on-disk layout from a sibling shard (merge_indexes
+    # validates the same invariant): num_buckets routes docs to bucket
+    # dirs, block_size drives stream decode, codec the stream format —
+    # any mismatch silently corrupts or hides the delta's docs
+    dirs_now = _shard_dirs()
+    if dirs_now:
+        with open(os.path.join(dirs_now[0], "stats.json")) as f:
+            st = json.load(f)
+        codec_name = {v: k for k, v in CODEC_FORMATS.items()}.get(
+            st.get("postings_format"), config.codec
+        )
+        config = _dc_replace(
+            config,
+            num_buckets=int(st["num_buckets"]),
+            block_size=int(st["block_size"]),
+            codec=codec_name,
+            num_parts=int(manifest.get("num_parts", st["num_parts"])),
+            auto_num_parts=False,
+        )
+    elif "num_parts" in manifest:
         config = _dc_replace(
             config, num_parts=int(manifest["num_parts"]), auto_num_parts=False
         )
-    else:
-        # legacy manifest (predates the num_parts key): the delta shard
-        # MUST match its siblings' on-disk layout or query-side part
-        # pruning would silently miss postings — pin from the first
-        # existing shard's stats.json
-        first = sorted(glob.glob(os.path.join(parent_dir, "shards", "shard_*")))
-        if first:
-            with open(os.path.join(first[0], "stats.json")) as f:
-                config = _dc_replace(
-                    config,
-                    num_parts=int(json.load(f)["num_parts"]),
-                    auto_num_parts=False,
-                )
+
+    def _save():
+        with open(manifest_path, "w") as f:
+            json.dump(manifest, f, indent=2)
+
+    def _finish_pending():
+        """Complete (or replay after a crash) an upsert swap: delete
+        old versions, rename the hidden delta in, register it, and
+        re-sync sibling n_docs from their compaction-refreshed stats."""
+        p = manifest.get("pending_upsert")
+        if not p:
+            return
+        t_ids = np.asarray(p.get("tombstone_ids", []), dtype=np.int64)
+        if t_ids.size:
+            add_tombstones(parent_dir, t_ids)
+            compact_tombstones(parent_dir, config)
+        hidden = os.path.join(shard_root, "." + p["new"])
+        final = os.path.join(shard_root, p["new"])
+        if os.path.isdir(hidden) and not os.path.isdir(final):
+            os.replace(hidden, final)
+        if os.path.isdir(final):
+            manifest.setdefault("shards", {})[p["new"]] = p["entry"]
+        for d in _shard_dirs():
+            key = os.path.basename(d)
+            if key in manifest.get("shards", {}):
+                with open(os.path.join(d, "stats.json")) as f:
+                    manifest["shards"][key]["n_docs"] = int(json.load(f)["n_docs"])
+        manifest.pop("pending_upsert", None)
+        _save()
+
+    _finish_pending()  # replay any interrupted upsert first
 
     if config.use_native_id:
         ids = np.asarray(table[config.id_cols[0]].to_numpy(), dtype=np.int64)
@@ -1110,41 +1160,33 @@ def upsert_documents(
     if np.unique(ids).size != ids.size:
         raise ValueError("incoming batch holds duplicate doc ids (ambiguous upsert)")
 
-    shard_root = os.path.join(parent_dir, "shards")
-    shard_dirs = sorted(
-        d for d in glob.glob(os.path.join(shard_root, "shard_*")) if os.path.isdir(d)
-    )
     hit_parts = []
-    for d in shard_dirs:
+    for d in _shard_dirs():
         dm = pads.dataset(
             os.path.join(d, "docmap"), partitioning="hive"
         ).to_table(columns=["doc_id"])
         existing = dm["doc_id"].to_numpy()
         hit_parts.append(ids[np.isin(ids, existing)])
     hits = np.unique(np.concatenate(hit_parts)) if hit_parts else np.empty(0, np.int64)
-    if hits.size:
-        add_tombstones(parent_dir, hits)
-        compact_tombstones(parent_dir, config)
 
+    # build the delta BEFORE any destructive step, invisible to the
+    # engine glob; only then journal the swap and execute it
     seq = int(manifest.get("upsert_seq", 0)) + 1
     name = f"shard_u{seq:05d}"
-    shard_dir = os.path.join(shard_root, name)
-    stats = build_index(rd.from_arrow(table), shard_dir, config, sha_col)
+    stats = build_index(
+        rd.from_arrow(table), os.path.join(shard_root, "." + name), config, sha_col
+    )
     manifest["upsert_seq"] = seq
-    if hits.size:
-        # compaction refreshed each shard's stats.json; sync the
-        # manifest's n_docs so the tiered merge policy sees true sizes
-        for d in shard_dirs:
-            key = os.path.basename(d)
-            if key in manifest.get("shards", {}):
-                with open(os.path.join(d, "stats.json")) as f:
-                    manifest["shards"][key]["n_docs"] = int(json.load(f)["n_docs"])
-    manifest.setdefault("shards", {})[name] = {
-        "complete": True,
-        "files": [],
-        "n_docs": int(stats["n_docs"]),
-        "upsert": True,
+    manifest["pending_upsert"] = {
+        "new": name,
+        "entry": {
+            "complete": True,
+            "files": [],
+            "n_docs": int(stats["n_docs"]),
+            "upsert": True,
+        },
+        "tombstone_ids": [int(x) for x in hits],
     }
-    with open(manifest_path, "w") as f:
-        json.dump(manifest, f, indent=2)
+    _save()
+    _finish_pending()
     return {"replaced": int(hits.size), "added": int(ids.size - hits.size), "shard": name}

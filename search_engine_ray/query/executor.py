@@ -235,6 +235,15 @@ class _DocmapCache:
         return {c: dm[c][pos] for c in cols}
 
 
+def _field_namespace_range(spec) -> tuple[str, str]:
+    """Dictionary key range holding field ``spec``'s EXACT terms
+    (``<code>:token``). The edge-n-gram (``<code>>:``) and phonetic
+    (``<code>~:``) namespaces sort OUTSIDE this range because '>' and
+    '~' are both greater than ':' — the one place this code-point
+    argument lives (used by fuzzy expansion and suggest())."""
+    return f"{spec.code}:", f"{spec.code}:\U0010ffff"
+
+
 def _resolve_boosts(boosts: tuple) -> list[tuple]:
     out = []
     for bst in boosts:
@@ -354,6 +363,18 @@ def score_postings_table(
 
     for li in sorted(rows_by_leaf):
         leaf = spec.leaves[li]
+        if leaf.const_score is not None and len(leaf.term_keys) > 1:
+            # constant-score clause with several keys (cross-field,
+            # synonym set, or a prefix/fuzzy expansion): the constant
+            # applies ONCE per doc matching ANY key — not once per
+            # matching key — mirroring oracle_search's per-CLAUSE
+            # np.where(match, const, 0)
+            rows = rows_by_leaf[li]
+            uids = np.unique(np.concatenate([_decode_row(ri)[0] for ri, _ in rows]))
+            ids_parts.append(uids)
+            score_parts.append(np.full(uids.size, float(leaf.const_score)))
+            leaf_of_part.append(li)
+            continue
         if leaf.dismax and leaf.const_score is None:
             # BlendedTermQuery + DisMax: score each FIELD's postings
             # with its own length norm (shared blended idf baked into
@@ -840,8 +861,7 @@ class SearchEngine:
 
         spec = self.config.field_by_name(leaf.field)
         q, k = leaf.token, leaf.max_edits
-        lo = f"{spec.code}:"
-        hi = f"{spec.code}:\U0010ffff"
+        lo, hi = _field_namespace_range(spec)
         pre = len(lo)
         keys: set[str] = set()
         for d in self.dirs:
@@ -875,7 +895,7 @@ class SearchEngine:
         from search_engine_ray.analysis import levenshtein
 
         spec = self.config.field_by_name(field)
-        lo, hi = f"{spec.code}:", f"{spec.code}:\U0010ffff"
+        lo, hi = _field_namespace_range(spec)
         pre = len(lo)
         dfs: dict[str, int] = {}
         for d in self.dirs:

@@ -457,3 +457,70 @@ def test_upsert_legacy_manifest_pins_sibling_layout(ray_session, tiny_corpus, tm
         assert json.load(f)["num_parts"] == 4
     eng = SearchEngine(out, cfg)
     assert eng.search(Compound(must=(Term("content", "qqlegacy"),)), k=5).total == 2
+
+
+def test_upsert_pending_replay(ray_session, tiny_corpus, tmp_path):
+    """Crash between the pending journal write and the swap: the next
+    upsert replays the interrupted one first (delete+compact+rename+
+    register are idempotent), then applies its own batch."""
+    import json
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index, build_index_resumable, upsert_documents
+
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    src = tmp_path / "src"
+    src.mkdir()
+    p = str(src / "all.parquet")
+    pq.write_table(tiny_corpus, p)
+    out = str(tmp_path / "replay")
+    build_index_resumable([p], out, cfg, files_per_shard=1)
+    shard_root = os.path.join(out, "shards")
+
+    # hand-craft the crash state: hidden delta built, pending journaled,
+    # but tombstone/compact/rename never ran
+    up1 = tiny_corpus.slice(0, 2).set_column(
+        4, "content",
+        pa.array(["replay one qqreplay", "replay two qqreplay"],
+                 tiny_corpus.schema.field("content").type),
+    )
+    from search_engine_ray.index.build import doc_uid
+
+    ids1 = [
+        doc_uid(str(v) for v in (tiny_corpus["repo"][i].as_py(), tiny_corpus["path"][i].as_py()))
+        for i in range(2)
+    ]
+    build_index(rd.from_arrow(up1), os.path.join(shard_root, ".shard_u00001"), cfg)
+    mpath = os.path.join(out, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    m["upsert_seq"] = 1
+    m["pending_upsert"] = {
+        "new": "shard_u00001",
+        "entry": {"complete": True, "files": [], "n_docs": 2, "upsert": True},
+        "tombstone_ids": ids1,
+    }
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    # next upsert replays the pending swap before its own batch
+    up2 = tiny_corpus.slice(2, 1).set_column(
+        4, "content",
+        pa.array(["second batch qqsecond"], tiny_corpus.schema.field("content").type),
+    )
+    res = upsert_documents(out, up2, cfg)
+    assert res["replaced"] == 1 and res["shard"] == "shard_u00002"
+    with open(mpath) as f:
+        m2 = json.load(f)
+    assert "pending_upsert" not in m2
+    assert "shard_u00001" in m2["shards"] and "shard_u00002" in m2["shards"]
+    assert not os.path.isdir(os.path.join(shard_root, ".shard_u00001"))
+
+    eng = SearchEngine(out, cfg)
+    assert eng.stats["n_docs"] == tiny_corpus.num_rows
+    assert eng.search(Compound(must=(Term("content", "qqreplay"),)), k=5).total == 2
+    assert eng.search(Compound(must=(Term("content", "qqsecond"),)), k=5).total == 1

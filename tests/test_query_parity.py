@@ -633,3 +633,61 @@ def test_more_like_this(engine, oracle_ix, tiny_corpus):
     # unknown-vocabulary seed -> empty query
     q0 = engine.mlt_query("zzzq qqqz xxxy", "content", max_terms=5)
     assert not q0.should
+
+
+def test_const_score_multi_key_applies_once(engine, oracle_ix):
+    """Review fix: a constant-score clause backed by SEVERAL keys
+    (prefix expansion / synonym set / cross-fields) adds the constant
+    ONCE per matching doc, not once per matching key — like the oracle
+    and Lucene's ConstantScoreQuery."""
+    from search_engine_ray.query import Synonyms
+
+    # synonym-set const: docs containing BOTH tokens must still get +5
+    q = Compound(
+        must=(Term("content", "import"),),
+        should=(Synonyms("content", ("wand", "bm25"), const_score=5.0),),
+    )
+    assert_parity(engine.search(q, k=10), oracle_search(oracle_ix, q, k=10))
+    # prefix-expansion const (range-scan path, many expanded keys)
+    q2 = Compound(
+        must=(Term("content", "import"),),
+        should=(Prefix("content", "tok", const_score=3.0),),
+    )
+    assert_parity(engine.search(q2, k=10), oracle_search(oracle_ix, q2, k=10))
+
+
+def test_crossfields_const_score_once(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query.qast import CrossFields
+
+    t = pa.table(
+        {
+            "repo": ["o/r"] * 3,
+            "path": ["alpha/x.py", "beta/y.py", "alpha/z.py"],
+            "commit": ["c" * 40] * 3,
+            "lang": ["python"] * 3,
+            "content": ["alpha body", "alpha only in content", "plain"],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c"),
+                FieldSpec("path", "p", ngram=True),
+                FieldSpec("repo", "r", ngram=True)),
+        num_buckets=2, num_parts=2,
+    )
+    out = str(tmp_path / "xfc")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    q = Compound(
+        must=(Term("content", "alpha", const_score=1.0),),
+        should=(CrossFields(("content", "path"), "alpha", const_score=2.0),),
+    )
+    res = eng.search(q, k=10, with_metadata=False)
+    # doc 0 matches 'alpha' in BOTH fields yet gets the constant once:
+    # every matching doc scores exactly 1 (must-const) + 2 (xf-const)
+    assert res.total == 2
+    assert res.hits["score"].tolist() == [3.0, 3.0]
