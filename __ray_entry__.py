@@ -754,6 +754,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_quantity"])
         return sk.histogram_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
 
+    def sketch_cm(sf_dir):
+        # count-min frequency estimates for user_ids 0..9 (min over
+        # depth rows of md5-hashed cells; exact SQL reproduction)
+        ev = _read(sf_dir, "events", ["user_id"])
+        sk_cm = sk.cm_sketch(ev, "user_id", depth=4, width=1024)
+        qs_ = [str(u) for u in range(10)]
+        return pd.DataFrame(
+            {
+                "user_id": np.arange(10, dtype=np.int64),
+                "est": sk_cm.estimate(qs_).astype(np.int64),
+            }
+        )
+
     def t_hash_sample(sf_dir):
         # deterministic hash sample (rate 0.25): reproducible,
         # coordination-free, whole-key keep/drop — the scale-safe
@@ -1319,6 +1332,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r24_sessionize": r24_sessionize,
         "r25_bloom_join": r25_bloom_join,
         "sketch_kmv": sketch_kmv,
+        "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
@@ -1856,6 +1870,20 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT CASE WHEN c < 64 THEN CAST(c AS DOUBLE) "
             "ELSE round(63 / (CAST(kth AS DOUBLE) / 18446744073709551616.0), 4) END "
             "AS distinct_est FROM s"
+        ),
+        "sketch_cm": (
+            # the exact count-min estimate rebuilt in SQL: cell sums
+            # per (row, md5(r:value) % width), min over rows per query
+            "WITH rows_ AS (SELECT unnest(range(4)) AS r), "
+            "cells AS (SELECT r, md5_number_upper(CAST(r AS VARCHAR) || ':' || "
+            "CAST(user_id AS VARCHAR)) % 1024 AS cell, CAST(count(*) AS BIGINT) AS c "
+            "FROM events CROSS JOIN rows_ GROUP BY 1, 2), "
+            "qs AS (SELECT unnest(range(10)) AS user_id), "
+            "probe AS (SELECT user_id, r, md5_number_upper(CAST(r AS VARCHAR) || ':' || "
+            "CAST(user_id AS VARCHAR)) % 1024 AS cell FROM qs CROSS JOIN rows_) "
+            "SELECT CAST(p.user_id AS BIGINT) AS user_id, "
+            "CAST(min(COALESCE(c, 0)) AS BIGINT) AS est "
+            "FROM probe p LEFT JOIN cells USING (r, cell) GROUP BY 1"
         ),
         "sketch_quantiles": (
             "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem "

@@ -152,3 +152,55 @@ def histogram_quantiles(
         out_q.append(q)
         out_v.append(hist[col].iloc[idx])
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+class CountMinSketch:
+    """Count-min sketch (Cormode & Muthukrishnan 2005): a depth x width
+    int64 grid; value v increments cell (r, h_r(v)) per row r; the
+    frequency estimate is the MIN over rows — always >= the true count
+    (one-sided error <= 2N/width w.p. 1-2^-depth). Row hashes are
+    md5_upper64 of "r:value" mod width, so estimates are deterministic
+    and exactly reproducible in SQL (md5_number_upper)."""
+
+    def __init__(self, depth: int = 4, width: int = 1024):
+        self.depth = int(depth)
+        self.width = int(width)
+        self.grid = np.zeros((self.depth, self.width), dtype=np.int64)
+
+    def add_values(self, values: list[str]) -> None:
+        for r in range(self.depth):
+            cells = _md5_upper64([f"{r}:{v}" for v in values]) % np.uint64(self.width)
+            np.add.at(self.grid[r], cells.astype(np.int64), 1)
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self.grid += other.grid  # linear sketch: merge = elementwise add
+        return self
+
+    def estimate(self, values: list[str]) -> np.ndarray:
+        ests = np.empty((self.depth, len(values)), dtype=np.int64)
+        for r in range(self.depth):
+            cells = _md5_upper64([f"{r}:{v}" for v in values]) % np.uint64(self.width)
+            ests[r] = self.grid[r][cells.astype(np.int64)]
+        return ests.min(axis=0)
+
+
+def cm_sketch(ds: Dataset, col: str, depth: int = 4, width: int = 1024) -> CountMinSketch:
+    """Distributed count-min build: each batch emits one (depth*width)
+    int64 partial (~32 KB at the defaults) and partials fold by
+    elementwise ADD — the data streams distributed, only the tiny
+    linear sketches travel. Values are hashed as their string form
+    (CAST(x AS VARCHAR) in the SQL oracle)."""
+    d, w = int(depth), int(width)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        sk = CountMinSketch(d, w)
+        sk.add_values([str(v) for v in t[col].to_pylist()])
+        return pa.table({"cm": pa.array([sk.grid.ravel()], pa.list_(pa.int64()))})
+
+    out = CountMinSketch(d, w)
+    for bt in ds.map_batches(_partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow", batch_size=256
+    ):
+        flat = pc.list_flatten(bt["cm"]).to_numpy(zero_copy_only=False)
+        out.grid += flat.reshape(-1, d * w).sum(axis=0).reshape(d, w)
+    return out

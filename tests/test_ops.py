@@ -955,3 +955,28 @@ def test_hash_join_outer(ray_session):
     assert list(out["k"]) == [1, 2, 3]
     assert out.loc[0, "b"] != out.loc[0, "b"]  # NaN for unmatched k=1
     assert list(out["b"].dropna().astype("int64")) == [200, 300]
+
+
+def test_count_min_sketch(ray_session):
+    """CM estimates are always >= the true count, equal for values
+    with collision-free cells at this scale, and partials merge by
+    addition (linear sketch)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.ops.sketch import CountMinSketch, cm_sketch
+
+    vals = ["a"] * 50 + ["b"] * 7 + [f"x{i}" for i in range(20)]
+    ds = rd.from_arrow(pa.table({"v": vals})).repartition(4)
+    sk = cm_sketch(ds, "v", depth=4, width=1024)
+    est = sk.estimate(["a", "b", "x0", "zzz_absent"])
+    assert est[0] >= 50 and est[1] >= 7 and est[2] >= 1 and est[3] >= 0
+    # width 1024 vs 22 distinct values: overestimate prob ~ (22/1024)^4
+    assert est[0] == 50 and est[1] == 7 and est[2] == 1 and est[3] == 0
+    # linearity: two half-sketches merged == one full sketch
+    h1, h2 = CountMinSketch(4, 1024), CountMinSketch(4, 1024)
+    h1.add_values(vals[:30])
+    h2.add_values(vals[30:])
+    import numpy as np
+
+    assert np.array_equal(h1.merge(h2).grid, sk.grid)
