@@ -1,8 +1,12 @@
 """CLI: build and query indexes from the shell.
 
-    python -m search_engine_ray build  <corpus_parquet> <index_dir> [--resumable] [--buckets N] [--parts N]
-    python -m search_engine_ray search <index_dir> "<keyword>" [--k N] [--skip N] [--prune]
-    python -m search_engine_ray gen    <out_dir> <n_docs> [--seed S]
+    python -m search_engine_ray build   <corpus_parquet> <index_dir> [--resumable] [--buckets N] [--parts N]
+    python -m search_engine_ray search  <index_dir> "<keyword>" [--k N] [--skip N] [--prune]
+    python -m search_engine_ray gen     <out_dir> <n_docs> [--seed S]
+    python -m search_engine_ray upsert  <index_dir> <batch_parquet>
+    python -m search_engine_ray compact <index_dir> [--fanout N]
+    python -m search_engine_ray merge   <out_dir> <shard_dir> [<shard_dir> ...]
+    python -m search_engine_ray suggest <index_dir> <token> [--field F] [--max-edits N]
 
 Owns its Ray session (scripts own sessions; the library never calls
 ray.init — driver/pytest contexts initialise Ray themselves).
@@ -53,6 +57,27 @@ def main(argv: list[str] | None = None) -> int:
     g.add_argument("--seed", type=int, default=42)
     g.add_argument("--files", type=int, default=8)
 
+    u = sub.add_parser("upsert", help="bulk upsert a parquet batch into a resumable index")
+    u.add_argument("index_dir")
+    u.add_argument("batch_parquet")
+
+    c = sub.add_parser("compact", help="tiered-merge over-full shard tiers (LSM compaction)")
+    c.add_argument("index_dir")
+    c.add_argument("--fanout", type=int, default=8)
+
+    m = sub.add_parser("merge", help="forceMerge shard dirs into ONE fresh index")
+    m.add_argument("out_dir")
+    m.add_argument("shard_dirs", nargs="+")
+
+    sg = sub.add_parser("suggest", help="'did you mean' spelling suggestions")
+    sg.add_argument("index_dir")
+    sg.add_argument("token")
+    sg.add_argument("--field", default="content")
+    sg.add_argument("--max-edits", type=int, default=2)
+    sg.add_argument("--k", type=int, default=5)
+    sg.add_argument("--buckets", type=int, default=16)
+    sg.add_argument("--parts", type=int, default=8)
+
     args = ap.parse_args(argv)
     _init()
     from search_engine_ray.config import IndexConfig
@@ -88,6 +113,29 @@ def main(argv: list[str] | None = None) -> int:
 
         write_corpus(args.out_dir, args.n_docs, seed=args.seed, files=args.files)
         print(json.dumps({"out_dir": args.out_dir, "n_docs": args.n_docs}))
+    elif args.cmd == "upsert":
+        import pyarrow.parquet as _pq
+
+        from search_engine_ray.index import upsert_documents
+
+        out = upsert_documents(args.index_dir, _pq.read_table(args.batch_parquet))
+        print(json.dumps(out))
+    elif args.cmd == "compact":
+        from search_engine_ray.index.merge import compact_shards
+
+        man = compact_shards(args.index_dir, fanout=args.fanout)
+        print(json.dumps({"shards": sorted(man.get("shards", {}))}))
+    elif args.cmd == "merge":
+        from search_engine_ray.index import merge_indexes
+
+        stats = merge_indexes(args.shard_dirs, args.out_dir)
+        print(json.dumps({"n_docs": stats["n_docs"], "out_dir": args.out_dir}))
+    elif args.cmd == "suggest":
+        from search_engine_ray.query import SearchEngine
+
+        cfg = IndexConfig(num_buckets=args.buckets, num_parts=args.parts)
+        eng = SearchEngine(args.index_dir, cfg)
+        print(json.dumps(eng.suggest(args.field, args.token, args.max_edits, args.k)))
     import ray
 
     ray.shutdown()
