@@ -954,6 +954,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
 
+    def s19_must_not(sf_dir):
+        # S19 compound.mustNot (Lucene MUST_NOT): matches 'vector'
+        # docs, excludes any that also contain 'slow'; scores are the
+        # plain single-term BM25 (the negative clause never scores)
+        q = Compound(must=(Term("text", "vector"),), must_not=(Term("text", "slow"),))
+        return _bm25_query(sf_dir, q)
+
+    def s20_filter_clause(sf_dir):
+        # S20 compound.filter (Lucene FILTER): 'join' is required but
+        # contributes NO score — ranking is by the 'vector' clause only
+        q = Compound(must=(Term("text", "vector"),), filter=(Term("text", "join"),))
+        return _bm25_query(sf_dir, q)
+
+    def s21_boost(sf_dir):
+        # S21 per-clause boost (Lucene BoostQuery): the 'vector'
+        # clause's BM25 is doubled, 'join' unchanged; boost folds into
+        # the resolved idf so WAND bounds stay valid
+        q = Compound(must=(Term("text", "vector", boost=2.0), Term("text", "join")))
+        return _bm25_query(sf_dir, q)
+
+    def s22_pattern(sf_dir):
+        # S22 Wildcard + Regexp dictionary expansion (Lucene
+        # Wildcard/RegexpQuery): both branches are multi-term rewrites
+        # — each expanded token scores with its OWN idf, contributions
+        # sum — ranked on the rounded score like the s2 range scan
+        from search_engine_ray.query import Regexp, Wildcard
+
+        eng = _doc_engine(sf_dir)
+        out = []
+        for branch, leaf in (
+            ("wildcard", Wildcard("text", "s*")),
+            ("regexp", Regexp("text", "hash|scan")),
+        ):
+            df = eng.search_all(Compound(must=(leaf,))).to_pandas()
+            df["score"] = round_half_up(df["score"].to_numpy())
+            df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+            df = df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+            df.insert(0, "branch", branch)
+            out.append(df)
+        return pd.concat(out, ignore_index=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1358,6 +1399,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s16_stats_facet": s16_stats_facet,
         "s17_suggest": s17_suggest,
         "s18_mlt": s18_mlt,
+        "s19_must_not": s19_must_not,
+        "s20_filter_clause": s20_filter_clause,
+        "s21_boost": s21_boost,
+        "s22_pattern": s22_pattern,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1447,6 +1492,82 @@ LIMIT 10
     s8_sql = (
         f"SELECT 'one_term' AS branch, t1.* FROM ({_bm25_sql(['src1'], col='source', prefix=True)}) t1 "
         f"UNION ALL SELECT 'multi_term' AS branch, t2.* FROM ({_bm25_sql(['hash', 'join'], mode='must')}) t2"
+    )
+
+    # S19/S20: clause roles — the negative/filter clause never scores;
+    # df0 stays the GLOBAL df (the engine reads df from the dictionary,
+    # not from the surviving match set)
+    _bm25_expr0 = (
+        "ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+        "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))"
+    )
+    s19_sql = f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'slow')) AS tfn FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_bm25_expr0}, 4) AS score
+FROM d, s WHERE tf0 > 0 AND tfn = 0
+ORDER BY ({_bm25_expr0}) DESC, d.doc_id LIMIT 10
+"""
+    s20_sql = f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'join')) AS tff FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_bm25_expr0}, 4) AS score
+FROM d, s WHERE tf0 > 0 AND tff > 0
+ORDER BY ({_bm25_expr0}) DESC, d.doc_id LIMIT 10
+"""
+    # S21 per-clause boost: the boosted clause's idf is scaled (the
+    # engine folds boost into the resolved idf)
+    _s21_expr = (
+        "(2.0 * ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5))) * tf0 * 2.2 / "
+        "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) + "
+        "ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * tf1 * 2.2 / "
+        "(tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))"
+    )
+    s21_sql = f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'join')) AS tf1 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d)
+SELECT d.doc_id, round({_s21_expr}, 4) AS score
+FROM d, s WHERE tf0 > 0 AND tf1 > 0
+ORDER BY ({_s21_expr}) DESC, d.doc_id LIMIT 10
+"""
+
+    # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
+    # contributions sum, ranked on the rounded score (the same shape
+    # as the s2 range scan / s10 fuzzy SQL)
+    def _pattern_sql(pred: str) -> str:
+        return f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d),
+e AS (SELECT doc_id, dl, unnest(list_filter(ts, t -> {pred})) AS tk FROM d),
+tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM e GROUP BY 1, 2, 3),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1)
+SELECT tf.doc_id, round(sum(
+    ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+    (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))), 4) AS score
+FROM tf JOIN df USING (tk), s
+GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
+"""
+
+    s22_sql = (
+        "SELECT 'wildcard' AS branch, t1.* FROM ("
+        + _pattern_sql("t LIKE 's%'")
+        + ") t1 UNION ALL SELECT 'regexp' AS branch, t2.* FROM ("
+        + _pattern_sql("regexp_full_match(t, 'hash|scan')")
+        + ") t2"
     )
 
     def _xf_sql(tok: str, tie: float = 0.3) -> str:
@@ -1588,6 +1709,10 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
     return {
         "s1_bm25_term": _bm25_sql(["vector"]),
         "s8_dispatch": s8_sql,
+        "s19_must_not": s19_sql,
+        "s20_filter_clause": s20_sql,
+        "s21_boost": s21_sql,
+        "s22_pattern": s22_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

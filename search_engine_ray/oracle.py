@@ -23,10 +23,13 @@ from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
 from search_engine_ray.query.qast import (
     Compound,
     CrossFields,
+    Fuzzy,
     Phonetic,
     Prefix,
+    Regexp,
     Synonyms,
     Term,
+    Wildcard,
 )
 
 
@@ -111,6 +114,26 @@ def _leaf_tf_df(oix: OracleIndex, leaf) -> tuple[np.ndarray, int]:
             (sum(1 for ts in toks if tok in ts) for tok in leaf.tokens), default=0
         )
         return tf, int(max_df)
+    elif isinstance(leaf, Fuzzy):
+        # multi-term rewrite: the ORACLE path for Fuzzy is the engine's
+        # expansion parity test; here the whole expansion is treated as
+        # per-token contributions by the caller, so this branch only
+        # serves non-scoring (filter/mustNot) roles where a single
+        # combined tf/df suffices
+        from search_engine_ray.analysis import levenshtein
+
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if levenshtein(t, leaf.token, leaf.max_edits) <= leaf.max_edits)
+    elif isinstance(leaf, (Wildcard, Regexp)):
+        import fnmatch
+        import re
+
+        if isinstance(leaf, Wildcard):
+            rx = re.compile(fnmatch.translate(leaf.pattern))
+        else:
+            rx = re.compile(f"(?:{leaf.pattern})\\Z")
+        for i, ts in enumerate(toks):
+            tf[i] = sum(1 for t in ts if rx.match(t))
     else:
         raise TypeError(type(leaf))
     return tf, int((tf > 0).sum())
@@ -136,9 +159,20 @@ def oracle_search(
     score = np.zeros(n)
     must_all = np.ones(n, dtype=bool)
     should_cnt = np.zeros(n, dtype=np.int64)
-    clauses = [(l, True) for l in q.must] + [(l, False) for l in q.should]
-    n_must = len(q.must)
-    for leaf, is_must in clauses:
+    excluded = np.zeros(n, dtype=bool)
+    clauses = (
+        [(l, "must") for l in q.must]
+        + [(l, "should") for l in q.should]
+        + [(l, "filter") for l in q.filter]
+        + [(l, "not") for l in q.must_not]
+    )
+    # filter counts as required (Lucene FILTER); should clauses are
+    # mandatory only when there is no must/filter clause at all
+    n_must = len(q.must) + len(q.filter)
+    for leaf, role in clauses:
+        is_must = role in ("must", "filter")
+        scoring_role = role in ("must", "should")
+        boost = float(getattr(leaf, "boost", 1.0))
         if isinstance(leaf, CrossFields):
             # BlendedTermQuery + DisMax: per-field BM25 with its own
             # length norm, shared blended idf (df = min(sum dfs, N)),
@@ -154,11 +188,11 @@ def oracle_search(
             match = np.zeros(n, dtype=bool)
             for _, tf_f in per:
                 match |= tf_f > 0
-            if bdf > 0:
+            if bdf > 0 and scoring_role:
                 if leaf.const_score is not None:
-                    score = score + np.where(match, float(leaf.const_score), 0.0)
+                    score = score + np.where(match, float(leaf.const_score) * boost, 0.0)
                 else:
-                    tidf = float(scoring.idf(n, bdf))
+                    tidf = float(scoring.idf(n, bdf)) * boost
                     stack = np.stack(
                         [
                             np.where(
@@ -176,18 +210,20 @@ def oracle_search(
                     score = score + np.where(
                         match, best + leaf.tie_breaker * (tot - best), 0.0
                     )
-            if is_must:
+            if role == "not":
+                excluded |= match
+            elif is_must:
                 must_all &= match
             else:
                 should_cnt += match.astype(np.int64)
             continue
         tf, df = _leaf_tf_df(oix, leaf)
         match = tf > 0
-        if df > 0:
+        if df > 0 and scoring_role:
             if leaf.const_score is not None:
-                contrib = np.where(match, float(leaf.const_score), 0.0)
+                contrib = np.where(match, float(leaf.const_score) * boost, 0.0)
             else:
-                tidf = float(scoring.idf(n, df))
+                tidf = float(scoring.idf(n, df)) * boost
                 dl = oix.dls[leaf.field]
                 contrib = np.where(
                     match,
@@ -195,15 +231,21 @@ def oracle_search(
                     0.0,
                 )
             score = score + contrib
-        if is_must:
+        if role == "not":
+            excluded |= match
+        elif is_must:
             must_all &= match
         else:
             should_cnt += match.astype(np.int64)
     matched = must_all.copy()
     if q.min_should_match > 0:
         matched &= should_cnt >= q.min_should_match
-    elif n_must == 0:
+    elif n_must == 0 and q.should:
         matched &= should_cnt > 0
+    if not (q.must or q.should or q.filter):
+        # purely negative (or empty) query matches nothing (Lucene)
+        matched &= False
+    matched &= ~excluded
     if filter_spec is not None:
         cols = {c: oix.meta[c].to_numpy() for c in filter_spec.columns}
         matched &= filter_spec.eval(cols, n)

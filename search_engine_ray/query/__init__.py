@@ -4,8 +4,10 @@ from search_engine_ray.query.qast import (  # noqa: F401
     Fuzzy,
     Phonetic,
     Prefix,
+    Regexp,
     Synonyms,
     Term,
+    Wildcard,
     plan_keyword,
 )
 from search_engine_ray.query.executor import (  # noqa: F401

@@ -56,8 +56,10 @@ from search_engine_ray.query.qast import (
     Leaf,
     Phonetic,
     Prefix,
+    Regexp,
     Synonyms,
     Term,
+    Wildcard,
 )
 
 POSTING_COLS = ["term", "df_local", "doc_bytes", "tf_bytes", "dl_bytes"]
@@ -150,6 +152,15 @@ class _ResolvedLeaf:
     dismax: bool = False
     tie_breaker: float = 0.0
     avgdls: tuple[float, ...] | None = None
+    # clause role (Lucene BooleanClause.Occur): "must" | "should" |
+    # "filter" (required, non-scoring: const_score=0, is_must=True so
+    # the required-count bookkeeping is shared) | "not" (excluding,
+    # non-scoring: is_must=False, docs it matches are dropped)
+    role: str = ""
+
+    @property
+    def occur(self) -> str:
+        return self.role or ("must" if self.is_must else "should")
 
 
 @dataclass(frozen=True)
@@ -448,16 +459,21 @@ def score_postings_table(
         prev = seen_by_leaf.get(li)
         seen_by_leaf[li] = seg if prev is None else np.union1d(prev, seg)
         off += ids.size
+    excluded = np.zeros(uniq.size, dtype=bool)
     for li, seg in seen_by_leaf.items():
-        if spec.leaves[li].is_must:
+        occ = spec.leaves[li].occur
+        if occ == "not":
+            excluded[seg] = True  # Lucene MUST_NOT: match => drop
+        elif spec.leaves[li].is_must:  # must and filter roles
             must_cnt[seg] += 1
         else:
             should_cnt[seg] += 1
     matched = must_cnt == n_must
     if spec.min_should_match > 0:
         matched &= should_cnt >= spec.min_should_match
-    elif n_must == 0:
+    elif n_must == 0 and any(lf.occur == "should" for lf in spec.leaves):
         matched &= should_cnt > 0
+    matched &= ~excluded
     return _finish(uniq[matched], score[matched], bucket, spec, dmc, resolved_boosts)
 
 
@@ -881,6 +897,51 @@ class SearchEngine:
                         keys.add(key)
         return sorted(keys)[: self.config.max_prefix_expansions]
 
+    def _expand_pattern(self, leaf) -> list[str]:
+        """Wildcard/Regexp dictionary expansion (Lucene
+        Wildcard/RegexpQuery): the pattern's literal prefix (characters
+        that MUST appear, i.e. not followed by a quantifier) bounds a
+        sorted-dictionary range scan; survivors are matched with a
+        compiled full-token regex. Caps at max_prefix_expansions like
+        the other multi-term rewrites."""
+        import fnmatch
+        import re
+
+        spec = self.config.field_by_name(leaf.field)
+        lo_ns, hi_ns = _field_namespace_range(spec)
+        pre = len(lo_ns)
+        p = leaf.pattern
+        if isinstance(leaf, Wildcard):
+            i = 0
+            while i < len(p) and p[i] not in "*?":
+                i += 1
+            lit = p[:i]
+            rx = re.compile(fnmatch.translate(p))
+        else:
+            lit_chars: list[str] = []
+            if "|" not in p:  # any alternation can bypass a "prefix"
+                i = 0
+                while i < len(p) and (p[i].isalnum() or p[i] == "_"):
+                    if i + 1 < len(p) and p[i + 1] in "*?+{":
+                        break  # next char is quantified: not required
+                    lit_chars.append(p[i])
+                    i += 1
+            lit = "".join(lit_chars)
+            rx = re.compile(f"(?:{p})\\Z")
+        lo = lo_ns + lit
+        hi = lo + "\U0010ffff" if lit else hi_ns
+        keys: set[str] = set()
+        for d in self.dirs:
+            for part in range(self.config.num_parts):
+                t = self._dict_table(d, part)
+                if not t.num_rows:
+                    continue
+                m = pc.and_(pc.greater_equal(t["term"], lo), pc.less(t["term"], hi))
+                for key in t.filter(m)["term"].to_pylist():
+                    if key not in keys and rx.match(key[pre:]):
+                        keys.add(key)
+        return sorted(keys)[: self.config.max_prefix_expansions]
+
     def suggest(
         self, field: str, token: str, max_edits: int = 2, k: int = 5
     ) -> list[dict]:
@@ -963,12 +1024,16 @@ class SearchEngine:
 
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
-        # raw entry: (clause_id, is_must, keys, field-per-key, const,
-        # blend, dismax, tie_breaker)
+        # raw entry: (clause_id, role, keys, field-per-key, const,
+        # blend, dismax, tie_breaker, boost)
         raw: list[tuple] = []
-        for ci, (leaf, is_must) in enumerate(
-            [(l, True) for l in q.must] + [(l, False) for l in q.should]
-        ):
+        roled = (
+            [(l, "must") for l in q.must]
+            + [(l, "should") for l in q.should]
+            + [(l, "filter") for l in q.filter]
+            + [(l, "not") for l in q.must_not]
+        )
+        for ci, (leaf, role) in enumerate(roled):
             blend = dismax = False
             tie = 0.0
             if isinstance(leaf, Term):
@@ -977,6 +1042,8 @@ class SearchEngine:
                 keys = [cfg.phonetic_key(leaf.field, leaf.token)]
             elif isinstance(leaf, Fuzzy):
                 keys = self._expand_fuzzy(leaf)
+            elif isinstance(leaf, (Wildcard, Regexp)):
+                keys = self._expand_pattern(leaf)
             elif isinstance(leaf, Synonyms):
                 keys = [cfg.term_key(leaf.field, t) for t in leaf.tokens]
                 blend = True
@@ -995,12 +1062,18 @@ class SearchEngine:
                 raise TypeError(type(leaf))
             if not dismax:
                 fields = [leaf.field] * len(keys)
-            raw.append((ci, is_must, keys, fields, leaf.const_score, blend, dismax, tie))
+            # filter/mustNot clauses match but never score (Lucene
+            # FILTER / MUST_NOT): a 0.0 const reuses every const-score
+            # path (including const-once-per-doc for multi-key leaves)
+            const = 0.0 if role in ("filter", "not") else leaf.const_score
+            raw.append(
+                (ci, role, keys, fields, const, blend, dismax, tie, float(leaf.boost))
+            )
         all_keys = [k for r in raw for k in r[2]]
         dfs = self._df_for_terms(all_keys)
         n = self.stats["n_docs"]
         out: list[_ResolvedLeaf] = []
-        for ci, is_must, keys, fields, const, blend, dismax, tie in raw:
+        for ci, role, keys, fields, const, blend, dismax, tie, boost in raw:
             kept = [(k, f) for k, f in zip(keys, fields) if k in dfs]
             keys = [k for k, _ in kept]
             fields = [f for _, f in kept]
@@ -1018,10 +1091,18 @@ class SearchEngine:
                 idfs = tuple(bidf for _ in keys)
             else:
                 idfs = tuple(float(scoring.idf(n, dfs[k])) for k in keys)
+            if boost != 1.0:
+                # Lucene BoostQuery: BM25 is linear in idf, so the
+                # boost folds into the resolved idfs exactly (and into
+                # the constant for const-score clauses) — transparent
+                # to the scoring core and to WAND upper bounds
+                idfs = tuple(i * boost for i in idfs)
+                if const is not None:
+                    const = const * boost
             out.append(
                 _ResolvedLeaf(
                     clause_id=ci,
-                    is_must=is_must,
+                    is_must=role in ("must", "filter"),
                     term_keys=tuple(keys),
                     idfs=idfs,
                     avgdl=self.stats["fields"][fields[0]]["avgdl"]
@@ -1034,6 +1115,7 @@ class SearchEngine:
                     avgdls=tuple(self.stats["fields"][f]["avgdl"] for f in fields)
                     if dismax
                     else None,
+                    role=role,
                 )
             )
         return out
@@ -1091,7 +1173,9 @@ class SearchEngine:
         if any(lf.is_must and not lf.term_keys for lf in leaves):
             return SearchResult(0, _empty_hits(), total_exact=True)
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
-        if not term_keys:
+        # a purely negative query (only mustNot clauses carry indexed
+        # terms) matches nothing, like Lucene's
+        if not any(lf.term_keys for lf in leaves if lf.occur != "not"):
             return SearchResult(0, _empty_hits(), total_exact=True)
         # pruning is rank-safe only for pure-OR top-k with no filter /
         # boost / facet side-outputs (and makes `total` a lower bound);
@@ -1102,6 +1186,8 @@ class SearchEngine:
             and self.tombstones is None
             and search_after is None
             and not q.must
+            and not q.must_not
+            and not q.filter
             and q.min_should_match <= 1
             and filter_spec is None
             and not boosts
@@ -1194,10 +1280,15 @@ class SearchEngine:
         impl = _BucketScorerImpl(self.dirs, [bucket])
         n_must = sum(1 for lf in leaves if lf.is_must)
         clauses, total, must_cnt, should_cnt = [], 0.0, 0, 0
+        excluded = False
         for lf in leaves:
             contrib, matched = 0.0, False
             if lf.term_keys:
-                solo = _dc_replace(lf, clause_id=0, is_must=False)
+                # role neutralized: the solo pass only asks "does this
+                # clause match the doc, and with what contribution" —
+                # a not/filter role would self-exclude or change the
+                # should bookkeeping
+                solo = _dc_replace(lf, clause_id=0, is_must=False, role="should")
                 spec = self._make_spec(
                     (solo,),
                     Compound(),
@@ -1217,12 +1308,15 @@ class SearchEngine:
                     matched = True
                     contrib = float(t["score"].to_numpy()[hit][0])
             total += contrib
-            if lf.is_must:
+            if lf.occur == "not":
+                excluded = excluded or matched
+            elif lf.is_must:
                 must_cnt += matched
             else:
                 should_cnt += matched
             kind = (
-                "const" if lf.const_score is not None
+                "non_scoring" if lf.occur in ("filter", "not")
+                else "const" if lf.const_score is not None
                 else "synonym_blend" if lf.blend
                 else "cross_fields_dismax" if lf.dismax
                 else "bm25"
@@ -1231,6 +1325,7 @@ class SearchEngine:
                 {
                     "clause_id": lf.clause_id,
                     "is_must": lf.is_must,
+                    "occur": lf.occur,
                     "kind": kind,
                     "term_keys": list(lf.term_keys),
                     "idfs": list(lf.idfs),
@@ -1242,8 +1337,9 @@ class SearchEngine:
         matched = must_cnt == n_must
         if q.min_should_match > 0:
             matched &= should_cnt >= q.min_should_match
-        elif n_must == 0:
+        elif n_must == 0 and any(lf.occur == "should" for lf in leaves):
             matched &= should_cnt > 0
+        matched = matched and not excluded
         if self.tombstones is not None and np.isin(doc_id, self.tombstones):
             matched = False
         boost_rows = []
@@ -1299,7 +1395,7 @@ class SearchEngine:
         if any(lf.is_must and not lf.term_keys for lf in leaves):
             return rd.from_arrow(_empty_all_table(attach_cols))
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
-        if not term_keys:
+        if not any(lf.term_keys for lf in leaves if lf.occur != "not"):
             return rd.from_arrow(_empty_all_table(attach_cols))
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
         # partition pruning by PATH selection (only the <= Q part dirs

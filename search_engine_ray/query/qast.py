@@ -31,6 +31,12 @@ class Term:
     field: str
     token: str
     const_score: float | None = None  # S6: fixed score contribution
+    # Lucene per-clause boost (BoostQuery): multiplies the clause's
+    # score contribution. BM25 is linear in idf, so the engine folds
+    # the boost into the resolved idf (and into const_score for
+    # constant-score clauses) — zero cost in the scoring core and
+    # transparent to WAND bounds.
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -38,6 +44,7 @@ class Prefix:
     field: str
     prefix: str
     const_score: float | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -48,6 +55,7 @@ class Phonetic:
     field: str
     token: str
     const_score: float | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -63,6 +71,7 @@ class Fuzzy:
     token: str
     max_edits: int = 1
     const_score: float | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -78,6 +87,7 @@ class Synonyms:
     field: str
     tokens: tuple[str, ...]
     const_score: float | None = None
+    boost: float = 1.0
 
 
 @dataclass(frozen=True)
@@ -97,20 +107,63 @@ class CrossFields:
     token: str
     tie_breaker: float = 0.0
     const_score: float | None = None
+    boost: float = 1.0
 
 
-Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields
+@dataclass(frozen=True)
+class Wildcard:
+    """Lucene WildcardQuery: ``*`` matches any run of characters,
+    ``?`` exactly one. Resolved by a dictionary expansion (the literal
+    prefix before the first wildcard bounds the range scan; survivors
+    are regex-filtered) + multi-term rewrite — each expanded term
+    scores with its OWN idf and per-doc contributions sum, exactly
+    like the Prefix range-scan and Fuzzy paths."""
+
+    field: str
+    pattern: str
+    const_score: float | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
+class Regexp:
+    """Lucene RegexpQuery: ``pattern`` is a full-token-anchored regular
+    expression matched against the field's term dictionary; the same
+    prefix-bounded range scan + multi-term rewrite as Wildcard (a
+    literal prefix in the pattern bounds the scan)."""
+
+    field: str
+    pattern: str
+    const_score: float | None = None
+    boost: float = 1.0
+
+
+Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields | Wildcard | Regexp
 
 
 @dataclass(frozen=True)
 class Compound:
+    """Atlas/Lucene BooleanQuery clause sets:
+
+    - ``must``: required, scoring (Lucene MUST)
+    - ``should``: optional, scoring; at least ``min_should_match`` must
+      match — and if there are no must/filter clauses at all, at least
+      one should clause must (Lucene's implicit rule)
+    - ``filter``: required, NON-scoring (Lucene FILTER / Atlas
+      compound.filter) — a matching doc gains 0 score from it
+    - ``must_not``: excluding, non-scoring (Lucene MUST_NOT / Atlas
+      compound.mustNot); a purely negative query matches nothing
+    """
+
     must: tuple[Leaf, ...] = ()
     should: tuple[Leaf, ...] = ()
     min_should_match: int = 0
+    must_not: tuple[Leaf, ...] = ()
+    filter: tuple[Leaf, ...] = ()
 
     @property
     def leaves(self) -> tuple[Leaf, ...]:
-        return self.must + self.should
+        return self.must + self.should + self.filter + self.must_not
 
 
 def plan_keyword(

@@ -691,3 +691,189 @@ def test_crossfields_const_score_once(ray_session, tmp_path):
     # every matching doc scores exactly 1 (must-const) + 2 (xf-const)
     assert res.total == 2
     assert res.hits["score"].tolist() == [3.0, 3.0]
+
+
+# ---- round-2 wave 3: clause roles (mustNot/filter), boosts, patterns
+
+
+def test_must_not_excludes(engine, oracle_ix):
+    """Lucene MUST_NOT / Atlas compound.mustNot: docs matching the
+    negative clause are excluded; the remaining docs' scores are
+    untouched (the clause never contributes score)."""
+    from search_engine_ray.query import Wildcard  # noqa: F401 (export check)
+
+    base = engine.search(Compound(must=(Term("content", "import"),)), k=200)
+    q = Compound(
+        must=(Term("content", "import"),),
+        must_not=(Term("content", "tokenizer"),),
+    )
+    res = engine.search(q, k=200)
+    ora = oracle_search(oracle_ix, q, k=200)
+    assert 0 < res.total < base.total
+    assert_parity(res, ora)
+    # surviving docs keep their exact base scores
+    merged = res.hits.merge(base.hits, on="doc_id", suffixes=("_ex", "_base"))
+    assert len(merged) == len(res.hits)
+    np.testing.assert_allclose(
+        merged["score_ex"].to_numpy(), merged["score_base"].to_numpy(), atol=0
+    )
+    # a mustNot token absent from the index is a no-op
+    q2 = Compound(must=(Term("content", "import"),), must_not=(Term("content", "zzzqqq"),))
+    res2 = engine.search(q2, k=200)
+    assert res2.total == base.total
+    assert_parity(res2, oracle_search(oracle_ix, q2, k=200))
+
+
+def test_pure_negative_query_matches_nothing(engine, oracle_ix):
+    q = Compound(must_not=(Term("content", "import"),))
+    res = engine.search(q, k=10)
+    ora = oracle_search(oracle_ix, q, k=10)
+    assert res.total == 0 and len(res.hits) == 0
+    assert ora.total == 0
+
+
+def test_filter_clause_non_scoring(engine, oracle_ix):
+    """Lucene FILTER / Atlas compound.filter: required match, zero
+    score contribution — scores equal the same query WITHOUT the
+    filter on the docs that pass it."""
+    q = Compound(
+        must=(Term("content", "import"),),
+        filter=(Term("content", "tokenizer"),),
+    )
+    res = engine.search(q, k=200)
+    ora = oracle_search(oracle_ix, q, k=200)
+    assert res.total > 0
+    assert_parity(res, ora)
+    base = engine.search(Compound(must=(Term("content", "import"),)), k=200)
+    merged = res.hits.merge(base.hits, on="doc_id", suffixes=("_f", "_b"))
+    assert len(merged) == len(res.hits)
+    np.testing.assert_allclose(merged["score_f"].to_numpy(), merged["score_b"].to_numpy(), atol=0)
+    # filter-only query: matches the filter set, every score is 0,
+    # page ordered by doc_id (Lucene constant-score-of-0 semantics)
+    qf = Compound(filter=(Term("content", "tokenizer"),))
+    rf = engine.search(qf, k=200)
+    of = oracle_search(oracle_ix, qf, k=200)
+    assert rf.total == of.total > 0
+    assert rf.hits["doc_id"].tolist() == sorted(rf.hits["doc_id"].tolist())
+    assert (rf.hits["score"] == 0).all()
+    # filter + should with no must: should clauses stay OPTIONAL
+    # (Lucene: at least one SHOULD required only when no MUST/FILTER)
+    qs = Compound(
+        filter=(Term("content", "tokenizer"),),
+        should=(Term("content", "wand"),),
+    )
+    rs = engine.search(qs, k=200)
+    os_ = oracle_search(oracle_ix, qs, k=200)
+    assert rs.total == rf.total  # same match set as filter-only
+    assert_parity(rs, os_)
+
+
+def test_clause_boost(engine, oracle_ix):
+    """Lucene BoostQuery: boost multiplies the clause's contribution;
+    folded into the resolved idf so scoring stays one code path."""
+    q1 = Compound(must=(Term("content", "import"),))
+    q2 = Compound(must=(Term("content", "import", boost=2.5),))
+    r1 = engine.search(q1, k=50)
+    r2 = engine.search(q2, k=50)
+    assert r1.total == r2.total
+    assert_parity(r2, oracle_search(oracle_ix, q2, k=50))
+    np.testing.assert_allclose(
+        r2.hits["score"].to_numpy(), 2.5 * r1.hits["score"].to_numpy(), rtol=1e-12
+    )
+    # boost composes with const_score (constant itself is boosted)
+    q3 = Compound(
+        must=(Term("content", "import"),),
+        should=(Term("content", "wand", const_score=4.0, boost=0.5),),
+    )
+    assert_parity(engine.search(q3, k=50), oracle_search(oracle_ix, q3, k=50))
+    # boost on a blended synonym leaf
+    from search_engine_ray.query import Synonyms
+
+    q4 = Compound(must=(Synonyms("content", ("wand", "bm25"), boost=3.0),))
+    assert_parity(engine.search(q4, k=50), oracle_search(oracle_ix, q4, k=50))
+
+
+def test_wildcard_multi_term_rewrite(engine, oracle_ix, tiny_corpus):
+    """Wildcard('content', pat): equals the explicit should-OR of every
+    vocab token matching the glob, each with its own idf (Lucene
+    WildcardQuery rewrite) — same contract as the Fuzzy test."""
+    import fnmatch
+
+    from search_engine_ray.analysis import analyze
+    from search_engine_ray.query import Wildcard
+
+    vocab = set()
+    for s in tiny_corpus["content"].to_pylist():
+        vocab.update(analyze(s or ""))
+
+    for pat in ("tok*", "merge_*", "b?25", "*izer", "imp?rt"):
+        exp_terms = sorted(t for t in vocab if fnmatch.fnmatchcase(t, pat))
+        assert exp_terms, pat
+        got = engine._expand_pattern(Wildcard("content", pat))
+        assert got == [f"c:{t}" for t in exp_terms]
+        res = engine.search(Compound(must=(Wildcard("content", pat),)), k=10)
+        rewrite = Compound(
+            should=tuple(Term("content", t) for t in exp_terms), min_should_match=1
+        )
+        assert_parity(res, oracle_search(oracle_ix, rewrite, k=10))
+    # zero-expansion wildcard matches nothing
+    r0 = engine.search(Compound(must=(Wildcard("content", "zzz*qqq"),)), k=10)
+    assert r0.total == 0
+
+
+def test_regexp_multi_term_rewrite(engine, oracle_ix, tiny_corpus):
+    """Regexp('content', pat): full-token-anchored dictionary regex
+    (Lucene RegexpQuery), multi-term rewrite like Wildcard."""
+    import re
+
+    from search_engine_ray.analysis import analyze
+    from search_engine_ray.query import Regexp
+
+    vocab = set()
+    for s in tiny_corpus["content"].to_pylist():
+        vocab.update(analyze(s or ""))
+
+    for pat in ("токен|tokenizer", "bm25|wand", "merge_.*", "sc[oa]rer", "imports?"):
+        rx = re.compile(f"(?:{pat})\\Z")
+        exp_terms = sorted(t for t in vocab if rx.match(t))
+        assert exp_terms, pat
+        got = engine._expand_pattern(Regexp("content", pat))
+        assert got == [f"c:{t}" for t in exp_terms]
+        res = engine.search(Compound(must=(Regexp("content", pat),)), k=10)
+        rewrite = Compound(
+            should=tuple(Term("content", t) for t in exp_terms), min_should_match=1
+        )
+        assert_parity(res, oracle_search(oracle_ix, rewrite, k=10))
+
+
+def test_roles_in_search_all_and_explain(engine, oracle_ix):
+    """The Dataset path (search_all) and explain() share the role
+    semantics: mustNot excludes, filter matches without scoring."""
+    q = Compound(
+        must=(Term("content", "import"),),
+        must_not=(Term("content", "tokenizer"),),
+        filter=(Term("content", "def"),),
+    )
+    res = engine.search(q, k=500)
+    allds = engine.search_all(q).to_pandas()
+    assert sorted(allds["doc_id"].tolist()) == sorted(res.hits["doc_id"].tolist()[: res.total])
+    assert res.total == len(allds)
+    ora = oracle_search(oracle_ix, q, k=500)
+    assert_parity(res, ora)
+    # explain: an excluded doc reports matched=False; a matched doc's
+    # clause contributions sum to its search score
+    exc = engine.search(
+        Compound(must=(Term("content", "import"), Term("content", "tokenizer"), Term("content", "def"))),
+        k=1,
+    )
+    if exc.total:
+        ex = engine.explain(q, int(exc.hits["doc_id"].iloc[0]))
+        assert ex["matched"] is False
+    if res.total:
+        did = int(res.hits["doc_id"].iloc[0])
+        ex2 = engine.explain(q, did)
+        assert ex2["matched"] is True
+        s = sum(c["score"] for c in ex2["clauses"])
+        assert abs(s - float(res.hits["score"].iloc[0])) < 1e-9
+        occurs = [c["occur"] for c in ex2["clauses"]]
+        assert occurs == ["must", "filter", "not"]  # _resolve clause order
