@@ -995,6 +995,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out.append(df)
         return pd.concat(out, ignore_index=True)
 
+    def s23_range_facet(sf_dir):
+        # S23 range-facet aggregation (ES range agg): banded n_chars
+        # counts over the FULL matched set of a term query, riding the
+        # same scoring pass as the value facets
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=1,
+            with_metadata=False,
+            range_facets={"n_chars": (0, 150, 300, 5000)},
+        )
+        bands = sorted(r.facets.get("n_chars", {}).items())
+        return pd.DataFrame(
+            {
+                "band": [b for b, _ in bands],
+                "cnt": np.array([c for _, c in bands], dtype=np.int64),
+            }
+        )
+
+    def s24_sort_by_field(sf_dir):
+        # S24 sort by stored field (ES `sort`): the page is ordered by
+        # the numeric docmap attribute (desc, doc_id tiebreak) while
+        # BM25 scores are still computed and reported
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=10,
+            with_metadata=False,
+            sort_by=("n_chars", True),
+        )
+        out = r.hits[["doc_id", "score", "sort_key"]].copy()
+        out["score"] = round_half_up(out["score"].to_numpy())
+        return out.reset_index(drop=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1403,6 +1437,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s20_filter_clause": s20_filter_clause,
         "s21_boost": s21_boost,
         "s22_pattern": s22_pattern,
+        "s23_range_facet": s23_range_facet,
+        "s24_sort_by_field": s24_sort_by_field,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1542,6 +1578,32 @@ s AS (SELECT count(*) AS n, sum(dl) AS total_len,
 SELECT d.doc_id, round({_s21_expr}, 4) AS score
 FROM d, s WHERE tf0 > 0 AND tf1 > 0
 ORDER BY ({_s21_expr}) DESC, d.doc_id LIMIT 10
+"""
+
+    # S23 range-facet aggregation: banded counts over the matched set;
+    # band labels match the engine's "[lo,hi)" %g formatting
+    s23_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+m AS (SELECT n_chars FROM tok WHERE len(list_filter(ts, t -> t = 'vector')) > 0),
+b AS (SELECT CASE WHEN n_chars >= 0 AND n_chars < 150 THEN '[0,150)'
+                  WHEN n_chars >= 150 AND n_chars < 300 THEN '[150,300)'
+                  WHEN n_chars >= 300 AND n_chars < 5000 THEN '[300,5000)'
+             END AS band FROM m)
+SELECT band, count(*) AS cnt FROM b WHERE band IS NOT NULL
+GROUP BY 1 ORDER BY 1
+"""
+    # S24 sort by stored field: page ordered by n_chars desc (doc_id
+    # tiebreak); the BM25 score column is still reported
+    s24_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_bm25_expr0}, 4) AS score,
+       CAST(d.n_chars AS DOUBLE) AS sort_key
+FROM d, s WHERE tf0 > 0
+ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
 """
 
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
@@ -1713,6 +1775,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s20_filter_clause": s20_sql,
         "s21_boost": s21_sql,
         "s22_pattern": s22_sql,
+        "s23_range_facet": s23_sql,
+        "s24_sort_by_field": s24_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

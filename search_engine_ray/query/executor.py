@@ -204,6 +204,16 @@ class _QuerySpec:
     # inflates n_take (skip/limit at offset 10^6 ships 10^6 candidates
     # per bucket; a cursor ships k).
     search_after: tuple | None = None
+    # ES range aggregation: numeric banded counts over the FULL
+    # matched set — ((col, (e0, e1, ..., en)), ...), bands
+    # [e_i, e_{i+1}) labelled "[e_i,e_{i+1})"; values outside every
+    # band are uncounted. Rides the facet-row channel.
+    range_facets: tuple = ()
+    # ES sort-by-stored-field: (col, descending) — page ranked by a
+    # NUMERIC docmap attribute (doc_id asc tiebreak) instead of the
+    # score; BM25 scores are still computed and reported. The per-hit
+    # key travels in the `sort_key` column for the driver merge.
+    sort_by: tuple | None = None
 
 
 class _DocmapCache:
@@ -536,6 +546,21 @@ def _finish(
             vals = dmc.attrs(bucket, m_ids, (fcol,))[fcol]
             u, c = np.unique(vals, return_counts=True)
             facet_rows += [(fcol, str(v), int(n)) for v, n in zip(u, c)]
+    # range-facet aggregation (ES range agg): banded counts over the
+    # full matched set; same merge channel as value facets
+    for rcol, edges in spec.range_facets:
+        if m_ids.size:
+            e = np.asarray(edges, np.float64)
+            vals = dmc.attrs(bucket, m_ids, (rcol,))[rcol].astype(np.float64)
+            idx = np.searchsorted(e, vals, side="right") - 1
+            ok = (idx >= 0) & (idx <= e.size - 2) & (vals < e[-1])
+            if ok.any():
+                cnts = np.bincount(idx[ok], minlength=e.size - 1)
+                facet_rows += [
+                    (rcol, f"[{e[i]:g},{e[i + 1]:g})", int(c))
+                    for i, c in enumerate(cnts)
+                    if c
+                ]
     # numeric metric aggregations over the full matched set (ES stats
     # aggregation): per-bucket partials, merged at the driver
     stat_rows: list[tuple[str, str, float]] = []
@@ -556,20 +581,34 @@ def _finish(
         ca, cd = float(spec.search_after[0]), int(spec.search_after[1])
         keep = (m_scores < ca) | ((m_scores == ca) & (m_ids > cd))
         m_ids, m_scores = m_ids[keep], m_scores[keep]
-    # local top-(skip+k), deterministic tie-break (score desc, doc_id
-    # asc). Exact under ties: select everything >= the n_take-th score,
-    # then lexsort that candidate set.
-    if m_ids.size > spec.n_take:
-        thresh = np.partition(m_scores, m_ids.size - spec.n_take)[m_ids.size - spec.n_take]
-        cand = np.nonzero(m_scores >= thresh)[0]
-        order = cand[np.lexsort((m_ids[cand], -m_scores[cand]))][: spec.n_take]
+    # local top-(skip+k), deterministic tie-break (rank asc, doc_id
+    # asc) where rank is -score by default or the stored-field sort
+    # key (ES sort). Exact under ties: select everything at or above
+    # the n_take-th rank, then lexsort that candidate set.
+    sort_keys = None
+    if spec.sort_by is not None and m_ids.size:
+        scol, sdesc = spec.sort_by
+        sort_keys = dmc.attrs(bucket, m_ids, (scol,))[scol].astype(np.float64)
+        rank = -sort_keys if sdesc else sort_keys
     else:
-        order = np.lexsort((m_ids, -m_scores))
-    return _result_table(m_ids[order], m_scores[order], total, facet_rows, stat_rows)
+        rank = -m_scores
+    if m_ids.size > spec.n_take:
+        thresh = np.partition(rank, spec.n_take - 1)[spec.n_take - 1]
+        cand = np.nonzero(rank <= thresh)[0]
+        order = cand[np.lexsort((m_ids[cand], rank[cand]))][: spec.n_take]
+    else:
+        order = np.lexsort((m_ids, rank))
+    return _result_table(
+        m_ids[order], m_scores[order], total, facet_rows, stat_rows,
+        sort_keys[order] if sort_keys is not None else None,
+    )
 
 
-def _result_table(ids, scores, total: int, facet_rows, stat_rows=()) -> pa.Table:
-    # stat rows carry their float value in the `score` column
+def _result_table(ids, scores, total: int, facet_rows, stat_rows=(), sort_keys=None) -> pa.Table:
+    # stat rows carry their float value in the `score` column; hit rows
+    # carry their stored-field sort key in `sort_key` when the query
+    # sorts by attribute (0.0 otherwise — schema is fixed across
+    # buckets so the scatter-gather concat never unifies)
     kinds = (
         ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
         + ["stat"] * len(stat_rows)
@@ -582,6 +621,9 @@ def _result_table(ids, scores, total: int, facet_rows, stat_rows=()) -> pa.Table
     counts = [0] * len(ids) + [total] + [c for _, _, c in facet_rows] + [0] * len(stat_rows)
     ffields = [""] * len(ids) + [""] + [f for f, _, _ in facet_rows] + [f for f, _, _ in stat_rows]
     fvals = [""] * len(ids) + [""] + [v for _, v, _ in facet_rows] + [op for _, op, _ in stat_rows]
+    sks = (
+        list(map(float, sort_keys)) if sort_keys is not None else [0.0] * len(ids)
+    ) + [0.0] * (1 + len(facet_rows) + len(stat_rows))
     return pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
@@ -590,6 +632,7 @@ def _result_table(ids, scores, total: int, facet_rows, stat_rows=()) -> pa.Table
             "count": pa.array(counts, pa.int64()),
             "facet_field": pa.array(ffields, pa.string()),
             "facet_value": pa.array(fvals, pa.string()),
+            "sort_key": pa.array(sks, pa.float64()),
         }
     )
 
@@ -1122,7 +1165,8 @@ class SearchEngine:
 
     def _make_spec(
         self, leaves, q, n_take, filter_spec, boosts, facet_fields,
-        emit_all=None, search_after=None, stat_fields=(),
+        emit_all=None, search_after=None, stat_fields=(), range_facets=(),
+        sort_by=None,
     ):
         return _QuerySpec(
             leaves=tuple(leaves),
@@ -1139,6 +1183,8 @@ class SearchEngine:
             tombstones=self.tombstones,
             search_after=search_after,
             stat_fields=tuple(stat_fields),
+            range_facets=tuple(range_facets),
+            sort_by=sort_by,
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -1154,17 +1200,33 @@ class SearchEngine:
         prune: bool = False,
         search_after: tuple | None = None,
         stat_fields: tuple[str, ...] = (),
+        range_facets: dict[str, tuple] | None = None,
+        sort_by: tuple[str, bool] | None = None,
     ) -> SearchResult:
         """search_after: deep-pagination cursor (score, doc_id) of the
         LAST hit of the previous page — the page starts strictly after
         it in (score desc, doc_id asc) order. Unlike skip (which ships
         skip+k candidates per bucket), a cursor ships only k however
         deep the page is. Mutually exclusive with skip; disables
-        pruning (the cursor invalidates the WAND theta bound)."""
+        pruning (the cursor invalidates the WAND theta bound).
+
+        range_facets: {col: (e0, e1, ..., en)} — ES range aggregation:
+        per-band counts [e_i, e_{i+1}) over the FULL matched set,
+        reported in .facets[col] under "[lo,hi)" labels.
+
+        sort_by: (col, descending) — ES sort by a NUMERIC stored
+        field: the page is ordered by the docmap attribute (doc_id asc
+        tiebreak) instead of the score; scores are still computed and
+        reported. Mutually exclusive with search_after (the cursor is
+        a (score, doc_id) position); disables pruning (WAND bounds
+        rank by score, not by attribute)."""
         import ray
 
         if search_after is not None and skip:
             raise ValueError("search_after and skip are mutually exclusive")
+        if search_after is not None and sort_by is not None:
+            raise ValueError("search_after and sort_by are mutually exclusive")
+        rf = tuple((c, tuple(e)) for c, e in (range_facets or {}).items())
         self._refresh_tombstones()
         leaves = self._resolve(q)
         # a must clause with no indexed term can never match; total=0
@@ -1193,6 +1255,8 @@ class SearchEngine:
             and not boosts
             and not facet_fields
             and not stat_fields
+            and not rf
+            and sort_by is None
             and all(
                 lf.const_score is None and not lf.blend and not lf.dismax
                 for lf in leaves
@@ -1202,6 +1266,7 @@ class SearchEngine:
         spec = self._make_spec(
             leaves, q, skip + k, filter_spec, boosts, facet_fields,
             search_after=search_after, stat_fields=tuple(stat_fields),
+            range_facets=rf, sort_by=sort_by,
         )
         if prune:
             theta0 = float("-inf")
@@ -1235,9 +1300,19 @@ class SearchEngine:
             # so total=0 is exact even under pruning
             return SearchResult(0, _empty_hits(), total_exact=True)
         total = int(out.loc[out["kind"] == "total", "count"].sum())
-        hits = out[out["kind"] == "hit"][["doc_id", "score"]]
-        hits = hits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        hits = hits.iloc[skip : skip + k].reset_index(drop=True)
+        if sort_by is not None:
+            hits = out[out["kind"] == "hit"][["doc_id", "score", "sort_key"]]
+            hits = hits.sort_values(
+                ["sort_key", "doc_id"], ascending=[not sort_by[1], True], kind="mergesort"
+            )
+            # key stays under the fixed name "sort_key" so a later
+            # _attach_metadata merge can never collide with the
+            # attribute's own docmap column
+            hits = hits.iloc[skip : skip + k].reset_index(drop=True)
+        else:
+            hits = out[out["kind"] == "hit"][["doc_id", "score"]]
+            hits = hits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+            hits = hits.iloc[skip : skip + k].reset_index(drop=True)
         facets: dict[str, dict[str, int]] = {}
         fr = out[out["kind"] == "facet"]
         if len(fr):

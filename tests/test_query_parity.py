@@ -877,3 +877,83 @@ def test_roles_in_search_all_and_explain(engine, oracle_ix):
         assert abs(s - float(res.hits["score"].iloc[0])) < 1e-9
         occurs = [c["occur"] for c in ex2["clauses"]]
         assert occurs == ["must", "filter", "not"]  # _resolve clause order
+
+
+def test_range_facets_and_sort_by_field(ray_session, tmp_path):
+    """S23 range-facet aggregation + S24 sort-by-stored-field: banded
+    counts over the full matched set; page ordered by a numeric docmap
+    attribute (doc_id asc tiebreak) with BM25 scores still reported."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+
+    n = 40
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": ["alpha beta" if i % 2 == 0 else "alpha" for i in range(n)],
+            # i//2: adjacent doc pairs share an n_chars value, so the
+            # attribute sort exercises the doc_id tiebreak
+            "n_chars": [50 + 10 * (i // 2) for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("text", "c"),),
+        num_buckets=4, num_parts=2,
+        docmap_cols=("n_chars",),
+        id_cols=("doc_id",), use_native_id=True,
+    )
+    out = str(tmp_path / "rfsort")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    vals = np.array([50 + 10 * (i // 2) for i in range(n)])
+
+    r = eng.search(
+        Compound(must=(Term("text", "alpha"),)), k=5,
+        range_facets={"n_chars": (0, 100, 200, 10000)}, with_metadata=False,
+    )
+    assert r.total == n
+    exp = {
+        "[0,100)": int(((vals >= 0) & (vals < 100)).sum()),
+        "[100,200)": int(((vals >= 100) & (vals < 200)).sum()),
+        "[200,10000)": int((vals >= 200).sum()),
+    }
+    assert r.facets["n_chars"] == {k2: v for k2, v in exp.items() if v}
+    # values outside every band are uncounted
+    r2 = eng.search(
+        Compound(must=(Term("text", "alpha"),)), k=1,
+        range_facets={"n_chars": (100, 200)}, with_metadata=False,
+    )
+    assert r2.facets["n_chars"] == {"[100,200)": exp["[100,200)"]}
+
+    # sort by n_chars desc: highest attribute first, doc_id tiebreak
+    rs = eng.search(
+        Compound(must=(Term("text", "alpha"),)), k=5,
+        sort_by=("n_chars", True), with_metadata=False,
+    )
+    assert rs.hits["doc_id"].tolist() == [38, 39, 36, 37, 34]
+    assert rs.hits["sort_key"].tolist() == [240.0, 240.0, 230.0, 230.0, 220.0]
+    ra = eng.search(
+        Compound(must=(Term("text", "alpha"),)), k=3,
+        sort_by=("n_chars", False), with_metadata=False,
+    )
+    assert ra.hits["doc_id"].tolist() == [0, 1, 2]
+    # BM25 scores are still the scoring-pass scores
+    base = eng.search(Compound(must=(Term("text", "alpha"),)), k=n, with_metadata=False)
+    m = rs.hits.merge(base.hits, on="doc_id", suffixes=("_s", "_b"))
+    assert len(m) == 5
+    np.testing.assert_allclose(m["score_s"].to_numpy(), m["score_b"].to_numpy(), atol=0)
+    # skip-paging under attribute sort
+    rp = eng.search(
+        Compound(must=(Term("text", "alpha"),)), k=3, skip=2,
+        sort_by=("n_chars", True), with_metadata=False,
+    )
+    assert rp.hits["doc_id"].tolist() == [36, 37, 34]
+    # guard: cursor + attribute sort are mutually exclusive
+    with pytest.raises(ValueError):
+        eng.search(
+            Compound(must=(Term("text", "alpha"),)), k=3,
+            search_after=(1.0, 5), sort_by=("n_chars", True),
+        )
