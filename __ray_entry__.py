@@ -1029,6 +1029,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = round_half_up(out["score"].to_numpy())
         return out.reset_index(drop=True)
 
+    def s25_range_filter(sf_dir):
+        # S25 Atlas $search `range` operator inside compound.filter:
+        # required non-scoring numeric predicate, lowered onto the
+        # docmap (one vectorized compare per bucket, no postings scan)
+        from search_engine_ray.query import NumericRange
+
+        q = Compound(
+            must=(Term("text", "vector"),),
+            filter=(NumericRange("n_chars", 150, 300),),
+        )
+        return _bm25_query(sf_dir, q)
+
+    def s26_match_all_browse(sf_dir):
+        # S26 ES match_all browse/listing: no keyword — every live doc
+        # filtered to lang='en', page ordered by n_chars desc with the
+        # exact total (the reference's no-keyword product listing shape)
+        from search_engine_ray.query import FilterSpec, MatchAll
+
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            MatchAll(), k=10, with_metadata=False,
+            filter_spec=FilterSpec((("lang", "==", "en"),)),
+            sort_by=("n_chars", True),
+        )
+        out = r.hits[["doc_id", "sort_key"]].copy()
+        out.insert(0, "total", np.int64(r.total))
+        return out.reset_index(drop=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1439,6 +1467,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s22_pattern": s22_pattern,
         "s23_range_facet": s23_range_facet,
         "s24_sort_by_field": s24_sort_by_field,
+        "s25_range_filter": s25_range_filter,
+        "s26_match_all_browse": s26_match_all_browse,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1604,6 +1634,26 @@ SELECT d.doc_id, round({_bm25_expr0}, 4) AS score,
        CAST(d.n_chars AS DOUBLE) AS sort_key
 FROM d, s WHERE tf0 > 0
 ORDER BY d.n_chars DESC, d.doc_id LIMIT 10
+"""
+
+    # S25 range operator in compound.filter: required non-scoring
+    # numeric predicate; df0 stays global (dictionary df)
+    s25_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_bm25_expr0}, 4) AS score
+FROM d, s WHERE tf0 > 0 AND d.n_chars BETWEEN 150 AND 300
+ORDER BY ({_bm25_expr0}) DESC, d.doc_id LIMIT 10
+"""
+    # S26 match_all browse: exact filtered total + attribute-sorted page
+    s26_sql = """
+WITH m AS (SELECT doc_id, n_chars FROM documents WHERE lang = 'en')
+SELECT (SELECT count(*) FROM m) AS total, doc_id,
+       CAST(n_chars AS DOUBLE) AS sort_key
+FROM m ORDER BY n_chars DESC, doc_id LIMIT 10
 """
 
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
@@ -1777,6 +1827,8 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s22_pattern": s22_sql,
         "s23_range_facet": s23_sql,
         "s24_sort_by_field": s24_sql,
+        "s25_range_filter": s25_sql,
+        "s26_match_all_browse": s26_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

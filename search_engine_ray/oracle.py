@@ -24,6 +24,7 @@ from search_engine_ray.query.qast import (
     Compound,
     CrossFields,
     Fuzzy,
+    NumericRange,
     Phonetic,
     Prefix,
     Regexp,
@@ -173,6 +174,21 @@ def oracle_search(
         is_must = role in ("must", "filter")
         scoring_role = role in ("must", "should")
         boost = float(getattr(leaf, "boost", 1.0))
+        if isinstance(leaf, NumericRange):
+            # Atlas range operator: non-scoring docmap predicate
+            vals = oix.meta[leaf.field].to_numpy().astype(np.float64)
+            match = np.ones(n, dtype=bool)
+            if leaf.lo is not None:
+                match &= vals >= leaf.lo
+            if leaf.hi is not None:
+                match &= vals <= leaf.hi
+            if role == "not":
+                excluded |= match
+            elif is_must:
+                must_all &= match
+            else:
+                raise ValueError("NumericRange is non-scoring: not valid in should")
+            continue
         if isinstance(leaf, CrossFields):
             # BlendedTermQuery + DisMax: per-field BM25 with its own
             # length norm, shared blended idf (df = min(sum dfs, N)),

@@ -2,6 +2,8 @@ from search_engine_ray.query.qast import (  # noqa: F401
     Compound,
     CrossFields,
     Fuzzy,
+    MatchAll,
+    NumericRange,
     Phonetic,
     Prefix,
     Regexp,

@@ -54,6 +54,8 @@ from search_engine_ray.query.qast import (
     CrossFields,
     Fuzzy,
     Leaf,
+    MatchAll,
+    NumericRange,
     Phonetic,
     Prefix,
     Regexp,
@@ -70,7 +72,9 @@ BLK_COLS = ["blk_first", "blk_doc_off", "blk_tf_off", "blk_dl_off", "blk_max_tf"
 class FilterSpec:
     """Post-search metadata predicate (reference `$match` after
     `$search`, pipelines.py:55-61). Conditions AND together.
-    ops: == != > >= < <= in not_in"""
+    ops: == != > >= < <= in not_in between not_between
+    (between/not_between take val=(lo, hi), inclusive, None = open —
+    the lowering target of qast.NumericRange clauses)"""
 
     conditions: tuple[tuple[str, str, Any], ...] = ()
 
@@ -98,6 +102,14 @@ class FilterSpec:
                 mask &= np.isin(v, list(val))
             elif op == "not_in":
                 mask &= ~np.isin(v, list(val))
+            elif op in ("between", "not_between"):
+                lo, hi = val
+                m = np.ones(n, dtype=bool)
+                if lo is not None:
+                    m &= v >= lo
+                if hi is not None:
+                    m &= v <= hi
+                mask &= m if op == "between" else ~m
             else:
                 raise ValueError(f"unknown op {op!r}")
         return mask
@@ -214,6 +226,11 @@ class _QuerySpec:
     # score; BM25 scores are still computed and reported. The per-hit
     # key travels in the `sort_key` column for the driver merge.
     sort_by: tuple | None = None
+    # ES match_all: every live doc in the bucket's docmap matches with
+    # score 0 (no postings read); filters/facets/stats/sort still
+    # apply — the browse/listing page over the index. Also the
+    # execution form of a query whose only clauses were NumericRanges.
+    match_all: bool = False
 
 
 class _DocmapCache:
@@ -263,6 +280,39 @@ def _field_namespace_range(spec) -> tuple[str, str]:
     '~' are both greater than ':' — the one place this code-point
     argument lives (used by fuzzy expansion and suggest())."""
     return f"{spec.code}:", f"{spec.code}:\U0010ffff"
+
+
+def _lower_ranges(q: Compound) -> tuple[Compound, tuple]:
+    """Split NumericRange leaves out of a Compound, returning the
+    residual query and the equivalent FilterSpec conditions (Atlas
+    `range` lowered onto the docmap predicate). must/filter roles
+    become `between`, must_not becomes `not_between`; a range in
+    should would be an optional non-scoring clause — meaningless, so
+    it is rejected."""
+    if any(isinstance(l, NumericRange) for l in q.should):
+        raise ValueError("NumericRange is non-scoring: use filter/must/must_not, not should")
+    conds: list[tuple] = []
+    keep: dict[str, tuple] = {}
+    for role in ("must", "filter", "must_not"):
+        leaves = getattr(q, role)
+        kept = []
+        for l in leaves:
+            if isinstance(l, NumericRange):
+                op = "not_between" if role == "must_not" else "between"
+                conds.append((l.field, op, (l.lo, l.hi)))
+            else:
+                kept.append(l)
+        keep[role] = tuple(kept)
+    if not conds:
+        return q, ()
+    q2 = Compound(
+        must=keep["must"],
+        should=q.should,
+        min_should_match=q.min_should_match,
+        must_not=keep["must_not"],
+        filter=keep["filter"],
+    )
+    return q2, tuple(conds)
 
 
 def _resolve_boosts(boosts: tuple) -> list[tuple]:
@@ -704,6 +754,16 @@ class _BucketScorerImpl:
 
     def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
         resolved = _resolve_boosts(spec.boosts)
+        if spec.match_all:
+            # ES match_all: the bucket's docmap IS the match set
+            # (score 0); filters/facets/stats/sort run in _finish
+            outs = []
+            for b in self.buckets:
+                ids = self.dmc.get(b, ())["doc_id"]
+                outs.append(
+                    _finish(ids, np.zeros(ids.size), b, spec, self.dmc, resolved)
+                )
+            return pa.concat_tables(outs) if outs else _result_table([], [], 0, [])
         flt = pc.field("term").isin(term_keys)
         cols = POSTING_COLS + BLK_COLS if spec.prune else POSTING_COLS
         outs = []
@@ -1166,7 +1226,7 @@ class SearchEngine:
     def _make_spec(
         self, leaves, q, n_take, filter_spec, boosts, facet_fields,
         emit_all=None, search_after=None, stat_fields=(), range_facets=(),
-        sort_by=None,
+        sort_by=None, match_all=False,
     ):
         return _QuerySpec(
             leaves=tuple(leaves),
@@ -1185,6 +1245,7 @@ class SearchEngine:
             stat_fields=tuple(stat_fields),
             range_facets=tuple(range_facets),
             sort_by=sort_by,
+            match_all=match_all,
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -1228,17 +1289,37 @@ class SearchEngine:
             raise ValueError("search_after and sort_by are mutually exclusive")
         rf = tuple((c, tuple(e)) for c, e in (range_facets or {}).items())
         self._refresh_tombstones()
+        match_all = isinstance(q, MatchAll)
+        if match_all:
+            q = Compound()
+        else:
+            q, range_conds = _lower_ranges(q)
+            if range_conds:
+                if not (q.must or q.should or q.filter):
+                    if q.must_not:
+                        # would need a match-all scan WITH postings
+                        # exclusion — not a supported execution shape
+                        raise ValueError(
+                            "NumericRange + mustNot without any positive term "
+                            "clause is unsupported; add a term clause"
+                        )
+                    # range-only query: docmap scan with the lowered
+                    # predicate (Atlas standalone range operator)
+                    match_all = True
+                base = filter_spec.conditions if filter_spec is not None else ()
+                filter_spec = FilterSpec(tuple(base) + tuple(range_conds))
         leaves = self._resolve(q)
-        # a must clause with no indexed term can never match; total=0
-        # is provably exact on these early returns regardless of the
-        # prune request (nothing was skipped)
-        if any(lf.is_must and not lf.term_keys for lf in leaves):
-            return SearchResult(0, _empty_hits(), total_exact=True)
+        if not match_all:
+            # a must clause with no indexed term can never match;
+            # total=0 is provably exact on these early returns
+            # regardless of the prune request (nothing was skipped)
+            if any(lf.is_must and not lf.term_keys for lf in leaves):
+                return SearchResult(0, _empty_hits(), total_exact=True)
+            # a purely negative query (only mustNot clauses carry
+            # indexed terms) matches nothing, like Lucene's
+            if not any(lf.term_keys for lf in leaves if lf.occur != "not"):
+                return SearchResult(0, _empty_hits(), total_exact=True)
         term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
-        # a purely negative query (only mustNot clauses carry indexed
-        # terms) matches nothing, like Lucene's
-        if not any(lf.term_keys for lf in leaves if lf.occur != "not"):
-            return SearchResult(0, _empty_hits(), total_exact=True)
         # pruning is rank-safe only for pure-OR top-k with no filter /
         # boost / facet side-outputs (and makes `total` a lower bound);
         # tombstones disable it (a pruned doc set can't be post-filtered
@@ -1257,6 +1338,7 @@ class SearchEngine:
             and not stat_fields
             and not rf
             and sort_by is None
+            and not match_all
             and all(
                 lf.const_score is None and not lf.blend and not lf.dismax
                 for lf in leaves
@@ -1266,7 +1348,7 @@ class SearchEngine:
         spec = self._make_spec(
             leaves, q, skip + k, filter_spec, boosts, facet_fields,
             search_after=search_after, stat_fields=tuple(stat_fields),
-            range_facets=rf, sort_by=sort_by,
+            range_facets=rf, sort_by=sort_by, match_all=match_all,
         )
         if prune:
             theta0 = float("-inf")
@@ -1351,6 +1433,7 @@ class SearchEngine:
 
         doc_id = int(doc_id)
         bucket = doc_id % self.config.num_buckets
+        q, range_conds = _lower_ranges(q)
         leaves = self._resolve(q)
         impl = _BucketScorerImpl(self.dirs, [bucket])
         n_must = sum(1 for lf in leaves if lf.is_must)
@@ -1415,6 +1498,17 @@ class SearchEngine:
         elif n_must == 0 and any(lf.occur == "should" for lf in leaves):
             matched &= should_cnt > 0
         matched = matched and not excluded
+        # lowered NumericRange clauses: evaluated on the doc's docmap
+        # attrs (keep-mask semantics, so not_between reads uniformly)
+        range_rows = []
+        for col, op, val in range_conds:
+            try:
+                v = impl.dmc.attrs(bucket, np.array([doc_id], np.int64), (col,))[col]
+                hit = bool(FilterSpec(((col, op, val),)).eval({col: v}, 1)[0])
+            except RuntimeError:  # unknown doc_id
+                hit = False
+            range_rows.append({"clause": f"{op}:{col}", "bounds": list(val), "matched": hit})
+            matched = matched and hit
         if self.tombstones is not None and np.isin(doc_id, self.tombstones):
             matched = False
         boost_rows = []
@@ -1447,6 +1541,7 @@ class SearchEngine:
             "score": float(total) if matched else 0.0,
             "clauses": clauses,
             "boosts": boost_rows,
+            "ranges": range_rows,
         }
 
     # ---- search_all (streaming Dataset path) ------------------------
@@ -1466,6 +1561,16 @@ class SearchEngine:
         import ray.data as rd
 
         self._refresh_tombstones()
+        if isinstance(q, MatchAll):
+            raise ValueError("match_all is a search() surface; scan the source table instead")
+        q, range_conds = _lower_ranges(q)
+        if range_conds:
+            if not (q.must or q.should or q.filter):
+                raise ValueError(
+                    "standalone-range search_all is unsupported; filter the source table"
+                )
+            base = filter_spec.conditions if filter_spec is not None else ()
+            filter_spec = FilterSpec(tuple(base) + tuple(range_conds))
         leaves = self._resolve(q)
         if any(lf.is_must and not lf.term_keys for lf in leaves):
             return rd.from_arrow(_empty_all_table(attach_cols))

@@ -138,7 +138,31 @@ class Regexp:
     boost: float = 1.0
 
 
-Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields | Wildcard | Regexp
+@dataclass(frozen=True)
+class NumericRange:
+    """Atlas $search `range` operator (Lucene PointRangeQuery): matches
+    docs whose NUMERIC stored field lies in [lo, hi] (inclusive; None
+    leaves that side open). Non-scoring — allowed in ``filter`` /
+    ``must`` (required) and ``must_not`` (excluding) clause sets, and
+    lowered at plan time onto the docmap predicate (FilterSpec), so it
+    costs one vectorized compare per bucket instead of a postings
+    scan. A query whose only clauses are ranges degrades to a
+    match-all scan over the docmap with the range as its predicate."""
+
+    field: str
+    lo: float | None = None
+    hi: float | None = None
+
+
+@dataclass(frozen=True)
+class MatchAll:
+    """ES match_all: every live (non-tombstoned) doc matches with
+    score 0. Pass in place of a Compound to `search()` — with
+    filter_spec / facets / stats / sort_by it is the browse/listing
+    page over the index (the reference's no-keyword product listing)."""
+
+
+Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields | Wildcard | Regexp | NumericRange
 
 
 @dataclass(frozen=True)

@@ -957,3 +957,90 @@ def test_range_facets_and_sort_by_field(ray_session, tmp_path):
             Compound(must=(Term("text", "alpha"),)), k=3,
             search_after=(1.0, 5), sort_by=("n_chars", True),
         )
+
+
+def test_numeric_range_and_match_all(ray_session, tmp_path):
+    """S25 NumericRange lowering + S26 MatchAll: range clauses become
+    docmap predicates (filter/must: between; mustNot: not_between);
+    range-only queries degrade to a match-all docmap scan; MatchAll
+    drives the browse/listing page."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import MatchAll, NumericRange
+
+    n = 30
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": ["alpha beta" if i % 3 == 0 else "alpha" for i in range(n)],
+            "n_chars": [100 + 10 * i for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("text", "c"),),
+        num_buckets=4, num_parts=2,
+        docmap_cols=("n_chars",),
+        id_cols=("doc_id",), use_native_id=True,
+    )
+    out = str(tmp_path / "rng")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(t, cfg, sha_col="text")
+
+    # range in compound.filter: required, non-scoring
+    q = Compound(
+        must=(Term("text", "alpha"),),
+        filter=(NumericRange("n_chars", 150, 250),),
+    )
+    res = eng.search(q, k=50, with_metadata=False)
+    ora = oracle_search(oix, q, k=50)
+    assert res.total == ora.total == 11
+    assert_parity(res, ora)
+    # scores are untouched by the range (same as the bare term query)
+    base = eng.search(Compound(must=(Term("text", "alpha"),)), k=50, with_metadata=False)
+    m = res.hits.merge(base.hits, on="doc_id", suffixes=("_r", "_b"))
+    np.testing.assert_allclose(m["score_r"].to_numpy(), m["score_b"].to_numpy(), atol=0)
+
+    # range in mustNot: exclusion; open bounds
+    q2 = Compound(must=(Term("text", "alpha"),), must_not=(NumericRange("n_chars", hi=149),))
+    res2 = eng.search(q2, k=50, with_metadata=False)
+    ora2 = oracle_search(oix, q2, k=50)
+    assert res2.total == ora2.total == n - 5
+    assert_parity(res2, ora2)
+
+    # range-only query: match-all docmap scan with the predicate
+    q3 = Compound(filter=(NumericRange("n_chars", 150, 250),))
+    res3 = eng.search(q3, k=50, with_metadata=False)
+    assert res3.total == 11
+    assert res3.hits["doc_id"].tolist() == list(range(5, 16))
+    assert (res3.hits["score"] == 0).all()
+
+    # MatchAll browse: every doc, filtered + attribute-sorted page
+    rb = eng.search(
+        MatchAll(), k=5,
+        filter_spec=FilterSpec((("n_chars", ">=", 300),)),
+        sort_by=("n_chars", True), with_metadata=False,
+    )
+    assert rb.total == 10
+    assert rb.hits["doc_id"].tolist() == [29, 28, 27, 26, 25]
+    # range facets + stats ride the match-all pass too
+    rf = eng.search(MatchAll(), k=1, range_facets={"n_chars": (100, 200, 400)}, with_metadata=False)
+    assert rf.total == n
+    assert rf.facets["n_chars"] == {"[100,200)": 10, "[200,400)": 20}
+    # range in should is rejected; range+mustNot-only unsupported
+    with pytest.raises(ValueError):
+        eng.search(Compound(should=(NumericRange("n_chars", 1, 2),)), k=5)
+    with pytest.raises(ValueError):
+        eng.search(
+            Compound(filter=(NumericRange("n_chars", 1, 2),), must_not=(Term("text", "beta"),)),
+            k=5,
+        )
+    # explain reports the lowered range predicate
+    ex = eng.explain(q, 7)
+    assert ex["matched"] is True and ex["ranges"][0]["matched"] is True
+    ex2 = eng.explain(q, 2)  # n_chars=120: outside the range
+    assert ex2["matched"] is False and ex2["ranges"][0]["matched"] is False
