@@ -809,6 +809,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return curate(both)
 
     # ---- text analysis ---------------------------------------------
+    def t_pack_sequences(sf_dir):
+        # LLM sample packing (T5/GPT dataloader "packing"): greedy
+        # token-budget sequence assembly — deterministic md5 id
+        # sharding, per-shard boundary scan looping over PACKS; the
+        # oracle replays the greedy walk as a recursive CTE
+        from search_engine_ray.ops.pack import pack_sequences
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        stats = txt.add_token_stats(docs, "text").select_columns(["doc_id", "n_tokens"])
+        out = pack_sequences(stats, budget=200, num_shards=8).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[
+            ["doc_id", "n_tokens", "pack_id", "pack_seq"]
+        ]
+
+    def e9_json_roundtrip(sf_dir):
+        # E9 JSON source/sink: export documents as JSONL shards
+        # (ray.data.write_json), read back with read_json, aggregate —
+        # the values must equal the parquet view's aggregate. Cache
+        # keyed on source mtime+size like the CSV dump.
+        import glob as _g
+
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        jdir = f"/tmp/ser_json_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(jdir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(jdir, ignore_errors=True)
+            _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).write_json(jdir)
+            open(os.path.join(jdir, "_DONE"), "w").write("ok")
+        ds = rd.read_json(sorted(_g.glob(os.path.join(jdir, "*.json"))))
+        out = rel.grouped_aggregate(
+            ds, "lang", {"cnt": ("count", "doc_id"), "sum_chars": ("sum", "n_chars")}
+        ).to_pandas()
+        out["cnt"] = out["cnt"].astype("int64")
+        out["sum_chars"] = out["sum_chars"].astype("int64")
+        return out
+
     def t_token_stats(sf_dir):
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_token_stats(docs, "text").drop_columns(["text"])
@@ -1442,6 +1483,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_top_terms": t_top_terms,
         "pipe_curation": pipe_curation,
         "e1_csv_source": e1_csv_source,
+        "e9_json_roundtrip": e9_json_roundtrip,
+        "t_pack_sequences": t_pack_sequences,
         "e2_incremental": e2_incremental,
         "e4_upsert_sink": e4_upsert_sink,
         "e5_full_refresh": e5_full_refresh,
@@ -1559,6 +1602,43 @@ LIMIT 10
         f"SELECT 'one_term' AS branch, t1.* FROM ({_bm25_sql(['src1'], col='source', prefix=True)}) t1 "
         f"UNION ALL SELECT 'multi_term' AS branch, t2.* FROM ({_bm25_sql(['hash', 'join'], mode='must')}) t2"
     )
+
+    # t_pack_sequences: the greedy token-budget packing walk replayed
+    # in SQL — shard = md5_number_upper(doc_id) % 8 (bit-identical to
+    # ops/sketch._md5_upper64), then a RECURSIVE CTE advances one pack
+    # boundary per step: next start = first rn whose shard-cumulative
+    # exceeds the pack window (min 1 doc — an oversize doc packs
+    # alone), exactly the engine's searchsorted boundary scan.
+    _pk_next = (
+        "(SELECT min(rn) FROM o WHERE o.shard = p.shard AND o.cum > "
+        "coalesce((SELECT cum FROM o o2 WHERE o2.shard = p.shard "
+        "AND o2.rn = p.start_rn - 1), 0) + 200)"
+    )
+    _pack_sql = f"""
+WITH RECURSIVE stats AS (
+  SELECT doc_id, len({toks}) AS n_tokens,
+    CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) % 8 AS BIGINT) AS shard
+  FROM documents),
+o AS (SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn,
+       sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id) AS cum FROM stats),
+mx AS (SELECT shard, max(rn) AS mr FROM o GROUP BY 1),
+pk AS (
+  SELECT shard, CAST(0 AS BIGINT) AS pack, CAST(1 AS BIGINT) AS start_rn FROM mx
+  UNION ALL
+  SELECT p.shard, p.pack + 1, greatest({_pk_next}, p.start_rn + 1)
+  FROM pk p JOIN mx m ON m.shard = p.shard
+  WHERE {_pk_next} IS NOT NULL
+    AND greatest({_pk_next}, p.start_rn + 1) <= m.mr
+),
+sel AS (SELECT o.doc_id, o.n_tokens, o.shard, o.rn,
+        (SELECT max(start_rn) FROM pk WHERE pk.shard = o.shard AND pk.start_rn <= o.rn) AS srn
+        FROM o)
+SELECT sel.doc_id, sel.n_tokens,
+       (sel.shard << 32) + pk.pack AS pack_id,
+       sel.rn - sel.srn AS pack_seq
+FROM sel JOIN pk ON pk.shard = sel.shard AND pk.start_rn = sel.srn
+ORDER BY sel.doc_id
+"""
 
     # S19/S20: clause roles — the negative/filter clause never scores;
     # df0 stays the GLOBAL df (the engine reads df from the dictionary,
@@ -2131,6 +2211,11 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
             "UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem"
         ),
+        "e9_json_roundtrip": (
+            "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
+            "FROM documents GROUP BY 1"
+        ),
+        "t_pack_sequences": _pack_sql,
         "e1_csv_source": (
             # CAST .. BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which
             # hash-mismatches the Ray int64 even when values agree

@@ -154,6 +154,10 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # snippets, hybrid RRF retrieval
         "t_bpe_tokens", "t_pii_clean", "t_decontaminate", "t_unigram_lp",
         "t_repetition", "s14_snippet", "pipe_hybrid",
+        # wave-3 engine surface: clause roles, boosts, pattern terms,
+        # range facets, attribute sort, range filter, match-all browse
+        "s19_must_not", "s21_boost", "s22_pattern", "s23_range_facet",
+        "s24_sort_by_field", "s25_range_filter", "s26_match_all_browse",
     ]
     qs = entrymod.queries()
     out = {}

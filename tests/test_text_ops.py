@@ -181,3 +181,78 @@ def test_pii_clean(ray_session):
         "see <URL> from 10.0.0.1",
         "nothing here",
     ]
+
+
+def test_pack_sequences_invariants(ray_session):
+    """Greedy sample packing: every doc exactly once, pack token sums
+    never exceed the budget unless the pack is a single oversize doc,
+    packs fill greedily (adding the next doc would overflow), and the
+    output is identical at any input partitioning."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.ops.pack import pack_sequences
+
+    rng = np.random.default_rng(11)
+    n, budget = 400, 100
+    tok = rng.integers(1, 160, size=n)  # some docs exceed the budget
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "n_tokens": tok.astype(np.int64)})
+
+    out = pack_sequences(
+        rd.from_arrow(t), budget=budget, num_shards=8
+    ).to_pandas().sort_values(["pack_id", "pack_seq"]).reset_index(drop=True)
+
+    # exactly-once coverage
+    assert sorted(out["doc_id"].tolist()) == list(range(n))
+    g = out.groupby("pack_id")
+    sums = g["n_tokens"].sum()
+    sizes = g.size()
+    # budget bound (oversize docs pack alone)
+    over = sums > budget
+    assert (sizes[over] == 1).all()
+    # greedy fullness: within a shard, a non-final pack plus its
+    # successor's first doc must overflow the budget
+    out["shard"] = out["pack_id"].to_numpy() >> 32
+    for _, sh in out.groupby("shard"):
+        packs = sh.groupby("pack_id", sort=True)
+        pids = sorted(sh["pack_id"].unique())
+        for a, b in zip(pids, pids[1:]):
+            first_next = sh[sh["pack_id"] == b].iloc[0]["n_tokens"]
+            assert sums[a] + first_next > budget
+        # docs within a shard are packed in doc_id order
+        assert sh.sort_values(["pack_id", "pack_seq"])["doc_id"].is_monotonic_increasing
+    # pack_seq is 0..len-1 per pack
+    assert (g["pack_seq"].min() == 0).all()
+    assert (g["pack_seq"].max() + 1 == sizes).all()
+
+    # partitioning independence: 1 block vs 13 blocks, same output
+    out2 = pack_sequences(
+        rd.from_arrow(t).repartition(13), budget=budget, num_shards=8
+    ).to_pandas().sort_values(["pack_id", "pack_seq"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out[out2.columns.intersection(out.columns)], out2[out2.columns.intersection(out.columns)])
+
+    # reference greedy packer parity on one shard's doc set
+    import hashlib
+
+    shard0 = sorted(
+        int(d) for d in t["doc_id"].to_pylist()
+        if int.from_bytes(hashlib.md5(str(d).encode()).digest()[:8], "little") % 8 == 0
+    )
+    toks0 = {int(d): int(v) for d, v in zip(t["doc_id"].to_pylist(), t["n_tokens"].to_pylist())}
+    packs, cur, cur_sum = [], [], 0
+    for d in shard0:
+        v = toks0[d]
+        if cur and cur_sum + v > budget:
+            packs.append(cur)
+            cur, cur_sum = [], 0
+        cur.append(d)
+        cur_sum += v
+    if cur:
+        packs.append(cur)
+    got0 = [
+        grp["doc_id"].tolist()
+        for _, grp in out[out["shard"] == 0].groupby("pack_id", sort=True)
+    ]
+    assert got0 == packs
