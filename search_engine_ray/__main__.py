@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None) -> int:
     sg.add_argument("--buckets", type=int, default=16)
     sg.add_argument("--parts", type=int, default=8)
 
+    fs = sub.add_parser("fsck", help="index integrity check (structure + optional sha256 vs source)")
+    fs.add_argument("index_dir")
+    fs.add_argument("--decode", action="store_true", help="decode every postings stream")
+    fs.add_argument("--source", default=None, help="corpus parquet for the sha256 check")
+    fs.add_argument("--sha-col", default="content")
+    fs.add_argument("--buckets", type=int, default=16)
+    fs.add_argument("--parts", type=int, default=8)
+
     args = ap.parse_args(argv)
     _init()
     from search_engine_ray.config import IndexConfig
@@ -136,6 +144,20 @@ def main(argv: list[str] | None = None) -> int:
         cfg = IndexConfig(num_buckets=args.buckets, num_parts=args.parts)
         eng = SearchEngine(args.index_dir, cfg)
         print(json.dumps(eng.suggest(args.field, args.token, args.max_edits, args.k)))
+    elif args.cmd == "fsck":
+        from search_engine_ray.index import integrity_check
+
+        cfg = IndexConfig(num_buckets=args.buckets, num_parts=args.parts)
+        rep = integrity_check(
+            args.index_dir, cfg, decode=args.decode,
+            source=args.source, sha_col=args.sha_col if args.source else None,
+        )
+        print(json.dumps(rep))
+        if not rep["ok"]:
+            import ray
+
+            ray.shutdown()
+            return 1
     import ray
 
     ray.shutdown()

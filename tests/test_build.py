@@ -235,3 +235,61 @@ def test_codec_parity_varbyte_vs_for(ray_session, tiny_corpus, tmp_path):
     # here — at 100k docs the FOR streams measure ~31% smaller
     # (BASELINE.md codec table)
     assert _stream_bytes(b) < 1.25 * _stream_bytes(a)
+
+
+def test_integrity_check(ray_session, tiny_index, tiny_corpus, tmp_path):
+    """fsck: a clean index passes every check (structure, full stream
+    decode, per-row sha256 vs the source — the north-rule invariant);
+    seeded corruptions are each detected."""
+    import glob as _g
+    import json
+    import os
+    import shutil
+
+    import ray.data as rd
+
+    from search_engine_ray.index import integrity_check
+
+    out, cfg, _ = tiny_index
+    rep = integrity_check(
+        out, cfg, decode=True, source=rd.from_arrow(tiny_corpus), sha_col="content"
+    )
+    assert rep["ok"], rep["errors"]
+    assert rep["checks"]["docs"] == 200
+    assert rep["checks"]["decoded_rows"] > 0
+    assert rep["checks"]["sha_missing"] == 0
+    assert rep["checks"]["sha_extra"] == 0
+    assert rep["checks"]["sha_mismatch"] == 0
+
+    # stats n_docs drift
+    bad = str(tmp_path / "fsck_bad1")
+    shutil.copytree(out, bad)
+    st = json.load(open(os.path.join(bad, "stats.json")))
+    st["n_docs"] += 1
+    json.dump(st, open(os.path.join(bad, "stats.json"), "w"))
+    rep2 = integrity_check(bad, cfg)
+    assert not rep2["ok"] and any("n_docs" in e for e in rep2["errors"])
+
+    # orphan postings (dictionary part dropped)
+    bad2 = str(tmp_path / "fsck_bad2")
+    shutil.copytree(out, bad2)
+    for f in _g.glob(os.path.join(bad2, "dict", "part=0", "*.parquet")):
+        os.remove(f)
+    rep3 = integrity_check(bad2, cfg)
+    assert not rep3["ok"] and any("missing from dict" in e for e in rep3["errors"])
+
+    # source drift: one doc's content no longer matches its indexed sha
+    t = tiny_corpus.to_pandas()
+    t.loc[0, "content"] = (t.loc[0, "content"] or "") + " CORRUPTED"
+    rep4 = integrity_check(out, cfg, source=rd.from_pandas(t), sha_col="content")
+    assert not rep4["ok"]
+    assert rep4["checks"]["sha_mismatch"] == 1
+
+    # unknown tombstone id
+    bad3 = str(tmp_path / "fsck_bad3")
+    shutil.copytree(out, bad3)
+    from search_engine_ray.index.build import add_tombstones
+
+    add_tombstones(bad3, [999_999_999_999])
+    rep5 = integrity_check(bad3, cfg)
+    assert not rep5["ok"] and any("unknown doc ids" in e for e in rep5["errors"])
