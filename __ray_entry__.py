@@ -1098,6 +1098,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "total", np.int64(r.total))
         return out.reset_index(drop=True)
 
+    def s27_query_string(sf_dir):
+        # S27 Lucene-classic query_string: one string exercising AND,
+        # per-clause boost, negation and a numeric range — parsed into
+        # the same Compound a hand-built query would be
+        from search_engine_ray.query.qparser import parse_query_string
+
+        q = parse_query_string(
+            "vector AND join^2 -slow n_chars:[150 TO 300]", default_field="text"
+        )
+        return _bm25_query(sf_dir, q)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1512,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s24_sort_by_field": s24_sort_by_field,
         "s25_range_filter": s25_range_filter,
         "s26_match_all_browse": s26_match_all_browse,
+        "s27_query_string": s27_query_string,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1736,6 +1748,29 @@ SELECT (SELECT count(*) FROM m) AS total, doc_id,
 FROM m ORDER BY n_chars DESC, doc_id LIMIT 10
 """
 
+    # S27 query_string: "vector AND join^2 -slow n_chars:[150 TO 300]"
+    # — boosted clause idf scaled 2x, negation excluded, range required
+    _s27_expr = (
+        "ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+        "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) + "
+        "(2.0 * ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5))) * tf1 * 2.2 / "
+        "(tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))"
+    )
+    s27_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'join')) AS tf1,
+             len(list_filter(ts, t -> t = 'slow')) AS tfn FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d)
+SELECT d.doc_id, round({_s27_expr}, 4) AS score
+FROM d, s
+WHERE tf0 > 0 AND tf1 > 0 AND tfn = 0 AND d.n_chars BETWEEN 150 AND 300
+ORDER BY ({_s27_expr}) DESC, d.doc_id LIMIT 10
+"""
+
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
     # contributions sum, ranked on the rounded score (the same shape
     # as the s2 range scan / s10 fuzzy SQL)
@@ -1909,6 +1944,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s24_sort_by_field": s24_sql,
         "s25_range_filter": s25_sql,
         "s26_match_all_browse": s26_sql,
+        "s27_query_string": s27_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
