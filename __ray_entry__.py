@@ -1109,6 +1109,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _bm25_query(sf_dir, q)
 
+    def s28_field_value_boost(sf_dir):
+        # S28 ES function_score field_value_factor: relevance is
+        # MULTIPLIED by log1p(0.01 * n_chars) — longer docs promoted
+        from search_engine_ray.query import FieldValueBoost
+
+        q = Compound(must=(Term("text", "vector"),))
+        return _bm25_query(
+            sf_dir, q, boosts=(FieldValueBoost("n_chars", factor=0.01, modifier="log1p"),)
+        )
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1524,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s25_range_filter": s25_range_filter,
         "s26_match_all_browse": s26_match_all_browse,
         "s27_query_string": s27_query_string,
+        "s28_field_value_boost": s28_field_value_boost,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1771,6 +1782,20 @@ WHERE tf0 > 0 AND tf1 > 0 AND tfn = 0 AND d.n_chars BETWEEN 150 AND 300
 ORDER BY ({_s27_expr}) DESC, d.doc_id LIMIT 10
 """
 
+    # S28 function_score field_value_factor: score multiplied by
+    # log1p(0.01 * n_chars) after BM25
+    _s28_expr = f"({_bm25_expr0}) * ln(1 + 0.01 * d.n_chars)"
+    s28_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_s28_expr}, 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY ({_s28_expr}) DESC, d.doc_id LIMIT 10
+"""
+
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
     # contributions sum, ranked on the rounded score (the same shape
     # as the s2 range scan / s10 fuzzy SQL)
@@ -1945,6 +1970,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s25_range_filter": s25_sql,
         "s26_match_all_browse": s26_sql,
         "s27_query_string": s27_sql,
+        "s28_field_value_boost": s28_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

@@ -19,7 +19,7 @@ from search_engine_ray.analysis import get_analyzer
 from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
-from search_engine_ray.query.executor import DocAttrBoost, FilterSpec
+from search_engine_ray.query.executor import DocAttrBoost, FieldValueBoost, FilterSpec
 from search_engine_ray.query.qast import (
     Compound,
     CrossFields,
@@ -267,8 +267,15 @@ def oracle_search(
         matched &= filter_spec.eval(cols, n)
     sel = np.nonzero(matched)[0]
     sel_scores = score[sel]
-    for bst in boosts:
-        if isinstance(bst, DocAttrBoost):
+    # additive boosts first, multiplicative field_value_factor after
+    # (the engine's _finish ordering)
+    for bst in [b for b in boosts if not isinstance(b, FieldValueBoost)] + [
+        b for b in boosts if isinstance(b, FieldValueBoost)
+    ]:
+        if isinstance(bst, FieldValueBoost):
+            vals = oix.meta[bst.col].to_numpy()[sel]
+            sel_scores = bst.apply(sel_scores, vals)
+        elif isinstance(bst, DocAttrBoost):
             vals = oix.meta[bst.col].to_numpy()[sel]
             sel_scores = sel_scores + np.where(vals == bst.value, bst.add, 0.0)
         else:  # ConditionalAddBoost with a raw ndarray id set

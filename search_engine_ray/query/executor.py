@@ -132,6 +132,31 @@ class DocAttrBoost:
     add: float
 
 
+_FV_MODIFIERS = {
+    "none": lambda v: v,
+    "log1p": np.log1p,
+    "sqrt": np.sqrt,
+}
+
+
+@dataclass(frozen=True)
+class FieldValueBoost:
+    """ES function_score ``field_value_factor``: the relevance score is
+    MULTIPLIED by ``modifier(factor * docmap[col])`` (modifier one of
+    none | log1p | sqrt). Applied after all additive boosts, in
+    declaration order. Null/NaN attribute values use ``missing``."""
+
+    col: str
+    factor: float = 1.0
+    modifier: str = "log1p"
+    missing: float = 1.0
+
+    def apply(self, scores: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        v = np.asarray(vals, dtype=np.float64)
+        v = np.where(np.isnan(v), float(self.missing), v)
+        return scores * _FV_MODIFIERS[self.modifier](self.factor * v)
+
+
 @dataclass
 class SearchResult:
     total: int
@@ -327,6 +352,10 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
             out.append(("ids", np.asarray(ids, dtype=np.int64), bst.add))
         elif isinstance(bst, DocAttrBoost):
             out.append(("attr", bst, None))
+        elif isinstance(bst, FieldValueBoost):
+            if bst.modifier not in _FV_MODIFIERS:
+                raise ValueError(f"unknown field_value_factor modifier {bst.modifier!r}")
+            out.append(("fv", bst, None))
         else:
             raise TypeError(type(bst))
     return out
@@ -563,8 +592,13 @@ def _finish(
         attrs = dmc.attrs(bucket, m_ids, spec.filter_spec.columns)
         keep = spec.filter_spec.eval(attrs, m_ids.size)
         m_ids, m_scores = m_ids[keep], m_scores[keep]
-    # boosts AFTER matching+filtering (reference $project stage order)
-    for kind, payload, add in resolved_boosts:
+    # boosts AFTER matching+filtering (reference $project stage order);
+    # multiplicative field_value_factor boosts apply after all
+    # additive ones (ES function_score combine order)
+    ordered = [b for b in resolved_boosts if b[0] != "fv"] + [
+        b for b in resolved_boosts if b[0] == "fv"
+    ]
+    for kind, payload, add in ordered:
         if not m_ids.size:
             break
         if kind == "ids":
@@ -572,6 +606,9 @@ def _finish(
             pos = np.clip(pos, 0, max(0, payload.size - 1))
             hit = (payload[pos] == m_ids) if payload.size else np.zeros(m_ids.size, bool)
             m_scores = m_scores + np.where(hit, add, 0.0)
+        elif kind == "fv":
+            attrs = dmc.attrs(bucket, m_ids, (payload.col,))
+            m_scores = payload.apply(m_scores, attrs[payload.col])
         else:
             bst: DocAttrBoost = payload
             attrs = dmc.attrs(bucket, m_ids, (bst.col,))
@@ -1512,7 +1549,28 @@ class SearchEngine:
         if self.tombstones is not None and np.isin(doc_id, self.tombstones):
             matched = False
         boost_rows = []
-        for kind_, payload, add in _resolve_boosts(tuple(boosts)):
+        _rb = _resolve_boosts(tuple(boosts))
+        for kind_, payload, add in [b for b in _rb if b[0] != "fv"] + [
+            b for b in _rb if b[0] == "fv"
+        ]:
+            if kind_ == "fv":
+                try:
+                    val = impl.dmc.attrs(
+                        bucket, np.array([doc_id], np.int64), (payload.col,)
+                    )[payload.col]
+                    new_total = float(payload.apply(np.array([total], np.float64), val)[0])
+                    boost_rows.append(
+                        {
+                            "kind": f"fv:{payload.col}",
+                            "add": (new_total - total) if matched else 0.0,
+                            "applied": bool(matched),
+                        }
+                    )
+                    if matched:
+                        total = new_total
+                except RuntimeError:  # unknown doc_id
+                    boost_rows.append({"kind": f"fv:{payload.col}", "add": 0.0, "applied": False})
+                continue
             if kind_ == "ids":
                 hit = bool(payload.size) and bool(
                     payload[np.clip(np.searchsorted(payload, doc_id), 0, payload.size - 1)]

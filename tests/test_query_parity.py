@@ -1044,3 +1044,63 @@ def test_numeric_range_and_match_all(ray_session, tmp_path):
     assert ex["matched"] is True and ex["ranges"][0]["matched"] is True
     ex2 = eng.explain(q, 2)  # n_chars=120: outside the range
     assert ex2["matched"] is False and ex2["ranges"][0]["matched"] is False
+
+
+def test_field_value_boost(ray_session, tmp_path):
+    """S28 function_score field_value_factor: relevance multiplied by
+    modifier(factor * attr) — engine matches the brute oracle, applies
+    AFTER additive boosts, and explain() reflects the combine."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import DocAttrBoost, FieldValueBoost
+
+    n = 24
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": ["alpha beta" if i % 2 == 0 else "alpha" for i in range(n)],
+            "n_chars": [64 * (i + 1) for i in range(n)],
+            "lang": ["en" if i % 3 == 0 else "de" for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("text", "c"),),
+        num_buckets=4, num_parts=2,
+        docmap_cols=("n_chars", "lang"),
+        id_cols=("doc_id",), use_native_id=True,
+    )
+    out = str(tmp_path / "fvb")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(t, cfg, sha_col="text")
+    q = Compound(must=(Term("text", "alpha"),))
+    fv = FieldValueBoost("n_chars", factor=0.01, modifier="log1p")
+    res = eng.search(q, k=n, boosts=(fv,), with_metadata=False)
+    ora = oracle_search(oix, q, k=n, boosts=(fv,))
+    assert_parity(res, ora)
+    # multiplies the base score exactly
+    base = eng.search(q, k=n, with_metadata=False)
+    m = res.hits.merge(base.hits, on="doc_id", suffixes=("_f", "_b"))
+    nc = {int(d): 64 * (int(d) + 1) for d in range(n)}
+    exp = m["score_b"].to_numpy() * np.log1p(
+        0.01 * np.array([nc[d] for d in m["doc_id"]])
+    )
+    np.testing.assert_allclose(m["score_f"].to_numpy(), exp, rtol=1e-12)
+    # additive boost applies BEFORE the multiplier (both engine+oracle)
+    both = (DocAttrBoost("lang", "en", 5.0), fv)
+    res2 = eng.search(q, k=n, boosts=both, with_metadata=False)
+    ora2 = oracle_search(oix, q, k=n, boosts=both)
+    assert_parity(res2, ora2)
+    # explain: boosts sum to the final score
+    did = int(res2.hits["doc_id"].iloc[0])
+    ex = eng.explain(q, did, boosts=both)
+    assert abs(ex["score"] - float(res2.hits.set_index("doc_id")["score"][did])) < 1e-9
+    kinds = [b["kind"] for b in ex["boosts"]]
+    assert kinds == ["attr:lang", "fv:n_chars"]
+    # unknown modifier rejected
+    with pytest.raises(ValueError):
+        eng.search(q, k=3, boosts=(FieldValueBoost("n_chars", modifier="exp"),))
