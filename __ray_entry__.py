@@ -1119,6 +1119,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, q, boosts=(FieldValueBoost("n_chars", factor=0.01, modifier="log1p"),)
         )
 
+    def e10_delete_by_query(sf_dir):
+        # E10 ES delete_by_query: on a scratch copy of the cached
+        # index, tombstone every doc containing 'slow', then query
+        # 'vector' — deleted docs are gone from hits AND totals, while
+        # scores still use the ORIGINAL corpus stats (tombstones do
+        # not rewrite df/avgdl until compaction), which is exactly the
+        # mustNot-with-global-df SQL shape.
+        import shutil
+
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.query import SearchEngine
+
+        base_eng = _doc_engine(sf_dir)  # materializes the cached index
+        src = base_eng.index_dir
+        st = os.stat(os.path.join(src, "stats.json"))
+        scratch = f"{src}_delq_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(scratch, "_DELETED")):
+            shutil.rmtree(scratch, ignore_errors=True)
+            shutil.copytree(src, scratch)
+            eng0 = SearchEngine(scratch, DOCUMENTS_CONFIG)
+            n = eng0.delete_by_query(Compound(must=(Term("text", "slow"),)))
+            assert n > 0
+            open(os.path.join(scratch, "_DELETED"), "w").write("ok")
+        eng = SearchEngine(scratch, DOCUMENTS_CONFIG)
+        res = eng.search(Compound(must=(Term("text", "vector"),)), k=10, with_metadata=False)
+        out = res.hits[["doc_id", "score"]].copy()
+        out["score"] = round_half_up(out["score"].to_numpy())
+        out.insert(0, "total", np.int64(res.total))
+        return out.reset_index(drop=True)
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1535,6 +1565,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s26_match_all_browse": s26_match_all_browse,
         "s27_query_string": s27_query_string,
         "s28_field_value_boost": s28_field_value_boost,
+        "e10_delete_by_query": e10_delete_by_query,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1796,6 +1827,22 @@ FROM d, s WHERE tf0 > 0
 ORDER BY ({_s28_expr}) DESC, d.doc_id LIMIT 10
 """
 
+    # E10 delete_by_query: docs containing 'slow' tombstoned; query
+    # 'vector' scores with ORIGINAL df (tombstones don't rewrite
+    # stats) and excludes the deleted — plus the exact remaining total
+    e10_sql = f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'slow')) AS tfn FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+m AS (SELECT d.doc_id, round({_bm25_expr0}, 4) AS score, ({_bm25_expr0}) AS raw
+      FROM d, s WHERE tf0 > 0 AND tfn = 0)
+SELECT (SELECT count(*) FROM m) AS total, doc_id, score
+FROM m ORDER BY raw DESC, doc_id LIMIT 10
+"""
+
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
     # contributions sum, ranked on the rounded score (the same shape
     # as the s2 range scan / s10 fuzzy SQL)
@@ -1971,6 +2018,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s26_match_all_browse": s26_sql,
         "s27_query_string": s27_sql,
         "s28_field_value_boost": s28_sql,
+        "e10_delete_by_query": e10_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

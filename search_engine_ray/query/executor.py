@@ -1675,6 +1675,29 @@ class SearchEngine:
             batch_format="pyarrow",
         )
 
+    def delete_by_query(
+        self, q: Compound, filter_spec: FilterSpec | None = None
+    ) -> int:
+        """ES delete_by_query: tombstone every doc matching ``q``
+        (+ optional metadata filter). Deletions are visible to the
+        NEXT search on any engine over this index (tombstones are
+        re-read per search); physical removal happens at the next
+        compaction (`compact_tombstones` / tiered merge). The match
+        set STREAMS off the search_all Dataset in batches — the driver
+        never holds more than one batch of ids. Returns the number of
+        newly tombstoned docs."""
+        from search_engine_ray.index.build import add_tombstones, load_tombstones
+
+        before = int(load_tombstones(self.index_dir).size)
+        total = before
+        for batch in self.search_all(q, filter_spec=filter_spec).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        ):
+            ids = batch["doc_id"].to_numpy(zero_copy_only=False)
+            if ids.size:
+                total = add_tombstones(self.index_dir, ids)
+        return int(total - before)
+
     def _attach_metadata(self, hits: pd.DataFrame) -> pd.DataFrame:
         ids = hits["doc_id"].to_numpy()
         buckets = sorted({int(i) % self.config.num_buckets for i in ids})

@@ -524,3 +524,40 @@ def test_upsert_pending_replay(ray_session, tiny_corpus, tmp_path):
     assert eng.stats["n_docs"] == tiny_corpus.num_rows
     assert eng.search(Compound(must=(Term("content", "qqreplay"),)), k=5).total == 2
     assert eng.search(Compound(must=(Term("content", "qqsecond"),)), k=5).total == 1
+
+
+def test_delete_by_query(ray_session, tiny_index, tmp_path):
+    """ES delete_by_query: matching docs tombstoned (visible on the
+    next search, engine object unchanged), idempotent re-delete adds
+    nothing, remaining scores keep the original corpus stats."""
+    import shutil
+
+    import numpy as np
+
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    scratch = str(tmp_path / "delq")
+    shutil.copytree(out, scratch)
+    eng = SearchEngine(scratch, cfg)
+    base = eng.search(Compound(must=(Term("content", "import"),)), k=500, with_metadata=False)
+    victims = eng.search(
+        Compound(must=(Term("content", "import"), Term("content", "tokenizer"))),
+        k=500, with_metadata=False,
+    )
+    assert 0 < victims.total < base.total
+    n = eng.delete_by_query(
+        Compound(must=(Term("content", "import"), Term("content", "tokenizer")))
+    )
+    assert n == victims.total
+    # same engine object: deletions visible on the next search
+    after = eng.search(Compound(must=(Term("content", "import"),)), k=500, with_metadata=False)
+    assert after.total == base.total - victims.total
+    assert not set(after.hits["doc_id"]).intersection(victims.hits["doc_id"])
+    # surviving docs keep their exact scores (stats unchanged)
+    merged = after.hits.merge(base.hits, on="doc_id", suffixes=("_a", "_b"))
+    np.testing.assert_allclose(merged["score_a"].to_numpy(), merged["score_b"].to_numpy(), atol=0)
+    # idempotent: deleting the same match set again adds 0 tombstones
+    assert eng.delete_by_query(
+        Compound(must=(Term("content", "import"), Term("content", "tokenizer")))
+    ) == 0
