@@ -642,6 +642,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
         return out
 
+    def r26_hopping_window(sf_dir):
+        # hopping-window aggregate (Flink/KSQL HOP): 1h windows every
+        # 15 min — each event lands in 4 windows; the fan-out happens
+        # before the combiner so the shuffle stays one row per
+        # (window, event_type) per block
+        ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+        out = rel.window_aggregate(
+            ds, "ts", 3600,
+            {"n": ("count", "value"), "sum_value": ("sum", "value")},
+            keys=["event_type"], slide_s=900,
+        ).to_pandas()
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
+        return out
+
     def r20_asof_join(sf_dir):
         # as-of join: each purchase picks up the user's most recent
         # prior click (coarse-shard co-location + one vectorized
@@ -1520,6 +1534,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r16_facet_counts": r16_facet_counts,
         "e6_events_rollup": e6_events_rollup,
         "r19_window_agg": r19_window_agg,
+        "r26_hopping_window": r26_hopping_window,
         "r20_asof_join": r20_asof_join,
         "r21_range_join": r21_range_join,
         "r22_hash_join": r22_hash_join,
@@ -2246,6 +2261,19 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
             "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"
+        ),
+        "r26_hopping_window": (
+            # 1h windows every 15 min: 4 candidate starts per event,
+            # keep the covering non-negative ones
+            # floor() before the cast: epoch() is fractional seconds
+            # and a bare BIGINT cast ROUNDS, while the engine truncates
+            "WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value FROM events), "
+            "x AS (SELECT (ep // 900) * 900 - i * 900 AS window_start, event_type, value "
+            "      FROM e CROSS JOIN (SELECT unnest(range(0, 4)) AS i) "
+            "      WHERE (ep // 900) * 900 - i * 900 >= 0 "
+            "        AND ep < (ep // 900) * 900 - i * 900 + 3600) "
+            "SELECT window_start, event_type, count(*) AS n, "
+            "round(sum(value), 2) AS sum_value FROM x GROUP BY 1, 2"
         ),
         "r20_asof_join": (
             "WITH clicks AS (SELECT user_id, ts, max(value) AS click_value "

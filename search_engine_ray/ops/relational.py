@@ -516,34 +516,64 @@ def window_aggregate(
     every_s: int,
     aggs: dict[str, tuple[str, str]],
     keys: Sequence[str] = (),
+    slide_s: int | None = None,
 ) -> Dataset:
-    """Tumbling-window aggregate: bucket each row into the window
+    """Tumbling or hopping window aggregate.
+
+    Tumbling (default): bucket each row into the window
     `floor(epoch_seconds(ts) / every_s) * every_s` and aggregate per
-    (window_start, *keys). The window key is computed vectorized in
-    Arrow inside map_batches and then rides the same pre-combined hash
-    aggregate as any grouped_aggregate — one shuffle whose payload is
-    one row per (window, keys) per block, so a century of events at
-    hourly windows still moves only the combined partials.
+    (window_start, *keys). Hopping (``slide_s < every_s``): window
+    starts advance by slide_s and each row lands in every window
+    covering it (``ceil(every_s / slide_s)`` of them — the Flink/KSQL
+    HOP; the row fan-out happens vectorized inside map_batches, BEFORE
+    the combiner, so the shuffle still moves one row per
+    (window, keys) per block).
+
+    The window key is computed vectorized in Arrow/numpy inside
+    map_batches and then rides the same pre-combined hash aggregate as
+    any grouped_aggregate — a century of events at hourly windows
+    still moves only the combined partials.
 
     window_start is emitted as int64 EPOCH SECONDS (not a timestamp)
     so downstream comparisons are typing-stable across engines.
-    Assumes epochs >= 0 (Arrow integer division truncates toward
-    zero, which equals floor for non-negative values)."""
+    Assumes epochs >= 0 (integer division truncates toward zero, which
+    equals floor for non-negative values); hopping windows that would
+    start before epoch 0 are dropped."""
     keys = list(keys)
+    if slide_s is not None and not 0 < slide_s <= every_s:
+        raise ValueError(f"slide_s must be in (0, every_s], got {slide_s}")
+
+    def _cols(t: pa.Table) -> list[str]:
+        out = list(keys)
+        for _, (_, c) in aggs.items():
+            if c not in out:
+                out.append(c)
+        return out
 
     def _win(t: pa.Table) -> pa.Table:
         ep = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000)
         w = pc.multiply(pc.divide(ep, every_s), every_s)
         cols = {"window_start": w}
-        for k in keys:
-            cols[k] = t[k]
-        for _, (_, c) in aggs.items():
-            if c not in cols:
-                cols[c] = t[c]
+        for c in _cols(t):
+            cols[c] = t[c]
         return pa.table(cols)
 
+    def _win_hop(t: pa.Table) -> pa.Table:
+        ep = pc.divide(pc.cast(t[ts_col], pa.int64()), 1_000_000).to_numpy()
+        nrep = -(-every_s // slide_s)
+        base = (ep // slide_s) * slide_s
+        # nrep candidate starts per row; keep those covering the row
+        starts = base[None, :] - (np.arange(nrep, dtype=np.int64) * slide_s)[:, None]
+        keep = (starts >= 0) & (ep[None, :] < starts + every_s)
+        wi, ri = np.nonzero(keep)
+        sub = t.select(_cols(t)).take(pa.array(ri, pa.int64()))
+        return sub.add_column(
+            0, "window_start", pa.array(starts[wi, ri], pa.int64())
+        )
+
+    fn = _win if slide_s is None or slide_s == every_s else _win_hop
     return grouped_aggregate(
-        ds.map_batches(_win, batch_format="pyarrow"), ["window_start"] + keys, aggs
+        ds.map_batches(fn, batch_format="pyarrow"), ["window_start"] + keys, aggs
     )
 
 

@@ -980,3 +980,46 @@ def test_count_min_sketch(ray_session):
     import numpy as np
 
     assert np.array_equal(h1.merge(h2).grid, sk.grid)
+
+
+def test_hopping_window_aggregate(ray_session):
+    """HOP windows (every=60s, slide=20s): each event lands in exactly
+    3 windows (minus the epoch-0 edge), counts/sums match a brute
+    per-window scan."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.ops import relational as rel
+
+    rng = np.random.default_rng(5)
+    ep = np.sort(rng.integers(0, 600, size=200)).astype("int64")
+    t = pa.table(
+        {
+            "ts": pa.array(ep * 1_000_000, pa.timestamp("us")),
+            "value": np.ones(200),
+        }
+    )
+    out = (
+        rel.window_aggregate(
+            rd.from_arrow(t), "ts", 60, {"n": ("count", "value")}, slide_s=20
+        )
+        .to_pandas()
+        .sort_values("window_start")
+        .reset_index(drop=True)
+    )
+    # brute-force expectation
+    starts = np.arange(0, 600, 20)
+    exp = {
+        int(w): int(((ep >= w) & (ep < w + 60)).sum())
+        for w in starts
+        if ((ep >= w) & (ep < w + 60)).any()
+    }
+    got = dict(zip(out["window_start"].astype(int), out["n"].astype(int)))
+    assert got == exp
+    # total assignments = sum over windows covering each event
+    cover = np.minimum(ep // 20, 2) + 1  # epoch-edge events cover fewer
+    assert out["n"].sum() == cover.sum()
+    with pytest.raises(ValueError):
+        rel.window_aggregate(rd.from_arrow(t), "ts", 60, {"n": ("count", "value")}, slide_s=0)
