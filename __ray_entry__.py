@@ -837,6 +837,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "n_tokens", "pack_id", "pack_seq"]
         ]
 
+    def t_shuffle_export(sf_dir):
+        # deterministic epoch shuffle for training export: rows take
+        # the fixed pseudorandom order (md5 % shards, md5, key) with
+        # no global sort-exchange — reproducible at any parallelism
+        from search_engine_ray.ops.pack import deterministic_shuffle
+
+        docs = _read(sf_dir, "documents", ["doc_id"])
+        out = deterministic_shuffle(docs, "doc_id", num_shards=32).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)[["doc_id", "shuffle_rank"]]
+
     def e9_json_roundtrip(sf_dir):
         # E9 JSON source/sink: export documents as JSONL shards
         # (ray.data.write_json), read back with read_json, aggregate —
@@ -1551,6 +1561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e1_csv_source": e1_csv_source,
         "e9_json_roundtrip": e9_json_roundtrip,
         "t_pack_sequences": t_pack_sequences,
+        "t_shuffle_export": t_shuffle_export,
         "e2_incremental": e2_incremental,
         "e4_upsert_sink": e4_upsert_sink,
         "e5_full_refresh": e5_full_refresh,
@@ -2354,6 +2365,12 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "FROM documents GROUP BY 1"
         ),
         "t_pack_sequences": _pack_sql,
+        "t_shuffle_export": (
+            "WITH h AS (SELECT doc_id, md5_number_upper(CAST(doc_id AS VARCHAR)) AS hv "
+            "FROM documents) "
+            "SELECT doc_id, CAST(row_number() OVER (ORDER BY hv % 32, hv, doc_id) - 1 "
+            "AS BIGINT) AS shuffle_rank FROM h ORDER BY doc_id"
+        ),
         "e1_csv_source": (
             # CAST .. BIGINT: DuckDB sum(BIGINT) yields HUGEINT, which
             # hash-mismatches the Ray int64 even when values agree

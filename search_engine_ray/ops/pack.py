@@ -84,3 +84,56 @@ def pack_sequences(
         .groupby("_shard")
         .map_groups(_pack, batch_format="pandas")
     )
+
+
+def deterministic_shuffle(
+    ds: Dataset,
+    key_col: str = "doc_id",
+    num_shards: int = 64,
+    salt: str = "",
+) -> Dataset:
+    """Deterministic global shuffle for training-data export WITHOUT a
+    sort shuffle: rows take the fixed pseudorandom order
+    ``(md5(key+salt) % num_shards, md5(key+salt), key)`` — reproducible
+    at any parallelism, across epochs (vary ``salt`` per epoch for a
+    fresh permutation), and bit-identical in SQL (md5_number_upper).
+
+    Two passes: a tiny per-shard row-count aggregate fixes each
+    shard's global offset, then ONE shard groupby whose groups sort
+    locally by hash and emit ``shuffle_rank`` = offset + local
+    position. The only all-to-all is the shard groupby (num_shards
+    groups); there is no global sort-exchange — the permutation is
+    globally consistent because shard membership and in-shard order
+    both depend only on the key.
+    """
+    from search_engine_ray.ops.sketch import _md5_upper64
+
+    def _tag(t: pa.Table) -> pa.Table:
+        keys = pc.cast(t[key_col], pa.string()).to_pylist()
+        h = _md5_upper64([k + salt for k in keys])
+        # order-preserving uint64 -> int64 (top bit flip): uint64
+        # columns are a shuffle-pickling hazard and int64 sorts the same
+        h_i64 = (h ^ np.uint64(1 << 63)).view(np.int64)
+        t = t.append_column("_h", pa.array(h_i64, pa.int64()))
+        return t.append_column(
+            "_shard", pa.array((h % np.uint64(num_shards)).astype(np.int64))
+        )
+
+    tagged = ds.map_batches(_tag, batch_format="pyarrow")
+    counts = tagged.groupby("_shard").count().to_pandas()
+    counts = counts.sort_values("_shard")
+    offsets = dict(
+        zip(
+            counts["_shard"].astype(int),
+            np.concatenate([[0], np.cumsum(counts["count()"].to_numpy())[:-1]]).astype(int),
+        )
+    )
+
+    def _rank(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(["_h", key_col], kind="mergesort").reset_index(drop=True)
+        off = offsets[int(df["_shard"].iloc[0])]
+        out = df.drop(columns=["_h", "_shard"]).copy()
+        out["shuffle_rank"] = off + np.arange(len(df), dtype=np.int64)
+        return out
+
+    return tagged.groupby("_shard").map_groups(_rank, batch_format="pandas")

@@ -256,3 +256,32 @@ def test_pack_sequences_invariants(ray_session):
         for _, grp in out[out["shard"] == 0].groupby("pack_id", sort=True)
     ]
     assert got0 == packs
+
+
+def test_deterministic_shuffle(ray_session):
+    """Epoch shuffle: a permutation (every rank exactly once), stable
+    across runs and partitioning, different under a different salt."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.ops.pack import deterministic_shuffle
+
+    n = 300
+    t = pa.table({"doc_id": np.arange(n, dtype=np.int64), "v": np.arange(n)})
+    a = deterministic_shuffle(rd.from_arrow(t), "doc_id", num_shards=16).to_pandas()
+    assert sorted(a["shuffle_rank"].tolist()) == list(range(n))
+    assert sorted(a["doc_id"].tolist()) == list(range(n))
+    # not the identity order (it's a real permutation)
+    asorted = a.sort_values("shuffle_rank")["doc_id"].tolist()
+    assert asorted != list(range(n))
+    # partitioning-independent
+    b = deterministic_shuffle(rd.from_arrow(t).repartition(7), "doc_id", num_shards=16).to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("doc_id").reset_index(drop=True),
+        b.sort_values("doc_id").reset_index(drop=True),
+    )
+    # a different salt draws a different permutation
+    c = deterministic_shuffle(rd.from_arrow(t), "doc_id", num_shards=16, salt="ep1").to_pandas()
+    assert c.sort_values("shuffle_rank")["doc_id"].tolist() != asorted
