@@ -1173,6 +1173,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out.insert(0, "total", np.int64(res.total))
         return out.reset_index(drop=True)
 
+    def s29_percentiles(sf_dir):
+        # S29 percentiles aggregation over the matched set — EXACT
+        # (per-bucket value histograms merged with the quantile_disc
+        # rule), not ES's approximate t-digest
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=1, with_metadata=False,
+            quantile_fields={"n_chars": (0.25, 0.5, 0.75)},
+        )
+        qd = r.quantiles["n_chars"]
+        return pd.DataFrame(
+            {"q": [0.25, 0.5, 0.75], "value": [qd[0.25], qd[0.5], qd[0.75]]}
+        )
+
     def s14_snippet(sf_dir):
         # keyword-in-context highlighter (Lucene highlighter analog):
         # first occurrence position + a +/-2-token window
@@ -1592,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s27_query_string": s27_query_string,
         "s28_field_value_boost": s28_field_value_boost,
         "e10_delete_by_query": e10_delete_by_query,
+        "s29_percentiles": s29_percentiles,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1869,6 +1885,17 @@ SELECT (SELECT count(*) FROM m) AS total, doc_id, score
 FROM m ORDER BY raw DESC, doc_id LIMIT 10
 """
 
+    # S29 exact percentiles over the matched set (quantile_disc)
+    s29_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+m AS (SELECT n_chars FROM tok WHERE len(list_filter(ts, t -> t = 'vector')) > 0),
+a AS (SELECT quantile_disc(n_chars, 0.25) AS v1, quantile_disc(n_chars, 0.5) AS v2,
+             quantile_disc(n_chars, 0.75) AS v3 FROM m)
+SELECT unnest([0.25, 0.5, 0.75]) AS q,
+       unnest([CAST(v1 AS DOUBLE), CAST(v2 AS DOUBLE), CAST(v3 AS DOUBLE)]) AS value
+FROM a
+"""
+
     # S22 Wildcard/Regexp multi-term rewrite: per-expanded-token idf,
     # contributions sum, ranked on the rounded score (the same shape
     # as the s2 range scan / s10 fuzzy SQL)
@@ -2045,6 +2072,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s27_query_string": s27_sql,
         "s28_field_value_boost": s28_sql,
         "e10_delete_by_query": e10_sql,
+        "s29_percentiles": s29_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

@@ -166,6 +166,9 @@ class SearchResult:
     # per stat_fields column: {"count", "sum", "min", "max", "avg"}
     # over the FULL matched set (ES stats aggregation)
     stats: dict[str, dict[str, float]] = dc_field(default_factory=dict)
+    # per quantile_fields column: {q: value} — EXACT discrete quantiles
+    # (quantile_disc rule) over the full matched set
+    quantiles: dict[str, dict[float, float]] = dc_field(default_factory=dict)
 
 
 @dataclass(frozen=True)
@@ -256,6 +259,13 @@ class _QuerySpec:
     # apply — the browse/listing page over the index. Also the
     # execution form of a query whose only clauses were NumericRanges.
     match_all: bool = False
+    # ES percentiles aggregation, computed EXACTLY: each bucket ships a
+    # (value, count) histogram of these numeric docmap columns over its
+    # matched docs (bounded by attribute cardinality); the driver merge
+    # applies the quantile_disc rule. Unlike ES's t-digest this is
+    # exact — document the cardinality assumption when using it on
+    # unbounded floats (pre-round the column).
+    quantile_fields: tuple = ()
 
 
 class _DocmapCache:
@@ -660,6 +670,15 @@ def _finish(
                 (scol, "min", float(vals.min())),
                 (scol, "max", float(vals.max())),
             ]
+    # per-bucket value histograms for exact percentile aggregation
+    # (kind="quant" rows: the value rides the score column, the count
+    # the count column; bounded by attribute cardinality per bucket)
+    quant_rows: list[tuple[str, float, int]] = []
+    for qcol in spec.quantile_fields:
+        if m_ids.size:
+            vals = dmc.attrs(bucket, m_ids, (qcol,))[qcol].astype(np.float64)
+            u, c = np.unique(vals, return_counts=True)
+            quant_rows += [(qcol, float(v), int(n)) for v, n in zip(u, c)]
     # search_after cursor: the page starts strictly after (score,
     # doc_id); totals/facets above already cover the full match set.
     # Score equality across buckets is reliable — the float64 op order
@@ -688,29 +707,43 @@ def _finish(
     return _result_table(
         m_ids[order], m_scores[order], total, facet_rows, stat_rows,
         sort_keys[order] if sort_keys is not None else None,
+        quant_rows,
     )
 
 
-def _result_table(ids, scores, total: int, facet_rows, stat_rows=(), sort_keys=None) -> pa.Table:
-    # stat rows carry their float value in the `score` column; hit rows
-    # carry their stored-field sort key in `sort_key` when the query
-    # sorts by attribute (0.0 otherwise — schema is fixed across
+def _result_table(
+    ids, scores, total: int, facet_rows, stat_rows=(), sort_keys=None, quant_rows=()
+) -> pa.Table:
+    # stat rows carry their float value in the `score` column; quant
+    # rows carry (histogram value in `score`, count in `count`); hit
+    # rows carry their stored-field sort key in `sort_key` when the
+    # query sorts by attribute (0.0 otherwise — schema is fixed across
     # buckets so the scatter-gather concat never unifies)
     kinds = (
         ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
-        + ["stat"] * len(stat_rows)
+        + ["stat"] * len(stat_rows) + ["quant"] * len(quant_rows)
     )
-    doc_ids = list(map(int, ids)) + [0] + [0] * (len(facet_rows) + len(stat_rows))
+    pad = len(facet_rows) + len(stat_rows) + len(quant_rows)
+    doc_ids = list(map(int, ids)) + [0] + [0] * pad
     scs = (
         list(map(float, scores)) + [0.0] + [0.0] * len(facet_rows)
-        + [v for _, _, v in stat_rows]
+        + [v for _, _, v in stat_rows] + [v for _, v, _ in quant_rows]
     )
-    counts = [0] * len(ids) + [total] + [c for _, _, c in facet_rows] + [0] * len(stat_rows)
-    ffields = [""] * len(ids) + [""] + [f for f, _, _ in facet_rows] + [f for f, _, _ in stat_rows]
-    fvals = [""] * len(ids) + [""] + [v for _, v, _ in facet_rows] + [op for _, op, _ in stat_rows]
+    counts = (
+        [0] * len(ids) + [total] + [c for _, _, c in facet_rows]
+        + [0] * len(stat_rows) + [c for _, _, c in quant_rows]
+    )
+    ffields = (
+        [""] * len(ids) + [""] + [f for f, _, _ in facet_rows]
+        + [f for f, _, _ in stat_rows] + [f for f, _, _ in quant_rows]
+    )
+    fvals = (
+        [""] * len(ids) + [""] + [v for _, v, _ in facet_rows]
+        + [op for _, op, _ in stat_rows] + [""] * len(quant_rows)
+    )
     sks = (
         list(map(float, sort_keys)) if sort_keys is not None else [0.0] * len(ids)
-    ) + [0.0] * (1 + len(facet_rows) + len(stat_rows))
+    ) + [0.0] * (1 + pad)
     return pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
@@ -1263,7 +1296,7 @@ class SearchEngine:
     def _make_spec(
         self, leaves, q, n_take, filter_spec, boosts, facet_fields,
         emit_all=None, search_after=None, stat_fields=(), range_facets=(),
-        sort_by=None, match_all=False,
+        sort_by=None, match_all=False, quantile_fields=(),
     ):
         return _QuerySpec(
             leaves=tuple(leaves),
@@ -1283,6 +1316,7 @@ class SearchEngine:
             range_facets=tuple(range_facets),
             sort_by=sort_by,
             match_all=match_all,
+            quantile_fields=tuple(quantile_fields),
         )
 
     # ---- search (scatter-gather over the actor pool) ----------------
@@ -1300,6 +1334,7 @@ class SearchEngine:
         stat_fields: tuple[str, ...] = (),
         range_facets: dict[str, tuple] | None = None,
         sort_by: tuple[str, bool] | None = None,
+        quantile_fields: dict[str, tuple] | None = None,
     ) -> SearchResult:
         """search_after: deep-pagination cursor (score, doc_id) of the
         LAST hit of the previous page — the page starts strictly after
@@ -1376,6 +1411,7 @@ class SearchEngine:
             and not rf
             and sort_by is None
             and not match_all
+            and not quantile_fields
             and all(
                 lf.const_score is None and not lf.blend and not lf.dismax
                 for lf in leaves
@@ -1386,6 +1422,7 @@ class SearchEngine:
             leaves, q, skip + k, filter_spec, boosts, facet_fields,
             search_after=search_after, stat_fields=tuple(stat_fields),
             range_facets=rf, sort_by=sort_by, match_all=match_all,
+            quantile_fields=tuple((quantile_fields or {}).keys()),
         )
         if prune:
             theta0 = float("-inf")
@@ -1452,9 +1489,31 @@ class SearchEngine:
                 }
                 s["avg"] = s["sum"] / cnt if cnt else 0.0
                 stats[str(col)] = s
+        quantiles: dict[str, dict[float, float]] = {}
+        qt = out[out["kind"] == "quant"]
+        if len(qt) and quantile_fields:
+            for col, g in qt.groupby("facet_field"):
+                hist = g.groupby("score")["count"].sum().sort_index()
+                cum = hist.cumsum().to_numpy()
+                vals_ = hist.index.to_numpy()
+                nq = int(cum[-1])
+                quantiles[str(col)] = {
+                    float(q): float(
+                        vals_[
+                            int(
+                                np.searchsorted(
+                                    cum, max(1, int(np.ceil(q * nq))), side="left"
+                                )
+                            )
+                        ]
+                    )
+                    for q in quantile_fields.get(str(col), ())
+                }
         if with_metadata and len(hits):
             hits = self._attach_metadata(hits)
-        return SearchResult(total, hits, facets, total_exact=not prune, stats=stats)
+        return SearchResult(
+            total, hits, facets, total_exact=not prune, stats=stats, quantiles=quantiles
+        )
 
     # ---- explain (Lucene Explanation analog) -------------------------
     def explain(self, q: Compound, doc_id: int, boosts: tuple = ()) -> dict:

@@ -1104,3 +1104,23 @@ def test_field_value_boost(ray_session, tmp_path):
     # unknown modifier rejected
     with pytest.raises(ValueError):
         eng.search(q, k=3, boosts=(FieldValueBoost("n_chars", modifier="exp"),))
+
+
+def test_percentiles_aggregation(engine, oracle_ix, tiny_corpus):
+    """S29: exact quantile_disc percentiles of a numeric attr over the
+    FULL matched set, riding the scoring pass."""
+    q = Compound(must=(Term("content", "import"),))
+    # tiny_corpus has no numeric docmap col, so aggregate over doc_id
+    # hash-derived... use the content length via the oracle instead:
+    # build the expected histogram from the oracle's matched set
+    res = engine.search(q, k=1, with_metadata=False, quantile_fields={"doc_id": (0.0, 0.5, 1.0)})
+    ora = oracle_search(oracle_ix, q, k=10**6)
+    import numpy as np
+
+    matched = np.sort(ora.hits["doc_id"].to_numpy())
+    n = matched.size
+    exp = {
+        qq: float(matched[max(1, int(np.ceil(qq * n))) - 1]) for qq in (0.0, 0.5, 1.0)
+    }
+    got = res.quantiles["doc_id"]
+    assert got == exp
