@@ -1143,6 +1143,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, q, boosts=(FieldValueBoost("n_chars", factor=0.01, modifier="log1p"),)
         )
 
+    def s30_decay(sf_dir):
+        # S30 ES function_score decay: relevance multiplied by a gauss
+        # (resp. linear) decay of |n_chars - 200| with offset 25 and
+        # scale 150 — 1.0 inside the offset, 0.5 at distance 175
+        from search_engine_ray.query import DecayBoost
+
+        q = Compound(must=(Term("text", "vector"),))
+        out = []
+        for fn in ("gauss", "linear"):
+            part = _bm25_query(
+                sf_dir, q,
+                boosts=(DecayBoost("n_chars", origin=200, scale=150, offset=25,
+                                   decay=0.5, fn=fn),),
+            )
+            part.insert(0, "branch", fn)
+            out.append(part)
+        return pd.concat(out, ignore_index=True)
+
     def e10_delete_by_query(sf_dir):
         # E10 ES delete_by_query: on a scratch copy of the cached
         # index, tombstone every doc containing 'slow', then query
@@ -1608,6 +1626,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s28_field_value_boost": s28_field_value_boost,
         "e10_delete_by_query": e10_delete_by_query,
         "s29_percentiles": s29_percentiles,
+        "s30_decay": s30_decay,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -1869,6 +1888,29 @@ FROM d, s WHERE tf0 > 0
 ORDER BY ({_s28_expr}) DESC, d.doc_id LIMIT 10
 """
 
+    # S30 function_score decay: gauss and linear multipliers of the
+    # |n_chars-200| distance (offset 25, scale 150, decay 0.5)
+    _s30_d = "greatest(0, abs(d.n_chars - 200) - 25)"
+    _s30_gauss = f"({_bm25_expr0}) * exp(-pow({_s30_d}, 2) / (2 * (-(150.0*150.0) / (2 * ln(0.5)))))"
+    _s30_linear = f"({_bm25_expr0}) * greatest(0, ((150.0 / 0.5) - {_s30_d}) / (150.0 / 0.5))"
+
+    def _s30_branch(expr: str, tag: str) -> str:
+        return f"""
+SELECT '{tag}' AS branch, doc_id, score FROM (
+  WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+  d AS (SELECT doc_id, n_chars, len(ts) AS dl,
+               len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+  s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+               count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+  SELECT d.doc_id, round({expr}, 4) AS score
+  FROM d, s WHERE tf0 > 0
+  ORDER BY ({expr}) DESC, d.doc_id LIMIT 10
+)"""
+
+    s30_sql = (
+        _s30_branch(_s30_gauss, "gauss") + " UNION ALL " + _s30_branch(_s30_linear, "linear")
+    )
+
     # E10 delete_by_query: docs containing 'slow' tombstoned; query
     # 'vector' scores with ORIGINAL df (tombstones don't rewrite
     # stats) and excludes the deleted — plus the exact remaining total
@@ -2073,6 +2115,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s28_field_value_boost": s28_sql,
         "e10_delete_by_query": e10_sql,
         "s29_percentiles": s29_sql,
+        "s30_decay": s30_sql,
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

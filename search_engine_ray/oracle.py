@@ -19,7 +19,12 @@ from search_engine_ray.analysis import get_analyzer
 from search_engine_ray.config import IndexConfig
 from search_engine_ray.index.build import doc_uid
 from search_engine_ray.query import scoring
-from search_engine_ray.query.executor import DocAttrBoost, FieldValueBoost, FilterSpec
+from search_engine_ray.query.executor import (
+    DecayBoost,
+    DocAttrBoost,
+    FieldValueBoost,
+    FilterSpec,
+)
 from search_engine_ray.query.qast import (
     Compound,
     CrossFields,
@@ -269,10 +274,11 @@ def oracle_search(
     sel_scores = score[sel]
     # additive boosts first, multiplicative field_value_factor after
     # (the engine's _finish ordering)
-    for bst in [b for b in boosts if not isinstance(b, FieldValueBoost)] + [
-        b for b in boosts if isinstance(b, FieldValueBoost)
+    _mult = (FieldValueBoost, DecayBoost)
+    for bst in [b for b in boosts if not isinstance(b, _mult)] + [
+        b for b in boosts if isinstance(b, _mult)
     ]:
-        if isinstance(bst, FieldValueBoost):
+        if isinstance(bst, _mult):
             vals = oix.meta[bst.col].to_numpy()[sel]
             sel_scores = bst.apply(sel_scores, vals)
         elif isinstance(bst, DocAttrBoost):

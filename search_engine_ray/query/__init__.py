@@ -14,6 +14,7 @@ from search_engine_ray.query.qast import (  # noqa: F401
 )
 from search_engine_ray.query.executor import (  # noqa: F401
     ConditionalAddBoost,
+    DecayBoost,
     DocAttrBoost,
     FieldValueBoost,
     FilterSpec,

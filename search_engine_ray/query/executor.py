@@ -157,6 +157,47 @@ class FieldValueBoost:
         return scores * _FV_MODIFIERS[self.modifier](self.factor * v)
 
 
+@dataclass(frozen=True)
+class DecayBoost:
+    """ES function_score decay (``gauss`` | ``exp`` | ``linear``): the
+    relevance score is MULTIPLIED by a function of the distance between
+    ``docmap[col]`` and ``origin`` that equals 1 inside ``offset`` and
+    ``decay`` at distance ``offset + scale`` — exactly Elasticsearch's
+    numeric decay semantics (reference exposes function_score through
+    its Atlas $search boost spec). Docs with a null/NaN attribute get
+    multiplier 1.0 (ES skips decay for missing values).
+
+    gauss:  exp(-d^2 / (2*sigma^2)),  sigma^2 = -scale^2 / (2*ln(decay))
+    exp:    exp(lambda * d),          lambda  = ln(decay) / scale
+    linear: max(0, (s - d) / s),      s       = scale / (1 - decay)
+    with d = max(0, |v - origin| - offset).
+    """
+
+    col: str
+    origin: float
+    scale: float
+    offset: float = 0.0
+    decay: float = 0.5
+    fn: str = "gauss"
+
+    def apply(self, scores: np.ndarray, vals: np.ndarray) -> np.ndarray:
+        v = np.asarray(vals, dtype=np.float64)
+        miss = np.isnan(v)
+        d = np.maximum(0.0, np.abs(np.where(miss, self.origin, v) - self.origin) - self.offset)
+        if self.fn == "gauss":
+            sigma2 = -(self.scale**2) / (2.0 * np.log(self.decay))
+            mult = np.exp(-(d**2) / (2.0 * sigma2))
+        elif self.fn == "exp":
+            lam = np.log(self.decay) / self.scale
+            mult = np.exp(lam * d)
+        elif self.fn == "linear":
+            s = self.scale / (1.0 - self.decay)
+            mult = np.maximum(0.0, (s - d) / s)
+        else:
+            raise ValueError(f"unknown decay fn {self.fn!r}")
+        return scores * np.where(miss, 1.0, mult)
+
+
 @dataclass
 class SearchResult:
     total: int
@@ -365,6 +406,12 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
         elif isinstance(bst, FieldValueBoost):
             if bst.modifier not in _FV_MODIFIERS:
                 raise ValueError(f"unknown field_value_factor modifier {bst.modifier!r}")
+            out.append(("fv", bst, None))
+        elif isinstance(bst, DecayBoost):
+            # same application contract as FieldValueBoost (.col +
+            # .apply(scores, attr)) — rides the "fv" multiplicative slot
+            if bst.fn not in ("gauss", "exp", "linear"):
+                raise ValueError(f"unknown decay fn {bst.fn!r}")
             out.append(("fv", bst, None))
         else:
             raise TypeError(type(bst))

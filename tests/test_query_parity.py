@@ -1106,6 +1106,68 @@ def test_field_value_boost(ray_session, tmp_path):
         eng.search(q, k=3, boosts=(FieldValueBoost("n_chars", modifier="exp"),))
 
 
+def test_decay_boost(ray_session, tmp_path):
+    """S30 function_score decay (gauss/exp/linear): multiplier is 1
+    inside the offset, `decay` at offset+scale, and missing values
+    are untouched — engine matches the brute oracle for every fn."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import DecayBoost
+
+    n = 24
+    t = pa.table(
+        {
+            "doc_id": list(range(n)),
+            "text": ["alpha beta" if i % 2 == 0 else "alpha" for i in range(n)],
+            "n_chars": [64 * (i + 1) for i in range(n)],
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("text", "c"),),
+        num_buckets=4, num_parts=2,
+        docmap_cols=("n_chars",),
+        id_cols=("doc_id",), use_native_id=True,
+    )
+    out = str(tmp_path / "decay")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(t, cfg, sha_col="text")
+    q = Compound(must=(Term("text", "alpha"),))
+    base = eng.search(q, k=n, with_metadata=False)
+    for fn in ("gauss", "exp", "linear"):
+        db = DecayBoost("n_chars", origin=512, scale=256, offset=64, decay=0.5, fn=fn)
+        res = eng.search(q, k=n, boosts=(db,), with_metadata=False)
+        ora = oracle_search(oix, q, k=n, boosts=(db,))
+        assert_parity(res, ora)
+        # exact multiplier vs the closed form
+        m = res.hits.merge(base.hits, on="doc_id", suffixes=("_d", "_b"))
+        v = np.array([64 * (int(d) + 1) for d in m["doc_id"]], dtype=np.float64)
+        d = np.maximum(0.0, np.abs(v - 512) - 64)
+        if fn == "gauss":
+            mult = np.exp(-(d**2) / (2 * (-(256.0**2) / (2 * np.log(0.5)))))
+        elif fn == "exp":
+            mult = np.exp(np.log(0.5) / 256.0 * d)
+        else:
+            mult = np.maximum(0.0, (256.0 / 0.5 - d) / (256.0 / 0.5))
+        np.testing.assert_allclose(
+            m["score_d"].to_numpy(), m["score_b"].to_numpy() * mult, rtol=1e-12
+        )
+    # decay value at exactly offset+scale is `decay`
+    db = DecayBoost("n_chars", origin=0, scale=100, offset=0, decay=0.5, fn="gauss")
+    s = db.apply(np.ones(1), np.array([100.0]))
+    assert abs(s[0] - 0.5) < 1e-12
+    # missing attr -> multiplier 1
+    s2 = db.apply(np.full(2, 3.0), np.array([np.nan, 0.0]))
+    np.testing.assert_allclose(s2, [3.0, 3.0])
+    # unknown fn rejected
+    with pytest.raises(ValueError):
+        eng.search(q, k=3, boosts=(DecayBoost("n_chars", 0, 1, fn="cosine"),))
+
+
 def test_percentiles_aggregation(engine, oracle_ix, tiny_corpus):
     """S29: exact quantile_disc percentiles of a numeric attr over the
     FULL matched set, riding the scoring pass."""
