@@ -220,6 +220,25 @@ reach(u, v) AS (
 SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u
 """
 
+# surviving corpus after keep-one dedup: every doc except cluster
+# members whose component label differs from their own id
+_SURVIVORS_SQL = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ALLPAIRS_SQL}),
+edges AS (
+  SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
+  UNION SELECT a, a FROM jp UNION SELECT b, b FROM jp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+{_BOTH_DOCS_SQL}
+SELECT bd.doc_id FROM both_docs bd
+WHERE bd.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
+"""
+
 # all-pairs 64-bit SimHash hamming <= 3 over the perturbed corpus.
 # Recomputes the engine's md5-derived tf-weighted sign-sum fingerprint
 # bit-by-bit in SQL (ops/dedup.py simhash_signatures): bit j of a
@@ -805,6 +824,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         counts = rel.value_counts(toks, "token", alias="cnt")
         return rel.topk(counts, ["cnt", "token"], 20, descending=[True, False])
 
+    def s32_rescore(sf_dir):
+        # ES rescore window (score_mode total): top-50 'vector' hits
+        # re-ranked by primary + 2x BM25('join'); secondary never
+        # touches docs outside the window
+        from search_engine_ray.pipelines import rescore_search
+
+        eng = _doc_engine(sf_dir)
+        out = rescore_search(
+            eng,
+            Compound(must=(Term("text", "vector"),)),
+            Compound(must=(Term("text", "join"),)),
+            window=50, k=10, query_weight=1.0, rescore_weight=2.0,
+        )
+        out["score"] = round_half_up(out["score"].to_numpy())
+        return out
+
+    def s31_significant_terms(sf_dir):
+        # ES significant_terms: terms over-represented in the 'vector'
+        # matched set vs the corpus, JLH-scored; partial-count
+        # combiner, distributed score + bounded top-k
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.significant_terms(docs, "vector", k=10, min_doc_count=2)
+
     def pipe_curation(sf_dir):
         # the flagship training-data composition: lang-ID -> quality
         # -> filter -> exact dedup, one streaming lineage; input is
@@ -1246,6 +1288,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pairs = dd.ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
         return dd.connected_components(pairs)
 
+    def dedup_survivors(sf_dir):
+        # end-to-end keep-one dedup: pairs -> components -> surviving
+        # corpus (min-id member per cluster kept, everything else
+        # dropped via the broadcast anti-filter — the corpus never
+        # shuffles)
+        docs = _docs_with_near_dups(sf_dir)
+        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+        comps = dd.connected_components(pairs)
+        return dd.drop_near_duplicates(docs, comps).select_columns(["doc_id"])
+
     # ---- similarity search -----------------------------------------
     def ann_cosine(sf_dir):
         emb = _read(sf_dir, "embeddings")
@@ -1590,6 +1642,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
+        "s31_significant_terms": s31_significant_terms,
+        "s32_rescore": s32_rescore,
         "pipe_curation": pipe_curation,
         "e1_csv_source": e1_csv_source,
         "e9_json_roundtrip": e9_json_roundtrip,
@@ -1632,6 +1686,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "dedup_ngram": dedup_ngram,
         "dedup_components": dedup_components,
+        "dedup_survivors": dedup_survivors,
         "ann_cosine": ann_cosine,
         "ann_rp_lsh": ann_rp_lsh,
         "ann_ivf": ann_ivf,
@@ -1911,6 +1966,29 @@ SELECT '{tag}' AS branch, doc_id, score FROM (
         _s30_branch(_s30_gauss, "gauss") + " UNION ALL " + _s30_branch(_s30_linear, "linear")
     )
 
+    # S32 rescore window: combined = 1.0*BM25('vector') over the
+    # top-50 window + 2.0*BM25('join') for window docs matching it
+    _s32_bm25_1 = (
+        "ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * tf1 * 2.2 / "
+        "(tf1 + 1.2 * (1 - 0.75 + 0.75 * w.dl / (s.total_len / s.n)))"
+    )
+    s32_sql = f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0,
+             len(list_filter(ts, t -> t = 'join')) AS tf1 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0,
+             count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d),
+w AS (SELECT d.doc_id, ({_bm25_expr0}) AS p, tf1, dl
+      FROM d, s WHERE tf0 > 0
+      ORDER BY ({_bm25_expr0}) DESC, d.doc_id LIMIT 50),
+r AS (SELECT w.doc_id,
+             1.0 * w.p + 2.0 * (CASE WHEN w.tf1 > 0 THEN ({_s32_bm25_1}) ELSE 0 END) AS f
+      FROM w, s)
+SELECT doc_id, round(f, 4) AS score FROM r ORDER BY f DESC, doc_id LIMIT 10
+"""
+
     # E10 delete_by_query: docs containing 'slow' tombstoned; query
     # 'vector' scores with ORIGINAL df (tombstones don't rewrite
     # stats) and excludes the deleted — plus the exact remaining total
@@ -2187,6 +2265,7 @@ FROM d WHERE tf > 0
         "e8_log_sink": e8_sql,
         "dedup_ngram": _JACCARD_ALLPAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
+        "dedup_survivors": _SURVIVORS_SQL,
         "dedup_minhash": _JACCARD_ALLPAIRS_SQL,
         "dedup_simhash": _SIMHASH_ALLPAIRS_SQL,
         "ann_rp_lsh": _RP_LSH_ALLPAIRS_SQL,
@@ -2530,6 +2609,24 @@ FROM m WHERE ix > 0
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
         ),
+        # S31 significant_terms: per-doc DISTINCT terms; JLH score
+        # evaluated in the engine's float op order ((fgr-bgr)*fgr)/bgr
+        "s31_significant_terms": """
+WITH tok AS (SELECT doc_id,
+                    list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+             FROM documents),
+fgd AS (SELECT doc_id, ts, list_contains(ts, 'vector') AS fg FROM tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS bg_n,
+             CAST(count(*) FILTER (WHERE fg) AS DOUBLE) AS fg_n FROM fgd),
+e AS (SELECT unnest(ts) AS term, fg FROM fgd),
+c AS (SELECT term, count(*) FILTER (WHERE fg) AS fg, count(*) AS bg
+      FROM e WHERE term <> 'vector' GROUP BY 1)
+SELECT term, fg, bg,
+       round(((fg / fg_n - bg / bg_n) * (fg / fg_n)) / (bg / bg_n), 4) AS score
+FROM c, n WHERE fg >= 2
+ORDER BY (((fg / fg_n - bg / bg_n) * (fg / fg_n)) / (bg / bg_n)) DESC, term
+LIMIT 10
+""",
         "dedup_exact": (
             "WITH both_docs AS ("
             "  SELECT doc_id, text FROM documents "

@@ -863,6 +863,73 @@ def connected_components(
     return labels.map_batches(_out, batch_format="pandas")
 
 
+def drop_near_duplicates(
+    docs: Dataset,
+    components: Dataset,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    method: str = "broadcast",
+) -> Dataset:
+    """Keep-one near-dup removal — the step after
+    `connected_components` that turns duplicate clusters into the
+    surviving corpus (what RefinedWeb/Dolma-style pipelines write out).
+    A doc is dropped iff it appears in `components` with a label other
+    than its own id (the label is the min reachable id, so exactly the
+    min-id member of every cluster survives; unpaired docs never
+    appear in `components` and always survive).
+
+    method="broadcast" (default): the drop-id set is candidate-graph-
+    sized, not corpus-sized — `ray.put` once, fetched once per actor in
+    `__init__`, each corpus block filtered with one vectorized
+    searchsorted. No shuffle of the corpus at all.
+
+    method="shuffle": for a pathologically dirty corpus where even the
+    drop set exceeds a worker's heap — hash-partitioned left-outer
+    join (`hash_join`) + null-marker filter; the corpus moves once.
+    """
+    drop_ids = components.map_batches(
+        lambda t: t.filter(pc.invert(pc.equal(t[id_col], t[comp_col]))).select([id_col]),
+        batch_format="pyarrow",
+    )
+    if method == "broadcast":
+        import ray
+
+        pdf = drop_ids.to_pandas()
+        # an all-kept components set reaches the driver as schema-less
+        # empty blocks — to_pandas() then has no columns at all
+        ids = (
+            np.sort(pdf[id_col].to_numpy(dtype=np.int64, na_value=-1))
+            if len(pdf) and id_col in pdf.columns
+            else np.empty(0, np.int64)
+        )
+        ref = ray.put(ids)
+
+        def _drop(t: pa.Table) -> pa.Table:
+            # ray.get of a put object is a node-local plasma lookup —
+            # the array ships to each node once, not per batch
+            drop = ray.get(ref)
+            if not len(t) or not drop.size:
+                return t
+            v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(drop, v), 0, drop.size - 1)
+            return t.filter(pa.array(drop[pos] != v))
+
+        return docs.map_batches(_drop, batch_format="pyarrow")
+    if method != "shuffle":
+        raise ValueError(f"unknown method {method!r}")
+    from search_engine_ray.ops.relational import hash_join
+
+    marked = drop_ids.map_batches(
+        lambda t: t.append_column("_dup", pa.array(np.ones(len(t), np.int8))),
+        batch_format="pyarrow",
+    )
+    j = hash_join(docs, marked, on=[id_col], how="left_outer")
+    return j.map_batches(
+        lambda t: t.filter(pc.is_null(t["_dup"])).drop_columns(["_dup"]),
+        batch_format="pyarrow",
+    )
+
+
 # ---------------------------------------------------- decontamination
 
 

@@ -483,6 +483,87 @@ def extract_snippets(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def significant_terms(
+    ds: Dataset,
+    query_term: str,
+    text_col: str = "text",
+    k: int = 10,
+    min_doc_count: int = 2,
+) -> Dataset:
+    """ES significant_terms aggregation: terms over-represented in the
+    matched set (docs containing `query_term`, the foreground) versus
+    the whole corpus (the background), scored with the JLH heuristic
+    ((fg_rate - bg_rate) * fg_rate / bg_rate). The query term itself is
+    excluded (fg_rate = 1 by construction — pure noise).
+
+    Shuffle payload is per-batch (term, fg, bg) PARTIAL counts (the
+    map-side combiner pattern), so the all-to-all moves a vocabulary
+    slice per block, never token occurrences. Foreground/background
+    doc totals ride the same shuffle as a sentinel '' row ('' can
+    never be a token), so the corpus is scanned exactly once. The
+    aggregated vocabulary table stays distributed through scoring and
+    the bounded top-k — nothing vocabulary-sized hits the driver."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.ops.relational import topk
+    from search_engine_ray.ops.rounding import round_half_up
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[text_col])
+        fg_docs = np.unique(parents[pc.equal(flat, query_term).to_numpy(zero_copy_only=False)])
+        df = pd.DataFrame(
+            {"term": flat.to_pandas(), "p": parents}
+        ).drop_duplicates()
+        df = df[df["term"] != query_term]
+        df["fg"] = np.isin(df["p"].to_numpy(), fg_docs).astype(np.int64)
+        g = df.groupby("term", sort=False)["fg"].agg(["sum", "size"]).reset_index()
+        terms = list(g["term"]) + [""]
+        fg = list(g["sum"].astype(np.int64)) + [np.int64(fg_docs.size)]
+        bg = list(g["size"].astype(np.int64)) + [np.int64(n)]
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "fg": pa.array(fg, pa.int64()),
+            "bg": pa.array(bg, pa.int64()),
+        })
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("fg", alias_name="fg"), Sum("bg", alias_name="bg"))
+        .materialize()  # vocabulary-sized aggregate, consumed twice
+    )
+    tot = agg.map_batches(
+        lambda t: t.filter(pc.equal(t["term"], "")), batch_format="pyarrow"
+    ).take(1)[0]
+    fg_n, bg_n = float(tot["fg"]), float(tot["bg"])
+
+    def _score(t: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.not_equal(t["term"], ""), pc.greater_equal(t["fg"], min_doc_count))
+        t = t.filter(keep)
+        fgr = t["fg"].to_numpy().astype(np.float64) / fg_n
+        bgr = t["bg"].to_numpy().astype(np.float64) / bg_n
+        raw = (fgr - bgr) * fgr / bgr
+        return pa.table({
+            "term": t["term"],
+            "fg": t["fg"],
+            "bg": t["bg"],
+            "raw": pa.array(raw, pa.float64()),
+        })
+
+    top = topk(agg.map_batches(_score, batch_format="pyarrow"),
+               ["raw", "term"], k, descending=[True, False])
+
+    def _finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "term": t["term"],
+            "fg": t["fg"],
+            "bg": t["bg"],
+            "score": pa.array(round_half_up(t["raw"].to_numpy()), pa.float64()),
+        })
+
+    return top.map_batches(_finish, batch_format="pyarrow")
+
+
 def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
     """doc -> one row per token (R10 flat-map analog; the build-side
     posting explosion re-used as a user-facing op). Pure Arrow:

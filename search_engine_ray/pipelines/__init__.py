@@ -8,5 +8,6 @@ from search_engine_ray.pipelines.product_search import (
     keyword_search,
     listing,
 )
+from search_engine_ray.pipelines.rescore import rescore_search  # noqa: F401
 
 __all__ = ["keyword_search", "grouped_search", "listing", "curate"]

@@ -900,6 +900,30 @@ def test_connected_components(ray_session):
     assert list(sgot["component"]) == ["a", "a", "a"]
 
 
+def test_drop_near_duplicates(ray_session):
+    import ray.data as rd
+
+    # corpus 1..8; clusters {1,2,3} and {10,11} (10/11 not in corpus
+    # ids 4..8) — survivors keep the min-id member plus all singletons
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2, 3, 4, 5, 6, 7, 8],
+                                        "text": list("abcdefgh")}))
+    comps = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 7, 8],
+        "component": [1, 1, 1, 7, 7],
+    }))
+    for method in ("broadcast", "shuffle"):
+        out = dd.drop_near_duplicates(docs, comps, method=method).to_pandas()
+        assert sorted(out["doc_id"]) == [1, 4, 5, 6, 7], method
+        assert sorted(out.columns) == ["doc_id", "text"], method
+    # empty component set: everything survives
+    empty = rd.from_pandas(pd.DataFrame({"doc_id": pd.array([], dtype="int64"),
+                                         "component": pd.array([], dtype="int64")}))
+    out = dd.drop_near_duplicates(docs, empty).to_pandas()
+    assert len(out) == 8
+    with pytest.raises(ValueError):
+        dd.drop_near_duplicates(docs, comps, method="sort")
+
+
 def test_hash_join_vs_duckdb(ray_session, con):
     import ray.data as rd
 

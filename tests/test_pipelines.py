@@ -82,3 +82,44 @@ def test_rrf_fuse_hand_values(ray_session):
     assert row10["rrf"] == 1 / 61 and row10["rank_1"] == 0
     # full ordering: 20, 10, 40, 30
     assert out["doc_id"].tolist() == [20, 10, 40, 30]
+
+
+def test_rescore_window_semantics(tiny_index):
+    """S32 ES rescore: (a) combined = qw*primary + rw*secondary for
+    window docs matching the secondary, primary-only otherwise;
+    (b) docs outside the primary top-`window` NEVER enter the result,
+    even if the secondary loves them; (c) window=len(corpus) degrades
+    to a plain combined ranking."""
+    import numpy as np
+
+    from search_engine_ray.pipelines import rescore_search
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    prim = Compound(must=(Term("content", "import"),))
+    sec = Compound(must=(Term("content", "tokenizer"),))
+    p = eng.search(prim, k=200, with_metadata=False).hits
+    s = eng.search(sec, k=200, with_metadata=False).hits
+    smap = dict(zip(s["doc_id"], s["score"]))
+    W = 5
+    got = rescore_search(eng, prim, sec, window=W, k=5,
+                         query_weight=1.0, rescore_weight=2.0)
+    win_ids = p["doc_id"].head(W).tolist()
+    # (b) only window docs appear
+    assert set(got["doc_id"]).issubset(set(win_ids))
+    # (a) exact combine for every returned doc
+    pmap = dict(zip(p["doc_id"], p["score"]))
+    for d, sc_ in zip(got["doc_id"].astype(int), got["score"]):
+        exp = 1.0 * pmap[d] + 2.0 * smap.get(d, 0.0)
+        assert abs(sc_ - exp) < 1e-12
+    # ordering: score desc, doc_id asc
+    sc = got["score"].to_numpy()
+    assert all(sc[i] > sc[i + 1] or (sc[i] == sc[i + 1] and
+               got["doc_id"].iloc[i] < got["doc_id"].iloc[i + 1])
+               for i in range(len(got) - 1))
+    # (c) big window == combined ranking over all primary matches
+    big = rescore_search(eng, prim, sec, window=1000, k=10)
+    comb = {d: 1.0 * pc_ + 2.0 * smap.get(d, 0.0) for d, pc_ in pmap.items()}
+    exp_ids = [d for d, _ in sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
+    assert big["doc_id"].tolist() == exp_ids

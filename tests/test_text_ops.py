@@ -285,3 +285,34 @@ def test_deterministic_shuffle(ray_session):
     # a different salt draws a different permutation
     c = deterministic_shuffle(rd.from_arrow(t), "doc_id", num_shards=16, salt="ep1").to_pandas()
     assert c.sort_values("shuffle_rank")["doc_id"].tolist() != asorted
+
+
+def test_significant_terms_hand_corpus(ray_session):
+    """JLH lift: a term appearing in ALL matched docs but few others
+    outranks a corpus-wide stopword; the query term itself and terms
+    under min_doc_count are excluded."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.ops import text as txt
+
+    rows = []
+    # 4 fg docs: contain q + sig; sig appears in 1 bg doc; 'the' everywhere
+    for i in range(4):
+        rows.append((i, "q sig the filler%d" % i))
+    rows.append((4, "sig the"))
+    for i in range(5, 20):
+        rows.append((i, "the other%d stuff" % i))
+    docs = rd.from_pandas(pd.DataFrame(rows, columns=["doc_id", "text"]))
+    out = txt.significant_terms(docs, "q", k=5, min_doc_count=2).to_pandas()
+    assert "q" not in set(out["term"])          # query term excluded
+    assert out.iloc[0]["term"] == "sig"          # highest lift
+    srow = out[out["term"] == "sig"].iloc[0]
+    assert srow["fg"] == 4 and srow["bg"] == 5
+    # JLH value: fgr=1, bgr=5/20 -> (1-.25)*1/.25 = 3.0
+    assert abs(srow["score"] - 3.0) < 1e-9
+    # 'the' has zero lift (fgr == 4/4 =1, bgr=1) -> (1-1)*1/1 = 0
+    trow = out[out["term"] == "the"].iloc[0]
+    assert trow["score"] == 0.0
+    # fillers appear once each -> excluded by min_doc_count=2
+    assert not any(t.startswith("filler") for t in out["term"])
