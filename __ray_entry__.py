@@ -24,6 +24,7 @@ from typing import Any
 import numpy as np
 import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 from search_engine_ray.ops.rounding import round_half_up
@@ -675,6 +676,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
         return out
 
+    def r27_rollup(sf_dir):
+        # GROUP BY ROLLUP: fine (flag, status), subtotal (flag), grand
+        # total — one scan, coarser levels re-aggregate the finest
+        # aggregate; l_quantity sums are integer-exact doubles
+        ds = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        out = rel.rollup_aggregate(
+            ds, ["l_returnflag", "l_linestatus"], "l_quantity", alias="sum_qty"
+        ).to_pandas()
+        out["sum_qty"] = out["sum_qty"].astype(np.int64)
+        return out
+
+    def r28_pivot(sf_dir):
+        # PIVOT event_type into per-type columns (count FILTER shape):
+        # masked per-batch partials + one combined groupby
+        ds = _read(sf_dir, "events", ["user_id", "event_type"])
+        cohort = ds.map_batches(
+            lambda t: pa.table({"cohort": pc.cast(
+                pc.bit_wise_and(t["user_id"], 7), pa.int64()),
+                "event_type": t["event_type"]}),
+            batch_format="pyarrow",
+        )
+        return rel.pivot_aggregate(
+            cohort, "cohort", "event_type",
+            ["click", "view", "purchase", "signup", "error"],
+        )
+
     def r20_asof_join(sf_dir):
         # as-of join: each purchase picks up the user's most recent
         # prior click (coarse-shard co-location + one vectorized
@@ -815,6 +842,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sk.stratified_hash_sample(
             docs, "doc_id", {"en": 1.0, "de": 0.5}, "lang", default_rate=0.25
         )
+
+    def t_mix_budget(sf_dir):
+        # data mixing to a per-source token budget: rates derived from
+        # one aggregate pass (min(1, budget/total)), drawn with the
+        # deterministic stratified hash sampler; unbudgeted sources drop
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        out = sk.mix_to_budget(
+            docs, {"src0": 500, "src1": 300, "src2": 10_000_000}
+        )
+        return out.select_columns(["doc_id", "source"])
 
     def t_top_terms(sf_dir):
         # heavy hitters by composition: explode -> count -> bounded
@@ -1630,6 +1667,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e6_events_rollup": e6_events_rollup,
         "r19_window_agg": r19_window_agg,
         "r26_hopping_window": r26_hopping_window,
+        "r27_rollup": r27_rollup,
+        "r28_pivot": r28_pivot,
         "r20_asof_join": r20_asof_join,
         "r21_range_join": r21_range_join,
         "r22_hash_join": r22_hash_join,
@@ -1642,6 +1681,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
+        "t_mix_budget": t_mix_budget,
         "s31_significant_terms": s31_significant_terms,
         "s32_rescore": s32_rescore,
         "pipe_curation": pipe_curation,
@@ -2436,6 +2476,20 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT window_start, event_type, count(*) AS n, "
             "round(sum(value), 2) AS sum_value FROM x GROUP BY 1, 2"
         ),
+        "r27_rollup": (
+            "SELECT l_returnflag, l_linestatus, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+        ),
+        "r28_pivot": (
+            "SELECT CAST(user_id % 8 AS BIGINT) AS cohort, "
+            "count(*) FILTER (WHERE event_type = 'click') AS click, "
+            "count(*) FILTER (WHERE event_type = 'view') AS view, "
+            "count(*) FILTER (WHERE event_type = 'purchase') AS purchase, "
+            "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
+            "count(*) FILTER (WHERE event_type = 'error') AS error "
+            "FROM events GROUP BY 1"
+        ),
         "r20_asof_join": (
             "WITH clicks AS (SELECT user_id, ts, max(value) AS click_value "
             "FROM events WHERE event_type = 'click' GROUP BY user_id, ts), "
@@ -2609,6 +2663,27 @@ FROM m WHERE ix > 0
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
         ),
+        # t_mix_budget: rate_s = min(1, budget_s/total_tokens_s) as a
+        # DOUBLE division, threshold = min(int(rate*2^64), 2^64-1) —
+        # the engine's exact clamp, floor == int() truncation for
+        # positive doubles
+        "t_mix_budget": """
+WITH tok AS (SELECT doc_id, source,
+                    len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS toks
+             FROM documents),
+tot AS (SELECT source, sum(toks) AS toks FROM tok GROUP BY 1),
+r AS (SELECT source,
+             least(1.0, CAST(CASE source WHEN 'src0' THEN 500
+                                         WHEN 'src1' THEN 300
+                                         WHEN 'src2' THEN 10000000 END AS DOUBLE)
+                        / CAST(toks AS DOUBLE)) AS rate
+      FROM tot WHERE source IN ('src0', 'src1', 'src2') AND toks > 0)
+SELECT d.doc_id, d.source
+FROM documents d JOIN r USING (source)
+WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR)) AS HUGEINT)
+      < least(CAST(floor(r.rate * 18446744073709551616.0) AS HUGEINT),
+              CAST(18446744073709551615 AS HUGEINT))
+""",
         # S31 significant_terms: per-doc DISTINCT terms; JLH score
         # evaluated in the engine's float op order ((fgr-bgr)*fgr)/bgr
         "s31_significant_terms": """

@@ -359,6 +359,96 @@ def grouped_aggregate(ds: Dataset, key: str | Sequence[str], aggs: dict[str, tup
     return ds.groupby(key).aggregate(*specs)
 
 
+def rollup_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    alias: str = "total",
+    op: str = "sum",
+) -> Dataset:
+    """GROUP BY ROLLUP(keys...): the finest grouping plus every prefix
+    level up to the grand total, rolled-up key columns null-filled
+    (ANSI ROLLUP; Mongo $facet-of-$groups shape). The corpus is
+    scanned ONCE — coarser levels re-aggregate the (group-count-sized)
+    finest aggregate, so each extra level shuffles aggregate rows, not
+    data. `op` must be re-aggregable (sum | min | max); count rolls up
+    as a sum of counts, mean does not decompose — compute sum+count
+    and divide instead."""
+    if op not in ("sum", "min", "max"):
+        raise ValueError(f"op {op!r} does not re-aggregate across rollup levels")
+    keys = list(keys)
+    fine = grouped_aggregate(ds, keys, {alias: (op, value_col)}).materialize()
+    key_types = {f.name: f.type for f in fine.schema().base_schema if f.name in keys}
+
+    def _null_fill(absent: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            for c in absent:
+                t = t.append_column(c, pa.nulls(len(t), key_types[c]))
+            return t.select(keys + [alias])
+
+        return _f
+
+    levels = [fine]
+    cur = fine
+    for i in range(len(keys) - 1, -1, -1):
+        if i > 0:
+            cur = grouped_aggregate(cur, keys[:i], {alias: (op, alias)}).materialize()
+            levels.append(
+                cur.map_batches(_null_fill(keys[i:]), batch_format="pyarrow")
+            )
+        else:
+            # grand total: one global aggregate of the coarsest level
+            agg_cls = {"sum": Sum, "min": Min, "max": Max}[op]
+            tot = cur.aggregate(agg_cls(alias, alias_name=alias))[alias]
+            one = pa.table(
+                {
+                    **{c: pa.nulls(1, key_types[c]) for c in keys},
+                    alias: pa.array([tot]),
+                }
+            )
+            import ray.data as _rd
+
+            levels.append(_rd.from_arrow(one))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def pivot_aggregate(
+    ds: Dataset,
+    index: str,
+    pivot_col: str,
+    values: Sequence[str],
+    value_col: str | None = None,
+) -> Dataset:
+    """PIVOT: one row per `index` value, one column per entry of
+    `values` holding sum(value_col) (or the row count when value_col
+    is None) over rows where pivot_col == that value — SQL's
+    `agg(...) FILTER (WHERE pivot_col = v)` per column. The pivot
+    branches become per-batch masked partial sums, so the shuffle
+    moves one row per (index, block): a map-side-combined groupby,
+    never a wide exchange."""
+    vals = list(values)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        cols = {index: t[index]}
+        pv = t[pivot_col]
+        for v in vals:
+            m = pc.equal(pv, v)
+            if value_col is None:
+                cols[v] = pc.cast(pc.fill_null(m, False), pa.int64())
+            else:
+                cols[v] = pc.if_else(pc.fill_null(m, False), t[value_col], 0)
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        index,
+        {v: ("sum", v) for v in vals},
+    )
+
+
 def group_collect(ds: Dataset, key: str, value_cols: Sequence[str]) -> Dataset:
     """R9 `$group` + `$push: $$ROOT` (pipeline_utils.py:12-21): collect
     each group's rows into a list<struct> column `rows`. Prefer flat

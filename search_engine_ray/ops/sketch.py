@@ -131,6 +131,60 @@ def stratified_hash_sample(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def mix_to_budget(
+    ds: Dataset,
+    budgets: dict,
+    text_col: str = "text",
+    source_col: str = "source",
+    key_col: str = "doc_id",
+    salt: str = "",
+) -> Dataset:
+    """Data mixing to a per-source TOKEN budget (the training-data
+    curation move: "50 B tokens of web, 30 B of wiki, 20 B of books"):
+    one aggregate pass computes per-source token totals, the keep-rate
+    for source s becomes min(1, budget_s / total_tokens_s), and the mix
+    is drawn with the deterministic stratified hash sampler (whole-doc
+    keep/drop, reproducible across runs and cluster sizes). Sources
+    absent from `budgets` are dropped.
+
+    Expected sampled tokens per source ~= min(budget_s, total_s);
+    hash sampling gives the budget in expectation, not exactly — the
+    standard trade for a single-pass, coordination-free plan. The
+    totals table is one row per source (tiny); the corpus itself
+    streams through exactly two scans (count pass + filter pass)."""
+    from ray.data.aggregate import Sum
+
+    from search_engine_ray.ops.text import _flat_tokens
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[text_col])
+        counts = np.bincount(parents, minlength=n)
+        g = (
+            pd.DataFrame({"source": t[source_col].to_pandas(), "toks": counts})
+            .groupby("source", sort=False)["toks"]
+            .sum()
+        )
+        return pa.table({
+            "source": pa.array(g.index, pa.string()),
+            "toks": pa.array(g.to_numpy(np.int64), pa.int64()),
+        })
+
+    totals = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("source")
+        .aggregate(Sum("toks", alias_name="toks"))
+        .to_pandas()  # one row per source
+    )
+    rates = {
+        s: min(1.0, float(budgets[s]) / float(t))
+        for s, t in zip(totals["source"], totals["toks"])
+        if s in budgets and t > 0
+    }
+    return stratified_hash_sample(
+        ds, key_col, rates, source_col, default_rate=0.0, salt=salt
+    )
+
+
 def histogram_quantiles(
     ds: Dataset, col: str, qs: Sequence[float]
 ) -> pd.DataFrame:

@@ -1047,3 +1047,71 @@ def test_hopping_window_aggregate(ray_session):
     assert out["n"].sum() == cover.sum()
     with pytest.raises(ValueError):
         rel.window_aggregate(rd.from_arrow(t), "ts", 60, {"n": ("count", "value")}, slide_s=0)
+
+
+def test_mix_to_budget(ray_session):
+    """Token-budget mixing: an over-budget source samples down toward
+    its budget, a source whose budget exceeds its mass keeps every
+    doc, and unbudgeted sources are dropped entirely."""
+    import pandas as pd
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    docs = pd.DataFrame({
+        "doc_id": range(300),
+        "text": ["tok " * 10] * 300,                    # 10 tokens/doc
+        "source": ["big"] * 200 + ["small"] * 50 + ["other"] * 50,
+    })
+    ds = rd.from_pandas(docs)
+    out = sk.mix_to_budget(
+        ds, {"big": 500, "small": 10_000}
+    ).to_pandas()
+    assert set(out["source"]) <= {"big", "small"}
+    # small: budget 10k >> 500 tokens -> rate 1.0, all 50 kept
+    assert (out["source"] == "small").sum() == 50
+    # big: 2000 tokens, budget 500 -> rate .25; hash sampling keeps
+    # ~50 of 200 (deterministic; just bound it loosely)
+    nb = (out["source"] == "big").sum()
+    assert 20 <= nb <= 90
+    # deterministic across runs
+    out2 = sk.mix_to_budget(ds, {"big": 500, "small": 10_000}).to_pandas()
+    assert sorted(out2["doc_id"]) == sorted(out["doc_id"])
+
+
+def test_rollup_aggregate(lineitem, con):
+    out = rel.rollup_aggregate(
+        lineitem, ["l_returnflag", "l_linestatus"], "l_quantity", alias="s"
+    ).to_pandas()
+    exp = con.sql(
+        "SELECT l_returnflag, l_linestatus, sum(l_quantity) AS s "
+        "FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"
+    ).df()
+    assert_frames_equal(out, exp)
+    # level shape: fine + per-flag + grand total
+    nflags = con.sql("SELECT count(DISTINCT l_returnflag) FROM lineitem").fetchone()[0]
+    assert (out["l_returnflag"].isna() & out["l_linestatus"].isna()).sum() == 1
+    assert (out["l_returnflag"].notna() & out["l_linestatus"].isna()).sum() == nflags
+    with pytest.raises(ValueError):
+        rel.rollup_aggregate(lineitem, ["l_returnflag"], "l_quantity", op="mean")
+
+
+def test_pivot_aggregate(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "event_type", "value"])
+    # count pivot
+    out = rel.pivot_aggregate(ev, "user_id", "event_type", ["click", "view"]).to_pandas()
+    exp = con.sql(
+        "SELECT user_id, count(*) FILTER (WHERE event_type='click') AS click, "
+        "count(*) FILTER (WHERE event_type='view') AS view FROM events GROUP BY 1"
+    ).df()
+    assert_frames_equal(out, exp)
+    # sum pivot
+    out2 = rel.pivot_aggregate(ev, "user_id", "event_type", ["click"], value_col="value").to_pandas()
+    out2["click"] = out2["click"].round(4)
+    exp2 = con.sql(
+        "SELECT user_id, round(COALESCE(sum(value) FILTER (WHERE event_type='click'), 0), 4) "
+        "AS click FROM events GROUP BY 1"
+    ).df()
+    assert_frames_equal(out2, exp2)
