@@ -853,6 +853,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "source"])
 
+    def t_chunk(sf_dir):
+        # RAG / context-window chunking: 40-token windows every 20
+        # tokens, vectorized fan-out (one take + one binary_join per
+        # batch)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.chunk_documents(
+            docs, chunk_tokens=40, stride=20, keep=["doc_id"]
+        )
+
     def t_top_terms(sf_dir):
         # heavy hitters by composition: explode -> count -> bounded
         # top-k (no full sort)
@@ -1239,6 +1248,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             part.insert(0, "branch", fn)
             out.append(part)
         return pd.concat(out, ignore_index=True)
+
+    def s33_cardinality(sf_dir):
+        # ES cardinality aggregation: EXACT distinct counts of two
+        # docmap attrs over the full matched set plus the match total
+        eng = _doc_engine(sf_dir)
+        q = Compound(must=(Term("text", "vector"),))
+        card = eng.cardinality(q, ("source", "lang"))
+        total = eng.search(q, k=1, with_metadata=False).total
+        return pd.DataFrame(
+            {"total": [np.int64(total)],
+             "source_card": [np.int64(card["source"])],
+             "lang_card": [np.int64(card["lang"])]}
+        )
 
     def e10_delete_by_query(sf_dir):
         # E10 ES delete_by_query: on a scratch copy of the cached
@@ -1682,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
         "t_mix_budget": t_mix_budget,
+        "t_chunk": t_chunk,
         "s31_significant_terms": s31_significant_terms,
         "s32_rescore": s32_rescore,
         "pipe_curation": pipe_curation,
@@ -1721,6 +1744,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e10_delete_by_query": e10_delete_by_query,
         "s29_percentiles": s29_percentiles,
         "s30_decay": s30_decay,
+        "s33_cardinality": s33_cardinality,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2234,6 +2258,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "e10_delete_by_query": e10_sql,
         "s29_percentiles": s29_sql,
         "s30_decay": s30_sql,
+        "s33_cardinality": f"""
+WITH tok AS (SELECT doc_id, source, lang, {toks} AS ts FROM documents),
+m AS (SELECT * FROM tok WHERE len(list_filter(ts, t -> t = 'vector')) > 0)
+SELECT count(*) AS total, count(DISTINCT source) AS source_card,
+       count(DISTINCT lang) AS lang_card FROM m
+""",
         "s15_crossfields": s15_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
@@ -2683,6 +2713,20 @@ FROM documents d JOIN r USING (source)
 WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR)) AS HUGEINT)
       < least(CAST(floor(r.rate * 18446744073709551616.0) AS HUGEINT),
               CAST(18446744073709551615 AS HUGEINT))
+""",
+        # t_chunk: 40-token windows every 20; DuckDB list slice is
+        # 1-based inclusive; zero-token docs emit no chunks
+        "t_chunk": """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+             FROM documents),
+n AS (SELECT doc_id, ts, len(ts) AS n FROM tok WHERE len(ts) > 0),
+c AS (SELECT doc_id, ts, n,
+             unnest(range(0, CASE WHEN n <= 40 THEN 1
+                                  ELSE CAST(ceil((n - 40) / 20.0) AS BIGINT) + 1 END)) AS ci
+      FROM n)
+SELECT doc_id, ci AS chunk_idx, least(40, n - ci * 20) AS n_tokens,
+       array_to_string(ts[ci * 20 + 1 : ci * 20 + least(40, n - ci * 20)], ' ') AS chunk
+FROM c
 """,
         # S31 significant_terms: per-doc DISTINCT terms; JLH score
         # evaluated in the engine's float op order ((fgr-bgr)*fgr)/bgr

@@ -158,6 +158,11 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # range facets, attribute sort, range filter, match-all browse
         "s19_must_not", "s21_boost", "s22_pattern", "s23_range_facet",
         "s24_sort_by_field", "s25_range_filter", "s26_match_all_browse",
+        # wave-4: decay scoring, rescore window, significant terms,
+        # token-budget mixing, rollup/pivot (dedup_components/
+        # survivors excluded with dedup_ngram — exact all-pairs edges)
+        "s30_decay", "s32_rescore", "s31_significant_terms",
+        "t_mix_budget", "r27_rollup", "r28_pivot",
     ]
     qs = entrymod.queries()
     out = {}

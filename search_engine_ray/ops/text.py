@@ -564,6 +564,61 @@ def significant_terms(
     return top.map_batches(_finish, batch_format="pyarrow")
 
 
+def chunk_documents(
+    ds: Dataset,
+    text_col: str = "text",
+    chunk_tokens: int = 256,
+    stride: int = 128,
+    keep: list[str] | None = None,
+) -> Dataset:
+    """Sliding-window chunking (the RAG / context-window prep step):
+    each doc becomes ceil-spaced windows of `chunk_tokens` tokens every
+    `stride` tokens (the final window may be shorter; docs with zero
+    tokens emit no chunks). Output rows: kept id columns + chunk_idx,
+    n_tokens, chunk (space-joined tokens).
+
+    Fully vectorized fan-out: token stream + parent indices once per
+    batch (the build tokenizer), chunk starts/lengths by numpy repeat
+    arithmetic, one flat `take` gather, and ONE Arrow binary_join to
+    materialize every chunk string in the batch — no per-doc loop. A
+    pure streaming map_batches: the fan-out multiplies rows ~n/stride
+    inside the block, so block sizes bound memory at any corpus size."""
+    if chunk_tokens <= 0 or stride <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    W, S = int(chunk_tokens), int(stride)
+    keep = list(keep) if keep else []
+
+    def _f(t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[text_col])
+        counts = np.bincount(parents, minlength=n).astype(np.int64)
+        doc_start = np.concatenate([[0], np.cumsum(counts)])
+        nc = np.where(counts == 0, 0, np.maximum(0, (counts - W + S - 1) // S) + 1)
+        doc_rep = np.repeat(np.arange(n, dtype=np.int64), nc)
+        total = int(nc.sum())
+        chunk_idx = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(nc)[:-1]]), nc
+        )
+        starts = doc_start[doc_rep] + chunk_idx * S
+        lens = np.minimum(W, counts[doc_rep] - chunk_idx * S)
+        # gather all chunk token indices flat: starts repeated + intra
+        intra = np.arange(int(lens.sum()), dtype=np.int64) - np.repeat(
+            np.concatenate([[0], np.cumsum(lens)[:-1]]), lens
+        )
+        idx = np.repeat(starts, lens) + intra
+        gathered = flat.take(pa.array(idx, pa.int64()))
+        offs = np.concatenate([[0], np.cumsum(lens)]).astype(np.int32)
+        chunks = pc.binary_join(
+            pa.ListArray.from_arrays(pa.array(offs, pa.int32()), gathered), " "
+        )
+        cols = {c: t[c].take(pa.array(doc_rep, pa.int64())) for c in keep}
+        cols["chunk_idx"] = pa.array(chunk_idx, pa.int64())
+        cols["n_tokens"] = pa.array(lens, pa.int64())
+        cols["chunk"] = chunks
+        return pa.table(cols)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
     """doc -> one row per token (R10 flat-map analog; the build-side
     posting explosion re-used as a user-facing op). Pure Arrow:

@@ -1563,6 +1563,26 @@ class SearchEngine:
         )
 
     # ---- explain (Lucene Explanation analog) -------------------------
+    def cardinality(
+        self,
+        q: Compound,
+        cols: tuple[str, ...],
+        filter_spec: FilterSpec | None = None,
+    ) -> dict[str, int]:
+        """ES `cardinality` aggregation: EXACT distinct count of each
+        docmap column over the FULL matched set. Rides the existing
+        facet channel (per-bucket unique+count partials merged on the
+        gather), so it costs one scoring pass and the merge payload is
+        one row per distinct value per bucket — exact, unlike ES's
+        HyperLogLog++, which this index has no need to approximate
+        until value cardinality rivals corpus size (then swap the
+        facet partials for per-bucket KMV sketches, ops/sketch.py)."""
+        res = self.search(
+            q, k=1, filter_spec=filter_spec, facet_fields=tuple(cols),
+            with_metadata=False,
+        )
+        return {c: len(res.facets.get(c, {})) for c in cols}
+
     def explain(self, q: Compound, doc_id: int, boosts: tuple = ()) -> dict:
         """Per-clause score breakdown for one document (Lucene
         ``IndexSearcher.explain``): each clause is re-scored through

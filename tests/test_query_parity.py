@@ -1186,3 +1186,20 @@ def test_percentiles_aggregation(engine, oracle_ix, tiny_corpus):
     }
     got = res.quantiles["doc_id"]
     assert got == exp
+
+
+def test_cardinality_aggregation(engine, oracle_ix, tiny_corpus):
+    """S33 ES cardinality agg: exact distinct docmap values over the
+    full matched set, riding the facet channel."""
+    import pandas as pd
+
+    q = Compound(must=(Term("content", "import"),))
+    card = engine.cardinality(q, ("repo",))
+    # brute expectation from the corpus itself
+    df = tiny_corpus.to_pandas()
+    toks = df["content"].str.lower().str.findall(r"[a-z0-9_]+")
+    matched = df[toks.apply(lambda t: "import" in t)]
+    assert card["repo"] == matched["repo"].nunique()
+    # zero-hit query -> cardinality 0
+    z = engine.cardinality(Compound(must=(Term("content", "zzznope"),)), ("repo",))
+    assert z["repo"] == 0

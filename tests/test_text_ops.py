@@ -316,3 +316,35 @@ def test_significant_terms_hand_corpus(ray_session):
     assert trow["score"] == 0.0
     # fillers appear once each -> excluded by min_doc_count=2
     assert not any(t.startswith("filler") for t in out["term"])
+
+
+def test_chunk_documents_edges(ray_session):
+    """Sliding-window chunking: exact-window doc -> 1 chunk; W+1
+    tokens -> 2 chunks with the overlap; empty doc -> no rows; kept
+    columns fan out with the chunks."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.ops import text as txt
+
+    toks = lambda n: " ".join(f"t{i}" for i in range(n))
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [toks(4), toks(5), "", toks(2)],
+    }))
+    out = txt.chunk_documents(docs, chunk_tokens=4, stride=2, keep=["doc_id"]).to_pandas()
+    out = out.sort_values(["doc_id", "chunk_idx"]).reset_index(drop=True)
+    # doc 1: n=4=W -> one chunk of 4
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 1 and d1.iloc[0]["chunk"] == "t0 t1 t2 t3"
+    # doc 2: n=5 -> chunks [0..3], [2..4]
+    d2 = out[out["doc_id"] == 2]
+    assert list(d2["chunk"]) == ["t0 t1 t2 t3", "t2 t3 t4"]
+    assert list(d2["n_tokens"]) == [4, 3]
+    # doc 3: empty -> absent
+    assert (out["doc_id"] == 3).sum() == 0
+    # doc 4: n=2 < W -> single short chunk
+    d4 = out[out["doc_id"] == 4]
+    assert len(d4) == 1 and d4.iloc[0]["n_tokens"] == 2
+    with pytest.raises(ValueError):
+        txt.chunk_documents(docs, chunk_tokens=0)
