@@ -814,6 +814,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_quantity"])
         return sk.histogram_quantiles(li, "l_quantity", [0.25, 0.5, 0.75])
 
+    def r29_grouped_quantiles(sf_dir):
+        # per-group exact quantiles (quantile_disc GROUP BY): one
+        # (key, value) histogram shuffle + per-group resolve; nothing
+        # group-count-sized on the driver
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        return sk.grouped_quantiles(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
+
     def sketch_cm(sf_dir):
         # count-min frequency estimates for user_ids 0..9 (min over
         # depth rows of md5-hashed cells; exact SQL reproduction)
@@ -861,6 +868,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return txt.chunk_documents(
             docs, chunk_tokens=40, stride=20, keep=["doc_id"]
         )
+
+    def t_normalize(sf_dir):
+        # unicode normalization over a deterministically accented copy
+        # of the corpus (the testdata is ASCII, so accents are
+        # synthesized identically on both sides: a->á, e->è, tab runs)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _accent(t: pa.Table) -> pa.Table:
+            s = pc.replace_substring(t["text"], "a", "á")
+            s = pc.replace_substring(s, "e", "è")
+            s = pc.replace_substring(s, " t", "\tt")
+            return pa.table({"doc_id": t["doc_id"], "text": s})
+
+        return txt.normalize_text(
+            docs.map_batches(_accent, batch_format="pyarrow")
+        ).select_columns(["doc_id", "norm"])
 
     def t_top_terms(sf_dir):
         # heavy hitters by composition: explode -> count -> bounded
@@ -1700,11 +1723,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_kmv": sketch_kmv,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
+        "r29_grouped_quantiles": r29_grouped_quantiles,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
         "t_mix_budget": t_mix_budget,
         "t_chunk": t_chunk,
+        "t_normalize": t_normalize,
         "s31_significant_terms": s31_significant_terms,
         "s32_rescore": s32_rescore,
         "pipe_curation": pipe_curation,
@@ -2598,6 +2623,12 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        "r29_grouped_quantiles": (
+            "SELECT l_returnflag, unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75]) AS q, "
+            "unnest([quantile_disc(l_quantity, 0.25), quantile_disc(l_quantity, 0.5), "
+            "quantile_disc(l_quantity, 0.75)]) AS value "
+            "FROM lineitem GROUP BY l_returnflag"
+        ),
         "t_pack_sequences": _pack_sql,
         "t_shuffle_export": (
             "WITH h AS (SELECT doc_id, md5_number_upper(CAST(doc_id AS VARCHAR)) AS hv "
@@ -2713,6 +2744,16 @@ FROM documents d JOIN r USING (source)
 WHERE CAST(md5_number_upper(CAST(d.doc_id AS VARCHAR)) AS HUGEINT)
       < least(CAST(floor(r.rate * 18446744073709551616.0) AS HUGEINT),
               CAST(18446744073709551615 AS HUGEINT))
+""",
+        # t_normalize: accent synthesis + NFKD/strip/lower/ws-squash;
+        # DuckDB strip_accents(nfc_normalize) == Arrow NFKD + \\p{Mn}
+        # strip for Latin inputs
+        "t_normalize": r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(strip_accents(nfc_normalize(
+            replace(replace(replace(text, 'a', 'á'), 'e', 'è'), ' t', chr(9) || 't')
+       ))), '\s+', ' ', 'g')) AS norm
+FROM documents
 """,
         # t_chunk: 40-token windows every 20; DuckDB list slice is
         # 1-based inclusive; zero-token docs emit no chunks

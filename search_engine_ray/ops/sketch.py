@@ -29,6 +29,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ray.data import Dataset
+from ray.data.aggregate import Count
 
 from search_engine_ray.ops.relational import distinct, topk, value_counts
 from search_engine_ray.ops.rounding import round_half_up
@@ -206,6 +207,46 @@ def histogram_quantiles(
         out_q.append(q)
         out_v.append(hist[col].iloc[idx])
     return pd.DataFrame({"q": out_q, "value": out_v})
+
+
+def grouped_quantiles(
+    ds: Dataset, key: str, col: str, qs: Sequence[float]
+) -> Dataset:
+    """Exact discrete quantiles of `col` PER GROUP of `key` (DuckDB
+    quantile_disc GROUP BY semantics: ceil(q*n)-th smallest, q=0 the
+    minimum). Distributed end-to-end: one (key, value) histogram
+    shuffle (map-side combined — payload is distinct values per group
+    per block), then one map_groups per key resolves its quantiles
+    from its value histogram. Group state is the group's DISTINCT
+    value count, never its row count, so skewed groups stay bounded;
+    nothing group-count-sized touches the driver."""
+    qlist = [float(q) for q in qs]
+    if not qlist:
+        raise ValueError("qs must be non-empty")
+
+    hist = (
+        ds.map_batches(
+            lambda t: pa.table({key: t[key], col: t[col]}), batch_format="pyarrow"
+        )
+        .groupby([key, col])
+        .aggregate(Count(alias_name="_n"))
+    )
+
+    def _resolve(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(col)
+        cum = df["_n"].to_numpy(dtype=np.int64).cumsum()
+        n = int(cum[-1])
+        ranks = [max(1, int(np.ceil(q * n))) for q in qlist]
+        idx = [int(np.searchsorted(cum, r, side="left")) for r in ranks]
+        return pd.DataFrame(
+            {
+                key: [df[key].iloc[0]] * len(qlist),
+                "q": qlist,
+                "value": [df[col].iloc[i] for i in idx],
+            }
+        )
+
+    return hist.groupby(key).map_groups(_resolve, batch_format="pandas")
 
 
 class CountMinSketch:

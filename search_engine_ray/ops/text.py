@@ -564,6 +564,30 @@ def significant_terms(
     return top.map_batches(_finish, batch_format="pyarrow")
 
 
+def normalize_text(
+    ds: Dataset, text_col: str = "text", out_col: str = "norm"
+) -> Dataset:
+    """Unicode text normalization (crawl-cleaning preprocessor): NFKD
+    decomposition, combining-mark strip (\\p{Mn} — removes Latin
+    accents, leaves base letters like ß), lowercase, whitespace squash
+    to single spaces, trim. All C++ Arrow kernels; equivalent to
+    DuckDB ``trim(regexp_replace(lower(strip_accents(nfc_normalize(x))),
+    '\\s+', ' ', 'g'))`` for Latin-script inputs (parity pinned by the
+    t_normalize oracle)."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        a = t[text_col]
+        a = a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+        s = pc.utf8_normalize(pc.fill_null(a, ""), form="NFKD")
+        s = pc.replace_substring_regex(s, pattern=r"\p{Mn}", replacement="")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, pattern=r"\s+", replacement=" ")
+        s = pc.utf8_trim_whitespace(s)
+        return t.append_column(out_col, s)
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def chunk_documents(
     ds: Dataset,
     text_col: str = "text",

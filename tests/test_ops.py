@@ -1115,3 +1115,29 @@ def test_pivot_aggregate(ray_session, con):
         "AS click FROM events GROUP BY 1"
     ).df()
     assert_frames_equal(out2, exp2)
+
+
+def test_grouped_quantiles(lineitem, con):
+    import search_engine_ray.ops.sketch as sk
+
+    out = sk.grouped_quantiles(lineitem, "l_returnflag", "l_quantity",
+                               [0.0, 0.5, 1.0]).to_pandas()
+    exp = con.sql(
+        "SELECT l_returnflag, unnest([CAST(0.0 AS DOUBLE), 0.5, 1.0]) AS q, "
+        "unnest([quantile_disc(l_quantity, 0.0), quantile_disc(l_quantity, 0.5), "
+        "quantile_disc(l_quantity, 1.0)]) AS value FROM lineitem GROUP BY 1"
+    ).df()
+    assert_frames_equal(out, exp)
+    with pytest.raises(ValueError):
+        sk.grouped_quantiles(lineitem, "l_returnflag", "l_quantity", [])
+
+
+def test_normalize_text(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_pandas(pd.DataFrame({
+        "id": [1, 2, 3],
+        "text": ["Café  NAÏVE\tmix", "Ångström ß", None],
+    }))
+    out = txt.normalize_text(ds, "text").to_pandas().sort_values("id")
+    assert out["norm"].tolist() == ["cafe naive mix", "angstrom ß", ""]
