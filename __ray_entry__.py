@@ -702,6 +702,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["click", "view", "purchase", "signup", "error"],
         )
 
+    def r30_window_funcs(sf_dir):
+        # SQL window functions per user session stream: row_number,
+        # rank by value, lag of the previous event's value — one hash
+        # shuffle + vectorized per-partition kernel
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+        out = rel.window_functions(
+            ev, "user_id", ["ts", "event_id"],
+            {
+                "rn": ("row_number",),
+                "rnk": ("rank",),
+                "prev_value": ("lag", "value", 1, -1.0),
+            },
+        ).to_pandas()
+        out["value"] = round_half_up(out["value"].to_numpy(), 2)
+        out["prev_value"] = round_half_up(out["prev_value"].to_numpy(), 2)
+        out["ts"] = (out["ts"].astype("int64")).astype(np.int64)
+        return out[["event_id", "user_id", "ts", "value", "rn", "rnk", "prev_value"]]
+
     def r20_asof_join(sf_dir):
         # as-of join: each purchase picks up the user's most recent
         # prior click (coarse-shard co-location + one vectorized
@@ -1713,6 +1731,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r19_window_agg": r19_window_agg,
         "r26_hopping_window": r26_hopping_window,
         "r27_rollup": r27_rollup,
+        "r30_window_funcs": r30_window_funcs,
         "r28_pivot": r28_pivot,
         "r20_asof_join": r20_asof_join,
         "r21_range_join": r21_range_join,
@@ -2544,6 +2563,13 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "count(*) FILTER (WHERE event_type = 'signup') AS signup, "
             "count(*) FILTER (WHERE event_type = 'error') AS error "
             "FROM events GROUP BY 1"
+        ),
+        "r30_window_funcs": (
+            "SELECT event_id, user_id, CAST(epoch_us(ts) AS BIGINT) AS ts, "
+            "round(value, 2) AS value, row_number() OVER w AS rn, "
+            "rank() OVER w AS rnk, "
+            "round(COALESCE(lag(value, 1) OVER w, -1.0), 2) AS prev_value "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)"
         ),
         "r20_asof_join": (
             "WITH clicks AS (SELECT user_id, ts, max(value) AS click_value "

@@ -359,6 +359,70 @@ def grouped_aggregate(ds: Dataset, key: str | Sequence[str], aggs: dict[str, tup
     return ds.groupby(key).aggregate(*specs)
 
 
+def window_functions(
+    ds: Dataset,
+    partition_by: str | Sequence[str],
+    order_by: str | Sequence[str],
+    specs: dict[str, tuple],
+    descending: bool | Sequence[bool] = False,
+) -> Dataset:
+    """SQL window functions OVER (PARTITION BY ... ORDER BY ...):
+    specs maps output column -> one of
+      ("row_number",) | ("rank",) | ("dense_rank",)
+      ("lag", col, offset, default) | ("lead", col, offset, default).
+
+    One hash shuffle co-locates each partition, then a vectorized
+    per-group kernel (numpy argsort + searchsorted ranks, shifted
+    takes for lag/lead) emits the window columns. A partition must fit
+    one task's heap — the same contract as SQL engines' hash window
+    operator; for billion-row single partitions pre-bucket the key or
+    use window_aggregate (which never holds a window). Rank ties
+    follow SQL: rank = first row number of the tie group, dense_rank
+    consecutive; ordering ties beyond `order_by` are broken by the
+    input's stable sort for lag/lead determinism — pass a unique
+    ordering suffix for full determinism (the SQL oracle needs one
+    anyway)."""
+    pkeys = [partition_by] if isinstance(partition_by, str) else list(partition_by)
+    okeys = [order_by] if isinstance(order_by, str) else list(order_by)
+    desc = [descending] * len(okeys) if isinstance(descending, bool) else list(descending)
+
+    def _g(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(
+            okeys, ascending=[not d for d in desc], kind="mergesort"
+        ).reset_index(drop=True)
+        n = len(df)
+        # tie groups over the order keys (for rank/dense_rank)
+        if n:
+            key_df = df[okeys]
+            new_grp = (key_df != key_df.shift()).any(axis=1).to_numpy()
+            new_grp[0] = True
+        else:
+            new_grp = np.empty(0, bool)
+        grp_id = np.cumsum(new_grp)  # 1-based dense group ids
+        first_row = np.flatnonzero(new_grp) + 1
+        for out_col, spec in specs.items():
+            kind = spec[0]
+            if kind == "row_number":
+                df[out_col] = np.arange(1, n + 1, dtype=np.int64)
+            elif kind == "rank":
+                df[out_col] = first_row[grp_id - 1] if n else np.empty(0, np.int64)
+            elif kind == "dense_rank":
+                df[out_col] = grp_id.astype(np.int64)
+            elif kind in ("lag", "lead"):
+                _, col, off, dflt = spec
+                s = df[col].shift(off if kind == "lag" else -off)
+                df[out_col] = s if dflt is None else s.fillna(dflt)
+            else:
+                raise ValueError(f"unknown window function {kind!r}")
+        return df
+
+    # validate specs eagerly (before the lazy plan hides the error)
+    for spec in specs.values():
+        if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead"):
+            raise ValueError(f"unknown window function {spec[0]!r}")
+    return ds.groupby(pkeys).map_groups(_g, batch_format="pandas")
+
+
 def rollup_aggregate(
     ds: Dataset,
     keys: Sequence[str],

@@ -1141,3 +1141,41 @@ def test_normalize_text(ray_session):
     }))
     out = txt.normalize_text(ds, "text").to_pandas().sort_values("id")
     assert out["norm"].tolist() == ["cafe naive mix", "angstrom ß", ""]
+
+
+def test_window_functions_ties_and_leads(ray_session, con):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "p": ["a"] * 5 + ["b"] * 2,
+        "v": [10, 10, 20, 20, 30, 7, 7],
+        "rid": range(7),
+    })
+    out = rel.window_functions(
+        rd.from_pandas(df), "p", ["v", "rid"],
+        {
+            "rn": ("row_number",),
+            "rnk": ("rank",),
+            "drnk": ("dense_rank",),
+            "nxt": ("lead", "v", 1, -1),
+            "prv": ("lag", "v", 2, -1),
+        },
+    ).to_pandas()
+    con.sql("CREATE OR REPLACE VIEW wf AS SELECT * FROM df")
+    exp = duckdb.sql(
+        "SELECT p, v, rid, row_number() OVER w AS rn, rank() OVER w AS rnk, "
+        "dense_rank() OVER w AS drnk, "
+        "COALESCE(lead(v, 1) OVER w, -1) AS nxt, "
+        "COALESCE(lag(v, 2) OVER w, -1) AS prv "
+        "FROM df WINDOW w AS (PARTITION BY p ORDER BY v, rid)"
+    ).df()
+    assert_frames_equal(out, exp)
+    # rank ties when ordering ONLY by v: rank repeats, dense_rank compacts
+    out2 = rel.window_functions(
+        rd.from_pandas(df[df["p"] == "a"]), "p", ["v"],
+        {"rnk": ("rank",), "drnk": ("dense_rank",)},
+    ).to_pandas().sort_values(["v"]).reset_index(drop=True)
+    assert out2["rnk"].tolist() == [1, 1, 3, 3, 5]
+    assert out2["drnk"].tolist() == [1, 1, 2, 2, 3]
+    with pytest.raises(ValueError):
+        rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("ntile", 3)})
