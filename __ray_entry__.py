@@ -1129,6 +1129,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["distance"] = out["distance"].astype("int64")
         return out
 
+    def s34_phrase_suggest(sf_dir):
+        # S34 ES phrase suggester: whole-query did-you-mean for
+        # 'vectr jion' — per-token top-3 candidates, cross-product
+        # phrases ranked by unigram-LM logprob (tiebreak: fewer edits,
+        # then phrase)
+        eng = _doc_engine(sf_dir)
+        rows = eng.suggest_phrase("text", "vectr jion", max_edits=2, per_token_k=3, k=3)
+        out = pd.DataFrame(rows, columns=["phrase", "logprob", "edits"])
+        out["logprob"] = round_half_up(out["logprob"].to_numpy())
+        out["edits"] = out["edits"].astype("int64")
+        return out
+
     def s18_mlt(sf_dir):
         # S18 More-Like-This (Lucene MoreLikeThis): seed = doc 0's
         # text; top-5 tf*idf terms -> should-OR; per-term idfs,
@@ -1789,6 +1801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s29_percentiles": s29_percentiles,
         "s30_decay": s30_decay,
         "s33_cardinality": s33_cardinality,
+        "s34_phrase_suggest": s34_phrase_suggest,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2336,6 +2349,32 @@ dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)
 SELECT t AS term, df, CAST(levenshtein(t, 'vectr') AS BIGINT) AS distance
 FROM dfreq WHERE t != 'vectr' AND levenshtein(t, 'vectr') <= 2
 ORDER BY distance, df DESC, term LIMIT 5
+""",
+        # S34 phrase suggester: per-token (own-token first, then
+        # distance/df/term-ranked corrections, top 3) x cross product,
+        # logprob = ln(df0/n) + ln(df1/n) in token order
+        "s34_phrase_suggest": f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents),
+dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+c0 AS (SELECT t, df, d FROM (
+         SELECT t, df, 0 AS d, 0 AS own FROM dfreq WHERE t = 'vectr'
+         UNION ALL
+         SELECT t, df, levenshtein(t, 'vectr'), 1 FROM dfreq
+         WHERE t <> 'vectr' AND levenshtein(t, 'vectr') <= 2)
+       ORDER BY own, d, df DESC, t LIMIT 3),
+c1 AS (SELECT t, df, d FROM (
+         SELECT t, df, 0 AS d, 0 AS own FROM dfreq WHERE t = 'jion'
+         UNION ALL
+         SELECT t, df, levenshtein(t, 'jion'), 1 FROM dfreq
+         WHERE t <> 'jion' AND levenshtein(t, 'jion') <= 2)
+       ORDER BY own, d, df DESC, t LIMIT 3),
+p AS (SELECT c0.t || ' ' || c1.t AS phrase,
+             ln(c0.df / n.n) + ln(c1.df / n.n) AS lp,
+             c0.d + c1.d AS edits
+      FROM c0, c1, n)
+SELECT phrase, round(lp, 4) AS logprob, CAST(edits AS BIGINT) AS edits
+FROM p ORDER BY lp DESC, edits, phrase LIMIT 3
 """,
         "s16_stats_facet": f"""
 WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),

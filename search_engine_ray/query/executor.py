@@ -1207,6 +1207,70 @@ class SearchEngine:
             for dist, negdf, term in scored[:k]
         ]
 
+    def suggest_phrase(
+        self,
+        field: str,
+        phrase: str,
+        max_edits: int = 2,
+        per_token_k: int = 3,
+        k: int = 3,
+    ) -> list[dict]:
+        """ES phrase suggester (simplified): correct a multi-token
+        query as a whole. Per token, the top ``per_token_k`` term
+        suggestions (the `suggest` ranking — distance asc, df desc,
+        term asc; a token that IS a dictionary term stands as its own
+        distance-0 candidate); candidate phrases are the cross
+        product, scored by a unigram LM — sum of ln(df/N) — with
+        (fewer total edits, lexicographic phrase) tiebreaks, exactly
+        reproducible in SQL. Returns top ``k``:
+        ``[{"phrase", "logprob", "edits"}, ...]``.
+
+        Cross-product size is per_token_k^n_tokens — bounded by the
+        QUERY length, never the corpus; the per-token dictionary scans
+        are the only index work."""
+        from itertools import product as _iterprod
+
+        from search_engine_ray.analysis import TOKEN_RE
+
+        tokens = TOKEN_RE.findall(phrase.lower())
+        if not tokens:
+            return []
+        n = float(self.stats["n_docs"])
+        cands: list[list[tuple[str, int, int]]] = []
+        for tok in tokens:
+            rows = self.suggest(field, tok, max_edits=max_edits, k=per_token_k)
+            own_df = self._term_df(field, tok)
+            opts = [(r["term"], int(r["df"]), int(r["distance"])) for r in rows]
+            if own_df > 0:
+                opts = [(tok, own_df, 0)] + opts
+            opts = opts[:per_token_k] if opts else [(tok, 0, 0)]
+            cands.append(opts)
+        scored = []
+        for combo in _iterprod(*cands):
+            lp = sum(np.log(df / n) if df > 0 else -np.inf for _, df, _ in combo)
+            edits = sum(d for _, _, d in combo)
+            text = " ".join(t for t, _, _ in combo)
+            scored.append((-lp, edits, text))
+        scored.sort()
+        return [
+            {"phrase": text, "logprob": -neglp, "edits": edits}
+            for neglp, edits, text in scored[:k]
+        ]
+
+    def _term_df(self, field: str, token: str) -> int:
+        """Dictionary df of an exact token in `field` (0 if absent),
+        summed across shards."""
+        key = self.config.term_key(field, token)
+        total = 0
+        for d in self.dirs:
+            for part in range(self.config.num_parts):
+                t = self._dict_table(d, part)
+                if not t.num_rows:
+                    continue
+                sub = t.filter(pc.equal(t["term"], key))
+                total += int(pc.sum(sub["df"]).as_py() or 0)
+        return total
+
     def mlt_query(
         self,
         text: str,

@@ -1203,3 +1203,26 @@ def test_cardinality_aggregation(engine, oracle_ix, tiny_corpus):
     # zero-hit query -> cardinality 0
     z = engine.cardinality(Compound(must=(Term("content", "zzznope"),)), ("repo",))
     assert z["repo"] == 0
+
+
+def test_phrase_suggest(engine, tiny_corpus):
+    """S34 phrase suggester: per-token corrections compose into the
+    LM-ranked phrase; an in-dictionary token stands as its own
+    distance-0 candidate."""
+    # 'imports' is a real dictionary term near 'import'
+    rows = engine.suggest_phrase("content", "improt tokenzer", max_edits=2, k=3)
+    assert rows, "expected at least one phrase"
+    top = rows[0]
+    toks = top["phrase"].split()
+    assert len(toks) == 2
+    assert top["edits"] >= 1 and np.isfinite(top["logprob"])
+    # ordering: logprob desc, then edits, then phrase
+    for a, b in zip(rows, rows[1:]):
+        assert (a["logprob"], -a["edits"]) >= (b["logprob"], -b["edits"]) or (
+            a["logprob"] == b["logprob"] and a["edits"] == b["edits"]
+            and a["phrase"] <= b["phrase"])
+    # a correctly-spelled phrase keeps itself as the top suggestion
+    ok = engine.suggest_phrase("content", "import", max_edits=1, k=1)
+    assert ok[0]["phrase"] == "import" and ok[0]["edits"] == 0
+    # empty input
+    assert engine.suggest_phrase("content", "  ") == []
