@@ -1366,6 +1366,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.extract_snippets(docs, "vector", context=2)
 
+    def s35_fragments(sf_dir):
+        # ES highlight number_of_fragments=3: up to 3 keyword windows
+        # per doc, position-ordered
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.extract_fragments(docs, "vector", context=2, max_fragments=3)
+
     # ---- dedup ------------------------------------------------------
     def dedup_exact(sf_dir):
         both = _docs_with_near_dups(sf_dir)  # exact dups: none -> all dup_count=1
@@ -1802,6 +1808,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s30_decay": s30_decay,
         "s33_cardinality": s33_cardinality,
         "s34_phrase_suggest": s34_phrase_suggest,
+        "s35_fragments": s35_fragments,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2349,6 +2356,18 @@ dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)
 SELECT t AS term, df, CAST(levenshtein(t, 'vectr') AS BIGINT) AS distance
 FROM dfreq WHERE t != 'vectr' AND levenshtein(t, 'vectr') <= 2
 ORDER BY distance, df DESC, term LIMIT 5
+""",
+        # S35 multi-fragment highlight: every 'vector' occurrence up
+        # to 3 per doc, +/-2-token windows (DuckDB list slice 1-based)
+        "s35_fragments": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+e AS (SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS pos FROM tok),
+h AS (SELECT doc_id, ts, pos,
+             row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS fi
+      FROM e WHERE ts[pos] = 'vector')
+SELECT doc_id, CAST(fi AS BIGINT) AS frag_idx, CAST(pos AS BIGINT) AS pos,
+       array_to_string(ts[greatest(1, pos - 2) : least(len(ts), pos + 2)], ' ') AS snippet
+FROM h WHERE fi <= 3
 """,
         # S34 phrase suggester: per-token (own-token first, then
         # distance/df/term-ranked corrections, top 3) x cross product,

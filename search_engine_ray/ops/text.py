@@ -588,6 +588,68 @@ def normalize_text(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def extract_fragments(
+    ds: Dataset,
+    term: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    context: int = 2,
+    max_fragments: int = 3,
+) -> Dataset:
+    """ES highlight with number_of_fragments > 1: up to
+    ``max_fragments`` keyword-in-context windows PER DOC, one row per
+    fragment (frag_idx 1-based in position order, pos 1-based token
+    position). The multi-occurrence sibling of `extract_snippets`,
+    same fully-vectorized shape — hit positions come from one Arrow
+    equality scan, the per-doc fragment counter from a cumcount over
+    the (sorted) hit parents, windows from one repeat/arange gather +
+    binary_join."""
+    c, mf = int(context), int(max_fragments)
+    if mf <= 0:
+        raise ValueError("max_fragments must be positive")
+
+    def _f(t: pa.Table) -> pa.Table:
+        flat, parents, n = _flat_tokens(t[text_col])
+        counts = np.bincount(parents, minlength=n)
+        starts = np.concatenate(([0], np.cumsum(counts)))[:-1]
+        hp = np.nonzero(pc.equal(flat, term).to_numpy(zero_copy_only=False))[0]
+        ids = t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray) else t[id_col]
+        if hp.size == 0:
+            return pa.table({
+                id_col: ids.slice(0, 0),
+                "frag_idx": pa.array([], pa.int64()),
+                "pos": pa.array([], pa.int64()),
+                "snippet": pa.array([], pa.string()),
+            })
+        hd = parents[hp]  # nondecreasing
+        new_doc = np.ones(hd.size, dtype=bool)
+        new_doc[1:] = hd[1:] != hd[:-1]
+        seg_first = np.flatnonzero(new_doc)
+        within = np.arange(hd.size) - np.repeat(seg_first, np.diff(np.append(seg_first, hd.size)))
+        keep = within < mf
+        hd, hp, within = hd[keep], hp[keep], within[keep]
+        ix0 = hp - starts[hd]
+        s0 = np.maximum(ix0 - c, 0)
+        e0 = np.minimum(ix0 + c + 1, counts[hd])
+        w = e0 - s0
+        offs = np.concatenate(([0], np.cumsum(w)))
+        idx = (
+            np.repeat(starts[hd] + s0, w) + np.arange(offs[-1]) - np.repeat(offs[:-1], w)
+        )
+        vals = flat.take(pa.array(idx, pa.int64()))
+        if isinstance(vals, pa.ChunkedArray):
+            vals = vals.combine_chunks()
+        lists = pa.ListArray.from_arrays(pa.array(offs, pa.int32()), vals)
+        return pa.table({
+            id_col: ids.take(pa.array(hd, pa.int64())),
+            "frag_idx": pa.array(within + 1, pa.int64()),
+            "pos": pa.array(ix0 + 1, pa.int64()),
+            "snippet": pc.binary_join(lists, " "),
+        })
+
+    return ds.map_batches(_f, batch_format="pyarrow")
+
+
 def chunk_documents(
     ds: Dataset,
     text_col: str = "text",

@@ -348,3 +348,33 @@ def test_chunk_documents_edges(ray_session):
     assert len(d4) == 1 and d4.iloc[0]["n_tokens"] == 2
     with pytest.raises(ValueError):
         txt.chunk_documents(docs, chunk_tokens=0)
+
+
+def test_extract_fragments(ray_session):
+    """Multi-fragment highlight: per-doc cap, position order, window
+    clamping at doc edges."""
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.ops import text as txt
+
+    docs = rd.from_pandas(pd.DataFrame({
+        "doc_id": [1, 2, 3],
+        "text": [
+            "x x hit a b hit c d hit e hit",  # 4 occurrences
+            "hit only once here",
+            "no match at all",
+        ],
+    }))
+    out = txt.extract_fragments(docs, "hit", context=1, max_fragments=3).to_pandas()
+    out = out.sort_values(["doc_id", "frag_idx"]).reset_index(drop=True)
+    d1 = out[out["doc_id"] == 1]
+    assert len(d1) == 3                     # capped at 3 of 4
+    assert d1["frag_idx"].tolist() == [1, 2, 3]
+    assert d1["pos"].tolist() == [3, 6, 9]
+    assert d1["snippet"].tolist() == ["x hit a", "b hit c", "d hit e"]
+    d2 = out[out["doc_id"] == 2]
+    assert len(d2) == 1 and d2.iloc[0]["snippet"] == "hit only"  # left edge clamp
+    assert (out["doc_id"] == 3).sum() == 0
+    with pytest.raises(ValueError):
+        txt.extract_fragments(docs, "hit", max_fragments=0)
