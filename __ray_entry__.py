@@ -1366,6 +1366,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.extract_snippets(docs, "vector", context=2)
 
+    def s36_federated(sf_dir):
+        # S36 federated DFS search: two half-corpus indexes (doc_id
+        # parity), global-stats scoring — scores provably equal the
+        # single-index BM25, so the oracle is the plain corpus SQL
+        import ray.data as rd
+
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index import build_index
+        from search_engine_ray.query import FederatedEngine, SearchEngine
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        members = {}
+        for name, rem in (("even", 0), ("odd", 1)):
+            d = f"/tmp/ser_idx_cache/{tag}/fed_{name}_v1"
+            if not os.path.exists(os.path.join(d, "manifest.json")):
+                docs = rd.read_parquet(os.path.join(sf_dir, "documents.parquet"))
+                half = docs.map_batches(
+                    lambda t, r=rem: t.filter(
+                        pc.equal(pc.bit_wise_and(t["doc_id"], 1), r)
+                    ),
+                    batch_format="pyarrow",
+                )
+                build_index(half, d, DOCUMENTS_CONFIG, sha_col="text")
+            members[name] = SearchEngine(d, DOCUMENTS_CONFIG)
+        fed = FederatedEngine(members)
+        out = fed.search(Compound(must=(Term("text", "vector"),)), k=10)
+        out["score"] = round_half_up(out["score"].to_numpy())
+        return out
+
     def s35_fragments(sf_dir):
         # ES highlight number_of_fragments=3: up to 3 keyword windows
         # per doc, position-ordered
@@ -1809,6 +1838,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s33_cardinality": s33_cardinality,
         "s34_phrase_suggest": s34_phrase_suggest,
         "s35_fragments": s35_fragments,
+        "s36_federated": s36_federated,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2356,6 +2386,21 @@ dfreq AS (SELECT t, count(*) AS df FROM tok GROUP BY 1)
 SELECT t AS term, df, CAST(levenshtein(t, 'vectr') AS BIGINT) AS distance
 FROM dfreq WHERE t != 'vectr' AND levenshtein(t, 'vectr') <= 2
 ORDER BY distance, df DESC, term LIMIT 5
+""",
+        # S36 federated DFS: global stats make the two half-indexes
+        # score exactly like one index, so the oracle is the plain
+        # BM25 SQL with the member name derived from doc_id parity
+        "s36_federated": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+m AS (SELECT d.doc_id, ({_bm25_expr0}) AS raw FROM d, s WHERE tf0 > 0)
+SELECT (SELECT count(*) FROM m) AS total,
+       CASE WHEN doc_id % 2 = 0 THEN 'even' ELSE 'odd' END AS index,
+       doc_id, round(raw, 4) AS score
+FROM m ORDER BY raw DESC, doc_id LIMIT 10
 """,
         # S35 multi-fragment highlight: every 'vector' occurrence up
         # to 3 per doc, +/-2-token windows (DuckDB list slice 1-based)

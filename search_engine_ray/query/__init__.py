@@ -21,6 +21,7 @@ from search_engine_ray.query.executor import (  # noqa: F401
     SearchEngine,
     SearchResult,
 )
+from search_engine_ray.query.federated import FederatedEngine  # noqa: F401
 from search_engine_ray.query.phrase import (  # noqa: F401
     phrase_postings,
     phrase_search,

@@ -940,6 +940,11 @@ class SearchEngine:
         if any(getattr(self.config, k) != v for k, v in layout.items()):
             self.config = _dc_replace(self.config, **layout)
         self.index_dir = index_dir
+        # federated DFS hook: when set (a {term_key: global_df} dict),
+        # _df_for_terms serves these instead of the local dictionaries
+        # and `stats` is replaced with the fleet-global stats, so this
+        # member scores exactly as one shard of the combined corpus
+        self.df_override: dict[str, int] | None = None
         # deleted doc ids (small relative to corpus — compaction removes
         # them physically); refreshed whenever the tombstone dir changes
         # so deletes take effect on the NEXT search without rebuilding
@@ -1049,6 +1054,14 @@ class SearchEngine:
     def _df_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
         if not term_keys:
             return {}
+        if self.df_override is not None:
+            # federated DFS phase: score with GLOBAL dfs gathered
+            # across all member indexes (query/federated.py)
+            return {
+                tk: self.df_override[tk]
+                for tk in term_keys
+                if self.df_override.get(tk, 0) > 0
+            }
         # explicit partition pruning: a query for Q terms touches <= Q
         # part directories (part = hash(term) % num_parts)
         parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})

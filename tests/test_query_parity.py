@@ -1226,3 +1226,56 @@ def test_phrase_suggest(engine, tiny_corpus):
     assert ok[0]["phrase"] == "import" and ok[0]["edits"] == 0
     # empty input
     assert engine.suggest_phrase("content", "  ") == []
+
+
+def test_federated_global_stats_parity(ray_session, tiny_corpus, tiny_index, tmp_path):
+    """S36 federated DFS search: querying two half-corpus indexes with
+    global stats returns EXACTLY the single-index ranking and scores
+    (Lucene dfs_query_then_fetch invariant)."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query import FederatedEngine
+
+    out, cfg, _ = tiny_index
+    single = SearchEngine(out, cfg)
+    t = tiny_corpus
+    # split by row parity; both halves share the schema
+    idx = np.arange(t.num_rows)
+    halves = {}
+    for name, sel in (("even", idx[idx % 2 == 0]), ("odd", idx[idx % 2 == 1])):
+        sub = t.take(pa.array(sel))
+        d = str(tmp_path / f"fed_{name}")
+        build_index(rd.from_arrow(sub), d, cfg)
+        halves[name] = SearchEngine(d, cfg)
+    fed = FederatedEngine(halves)
+    for q in (
+        Compound(must=(Term("content", "import"),)),
+        Compound(should=(Term("content", "wand"), Term("content", "bm25")),
+                 min_should_match=1),
+        Compound(must=(Term("content", "build_index"), Term("content", "merge_shards"))),
+    ):
+        got = fed.search(q, k=10)
+        ref = single.search(q, k=10, with_metadata=False)
+        assert int(got["total"].iloc[0]) == ref.total
+        # doc ids here are engine-assigned: compare via content sha
+        # instead -> tiny_index uses native ids? tiny corpus has no
+        # doc_id col, ids are hashed — identical for identical rows,
+        # so direct comparison holds
+        assert got["doc_id"].tolist() == ref.hits["doc_id"].tolist()
+        np.testing.assert_allclose(
+            got["score"].to_numpy(), ref.hits["score"].to_numpy(), atol=1e-9
+        )
+    # sanity: WITHOUT global stats the halves disagree with the single
+    # index on at least the scores (local dfs differ)
+    lone = halves["even"].search(Compound(must=(Term("content", "import"),)), k=5,
+                                 with_metadata=False)
+    refl = single.search(Compound(must=(Term("content", "import"),)), k=5,
+                         with_metadata=False)
+    common = set(lone.hits["doc_id"]) & set(refl.hits["doc_id"])
+    if common:
+        d = next(iter(common))
+        sl = float(lone.hits.set_index("doc_id")["score"][d])
+        sr = float(refl.hits.set_index("doc_id")["score"][d])
+        assert abs(sl - sr) > 1e-9
