@@ -839,6 +839,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
         return sk.grouped_quantiles(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
 
+    def r31_matrix_stats(sf_dir):
+        # ES matrix_stats: covariance/correlation of quantity vs
+        # discount from one streaming raw-moment pass
+        li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount"])
+        return sk.matrix_stats(li, "l_quantity", "l_discount")
+
     def sketch_cm(sf_dir):
         # count-min frequency estimates for user_ids 0..9 (min over
         # depth rows of md5-hashed cells; exact SQL reproduction)
@@ -1453,6 +1459,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
         return ann.cosine_topk(emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10)
 
+    def ann_cosine_filtered(sf_dir):
+        # filtered kNN (the modern vector-search shape: metadata
+        # pre-filter THEN exact top-k among survivors — k results are
+        # guaranteed, unlike post-filtering a larger unfiltered k)
+        emb = _read(sf_dir, "embeddings")
+        flt = rel.filter_conditions(emb, [("label", "==", 1)])
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return ann.cosine_topk(flt, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10)
+
     def ann_rp_lsh(sf_dir):  # rows-only
         import ray.data as rd
 
@@ -1790,6 +1807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
+        "r31_matrix_stats": r31_matrix_stats,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -1839,6 +1857,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s34_phrase_suggest": s34_phrase_suggest,
         "s35_fragments": s35_fragments,
         "s36_federated": s36_federated,
+        "ann_cosine_filtered": ann_cosine_filtered,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
@@ -2752,6 +2771,19 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars "
             "FROM documents GROUP BY 1"
         ),
+        # r31 matrix_stats: population moments; engine computes from
+        # raw sums (Σxx/n - mean²) — equal to covar_pop/var_pop at the
+        # 4-dp rounding
+        "r31_matrix_stats": (
+            "WITH s AS (SELECT CAST(count(*) AS DOUBLE) AS n, "
+            "avg(l_quantity) AS mx, avg(l_discount) AS my, "
+            "var_pop(l_quantity) AS vx, var_pop(l_discount) AS vy, "
+            "covar_pop(l_quantity, l_discount) AS cov, "
+            "corr(l_quantity, l_discount) AS c FROM lineitem) "
+            "SELECT unnest(['count','mean_x','mean_y','var_x','var_y','covar','corr']) AS stat, "
+            "unnest([round(n,4), round(mx,4), round(my,4), round(vx,4), "
+            "round(vy,4), round(cov,4), round(c,4)]) AS value FROM s"
+        ),
         "r29_grouped_quantiles": (
             "SELECT l_returnflag, unnest([CAST(0.25 AS DOUBLE), 0.5, 0.75]) AS q, "
             "unnest([quantile_disc(l_quantity, 0.25), quantile_disc(l_quantity, 0.5), "
@@ -2930,6 +2962,15 @@ LIMIT 10
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
+        ),
+        "ann_cosine_filtered": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)) "
+            "SELECT qid, e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid AND e.label = 1 "
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
         ),
         "ann_ivf_batch": (

@@ -249,6 +249,49 @@ def grouped_quantiles(
     return hist.groupby(key).map_groups(_resolve, batch_format="pandas")
 
 
+def matrix_stats(ds: Dataset, x_col: str, y_col: str) -> pd.DataFrame:
+    """ES matrix_stats aggregation for a column pair: count, means,
+    population variances/covariance and Pearson correlation — one
+    streaming pass of per-batch raw moments (n, Σx, Σy, Σx², Σy², Σxy)
+    combined by a global sum; the driver sees six numbers per block.
+    Null rows (either side) are skipped, matching SQL covar_pop/corr.
+    Values rounded half-up to 4 (DuckDB tie rule)."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t[x_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        y = t[y_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        m = ~(np.isnan(x) | np.isnan(y))
+        x, y = x[m], y[m]
+        return pa.table({
+            "n": pa.array([np.int64(x.size)]),
+            "sx": pa.array([float(x.sum())]),
+            "sy": pa.array([float(y.sum())]),
+            "sxx": pa.array([float((x * x).sum())]),
+            "syy": pa.array([float((y * y).sum())]),
+            "sxy": pa.array([float((x * y).sum())]),
+        })
+
+    agg = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+        Sum("n", alias_name="n"), Sum("sx", alias_name="sx"),
+        Sum("sy", alias_name="sy"), Sum("sxx", alias_name="sxx"),
+        Sum("syy", alias_name="syy"), Sum("sxy", alias_name="sxy"),
+    )
+    n = float(agg["n"])
+    if n == 0:
+        raise ValueError("matrix_stats over zero non-null rows")
+    mx, my = agg["sx"] / n, agg["sy"] / n
+    vx = agg["sxx"] / n - mx * mx
+    vy = agg["syy"] / n - my * my
+    cov = agg["sxy"] / n - mx * my
+    corr = cov / np.sqrt(vx * vy) if vx > 0 and vy > 0 else float("nan")
+    vals = [n, mx, my, vx, vy, cov, corr]
+    return pd.DataFrame({
+        "stat": ["count", "mean_x", "mean_y", "var_x", "var_y", "covar", "corr"],
+        "value": round_half_up(np.array(vals, dtype=np.float64)),
+    })
+
+
 class CountMinSketch:
     """Count-min sketch (Cormode & Muthukrishnan 2005): a depth x width
     int64 grid; value v increments cell (r, h_r(v)) per row r; the

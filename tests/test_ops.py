@@ -1179,3 +1179,21 @@ def test_window_functions_ties_and_leads(ray_session, con):
     assert out2["drnk"].tolist() == [1, 1, 2, 2, 3]
     with pytest.raises(ValueError):
         rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("ntile", 3)})
+
+
+def test_matrix_stats_nulls(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    df = pd.DataFrame({
+        "x": [1.0, 2.0, 3.0, np.nan, 5.0],
+        "y": [2.0, 4.0, 6.0, 1.0, np.nan],
+    })
+    out = sk.matrix_stats(rd.from_pandas(df), "x", "y").set_index("stat")["value"]
+    # only the 3 fully-non-null rows count; y = 2x exactly -> corr 1
+    assert out["count"] == 3.0
+    assert out["mean_x"] == 2.0 and out["mean_y"] == 4.0
+    assert abs(out["corr"] - 1.0) < 1e-9
+    # values are 4-dp rounded (0.6667 vs 1.3333), so compare loosely
+    assert abs(out["covar"] - 2 * out["var_x"]) < 1e-3
