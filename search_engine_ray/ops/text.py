@@ -536,6 +536,15 @@ def significant_terms(
         lambda t: t.filter(pc.equal(t["term"], "")), batch_format="pyarrow"
     ).take(1)[0]
     fg_n, bg_n = float(tot["fg"]), float(tot["bg"])
+    if fg_n == 0:  # no doc matches the query term: nothing significant
+        import ray.data as _rd
+
+        return _rd.from_arrow(pa.table({
+            "term": pa.array([], pa.string()),
+            "fg": pa.array([], pa.int64()),
+            "bg": pa.array([], pa.int64()),
+            "score": pa.array([], pa.float64()),
+        }))
 
     def _score(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.not_equal(t["term"], ""), pc.greater_equal(t["fg"], min_doc_count))

@@ -378,3 +378,17 @@ def test_extract_fragments(ray_session):
     assert (out["doc_id"] == 3).sum() == 0
     with pytest.raises(ValueError):
         txt.extract_fragments(docs, "hit", max_fragments=0)
+
+
+def test_significant_terms_no_matches(ray_session):
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.ops import text as txt
+
+    docs = rd.from_pandas(pd.DataFrame({"doc_id": [1, 2], "text": ["a b", "b c"]}))
+    ds = txt.significant_terms(docs, "zzz", k=5)
+    # (empty Datasets surface no column names through to_pandas —
+    # the known Ray empty-block behavior — so assert via schema+count)
+    assert ds.count() == 0
+    assert sorted(ds.schema().names) == ["bg", "fg", "score", "term"]
