@@ -839,6 +839,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
         return sk.grouped_quantiles(li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75])
 
+    def sketch_quantiles_sampled(sf_dir):
+        # high-cardinality scale path: exact quantiles of a 1/4
+        # deterministic hash sample (bounded histogram shuffle;
+        # bit-reproducible in SQL, unlike a t-digest merge)
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"])
+        return sk.sampled_quantiles(
+            li, "l_extendedprice", [0.25, 0.5, 0.75], rate=0.25, key_col="l_orderkey"
+        )
+
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
         # discount from one streaming raw-moment pass
@@ -1808,6 +1817,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
         "r31_matrix_stats": r31_matrix_stats,
+        "sketch_quantiles_sampled": sketch_quantiles_sampled,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -2766,6 +2776,14 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem "
             "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
             "UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem"
+        ),
+        # sampled quantiles: 0.25 rate -> threshold 2^62 exactly
+        "sketch_quantiles_sampled": (
+            "WITH s AS (SELECT l_extendedprice FROM lineitem "
+            "WHERE md5_number_upper(CAST(l_orderkey AS VARCHAR)) < 4611686018427387904) "
+            "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_extendedprice, 0.25) AS value FROM s "
+            "UNION ALL SELECT 0.5, quantile_disc(l_extendedprice, 0.5) FROM s "
+            "UNION ALL SELECT 0.75, quantile_disc(l_extendedprice, 0.75) FROM s"
         ),
         "e9_json_roundtrip": (
             "SELECT lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS sum_chars "

@@ -249,6 +249,22 @@ def grouped_quantiles(
     return hist.groupby(key).map_groups(_resolve, batch_format="pandas")
 
 
+def sampled_quantiles(
+    ds: Dataset, col: str, qs: Sequence[float], rate: float, key_col: str, salt: str = ""
+) -> pd.DataFrame:
+    """Approximate quantiles for HIGH-CARDINALITY columns: exact
+    discrete quantiles of a deterministic hash sample (keep rate
+    `rate` keyed on `key_col`). `histogram_quantiles` is exact but its
+    shuffle carries one row per distinct value — fine for enums and
+    integer-ish columns, unbounded for continuous ones; sampling first
+    bounds the histogram at ~rate*n rows with quantile error
+    O(1/sqrt(rate*n)) (Bahadur), while staying bit-reproducible across
+    runs AND in SQL (the md5 threshold + quantile_disc over the same
+    sampled set — unlike t-digest, whose merge order is
+    nondeterministic under parallelism)."""
+    return histogram_quantiles(hash_sample(ds, key_col, rate, salt=salt), col, qs)
+
+
 def matrix_stats(ds: Dataset, x_col: str, y_col: str) -> pd.DataFrame:
     """ES matrix_stats aggregation for a column pair: count, means,
     population variances/covariance and Pearson correlation — one
