@@ -662,6 +662,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
         return out
 
+    def r32_cumulative(sf_dir):
+        # ES cumulative_sum pipeline aggregation: hourly tumbling
+        # windows per event_type, then a running total per type in
+        # window order — windowed aggregate composed with the cumsum
+        # window function
+        ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+        wins = rel.window_aggregate(
+            ds, "ts", 3600, {"n": ("count", "value")}, keys=["event_type"]
+        )
+        return rel.window_functions(
+            wins, "event_type", ["window_start"], {"cum_n": ("cumsum", "n")}
+        )
+
+    def r33_month_histogram(sf_dir):
+        # ES date_histogram calendar_interval=month (uneven buckets —
+        # not expressible as a fixed tumbling window): floor_temporal
+        # bucket key + combined hash aggregate
+        ds = _read(sf_dir, "events", ["ts", "event_type", "value"])
+        out = rel.calendar_window_aggregate(
+            ds, "ts", "month",
+            {"n": ("count", "value"), "sum_value": ("sum", "value")},
+            keys=["event_type"],
+        ).to_pandas()
+        out["sum_value"] = round_half_up(out["sum_value"].to_numpy(), 2)
+        # floor_temporal keeps the source resolution; pin epoch-us
+        out["window_start"] = out["window_start"].astype("datetime64[us]").astype("int64")
+        return out
+
     def r26_hopping_window(sf_dir):
         # hopping-window aggregate (Flink/KSQL HOP): 1h windows every
         # 15 min — each event lands in 4 windows; the fan-out happens
@@ -847,6 +875,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return sk.sampled_quantiles(
             li, "l_extendedprice", [0.25, 0.5, 0.75], rate=0.25, key_col="l_orderkey"
         )
+
+    def s38_percentile_ranks(sf_dir):
+        # ES percentile_ranks (inverse percentiles): % of lineitem
+        # quantities <= each threshold — exact, one partial-count pass
+        li = _read(sf_dir, "lineitem", ["l_quantity"])
+        return sk.percentile_ranks(li, "l_quantity", [10.0, 25.0, 40.0])
 
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
@@ -1410,6 +1444,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = round_half_up(out["score"].to_numpy())
         return out
 
+    def s37_dictionary(sf_dir):
+        # Lucene Terms API: the text field's full exact-term
+        # dictionary (bare term, df) streamed as a Dataset — the
+        # oracle checks EVERY vocabulary row, making this a whole-
+        # index integrity probe too
+        eng = _doc_engine(sf_dir)
+        return eng.dictionary_terms("text")
+
     def s35_fragments(sf_dir):
         # ES highlight number_of_fragments=3: up to 3 keyword windows
         # per doc, position-ordered
@@ -1805,6 +1847,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r26_hopping_window": r26_hopping_window,
         "r27_rollup": r27_rollup,
         "r30_window_funcs": r30_window_funcs,
+        "r32_cumulative": r32_cumulative,
+        "r33_month_histogram": r33_month_histogram,
         "r28_pivot": r28_pivot,
         "r20_asof_join": r20_asof_join,
         "r21_range_join": r21_range_join,
@@ -1818,6 +1862,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r29_grouped_quantiles": r29_grouped_quantiles,
         "r31_matrix_stats": r31_matrix_stats,
         "sketch_quantiles_sampled": sketch_quantiles_sampled,
+        "s38_percentile_ranks": s38_percentile_ranks,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -1867,6 +1912,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s34_phrase_suggest": s34_phrase_suggest,
         "s35_fragments": s35_fragments,
         "s36_federated": s36_federated,
+        "s37_dictionary": s37_dictionary,
         "ann_cosine_filtered": ann_cosine_filtered,
         "dedup_exact": dedup_exact,
         "dedup_minhash": dedup_minhash,
@@ -2416,6 +2462,11 @@ SELECT t AS term, df, CAST(levenshtein(t, 'vectr') AS BIGINT) AS distance
 FROM dfreq WHERE t != 'vectr' AND levenshtein(t, 'vectr') <= 2
 ORDER BY distance, df DESC, term LIMIT 5
 """,
+        # S37 term dictionary export: df = docs containing the token
+        "s37_dictionary": f"""
+WITH tok AS (SELECT doc_id, unnest(list_distinct({toks})) AS t FROM documents)
+SELECT t AS term, count(*) AS df FROM tok GROUP BY 1
+""",
         # S36 federated DFS: global stats make the two half-indexes
         # score exactly like one index, so the oracle is the plain
         # BM25 SQL with the member name derived from doc_id parity
@@ -2669,6 +2720,18 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
             "FROM events GROUP BY 1, 2"
         ),
+        "r33_month_histogram": (
+            "SELECT CAST(epoch_us(date_trunc('month', ts)) AS BIGINT) AS window_start, "
+            "event_type, count(*) AS n, round(sum(value), 2) AS sum_value "
+            "FROM events GROUP BY 1, 2"
+        ),
+        "r32_cumulative": (
+            "WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
+            "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
+            "SELECT window_start, event_type, n, "
+            "sum(n) OVER (PARTITION BY event_type ORDER BY window_start "
+            "ROWS UNBOUNDED PRECEDING) AS cum_n FROM w"
+        ),
         "r26_hopping_window": (
             # 1h windows every 15 min: 4 candidate starts per event,
             # keep the covering non-negative ones
@@ -2776,6 +2839,14 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "SELECT CAST(0.25 AS DOUBLE) AS q, quantile_disc(l_quantity, 0.25) AS value FROM lineitem "
             "UNION ALL SELECT 0.5, quantile_disc(l_quantity, 0.5) FROM lineitem "
             "UNION ALL SELECT 0.75, quantile_disc(l_quantity, 0.75) FROM lineitem"
+        ),
+        # s38 percentile_ranks: 100.0 * cnt / n left-assoc both sides
+        "s38_percentile_ranks": (
+            "SELECT unnest([CAST(10.0 AS DOUBLE), 25.0, 40.0]) AS value, "
+            "unnest([round(100.0 * (count(*) FILTER (WHERE l_quantity <= 10.0)) / count(*), 4), "
+            "round(100.0 * (count(*) FILTER (WHERE l_quantity <= 25.0)) / count(*), 4), "
+            "round(100.0 * (count(*) FILTER (WHERE l_quantity <= 40.0)) / count(*), 4)]) AS pct "
+            "FROM lineitem"
         ),
         # sampled quantiles: 0.25 rate -> threshold 2^62 exactly
         "sketch_quantiles_sampled": (

@@ -412,13 +412,17 @@ def window_functions(
                 _, col, off, dflt = spec
                 s = df[col].shift(off if kind == "lag" else -off)
                 df[out_col] = s if dflt is None else s.fillna(dflt)
+            elif kind == "cumsum":
+                # ES cumulative_sum pipeline agg / SQL ROWS UNBOUNDED
+                # PRECEDING running total
+                df[out_col] = df[spec[1]].cumsum()
             else:
                 raise ValueError(f"unknown window function {kind!r}")
         return df
 
     # validate specs eagerly (before the lazy plan hides the error)
     for spec in specs.values():
-        if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead"):
+        if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum"):
             raise ValueError(f"unknown window function {spec[0]!r}")
     return ds.groupby(pkeys).map_groups(_g, batch_format="pandas")
 
@@ -728,6 +732,39 @@ def window_aggregate(
     fn = _win if slide_s is None or slide_s == every_s else _win_hop
     return grouped_aggregate(
         ds.map_batches(fn, batch_format="pyarrow"), ["window_start"] + keys, aggs
+    )
+
+
+def calendar_window_aggregate(
+    ds: Dataset,
+    ts_col: str,
+    unit: str,
+    aggs: dict[str, tuple[str, str]],
+    keys: Sequence[str] = (),
+    out_col: str = "window_start",
+) -> Dataset:
+    """ES date_histogram with a CALENDAR interval (month / week /
+    quarter / year / day): unlike fixed-width tumbling windows
+    (`window_aggregate`), calendar buckets have uneven lengths, so the
+    bucket key is Arrow's `floor_temporal` (bit-equal to DuckDB
+    date_trunc for month/week — pinned by the r33 oracle; weeks start
+    Monday, ISO). One streaming bucket-assignment pass + the combined
+    hash aggregate."""
+    if unit not in ("day", "week", "month", "quarter", "year"):
+        raise ValueError(f"unsupported calendar unit {unit!r}")
+    kw = {"week_starts_monday": True} if unit == "week" else {}
+
+    def _f(t: pa.Table) -> pa.Table:
+        cols = {out_col: pc.floor_temporal(t[ts_col], unit=unit, **kw)}
+        for k in keys:
+            cols[k] = t[k]
+        for _, (_, src) in aggs.items():
+            if src not in cols:
+                cols[src] = t[src]
+        return pa.table(cols)
+
+    return grouped_aggregate(
+        ds.map_batches(_f, batch_format="pyarrow"), [out_col, *keys], aggs
     )
 
 

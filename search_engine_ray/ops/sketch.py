@@ -265,6 +265,37 @@ def sampled_quantiles(
     return histogram_quantiles(hash_sample(ds, key_col, rate, salt=salt), col, qs)
 
 
+def percentile_ranks(ds: Dataset, col: str, values: Sequence[float]) -> pd.DataFrame:
+    """ES percentile_ranks aggregation (the inverse of percentiles):
+    for each threshold v, the percentage of rows with col <= v. EXACT
+    — one streaming pass of per-batch (n, count<=v per v) partials
+    summed globally; the driver sees len(values)+1 integers per block.
+    Output (value, pct) with pct = 100.0 * cnt / n rounded half-up 4."""
+    from ray.data.aggregate import Sum
+
+    vals = [float(v) for v in values]
+    if not vals:
+        raise ValueError("values must be non-empty")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        x = t[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        x = x[~np.isnan(x)]
+        cols = {"n": pa.array([np.int64(x.size)])}
+        for i, v in enumerate(vals):
+            cols[f"c{i}"] = pa.array([np.int64((x <= v).sum())])
+        return pa.table(cols)
+
+    aggs = [Sum("n", alias_name="n")] + [
+        Sum(f"c{i}", alias_name=f"c{i}") for i in range(len(vals))
+    ]
+    agg = ds.map_batches(_partial, batch_format="pyarrow").aggregate(*aggs)
+    n = float(agg["n"])
+    if n == 0:
+        raise ValueError("percentile_ranks over zero non-null rows")
+    pct = [100.0 * float(agg[f"c{i}"]) / n for i in range(len(vals))]
+    return pd.DataFrame({"value": vals, "pct": round_half_up(np.array(pct))})
+
+
 def matrix_stats(ds: Dataset, x_col: str, y_col: str) -> pd.DataFrame:
     """ES matrix_stats aggregation for a column pair: count, means,
     population variances/covariance and Pearson correlation — one

@@ -1220,6 +1220,43 @@ class SearchEngine:
             for dist, negdf, term in scored[:k]
         ]
 
+    def dictionary_terms(self, field: str):
+        """Lucene Terms API: the field's EXACT-term dictionary as a
+        Ray Dataset of (term, df) rows — bare tokens, dfs summed
+        across shards. Dataset-native (one read_parquet over every
+        shard's dict dirs + a combined groupby), so exporting a
+        100 TB corpus's vocabulary streams instead of loading the
+        driver-side dict cache."""
+        import glob as _glob
+
+        import ray.data as _rd
+
+        from ray.data.aggregate import Sum
+
+        spec = self.config.field_by_name(field)
+        lo, hi = _field_namespace_range(spec)
+        pre = len(lo)
+        files = [
+            f
+            for d in self.dirs
+            for f in _glob.glob(os.path.join(d, "dict", "part=*", "*.parquet"))
+        ]
+        ds = _rd.read_parquet(files, columns=["term", "df"])
+
+        def _bare(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t["term"], lo), pc.less(t["term"], hi))
+            t = t.filter(m)
+            return pa.table({
+                "term": pc.utf8_slice_codeunits(t["term"], pre),
+                "df": t["df"],
+            })
+
+        return (
+            ds.map_batches(_bare, batch_format="pyarrow")
+            .groupby("term")
+            .aggregate(Sum("df", alias_name="df"))
+        )
+
     def suggest_phrase(
         self,
         field: str,

@@ -1197,3 +1197,65 @@ def test_matrix_stats_nulls(ray_session):
     assert abs(out["corr"] - 1.0) < 1e-9
     # values are 4-dp rounded (0.6667 vs 1.3333), so compare loosely
     assert abs(out["covar"] - 2 * out["var_x"]) < 1e-3
+
+
+def test_cumsum_window_and_calendar_agg(ray_session, con):
+    import ray.data as rd
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    # calendar month buckets == date_trunc
+    out = rel.calendar_window_aggregate(
+        ev, "ts", "month", {"n": ("count", "value")}, keys=["event_type"]
+    ).to_pandas()
+    out["window_start"] = out["window_start"].astype("datetime64[us]")
+    exp = con.sql(
+        "SELECT date_trunc('month', ts) AS window_start, event_type, count(*) AS n "
+        "FROM events GROUP BY 1, 2"
+    ).df()
+    assert_frames_equal(out, exp)
+    with pytest.raises(ValueError):
+        rel.calendar_window_aggregate(ev, "ts", "fortnight", {"n": ("count", "value")})
+    # cumsum window spec
+    df = pd.DataFrame({"p": ["a"] * 3 + ["b"] * 2, "o": [1, 2, 3, 1, 2],
+                       "v": [5, 1, 2, 10, 10]})
+    got = rel.window_functions(rd.from_pandas(df), "p", ["o"],
+                               {"cs": ("cumsum", "v")}).to_pandas()
+    got = got.sort_values(["p", "o"])
+    assert got["cs"].tolist() == [5, 6, 8, 10, 20]
+
+
+def test_percentile_ranks_exact(lineitem, con):
+    import search_engine_ray.ops.sketch as sk
+
+    out = sk.percentile_ranks(lineitem, "l_quantity", [1.0, 50.0])
+    exp = con.sql(
+        "SELECT round(100.0 * (count(*) FILTER (WHERE l_quantity <= 1.0)) / count(*), 4) a, "
+        "round(100.0 * (count(*) FILTER (WHERE l_quantity <= 50.0)) / count(*), 4) b "
+        "FROM lineitem"
+    ).fetchone()
+    assert out["pct"].tolist() == [exp[0], exp[1]]
+    assert out["pct"].iloc[1] == 100.0  # max quantity is 50
+    with pytest.raises(ValueError):
+        sk.percentile_ranks(lineitem, "l_quantity", [])
+
+
+def test_dictionary_terms_export(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query import SearchEngine
+
+    t = pa.table({
+        "doc_id": [1, 2, 3],
+        "text": ["a b b", "b c", "a"],
+    })
+    cfg = IndexConfig(fields=(FieldSpec("text", "c"),), num_buckets=2, num_parts=2,
+                      docmap_cols=(), id_cols=("doc_id",), use_native_id=True)
+    out = str(tmp_path / "dict")
+    build_index(rd.from_arrow(t), out, cfg)
+    eng = SearchEngine(out, cfg)
+    got = eng.dictionary_terms("text").to_pandas().sort_values("term")
+    assert got["term"].tolist() == ["a", "b", "c"]
+    assert got["df"].tolist() == [2, 2, 1]  # df = docs, not occurrences
