@@ -1364,6 +1364,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
              "lang_card": [np.int64(card["lang"])]}
         )
 
+    def e11_sorted_export(sf_dir):
+        # globally-sorted export (ORDER BY) via sample -> range
+        # partition -> per-range local sort (no Ray sort shuffle);
+        # the global rank column makes the ordering value-hashable
+        import ray.data as rd
+
+        from search_engine_ray.ops import sinks as snk
+
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_linenumber", "l_extendedprice"])
+        tag = sf_dir.strip("/").replace("/", "_")
+        out_dir = f"/tmp/ser_sorted_export/{tag}"
+        import shutil
+
+        shutil.rmtree(out_dir, ignore_errors=True)
+        snk.sorted_export(
+            li, ["l_extendedprice", "l_orderkey", "l_linenumber"], out_dir,
+            num_ranges=8,
+        )
+        back = rd.read_parquet(out_dir)
+        return back.select_columns(
+            ["rank", "l_orderkey", "l_linenumber", "l_extendedprice"]
+        )
+
     def e10_delete_by_query(sf_dir):
         # E10 ES delete_by_query: on a scratch copy of the cached
         # index, tombstone every doc containing 'slow', then query
@@ -1906,6 +1930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s27_query_string": s27_query_string,
         "s28_field_value_boost": s28_field_value_boost,
         "e10_delete_by_query": e10_delete_by_query,
+        "e11_sorted_export": e11_sorted_export,
         "s29_percentiles": s29_percentiles,
         "s30_decay": s30_decay,
         "s33_cardinality": s33_cardinality,
@@ -2425,6 +2450,12 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s27_query_string": s27_sql,
         "s28_field_value_boost": s28_sql,
         "e10_delete_by_query": e10_sql,
+        # e11 sorted export: the rank column IS the ORDER BY proof
+        "e11_sorted_export": (
+            "SELECT row_number() OVER (ORDER BY l_extendedprice, l_orderkey, "
+            "l_linenumber) AS rank, l_orderkey, l_linenumber, l_extendedprice "
+            "FROM lineitem"
+        ),
         "s29_percentiles": s29_sql,
         "s30_decay": s30_sql,
         "s33_cardinality": f"""

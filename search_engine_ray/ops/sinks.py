@@ -91,3 +91,107 @@ def read_log(log_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(log_dir)
+
+
+def sorted_export(
+    ds: Dataset,
+    keys: Sequence[str],
+    out_dir: str,
+    num_ranges: int = 16,
+    rank_col: str = "rank",
+) -> str:
+    """Globally-sorted Parquet export (ORDER BY keys, the TeraSort
+    shape) WITHOUT Ray's sort shuffle (which measurably anti-scaled on
+    this workload — see BASELINE.md): sample key tuples -> derive
+    range boundaries -> hive-partition the rows by range id (the same
+    sequential-write exchange the index build uses) -> one task per
+    range sorts locally and writes `range=%05d` files carrying a
+    GLOBAL 1-based `rank_col` (range offsets from the per-range
+    counts). Reading `range=*` dirs in order yields the full ORDER BY;
+    the rank column makes the ordering verifiable by a value hash.
+
+    Keys must be totally ordering (pass a unique tiebreak column
+    last) for the rank to be deterministic. Sampling is deterministic:
+    every block contributes its first rows, and boundaries are exact
+    quantiles of the gathered sample."""
+    import numpy as np
+    import pandas as pd
+
+    keys = list(keys)
+
+    def _sample(t: pa.Table) -> pa.Table:
+        return t.select(keys).slice(0, 32)
+
+    samp = pd.concat(
+        [b.to_pandas() for b in _ds_batches(ds.map_batches(_sample, batch_format="pyarrow"))],
+        ignore_index=True,
+    ).sort_values(keys, kind="mergesort")
+    if samp.empty:
+        raise ValueError("sorted_export over an empty dataset")
+    n_r = max(1, min(int(num_ranges), len(samp)))
+    # boundary rows at even sample quantiles (first key-tuple of each
+    # range except range 0)
+    cut_idx = [int(len(samp) * i / n_r) for i in range(1, n_r)]
+    cuts = samp.iloc[cut_idx][keys].to_records(index=False).tolist()
+
+    def _obj_arr(rows: list) -> np.ndarray:
+        # keep tuples as SCALARS of an object array (np.array() would
+        # broadcast uniform tuples into a 2-D array)
+        a = np.empty(len(rows), dtype=object)
+        a[:] = rows
+        return a
+
+    cut_arr = _obj_arr(cuts)
+
+    def _rid(df: pd.DataFrame) -> pd.DataFrame:
+        tuples = list(df[keys].itertuples(index=False, name=None))
+        rid = (
+            np.searchsorted(cut_arr, _obj_arr(tuples), side="right")
+            if len(cut_arr)
+            else np.zeros(len(df), np.int64)
+        )
+        out = df.copy()
+        out["_range"] = rid.astype(np.int64)
+        return out
+
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    ds.map_batches(_rid, batch_format="pandas").write_parquet(
+        tmp, partition_cols=["_range"]
+    )
+    # per-range counts -> global offsets (n_ranges integers)
+    import glob as _glob
+
+    rdirs = sorted(_glob.glob(os.path.join(tmp, "_range=*")))
+    counts = [
+        sum(pq.read_metadata(f).num_rows for f in _glob.glob(os.path.join(d, "*.parquet")))
+        for d in rdirs
+    ]
+    offsets = {d: int(o) for d, o in zip(rdirs, np.concatenate([[0], np.cumsum(counts)[:-1]]))}
+
+    import ray
+
+    @ray.remote
+    def _finish(rdir: str, offset: int, dst: str) -> int:
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(rdir).to_table()
+        df = t.to_pandas().sort_values(keys, kind="mergesort").reset_index(drop=True)
+        df[rank_col] = np.arange(offset + 1, offset + 1 + len(df), dtype=np.int64)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        pq.write_table(pa.Table.from_pandas(df, preserve_index=False), dst)
+        return len(df)
+
+    os.makedirs(out_dir, exist_ok=True)
+    futs = [
+        _finish.remote(d, offsets[d], os.path.join(out_dir, f"range={i:05d}", "part.parquet"))
+        for i, d in enumerate(rdirs)
+    ]
+    ray.get(futs)
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out_dir
+
+
+def _ds_batches(ds: Dataset):
+    """iter_batches as pyarrow tables (tiny sample streams only)."""
+    for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+        yield b

@@ -1259,3 +1259,26 @@ def test_dictionary_terms_export(ray_session, tmp_path):
     got = eng.dictionary_terms("text").to_pandas().sort_values("term")
     assert got["term"].tolist() == ["a", "b", "c"]
     assert got["df"].tolist() == [2, 2, 1]  # df = docs, not occurrences
+
+
+def test_sorted_export_global_order(ray_session, tmp_path, con):
+    import glob as g
+
+    import ray.data as rd
+
+    from search_engine_ray.ops import sinks as snk
+
+    # many duplicate keys so range boundaries land INSIDE duplicate
+    # runs; unique (k, rid) total order
+    df = pd.DataFrame({"k": [i % 7 for i in range(500)], "rid": range(500)})
+    out = str(tmp_path / "sorted")
+    snk.sorted_export(rd.from_pandas(df), ["k", "rid"], out, num_ranges=4)
+    back = rd.read_parquet(out).to_pandas().sort_values("rank")
+    exp = df.sort_values(["k", "rid"]).reset_index(drop=True)
+    assert back["k"].tolist() == exp["k"].tolist()
+    assert back["rid"].tolist() == exp["rid"].tolist()
+    assert back["rank"].tolist() == list(range(1, 501))
+    # resumable layout: one dir per range
+    assert len(g.glob(f"{out}/range=*")) >= 1
+    with pytest.raises(ValueError):
+        snk.sorted_export(rd.from_pandas(df.head(0)), ["k"], str(tmp_path / "e"))
