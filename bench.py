@@ -166,6 +166,11 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s33_cardinality", "s34_phrase_suggest", "s35_fragments",
         "r29_grouped_quantiles", "r30_window_funcs", "r31_matrix_stats",
         "t_chunk", "t_normalize", "ann_cosine_filtered",
+        # wave-5: pipeline/calendar aggs, dictionary export,
+        # percentile ranks, sampled quantiles, sorted export
+        "r32_cumulative", "r33_month_histogram", "s37_dictionary",
+        "s38_percentile_ranks", "sketch_quantiles_sampled",
+        "e11_sorted_export",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
