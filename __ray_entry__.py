@@ -2458,6 +2458,7 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         ),
         "s29_percentiles": s29_sql,
         "s30_decay": s30_sql,
+        "s32_rescore": s32_sql,
         "s33_cardinality": f"""
 WITH tok AS (SELECT doc_id, source, lang, {toks} AS ts FROM documents),
 m AS (SELECT * FROM tok WHERE len(list_filter(ts, t -> t = 'vector')) > 0)
