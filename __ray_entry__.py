@@ -1129,6 +1129,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_repetition_scores(docs, "text").drop_columns(["text"])
 
+    def t_line_dedup(sf_dir):
+        # CCNet/C4-style line-level dedup over a corpus with
+        # deterministically planted boilerplate (a footer line on
+        # doc_id%3 docs, a newsletter line on doc_id%5); any naturally
+        # repeated corpus line (count >= 2) is removed too
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _plant(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            f1 = pa.array(
+                np.where(ids % 3 == 0, "\n=== footer: shared boilerplate v1 ===", "").tolist(),
+                pa.string(),
+            )
+            f2 = pa.array(
+                np.where(ids % 5 == 0, "\nsubscribe to our newsletter", "").tolist(),
+                pa.string(),
+            )
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "text": pc.binary_join_element_wise(
+                        pc.fill_null(t["text"], ""), f1, f2, ""
+                    ),
+                }
+            )
+
+        return dd.line_dedup(docs.map_batches(_plant, batch_format="pyarrow"))
+
     def s15_crossfields(sf_dir):
         # S15 cross-field blended term (Lucene BlendedTermQuery +
         # DisMax, ES multi_match cross_fields): blended df across
@@ -1914,6 +1942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_decontaminate": t_decontaminate,
         "t_repetition": t_repetition,
         "t_pii_clean": t_pii_clean,
+        "t_line_dedup": t_line_dedup,
         "s14_snippet": s14_snippet,
         "s15_crossfields": s15_crossfields,
         "s16_stats_facet": s16_stats_facet,
@@ -2965,6 +2994,27 @@ SELECT d.doc_id,
 FROM documents d
 """,
         "t_pii_clean": _pii_clean_sql,
+        "t_line_dedup": """
+WITH planted AS (
+  SELECT doc_id, coalesce(text, '')
+    || CASE WHEN doc_id % 3 = 0
+       THEN chr(10) || '=== footer: shared boilerplate v1 ===' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0
+       THEN chr(10) || 'subscribe to our newsletter' ELSE '' END AS text
+  FROM documents),
+L AS (SELECT doc_id, unnest(string_split(text, chr(10))) AS line,
+             generate_subscripts(string_split(text, chr(10)), 1) AS idx
+      FROM planted),
+dup AS (SELECT line FROM L WHERE line <> '' GROUP BY line HAVING count(*) >= 2),
+agg AS (
+  SELECT doc_id, count(*) AS n_lines,
+         count(*) FILTER (WHERE line IN (SELECT line FROM dup)) AS n_removed,
+         string_agg(CASE WHEN line = '' OR line NOT IN (SELECT line FROM dup)
+                         THEN line END, chr(10) ORDER BY idx) AS clean_text
+  FROM L GROUP BY doc_id)
+SELECT p.doc_id, coalesce(a.clean_text, '') AS clean_text, a.n_lines, a.n_removed
+FROM planted p JOIN agg a USING (doc_id)
+""",
         "t_repetition": f"""
 WITH lines AS (SELECT doc_id, str_split(coalesce(text, ''), chr(10)) AS ls FROM documents),
 tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents),

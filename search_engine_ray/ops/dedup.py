@@ -999,3 +999,122 @@ def contamination_flags(
         batch_format="pyarrow",
         concurrency=concurrency,
     )
+
+
+# ------------------------------------------------- line-level dedup
+
+
+def _line_stream(col) -> tuple[pa.Array, np.ndarray, np.ndarray]:
+    """Split a string column on newline: (flat lines, parent doc index
+    per line, lines-per-doc). An empty/null doc still yields one empty
+    line — the same contract as DuckDB ``string_split``."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    arr = pc.fill_null(arr, "")
+    parts = pc.split_pattern(arr, pattern="\n")
+    flat = pc.list_flatten(parts)
+    if isinstance(flat, pa.ChunkedArray):
+        flat = flat.combine_chunks()
+    parents = pc.list_parent_indices(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = pc.list_value_length(parts).to_numpy(zero_copy_only=False).astype(np.int64)
+    return flat, parents, counts
+
+
+def line_dedup(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> Dataset:
+    """CCNet/C4-style line-level dedup: remove every NON-EMPTY line
+    whose exact content occurs >= ``min_count`` times across the whole
+    corpus (boilerplate headers/footers/navigation), preserving the
+    remaining lines in order. Empty lines are document structure, not
+    content — they never count and are never removed.
+
+    Scale shape: pass 1 is a map-side combiner (one (line-hash, count)
+    row per distinct line per block) into a hash-partition groupby —
+    the shuffle moves distinct lines, not the corpus. The surviving
+    duplicate-line set (distinct lines with corpus count >= min_count
+    — boilerplate is by construction a tiny fraction of distinct
+    lines) is broadcast via ray.put and pass 2 streams the corpus
+    through one vectorized hash + searchsorted membership per batch;
+    the corpus itself is never shuffled. Lines compare by the same
+    64-bit md5 prefix as the Jaccard ring (collision odds ~2^-64 per
+    pair). For a corpus whose duplicate-line set exceeds a worker heap,
+    swap the broadcast for `relational.hash_join` on the line hash
+    (the `drop_near_duplicates(method="shuffle")` pattern).
+
+    Output: (id_col, clean_text, n_lines, n_removed) — n_lines counts
+    ALL split lines (empty included), n_removed the dropped ones.
+    """
+    import ray
+
+    def _hash_lines(flat: pa.Array) -> np.ndarray:
+        """64-bit line hash, md5 computed once per DISTINCT line in
+        the batch (boilerplate-heavy batches hash far fewer strings
+        than they contain)."""
+        vals = flat.to_numpy(zero_copy_only=False)
+        if vals.size == 0:
+            return np.empty(0, np.int64)
+        codes, uniq = pd.factorize(vals, sort=False)
+        return _digest64(list(uniq)).view(np.int64)[codes]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, _parents, _counts = _line_stream(t[text_col])
+        keep = pc.not_equal(flat, "")
+        flat = flat.filter(keep)
+        vals = flat.to_numpy(zero_copy_only=False)
+        if vals.size == 0:
+            return pa.table(
+                {"lh": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())}
+            )
+        codes, uniq = pd.factorize(vals, sort=False)
+        cnt = np.bincount(codes).astype(np.int64)
+        hashes = _digest64(list(uniq)).view(np.int64)
+        return pa.table({"lh": pa.array(hashes), "cnt": pa.array(cnt)})
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("lh")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)).select(["lh"]),
+        batch_format="pyarrow",
+    )
+    pdf = dup.to_pandas()
+    # an all-unique corpus reaches the driver as schema-less empty blocks
+    dup_arr = (
+        np.sort(pdf["lh"].to_numpy(dtype=np.int64))
+        if len(pdf) and "lh" in pdf.columns
+        else np.empty(0, np.int64)
+    )
+    ref = ray.put(dup_arr)
+
+    def _clean(t: pa.Table) -> pa.Table:
+        dupset = ray.get(ref)  # node-local plasma lookup after first fetch
+        flat, parents, n_lines = _line_stream(t[text_col])
+        n = len(t)
+        if len(flat) == 0 or dupset.size == 0:
+            removed = np.zeros(len(flat), dtype=bool)
+        else:
+            lh = _hash_lines(flat)
+            pos = np.clip(np.searchsorted(dupset, lh), 0, dupset.size - 1)
+            nonempty = pc.not_equal(flat, "").to_numpy(zero_copy_only=False)
+            removed = (dupset[pos] == lh) & nonempty
+        kept_flat = flat.filter(pa.array(~removed))
+        kept_per_doc = np.bincount(parents[~removed], minlength=n).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_flat)
+        clean = pc.binary_join(lists, "\n")
+        n_removed = np.bincount(parents[removed], minlength=n).astype(np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": pc.cast(clean, pa.string()),
+                "n_lines": pa.array(n_lines),
+                "n_removed": pa.array(n_removed),
+            }
+        )
+
+    return ds.map_batches(_clean, batch_format="pyarrow")

@@ -392,3 +392,49 @@ def test_significant_terms_no_matches(ray_session):
     # the known Ray empty-block behavior — so assert via schema+count)
     assert ds.count() == 0
     assert sorted(ds.schema().names) == ["bg", "fg", "score", "term"]
+
+
+def test_line_dedup_semantics(ray_session):
+    import pandas as pd
+
+    boiler = "=== footer ==="
+    docs = rd.from_pandas(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4, 5],
+                "text": [
+                    f"alpha one\n{boiler}",        # footer removed
+                    f"beta two\n\n{boiler}",       # empty line survives
+                    boiler,                          # ALL lines removed
+                    "gamma\ngamma\ndelta",          # within-doc dup counts
+                    "",                              # empty doc untouched
+                ],
+            }
+        )
+    )
+    out = (
+        dd.line_dedup(docs, min_count=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "clean_text"] == "alpha one"
+    assert out.loc[1, "n_removed"] == 1 and out.loc[1, "n_lines"] == 2
+    # the empty middle line is structure: kept, never counted
+    assert out.loc[2, "clean_text"] == "beta two\n"
+    assert out.loc[3, "clean_text"] == "" and out.loc[3, "n_removed"] == 1
+    # 'gamma' occurs twice inside one doc -> corpus count 2 -> removed
+    assert out.loc[4, "clean_text"] == "delta" and out.loc[4, "n_removed"] == 2
+    assert out.loc[5, "clean_text"] == "" and out.loc[5, "n_removed"] == 0
+    assert out.loc[5, "n_lines"] == 1  # string_split('') == ['']
+
+
+def test_line_dedup_all_unique_noop(ray_session):
+    import pandas as pd
+
+    docs = rd.from_pandas(
+        pd.DataFrame({"doc_id": [1, 2], "text": ["a\nb", "c\nd"]})
+    )
+    out = dd.line_dedup(docs).to_pandas().sort_values("doc_id")
+    assert out["clean_text"].tolist() == ["a\nb", "c\nd"]
+    assert out["n_removed"].sum() == 0
