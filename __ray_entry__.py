@@ -882,6 +882,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_quantity"])
         return sk.percentile_ranks(li, "l_quantity", [10.0, 25.0, 40.0])
 
+    def s39_composite(sf_dir):
+        # ES composite aggregation: after-key paging of a
+        # high-cardinality numeric attribute (313 distinct n_chars at
+        # sf0.01) over the matched set — fully distributed counts +
+        # in-stream cursor filter; only the page reaches the driver
+        eng = _doc_engine(sf_dir)
+        return eng.composite_agg(
+            Compound(must=(Term("text", "data"),)), "n_chars", size=8, after=250
+        )
+
+    def s40_top_hits(sf_dir):
+        # ES top_hits aggregation: best 2 docs per lang bucket over
+        # the FULL matched set (group_topn — the shuffle moves
+        # O(n x distinct keys), never the match set)
+        eng = _doc_engine(sf_dir)
+        df = eng.top_hits(Compound(must=(Term("text", "window"),)), "lang", n=2)
+        df["score"] = round_half_up(df["score"].to_numpy())
+        return df
+
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
         # discount from one streaming raw-moment pass
@@ -1915,6 +1934,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r31_matrix_stats": r31_matrix_stats,
         "sketch_quantiles_sampled": sketch_quantiles_sampled,
         "s38_percentile_ranks": s38_percentile_ranks,
+        "s39_composite": s39_composite,
+        "s40_top_hits": s40_top_hits,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -2909,6 +2930,27 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "round(100.0 * (count(*) FILTER (WHERE l_quantity <= 40.0)) / count(*), 4)]) AS pct "
             "FROM lineitem"
         ),
+        "s39_composite": f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(list_filter(ts, t -> t = 'data')) AS tf0 FROM tok)
+SELECT n_chars, count(*) AS doc_count FROM d
+WHERE tf0 > 0 AND n_chars > 250
+GROUP BY n_chars ORDER BY n_chars LIMIT 8
+""",
+        "s40_top_hits": f"""
+WITH tok AS (SELECT doc_id, lang, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, lang, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'window')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+scored AS (
+  SELECT d.doc_id, d.lang,
+         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+         (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS raw
+  FROM d, s WHERE tf0 > 0)
+SELECT lang, doc_id, round(raw, 4) AS score FROM scored
+QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
+""",
         # sampled quantiles: 0.25 rate -> threshold 2^62 exactly
         "sketch_quantiles_sampled": (
             "WITH s AS (SELECT l_extendedprice FROM lineitem "

@@ -1915,6 +1915,71 @@ class SearchEngine:
             batch_format="pyarrow",
         )
 
+    def composite_agg(
+        self,
+        q: Compound,
+        field: str,
+        size: int = 10,
+        after=None,
+        filter_spec: FilterSpec | None = None,
+    ) -> pd.DataFrame:
+        """ES composite aggregation: page the DISTINCT values of a
+        docmap attribute over the matched set in ascending key order
+        with an exclusive ``after``-key cursor. Unlike the facet
+        channel (whose driver merge is field-cardinality-bounded),
+        this path is fully distributed: per-key counts come from a
+        hash groupby whose shuffle moves one row per distinct key per
+        block, the cursor filter runs in-stream, and only ``size``
+        buckets ever reach the driver — so it pages an
+        arbitrarily-high-cardinality field, which is exactly what the
+        ES API exists for. Returns (field, doc_count) ascending."""
+        from search_engine_ray.ops import relational as rel
+
+        ds = self.search_all(q, filter_spec=filter_spec, attach_cols=(field,))
+        counts = rel.value_counts(ds.select_columns([field]), field, alias="doc_count")
+        if after is not None:
+            counts = counts.map_batches(
+                lambda t, _a=after: t.filter(pc.greater(t[field], _a)),
+                batch_format="pyarrow",
+            )
+        page = rel.topk(counts, [field], size, descending=False).to_pandas()
+        if field not in page.columns:  # empty match set: schema-less blocks
+            return pd.DataFrame(
+                {field: pd.Series(dtype=object), "doc_count": pd.Series(dtype="int64")}
+            )
+        return page.reset_index(drop=True)
+
+    def top_hits(
+        self,
+        q: Compound,
+        field: str,
+        n: int = 3,
+        filter_spec: FilterSpec | None = None,
+        boosts: tuple = (),
+    ) -> pd.DataFrame:
+        """ES top_hits aggregation: the best ``n`` docs per bucket of
+        ``field`` over the FULL matched set, ranked (score desc,
+        doc_id asc) at full precision — the grouped-search shape with
+        N>1. Fully distributed via group_topn (map-side <=n per key
+        per block, so the shuffle moves O(n x distinct keys x blocks),
+        never the match set); the result is O(n x distinct keys).
+        Returns (field, doc_id, score) with raw float64 scores —
+        callers round for display like the search page."""
+        from search_engine_ray.ops import relational as rel
+
+        ds = self.search_all(q, filter_spec=filter_spec, boosts=boosts, attach_cols=(field,))
+        top = rel.group_topn(ds, field, ["score", "doc_id"], n, descending=[True, False])
+        df = top.to_pandas()
+        if field not in df.columns:  # empty match set: schema-less blocks
+            return pd.DataFrame(
+                {
+                    field: pd.Series(dtype=object),
+                    "doc_id": pd.Series(dtype="int64"),
+                    "score": pd.Series(dtype="float64"),
+                }
+            )
+        return df[[field, "doc_id", "score"]].reset_index(drop=True)
+
     def delete_by_query(
         self, q: Compound, filter_spec: FilterSpec | None = None
     ) -> int:

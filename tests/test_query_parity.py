@@ -1279,3 +1279,48 @@ def test_federated_global_stats_parity(ray_session, tiny_corpus, tiny_index, tmp
         sl = float(lone.hits.set_index("doc_id")["score"][d])
         sr = float(refl.hits.set_index("doc_id")["score"][d])
         assert abs(sl - sr) > 1e-9
+
+
+def test_composite_agg_paging(engine):
+    """ES composite aggregation: walking after-key pages covers the
+    facet map exactly — in key order, no overlap, no gap — and an
+    empty match set yields an empty page."""
+    q = Compound(must=(Term("content", "import"),))
+    full = engine.search(q, k=1, facet_fields=("repo",))
+    expect = sorted((str(k), int(v)) for k, v in full.facets["repo"].items())
+
+    walked, after = [], None
+    while True:
+        page = engine.composite_agg(q, "repo", size=3, after=after)
+        if not len(page):
+            break
+        walked.extend(
+            (str(k), int(v))
+            for k, v in zip(page["repo"].tolist(), page["doc_count"].tolist())
+        )
+        after = page["repo"].iloc[-1]
+    assert walked == expect
+
+    empty = engine.composite_agg(Compound(must=(Term("content", "zzzzqqq"),)), "repo")
+    assert len(empty) == 0
+
+
+def test_top_hits_matches_search_all(engine):
+    """ES top_hits: per-bucket best-n equals a brute groupby-head over
+    the full scored match set (score desc, doc_id asc)."""
+    import pandas as pd
+
+    q = Compound(
+        should=(Term("content", "import"), Term("content", "def")), min_should_match=1
+    )
+    got = engine.top_hits(q, "lang", n=3)
+    allhits = engine.search_all(q, attach_cols=("lang",)).to_pandas()
+    exp = (
+        allhits.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        .groupby("lang", sort=False)
+        .head(3)[["lang", "doc_id", "score"]]
+    )
+    key = ["lang", "doc_id"]
+    got = got.sort_values(key).reset_index(drop=True)
+    exp = exp.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, exp, check_dtype=False)
