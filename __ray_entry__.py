@@ -901,6 +901,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df["score"] = round_half_up(df["score"].to_numpy())
         return df
 
+    def s41_scroll(sf_dir):
+        # ES scroll / PIT export: walk the ENTIRE match set in 40-doc
+        # search_after pages (each page ships only k candidates per
+        # bucket however deep); the concatenation must equal the full
+        # ranking (score desc, doc_id asc) — the oracle is the
+        # unlimited BM25 ranking
+        eng = _doc_engine(sf_dir)
+        q = Compound(must=(Term("text", "merge"),))
+        pages, cursor = [], None
+        while True:
+            r = eng.search(q, k=40, search_after=cursor, with_metadata=False)
+            if not len(r.hits):
+                break
+            pages.append(r.hits)
+            cursor = (float(r.hits["score"].iloc[-1]), int(r.hits["doc_id"].iloc[-1]))
+        hits = (
+            pd.concat(pages, ignore_index=True)
+            if pages
+            else pd.DataFrame({"doc_id": [], "score": []})
+        )
+        return pd.DataFrame(
+            {
+                "doc_id": hits["doc_id"].to_numpy().astype(np.int64),
+                "score": round_half_up(hits["score"].to_numpy()),
+            }
+        )
+
+    def s42_termvectors(sf_dir):
+        # ES _termvectors (re-analysis mode): tf re-analyzed from the
+        # stored doc text + df from the index dictionary, one row per
+        # distinct term of doc 7
+        eng = _doc_engine(sf_dir)
+        t = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        txt_ = t.filter(pc.equal(t["doc_id"], 7))["text"][0].as_py()
+        return eng.term_vectors(txt_, "text")
+
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
         # discount from one streaming raw-moment pass
@@ -1936,6 +1974,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s38_percentile_ranks": s38_percentile_ranks,
         "s39_composite": s39_composite,
         "s40_top_hits": s40_top_hits,
+        "s41_scroll": s41_scroll,
+        "s42_termvectors": s42_termvectors,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -2950,6 +2990,16 @@ scored AS (
   FROM d, s WHERE tf0 > 0)
 SELECT lang, doc_id, round(raw, 4) AS score FROM scored
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
+""",
+        "s41_scroll": _bm25_sql(["merge"], k=1000000000),
+        "s42_termvectors": f"""
+WITH tgt AS (SELECT {toks} AS ts FROM documents WHERE doc_id = 7),
+tv AS (SELECT unnest(ts) AS term FROM tgt),
+tf AS (SELECT term, count(*) AS tf FROM tv GROUP BY term),
+docs AS (SELECT doc_id, {toks} AS ts FROM documents),
+df AS (SELECT tf.term, count(DISTINCT d.doc_id) AS df
+       FROM tf JOIN docs d ON list_contains(d.ts, tf.term) GROUP BY tf.term)
+SELECT tf.term, tf.tf, coalesce(df.df, 0) AS df FROM tf LEFT JOIN df USING (term)
 """,
         # sampled quantiles: 0.25 rate -> threshold 2^62 exactly
         "sketch_quantiles_sampled": (

@@ -1356,6 +1356,30 @@ class SearchEngine:
             min_should_match=min_should_match,
         )
 
+    def term_vectors(self, text: str, field: str) -> pd.DataFrame:
+        """ES _termvectors API (re-analysis mode): analyze ``text``
+        with the index analyzer and return one row per distinct term
+        with its tf (term frequency in the text) and df (document
+        frequency in the corpus, from the dictionary — terms absent
+        from the index report df 0). Pure planning-side: one
+        dictionary lookup, no postings scan. Rows sorted term asc."""
+        from search_engine_ray.analysis import get_analyzer
+
+        toks = get_analyzer(self.config.analyzer).analyze(text or "")
+        tf: dict[str, int] = {}
+        for t in toks:
+            tf[t] = tf.get(t, 0) + 1
+        keys = {t: self.config.term_key(field, t) for t in tf}
+        dfs = self._df_for_terms(list(keys.values()))
+        terms = sorted(tf)
+        return pd.DataFrame(
+            {
+                "term": terms,
+                "tf": np.array([tf[t] for t in terms], dtype=np.int64),
+                "df": np.array([dfs.get(keys[t], 0) for t in terms], dtype=np.int64),
+            }
+        )
+
     def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
         cfg = self.config
         # raw entry: (clause_id, role, keys, field-per-key, const,
