@@ -80,6 +80,63 @@ ORDER BY ({score}) DESC, d.doc_id LIMIT {k}
 """
 
 
+def _sim_sql(
+    must: list[str],
+    should: list[str],
+    sim: str,
+    k: int = 10,
+    msm: int = 0,
+    mu: float = 2000.0,
+) -> str:
+    """Pluggable-similarity oracles (Lucene Similarity parity) with the
+    same CTE skeleton / float op-order as
+    search_engine_ray.query.scoring.leaf_score:
+    classic  -> (1+ln(N/(df+1)))^2 * sqrt(tf) / sqrt(dl)
+    lm_dirichlet -> max(0, ln(1 + tf/(mu*cf/total_len)) + ln(mu/(dl+mu)))
+    boolean  -> 1 per matching scoring clause."""
+    terms = list(must) + list(should)
+    toks = _TOKS.format(col="text")
+    tf_exprs = [f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}" for i, t in enumerate(terms)]
+    s_exprs = [f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(terms))]
+    if sim == "classic":
+        per = [
+            f"(CASE WHEN tf{i} > 0 THEN "
+            f"pow(1 + ln(s.n / (s.df{i} + 1)), 2) * sqrt(tf{i}) / sqrt(d.dl) "
+            f"ELSE 0 END)"
+            for i in range(len(terms))
+        ]
+    elif sim == "lm_dirichlet":
+        s_exprs += [f"sum(tf{i}) AS cf{i}" for i in range(len(terms))]
+        per = [
+            f"(CASE WHEN tf{i} > 0 THEN "
+            f"greatest(ln(1 + tf{i} / ({mu!r} * (s.cf{i} / s.total_len))) + "
+            f"ln({mu!r} / (d.dl + {mu!r})), 0) ELSE 0 END)"
+            for i in range(len(terms))
+        ]
+    elif sim == "boolean":
+        per = [f"(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0 END)" for i in range(len(terms))]
+    else:
+        raise ValueError(sim)
+    score = " + ".join(per)
+    conds = [f"tf{i} > 0" for i in range(len(must))]
+    if should:
+        n_should = " + ".join(
+            f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)"
+            for i in range(len(must), len(terms))
+        )
+        if msm > 0:
+            conds.append(f"({n_should}) >= {msm}")
+    cond = " AND ".join(conds) if conds else "TRUE"
+    return f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, {', '.join(tf_exprs)} FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, {', '.join(s_exprs)} FROM d)
+SELECT d.doc_id, round({score}, 4) AS score
+FROM d, s WHERE {cond}
+ORDER BY ({score}) DESC, d.doc_id LIMIT {k}
+"""
+
+
 # --------------------------------------------------------------------
 # engine/index helpers (index per sf_dir, cached under /tmp)
 # --------------------------------------------------------------------
@@ -938,6 +995,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         txt_ = t.filter(pc.equal(t["doc_id"], 7))["text"][0].as_py()
         return eng.term_vectors(txt_, "text")
+
+    # ---- pluggable similarities (S43-S45, Lucene Similarity) --------
+    def _sim_query(sf_dir, q, sim):
+        eng = _doc_engine(sf_dir)
+        hits = eng.search(q, k=10, similarity=sim, with_metadata=False).hits
+        return pd.DataFrame(
+            {
+                "doc_id": hits["doc_id"].to_numpy(),
+                "score": round_half_up(hits["score"].to_numpy()),
+            }
+        )
+
+    def s43_classic(sf_dir):
+        # ClassicSimilarity (TF-IDF VSM): idf^2 * sqrt(tf) / sqrt(dl)
+        q = Compound(must=(Term("text", "hash"), Term("text", "join")))
+        return _sim_query(sf_dir, q, "classic")
+
+    def s44_lm_dirichlet(sf_dir):
+        # LMDirichletSimilarity (mu=2000): collection LM from the
+        # dictionary's cf column; should-clause adds when matched
+        q = Compound(must=(Term("text", "vector"),), should=(Term("text", "slow"),))
+        return _sim_query(sf_dir, q, "lm_dirichlet")
+
+    def s45_boolean(sf_dir):
+        # BooleanSimilarity: flat 1.0 per matching scoring clause —
+        # exercises heavy score ties through the doc_id tiebreak
+        q = Compound(
+            should=(Term("text", "spark"), Term("text", "window")), min_should_match=1
+        )
+        return _sim_query(sf_dir, q, "boolean")
 
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
@@ -1976,6 +2063,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s40_top_hits": s40_top_hits,
         "s41_scroll": s41_scroll,
         "s42_termvectors": s42_termvectors,
+        "s43_classic": s43_classic,
+        "s44_lm_dirichlet": s44_lm_dirichlet,
+        "s45_boolean": s45_boolean,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -2851,8 +2941,8 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "WITH w AS (SELECT CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS window_start, "
             "event_type, count(*) AS n FROM events GROUP BY 1, 2) "
             "SELECT window_start, event_type, n, "
-            "sum(n) OVER (PARTITION BY event_type ORDER BY window_start "
-            "ROWS UNBOUNDED PRECEDING) AS cum_n FROM w"
+            "CAST(sum(n) OVER (PARTITION BY event_type ORDER BY window_start "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n FROM w"
         ),
         "r26_hopping_window": (
             # 1h windows every 15 min: 4 candidate starts per event,
@@ -2992,6 +3082,9 @@ SELECT lang, doc_id, round(raw, 4) AS score FROM scored
 QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
 """,
         "s41_scroll": _bm25_sql(["merge"], k=1000000000),
+        "s43_classic": _sim_sql(["hash", "join"], [], "classic"),
+        "s44_lm_dirichlet": _sim_sql(["vector"], ["slow"], "lm_dirichlet"),
+        "s45_boolean": _sim_sql([], ["spark", "window"], "boolean", msm=1),
         "s42_termvectors": f"""
 WITH tgt AS (SELECT {toks} AS ts FROM documents WHERE doc_id = 7),
 tv AS (SELECT unnest(ts) AS term FROM tgt),

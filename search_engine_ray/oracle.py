@@ -160,6 +160,8 @@ def oracle_search(
     filter_spec: FilterSpec | None = None,
     boosts: tuple = (),
     facet_fields: tuple[str, ...] = (),
+    similarity: str = "bm25",
+    mu: float = 2000.0,
 ) -> OracleResult:
     n = oix.n_docs
     score = np.zeros(n)
@@ -243,7 +245,7 @@ def oracle_search(
         if df > 0 and scoring_role:
             if leaf.const_score is not None:
                 contrib = np.where(match, float(leaf.const_score) * boost, 0.0)
-            else:
+            elif similarity == "bm25":
                 tidf = float(scoring.idf(n, df)) * boost
                 dl = oix.dls[leaf.field]
                 contrib = np.where(
@@ -251,6 +253,23 @@ def oracle_search(
                     scoring.bm25_score(tf, dl, tidf, oix.config.k1, oix.config.b, oix.avgdl[leaf.field]),
                     0.0,
                 )
+            elif similarity == "classic":
+                w = float(scoring.classic_idf(n, df)) ** 2 * boost
+                contrib = np.where(
+                    match, scoring.classic_score(tf, oix.dls[leaf.field], w), 0.0
+                )
+            elif similarity == "lm_dirichlet":
+                # single-key Term leaves only (cf = corpus tf of the
+                # exact token — same number the dictionary stores)
+                dls = oix.dls[leaf.field]
+                mu_p = mu * (float(tf.sum()) / float(dls.sum()))
+                contrib = np.where(
+                    match, scoring.lm_dirichlet_score(tf, dls, mu_p, mu, boost), 0.0
+                )
+            elif similarity == "boolean":
+                contrib = np.where(match, boost, 0.0)
+            else:
+                raise ValueError(f"unknown similarity {similarity!r}")
             score = score + contrib
         if role == "not":
             excluded |= match

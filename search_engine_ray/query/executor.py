@@ -238,6 +238,11 @@ class _ResolvedLeaf:
     # the required-count bookkeeping is shared) | "not" (excluding,
     # non-scoring: is_must=False, docs it matches are dropped)
     role: str = ""
+    # linear score multiplier (query boost) for similarities whose
+    # per-key weight slot is NOT linear in the score (lm_dirichlet,
+    # where idfs carry mu*p); 1.0 for bm25/classic/boolean which fold
+    # the boost into idfs directly
+    wmult: float = 1.0
 
     @property
     def occur(self) -> str:
@@ -307,6 +312,11 @@ class _QuerySpec:
     # exact — document the cardinality assumption when using it on
     # unbounded floats (pre-round the column).
     quantile_fields: tuple = ()
+    # pluggable Lucene similarity (scoring.SIMILARITIES): per-key
+    # weights in leaf.idfs are resolved for THIS similarity (idf,
+    # classic_idf**2, mu*p, or boost) — see scoring.leaf_score
+    similarity: str = "bm25"
+    mu: float = 2000.0
 
 
 class _DocmapCache:
@@ -570,7 +580,10 @@ def score_postings_table(
             np.add.at(tfsum, uinv, all_tfs)
             dlu = np.zeros(uids.size, dtype=np.int64)
             dlu[uinv] = all_dls  # same doc, same field dl on every key
-            sc = scoring.bm25_score(tfsum, dlu, rows[0][1], spec.k1, spec.b, leaf.avgdl)
+            sc = scoring.leaf_score(
+                tfsum, dlu, rows[0][1], spec.k1, spec.b, leaf.avgdl,
+                spec.similarity, spec.mu, leaf.wmult,
+            )
             ids_parts.append(uids)
             score_parts.append(sc)
             leaf_of_part.append(li)
@@ -580,7 +593,10 @@ def score_postings_table(
             if leaf.const_score is not None:
                 sc = np.full(ids.size, float(leaf.const_score))
             else:
-                sc = scoring.bm25_score(tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl)
+                sc = scoring.leaf_score(
+                    tfs, dls, tidf, spec.k1, spec.b, leaf.avgdl,
+                    spec.similarity, spec.mu, leaf.wmult,
+                )
             ids_parts.append(ids)
             score_parts.append(sc)
             leaf_of_part.append(li)
@@ -1045,9 +1061,21 @@ class SearchEngine:
         if t is None:
             files = glob.glob(os.path.join(d, "dict", f"part={part}", "*.parquet"))
             if files:
-                t = pads.dataset(files).to_table(columns=["term", "df"]).combine_chunks()
+                # cf rides along for lm_dirichlet's collection LM —
+                # one extra int64 column on the same bounded cache
+                t = (
+                    pads.dataset(files)
+                    .to_table(columns=["term", "df", "cf"])
+                    .combine_chunks()
+                )
             else:
-                t = pa.table({"term": pa.array([], pa.string()), "df": pa.array([], pa.int64())})
+                t = pa.table(
+                    {
+                        "term": pa.array([], pa.string()),
+                        "df": pa.array([], pa.int64()),
+                        "cf": pa.array([], pa.int64()),
+                    }
+                )
             self._dict_tables[key] = t
         return t
 
@@ -1075,6 +1103,31 @@ class SearchEngine:
                 sub = t.filter(pc.is_in(t["term"], value_set=keyset))
                 for tk, df in zip(sub["term"].to_pylist(), sub["df"].to_pylist()):
                     out[tk] = out.get(tk, 0) + int(df)
+        return out
+
+    def _cf_for_terms(self, term_keys: Sequence[str]) -> dict[str, int]:
+        """Collection frequency (total tf across the corpus) per term
+        key, from the same part-pruned dictionary reads as
+        _df_for_terms — the ``cf`` column the build already stores.
+        Used by the lm_dirichlet similarity's collection LM."""
+        if not term_keys:
+            return {}
+        if self.df_override is not None:
+            raise ValueError(
+                "similarity='lm_dirichlet' is not supported under "
+                "federated global-DFS scoring (no cf override channel)"
+            )
+        parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+        keyset = pa.array(sorted(set(term_keys)))
+        out: dict[str, int] = {}
+        for d in self.dirs:
+            for k in parts:
+                t = self._dict_table(d, k)
+                if not t.num_rows:
+                    continue
+                sub = t.filter(pc.is_in(t["term"], value_set=keyset))
+                for tk, cf in zip(sub["term"].to_pylist(), sub["cf"].to_pylist()):
+                    out[tk] = out.get(tk, 0) + int(cf)
         return out
 
     def _expand_prefix(self, leaf: Prefix) -> list[str]:
@@ -1380,7 +1433,9 @@ class SearchEngine:
             }
         )
 
-    def _resolve(self, q: Compound) -> list[_ResolvedLeaf]:
+    def _resolve(
+        self, q: Compound, similarity: str = "bm25", mu: float = 2000.0
+    ) -> list[_ResolvedLeaf]:
         cfg = self.config
         # raw entry: (clause_id, role, keys, field-per-key, const,
         # blend, dismax, tie_breaker, boost)
@@ -1429,12 +1484,60 @@ class SearchEngine:
             )
         all_keys = [k for r in raw for k in r[2]]
         dfs = self._df_for_terms(all_keys)
+        cfs = (
+            self._cf_for_terms(all_keys) if similarity == "lm_dirichlet" else {}
+        )
         n = self.stats["n_docs"]
         out: list[_ResolvedLeaf] = []
         for ci, role, keys, fields, const, blend, dismax, tie, boost in raw:
             kept = [(k, f) for k, f in zip(keys, fields) if k in dfs]
             keys = [k for k, _ in kept]
             fields = [f for _, f in kept]
+            wmult = 1.0
+            if similarity != "bm25" and not blend and not dismax:
+                # alternate similarities resolve a different per-key
+                # weight (see scoring.leaf_score); blend/dismax leaves
+                # are rejected in search() for these
+                if similarity == "classic":
+                    idfs = tuple(
+                        float(scoring.classic_idf(n, dfs[k])) ** 2 * boost
+                        for k in keys
+                    )
+                elif similarity == "lm_dirichlet":
+                    idfs = tuple(
+                        mu
+                        * (
+                            float(cfs[k])
+                            / float(self.stats["fields"][f]["total_len"])
+                        )
+                        for k, f in zip(keys, fields)
+                    )
+                    wmult = boost  # mu*p is not linear in the score
+                elif similarity == "boolean":
+                    idfs = tuple(boost for _ in keys)
+                else:
+                    raise ValueError(f"unknown similarity {similarity!r}")
+                if boost != 1.0 and const is not None:
+                    const = const * boost
+                out.append(
+                    _ResolvedLeaf(
+                        clause_id=ci,
+                        is_must=role in ("must", "filter"),
+                        term_keys=tuple(keys),
+                        idfs=idfs,
+                        avgdl=self.stats["fields"][fields[0]]["avgdl"]
+                        if fields
+                        else next(iter(self.stats["fields"].values()))["avgdl"],
+                        const_score=const,
+                        blend=blend,
+                        dismax=dismax,
+                        tie_breaker=tie,
+                        avgdls=None,
+                        role=role,
+                        wmult=wmult,
+                    )
+                )
+                continue
             if blend and keys:
                 # SynonymQuery: one idf from the max per-key df
                 bidf = float(scoring.idf(n, max(dfs[k] for k in keys)))
@@ -1482,8 +1585,11 @@ class SearchEngine:
         self, leaves, q, n_take, filter_spec, boosts, facet_fields,
         emit_all=None, search_after=None, stat_fields=(), range_facets=(),
         sort_by=None, match_all=False, quantile_fields=(),
+        similarity="bm25", mu=2000.0,
     ):
         return _QuerySpec(
+            similarity=similarity,
+            mu=mu,
             leaves=tuple(leaves),
             k1=self.stats["k1"],
             b=self.stats["b"],
@@ -1520,6 +1626,8 @@ class SearchEngine:
         range_facets: dict[str, tuple] | None = None,
         sort_by: tuple[str, bool] | None = None,
         quantile_fields: dict[str, tuple] | None = None,
+        similarity: str = "bm25",
+        mu: float = 2000.0,
     ) -> SearchResult:
         """search_after: deep-pagination cursor (score, doc_id) of the
         LAST hit of the previous page — the page starts strictly after
@@ -1544,6 +1652,8 @@ class SearchEngine:
             raise ValueError("search_after and skip are mutually exclusive")
         if search_after is not None and sort_by is not None:
             raise ValueError("search_after and sort_by are mutually exclusive")
+        if similarity not in scoring.SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
         rf = tuple((c, tuple(e)) for c, e in (range_facets or {}).items())
         self._refresh_tombstones()
         match_all = isinstance(q, MatchAll)
@@ -1565,7 +1675,12 @@ class SearchEngine:
                     match_all = True
                 base = filter_spec.conditions if filter_spec is not None else ()
                 filter_spec = FilterSpec(tuple(base) + tuple(range_conds))
-        leaves = self._resolve(q)
+        leaves = self._resolve(q, similarity, mu)
+        if similarity != "bm25" and any(lf.blend or lf.dismax for lf in leaves):
+            raise ValueError(
+                "Synonyms/CrossFields clauses blend BM25 statistics; "
+                "they require similarity='bm25'"
+            )
         if not match_all:
             # a must clause with no indexed term can never match;
             # total=0 is provably exact on these early returns
@@ -1583,6 +1698,7 @@ class SearchEngine:
         # safely without decoding)
         prune = (
             prune
+            and similarity == "bm25"  # WAND bounds are BM25-specific
             and self.tombstones is None
             and search_after is None
             and not q.must
@@ -1608,6 +1724,7 @@ class SearchEngine:
             search_after=search_after, stat_fields=tuple(stat_fields),
             range_facets=rf, sort_by=sort_by, match_all=match_all,
             quantile_fields=tuple((quantile_fields or {}).keys()),
+            similarity=similarity, mu=mu,
         )
         if prune:
             theta0 = float("-inf")
