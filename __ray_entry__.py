@@ -171,6 +171,68 @@ def _doc_engine(sf_dir: str):
         return _ENGINES[sf_dir]
 
 
+def _plural_docs_dir(sf_dir: str) -> str:
+    """documents ∪ pluralized copy (id+1000000, every 'vector' ->
+    'vectors') as a /tmp parquet dir — the stemmed-index corpus.
+    Cache keyed on the source file's mtime so testdata regeneration
+    invalidates it (the e1 CSV-cache lesson)."""
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    out = f"/tmp/ser_idx_cache/{tag}/plural_docs_{int(os.path.getmtime(src))}"
+    done = os.path.join(out, "_DONE")
+    if not os.path.exists(done):
+        import shutil
+
+        import pyarrow.compute as pc
+
+        shutil.rmtree(out, ignore_errors=True)
+        os.makedirs(out, exist_ok=True)
+        t = pq.read_table(src)
+        cp = t.set_column(
+            t.schema.get_field_index("doc_id"),
+            "doc_id",
+            pc.add(t["doc_id"], 1_000_000),
+        )
+        cp = cp.set_column(
+            cp.schema.get_field_index("text"),
+            "text",
+            pc.replace_substring(cp["text"], pattern="vector", replacement="vectors"),
+        )
+        pq.write_table(pa.concat_tables([t, cp]), os.path.join(out, "part-0.parquet"))
+        open(done, "w").write("ok")
+    return out
+
+
+def _stem_engine(sf_dir: str):
+    """SearchEngine over the plural corpus with the `code_stem`
+    analyzer (Harman S-stemmer at index AND query time) — the S49
+    pluggable-analyzer entry's engine."""
+    import dataclasses
+
+    from search_engine_ray.config import DOCUMENTS_CONFIG
+    from search_engine_ray.index import build_index
+    from search_engine_ray.query import SearchEngine
+
+    cfg = dataclasses.replace(DOCUMENTS_CONFIG, analyzer="code_stem")
+    key = sf_dir + "#stem"
+    with _ENGINE_LOCK:
+        if key in _ENGINES:
+            return _ENGINES[key]
+        from search_engine_ray.index.build import CODEC_FORMATS
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        # keyed on the SAME source mtime as the plural corpus dir, so
+        # regenerated testdata rebuilds the index too
+        mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+        idx_dir = (
+            f"/tmp/ser_idx_cache/{tag}/documents_stem_pf{CODEC_FORMATS[cfg.codec]}_{mt}"
+        )
+        if not os.path.exists(os.path.join(idx_dir, "manifest.json")):
+            build_index(_plural_docs_dir(sf_dir), idx_dir, cfg, sha_col="text")
+        _ENGINES[key] = SearchEngine(idx_dir, cfg)
+        return _ENGINES[key]
+
+
 def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame:
     """Engine-side mirror of _bm25_sql via the scatter-gather top-k
     path (rank-identical to a full-precision sort with doc_id
@@ -1025,6 +1087,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             should=(Term("text", "spark"), Term("text", "window")), min_should_match=1
         )
         return _sim_query(sf_dir, q, "boolean")
+
+    def s46_percolate(sf_dir):
+        # ES percolator (reverse search): the corpus streams once
+        # through a broadcast registry of 6 stored queries covering
+        # must-AND, should-OR+msm, mustNot, prefix and synonym leaves
+        from search_engine_ray.query.percolate import percolate
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return percolate(docs, _percolate_registry())
+
+    def r34_histogram(sf_dir):
+        # ES histogram aggregation: fixed 500-wide price buckets with
+        # count + exact (order-independent) min/max sub-aggregations
+        li = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+        return rel.histogram_aggregate(
+            li,
+            "l_extendedprice",
+            500.0,
+            aggs={
+                "n": ("count", "l_extendedprice"),
+                "min_q": ("min", "l_quantity"),
+                "max_q": ("max", "l_quantity"),
+            },
+        )
+
+    def t_dup_ngrams(sf_dir):
+        # repeated-substring exposure (Lee et al. 2022 at 8-gram
+        # granularity) over the planted near-dup corpus: every
+        # original/copy pair shares all the original's 8-grams
+        return dd.dup_ngram_stats(_docs_with_near_dups(sf_dir), n=8)
+
+    def _percolate_registry():
+        from search_engine_ray.query import Synonyms
+
+        return {
+            "q_vector": Compound(must=(Term("text", "vector"),)),
+            "q_hash_join": Compound(must=(Term("text", "hash"), Term("text", "join"))),
+            "q_spark_or_window": Compound(
+                should=(Term("text", "spark"), Term("text", "window")),
+                min_should_match=1,
+            ),
+            "q_vector_not_slow": Compound(
+                must=(Term("text", "vector"),), must_not=(Term("text", "slow"),)
+            ),
+            "q_cust_prefix": Compound(must=(Prefix("text", "cust"),)),
+            "q_syn": Compound(should=(Synonyms("text", ("vector", "matrix")),)),
+        }
+
+    def s49_stemmed(sf_dir):
+        # S49 pluggable analyzer with stemming: the `code_stem`
+        # analyzer (Harman S-stemmer) folds plurals at index AND query
+        # time, so the raw keyword "vectors" retrieves documents that
+        # only say "vector" (and vice versa) over the plural corpus —
+        # impossible without the stem fold. Full BM25 on the stemmed
+        # term statistics.
+        from search_engine_ray.analysis import get_analyzer
+
+        eng = _stem_engine(sf_dir)
+        tok = get_analyzer("code_stem").analyze("vectors")[0]  # -> "vector"
+        hits = eng.search(
+            Compound(must=(Term("text", tok),)), k=10, with_metadata=False
+        ).hits
+        return pd.DataFrame(
+            {
+                "doc_id": hits["doc_id"].to_numpy(),
+                "score": round_half_up(hits["score"].to_numpy()),
+            }
+        )
+
+    def s47_filters(sf_dir):
+        # ES `filters` aggregation: per-named-filter doc counts (plus
+        # the _other_ bucket) from one map-side-combined stream pass
+        from search_engine_ray.query.percolate import filters_agg
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return filters_agg(docs, _percolate_registry(), other_bucket=True)
+
+    def s48_adjacency(sf_dir):
+        # ES `adjacency_matrix`: filter AND pairwise-intersection doc
+        # counts — one boolean M.T @ M per batch, counts combine
+        from search_engine_ray.query.percolate import adjacency_matrix
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return adjacency_matrix(docs, _percolate_registry())
 
     def r31_matrix_stats(sf_dir):
         # ES matrix_stats: covariance/correlation of quantity vs
@@ -2066,6 +2212,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s43_classic": s43_classic,
         "s44_lm_dirichlet": s44_lm_dirichlet,
         "s45_boolean": s45_boolean,
+        "s46_percolate": s46_percolate,
+        "s47_filters": s47_filters,
+        "s48_adjacency": s48_adjacency,
+        "s49_stemmed": s49_stemmed,
+        "r34_histogram": r34_histogram,
+        "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
@@ -2535,6 +2687,63 @@ WHERE len(list_filter(ts, t -> t = 'spark')) > 0
     from search_engine_ray.ops.text import _LANG_MARKERS
 
     plain_toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')"
+
+    # percolator registry conditions (shared by s46/s47/s48) — one SQL
+    # predicate per stored query, same clause semantics as _percolate_registry
+    def _has(tok):
+        return f"len(list_filter(ts, t -> t = '{tok}')) > 0"
+
+    _perc_conds = {
+        "q_vector": _has("vector"),
+        "q_hash_join": f"({_has('hash')} AND {_has('join')})",
+        "q_spark_or_window": f"({_has('spark')} OR {_has('window')})",
+        "q_vector_not_slow": f"({_has('vector')} AND NOT {_has('slow')})",
+        "q_cust_prefix": "len(list_filter(ts, t -> t LIKE 'cust%')) > 0",
+        "q_syn": "len(list_filter(ts, t -> t = 'vector' OR t = 'matrix')) > 0",
+    }
+    _perc_tok = f"tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents)"
+    _filters_sql = f"WITH {_perc_tok}\n" + "\nUNION ALL ".join(
+        f"SELECT '{name}' AS filter_id, CAST(count(*) FILTER (WHERE {cond}) AS BIGINT)"
+        f" AS n FROM tok"
+        for name, cond in _perc_conds.items()
+    ) + (
+        "\nUNION ALL SELECT '_other_', CAST(count(*) FILTER (WHERE "
+        + " AND ".join(f"NOT ({c})" for c in _perc_conds.values())
+        + ") AS BIGINT) AS n FROM tok"
+    )
+    # s49: full BM25 over the STEMMED term statistics of the plural
+    # corpus — same formula/op-order as _bm25_sql, tokens run through
+    # the shared DUCKDB_S_STEM (lockstep with analysis.s_stem)
+    from search_engine_ray.analysis import DUCKDB_S_STEM as _STEM
+
+    _stem_score = (
+        "ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+        "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))"
+    )
+    _stemmed_sql = f"""
+WITH base AS (SELECT doc_id, text FROM documents
+  UNION ALL SELECT doc_id + 1000000, replace(text, 'vector', 'vectors') FROM documents),
+tok AS (SELECT doc_id, list_transform({_TOKS.format(col='text')}, t -> {_STEM.format(t='t')}) AS ts FROM base),
+d AS (SELECT doc_id, len(ts) AS dl, len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round({_stem_score}, 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY ({_stem_score}) DESC, d.doc_id LIMIT 10
+"""
+    _pnames = list(_perc_conds)
+    _adj_sql = (
+        f"WITH {_perc_tok},\n"
+        "m AS (SELECT "
+        + ", ".join(f"{cond} AS c{i}" for i, cond in enumerate(_perc_conds.values()))
+        + " FROM tok)\nSELECT * FROM (\n"
+        + "\nUNION ALL ".join(
+            f"SELECT '{_pnames[i]}' AS a, '{_pnames[j]}' AS b, "
+            f"CAST(count(*) FILTER (WHERE c{i} AND c{j}) AS BIGINT) AS n FROM m"
+            for i in range(len(_pnames))
+            for j in range(i, len(_pnames))
+        )
+        + "\n) WHERE n > 0"
+    )
     lang_codes = sorted(k for k, v in _LANG_MARKERS.items() if v)
     hit_cols = ", ".join(
         "len(list_filter(ts, t -> t IN ({}))) AS h_{}".format(
@@ -3085,6 +3294,50 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
         "s43_classic": _sim_sql(["hash", "join"], [], "classic"),
         "s44_lm_dirichlet": _sim_sql(["vector"], ["slow"], "lm_dirichlet"),
         "s45_boolean": _sim_sql([], ["spark", "window"], "boolean", msm=1),
+        # percolator: one SELECT per stored query over the SAME plain
+        # analyzer as the ops ring; has(t) == token presence
+        "s46_percolate": f"""
+WITH tok AS (SELECT doc_id, {plain_toks} AS ts FROM documents)
+SELECT 'q_vector' AS query_id, doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t = 'vector')) > 0
+UNION ALL SELECT 'q_hash_join', doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t = 'hash')) > 0
+    AND len(list_filter(ts, t -> t = 'join')) > 0
+UNION ALL SELECT 'q_spark_or_window', doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t = 'spark')) > 0
+     OR len(list_filter(ts, t -> t = 'window')) > 0
+UNION ALL SELECT 'q_vector_not_slow', doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t = 'vector')) > 0
+    AND len(list_filter(ts, t -> t = 'slow')) = 0
+UNION ALL SELECT 'q_cust_prefix', doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t LIKE 'cust%')) > 0
+UNION ALL SELECT 'q_syn', doc_id FROM tok
+  WHERE len(list_filter(ts, t -> t = 'vector' OR t = 'matrix')) > 0
+""",
+        "s47_filters": _filters_sql,
+        "s48_adjacency": _adj_sql,
+        "s49_stemmed": _stemmed_sql,
+        "r34_histogram": (
+            "SELECT floor(l_extendedprice / 500.0) * 500.0 AS bucket, "
+            "count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q "
+            "FROM lineitem GROUP BY bucket"
+        ),
+        # 8-gram strings stand in for the Ray side's 64-bit rolling
+        # hashes (collision-free at oracle scale); generate_series
+        # yields no rows for docs shorter than 8 tokens
+        "t_dup_ngrams": f"""
+WITH {_BOTH_DOCS_SQL},
+tok AS (SELECT doc_id, {plain_toks} AS ts FROM both_docs),
+pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS g FROM tok),
+ng AS (SELECT doc_id, array_to_string(ts[g : g + 7], ' ') AS g8 FROM pos),
+cnt AS (SELECT g8, count(*) AS c FROM ng GROUP BY g8),
+dup AS (SELECT ng.doc_id, count(*) AS nd FROM ng JOIN cnt USING (g8)
+        WHERE c >= 2 GROUP BY ng.doc_id)
+SELECT tok.doc_id,
+       CAST(greatest(len(ts) - 7, 0) AS BIGINT) AS n_ngrams,
+       CAST(coalesce(dup.nd, 0) AS BIGINT) AS n_dup_ngrams
+FROM tok LEFT JOIN dup USING (doc_id)
+""",
         "s42_termvectors": f"""
 WITH tgt AS (SELECT {toks} AS ts FROM documents WHERE doc_id = 7),
 tv AS (SELECT unnest(ts) AS term FROM tgt),

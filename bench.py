@@ -171,6 +171,13 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r32_cumulative", "r33_month_histogram", "s37_dictionary",
         "s38_percentile_ranks", "sketch_quantiles_sampled",
         "e11_sorted_export",
+        # wave-6/7: cursor paging, per-bucket top hits, line dedup,
+        # pluggable similarities, percolator, numeric histogram,
+        # duplicated-n-gram stats
+        "s39_composite", "s40_top_hits", "t_line_dedup",
+        "s43_classic", "s44_lm_dirichlet", "s45_boolean",
+        "s46_percolate", "s47_filters", "s48_adjacency",
+        "r34_histogram", "t_dup_ngrams",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -39,18 +39,104 @@ class Analyzer:
     `token_pattern` is the findall form (python side, oracle),
     `split_pattern` its complement (Arrow split_pattern_regex form,
     vectorized index side) — the analyzer-parity tests pin that the
-    two forms agree. `stop` is dropped at BOTH index and query time."""
+    two forms agree. `stop` is dropped at BOTH index and query time.
+    `stem` names an optional stemming filter applied AFTER the stop
+    filter (currently "s", the Harman S-stemmer); the same filter must
+    run on query tokens (Analyzer.analyze does) or terms miss."""
 
     name: str
     token_pattern: str
     split_pattern: str
     stop: frozenset
+    stem: str | None = None
 
     def tokens(self, text: str) -> list[str]:
         return re.findall(self.token_pattern, (text or "").lower())
 
     def analyze(self, text: str) -> list[str]:
-        return [t for t in self.tokens(text) if t not in self.stop]
+        out = [t for t in self.tokens(text) if t not in self.stop]
+        if self.stem == "s":
+            out = [s_stem(t) for t in out]
+        return out
+
+
+def s_stem(token: str) -> str:
+    """Harman (1991) S-stemmer — the conservative plural folder Lucene
+    ships as EnglishMinimalStemFilter's sibling: exactly one of three
+    suffix rules applies (first match), tokens shorter than 3 chars
+    pass through, and the guards keep 'us'/'ss' words ('corpus',
+    'class') and vowel+es forms intact.
+
+    - ...ies -> ...y   (unless ...eies / ...aies)
+    - ...es  -> ...e   (unless ...aes / ...ees / ...oes)
+    - ...s   -> ...    (unless ...us / ...ss)
+    """
+    if len(token) < 3:
+        return token
+    if token.endswith("ies"):
+        if not token.endswith(("eies", "aies")):
+            return token[:-3] + "y"
+        return token
+    if token.endswith("es"):
+        if not token.endswith(("aes", "ees", "oes")):
+            return token[:-1]
+        return token
+    if token.endswith("s") and not token.endswith(("us", "ss")):
+        return token[:-1]
+    return token
+
+
+def s_stem_array(flat):
+    """Vectorized s_stem over an Arrow StringArray (the index-build
+    hot path) — three ends_with masks + negative-index slices, no
+    Python per token. Must stay in lockstep with s_stem (pinned by
+    the analyzer-parity tests)."""
+    import pyarrow.compute as pc
+
+    ge3 = pc.greater_equal(pc.utf8_length(flat), 3)
+
+    def _ends(*sufs):
+        m = pc.ends_with(flat, sufs[0])
+        for s in sufs[1:]:
+            m = pc.or_(m, pc.ends_with(flat, s))
+        return m
+
+    # rule selection is on the RAW suffix (a guarded 'ies'/'es' word
+    # returns unchanged, it does NOT fall through to the next rule —
+    # same as s_stem's early returns)
+    m_ies = pc.and_(ge3, _ends("ies"))
+    a_ies = pc.and_(m_ies, pc.invert(_ends("eies", "aies")))
+    m_es = pc.and_(ge3, _ends("es"))
+    a_es = pc.and_(m_es, pc.invert(_ends("aes", "ees", "oes")))
+    a_s = pc.and_(ge3, pc.and_(_ends("s"), pc.invert(_ends("us", "ss"))))
+    drop3y = pc.binary_join_element_wise(pc.utf8_slice_codeunits(flat, 0, -3), "y", "")
+    drop1 = pc.utf8_slice_codeunits(flat, 0, -1)
+    return pc.if_else(
+        a_ies,
+        drop3y,
+        pc.if_else(
+            m_ies,
+            flat,
+            pc.if_else(a_es, drop1, pc.if_else(m_es, flat, pc.if_else(a_s, drop1, flat))),
+        ),
+    )
+
+
+# DuckDB expression computing s_stem({t}) — oracle parity; MUST stay
+# in lockstep with s_stem (same rule order and guards)
+DUCKDB_S_STEM = (
+    "(CASE WHEN len({t}) >= 3 AND {t} LIKE '%ies' "
+    "AND {t} NOT LIKE '%eies' AND {t} NOT LIKE '%aies' "
+    "THEN substr({t}, 1, len({t}) - 3) || 'y' "
+    "WHEN len({t}) >= 3 AND {t} LIKE '%ies' THEN {t} "
+    "WHEN len({t}) >= 3 AND {t} LIKE '%es' "
+    "AND {t} NOT LIKE '%aes' AND {t} NOT LIKE '%ees' AND {t} NOT LIKE '%oes' "
+    "THEN substr({t}, 1, len({t}) - 1) "
+    "WHEN len({t}) >= 3 AND {t} LIKE '%es' THEN {t} "
+    "WHEN len({t}) >= 3 AND {t} LIKE '%s' "
+    "AND {t} NOT LIKE '%us' AND {t} NOT LIKE '%ss' "
+    "THEN substr({t}, 1, len({t}) - 1) ELSE {t} END)"
+)
 
 
 ANALYZERS: dict[str, Analyzer] = {
@@ -58,6 +144,8 @@ ANALYZERS: dict[str, Analyzer] = {
     "code": Analyzer("code", r"[a-z0-9_]+", r"[^a-z0-9_]+", STOP_TOKENS),
     # letters-only (classic "simple" analyzer): digits/underscores split
     "simple": Analyzer("simple", r"[a-z]+", r"[^a-z]+", frozenset()),
+    # code + S-stemmer: plural forms fold onto their singular term
+    "code_stem": Analyzer("code_stem", r"[a-z0-9_]+", r"[^a-z0-9_]+", STOP_TOKENS, stem="s"),
 }
 
 

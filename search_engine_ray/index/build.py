@@ -229,6 +229,10 @@ class TokenizePartials:
         parents = parents.filter(keep)
         if isinstance(flat, pa.ChunkedArray):
             flat = flat.combine_chunks()
+        if self.analyzer.stem == "s":
+            from search_engine_ray.analysis import s_stem_array
+
+            flat = s_stem_array(flat)
         doc_ix = parents.to_numpy(zero_copy_only=False).astype(np.int64)
         dls = np.bincount(doc_ix, minlength=n).astype(np.int32)
         return flat, doc_ix, dls

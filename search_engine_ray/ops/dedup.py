@@ -1118,3 +1118,93 @@ def line_dedup(
         )
 
     return ds.map_batches(_clean, batch_format="pyarrow")
+
+
+def _pos_shingles(col, w: int) -> tuple[np.ndarray, np.ndarray, int]:
+    """EVERY n-gram position's rolling hash (not per-doc distinct like
+    _shingle_hashes): (hashes, doc index per position, n_docs). Docs
+    shorter than w tokens contribute no positions. Same whole-batch
+    shifted-add polynomial, doc boundaries masked."""
+    th, doc_ix, n = _arrow_token_stream(col)
+    m = th.size - w + 1
+    if m <= 0:
+        return np.empty(0, dtype=np.uint64), np.empty(0, dtype=np.int64), n
+    h = np.zeros(m, dtype=np.uint64)
+    for j in range(w):
+        h = h * _POLY_B + th[j : j + m]
+    valid = doc_ix[:m] == doc_ix[w - 1 : w - 1 + m]
+    return h[valid], doc_ix[:m][valid].astype(np.int64), n
+
+
+def dup_ngram_stats(
+    ds: Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> Dataset:
+    """Repeated-substring exposure per document (the training-data
+    signal behind suffix-array dedup, Lee et al. 2022, here at n-gram
+    granularity): for each doc, how many of its token n-gram positions
+    carry an n-gram that occurs >= ``min_count`` times in the WHOLE
+    corpus (any doc, own repeats included). Output
+    (id_col, n_ngrams, n_dup_ngrams) — docs shorter than n tokens have
+    0 n-grams. Downstream: drop/trim docs whose dup fraction is high.
+
+    Scale shape (same two-pass as line_dedup): pass 1 is a map-side
+    (hash -> count) combiner into a hash-partition groupby — the
+    shuffle moves one row per distinct n-gram per block, not every
+    position. The duplicated-hash set (distinct n-grams with corpus
+    count >= min_count) is broadcast via ray.put and pass 2 streams
+    the corpus through one vectorized rolling-hash + searchsorted per
+    batch. N-grams compare by a 64-bit polynomial over md5 token
+    hashes — collisions (~2^-64/pair) over-count by one position.
+    A corpus whose duplicated-n-gram set exceeds a worker heap swaps
+    the broadcast for a hash_join on the n-gram hash."""
+    import ray
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h, _d, _n = _pos_shingles(t[text_col], n)
+        if h.size == 0:
+            return pa.table({"gh": pa.array([], pa.int64()), "cnt": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(h.view(np.int64), sort=False)
+        cnt = np.bincount(codes).astype(np.int64)
+        return pa.table({"gh": pa.array(uniq), "cnt": pa.array(cnt)})
+
+    counts = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("gh")
+        .aggregate(Sum("cnt", alias_name="cnt"))
+    )
+    dup = counts.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)).select(["gh"]),
+        batch_format="pyarrow",
+    )
+    pdf = dup.to_pandas()
+    dup_arr = (
+        np.sort(pdf["gh"].to_numpy(dtype=np.int64))
+        if len(pdf) and "gh" in pdf.columns
+        else np.empty(0, np.int64)
+    )
+    ref = ray.put(dup_arr)
+
+    def _stats(t: pa.Table) -> pa.Table:
+        dupset = ray.get(ref)  # node-local plasma lookup after first fetch
+        h, d, nb = _pos_shingles(t[text_col], n)
+        n_ng = np.bincount(d, minlength=nb).astype(np.int64)
+        if h.size and dupset.size:
+            hv = h.view(np.int64)
+            pos = np.clip(np.searchsorted(dupset, hv), 0, dupset.size - 1)
+            isdup = dupset[pos] == hv
+            n_dup = np.bincount(d[isdup], minlength=nb).astype(np.int64)
+        else:
+            n_dup = np.zeros(nb, dtype=np.int64)
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "n_ngrams": pa.array(n_ng),
+                "n_dup_ngrams": pa.array(n_dup),
+            }
+        )
+
+    return ds.map_batches(_stats, batch_format="pyarrow")

@@ -668,6 +668,50 @@ def rename(ds: Dataset, mapping: dict[str, str]) -> Dataset:
     return ds.map_batches(_r, batch_format="pyarrow")
 
 
+def histogram_aggregate(
+    ds: Dataset,
+    col: str,
+    interval: float,
+    aggs: dict[str, tuple[str, str]] | None = None,
+) -> Dataset:
+    """ES `histogram` aggregation: fixed-interval NUMERIC buckets
+    ``bucket = floor(x / interval) * interval`` with a doc count (and
+    optional extra sub-aggregations) per bucket. Empty buckets are not
+    emitted (min_doc_count=1); null values drop.
+
+    The bucket key is stamped vectorized in Arrow inside map_batches
+    and rides the built-in pre-combined hash aggregate, so the shuffle
+    moves one row per (bucket, block) — never the input. The float op
+    order (divide, floor, multiply, all float64) is the SQL oracle's
+    ``floor(x / i) * i`` exactly, keeping bucket values bit-identical
+    across engines."""
+    if interval <= 0:
+        raise ValueError(f"interval must be positive, got {interval}")
+    out_aggs = dict(aggs or {})
+    if not out_aggs:
+        out_aggs = {"n": ("count", col)}
+
+    def _cols(t: pa.Table) -> list[str]:
+        out: list[str] = []
+        for _, (_, c) in out_aggs.items():
+            if c not in out and c in t.column_names:
+                out.append(c)
+        return out
+
+    def _bucket(t: pa.Table) -> pa.Table:
+        x = pc.cast(t[col], pa.float64())
+        b = pc.multiply(pc.floor(pc.divide(x, float(interval))), float(interval))
+        cols = {"bucket": b}
+        for c in _cols(t):
+            cols[c] = t[c]
+        out = pa.table(cols)
+        return out.filter(pc.is_valid(out["bucket"]))
+
+    return grouped_aggregate(
+        ds.map_batches(_bucket, batch_format="pyarrow"), "bucket", out_aggs
+    )
+
+
 def window_aggregate(
     ds: Dataset,
     ts_col: str,

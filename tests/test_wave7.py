@@ -1,0 +1,293 @@
+"""Wave-7 operators: numeric histogram aggregation, the percolator
+(reverse search) and per-doc duplicated-n-gram stats — each checked
+against a hand-computed expectation on small synthetic inputs."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import search_engine_ray.ops.dedup as dd
+import search_engine_ray.ops.relational as rel
+from search_engine_ray.query import Compound, Prefix, Synonyms, Term
+from search_engine_ray.query.percolate import percolate
+
+
+def _ds(rows):
+    import ray.data as rd
+
+    return rd.from_pandas(pd.DataFrame(rows))
+
+
+# ------------------------------------------------------------ histogram
+
+
+def test_histogram_counts(ray_session):
+    ds = _ds({"x": [0.0, 1.5, 9.99, 10.0, 10.5, 25.0, -0.1], "q": [1, 2, 3, 4, 5, 6, 7]})
+    out = (
+        rel.histogram_aggregate(ds, "x", 10.0)
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # floor semantics: -0.1 lands in bucket -10, 10.0 in bucket 10
+    assert out["bucket"].tolist() == [-10.0, 0.0, 10.0, 20.0]
+    assert out["n"].tolist() == [1, 3, 2, 1]
+
+
+def test_histogram_subaggs_and_nulls(ray_session):
+    ds = _ds({"x": [1.0, 2.0, None, 11.0], "q": [5.0, 7.0, 9.0, 3.0]})
+    out = (
+        rel.histogram_aggregate(
+            ds, "x", 10.0, aggs={"n": ("count", "x"), "min_q": ("min", "q"), "max_q": ("max", "q")}
+        )
+        .to_pandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    # the null x row drops entirely (its q=9.0 must not leak into any bucket)
+    assert out["bucket"].tolist() == [0.0, 10.0]
+    assert out["n"].tolist() == [2, 1]
+    assert out["min_q"].tolist() == [5.0, 3.0]
+    assert out["max_q"].tolist() == [7.0, 3.0]
+
+
+def test_histogram_rejects_bad_interval(ray_session):
+    with pytest.raises(ValueError):
+        rel.histogram_aggregate(_ds({"x": [1.0]}), "x", 0.0)
+
+
+# ------------------------------------------------------------ percolate
+
+_DOCS = {
+    "doc_id": [1, 2, 3, 4, 5],
+    "text": [
+        "the quick brown fox",  # quick
+        "a slow red fox and a dog",  # slow, dog
+        "quick quick dog",  # quick + dog
+        "customs paperwork",  # cust-prefix
+        "",  # empty
+    ],
+}
+
+
+def test_percolate_clause_semantics(ray_session):
+    qs = {
+        "q_quick": Compound(must=(Term("text", "quick"),)),
+        "q_quick_and_dog": Compound(must=(Term("text", "quick"), Term("text", "dog"))),
+        "q_quick_or_slow": Compound(
+            should=(Term("text", "quick"), Term("text", "slow")), min_should_match=1
+        ),
+        "q_quick_not_fox": Compound(
+            must=(Term("text", "quick"),), must_not=(Term("text", "fox"),)
+        ),
+        "q_cust": Compound(must=(Prefix("text", "cust"),)),
+        "q_syn": Compound(should=(Synonyms("text", ("red", "brown")),)),
+        "q_msm2": Compound(
+            should=(Term("text", "quick"), Term("text", "dog"), Term("text", "slow")),
+            min_should_match=2,
+        ),
+        "q_filter": Compound(filter=(Term("text", "dog"),)),
+        "q_empty": Compound(),  # matches nothing
+    }
+    out = percolate(_ds(_DOCS), qs).to_pandas()
+    got = {
+        qid: sorted(g["doc_id"].tolist()) for qid, g in out.groupby("query_id")
+    }
+    assert got == {
+        "q_quick": [1, 3],
+        "q_quick_and_dog": [3],
+        "q_quick_or_slow": [1, 2, 3],
+        "q_quick_not_fox": [3],
+        "q_cust": [4],
+        "q_syn": [1, 2],
+        "q_msm2": [2, 3],  # doc2: slow+dog; doc3: quick+dog
+        "q_filter": [2, 3],
+    }
+
+
+def test_percolate_rejects_unsupported_leaf(ray_session):
+    from search_engine_ray.query import Fuzzy
+
+    with pytest.raises(TypeError):
+        percolate(_ds(_DOCS), {"q": Compound(must=(Fuzzy("text", "quick"),))})
+
+
+def test_percolate_msm_overflow_rejected(ray_session):
+    with pytest.raises(ValueError):
+        percolate(
+            _ds(_DOCS),
+            {"q": Compound(should=(Term("text", "quick"),), min_should_match=2)},
+        )
+
+
+def test_filters_agg_counts(ray_session):
+    from search_engine_ray.query.percolate import filters_agg
+
+    qs = {
+        "f_quick": Compound(must=(Term("text", "quick"),)),
+        "f_dog": Compound(must=(Term("text", "dog"),)),
+        "f_none": Compound(must=(Term("text", "zzzz"),)),
+    }
+    out = (
+        filters_agg(_ds(_DOCS), qs, other_bucket=True)
+        .to_pandas()
+        .set_index("filter_id")["n"]
+        .to_dict()
+    )
+    # docs: 1 quick / 2 slow+dog / 3 quick+dog / 4 customs / 5 empty
+    assert out == {"f_quick": 2, "f_dog": 2, "f_none": 0, "_other_": 2}
+
+
+def test_adjacency_matrix_counts(ray_session):
+    from search_engine_ray.query.percolate import adjacency_matrix
+
+    qs = {
+        "f_quick": Compound(must=(Term("text", "quick"),)),
+        "f_dog": Compound(must=(Term("text", "dog"),)),
+        "f_fox": Compound(must=(Term("text", "fox"),)),
+    }
+    out = adjacency_matrix(_ds(_DOCS), qs).to_pandas()
+    got = {(r.a, r.b): r.n for r in out.itertuples()}
+    assert got == {
+        ("f_quick", "f_quick"): 2,
+        ("f_dog", "f_dog"): 2,
+        ("f_fox", "f_fox"): 2,
+        ("f_quick", "f_dog"): 1,  # doc 3
+        ("f_dog", "f_fox"): 1,  # doc 2
+        ("f_quick", "f_fox"): 1,  # doc 1
+    }
+
+
+# ------------------------------------------------------------ stemming
+
+
+def test_s_stem_three_way_parity():
+    import duckdb
+    import pyarrow as pa
+
+    from search_engine_ray.analysis import DUCKDB_S_STEM, s_stem, s_stem_array
+
+    toks = [
+        "vectors", "queries", "indexes", "corpus", "class", "eies", "aies",
+        "goes", "trees", "tables", "as", "is", "s", "ies", "bus", "miss",
+        "files", "hash", "caches", "boxes", "aes", "stats", "joins", "res",
+        "", "a", "ss", "es", "xs",
+    ]
+    py = [s_stem(t) for t in toks]
+    assert py == s_stem_array(pa.array(toks)).to_pylist()
+    con = duckdb.connect()
+    sql = [con.sql(f"SELECT {DUCKDB_S_STEM.format(t=repr(t))}").fetchone()[0] for t in toks]
+    assert py == sql
+    # the folds the analyzer promises
+    assert s_stem("vectors") == "vector" and s_stem("queries") == "query"
+    assert s_stem("corpus") == "corpus" and s_stem("class") == "class"
+
+
+def test_stemmed_index_cross_form_retrieval(ray_session, tmp_path):
+    import dataclasses
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import IndexConfig, FieldSpec
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import SearchEngine
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(6), pa.int64()),
+            "text": [
+                "sparse vectors need tables",  # plural forms
+                "a vector inside one table",  # singular forms
+                "queries against the index",
+                "one query per indexes",
+                "nothing relevant here",
+                "tables tables tables",
+            ],
+        }
+    )
+    src = str(tmp_path / "corpus")
+    (tmp_path / "corpus").mkdir()
+    pq.write_table(tbl, src + "/part-0.parquet")
+    cfg = IndexConfig(
+        fields=(FieldSpec("text", "c"),),
+        num_buckets=4,
+        num_parts=4,
+        docmap_cols=(),
+        id_cols=("doc_id",),
+        use_native_id=True,
+        analyzer="code_stem",
+    )
+    idx = str(tmp_path / "idx")
+    build_index(src, idx, cfg, sha_col="text")
+    eng = SearchEngine(idx, cfg)
+    from search_engine_ray.query import Compound, Term
+    from search_engine_ray.analysis import get_analyzer
+
+    an = get_analyzer("code_stem")
+    # raw keyword "vectors" -> stemmed term "vector": matches BOTH forms
+    res = eng.search(Compound(must=(Term("text", an.analyze("vectors")[0]),)), k=10)
+    assert sorted(res.hits["doc_id"].tolist()) == [0, 1]
+    # "query"/"queries" fold too
+    res2 = eng.search(Compound(must=(Term("text", an.analyze("query")[0]),)), k=10)
+    assert sorted(res2.hits["doc_id"].tolist()) == [2, 3]
+    # engine vs brute-force oracle parity on the stemmed statistics
+    oix = build_oracle(tbl, cfg)
+    ora = oracle_search(oix, Compound(must=(Term("text", "table"),)), k=10)
+    res3 = eng.search(Compound(must=(Term("text", "table"),)), k=10)
+    assert res3.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(
+        res3.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+
+
+# -------------------------------------------------------- dup n-grams
+
+
+def test_dup_ngram_stats(ray_session):
+    base = "one two three four five six seven eight"  # exactly 8 tokens
+    rows = {
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            base + " tail_a",  # shares the base 8-gram with doc 2
+            base + " tail_b",
+            "totally different words here nothing repeats at all",  # 8 uniq-ish tokens
+            "short doc",  # < 8 tokens -> 0 n-grams
+        ],
+    }
+    out = (
+        dd.dup_ngram_stats(_ds(rows), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # docs 1/2: 9 tokens -> 2 positions; position 1 (the base) is shared,
+    # position 2 (ends in tail_x) is unique
+    assert out.loc[1, "n_ngrams"] == 2 and out.loc[1, "n_dup_ngrams"] == 1
+    assert out.loc[2, "n_ngrams"] == 2 and out.loc[2, "n_dup_ngrams"] == 1
+    assert out.loc[3, "n_dup_ngrams"] == 0
+    assert out.loc[4, "n_ngrams"] == 0 and out.loc[4, "n_dup_ngrams"] == 0
+
+
+def test_dup_ngram_within_doc_repeat(ray_session):
+    # the same 8-gram occurring twice INSIDE one doc counts as duplicated
+    base = "a1 a2 a3 a4 a5 a6 a7 a8"
+    rows = {"doc_id": [1], "text": [base + " zzz " + base]}
+    out = dd.dup_ngram_stats(_ds(rows), n=8).to_pandas()
+    # 17 tokens -> 10 positions; positions 1 and 10 are the repeated base
+    assert out.loc[0, "n_ngrams"] == 10
+    assert int(out.loc[0, "n_dup_ngrams"]) == 2
+
+
+def test_dup_ngram_all_unique_corpus(ray_session):
+    rows = {
+        "doc_id": [1, 2],
+        "text": [
+            "w1 w2 w3 w4 w5 w6 w7 w8 w9",
+            "v1 v2 v3 v4 v5 v6 v7 v8",
+        ],
+    }
+    out = dd.dup_ngram_stats(_ds(rows), n=8).to_pandas()
+    assert (out["n_dup_ngrams"] == 0).all()
+    assert sorted(out["n_ngrams"].tolist()) == [1, 2]
