@@ -113,6 +113,15 @@ def _sim_sql(
             f"ln({mu!r} / (d.dl + {mu!r})), 0) ELSE 0 END)"
             for i in range(len(terms))
         ]
+    elif sim == "dfr":
+        # I(n)-L-H2: tfn = tf * log2(1 + avgdl/dl); w * tfn / (1 + tfn)
+        tfn = "(tf{i} * log2(1 + (s.total_len / s.n) / d.dl))"
+        per = [
+            f"(CASE WHEN tf{i} > 0 THEN "
+            f"log2((s.n + 1) / (s.df{i} + 0.5)) * {tfn.format(i=i)} / "
+            f"(1 + {tfn.format(i=i)}) ELSE 0 END)"
+            for i in range(len(terms))
+        ]
     elif sim == "boolean":
         per = [f"(CASE WHEN tf{i} > 0 THEN 1.0 ELSE 0 END)" for i in range(len(terms))]
     else:
@@ -1087,6 +1096,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             should=(Term("text", "spark"), Term("text", "window")), min_should_match=1
         )
         return _sim_query(sf_dir, q, "boolean")
+
+    def s50_dfr(sf_dir):
+        # DFRSimilarity I(n)-L-H2: divergence-from-randomness with the
+        # inverse-df basic model, Laplace after-effect, H2 length
+        # normalization — the 5th pluggable similarity
+        q = Compound(must=(Term("text", "hash"), Term("text", "join")))
+        return _sim_query(sf_dir, q, "dfr")
 
     def s46_percolate(sf_dir):
         # ES percolator (reverse search): the corpus streams once
@@ -2216,6 +2232,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s47_filters": s47_filters,
         "s48_adjacency": s48_adjacency,
         "s49_stemmed": s49_stemmed,
+        "s50_dfr": s50_dfr,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3294,6 +3311,7 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
         "s43_classic": _sim_sql(["hash", "join"], [], "classic"),
         "s44_lm_dirichlet": _sim_sql(["vector"], ["slow"], "lm_dirichlet"),
         "s45_boolean": _sim_sql([], ["spark", "window"], "boolean", msm=1),
+        "s50_dfr": _sim_sql(["hash", "join"], [], "dfr"),
         # percolator: one SELECT per stored query over the SAME plain
         # analyzer as the ops ring; has(t) == token presence
         "s46_percolate": f"""

@@ -266,6 +266,13 @@ def oracle_search(
                 contrib = np.where(
                     match, scoring.lm_dirichlet_score(tf, dls, mu_p, mu, boost), 0.0
                 )
+            elif similarity == "dfr":
+                w = float(scoring.dfr_basic_in(n, df)) * boost
+                contrib = np.where(
+                    match,
+                    scoring.dfr_score(tf, oix.dls[leaf.field], w, oix.avgdl[leaf.field]),
+                    0.0,
+                )
             elif similarity == "boolean":
                 contrib = np.where(match, boost, 0.0)
             else:

@@ -1513,6 +1513,10 @@ class SearchEngine:
                         for k, f in zip(keys, fields)
                     )
                     wmult = boost  # mu*p is not linear in the score
+                elif similarity == "dfr":
+                    idfs = tuple(
+                        float(scoring.dfr_basic_in(n, dfs[k])) * boost for k in keys
+                    )
                 elif similarity == "boolean":
                     idfs = tuple(boost for _ in keys)
                 else:

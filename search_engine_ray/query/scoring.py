@@ -47,7 +47,7 @@ def block_upper_bound(max_tf, min_dl, term_idf: float, k1: float, b: float, avgd
 # Each formula mirrors its DuckDB oracle's op order exactly so float64
 # results are bit-identical (same rank-parity discipline as BM25).
 
-SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "boolean")
+SIMILARITIES = ("bm25", "classic", "lm_dirichlet", "boolean", "dfr")
 
 
 def classic_idf(n_docs: int, df) -> np.ndarray | float:
@@ -79,6 +79,25 @@ def lm_dirichlet_score(tf, dl, mu_p: float, mu: float, wmult: float = 1.0) -> np
     return wmult * np.maximum(raw, 0.0)
 
 
+def dfr_basic_in(n_docs: int, df) -> np.ndarray | float:
+    """DFR BasicModel I(n): log2((N + 1) / (df + 0.5)) — the per-term
+    information content under the inverse-document-frequency model."""
+    df = np.asarray(df, dtype=np.float64)
+    return np.log2((n_docs + 1.0) / (df + 0.5))
+
+
+def dfr_score(tf, dl, w, avgdl: float) -> np.ndarray:
+    """Lucene DFRSimilarity(BasicModelIn, AfterEffectL,
+    NormalizationH2 c=1): tfn = tf * log2(1 + avgdl/dl), score =
+    w * tfn / (1 + tfn) with ``w = dfr_basic_in * boost`` the
+    precomputed per-term weight (AfterEffect L is the 1/(1+tfn)
+    factor; Lucene 8 folds it as I(n)*tfn * 1/(1+tfn))."""
+    tf = np.asarray(tf, dtype=np.float64)
+    dl = np.asarray(dl, dtype=np.float64)
+    tfn = tf * np.log2(1.0 + avgdl / dl)
+    return w * tfn / (1.0 + tfn)
+
+
 def leaf_score(
     tf, dl, w: float, k1: float, b: float, avgdl: float,
     similarity: str = "bm25", mu: float = 2000.0, wmult: float = 1.0,
@@ -87,6 +106,7 @@ def leaf_score(
     ``w`` is the per-key resolved weight whose meaning depends on the
     similarity: bm25 -> idf*boost, classic -> classic_idf**2*boost,
     lm_dirichlet -> mu*p(t|C) (boost rides ``wmult``),
+    dfr -> dfr_basic_in*boost,
     boolean -> boost (Lucene BooleanSimilarity: a flat boost per
     matching term)."""
     if similarity == "bm25":
@@ -95,6 +115,8 @@ def leaf_score(
         return classic_score(tf, dl, w)
     if similarity == "lm_dirichlet":
         return lm_dirichlet_score(tf, dl, w, mu, wmult)
+    if similarity == "dfr":
+        return dfr_score(tf, dl, w, avgdl)
     if similarity == "boolean":
         return np.full(np.asarray(tf).shape, float(w), dtype=np.float64)
     raise ValueError(f"unknown similarity {similarity!r}")

@@ -44,7 +44,7 @@ def assert_parity(res, ora, score_tol=1e-9):
     )
 
 
-@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "boolean"])
+@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "boolean", "dfr"])
 @pytest.mark.parametrize("qi", range(len(QUERIES)))
 def test_similarity_parity(engine, oracle_ix, sim, qi):
     q = QUERIES[qi]
@@ -53,7 +53,7 @@ def test_similarity_parity(engine, oracle_ix, sim, qi):
     assert_parity(res, ora)
 
 
-@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet"])
+@pytest.mark.parametrize("sim", ["classic", "lm_dirichlet", "dfr"])
 def test_similarity_boost_parity(engine, oracle_ix, sim):
     # classic folds the boost into the squared idf weight;
     # lm_dirichlet rides it on wmult — both must match the oracle
