@@ -1097,6 +1097,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _sim_query(sf_dir, q, "boolean")
 
+    def s51_best_fields(sf_dir):
+        # ES multi_match best_fields (Lucene DisMax of per-field
+        # TermQuery): per-field df/idf AND length norms — contrast
+        # with s15's blended-df cross_fields over the same fields
+        from search_engine_ray.query import BestFields
+
+        out = []
+        for branch, tok in (("text_term", "vector"), ("source_term", "src1")):
+            q = Compound(must=(BestFields(("text", "source"), tok, tie_breaker=0.3),))
+            df = _bm25_query(sf_dir, q)
+            df.insert(0, "branch", branch)
+            out.append(df)
+        return pd.concat(out, ignore_index=True)
+
     def s50_dfr(sf_dir):
         # DFRSimilarity I(n)-L-H2: divergence-from-randomness with the
         # inverse-df basic model, Laplace after-effect, H2 length
@@ -2233,6 +2247,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s48_adjacency": s48_adjacency,
         "s49_stemmed": s49_stemmed,
         "s50_dfr": s50_dfr,
+        "s51_best_fields": s51_best_fields,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -2683,6 +2698,41 @@ FROM sc ORDER BY ({comb}) DESC, doc_id LIMIT 10
         f"SELECT 'text_term' AS branch, t1.* FROM ({_xf_sql('vector')}) t1 "
         f"UNION ALL SELECT 'source_term' AS branch, t2.* FROM ({_xf_sql('src1')}) t2"
     )
+
+    def _bf_sql(tok: str, tie: float = 0.3) -> str:
+        # s51 best_fields: same DisMax skeleton as _xf_sql but each
+        # field keeps its OWN idf from its OWN df
+        tc = _TOKS.format(col="text")
+        tp = _TOKS.format(col="source")
+        idf_c = "ln(1 + (s.n - s.dfc + 0.5) / (s.dfc + 0.5))"
+        idf_p = "ln(1 + (s.n - s.dfp + 0.5) / (s.dfp + 0.5))"
+        sc_c = (
+            f"CASE WHEN tfc > 0 THEN {idf_c} * tfc * 2.2 / "
+            f"(tfc + 1.2 * (1 - 0.75 + 0.75 * d.dlc / (s.tc / s.n))) ELSE 0 END"
+        )
+        sc_p = (
+            f"CASE WHEN tfp > 0 THEN {idf_p} * tfp * 2.2 / "
+            f"(tfp + 1.2 * (1 - 0.75 + 0.75 * d.dlp / (s.tp / s.n))) ELSE 0 END"
+        )
+        comb = f"greatest(sc_c, sc_p) + {tie} * (sc_c + sc_p - greatest(sc_c, sc_p))"
+        return f"""
+WITH d AS (SELECT doc_id, len({tc}) AS dlc, len({tp}) AS dlp,
+       len(list_filter({tc}, t -> t = '{tok}')) AS tfc,
+       len(list_filter({tp}, t -> t = '{tok}')) AS tfp
+       FROM documents),
+s AS (SELECT count(*) AS n, sum(dlc) AS tc, sum(dlp) AS tp,
+       count(*) FILTER (WHERE tfc > 0) AS dfc,
+       count(*) FILTER (WHERE tfp > 0) AS dfp FROM d),
+sc AS (SELECT d.doc_id, {sc_c} AS sc_c, {sc_p} AS sc_p
+       FROM d, s WHERE tfc > 0 OR tfp > 0)
+SELECT doc_id, round({comb}, 4) AS score
+FROM sc ORDER BY ({comb}) DESC, doc_id LIMIT 10
+"""
+
+    s51_sql = (
+        f"SELECT 'text_term' AS branch, t1.* FROM ({_bf_sql('vector')}) t1 "
+        f"UNION ALL SELECT 'source_term' AS branch, t2.* FROM ({_bf_sql('src1')}) t2"
+    )
     e8_sql = f"""
 WITH tok AS (SELECT {toks_plain} AS ts FROM documents)
 SELECT 'vector' AS keyword, count(*) AS total FROM tok
@@ -2872,6 +2922,7 @@ SELECT count(*) AS total, count(DISTINCT source) AS source_card,
        count(DISTINCT lang) AS lang_card FROM m
 """,
         "s15_crossfields": s15_sql,
+        "s51_best_fields": s51_sql,
         "s18_mlt": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),

@@ -175,7 +175,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # pluggable similarities, percolator, numeric histogram,
         # duplicated-n-gram stats
         "s39_composite", "s40_top_hits", "t_line_dedup",
-        "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr",
+        "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr", "s51_best_fields",
         "s49_stemmed",
         "s46_percolate", "s47_filters", "s48_adjacency",
         "r34_histogram", "t_dup_ngrams",

@@ -27,6 +27,7 @@ from search_engine_ray.query.executor import (
 )
 from search_engine_ray.query.qast import (
     Compound,
+    BestFields,
     CrossFields,
     Fuzzy,
     NumericRange,
@@ -196,9 +197,10 @@ def oracle_search(
             else:
                 raise ValueError("NumericRange is non-scoring: not valid in should")
             continue
-        if isinstance(leaf, CrossFields):
-            # BlendedTermQuery + DisMax: per-field BM25 with its own
-            # length norm, shared blended idf (df = min(sum dfs, N)),
+        if isinstance(leaf, (CrossFields, BestFields)):
+            # DisMax over per-field BM25 parts, each with its own
+            # length norm; CrossFields shares a blended idf
+            # (df = min(sum dfs, N)), BestFields keeps per-field idfs;
             # combine = best + tie_breaker * (sum of the rest)
             per = []
             for f in leaf.fields:
@@ -216,12 +218,18 @@ def oracle_search(
                     score = score + np.where(match, float(leaf.const_score) * boost, 0.0)
                 else:
                     tidf = float(scoring.idf(n, bdf)) * boost
+
+                    def _fidf(tf_f):
+                        if isinstance(leaf, CrossFields):
+                            return tidf
+                        return float(scoring.idf(n, int((tf_f > 0).sum()))) * boost
+
                     stack = np.stack(
                         [
                             np.where(
                                 tf_f > 0,
                                 scoring.bm25_score(
-                                    tf_f, oix.dls[f], tidf,
+                                    tf_f, oix.dls[f], _fidf(tf_f),
                                     oix.config.k1, oix.config.b, oix.avgdl[f],
                                 ),
                                 0.0,

@@ -1,5 +1,6 @@
 from search_engine_ray.query.qast import (  # noqa: F401
     Compound,
+    BestFields,
     CrossFields,
     Fuzzy,
     MatchAll,

@@ -51,6 +51,7 @@ from search_engine_ray.config import IndexConfig, term_part
 from search_engine_ray.query import scoring
 from search_engine_ray.query.qast import (
     Compound,
+    BestFields,
     CrossFields,
     Fuzzy,
     Leaf,
@@ -1448,6 +1449,7 @@ class SearchEngine:
         )
         for ci, (leaf, role) in enumerate(roled):
             blend = dismax = False
+            blend_df = True  # dismax only: CrossFields blends df, BestFields keeps per-field df
             tie = 0.0
             if isinstance(leaf, Term):
                 keys = [cfg.term_key(leaf.field, leaf.token)]
@@ -1465,6 +1467,15 @@ class SearchEngine:
                 fields = list(leaf.fields)
                 dismax = True
                 tie = float(leaf.tie_breaker)
+            elif isinstance(leaf, BestFields):
+                # same DisMax combine as CrossFields, but each field
+                # keeps its OWN df/idf (Lucene DisjunctionMaxQuery of
+                # per-field TermQuery — ES multi_match best_fields)
+                keys = [cfg.term_key(f, leaf.token) for f in leaf.fields]
+                fields = list(leaf.fields)
+                dismax = True
+                blend_df = False
+                tie = float(leaf.tie_breaker)
             elif isinstance(leaf, Prefix):
                 spec = cfg.field_by_name(leaf.field)
                 if spec.ngram and spec.ngram_min <= len(leaf.prefix) <= spec.ngram_max:
@@ -1480,7 +1491,7 @@ class SearchEngine:
             # path (including const-once-per-doc for multi-key leaves)
             const = 0.0 if role in ("filter", "not") else leaf.const_score
             raw.append(
-                (ci, role, keys, fields, const, blend, dismax, tie, float(leaf.boost))
+                (ci, role, keys, fields, const, blend, dismax, tie, float(leaf.boost), blend_df)
             )
         all_keys = [k for r in raw for k in r[2]]
         dfs = self._df_for_terms(all_keys)
@@ -1489,7 +1500,7 @@ class SearchEngine:
         )
         n = self.stats["n_docs"]
         out: list[_ResolvedLeaf] = []
-        for ci, role, keys, fields, const, blend, dismax, tie, boost in raw:
+        for ci, role, keys, fields, const, blend, dismax, tie, boost, blend_df in raw:
             kept = [(k, f) for k, f in zip(keys, fields) if k in dfs]
             keys = [k for k, _ in kept]
             fields = [f for _, f in kept]
@@ -1547,13 +1558,17 @@ class SearchEngine:
                 bidf = float(scoring.idf(n, max(dfs[k] for k in keys)))
                 idfs = tuple(bidf for _ in keys)
             elif dismax and keys:
-                # BlendedTermQuery: df blended across fields —
-                # min(sum per-field dfs, N) (the Elasticsearch
-                # combined/cross-field blend; capped at N since a doc
-                # matching in several fields is still one doc)
-                bdf = min(sum(dfs[k] for k in keys), n)
-                bidf = float(scoring.idf(n, bdf))
-                idfs = tuple(bidf for _ in keys)
+                if blend_df:
+                    # BlendedTermQuery: df blended across fields —
+                    # min(sum per-field dfs, N) (the Elasticsearch
+                    # combined/cross-field blend; capped at N since a
+                    # doc matching in several fields is still one doc)
+                    bdf = min(sum(dfs[k] for k in keys), n)
+                    bidf = float(scoring.idf(n, bdf))
+                    idfs = tuple(bidf for _ in keys)
+                else:
+                    # best_fields: every field keeps its own idf
+                    idfs = tuple(float(scoring.idf(n, dfs[k])) for k in keys)
             else:
                 idfs = tuple(float(scoring.idf(n, dfs[k])) for k in keys)
             if boost != 1.0:

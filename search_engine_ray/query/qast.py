@@ -111,6 +111,24 @@ class CrossFields:
 
 
 @dataclass(frozen=True)
+class BestFields:
+    """ES ``multi_match type=best_fields`` (Lucene
+    DisjunctionMaxQuery over per-field TermQuery): one term looked up
+    in several fields, each field scoring BM25 with its OWN df/idf AND
+    its own length norm — unlike CrossFields, whose df is blended
+    across fields. The per-doc combine is the same DisMax:
+    best field + tie_breaker * (sum of the rest). Use when fields are
+    independent descriptions of the doc (title vs body) rather than
+    parts of one logical field (first vs last name)."""
+
+    fields: tuple[str, ...]
+    token: str
+    tie_breaker: float = 0.0
+    const_score: float | None = None
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class Wildcard:
     """Lucene WildcardQuery: ``*`` matches any run of characters,
     ``?`` exactly one. Resolved by a dictionary expansion (the literal
@@ -162,7 +180,7 @@ class MatchAll:
     page over the index (the reference's no-keyword product listing)."""
 
 
-Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields | Wildcard | Regexp | NumericRange
+Leaf = Term | Prefix | Phonetic | Fuzzy | Synonyms | CrossFields | BestFields | Wildcard | Regexp | NumericRange
 
 
 @dataclass(frozen=True)

@@ -158,6 +158,87 @@ def test_adjacency_matrix_counts(ray_session):
     }
 
 
+# -------------------------------------------------- best_fields DisMax
+
+
+@pytest.mark.parametrize("tie", [0.0, 0.3, 1.0])
+def test_best_fields_engine_oracle_parity(tiny_index, tiny_corpus, tie):
+    from search_engine_ray.config import IndexConfig
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import BestFields, Compound, SearchEngine
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    oix = build_oracle(tiny_corpus, IndexConfig(num_buckets=4, num_parts=4))
+    q = Compound(must=(BestFields(("content", "path"), "tokenizer", tie_breaker=tie),))
+    res = eng.search(q, k=10)
+    ora = oracle_search(oix, q, k=10)
+    assert res.total == ora.total
+    assert res.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(
+        res.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+
+
+def test_best_fields_differs_from_cross_fields(ray_session, tmp_path):
+    # per-field idf (best_fields) must diverge from blended idf
+    # (cross_fields) when the term lives in BOTH fields (blended
+    # df = min(df_a + df_b, N) != either per-field df)
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index
+    from search_engine_ray.oracle import build_oracle, oracle_search
+    from search_engine_ray.query import BestFields, Compound, CrossFields, SearchEngine
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array(range(5), pa.int64()),
+            "title": [
+                "alpha engine notes",  # 'alpha' common in title
+                "alpha design",
+                "alpha roadmap",
+                "beta design",
+                "misc",
+            ],
+            "body": [
+                "details about the engine internals",
+                "alpha appears here too in the body text",  # rare in body
+                "unrelated body content",
+                "more unrelated content",
+                "alpha",  # body-only match
+            ],
+        }
+    )
+    src = str(tmp_path / "corpus2")
+    (tmp_path / "corpus2").mkdir()
+    pq.write_table(tbl, src + "/part-0.parquet")
+    cfg = IndexConfig(
+        fields=(FieldSpec("title", "t"), FieldSpec("body", "b")),
+        num_buckets=4,
+        num_parts=4,
+        docmap_cols=(),
+        id_cols=("doc_id",),
+        use_native_id=True,
+    )
+    idx = str(tmp_path / "idx2")
+    build_index(src, idx, cfg, sha_col="body")
+    eng = SearchEngine(idx, cfg)
+    bf_q = Compound(must=(BestFields(("title", "body"), "alpha", tie_breaker=0.3),))
+    xf_q = Compound(must=(CrossFields(("title", "body"), "alpha", tie_breaker=0.3),))
+    bf, xf = eng.search(bf_q, k=10), eng.search(xf_q, k=10)
+    assert bf.total == xf.total == 4  # same match set (docs 0-2, 4... doc3 no)
+    assert bf.hits["score"].tolist() != xf.hits["score"].tolist()
+    # and best_fields agrees with the brute-force oracle
+    oix = build_oracle(tbl, cfg, sha_col="body")
+    ora = oracle_search(oix, bf_q, k=10)
+    assert bf.hits["doc_id"].tolist() == ora.hits["doc_id"].tolist()
+    np.testing.assert_allclose(
+        bf.hits["score"].to_numpy(), ora.hits["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+
+
 # ------------------------------------------------------------ stemming
 
 
