@@ -1097,6 +1097,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _sim_query(sf_dir, q, "boolean")
 
+    def s52_rank_eval(sf_dir):
+        # ES _rank_eval: P@10 / recall@10 / MRR / DCG / NDCG per
+        # request against deterministic judgments (relevant = docs
+        # with tf(term) >= 2, the same tokenization as the index)
+        from search_engine_ray.ops.text import _flat_tokens
+        from search_engine_ray.pipelines.rank_eval import rank_eval
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        flat, parents, _n = _flat_tokens(t["text"])
+        ids = t["doc_id"].to_numpy()
+        fv = flat.to_numpy(zero_copy_only=False)
+
+        def _rel(term):
+            cnt = np.bincount(parents[fv == term], minlength=len(t))
+            return ids[cnt >= 2]
+
+        reqs = [
+            (f"q_{term}", Compound(must=(Term("text", term),)), _rel(term))
+            for term in ("vector", "hash", "window")
+        ]
+        eng = _doc_engine(sf_dir)
+        return rank_eval(eng, reqs, k=10)
+
+    def e12_ingest(sf_dir):
+        # ES ingest pipeline: an ordered processor chain (copy,
+        # uppercase, regex gsub, set, convert, rename, trim) compiled
+        # into ONE vectorized map_batches pass
+        from search_engine_ray.ops.ingest import ingest_pipeline
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source", "lang", "n_chars"])
+        out = ingest_pipeline(
+            docs,
+            [
+                {"copy": {"field": "source", "target_field": "src_raw"}},
+                {"uppercase": {"field": "src_raw"}},
+                {"gsub": {"field": "text", "pattern": "[aeiou]", "replacement": ""}},
+                {"trim": {"field": "text"}},
+                {"set": {"field": "pipeline", "value": "v1"}},
+                {"convert": {"field": "n_chars", "type": "double"}},
+                {"rename": {"field": "lang", "target_field": "language"}},
+            ],
+        )
+        return out.select_columns(
+            ["doc_id", "text", "src_raw", "pipeline", "n_chars", "language"]
+        )
+
     def s51_best_fields(sf_dir):
         # ES multi_match best_fields (Lucene DisMax of per-field
         # TermQuery): per-field df/idf AND length norms — contrast
@@ -2248,6 +2294,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s49_stemmed": s49_stemmed,
         "s50_dfr": s50_dfr,
         "s51_best_fields": s51_best_fields,
+        "e12_ingest": e12_ingest,
+        "s52_rank_eval": s52_rank_eval,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -2797,6 +2845,38 @@ SELECT d.doc_id, round({_stem_score}, 4) AS score
 FROM d, s WHERE tf0 > 0
 ORDER BY ({_stem_score}) DESC, d.doc_id LIMIT 10
 """
+    # s52 _rank_eval: BM25 top-10 page per request, binary judgments
+    # (tf >= 2), trec-style metrics — same formulas/op order as
+    # pipelines.rank_eval
+    def _rank_eval_sql(term: str) -> str:
+        score = (
+            "ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+            "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))"
+        )
+        return f"""
+(WITH tok AS (SELECT doc_id, {_TOKS.format(col='text')} AS ts FROM documents),
+ d AS (SELECT doc_id, len(ts) AS dl, len(list_filter(ts, t -> t = '{term}')) AS tf0 FROM tok),
+ s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+ ranked AS (SELECT d.doc_id, row_number() OVER (ORDER BY ({score}) DESC, d.doc_id) AS pos
+            FROM d, s WHERE tf0 > 0 QUALIFY pos <= 10),
+ rel AS (SELECT doc_id FROM d WHERE tf0 >= 2),
+ hit AS (SELECT pos FROM ranked JOIN rel USING (doc_id)),
+ m AS (SELECT count(*) AS n_hit, coalesce(min(pos), 0) AS first_pos,
+       coalesce(sum(1.0 / log2(pos + 1.0)), 0.0) AS dcg FROM hit),
+ r AS (SELECT count(*) AS nr FROM rel),
+ i AS (SELECT coalesce(sum(1.0 / log2(g + 1.0)), 0.0) AS idcg
+       FROM (SELECT unnest(generate_series(1, least(10, (SELECT nr FROM r)))) AS g))
+ SELECT 'q_{term}' AS request_id,
+  round(m.n_hit / 10.0, 4) AS p_at_k,
+  round(CASE WHEN r.nr > 0 THEN m.n_hit / CAST(r.nr AS DOUBLE) ELSE 0.0 END, 4) AS recall_at_k,
+  round(CASE WHEN m.first_pos > 0 THEN 1.0 / m.first_pos ELSE 0.0 END, 4) AS reciprocal_rank,
+  round(m.dcg, 4) AS dcg_at_k,
+  round(CASE WHEN i.idcg > 0 THEN m.dcg / i.idcg ELSE 0.0 END, 4) AS ndcg_at_k
+ FROM m, r, i)"""
+
+    _rank_eval_union = "\nUNION ALL\n".join(
+        _rank_eval_sql(t) for t in ("vector", "hash", "window")
+    )
     _pnames = list(_perc_conds)
     _adj_sql = (
         f"WITH {_perc_tok},\n"
@@ -3363,6 +3443,16 @@ QUALIFY row_number() OVER (PARTITION BY lang ORDER BY raw DESC, doc_id) <= 2
         "s44_lm_dirichlet": _sim_sql(["vector"], ["slow"], "lm_dirichlet"),
         "s45_boolean": _sim_sql([], ["spark", "window"], "boolean", msm=1),
         "s50_dfr": _sim_sql(["hash", "join"], [], "dfr"),
+        # e12: the same processor chain as SQL transforms; trim chars
+        # mirror Arrow utf8_trim_whitespace on the ASCII corpus
+        "e12_ingest": (
+            "SELECT doc_id, "
+            "trim(regexp_replace(text, '[aeiou]', '', 'g'), "
+            "' ' || chr(9) || chr(10) || chr(13) || chr(11) || chr(12)) AS text, "
+            "upper(source) AS src_raw, 'v1' AS pipeline, "
+            "CAST(n_chars AS DOUBLE) AS n_chars, lang AS language "
+            "FROM documents"
+        ),
         # percolator: one SELECT per stored query over the SAME plain
         # analyzer as the ops ring; has(t) == token presence
         "s46_percolate": f"""
@@ -3386,6 +3476,7 @@ UNION ALL SELECT 'q_syn', doc_id FROM tok
         "s47_filters": _filters_sql,
         "s48_adjacency": _adj_sql,
         "s49_stemmed": _stemmed_sql,
+        "s52_rank_eval": _rank_eval_union,
         "r34_histogram": (
             "SELECT floor(l_extendedprice / 500.0) * 500.0 AS bucket, "
             "count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q "

@@ -177,7 +177,8 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s39_composite", "s40_top_hits", "t_line_dedup",
         "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr", "s51_best_fields",
         "s49_stemmed",
-        "s46_percolate", "s47_filters", "s48_adjacency",
+        "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",
+        "e12_ingest",
         "r34_histogram", "t_dup_ngrams",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build

@@ -158,6 +158,69 @@ def test_adjacency_matrix_counts(ray_session):
     }
 
 
+# ---------------------------------------------------- ingest pipeline
+
+
+def test_ingest_pipeline_chain(ray_session):
+    from search_engine_ray.ops.ingest import ingest_pipeline
+
+    ds = _ds({"a": ["  Foo Bar ", "x,y,z"], "n": ["1", "2"], "junk": [0, 1]})
+    out = ingest_pipeline(
+        ds,
+        [
+            {"copy": {"field": "a", "target_field": "b"}},
+            {"trim": {"field": "b"}},
+            {"lowercase": {"field": "b"}},
+            {"gsub": {"field": "b", "pattern": "[aeiou]", "replacement": "_"}},
+            {"split": {"field": "a", "separator": ",", "target_field": "parts"}},
+            {"convert": {"field": "n", "type": "integer"}},
+            {"remove": {"field": "junk"}},
+            {"rename": {"field": "n", "target_field": "num"}},
+            {"set": {"field": "src", "value": "ingest"}},
+        ],
+    ).to_pandas()
+    assert out["b"].tolist() == ["f__ b_r", "x,y,z"]
+    assert list(out["parts"][1]) == ["x", "y", "z"]
+    assert out["num"].tolist() == [1, 2]
+    assert "junk" not in out.columns
+    assert out["src"].tolist() == ["ingest", "ingest"]
+
+
+def test_ingest_unknown_processor_fails_fast(ray_session):
+    from search_engine_ray.ops.ingest import ingest_pipeline
+
+    with pytest.raises(ValueError):
+        ingest_pipeline(_ds({"a": ["x"]}), [{"frobnicate": {"field": "a"}}])
+
+
+# ---------------------------------------------------------- rank_eval
+
+
+def test_rank_eval_metrics(tiny_index):
+    from search_engine_ray.pipelines.rank_eval import rank_eval
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "tokenizer"),))
+    top = eng.search(q, k=10, with_metadata=False).hits["doc_id"].to_numpy()
+    assert top.size == 10
+    # judge ranks 1 and 3 relevant, plus one unreachable doc
+    rel = [int(top[0]), int(top[2]), 999_999_999]
+    df = rank_eval(eng, [("r1", q, rel)], k=10)
+    row = df.iloc[0]
+    assert row["p_at_k"] == 0.2
+    assert row["recall_at_k"] == 0.6667
+    assert row["reciprocal_rank"] == 1.0
+    assert row["dcg_at_k"] == 1.5  # 1/log2(2) + 1/log2(4)
+    # idcg = 1 + 1/log2(3) + 0.5 = 2.1309297...; ndcg = 1.5/idcg
+    assert row["ndcg_at_k"] == pytest.approx(0.7039, abs=1e-4)
+    # no relevant docs retrieved
+    df0 = rank_eval(eng, [("r0", q, [999_999_999])], k=10)
+    assert df0.iloc[0]["reciprocal_rank"] == 0.0
+    assert df0.iloc[0]["ndcg_at_k"] == 0.0
+
+
 # -------------------------------------------------- best_fields DisMax
 
 
