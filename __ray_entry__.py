@@ -1097,6 +1097,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return _sim_query(sf_dir, q, "boolean")
 
+    def e13_snapshot(sf_dir):
+        # ES snapshot/restore round-trip: snapshot the live index into
+        # a repository (per-file sha256 manifest, copied/hashed in Ray
+        # tasks), verify it, restore into a fresh dir (re-hashing every
+        # file), then prove the restored index serves bit-identical
+        # BM25 results — the oracle is the plain s1 BM25 SQL.
+        import shutil
+        import tempfile
+
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index.snapshot import (
+            create_snapshot,
+            restore_snapshot,
+            verify_snapshot,
+        )
+        from search_engine_ray.query import SearchEngine
+
+        eng = _doc_engine(sf_dir)
+        base = tempfile.mkdtemp(prefix="ser_snap_")
+        try:
+            create_snapshot(eng.index_dir, base, "snap1")
+            v = verify_snapshot(base, "snap1")
+            assert v["ok"], v
+            dest = os.path.join(base, "restored")
+            restore_snapshot(base, "snap1", dest)
+            reng = SearchEngine(dest, DOCUMENTS_CONFIG)
+            hits = reng.search(
+                Compound(must=(Term("text", "vector"),)), k=10, with_metadata=False
+            ).hits
+            return pd.DataFrame(
+                {
+                    "doc_id": hits["doc_id"].to_numpy(),
+                    "score": round_half_up(hits["score"].to_numpy()),
+                }
+            )
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
+
     def s52_rank_eval(sf_dir):
         # ES _rank_eval: P@10 / recall@10 / MRR / DCG / NDCG per
         # request against deterministic judgments (relevant = docs
@@ -2296,6 +2334,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s51_best_fields": s51_best_fields,
         "e12_ingest": e12_ingest,
         "s52_rank_eval": s52_rank_eval,
+        "e13_snapshot": e13_snapshot,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3477,6 +3516,8 @@ UNION ALL SELECT 'q_syn', doc_id FROM tok
         "s48_adjacency": _adj_sql,
         "s49_stemmed": _stemmed_sql,
         "s52_rank_eval": _rank_eval_union,
+        # e13: the restored index must serve the exact s1 result set
+        "e13_snapshot": _bm25_sql(["vector"]),
         "r34_histogram": (
             "SELECT floor(l_extendedprice / 500.0) * 500.0 AS bucket, "
             "count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q "

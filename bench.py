@@ -178,7 +178,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr", "s51_best_fields",
         "s49_stemmed",
         "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",
-        "e12_ingest",
+        "e12_ingest", "e13_snapshot",
         "r34_histogram", "t_dup_ngrams",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
