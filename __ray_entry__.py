@@ -2028,6 +2028,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, nprobe=8
         )
 
+    def ann_pq(sf_dir):
+        # rows-only (kmeans codebooks aren't SQL-replicable): IVF-PQ's
+        # compression half — m=8 uint8 codes per 64-dim vector (64x
+        # smaller scan), ADC shortlist k*rerank, then ONE filtered
+        # exact-cosine pass over the raw vectors (pytest pins recall
+        # floors vs brute force)
+        tag = sf_dir.strip("/").replace("/", "_")
+        pq_dir = f"/tmp/ser_pq_cache/{tag}_v1"
+        emb = _read(sf_dir, "embeddings")
+        if not os.path.exists(os.path.join(pq_dir, "codebooks.json")):
+            ann.PQIndex.build(emb, pq_dir, m=8)
+        idx = ann.PQIndex(pq_dir)
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return ann.pq_search_rerank(
+            idx, emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, rerank=4
+        )
+
     # ---- multimodal plumbing (rows-only; deterministic fake decode)
     def mm_features(sf_dir):
         import ray.data as rd
@@ -2335,6 +2354,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e12_ingest": e12_ingest,
         "s52_rank_eval": s52_rank_eval,
         "e13_snapshot": e13_snapshot,
+        "ann_pq": ann_pq,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,

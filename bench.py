@@ -147,7 +147,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # by design (MinHash is the scale path) and sf0.1's organic
         # shingle sharing makes it minutes-long
         "dedup_exact", "dedup_minhash", "dedup_simhash",
-        "ann_cosine", "ann_ivf", "ann_ivf_batch",
+        "ann_cosine", "ann_ivf", "ann_ivf_batch", "ann_pq",
         "e4_upsert_sink", "e7_tags", "mm_features", "pipe_grouped_search", "pipe_listing",
         # round-2 additions: LLM-budget token counts, PII redaction,
         # decontamination, unigram-LM scoring, repetition filters,

@@ -341,3 +341,220 @@ class IVFIndex:
         ids = t[self.id_col].to_numpy()
         order2 = np.lexsort((ids, -sims))[:k]
         return pd.DataFrame({self.id_col: ids[order2], "cos": sims[order2]})
+
+
+class PQIndex:
+    """Product quantization (the compression half of IVF-PQ, Jegou,
+    Douze & Schmid 2011 "Product Quantization for Nearest Neighbor
+    Search"): the L2-normalized d-dim vector splits into ``m``
+    subspaces of d/m dims; each subspace gets its own 256-centroid
+    k-means codebook, so a vector stores as m uint8 codes (m bytes vs
+    d*8 — 64x smaller at d=64, m=8). Search is ADC (asymmetric
+    distance computation): per query, ONE m x 256 table of subspace
+    dot products against the codebooks; a candidate's approximate
+    cosine is the sum of m table lookups — no float vector ever leaves
+    the index after encoding.
+
+    Scale shape: codebooks train on a bounded driver-side sample
+    (deterministic seeded k-means, like IVFIndex); the encode pass is
+    distributed map_batches (vectorized argmin over all subspaces);
+    search streams the code table (m bytes/vector, so a billion
+    vectors is ~8 GB of scan, not 512 GB) with per-block partial
+    top-k and a final per-query merge. ADC is approximate — pair with
+    exact re-ranking over the raw vectors when precision matters
+    (tested recall floor documented in tests/test_ann_pq.py)."""
+
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "codebooks.json")) as f:
+            meta = json.load(f)
+        # (m, 256, d/m)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+        self.dim = int(meta["dim"])
+
+    @staticmethod
+    def build(
+        ds: Dataset,
+        index_dir: str,
+        m: int = 8,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_size: int = 4096,
+        iters: int = 12,
+        seed: int = 7,
+    ) -> "PQIndex":
+        sample = ds.limit(sample_size).to_pandas()
+        x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        dim = x.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        rng = np.random.default_rng(seed)
+        ncent = min(256, x.shape[0])
+        books = np.empty((m, ncent, sub), dtype=np.float64)
+        for j in range(m):  # plain (L2) k-means per subspace
+            xj = x[:, j * sub : (j + 1) * sub]
+            cent = xj[rng.choice(xj.shape[0], size=ncent, replace=False)]
+            for _ in range(iters):
+                d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+                assign = np.argmin(d2, axis=1)
+                for c in range(ncent):
+                    sel = xj[assign == c]
+                    if len(sel):
+                        cent[c] = sel.mean(axis=0)
+            books[j] = cent
+
+        def _encode(t: pa.Table) -> pa.Table:
+            mm = _normalize(_to_matrix(t[vec_col], dim))
+            codes = np.empty((mm.shape[0], m), dtype=np.uint8)
+            for j in range(m):
+                xj = mm[:, j * sub : (j + 1) * sub]
+                # ||x - c||^2 = ||x||^2 - 2 x.c + ||c||^2; argmin over c
+                d2 = -2.0 * (xj @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    "codes": pa.FixedSizeListArray.from_arrays(flat, m),
+                }
+            )
+
+        os.makedirs(index_dir, exist_ok=True)
+        ds.map_batches(_encode, batch_format="pyarrow").write_parquet(
+            os.path.join(index_dir, "codes")
+        )
+        with open(os.path.join(index_dir, "codebooks.json"), "w") as f:
+            json.dump(
+                {
+                    "codebooks": books.tolist(),
+                    "vec_col": vec_col,
+                    "id_col": id_col,
+                    "dim": dim,
+                },
+            f)
+        return PQIndex(index_dir)
+
+    def search_batch(self, queries: np.ndarray, qids: np.ndarray, k: int = 10):
+        """ADC batched search over the streamed code table; returns a
+        Dataset of (qid, vec_id, cos_approx) with exactly k rows per
+        query (score desc, vec_id tiebreak)."""
+        import ray.data as rd
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        qids_arr = np.asarray(qids, dtype=np.int64)
+        mS, ncent, sub = self.codebooks.shape
+        # (n_queries, m, 256) lookup tables: dot(q_j, c_{j,i})
+        tables = np.einsum("qjs,jcs->qjc", qn.reshape(qn.shape[0], mS, sub), self.codebooks)
+        id_col = self.id_col
+
+        def _score(t: pa.Table) -> pa.Table:
+            codes = np.asarray(t["codes"].combine_chunks().flatten()).reshape(-1, mS)
+            ids = t[id_col].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            # approx cos per query: sum_j tables[q, j, codes[:, j]]
+            for qi in range(tables.shape[0]):
+                sims = tables[qi, np.arange(mS)[None, :], codes].sum(axis=1)
+                kk = min(k, sims.size)
+                kth = np.partition(sims, sims.size - kk)[sims.size - kk]
+                s = np.nonzero(sims >= kth - 1e-4)[0]
+                out_q.append(np.full(s.size, qids_arr[qi], np.int64))
+                out_v.append(ids[s])
+                out_s.append(sims[s])
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cos": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        ds = rd.read_parquet(os.path.join(self.dir, "codes"))
+        partial = ds.map_batches(_score, batch_format="pyarrow")
+
+        def _final(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cos"] = round_half_up(df["cos"].to_numpy())
+            df = df.drop_duplicates(["qid", "vec_id"])
+            df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+            return df.head(k)
+
+        return partial.groupby("qid").map_groups(_final, batch_format="pandas")
+
+
+def pq_search_rerank(
+    pq_index: "PQIndex",
+    source: Dataset,
+    queries: np.ndarray,
+    qids: np.ndarray,
+    k: int = 10,
+    rerank: int = 4,
+):
+    """IVF-PQ's standard two-stage search: ADC shortlists k*rerank
+    candidates per query from the compressed codes, then ONE filtered
+    pass over the raw vectors re-scores just the shortlist exactly.
+    The shortlist (n_queries * k * rerank ids) broadcasts; the source
+    scan computes exact cosine only for shortlisted vectors, so the
+    full-precision work is O(shortlist), not O(corpus). Returns
+    (qid, vec_id, cos) with EXACT cosines, k rows per query — same
+    output contract (round 4dp, vec_id tiebreak) as cosine_topk."""
+    import ray
+    import ray.data as rd
+
+    qn = _normalize(np.asarray(queries, dtype=np.float64))
+    qids_arr = np.asarray(qids, dtype=np.int64)
+    short = pq_index.search_batch(qn, qids_arr, k=k * rerank).to_pandas()
+    cand: dict[int, np.ndarray] = {
+        int(q): np.sort(g["vec_id"].to_numpy(dtype=np.int64))
+        for q, g in short.groupby("qid")
+    }
+    all_ids = np.sort(np.unique(short["vec_id"].to_numpy(dtype=np.int64)))
+    ref = ray.put((cand, all_ids))
+    vec_col, id_col = pq_index.vec_col, pq_index.id_col
+    dim = pq_index.dim
+    qpos = {int(q): i for i, q in enumerate(qids_arr)}
+
+    def _exact(t: pa.Table) -> pa.Table:
+        cands, union_ids = ray.get(ref)
+        ids = t[id_col].to_numpy()
+        pos = np.clip(np.searchsorted(union_ids, ids), 0, union_ids.size - 1)
+        keep = union_ids[pos] == ids
+        if not keep.any():
+            return pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        sub = t.filter(pa.array(keep))
+        m = _normalize(_to_matrix(sub[vec_col], dim))
+        sids = sub[id_col].to_numpy()
+        out_q, out_v, out_s = [], [], []
+        for q, cs in cands.items():
+            p = np.clip(np.searchsorted(cs, sids), 0, cs.size - 1)
+            sel = cs[p] == sids
+            if not sel.any():
+                continue
+            sims = m[sel] @ qn[qpos[q]]
+            out_q.append(np.full(int(sel.sum()), q, np.int64))
+            out_v.append(sids[sel])
+            out_s.append(sims)
+        if not out_q:
+            return pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+    partial = source.map_batches(_exact, batch_format="pyarrow")
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cos"] = round_half_up(df["cos"].to_numpy())
+        df = df.drop_duplicates(["qid", "vec_id"])
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return partial.groupby("qid").map_groups(_final, batch_format="pandas")
