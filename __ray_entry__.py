@@ -1232,6 +1232,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original/copy pair shares all the original's 8-grams
         return dd.dup_ngram_stats(_docs_with_near_dups(sf_dir), n=8)
 
+    def t_strip_dup_ngrams(sf_dir):
+        # repeated-substring REMOVAL (Lee et al. 2022): tokens covered
+        # by a corpus-repeated 8-gram drop everywhere EXCEPT the
+        # owner (lowest-id) document — over the planted near-dup
+        # corpus the originals stay intact and the copies collapse to
+        # their unique tails
+        return dd.strip_dup_ngrams(_docs_with_near_dups(sf_dir), n=8)
+
     def _percolate_registry():
         from search_engine_ray.query import Synonyms
 
@@ -2355,6 +2363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s52_rank_eval": s52_rank_eval,
         "e13_snapshot": e13_snapshot,
         "ann_pq": ann_pq,
+        "t_strip_dup_ngrams": t_strip_dup_ngrams,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3543,6 +3552,31 @@ UNION ALL SELECT 'q_syn', doc_id FROM tok
             "count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q "
             "FROM lineitem GROUP BY bucket"
         ),
+        # repeated-8-gram removal: token t is removed iff some
+        # non-owner dup n-gram starts in [t-7, t]; string_agg ORDER BY
+        # t rebuilds the surviving token stream
+        "t_strip_dup_ngrams": f"""
+WITH {_BOTH_DOCS_SQL},
+tok AS (SELECT doc_id, {plain_toks} AS ts FROM both_docs),
+pos AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 7)) AS p FROM tok),
+ng AS (SELECT doc_id, p, array_to_string(ts[p : p + 7], ' ') AS g8 FROM pos),
+cnt AS (SELECT g8, count(*) AS c, min(doc_id) AS owner FROM ng GROUP BY g8),
+starts AS (SELECT ng.doc_id, ng.p FROM ng JOIN cnt USING (g8)
+           WHERE c >= 2 AND owner <> ng.doc_id),
+tp AS (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS t FROM tok),
+rm AS (SELECT tp.doc_id, tp.t, ts[tp.t] AS tokstr,
+       EXISTS (SELECT 1 FROM starts st WHERE st.doc_id = tp.doc_id
+               AND st.p BETWEEN tp.t - 7 AND tp.t) AS r FROM tp),
+agg AS (SELECT doc_id,
+        coalesce(string_agg(CASE WHEN NOT r THEN tokstr END, ' ' ORDER BY t), '') AS clean_text,
+        CAST(count(*) AS BIGINT) AS n_tokens,
+        CAST(count(*) FILTER (WHERE r) AS BIGINT) AS n_removed
+        FROM rm GROUP BY doc_id)
+SELECT tok.doc_id, coalesce(agg.clean_text, '') AS clean_text,
+       CAST(coalesce(agg.n_tokens, 0) AS BIGINT) AS n_tokens,
+       CAST(coalesce(agg.n_removed, 0) AS BIGINT) AS n_removed
+FROM tok LEFT JOIN agg USING (doc_id)
+""",
         # 8-gram strings stand in for the Ray side's 64-bit rolling
         # hashes (collision-free at oracle scale); generate_series
         # yields no rows for docs shorter than 8 tokens

@@ -1208,3 +1208,105 @@ def dup_ngram_stats(
         )
 
     return ds.map_batches(_stats, batch_format="pyarrow")
+
+
+def strip_dup_ngrams(
+    ds: Dataset,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+) -> Dataset:
+    """Repeated-substring REMOVAL (the acting half of dup_ngram_stats,
+    Lee et al. 2022): every token covered by an n-gram that occurs >=
+    ``min_count`` times in the corpus is dropped — EXCEPT in the
+    n-gram's owner document (the lowest doc id containing it), which
+    keeps its copy, so exactly one canonical occurrence of each
+    repeated passage survives corpus-wide. Output
+    (id_col, clean_text, n_tokens, n_removed) with clean_text the
+    surviving tokens joined by single spaces (token-level rebuild —
+    original inter-token whitespace/punctuation is not preserved,
+    like C4-style post-tokenization pipelines).
+
+    Scale shape: pass 1 ships one (hash, count, min-doc) row per
+    distinct n-gram per block into a hash-partition groupby; the
+    duplicated set with its owners broadcasts via ray.put; pass 2
+    streams the corpus once, marking covered tokens with a vectorized
+    difference-array cumsum (no per-token Python)."""
+    import ray
+
+    from search_engine_ray.ops.text import _flat_tokens
+
+    def _partial(t: pa.Table) -> pa.Table:
+        h, d, _nb = _pos_shingles(t[text_col], n)
+        if h.size == 0:
+            return pa.table(
+                {
+                    "gh": pa.array([], pa.int64()),
+                    "cnt": pa.array([], pa.int64()),
+                    "owner": pa.array([], pa.int64()),
+                }
+            )
+        docs = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[d]
+        codes, uniq = pd.factorize(h.view(np.int64), sort=False)
+        cnt = np.bincount(codes).astype(np.int64)
+        owner = np.full(len(uniq), np.iinfo(np.int64).max, dtype=np.int64)
+        np.minimum.at(owner, codes, docs)
+        return pa.table(
+            {"gh": pa.array(uniq), "cnt": pa.array(cnt), "owner": pa.array(owner)}
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("gh")
+        .aggregate(Sum("cnt", alias_name="cnt"), Min("owner", alias_name="owner"))
+    )
+    dup = agg.map_batches(
+        lambda t: t.filter(pc.greater_equal(t["cnt"], min_count)).select(["gh", "owner"]),
+        batch_format="pyarrow",
+    )
+    pdf = dup.to_pandas()
+    if len(pdf) and "gh" in pdf.columns:
+        order = np.argsort(pdf["gh"].to_numpy(dtype=np.int64), kind="mergesort")
+        dup_gh = pdf["gh"].to_numpy(dtype=np.int64)[order]
+        dup_owner = pdf["owner"].to_numpy(dtype=np.int64)[order]
+    else:
+        dup_gh = np.empty(0, np.int64)
+        dup_owner = np.empty(0, np.int64)
+    ref = ray.put((dup_gh, dup_owner))
+
+    def _strip(t: pa.Table) -> pa.Table:
+        gh_arr, owner_arr = ray.get(ref)
+        flat, parents, nb = _flat_tokens(t[text_col])
+        n_tok = np.bincount(parents, minlength=nb).astype(np.int64)
+        h, d, _ = _pos_shingles(t[text_col], n)
+        removed = np.zeros(len(flat) + 1, dtype=np.int64)
+        if h.size and gh_arr.size:
+            hv = h.view(np.int64)
+            pos = np.clip(np.searchsorted(gh_arr, hv), 0, gh_arr.size - 1)
+            docs = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)[d]
+            isdup = (gh_arr[pos] == hv) & (owner_arr[pos] != docs)
+            # _pos_shingles emits hashes for positions where the window
+            # stays in one doc, in stream order — recover those indices
+            m = len(flat) - n + 1
+            valid = np.nonzero(parents[:m] == parents[n - 1 : n - 1 + m])[0] if m > 0 else np.empty(0, np.int64)
+            sel = valid[isdup]
+            np.add.at(removed, sel, 1)
+            np.add.at(removed, sel + n, -1)
+        covered = np.cumsum(removed[:-1]) > 0
+        keep = ~covered
+        kept_flat = flat.filter(pa.array(keep))
+        kept_per_doc = np.bincount(parents[keep], minlength=nb).astype(np.int64)
+        offsets = np.concatenate(([0], np.cumsum(kept_per_doc)))
+        lists = pa.LargeListArray.from_arrays(pa.array(offsets, pa.int64()), kept_flat)
+        clean = pc.binary_join(lists, " ")
+        return pa.table(
+            {
+                id_col: t[id_col],
+                "clean_text": pc.cast(pc.fill_null(clean, ""), pa.string()),
+                "n_tokens": pa.array(n_tok),
+                "n_removed": pa.array((n_tok - kept_per_doc).astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(_strip, batch_format="pyarrow")

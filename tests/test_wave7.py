@@ -466,6 +466,43 @@ def test_dup_ngram_within_doc_repeat(ray_session):
     assert int(out.loc[0, "n_dup_ngrams"]) == 2
 
 
+def test_strip_dup_ngrams_owner_keeps_copy(ray_session):
+    base = "one two three four five six seven eight"
+    rows = {
+        "doc_id": [1, 2, 3],
+        "text": [base + " tail_a", base + " tail_b", "short doc"],
+    }
+    out = (
+        dd.strip_dup_ngrams(_ds(rows), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # doc 1 (lowest id) owns the shared 8-gram and keeps it intact
+    assert out.loc[1, "clean_text"] == base + " tail_a"
+    assert out.loc[1, "n_removed"] == 0
+    # doc 2 loses all 8 covered tokens, keeps only its unique tail
+    assert out.loc[2, "clean_text"] == "tail_b"
+    assert out.loc[2, "n_removed"] == 8
+    # short doc untouched
+    assert out.loc[3, "clean_text"] == "short doc" and out.loc[3, "n_removed"] == 0
+
+
+def test_strip_dup_ngrams_overlapping_spans(ray_session):
+    # two overlapping dup 8-grams in the copy: covered union removed
+    base = "a1 a2 a3 a4 a5 a6 a7 a8 a9"  # 9 tokens -> 2 dup starts
+    rows = {"doc_id": [1, 2], "text": [base, "zz " + base + " yy"]}
+    out = (
+        dd.strip_dup_ngrams(_ds(rows), n=8)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[1, "n_removed"] == 0
+    assert out.loc[2, "clean_text"] == "zz yy"
+    assert out.loc[2, "n_removed"] == 9
+
+
 def test_dup_ngram_all_unique_corpus(ray_session):
     rows = {
         "doc_id": [1, 2],
