@@ -1181,6 +1181,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "src_raw", "pipeline", "n_chars", "language"]
         )
 
+    def s53_phrase_prefix(sf_dir):
+        # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
+        # — the final slot expands against the term dictionary (6
+        # expansions at this sf) and ANY expansion completes the
+        # phrase; tf counts completed occurrences, one BM25 clause
+        from search_engine_ray.query.phrase import phrase_search_all
+
+        eng = _doc_engine(sf_dir)
+        d = eng.dirs[0]
+        if not os.path.isdir(os.path.join(d, "positions")):
+            from search_engine_ray.config import DOCUMENTS_CONFIG
+            from search_engine_ray.index import build_positions
+
+            build_positions(
+                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+            )
+        df = phrase_search_all(eng, "text", "hash", last_prefix="s").to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     def s51_best_fields(sf_dir):
         # ES multi_match best_fields (Lucene DisMax of per-field
         # TermQuery): per-field df/idf AND length norms — contrast
@@ -2364,6 +2385,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e13_snapshot": e13_snapshot,
         "ann_pq": ann_pq,
         "t_strip_dup_ngrams": t_strip_dup_ngrams,
+        "s53_phrase_prefix": s53_phrase_prefix,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3236,6 +3258,18 @@ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, len(ts) AS dl,
       len(list_filter(range(1, len(ts)), i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS ptf
+      FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE ptf > 0) AS df FROM d)
+SELECT d.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
+FROM d, s WHERE ptf > 0
+ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        "s53_phrase_prefix": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+      len(list_filter(range(1, len(ts)), i -> ts[i] = 'hash' AND ts[i+1] LIKE 's%')) AS ptf
       FROM tok),
 s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE ptf > 0) AS df FROM d)
 SELECT d.doc_id, round(

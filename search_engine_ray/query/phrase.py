@@ -51,15 +51,24 @@ def _occurrence_keys(stream) -> np.ndarray:
     return (np.repeat(ranks.astype(np.int64), tfs) << np.int64(32)) | pos.astype(np.int64)
 
 
-def _chain_keys(streams: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]]):
+def _chain_keys(
+    streams: list[tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]],
+    extra_last_keys: np.ndarray | None = None,
+):
     """Adjacency chain over per-term (ranks, tfs, dls, positions).
-    Returns (doc_ranks, ptf) of the phrase occurrences."""
+    Returns (doc_ranks, ptf) of the phrase occurrences.
+    ``extra_last_keys`` appends ONE more multi-term slot (the
+    match_phrase_prefix expansion set, merged occurrence keys of all
+    expanded terms — disjoint by construction since one token occupies
+    one position)."""
     keys = [_occurrence_keys(s) for s in streams]
     cur = keys[0]
     for j in range(1, len(keys)):
         cur = np.intersect1d(cur + 1, keys[j], assume_unique=True)
         if cur.size == 0:
             break
+    if cur.size and extra_last_keys is not None:
+        cur = np.intersect1d(cur + 1, extra_last_keys, assume_unique=True)
     if cur.size == 0:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     doc_ranks, ptf = np.unique(cur >> np.int64(32), return_counts=True)
@@ -84,24 +93,44 @@ def _pair_window_keys(streams, window: int):
     return doc_ranks, ptf
 
 
-def phrase_postings(engine, field: str, phrase, window: int = 1):
+def phrase_postings(
+    engine, field: str, phrase, window: int = 1,
+    last_prefix: str | None = None, max_expansions: int = 50,
+):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
     the phrase. Raises if the positional sidecar is missing.
 
     window=1 is the exact phrase (each next token immediately follows).
     window>1 is ordered proximity, PAIRS only: ptf counts (i, j)
-    position pairs with ``1 <= pos_j - pos_i <= window``."""
+    position pairs with ``1 <= pos_j - pos_i <= window``.
+    ``last_prefix`` appends one final PREFIX slot (ES
+    match_phrase_prefix / Lucene MultiPhraseQuery): the prefix expands
+    against the term dictionary (lexicographically first
+    ``max_expansions``) and any expansion completes the phrase; ptf
+    counts completed occurrences."""
     import ray.data as rd
 
     tokens = _analyzed(engine, phrase)
     cfg = engine.config
     if window > 1 and len(tokens) != 2:
         raise ValueError("window > 1 supports exactly two tokens (ordered proximity pair)")
+    exp_keys: list[str] = []
+    if last_prefix is not None:
+        if window > 1:
+            raise ValueError("last_prefix and window > 1 are mutually exclusive")
+        if not tokens:
+            raise ValueError("match_phrase_prefix needs >= 1 exact leading token "
+                             "(a lone prefix is the plain Prefix query)")
+        from search_engine_ray.query.qast import Prefix as _Prefix
+
+        exp_keys = sorted(engine._expand_prefix(_Prefix(field, last_prefix)))[:max_expansions]
+        if not exp_keys:
+            return rd.from_arrow(_EMPTY_POSTINGS)
     if not tokens:
         return rd.from_arrow(_EMPTY_POSTINGS)
     term_keys = [cfg.term_key(field, t) for t in tokens]
-    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys})
-    keyset = sorted(set(term_keys))
+    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys})
+    keyset = sorted(set(term_keys + exp_keys))
     tomb = engine.tombstones
     pieces = []
     for d in engine.dirs:
@@ -149,6 +178,14 @@ def phrase_postings(engine, field: str, phrase, window: int = 1):
             streams = [by_term[tk] for tk in term_keys]
             if window > 1:
                 doc_ranks, ptf = _pair_window_keys(streams, window)
+            elif exp_keys:
+                exp_streams = [by_term[k] for k in exp_keys if k in by_term]
+                if not exp_streams:
+                    return empty
+                merged = np.sort(
+                    np.concatenate([_occurrence_keys(s) for s in exp_streams])
+                )
+                doc_ranks, ptf = _chain_keys(streams, extra_last_keys=merged)
             else:
                 doc_ranks, ptf = _chain_keys(streams)
             if doc_ranks.size == 0:
@@ -193,14 +230,20 @@ _EMPTY_POSTINGS = pa.table(
 )
 
 
-def phrase_search_all(engine, field: str, phrase, window: int = 1):
+def phrase_search_all(
+    engine, field: str, phrase, window: int = 1,
+    last_prefix: str | None = None, max_expansions: int = 50,
+):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
     One materialize of the (small) phrase match set feeds both the
     global-df count and the scoring pass."""
     import ray.data as rd
 
-    mat = phrase_postings(engine, field, phrase, window=window).materialize()
+    mat = phrase_postings(
+        engine, field, phrase, window=window,
+        last_prefix=last_prefix, max_expansions=max_expansions,
+    ).materialize()
     df = mat.count()
     if df == 0:
         return rd.from_arrow(
@@ -218,11 +261,17 @@ def phrase_search_all(engine, field: str, phrase, window: int = 1):
     return mat.map_batches(_score, batch_format="pyarrow")
 
 
-def phrase_search(engine, field: str, phrase, k: int = 10, window: int = 1) -> pd.DataFrame:
+def phrase_search(
+    engine, field: str, phrase, k: int = 10, window: int = 1,
+    last_prefix: str | None = None, max_expansions: int = 50,
+) -> pd.DataFrame:
     """Top-k phrase search: (doc_id, score) page ordered by
     (score desc, doc_id asc), full precision."""
     from search_engine_ray.ops import relational as rel
 
-    scored = phrase_search_all(engine, field, phrase, window=window)
+    scored = phrase_search_all(
+        engine, field, phrase, window=window,
+        last_prefix=last_prefix, max_expansions=max_expansions,
+    )
     page = rel.topk(scored, ["score", "doc_id"], k=k, descending=[True, False]).to_pandas()
     return page.reset_index(drop=True)

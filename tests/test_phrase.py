@@ -167,3 +167,50 @@ def test_proximity_pair_window(pos_index, tiny_corpus):
     assert g1.sort_values("doc_id").values.tolist() == ge.sort_values("doc_id").values.tolist()
     with pytest.raises(ValueError, match="two tokens"):
         phrase_postings(eng, "content", [a, b, a], window=2)
+
+
+def _brute_phrase_prefix(corpus: pa.Table, tokens: list[str], prefix: str) -> dict[int, tuple[int, int]]:
+    """doc_id -> (tf, dl) for tokens... followed by any prefix-match."""
+    from search_engine_ray.index.build import doc_uid
+
+    out = {}
+    repo, path, content = (corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    m = len(tokens)
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        ptf = sum(
+            1
+            for i in range(len(ts) - m)
+            if ts[i : i + m] == tokens and ts[i + m].startswith(prefix)
+        )
+        if ptf:
+            out[doc_uid([str(r), str(p)])] = (ptf, len(ts))
+    return out
+
+
+@pytest.mark.parametrize("pair", [(["import"], "y"), (["class"], "wi"), (["lambda"], "re")])
+def test_phrase_prefix_matches_brute_force(pos_index, tiny_corpus, pair):
+    tokens, prefix = pair
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    got = {
+        int(r["doc_id"]): (int(r["ptf"]), int(r["dl"]))
+        for r in phrase_postings(eng, "content", tokens, last_prefix=prefix)
+        .to_pandas()
+        .to_dict("records")
+    }
+    assert got == _brute_phrase_prefix(tiny_corpus, tokens, prefix)
+
+
+def test_phrase_prefix_rejects_lone_prefix(pos_index):
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    with pytest.raises(ValueError):
+        phrase_postings(eng, "content", [], last_prefix="x")
+
+
+def test_phrase_prefix_no_expansions(pos_index):
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    res = phrase_postings(eng, "content", ["import"], last_prefix="zzzzqq").to_pandas()
+    assert len(res) == 0
