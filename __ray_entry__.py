@@ -1181,6 +1181,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "src_raw", "pipeline", "n_chars", "language"]
         )
 
+    def s54_unordered_near(sf_dir):
+        # ES span_near in_order=false: |pos('scan') - pos('hash')| in
+        # [1, 3] — both directions of the s12 ordered pair; ptf counts
+        # position pairs, one BM25 clause
+        from search_engine_ray.query.phrase import phrase_search_all
+
+        eng = _doc_engine(sf_dir)
+        d = eng.dirs[0]
+        if not os.path.isdir(os.path.join(d, "positions")):
+            from search_engine_ray.config import DOCUMENTS_CONFIG
+            from search_engine_ray.index import build_positions
+
+            build_positions(
+                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+            )
+        df = phrase_search_all(
+            eng, "text", ["hash", "scan"], window=3, ordered=False
+        ).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     def s53_phrase_prefix(sf_dir):
         # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
         # — the final slot expands against the term dictionary (6
@@ -2386,6 +2408,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_pq": ann_pq,
         "t_strip_dup_ngrams": t_strip_dup_ngrams,
         "s53_phrase_prefix": s53_phrase_prefix,
+        "s54_unordered_near": s54_unordered_near,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3277,6 +3300,21 @@ SELECT d.doc_id, round(
     (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
 FROM d, s WHERE ptf > 0
 ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        "s54_unordered_near": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'hash'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'scan'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN b ON a.doc_id = b.doc_id AND abs(b.p - a.p) BETWEEN 1 AND 3 GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
 """,
         "s12_proximity": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

@@ -174,7 +174,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # wave-6/7: cursor paging, per-bucket top hits, line dedup,
         # pluggable similarities, percolator, numeric histogram,
         # duplicated-n-gram stats
-        "s39_composite", "s40_top_hits", "t_line_dedup", "s53_phrase_prefix",
+        "s39_composite", "s40_top_hits", "t_line_dedup", "s53_phrase_prefix", "s54_unordered_near",
         "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr", "s51_best_fields",
         "s49_stemmed",
         "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",

@@ -75,18 +75,29 @@ def _chain_keys(
     return doc_ranks, ptf
 
 
-def _pair_window_keys(streams, window: int):
-    """Ordered proximity for a PAIR: count (i, j) occurrence pairs with
+def _pair_window_keys(streams, window: int, ordered: bool = True):
+    """Proximity for a PAIR: count (i, j) occurrence pairs with
     ``1 <= pos_j - pos_i <= window`` — one intersect1d per gap value
     (w tiny), all docs at once. A position-pair is unique per (j, gap),
     so summing per-gap intersections counts pairs exactly (the same
-    count a SQL positions self-join produces)."""
+    count a SQL positions self-join produces).
+
+    ``ordered=False`` (ES span_near in_order=false) also counts pairs
+    where the SECOND token precedes the first (``1 <= pos_i - pos_j <=
+    window``) — i.e. |gap| in [1, window]. The two directions' hit
+    keys are positions of DIFFERENT tokens, so they never collide for
+    distinct tokens; for an identical token pair each unordered pair
+    is counted from both sides, matching the SQL abs-gap self-join."""
     k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
     hits = []
     for delta in range(1, window + 1):
         m = np.intersect1d(k1 + delta, k2, assume_unique=True)
         if m.size:
             hits.append(m >> np.int64(32))
+        if not ordered:
+            m2 = np.intersect1d(k2 + delta, k1, assume_unique=True)
+            if m2.size:
+                hits.append(m2 >> np.int64(32))
     if not hits:
         return np.empty(0, np.int64), np.empty(0, np.int64)
     doc_ranks, ptf = np.unique(np.concatenate(hits), return_counts=True)
@@ -96,6 +107,7 @@ def _pair_window_keys(streams, window: int):
 def phrase_postings(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
+    ordered: bool = True,
 ):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
     the phrase. Raises if the positional sidecar is missing.
@@ -177,7 +189,7 @@ def phrase_postings(
                 return empty
             streams = [by_term[tk] for tk in term_keys]
             if window > 1:
-                doc_ranks, ptf = _pair_window_keys(streams, window)
+                doc_ranks, ptf = _pair_window_keys(streams, window, ordered=ordered)
             elif exp_keys:
                 exp_streams = [by_term[k] for k in exp_keys if k in by_term]
                 if not exp_streams:
@@ -233,6 +245,7 @@ _EMPTY_POSTINGS = pa.table(
 def phrase_search_all(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
+    ordered: bool = True,
 ):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
@@ -243,6 +256,7 @@ def phrase_search_all(
     mat = phrase_postings(
         engine, field, phrase, window=window,
         last_prefix=last_prefix, max_expansions=max_expansions,
+        ordered=ordered,
     ).materialize()
     df = mat.count()
     if df == 0:
@@ -264,6 +278,7 @@ def phrase_search_all(
 def phrase_search(
     engine, field: str, phrase, k: int = 10, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
+    ordered: bool = True,
 ) -> pd.DataFrame:
     """Top-k phrase search: (doc_id, score) page ordered by
     (score desc, doc_id asc), full precision."""
@@ -272,6 +287,7 @@ def phrase_search(
     scored = phrase_search_all(
         engine, field, phrase, window=window,
         last_prefix=last_prefix, max_expansions=max_expansions,
+        ordered=ordered,
     )
     page = rel.topk(scored, ["score", "doc_id"], k=k, descending=[True, False]).to_pandas()
     return page.reset_index(drop=True)

@@ -214,3 +214,37 @@ def test_phrase_prefix_no_expansions(pos_index):
     eng = SearchEngine(out, cfg)
     res = phrase_postings(eng, "content", ["import"], last_prefix="zzzzqq").to_pandas()
     assert len(res) == 0
+
+
+def test_unordered_proximity_pair(pos_index, tiny_corpus):
+    """ordered=False counts both directions: |gap| in [1, window]."""
+    from search_engine_ray.index.build import doc_uid
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    toks, w = ["import", "yield"], 4
+    got = {
+        int(r["doc_id"]): int(r["ptf"])
+        for r in phrase_postings(eng, "content", toks, window=w, ordered=False)
+        .to_pandas()
+        .to_dict("records")
+    }
+    brute = {}
+    repo, path, content = (tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        pa_ = [i for i, t in enumerate(ts) if t == toks[0]]
+        pb_ = [i for i, t in enumerate(ts) if t == toks[1]]
+        ptf = sum(1 for i in pa_ for j in pb_ if 1 <= abs(j - i) <= w)
+        if ptf:
+            brute[doc_uid([str(r), str(p)])] = ptf
+    assert got == brute
+    # unordered superset of ordered
+    o = {
+        int(r["doc_id"]): int(r["ptf"])
+        for r in phrase_postings(eng, "content", toks, window=w, ordered=True)
+        .to_pandas()
+        .to_dict("records")
+    }
+    for d, n in o.items():
+        assert got.get(d, 0) >= n
