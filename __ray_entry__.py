@@ -1181,6 +1181,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["doc_id", "text", "src_raw", "pipeline", "n_chars", "language"]
         )
 
+    def s55_boosting(sf_dir):
+        # ES `boosting` query: positive = BM25('vector'); docs also
+        # containing 'slow' (the negative query's match set, broadcast
+        # as a sorted id array) keep their match but score x 0.3 —
+        # demotion without exclusion
+        from search_engine_ray.ops.text import _flat_tokens
+        from search_engine_ray.query import NegativeBoost
+
+        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+        flat, parents, _n = _flat_tokens(t["text"])
+        fv = flat.to_numpy(zero_copy_only=False)
+        cnt = np.bincount(parents[fv == "slow"], minlength=len(t))
+        neg_ids = np.sort(t["doc_id"].to_numpy()[cnt > 0].astype(np.int64))
+        q = Compound(must=(Term("text", "vector"),))
+        return _bm25_query(sf_dir, q, boosts=(NegativeBoost(neg_ids, 0.3),))
+
     def s54_unordered_near(sf_dir):
         # ES span_near in_order=false: |pos('scan') - pos('hash')| in
         # [1, 3] — both directions of the s12 ordered pair; ptf counts
@@ -2409,6 +2425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_strip_dup_ngrams": t_strip_dup_ngrams,
         "s53_phrase_prefix": s53_phrase_prefix,
         "s54_unordered_near": s54_unordered_near,
+        "s55_boosting": s55_boosting,
         "r34_histogram": r34_histogram,
         "t_dup_ngrams": t_dup_ngrams,
         "t_hash_sample": t_hash_sample,
@@ -3300,6 +3317,20 @@ SELECT d.doc_id, round(
     (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
 FROM d, s WHERE ptf > 0
 ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        "s55_boosting": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, len(list_filter(ts, t -> t = 'vector')) AS tf0,
+      len(list_filter(ts, t -> t = 'slow')) AS tfneg FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d)
+SELECT d.doc_id, round(
+    ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))
+    * (CASE WHEN tfneg > 0 THEN 0.3 ELSE 1.0 END), 4) AS score
+FROM d, s WHERE tf0 > 0
+ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))
+    * (CASE WHEN tfneg > 0 THEN 0.3 ELSE 1.0 END)) DESC, d.doc_id LIMIT 10
 """,
         "s54_unordered_near": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

@@ -176,6 +176,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # duplicated-n-gram stats
         "s39_composite", "s40_top_hits", "t_line_dedup", "s53_phrase_prefix", "s54_unordered_near",
         "s43_classic", "s44_lm_dirichlet", "s45_boolean", "s50_dfr", "s51_best_fields",
+        "s55_boosting",
         "s49_stemmed",
         "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",
         "e12_ingest", "e13_snapshot",

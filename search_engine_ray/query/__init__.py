@@ -15,6 +15,7 @@ from search_engine_ray.query.qast import (  # noqa: F401
 )
 from search_engine_ray.query.executor import (  # noqa: F401
     ConditionalAddBoost,
+    NegativeBoost,
     DecayBoost,
     DocAttrBoost,
     FieldValueBoost,

@@ -133,6 +133,20 @@ class DocAttrBoost:
     add: float
 
 
+@dataclass(frozen=True)
+class NegativeBoost:
+    """ES `boosting` query's negative half: docs in the broadcast id
+    set (the negative query's match set) keep their match but score
+    MULTIPLIED by ``factor`` (ES negative_boost, 0 <= factor < 1) —
+    demotion without exclusion (must_not would drop the doc).
+    Multiplicative, so it applies after the additive boosts alongside
+    field_value_factor; pruning is already disabled whenever boosts
+    are present (bounds don't survive score rewrites)."""
+
+    doc_ids_ref: Any  # ray.ObjectRef or np.ndarray of sorted int64 ids
+    factor: float
+
+
 _FV_MODIFIERS = {
     "none": lambda v: v,
     "log1p": np.log1p,
@@ -412,6 +426,13 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
 
                 ids = ray.get(ids)  # broadcast: fetched once per actor
             out.append(("ids", np.asarray(ids, dtype=np.int64), bst.add))
+        elif isinstance(bst, NegativeBoost):
+            ids = bst.doc_ids_ref
+            if not isinstance(ids, np.ndarray):
+                import ray
+
+                ids = ray.get(ids)
+            out.append(("neg", np.asarray(ids, dtype=np.int64), float(bst.factor)))
         elif isinstance(bst, DocAttrBoost):
             out.append(("attr", bst, None))
         elif isinstance(bst, FieldValueBoost):
@@ -669,8 +690,8 @@ def _finish(
     # boosts AFTER matching+filtering (reference $project stage order);
     # multiplicative field_value_factor boosts apply after all
     # additive ones (ES function_score combine order)
-    ordered = [b for b in resolved_boosts if b[0] != "fv"] + [
-        b for b in resolved_boosts if b[0] == "fv"
+    ordered = [b for b in resolved_boosts if b[0] not in ("fv", "neg")] + [
+        b for b in resolved_boosts if b[0] in ("fv", "neg")
     ]
     for kind, payload, add in ordered:
         if not m_ids.size:
@@ -680,6 +701,11 @@ def _finish(
             pos = np.clip(pos, 0, max(0, payload.size - 1))
             hit = (payload[pos] == m_ids) if payload.size else np.zeros(m_ids.size, bool)
             m_scores = m_scores + np.where(hit, add, 0.0)
+        elif kind == "neg":
+            pos = np.searchsorted(payload, m_ids)
+            pos = np.clip(pos, 0, max(0, payload.size - 1))
+            hit = (payload[pos] == m_ids) if payload.size else np.zeros(m_ids.size, bool)
+            m_scores = m_scores * np.where(hit, add, 1.0)
         elif kind == "fv":
             attrs = dmc.attrs(bucket, m_ids, (payload.col,))
             m_scores = payload.apply(m_scores, attrs[payload.col])
@@ -1950,8 +1976,8 @@ class SearchEngine:
             matched = False
         boost_rows = []
         _rb = _resolve_boosts(tuple(boosts))
-        for kind_, payload, add in [b for b in _rb if b[0] != "fv"] + [
-            b for b in _rb if b[0] == "fv"
+        for kind_, payload, add in [b for b in _rb if b[0] not in ("fv", "neg")] + [
+            b for b in _rb if b[0] in ("fv", "neg")
         ]:
             if kind_ == "fv":
                 try:
@@ -1979,6 +2005,17 @@ class SearchEngine:
                 boost_rows.append({"kind": "id_set", "add": add, "applied": matched and hit})
                 if matched and hit:
                     total += add
+            elif kind_ == "neg":
+                hit = bool(payload.size) and bool(
+                    payload[np.clip(np.searchsorted(payload, doc_id), 0, payload.size - 1)]
+                    == doc_id
+                )
+                boost_rows.append(
+                    {"kind": "negative", "add": (total * (add - 1.0)) if (matched and hit) else 0.0,
+                     "applied": bool(matched and hit)}
+                )
+                if matched and hit:
+                    total *= add
             else:
                 bst: DocAttrBoost = payload
                 try:

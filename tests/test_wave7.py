@@ -195,6 +195,36 @@ def test_ingest_unknown_processor_fails_fast(ray_session):
         ingest_pipeline(_ds({"a": ["x"]}), [{"frobnicate": {"field": "a"}}])
 
 
+# ------------------------------------------------------ boosting query
+
+
+def test_negative_boost_demotes_without_excluding(tiny_index):
+    from search_engine_ray.query import Compound, NegativeBoost, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    q = Compound(must=(Term("content", "tokenizer"),))
+    base = eng.search(q, k=1000)
+    # demote the top half of the base result set
+    neg = np.sort(base.hits["doc_id"].to_numpy()[: base.total // 2].astype(np.int64))
+    boosted = eng.search(q, k=1000, boosts=(NegativeBoost(neg, 0.25),))
+    assert boosted.total == base.total  # demotion, not exclusion
+    b0 = dict(zip(base.hits["doc_id"], base.hits["score"]))
+    b1 = dict(zip(boosted.hits["doc_id"], boosted.hits["score"]))
+    negset = set(neg.tolist())
+    for d, s in b0.items():
+        if d in negset:
+            assert b1[d] == pytest.approx(s * 0.25, rel=1e-12)
+        else:
+            assert b1[d] == pytest.approx(s, rel=1e-12)
+    # explain reports the multiplicative demotion and sums to the score
+    doc = int(neg[0])
+    ex = eng.explain(q, doc, boosts=(NegativeBoost(neg, 0.25),))
+    rows = [r for r in ex["boosts"] if r["kind"] == "negative"]
+    assert len(rows) == 1 and rows[0]["applied"]
+    assert ex["score"] == pytest.approx(b1[doc], rel=1e-12)
+
+
 # ----------------------------------------------------- snapshot/restore
 
 
