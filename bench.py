@@ -122,6 +122,12 @@ def bench_queries(index_dir: str, cfg) -> dict:
     with ThreadPoolExecutor(max_workers=8) as pool:
         list(pool.map(lambda q: eng.search(q, k=10, with_metadata=False), plans))
     qps = len(plans) / (time.perf_counter() - t0)
+    # ES _msearch analog: the whole plan batch in ONE score_many RPC
+    # round per scorer (amortizes the per-query RPC that caps the
+    # concurrent path above)
+    t0 = time.perf_counter()
+    eng.msearch(plans, k=10)
+    msearch_qps = len(plans) / (time.perf_counter() - t0)
     return {
         "bm25_cold_first_query_s": round(cold_s, 4),
         "bm25_p50_s": float(np.percentile(lat, 50)),
@@ -130,6 +136,7 @@ def bench_queries(index_dir: str, cfg) -> dict:
         "bm25_pruned_p50_s": float(np.percentile(lat_pruned, 50)),
         "bm25_pruned_mean_s": float(lat_pruned.mean()),
         "bm25_concurrent_qps": round(qps, 1),
+        "bm25_msearch_qps": round(msearch_qps, 1),
     }
 
 

@@ -912,6 +912,17 @@ class _BucketScorerImpl:
             n += self.dmc.get(b, cols)["doc_id"].size
         return n
 
+    def score_many(
+        self, reqs: list[tuple[list[int], list[str], "_QuerySpec"]]
+    ) -> list[pa.Table]:
+        """ES _msearch's actor half: score a BATCH of queries in ONE
+        RPC round-trip — the per-query overhead of the scatter-gather
+        path is the RPC itself (serialize + schedule + deserialize),
+        so batching Q queries amortizes it Q-fold. Caches (postings
+        decode, docmap) are shared across the batch exactly as across
+        separate calls."""
+        return [self.score(parts, term_keys, spec) for parts, term_keys, spec in reqs]
+
     def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
         resolved = _resolve_boosts(spec.boosts)
         if spec.match_all:
@@ -1882,6 +1893,72 @@ class SearchEngine:
             with_metadata=False,
         )
         return {c: len(res.facets.get(c, {})) for c in cols}
+
+    def msearch(
+        self,
+        queries: Sequence[Compound],
+        k: int = 10,
+        similarity: str = "bm25",
+        mu: float = 2000.0,
+        with_metadata: bool = False,
+    ) -> list[SearchResult]:
+        """ES `_msearch`: execute MANY queries in one scatter-gather
+        round — each scorer actor receives the whole batch of specs in
+        a single `score_many` RPC, so the per-query cost collapses to
+        resolve + merge instead of an RPC per query (the measured QPS
+        ceiling of the one-at-a-time path is RPC overhead, not
+        scoring). Semantics per query are identical to
+        ``search(q, k=k, similarity=...)`` for plain Compound queries;
+        features that change the execution shape (facets, filters,
+        sort_by, search_after, pruning, MatchAll) go through
+        ``search()``. Returns one SearchResult per query, in order."""
+        import ray
+
+        if similarity not in scoring.SIMILARITIES:
+            raise ValueError(f"unknown similarity {similarity!r}")
+        self._refresh_tombstones()
+        results: list[SearchResult | None] = [None] * len(queries)
+        reqs: list[tuple[list[int], list[str], _QuerySpec]] = []
+        req_qi: list[int] = []
+        for qi, q in enumerate(queries):
+            if isinstance(q, MatchAll):
+                raise ValueError("msearch supports Compound queries; use search() for MatchAll")
+            leaves = self._resolve(q, similarity, mu)
+            if similarity != "bm25" and any(lf.blend or lf.dismax for lf in leaves):
+                raise ValueError(
+                    "Synonyms/CrossFields clauses blend BM25 statistics; "
+                    "they require similarity='bm25'"
+                )
+            if any(lf.is_must and not lf.term_keys for lf in leaves) or not any(
+                lf.term_keys for lf in leaves if lf.occur != "not"
+            ):
+                results[qi] = SearchResult(0, _empty_hits(), total_exact=True)
+                continue
+            term_keys = [k2 for lf in leaves for k2 in lf.term_keys]
+            parts = sorted({term_part(tk, self.config.num_parts) for tk in term_keys})
+            spec = self._make_spec(
+                leaves, q, k, None, (), (), similarity=similarity, mu=mu
+            )
+            reqs.append((parts, term_keys, spec))
+            req_qi.append(qi)
+        if reqs:
+            futs = [a.score_many.remote(reqs) for a in self._scorer_pool()]
+            per_actor = ray.get(futs)  # [actor][query] -> table
+            for ri, qi in enumerate(req_qi):
+                out = pa.concat_tables([tables[ri] for tables in per_actor]).to_pandas()
+                if out.empty:
+                    results[qi] = SearchResult(0, _empty_hits(), total_exact=True)
+                    continue
+                total = int(out.loc[out["kind"] == "total", "count"].sum())
+                hits = out[out["kind"] == "hit"][["doc_id", "score"]]
+                hits = hits.sort_values(
+                    ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+                )
+                hits = hits.iloc[:k].reset_index(drop=True)
+                if with_metadata and len(hits):
+                    hits = self._attach_metadata(hits)
+                results[qi] = SearchResult(total, hits, total_exact=True)
+        return results  # type: ignore[return-value]
 
     def explain(self, q: Compound, doc_id: int, boosts: tuple = ()) -> dict:
         """Per-clause score breakdown for one document (Lucene

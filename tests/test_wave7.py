@@ -544,3 +544,37 @@ def test_dup_ngram_all_unique_corpus(ray_session):
     out = dd.dup_ngram_stats(_ds(rows), n=8).to_pandas()
     assert (out["n_dup_ngrams"] == 0).all()
     assert sorted(out["n_ngrams"].tolist()) == [1, 2]
+
+
+# ------------------------------------------------------------- msearch
+
+
+def test_msearch_matches_search(tiny_index):
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    qs = [
+        Compound(must=(Term("content", "tokenizer"),)),
+        Compound(must=(Term("content", "import"), Term("content", "yield"))),
+        Compound(should=(Term("content", "wand"), Term("content", "bm25")), min_should_match=1),
+        Compound(must=(Term("content", "zzzzqqq"),)),  # zero-hit
+    ]
+    batch = eng.msearch(qs, k=10)
+    for q, r in zip(qs, batch):
+        single = eng.search(q, k=10, with_metadata=False)
+        assert r.total == single.total
+        assert r.hits["doc_id"].tolist() == single.hits["doc_id"].to_list()
+        assert r.hits["score"].tolist() == single.hits["score"].to_list()
+
+
+def test_msearch_similarity_and_order(tiny_index):
+    from search_engine_ray.query import Compound, SearchEngine, Term
+
+    out, cfg, _ = tiny_index
+    eng = SearchEngine(out, cfg)
+    qs = [Compound(must=(Term("content", "tokenizer"),))] * 2
+    batch = eng.msearch(qs, k=5, similarity="classic")
+    single = eng.search(qs[0], k=5, similarity="classic", with_metadata=False)
+    for r in batch:
+        assert r.hits["score"].tolist() == single.hits["score"].to_list()
