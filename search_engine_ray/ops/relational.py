@@ -1063,24 +1063,25 @@ def bloom_semi_filter(
     for row in combined:
         bitmap |= np.frombuffer(row["bm"], dtype=np.uint8)
 
-    class _Probe:
-        def __init__(self, bm: np.ndarray):
-            self.bm = bm
+    # plain task + ray.put broadcast, NOT an actor pool: a fixed-size
+    # actor pool holding CPUs next to a join's shuffle aggregators can
+    # starve a small session into deadlock (observed on the 4-cpu test
+    # session); the plasma ref is fetched node-locally per task, so
+    # the bitmap still ships once per node
+    import ray
 
-        def __call__(self, t: pa.Table) -> pa.Table:
-            vals = t[col].to_numpy(zero_copy_only=False)
-            if not vals.size:
-                return t
-            pos = _bloom_positions(vals, num_bits, num_hashes)
-            bits = (self.bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-            return t.filter(pa.array(bits.all(axis=1)))
+    bm_ref = ray.put(bitmap)
 
-    return ds.map_batches(
-        _Probe,
-        fn_constructor_args=(bitmap,),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
-    )
+    def _probe(t: pa.Table) -> pa.Table:
+        vals = t[col].to_numpy(zero_copy_only=False)
+        if not vals.size:
+            return t
+        bm = ray.get(bm_ref)
+        pos = _bloom_positions(vals, num_bits, num_hashes)
+        bits = (bm[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return t.filter(pa.array(bits.all(axis=1)))
+
+    return ds.map_batches(_probe, batch_format="pyarrow")
 
 
 def hash_join(
