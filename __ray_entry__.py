@@ -1291,6 +1291,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # original/copy pair shares all the original's 8-grams
         return dd.dup_ngram_stats(_docs_with_near_dups(sf_dir), n=8)
 
+    def t_quality_clf(sf_dir):
+        # learned quality filter (the model-scoring stage of a
+        # training-data pipeline): deterministic logistic regression
+        # fit driver-side on (n_chars, token count) -> P(lang == en),
+        # then vectorized batch inference over the corpus; the oracle
+        # retrains bit-identically and replays the sigmoid in SQL
+        from search_engine_ray.ops.classify import (
+            fit_quality_classifier,
+            score_classifier,
+        )
+        from search_engine_ray.ops.text import _flat_tokens
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "n_chars"])
+
+        def _feats(t: pa.Table) -> pa.Table:
+            flat, parents, n = _flat_tokens(t["text"])
+            ntok = np.bincount(parents, minlength=n).astype(np.float64)
+            return pa.table(
+                {
+                    "doc_id": t["doc_id"],
+                    "n_chars": pc.cast(t["n_chars"], pa.float64()),
+                    "n_tok": pa.array(ntok),
+                    "is_en": pc.cast(pc.equal(t["lang"], "en"), pa.float64()),
+                }
+            )
+
+        feats = docs.map_batches(_feats, batch_format="pyarrow")
+        model = fit_quality_classifier(
+            feats, ["n_chars", "n_tok"], "is_en", sort_col="doc_id"
+        )
+        out = score_classifier(feats, model)
+        return out.select_columns(["doc_id", "clf_score"])
+
     def t_strip_dup_ngrams(sf_dir):
         # repeated-substring REMOVAL (Lee et al. 2022): tokens covered
         # by a corpus-repeated 8-gram drop everywhere EXCEPT the
@@ -2423,6 +2456,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e13_snapshot": e13_snapshot,
         "ann_pq": ann_pq,
         "t_strip_dup_ngrams": t_strip_dup_ngrams,
+        "t_quality_clf": t_quality_clf,
         "s53_phrase_prefix": s53_phrase_prefix,
         "s54_unordered_near": s54_unordered_near,
         "s55_boosting": s55_boosting,
@@ -3007,6 +3041,46 @@ ORDER BY ({_stem_score}) DESC, d.doc_id LIMIT 10
     _rank_eval_union = "\nUNION ALL\n".join(
         _rank_eval_sql(t) for t in ("vector", "hash", "window")
     )
+    # t_quality_clf: retrain the deterministic logreg here with the
+    # SAME numpy code path (sorted rows, standardized fit, raw-space
+    # fold-in) and embed the weights as repr'd float literals — the
+    # SQL replays sigmoid(x1*w1 + x2*w2 + b) in the engine's op order
+    def _clf_sql() -> str:
+        from search_engine_ray.ops.classify import train_logreg
+        from search_engine_ray.ops.text import _flat_tokens as _ft
+
+        t = pq.read_table(
+            "/root/testdata/sf0.01/documents.parquet",
+            columns=["doc_id", "text", "lang", "n_chars"],
+        )
+        flat, parents, n = _ft(t["text"])
+        ntok = np.bincount(parents, minlength=n).astype(np.float64)
+        df = pd.DataFrame(
+            {
+                "doc_id": t["doc_id"].to_numpy(),
+                "n_chars": t["n_chars"].to_numpy().astype(np.float64),
+                "n_tok": ntok,
+                "is_en": (
+                    t["lang"].to_numpy(zero_copy_only=False) == "en"
+                ).astype(np.float64),
+            }
+        ).sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        X = df[["n_chars", "n_tok"]].to_numpy(dtype=np.float64)
+        y = df["is_en"].to_numpy(dtype=np.float64)
+        mean, std = X.mean(axis=0), X.std(axis=0)
+        std = np.where(std == 0.0, 1.0, std)
+        w, b = train_logreg((X - mean) / std, y)
+        wr = w / std
+        br = float(b - float((mean * wr).sum()))
+        z = (
+            f"(CAST(n_chars AS DOUBLE) * {wr[0]!r} + "
+            f"CAST(len({plain_toks}) AS DOUBLE) * {wr[1]!r} + {br!r})"
+        )
+        return (
+            f"SELECT doc_id, round(1.0 / (1.0 + exp(-{z})), 4) AS clf_score "
+            "FROM documents"
+        )
+
     _pnames = list(_perc_conds)
     _adj_sql = (
         f"WITH {_perc_tok},\n"
@@ -3648,6 +3722,7 @@ UNION ALL SELECT 'q_syn', doc_id FROM tok
         "s48_adjacency": _adj_sql,
         "s49_stemmed": _stemmed_sql,
         "s52_rank_eval": _rank_eval_union,
+        "t_quality_clf": _clf_sql(),
         # e13: the restored index must serve the exact s1 result set
         "e13_snapshot": _bm25_sql(["vector"]),
         "r34_histogram": (

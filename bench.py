@@ -187,7 +187,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s49_stemmed",
         "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",
         "e12_ingest", "e13_snapshot",
-        "r34_histogram", "t_dup_ngrams", "t_strip_dup_ngrams",
+        "r34_histogram", "t_dup_ngrams", "t_strip_dup_ngrams", "t_quality_clf",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -578,3 +578,41 @@ def test_msearch_similarity_and_order(tiny_index):
     single = eng.search(qs[0], k=5, similarity="classic", with_metadata=False)
     for r in batch:
         assert r.hits["score"].tolist() == single.hits["score"].to_list()
+
+
+# ------------------------------------------------- quality classifier
+
+
+def test_logreg_learns_separable(ray_session):
+    from search_engine_ray.ops.classify import (
+        fit_quality_classifier,
+        score_classifier,
+    )
+
+    rng = np.random.default_rng(3)
+    x1 = np.concatenate([rng.normal(2, 0.3, 200), rng.normal(-2, 0.3, 200)])
+    x2 = rng.normal(0, 1, 400)
+    y = (np.arange(400) < 200).astype(np.float64)
+    ds = _ds({"doc_id": np.arange(400), "f1": x1, "f2": x2, "y": y})
+    model = fit_quality_classifier(ds, ["f1", "f2"], "y", sort_col="doc_id")
+    out = score_classifier(ds, model).to_pandas().sort_values("doc_id")
+    pred = (out["clf_score"].to_numpy() >= 0.5).astype(float)
+    acc = (pred == y[out["doc_id"].to_numpy()]).mean()
+    assert acc >= 0.98, acc
+    # refit is bit-identical (sorted sample -> deterministic float path)
+    model2 = fit_quality_classifier(ds, ["f1", "f2"], "y", sort_col="doc_id")
+    assert model == model2
+
+
+def test_score_classifier_matches_manual_sigmoid(ray_session):
+    from search_engine_ray.ops.classify import score_classifier
+    from search_engine_ray.ops.rounding import round_half_up
+
+    model = {"feature_cols": ["a", "b"], "weights": [0.5, -1.25], "bias": 0.75}
+    ds = _ds({"a": [0.0, 2.0, -4.0], "b": [1.0, 0.5, 2.0]})
+    out = score_classifier(ds, model).to_pandas()
+    z = np.array([0.0 * 0.5 + 1.0 * -1.25 + 0.75,
+                  2.0 * 0.5 + 0.5 * -1.25 + 0.75,
+                  -4.0 * 0.5 + 2.0 * -1.25 + 0.75])
+    exp = round_half_up(1.0 / (1.0 + np.exp(-z)))
+    assert out["clf_score"].tolist() == exp.tolist()
