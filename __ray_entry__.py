@@ -1235,6 +1235,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             build_positions(
                 os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
             )
+        # oracle-parity precondition: the DuckDB oracle expands EVERY
+        # token LIKE 's%', while match_phrase_prefix truncates to the
+        # lexicographically-first max_expansions (50) — fail loudly if
+        # a larger corpus ever pushes the dictionary past the cap
+        # instead of silently hash-mismatching
+        from search_engine_ray.query.qast import Prefix as _Pfx
+
+        n_exp = len(eng._expand_prefix(_Pfx("text", "s")))
+        assert n_exp < 50, (
+            f"s53 oracle assumes expansions < cap; dictionary has {n_exp} 's*' terms"
+        )
         df = phrase_search_all(eng, "text", "hash", last_prefix="s").to_pandas()
         df["score"] = round_half_up(df["score"].to_numpy())
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
@@ -1318,6 +1329,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
 
         feats = docs.map_batches(_feats, batch_format="pyarrow")
+        # value-oracle precondition: the fit's limit(50k) sample is only
+        # deterministic (= the whole corpus) while the corpus fits in it;
+        # fail loudly at a larger sf instead of silently hash-mismatching
+        n_docs = docs.count()
+        assert n_docs <= 50_000, (
+            f"t_quality_clf oracle requires corpus <= sample_size (50k); got {n_docs}"
+        )
         model = fit_quality_classifier(
             feats, ["n_chars", "n_tok"], "is_en", sort_col="doc_id"
         )
@@ -2135,7 +2153,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # exact-cosine pass over the raw vectors (pytest pins recall
         # floors vs brute force)
         tag = sf_dir.strip("/").replace("/", "_")
-        pq_dir = f"/tmp/ser_pq_cache/{tag}_v1"
+        # key the cache on the source mtime (the e1 CSV-cache lesson):
+        # regenerated testdata must not serve a stale codebook/codes
+        mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+        pq_dir = f"/tmp/ser_pq_cache/{tag}_{mt}_v1"
         emb = _read(sf_dir, "embeddings")
         if not os.path.exists(os.path.join(pq_dir, "codebooks.json")):
             ann.PQIndex.build(emb, pq_dir, m=8)
@@ -2386,6 +2407,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return rel.value_counts(filtered, "source", alias="cnt")
 
     return {
+        # ---- driver-check window (first 50): round-1 hash-fail fixes ----
+        "e1_csv_source": e1_csv_source,
+        "pipe_grouped_search": pipe_grouped_search,
+        "dedup_minhash": dedup_minhash,
+        "dedup_simhash": dedup_simhash,
+        "ann_rp_lsh": ann_rp_lsh,
+        "mm_features": mm_features,
+        "t_lang_id": t_lang_id,
+        "t_rolling_fp": t_rolling_fp,
+        # ---- never-driver-checked: Sec-2 sink/extract ring --------------
+        "e2_incremental": e2_incremental,
+        "e4_upsert_sink": e4_upsert_sink,
+        "e5_full_refresh": e5_full_refresh,
+        "e8_log_sink": e8_log_sink,
+        # ---- never-driver-checked: dedup / ANN / text / pipelines -------
+        "dedup_ngram": dedup_ngram,
+        "dedup_components": dedup_components,
+        "dedup_survivors": dedup_survivors,
+        "ann_pq": ann_pq,
+        "ann_cosine_filtered": ann_cosine_filtered,
+        "t_strip_dup_ngrams": t_strip_dup_ngrams,
+        "t_dup_ngrams": t_dup_ngrams,
+        "t_line_dedup": t_line_dedup,
+        "t_decontaminate": t_decontaminate,
+        "t_quality_clf": t_quality_clf,
+        "t_bpe_tokens": t_bpe_tokens,
+        "t_unigram_lp": t_unigram_lp,
+        "t_repetition": t_repetition,
+        "t_pii_clean": t_pii_clean,
+        "t_chunk": t_chunk,
+        "t_normalize": t_normalize,
+        "t_pack_sequences": t_pack_sequences,
+        "t_shuffle_export": t_shuffle_export,
+        "t_hash_sample": t_hash_sample,
+        "t_strat_sample": t_strat_sample,
+        "t_top_terms": t_top_terms,
+        "t_mix_budget": t_mix_budget,
+        "pipe_hybrid": pipe_hybrid,
+        "pipe_curation": pipe_curation,
+        "e9_json_roundtrip": e9_json_roundtrip,
+        "e10_delete_by_query": e10_delete_by_query,
+        "e11_sorted_export": e11_sorted_export,
+        "e12_ingest": e12_ingest,
+        "e13_snapshot": e13_snapshot,
+        "s22_pattern": s22_pattern,
+        "sketch_quantiles_sampled": sketch_quantiles_sampled,
+        "r34_histogram": r34_histogram,
+        "s31_significant_terms": s31_significant_terms,
+        "s32_rescore": s32_rescore,
+        "s14_snippet": s14_snippet,
+        "s15_crossfields": s15_crossfields,
+        "s16_stats_facet": s16_stats_facet,
+        "s17_suggest": s17_suggest,
+        # ---- round-4 rotation candidates (never driver-checked) ---------
+        "s38_percentile_ranks": s38_percentile_ranks,
+        "s39_composite": s39_composite,
+        "s40_top_hits": s40_top_hits,
+        "s41_scroll": s41_scroll,
+        "s42_termvectors": s42_termvectors,
+        "s43_classic": s43_classic,
+        "s44_lm_dirichlet": s44_lm_dirichlet,
+        "s45_boolean": s45_boolean,
+        "s46_percolate": s46_percolate,
+        "s47_filters": s47_filters,
+        "s48_adjacency": s48_adjacency,
+        "s49_stemmed": s49_stemmed,
+        "s50_dfr": s50_dfr,
+        "s51_best_fields": s51_best_fields,
+        "s52_rank_eval": s52_rank_eval,
+        "s53_phrase_prefix": s53_phrase_prefix,
+        "s54_unordered_near": s54_unordered_near,
+        "s55_boosting": s55_boosting,
+        "s18_mlt": s18_mlt,
+        "s19_must_not": s19_must_not,
+        "s20_filter_clause": s20_filter_clause,
+        "s21_boost": s21_boost,
+        "s23_range_facet": s23_range_facet,
+        "s24_sort_by_field": s24_sort_by_field,
+        "s25_range_filter": s25_range_filter,
+        "s26_match_all_browse": s26_match_all_browse,
+        "s27_query_string": s27_query_string,
+        "s28_field_value_boost": s28_field_value_boost,
+        "s29_percentiles": s29_percentiles,
+        "s30_decay": s30_decay,
+        "s33_cardinality": s33_cardinality,
+        "s34_phrase_suggest": s34_phrase_suggest,
+        "s35_fragments": s35_fragments,
+        "s36_federated": s36_federated,
+        "s37_dictionary": s37_dictionary,
+        # ---- driver-green in r01/r02 (verified; keep out of the window) --
         "s1_bm25_term": s1_bm25_term,
         "s2_range_scan": s2_range_scan,
         "s6_const_boost": s6_const_boost,
@@ -2436,99 +2547,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
         "r31_matrix_stats": r31_matrix_stats,
-        "sketch_quantiles_sampled": sketch_quantiles_sampled,
-        "s38_percentile_ranks": s38_percentile_ranks,
-        "s39_composite": s39_composite,
-        "s40_top_hits": s40_top_hits,
-        "s41_scroll": s41_scroll,
-        "s42_termvectors": s42_termvectors,
-        "s43_classic": s43_classic,
-        "s44_lm_dirichlet": s44_lm_dirichlet,
-        "s45_boolean": s45_boolean,
-        "s46_percolate": s46_percolate,
-        "s47_filters": s47_filters,
-        "s48_adjacency": s48_adjacency,
-        "s49_stemmed": s49_stemmed,
-        "s50_dfr": s50_dfr,
-        "s51_best_fields": s51_best_fields,
-        "e12_ingest": e12_ingest,
-        "s52_rank_eval": s52_rank_eval,
-        "e13_snapshot": e13_snapshot,
-        "ann_pq": ann_pq,
-        "t_strip_dup_ngrams": t_strip_dup_ngrams,
-        "t_quality_clf": t_quality_clf,
-        "s53_phrase_prefix": s53_phrase_prefix,
-        "s54_unordered_near": s54_unordered_near,
-        "s55_boosting": s55_boosting,
-        "r34_histogram": r34_histogram,
-        "t_dup_ngrams": t_dup_ngrams,
-        "t_hash_sample": t_hash_sample,
-        "t_strat_sample": t_strat_sample,
-        "t_top_terms": t_top_terms,
-        "t_mix_budget": t_mix_budget,
-        "t_chunk": t_chunk,
-        "t_normalize": t_normalize,
-        "s31_significant_terms": s31_significant_terms,
-        "s32_rescore": s32_rescore,
-        "pipe_curation": pipe_curation,
-        "e1_csv_source": e1_csv_source,
-        "e9_json_roundtrip": e9_json_roundtrip,
-        "t_pack_sequences": t_pack_sequences,
-        "t_shuffle_export": t_shuffle_export,
-        "e2_incremental": e2_incremental,
-        "e4_upsert_sink": e4_upsert_sink,
-        "e5_full_refresh": e5_full_refresh,
         "e7_tags": e7_tags,
-        "e8_log_sink": e8_log_sink,
         "t_token_stats": t_token_stats,
         "t_quality": t_quality,
-        "t_lang_id": t_lang_id,
-        "t_rolling_fp": t_rolling_fp,
-        "t_bpe_tokens": t_bpe_tokens,
-        "t_unigram_lp": t_unigram_lp,
-        "t_decontaminate": t_decontaminate,
-        "t_repetition": t_repetition,
-        "t_pii_clean": t_pii_clean,
-        "t_line_dedup": t_line_dedup,
-        "s14_snippet": s14_snippet,
-        "s15_crossfields": s15_crossfields,
-        "s16_stats_facet": s16_stats_facet,
-        "s17_suggest": s17_suggest,
-        "s18_mlt": s18_mlt,
-        "s19_must_not": s19_must_not,
-        "s20_filter_clause": s20_filter_clause,
-        "s21_boost": s21_boost,
-        "s22_pattern": s22_pattern,
-        "s23_range_facet": s23_range_facet,
-        "s24_sort_by_field": s24_sort_by_field,
-        "s25_range_filter": s25_range_filter,
-        "s26_match_all_browse": s26_match_all_browse,
-        "s27_query_string": s27_query_string,
-        "s28_field_value_boost": s28_field_value_boost,
-        "e10_delete_by_query": e10_delete_by_query,
-        "e11_sorted_export": e11_sorted_export,
-        "s29_percentiles": s29_percentiles,
-        "s30_decay": s30_decay,
-        "s33_cardinality": s33_cardinality,
-        "s34_phrase_suggest": s34_phrase_suggest,
-        "s35_fragments": s35_fragments,
-        "s36_federated": s36_federated,
-        "s37_dictionary": s37_dictionary,
-        "ann_cosine_filtered": ann_cosine_filtered,
         "dedup_exact": dedup_exact,
-        "dedup_minhash": dedup_minhash,
-        "dedup_simhash": dedup_simhash,
-        "dedup_ngram": dedup_ngram,
-        "dedup_components": dedup_components,
-        "dedup_survivors": dedup_survivors,
         "ann_cosine": ann_cosine,
-        "ann_rp_lsh": ann_rp_lsh,
         "ann_ivf": ann_ivf,
         "ann_ivf_batch": ann_ivf_batch,
-        "mm_features": mm_features,
-        "pipe_hybrid": pipe_hybrid,
         "pipe_listing": pipe_listing,
-        "pipe_grouped_search": pipe_grouped_search,
     }
 
 
@@ -3049,8 +3075,15 @@ ORDER BY ({_stem_score}) DESC, d.doc_id LIMIT 10
         from search_engine_ray.ops.classify import train_logreg
         from search_engine_ray.ops.text import _flat_tokens as _ft
 
+        # The driver's correctness gate always compares at sf0.01; the
+        # oracle must retrain on the SAME corpus the queries() entry
+        # trains on, so the training path is configurable for local
+        # checks at other scales (SER_ORACLE_SF) and the entry asserts
+        # corpus_size <= the fit's sample_size so the limit(50k)
+        # sample is the whole (deterministic) corpus.
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
         t = pq.read_table(
-            "/root/testdata/sf0.01/documents.parquet",
+            os.path.join(sf, "documents.parquet"),
             columns=["doc_id", "text", "lang", "n_chars"],
         )
         flat, parents, n = _ft(t["text"])

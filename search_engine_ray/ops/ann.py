@@ -518,6 +518,12 @@ def pq_search_rerank(
 
     def _exact(t: pa.Table) -> pa.Table:
         cands, union_ids = ray.get(ref)
+        if union_ids.size == 0:
+            # empty ADC shortlist (empty corpus / no codes): nothing to
+            # re-rank — np.clip(..., 0, -1) below would index [-1] into
+            # an empty array otherwise.
+            return pa.table({"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+                             "cos": pa.array([], pa.float64())})
         ids = t[id_col].to_numpy()
         pos = np.clip(np.searchsorted(union_ids, ids), 0, union_ids.size - 1)
         keep = union_ids[pos] == ids
