@@ -322,23 +322,51 @@ def _candidate_pairs(ds_bands: Dataset, id_col: str, max_bucket: int) -> Dataset
 class _JaccardVerify:
     """Verify candidate pairs with exact shingle-set Jaccard. The
     candidate docs' shingle sets are broadcast once per actor (they
-    are << corpus; at larger scale replace with a doc_id join)."""
+    are << corpus; at larger scale replace with a doc_id join).
+
+    Setup (once per actor) factorizes every shingle string to an int
+    code — EXACT, no hash-collision risk — and stores one sorted code
+    array per doc. Per batch, intersections for ALL pairs come out of
+    a single lexsort + adjacent-duplicate count (a code appearing
+    twice under one pair id must come from both sides, because each
+    doc's shingle set is already deduplicated): no per-pair Python
+    set algebra."""
 
     def __init__(self, shingle_table: pa.Table, id_col: str, threshold: float):
         ids = shingle_table[id_col].to_numpy()
-        sets = shingle_table["shingles"].to_pylist()
-        self.sets = {int(i): frozenset(s) for i, s in zip(ids, sets)}
+        col = shingle_table["shingles"].combine_chunks()
+        lens = pc.list_value_length(col).fill_null(0).to_numpy().astype(np.int64)
+        flat = col.flatten().to_numpy(zero_copy_only=False)
+        codes, _ = pd.factorize(flat)  # exact string -> int, one vectorized pass
+        parents = np.repeat(np.arange(ids.size), lens)
+        order = np.lexsort((codes, parents))
+        starts = np.searchsorted(parents[order], np.arange(ids.size))
+        ends = np.append(starts[1:], codes.size)
+        sc = codes[order]
+        self.codes = {int(i): sc[s:e] for i, s, e in zip(ids, starts, ends)}
         self.threshold = threshold
+        self._empty = np.empty(0, dtype=sc.dtype)
 
     def __call__(self, t: pa.Table) -> pa.Table:
         a = t["a"].to_numpy()
         b = t["b"].to_numpy()
-        jac = np.zeros(a.size, dtype=np.float64)
-        for i in range(a.size):
-            sa = self.sets.get(int(a[i]), frozenset())
-            sb = self.sets.get(int(b[i]), frozenset())
-            u = len(sa | sb)
-            jac[i] = (len(sa & sb) / u) if u else 0.0
+        n = a.size
+        ca = [self.codes.get(int(x), self._empty) for x in a]
+        cb = [self.codes.get(int(x), self._empty) for x in b]
+        la = np.fromiter((x.size for x in ca), np.int64, n)
+        lb = np.fromiter((x.size for x in cb), np.int64, n)
+        total = int(la.sum() + lb.sum())
+        if total:
+            pid = np.concatenate([np.repeat(np.arange(n), la), np.repeat(np.arange(n), lb)])
+            allc = np.concatenate(ca + cb)
+            o = np.lexsort((allc, pid))
+            pid_o, allc_o = pid[o], allc[o]
+            dup = (pid_o[1:] == pid_o[:-1]) & (allc_o[1:] == allc_o[:-1])
+            inter = np.bincount(pid_o[1:][dup], minlength=n)
+        else:
+            inter = np.zeros(n, dtype=np.int64)
+        union = la + lb - inter
+        jac = np.where(union > 0, inter / np.maximum(union, 1), 0.0)
         jac = _round4_half_up(jac)
         keep = jac >= self.threshold  # fused threshold filter
         return pa.table(
@@ -426,17 +454,47 @@ def _verify_pairs_join(
     attached = coarse_doc.groupby("dg").map_groups(_attach, batch_format="pandas")
 
     def _jaccard(df: pd.DataFrame) -> pd.DataFrame:
-        out_a, out_b, out_j = [], [], []
-        for (a, b), g in df.groupby(["pair_a", "pair_b"], sort=False):
-            sides = {int(r["doc"]): set(r["shingles"]) for _, r in g.iterrows()}
-            sa, sb = sides.get(int(a), set()), sides.get(int(b), set())
-            u = len(sa | sb)
-            j = float(_round4_half_up(len(sa & sb) / u)) if u else 0.0
-            if j >= threshold:
-                out_a.append(a)
-                out_b.append(b)
-                out_j.append(j)
-        return pd.DataFrame({"a": out_a, "b": out_b, "jaccard": out_j})
+        # vectorized pair Jaccard: explode the (pair, doc, shingles)
+        # rows to (pair, shingle), then one groupby counts how many
+        # sides each shingle appears under per pair (2 = intersection;
+        # each doc's set is pre-deduplicated) and a second groupby
+        # sizes the union — no per-pair Python set algebra, no iterrows
+        empty = pd.DataFrame({"a": [], "b": [], "jaccard": []}).astype(
+            {"a": "int64", "b": "int64", "jaccard": "float64"}
+        )
+        if not len(df):
+            return empty
+        ex = df[["pair_a", "pair_b", "shingles"]].explode("shingles")
+        ex = ex.dropna(subset=["shingles"])
+        pairs_u = df[["pair_a", "pair_b"]].drop_duplicates()
+        if len(ex):
+            per = (
+                ex.groupby(["pair_a", "pair_b", "shingles"], sort=False)
+                .size()
+                .reset_index(name="cnt")
+            )
+            per["is2"] = per["cnt"].eq(2)
+            agg = (
+                per.groupby(["pair_a", "pair_b"], sort=False)
+                .agg(union=("cnt", "size"), inter=("is2", "sum"))
+                .reset_index()
+            )
+            agg = pairs_u.merge(agg, on=["pair_a", "pair_b"], how="left").fillna(
+                {"union": 0, "inter": 0}
+            )
+        else:
+            agg = pairs_u.assign(union=0, inter=0)
+        union = agg["union"].to_numpy(dtype=np.float64)
+        inter = agg["inter"].to_numpy(dtype=np.float64)
+        jac = _round4_half_up(np.where(union > 0, inter / np.maximum(union, 1.0), 0.0))
+        keep = jac >= threshold
+        return pd.DataFrame(
+            {
+                "a": agg["pair_a"].to_numpy(dtype=np.int64)[keep],
+                "b": agg["pair_b"].to_numpy(dtype=np.int64)[keep],
+                "jaccard": jac[keep],
+            }
+        )
 
     coarse = attached.map_batches(
         lambda df: df.assign(pg=(df["pair_a"] * 31 + df["pair_b"]) % _N_COARSE),
