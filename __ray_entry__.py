@@ -1783,21 +1783,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # S22 Wildcard + Regexp dictionary expansion (Lucene
         # Wildcard/RegexpQuery): both branches are multi-term rewrites
         # — each expanded token scores with its OWN idf, contributions
-        # sum — ranked on the rounded score like the s2 range scan
+        # sum — ranked on the rounded score like the s2 range scan.
+        # Served from the actor scatter-gather path with k+slack: the
+        # page orders by the ROUNDED score, so a top-K (exact-score)
+        # retrieval proves the page exact whenever the smallest rounded
+        # retrieved score is strictly below the page's 10th rounded
+        # score (any unseen doc's exact score <= the K-th retrieved
+        # exact score, and round_half_up is monotone). Only a rounded
+        # tie spilling past the retrieved window forces the full-scan
+        # Dataset job — at 100x corpus that keeps this a millisecond
+        # RPC instead of a per-query batch job.
         from search_engine_ray.query import Regexp, Wildcard
 
         eng = _doc_engine(sf_dir)
+        k, slack = 10, 40
         out = []
         for branch, leaf in (
             ("wildcard", Wildcard("text", "s*")),
             ("regexp", Regexp("text", "hash|scan")),
         ):
-            df = eng.search_all(Compound(must=(leaf,))).to_pandas()
-            df["score"] = round_half_up(df["score"].to_numpy())
+            q = Compound(must=(leaf,))
+            res = eng.search(q, k=k + slack, with_metadata=False)
+            df = pd.DataFrame(
+                {
+                    "doc_id": res.hits["doc_id"].to_numpy().astype(np.int64),
+                    "score": round_half_up(res.hits["score"].to_numpy()),
+                }
+            )
             df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-            df = df.head(10)[["doc_id", "score"]].reset_index(drop=True)
-            df.insert(0, "branch", branch)
-            out.append(df)
+            page = df.head(k)
+            if (
+                res.total > len(df)
+                and len(page) == k
+                and df["score"].min() >= page["score"].iloc[-1]
+            ):
+                # rounded k-th score ties across the retrieval boundary:
+                # only the full match set can order the page exactly
+                df = eng.search_all(q).to_pandas()
+                df["score"] = round_half_up(df["score"].to_numpy())
+                df = df.sort_values(
+                    ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+                )
+                page = df.head(k)
+            page = page[["doc_id", "score"]].reset_index(drop=True)
+            page.insert(0, "branch", branch)
+            out.append(page)
         return pd.concat(out, ignore_index=True)
 
     def s23_range_facet(sf_dir):
