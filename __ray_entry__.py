@@ -3144,6 +3144,60 @@ ORDER BY ({_stem_score}) DESC, d.doc_id LIMIT 10
             "FROM documents"
         )
 
+    # ann_pq: the codebooks are model parameters like t_quality_clf's
+    # logreg weights — retrain them here deterministically (seeded
+    # k-means via the SAME shared numpy path PQIndex.build uses; the
+    # sample is the whole corpus at oracle scale, asserted) and embed
+    # the centroids as literals. The SQL then independently replays
+    # the entire PQ pipeline: L2-normalize, per-subspace code
+    # assignment (argmin of -2 x·c + ||c||², lowest code on ties,
+    # exactly ops/ann.py PQIndex._encode), ADC shortlist of k*rerank
+    # on the ROUNDED approx cosine with vec_id tiebreak
+    # (PQIndex.search_batch._final), and the exact-cosine re-rank page
+    # (pq_search_rerank._final).
+    def _pq_sql(k: int = 10, rerank: int = 4, m: int = 8) -> str:
+        from search_engine_ray.ops.ann import _normalize, train_pq_codebooks
+
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
+        df = pq.read_table(os.path.join(sf, "embeddings.parquet")).to_pandas()
+        assert len(df) <= 4096, "oracle retrain needs the build sample == corpus"
+        x = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sub = x.shape[1] // m
+        books = train_pq_codebooks(x, m)
+        cn = (books**2).sum(axis=2)
+        rows = ",".join(
+            f"({j},{c},[{','.join(repr(float(v)) for v in books[j, c])}],{float(cn[j, c])!r})"
+            for j in range(m)
+            for c in range(books.shape[1])
+        )
+        return f"""
+WITH cent(sub, code, cv, cn) AS (VALUES {rows}),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ee,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       FROM embeddings),
+n AS (SELECT vec_id, list_transform(ee, x -> x / nrm) AS e FROM e0),
+asg AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT n.vec_id, c.sub, c.code,
+           row_number() OVER (PARTITION BY n.vec_id, c.sub
+             ORDER BY -2 * list_dot_product(n.e[c.sub*{sub}+1 : c.sub*{sub}+{sub}], c.cv) + c.cn,
+                      c.code) AS rn
+    FROM n CROSS JOIN cent c) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, e AS qe FROM n WHERE vec_id IN (0, 1, 2)),
+adc AS (
+  SELECT q.qid, a.vec_id,
+         sum(list_dot_product(q.qe[a.sub*{sub}+1 : a.sub*{sub}+{sub}], c.cv)) AS cos_a
+  FROM asg a JOIN cent c ON c.sub = a.sub AND c.code = a.code CROSS JOIN q
+  GROUP BY 1, 2),
+short AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(cos_a, 4) DESC, vec_id) <= {k * rerank})
+SELECT s.qid, s.vec_id, round(list_dot_product(n.e, q.qe), 4) AS cos
+FROM short s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.qid = s.qid
+QUALIFY row_number() OVER (PARTITION BY s.qid
+         ORDER BY round(list_dot_product(n.e, q.qe), 4) DESC, s.vec_id) <= {k}
+"""
+
     _pnames = list(_perc_conds)
     _adj_sql = (
         f"WITH {_perc_tok},\n"
@@ -4095,6 +4149,7 @@ LIMIT 10
             " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
             "FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
+        "ann_pq": _pq_sql(),
         "pipe_listing": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "
             "ORDER BY n_chars DESC, doc_id LIMIT 15"

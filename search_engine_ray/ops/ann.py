@@ -343,6 +343,34 @@ class IVFIndex:
         return pd.DataFrame({self.id_col: ids[order2], "cos": sims[order2]})
 
 
+def train_pq_codebooks(
+    x: np.ndarray, m: int, iters: int = 12, seed: int = 7
+) -> np.ndarray:
+    """Seeded per-subspace L2 k-means over an already-normalized
+    (n, d) float64 sample -> (m, min(256, n), d/m) codebooks. Pure
+    numpy and fully deterministic given (x, m, iters, seed) — the
+    ann_pq value oracle retrains through this same function and
+    embeds the centroids as SQL literals (the t_quality_clf
+    pattern)."""
+    dim = x.shape[1]
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    ncent = min(256, x.shape[0])
+    books = np.empty((m, ncent, sub), dtype=np.float64)
+    for j in range(m):  # plain (L2) k-means per subspace
+        xj = x[:, j * sub : (j + 1) * sub]
+        cent = xj[rng.choice(xj.shape[0], size=ncent, replace=False)]
+        for _ in range(iters):
+            d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ncent):
+                sel = xj[assign == c]
+                if len(sel):
+                    cent[c] = sel.mean(axis=0)
+        books[j] = cent
+    return books
+
+
 class PQIndex:
     """Product quantization (the compression half of IVF-PQ, Jegou,
     Douze & Schmid 2011 "Product Quantization for Nearest Neighbor
@@ -391,20 +419,7 @@ class PQIndex:
         if dim % m:
             raise ValueError(f"dim {dim} not divisible by m={m}")
         sub = dim // m
-        rng = np.random.default_rng(seed)
-        ncent = min(256, x.shape[0])
-        books = np.empty((m, ncent, sub), dtype=np.float64)
-        for j in range(m):  # plain (L2) k-means per subspace
-            xj = x[:, j * sub : (j + 1) * sub]
-            cent = xj[rng.choice(xj.shape[0], size=ncent, replace=False)]
-            for _ in range(iters):
-                d2 = ((xj[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
-                assign = np.argmin(d2, axis=1)
-                for c in range(ncent):
-                    sel = xj[assign == c]
-                    if len(sel):
-                        cent[c] = sel.mean(axis=0)
-            books[j] = cent
+        books = train_pq_codebooks(x, m, iters=iters, seed=seed)
 
         def _encode(t: pa.Table) -> pa.Table:
             mm = _normalize(_to_matrix(t[vec_col], dim))
