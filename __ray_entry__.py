@@ -449,7 +449,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     import search_engine_ray.ops.relational as rel
     import search_engine_ray.ops.sketch as sk
     import search_engine_ray.ops.text as txt
-    from search_engine_ray.ops.multimodal import featurize_media, synthetic_media_table
+    from search_engine_ray.ops.multimodal import (
+        featurize_media,
+        sample_frames,
+        synthetic_media_table,
+    )
     from search_engine_ray.query import Compound, ConditionalAddBoost, Prefix, Term, plan_keyword
 
     def _rd():
@@ -2198,14 +2202,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx, emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, rerank=4
         )
 
-    # ---- multimodal plumbing (rows-only; deterministic fake decode)
+    # ---- multimodal plumbing (deterministic fake decode; the fake is
+    # counter-mode md5 over the payload hex, so BOTH entries carry SQL
+    # value oracles — the oracle rebuilds the payload hex from the
+    # embedded input sizes and replays the hash math in DuckDB)
     def mm_features(sf_dir):
         import ray.data as rd
 
         media = rd.from_arrow(synthetic_media_table(200, "image", seed=3))
         out = featurize_media(media, feature_dim=8).to_pandas()
         out["feat0"] = out["features"].map(lambda f: round(float(f[0]), 6))
+        out["payload_bytes"] = out["payload_bytes"].astype("int64")
         return out[["media_id", "kind", "payload_bytes", "feat0"]]
+
+    def mm_frames(sf_dir):
+        import ray.data as rd
+
+        media = rd.from_arrow(synthetic_media_table(200, "video", seed=3))
+        out = sample_frames(media, max_frames=4).to_pandas()
+        out["frame_hex"] = out["frame_payload"].map(lambda b: bytes(b).hex())
+        out["frame_idx"] = out["frame_idx"].astype("int64")
+        return out[["media_id", "frame_idx", "frame_hex"]]
 
     # ---- sources / ETL ring ----------------------------------------
     def e1_csv_source(sf_dir):
@@ -2444,6 +2461,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "ann_rp_lsh": ann_rp_lsh,
         "mm_features": mm_features,
+        "mm_frames": mm_frames,
         "t_lang_id": t_lang_id,
         "t_rolling_fp": t_rolling_fp,
         # ---- never-driver-checked: Sec-2 sink/extract ring --------------
@@ -3197,6 +3215,46 @@ FROM short s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.qid = s.qid
 QUALIFY row_number() OVER (PARTITION BY s.qid
          ORDER BY round(list_dot_product(n.e, q.qe), 4) DESC, s.vec_id) <= {k}
 """
+
+    # mm_features / mm_frames: the INPUT media table (payload sizes /
+    # durations from the seeded generator) is embedded as literals —
+    # the dataset, like reading a parquet — and the SQL independently
+    # replays the whole fake-decode pipeline: payload hex =
+    # sha256('3/i') repeated and truncated to size bytes
+    # (synthetic_media_table), feat0 = first little-endian uint64 of
+    # md5(hex || '/0') >> 11 / 2^53 (DecodeAndFeaturize._features),
+    # frame i hash = sha256(hex || '/i') for the duration-derived
+    # frame count (FrameSampler).
+    def _mm_meta(kind: str) -> str:
+        from search_engine_ray.ops.multimodal import synthetic_media_table
+
+        t = synthetic_media_table(200, kind, seed=3)
+        sizes = [len(p) for p in t["payload"].to_pylist()]
+        durs = t["duration_ms"].to_pylist()
+        return ",".join(
+            f"({i},{s},{d})" for i, (s, d) in enumerate(zip(sizes, durs))
+        )
+
+    def _mm_pay(kind: str) -> str:
+        return (
+            f"WITH meta(media_id, size, dur) AS (VALUES {_mm_meta(kind)}), "
+            "pay AS (SELECT media_id, size, dur, "
+            "substr(repeat(sha256('3/' || media_id), size // 32 + 1), 1, 2 * size) AS hx "
+            "FROM meta)"
+        )
+
+    mm_features_sql = (
+        f"{_mm_pay('image')} "
+        "SELECT media_id, 'image' AS kind, size::BIGINT AS payload_bytes, "
+        "round((md5_number_upper(hx || '/0') >> 11)::DOUBLE / 9007199254740992.0, 6) AS feat0 "
+        "FROM pay"
+    )
+    mm_frames_sql = (
+        f"{_mm_pay('video')} "
+        "SELECT media_id, f.fi::BIGINT AS frame_idx, sha256(hx || '/' || f.fi) AS frame_hex "
+        "FROM pay, range(4) AS f(fi) "
+        "WHERE f.fi < least(4, greatest(1, dur // 10000 + 1))"
+    )
 
     _pnames = list(_perc_conds)
     _adj_sql = (
@@ -4150,6 +4208,8 @@ LIMIT 10
             "FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
         "ann_pq": _pq_sql(),
+        "mm_features": mm_features_sql,
+        "mm_frames": mm_frames_sql,
         "pipe_listing": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "
             "ORDER BY n_chars DESC, doc_id LIMIT 15"

@@ -8,7 +8,9 @@ as in this container); `decode="auto"` selects real-when-available,
 else the deterministic fake decode (bytes -> seeded pixel/sample
 array) so the Ray-side plumbing — schema, actor-pool signature, batch
 sizing, output layout — is real and tested end-to-end either way.
-Video frame-sampling remains a declared stub (needs pyav).
+Video frame-sampling has the same shape: `decode="real"` is a guarded
+pyav kernel (raises at actor construction when `av` is not
+importable), `decode="fake"` a deterministic, SQL-replayable sampler.
 
 Scale notes: media payloads are large, so these stages use small
 `batch_size` and an actor pool (decoder state initialized once per
@@ -119,12 +121,19 @@ class DecodeAndFeaturize:
     def _features(self, payload: bytes) -> np.ndarray:
         if self.decode == "real":
             return self._features_real(payload)
-        # deterministic fake "decode": expand the payload digest into
-        # `dim` floats in [0, 1)
-        h = hashlib.sha256(payload).digest()
-        reps = (self.dim * 8) // len(h) + 1
-        raw = (h * reps)[: self.dim * 8]
-        ints = np.frombuffer(raw, dtype=np.uint64)
+        # deterministic fake "decode": counter-mode md5 over the
+        # payload's hex string expands into `dim` independent floats in
+        # [0, 1) — two uint64 (little-endian md5 halves) per counter
+        # block. Hashing the HEX (not raw bytes) keeps every block
+        # SQL-replayable: DuckDB's md5_number_upper/lower(hex || '/t')
+        # are exactly these values, so mm_features carries a value
+        # oracle instead of a rows-only check.
+        hx = payload.hex()
+        raw = b"".join(
+            hashlib.md5(f"{hx}/{t}".encode()).digest()
+            for t in range((self.dim * 8 + 15) // 16)
+        )
+        ints = np.frombuffer(raw[: self.dim * 8], dtype="<u8")
         return (ints >> np.uint64(11)).astype(np.float64) / float(1 << 53)
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -159,26 +168,79 @@ def featurize_media(
 
 
 class FrameSampler:
-    """Video frame-sampling stub: emits one row per sampled frame
-    (real decoder would seek; fake derives frame bytes from payload +
-    frame index). Output: media_id, frame_idx, frame_payload."""
+    """Video frame-sampling actor: emits one row per sampled frame.
+
+    decode="real": loads pyav ONCE per actor (__init__), opens the
+    payload as a container, and keeps every fps_divisor-th decoded
+    frame up to max_frames (frame_payload = raw RGB bytes of the
+    frame). Raises NotImplementedError at actor construction when pyav
+    is not importable (this container has no media libraries) — same
+    guard shape as DecodeAndFeaturize's Pillow path.
+    decode="fake": deterministic pseudo-sampler — one frame per
+    fps_divisor seconds of duration_ms (capped at max_frames, floor
+    1), frame bytes = sha256 of "payload_hex/frame_idx". Hashing the
+    hex keeps the output SQL-replayable (DuckDB sha256(hex || '/i')),
+    so mm_frames carries a value oracle.
+    decode="auto": real when pyav imports, else fake.
+
+    Output: media_id, frame_idx, frame_payload."""
 
     def __init__(self, fps_divisor: int = 10, max_frames: int = 8, decode: str = "fake"):
-        if decode == "real":
-            raise NotImplementedError("real frame sampling requires pyav")
+        self._av_mod = None
+        if decode == "auto":
+            decode = "real" if self._try_pyav() else "fake"
+        if decode == "real" and not self._try_pyav():
+            raise NotImplementedError(
+                "real frame sampling requires pyav (av), not importable here; "
+                "use decode='fake' (or 'auto') to exercise the pipeline plumbing"
+            )
+        self.decode = decode
         self.max_frames = max_frames
         self.fps_divisor = fps_divisor
+
+    def _try_pyav(self) -> bool:
+        if self._av_mod is None:
+            try:
+                import av  # pyav: public, optional
+
+                self._av_mod = av
+            except ImportError:
+                self._av_mod = False
+        return bool(self._av_mod)
+
+    def _frames_real(self, payload: bytes) -> list[bytes]:
+        """pyav container decode -> every fps_divisor-th frame's RGB
+        bytes, up to max_frames. Undecodable payloads yield no frames
+        (corrupt-file policy: drop frames, never kill the pipeline)."""
+        import io
+
+        out: list[bytes] = []
+        try:
+            with self._av_mod.open(io.BytesIO(payload)) as container:
+                for i, frame in enumerate(container.decode(video=0)):
+                    if i % self.fps_divisor:
+                        continue
+                    out.append(frame.to_ndarray(format="rgb24").tobytes())
+                    if len(out) >= self.max_frames:
+                        break
+        except Exception:
+            return []
+        return out
 
     def __call__(self, t: pa.Table) -> pa.Table:
         ids, frames, payloads = [], [], []
         for mid, payload, dur in zip(
             t["media_id"].to_pylist(), t["payload"].to_pylist(), t["duration_ms"].to_pylist()
         ):
-            n = min(self.max_frames, max(1, (dur or 0) // (1000 * self.fps_divisor) + 1))
-            for fi in range(n):
-                ids.append(mid)
-                frames.append(fi)
-                payloads.append(hashlib.sha256((payload or b"") + fi.to_bytes(4, "big")).digest())
+            if self.decode == "real":
+                fp = self._frames_real(payload or b"")
+            else:
+                n = min(self.max_frames, max(1, (dur or 0) // (1000 * self.fps_divisor) + 1))
+                hx = (payload or b"").hex()
+                fp = [hashlib.sha256(f"{hx}/{fi}".encode()).digest() for fi in range(n)]
+            ids.extend([mid] * len(fp))
+            frames.extend(range(len(fp)))
+            payloads.extend(fp)
         return pa.table(
             {
                 "media_id": pa.array(ids, pa.int64()),

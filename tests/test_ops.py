@@ -13,6 +13,7 @@ import search_engine_ray.ops.relational as rel
 import search_engine_ray.ops.text as txt
 from search_engine_ray.ops.multimodal import (
     DecodeAndFeaturize,
+    FrameSampler,
     featurize_media,
     sample_frames,
     synthetic_media_table,
@@ -403,8 +404,19 @@ def test_multimodal_plumbing(ray_session):
     np.testing.assert_array_equal(a, b)
     frames = sample_frames(media, max_frames=4).to_pandas()
     assert frames.groupby("media_id").size().max() <= 4
+    # fake frame bytes are the SQL-replayable hash of (payload hex, idx)
+    import hashlib
+
+    row = frames.sort_values(["media_id", "frame_idx"]).iloc[0]
+    pay0 = synthetic_media_table(50, "video")["payload"][0].as_py()
+    assert bytes(row["frame_payload"]) == hashlib.sha256(f"{pay0.hex()}/0".encode()).digest()
+    # real-decode paths are guarded actor-construction errors without
+    # the optional media libs (Pillow / pyav) — this container has none
     with pytest.raises(NotImplementedError):
         DecodeAndFeaturize(decode="real")
+    with pytest.raises(NotImplementedError):
+        FrameSampler(decode="real")
+    assert FrameSampler(decode="auto").decode == "fake"
 
 
 def test_rename_and_explode_list(ray_session):
