@@ -46,6 +46,7 @@ def _bm25_sql(
     boost_sql: str = "",
     col: str = "text",
     prefix: bool = False,
+    table_sql: str = "documents",
 ) -> str:
     """Textbook Okapi BM25 (k1=1.2, b=0.75) as DuckDB SQL — the same
     formula/op-order as search_engine_ray.query.scoring (numerator
@@ -71,7 +72,7 @@ def _bm25_sql(
     joiner = " AND " if mode == "must" else " OR "
     cond = joiner.join(f"tf{i} > 0" for i in range(len(terms)))
     return f"""
-WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM {table_sql}),
 d AS (SELECT doc_id, n_chars, len(ts) AS dl, {', '.join(tf_exprs)} FROM tok),
 s AS (SELECT count(*) AS n, sum(dl) AS total_len, {', '.join(df_exprs)} FROM d)
 SELECT d.doc_id, round({score}, 4) AS score
@@ -178,6 +179,33 @@ def _doc_engine(sf_dir: str):
             )
         _ENGINES[sf_dir] = SearchEngine(idx_dir, DOCUMENTS_CONFIG)
         return _ENGINES[sf_dir]
+
+
+def _e13_index_dir(sf_dir: str) -> str:
+    """10%-subset documents index (doc_id % 10 == 0) for the
+    snapshot/fsck maintenance round-trip — the round-trip cost is
+    proportional to index size, so the driver entry exercises it on a
+    deterministic shard-like subset instead of the full corpus (the
+    full-index path is identical code). Cache keyed on source mtime."""
+    from search_engine_ray.config import DOCUMENTS_CONFIG
+    from search_engine_ray.index import build_index
+
+    src = os.path.join(sf_dir, "documents.parquet")
+    tag = sf_dir.strip("/").replace("/", "_")
+    base = f"/tmp/ser_idx_cache/{tag}/e13_sub_{int(os.path.getmtime(src))}"
+    idx = os.path.join(base, "index")
+    with _ENGINE_LOCK:
+        if not os.path.exists(os.path.join(idx, "manifest.json")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            t = pq.read_table(src)
+            sub = t.filter(pa.array(t["doc_id"].to_numpy() % 10 == 0))
+            sub_path = os.path.join(base, "docs_sub.parquet")
+            pq.write_table(sub, sub_path)
+            build_index(sub_path, idx, DOCUMENTS_CONFIG, sha_col="text")
+    return idx
 
 
 def _plural_docs_dir(sf_dir: str) -> str:
@@ -1102,15 +1130,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return _sim_query(sf_dir, q, "boolean")
 
     def e13_snapshot(sf_dir):
-        # ES snapshot/restore round-trip: snapshot the live index into
-        # a repository (per-file sha256 manifest, copied/hashed in Ray
-        # tasks), verify it, restore into a fresh dir (re-hashing every
-        # file), then prove the restored index serves bit-identical
-        # BM25 results — the oracle is the plain s1 BM25 SQL.
+        # ES snapshot/restore + fsck maintenance round-trip on a
+        # 10%-subset index (cost is proportional to index size; the
+        # full-index path is the same code): build -> fsck clean ->
+        # snapshot (per-file sha256 manifest, hashed in Ray tasks) ->
+        # verify -> restore -> CORRUPT one byte of the restored copy's
+        # stats.json -> fsck catches it -> restore a fresh copy ->
+        # deep fsck (stream decode) passes -> the restored index serves
+        # bit-identical BM25 results; oracle = BM25 SQL over the same
+        # doc_id % 10 = 0 subset.
         import shutil
         import tempfile
 
         from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index.fsck import integrity_check
         from search_engine_ray.index.snapshot import (
             create_snapshot,
             restore_snapshot,
@@ -1118,15 +1151,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         from search_engine_ray.query import SearchEngine
 
-        eng = _doc_engine(sf_dir)
+        idx = _e13_index_dir(sf_dir)
+        assert integrity_check(idx, DOCUMENTS_CONFIG)["ok"]
         base = tempfile.mkdtemp(prefix="ser_snap_")
         try:
-            create_snapshot(eng.index_dir, base, "snap1")
+            create_snapshot(idx, base, "snap1")
             v = verify_snapshot(base, "snap1")
             assert v["ok"], v
             dest = os.path.join(base, "restored")
             restore_snapshot(base, "snap1", dest)
-            reng = SearchEngine(dest, DOCUMENTS_CONFIG)
+            # flip one byte in the restored stats.json (n_docs digit)
+            sp = os.path.join(dest, "stats.json")
+            raw = bytearray(open(sp, "rb").read())
+            i = raw.index(b'"n_docs":') + len(b'"n_docs":')
+            while not raw[i : i + 1].isdigit():
+                i += 1
+            raw[i] = ord("9") if raw[i : i + 1] != b"9" else ord("8")
+            open(sp, "wb").write(bytes(raw))
+            bad = integrity_check(dest, DOCUMENTS_CONFIG)
+            assert not bad["ok"] and bad["errors"], bad
+            dest2 = os.path.join(base, "restored2")
+            restore_snapshot(base, "snap1", dest2)
+            deep = integrity_check(dest2, DOCUMENTS_CONFIG, decode=True)
+            assert deep["ok"], deep["errors"][:3]
+            reng = SearchEngine(dest2, DOCUMENTS_CONFIG)
             hits = reng.search(
                 Compound(must=(Term("text", "vector"),)), k=10, with_metadata=False
             ).hits
@@ -3899,7 +3947,9 @@ UNION ALL SELECT 'q_syn', doc_id FROM tok
         "s52_rank_eval": _rank_eval_union,
         "t_quality_clf": _clf_sql(),
         # e13: the restored index must serve the exact s1 result set
-        "e13_snapshot": _bm25_sql(["vector"]),
+        "e13_snapshot": _bm25_sql(
+            ["vector"], table_sql="(SELECT * FROM documents WHERE doc_id % 10 = 0)"
+        ),
         "r34_histogram": (
             "SELECT floor(l_extendedprice / 500.0) * 500.0 AS bucket, "
             "count(*) AS n, min(l_quantity) AS min_q, max(l_quantity) AS max_q "

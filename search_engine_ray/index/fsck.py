@@ -71,8 +71,13 @@ def integrity_check(
         npart = int(stats["num_parts"])
         fmt = int(stats.get("postings_format", 2))
         bs = int(stats.get("block_size", 128))
-        # 1. docmap: row count, id uniqueness, bucket placement
-        shard_ids: list[np.ndarray] = []
+        # 1. docmap: row count, id uniqueness, bucket placement.
+        # Keyed by the REAL bucket number — empty buckets have no
+        # docmap dir, so a positional enumerate would shift every
+        # later bucket's universe onto the wrong postings (caught by
+        # the e13 driver entry: a corpus whose ids occupy only even
+        # buckets fsck'd bucket 2 against bucket 4's universe).
+        bucket_ids: dict[int, np.ndarray] = {}
         for b in range(nb):
             bdir = os.path.join(d, "docmap", f"bucket={b}")
             if not os.path.isdir(bdir):
@@ -82,15 +87,13 @@ def integrity_check(
                 errors.append(f"{tag}: duplicate doc_id in docmap bucket {b}")
             if ids.size and not np.all(ids % nb == b):
                 errors.append(f"{tag}: doc in wrong bucket {b}")
-            shard_ids.append(ids)
-        n_docs = int(sum(i.size for i in shard_ids))
+            bucket_ids[b] = ids
+        n_docs = int(sum(i.size for i in bucket_ids.values()))
         checks["docs"] += n_docs
         if n_docs != int(stats["n_docs"]):
             errors.append(f"{tag}: stats n_docs={stats['n_docs']} but docmap holds {n_docs}")
-        all_ids.extend(shard_ids)
-        universes = {
-            b: np.sort(ids) for b, ids in enumerate(shard_ids) if ids.size
-        }
+        all_ids.extend(bucket_ids.values())
+        universes = {b: np.sort(ids) for b, ids in bucket_ids.items() if ids.size}
         # 2. dictionary df == sum of postings df_local (both directions)
         for k in range(npart):
             dfiles = glob.glob(os.path.join(d, "dict", f"part={k}", "*.parquet"))

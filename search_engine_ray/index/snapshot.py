@@ -46,6 +46,16 @@ def _rel_files(root: str) -> list[str]:
     return sorted(out)
 
 
+def _chunks(items: list, max_tasks: int = 64) -> list[list]:
+    """Group per-file work into at most ``max_tasks`` Ray tasks: an
+    index directory is many small parquet files, and one task per file
+    is scheduler-overhead-dominated; one task per chunk still copies /
+    hashes at cluster bandwidth (64 concurrent streams) while a small
+    index costs a handful of tasks instead of hundreds."""
+    n = max(1, -(-len(items) // max_tasks))
+    return [items[i : i + n] for i in range(0, len(items), n)]
+
+
 def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
     """Copy ``index_dir`` into ``repo_dir/name`` (atomic: built under a
     temp name, renamed on success) and write ``SNAPSHOT.json`` with
@@ -62,14 +72,17 @@ def create_snapshot(index_dir: str, repo_dir: str, name: str) -> dict:
     rels = _rel_files(index_dir)
 
     @ray.remote(num_cpus=0.5)
-    def _copy(rel: str) -> tuple[str, str, int]:
-        src, dst = os.path.join(index_dir, rel), os.path.join(tmp, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
-        sha, nbytes = _sha256_file(dst)
-        return rel, sha, nbytes
+    def _copy(chunk: list[str]) -> list[tuple[str, str, int]]:
+        out = []
+        for rel in chunk:
+            src, dst = os.path.join(index_dir, rel), os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            sha, nbytes = _sha256_file(dst)
+            out.append((rel, sha, nbytes))
+        return out
 
-    triples = ray.get([_copy.remote(r) for r in rels])
+    triples = [t for c in ray.get([_copy.remote(c) for c in _chunks(rels)]) for t in c]
     manifest = {
         "name": name,
         "created_unix": int(time.time()),
@@ -93,16 +106,19 @@ def verify_snapshot(repo_dir: str, name: str) -> dict:
         manifest = json.load(f)
 
     @ray.remote(num_cpus=0.5)
-    def _check(rel: str, want: str) -> tuple[str, str]:
-        p = os.path.join(root, rel)
-        if not os.path.exists(p):
-            return rel, "missing"
-        sha, _ = _sha256_file(p)
-        return rel, "ok" if sha == want else "mismatch"
+    def _check(chunk: list[tuple[str, str]]) -> list[tuple[str, str]]:
+        out = []
+        for rel, want in chunk:
+            p = os.path.join(root, rel)
+            if not os.path.exists(p):
+                out.append((rel, "missing"))
+                continue
+            sha, _ = _sha256_file(p)
+            out.append((rel, "ok" if sha == want else "mismatch"))
+        return out
 
-    res = ray.get(
-        [_check.remote(rel, meta["sha256"]) for rel, meta in manifest["files"].items()]
-    )
+    pairs = [(rel, meta["sha256"]) for rel, meta in manifest["files"].items()]
+    res = [r for c in ray.get([_check.remote(c) for c in _chunks(pairs)]) for r in c]
     mismatched = sorted(r for r, s in res if s == "mismatch")
     missing = sorted(r for r, s in res if s == "missing")
     return {
@@ -130,17 +146,16 @@ def restore_snapshot(repo_dir: str, name: str, dest_dir: str) -> dict:
     os.makedirs(tmp, exist_ok=True)
 
     @ray.remote(num_cpus=0.5)
-    def _copy(rel: str, want: str) -> str:
-        src, dst = os.path.join(root, rel), os.path.join(tmp, rel)
-        os.makedirs(os.path.dirname(dst), exist_ok=True)
-        shutil.copyfile(src, dst)
-        sha, _ = _sha256_file(dst)
-        if sha != want:
-            raise IOError(f"snapshot file {rel} corrupt: sha {sha} != {want}")
-        return rel
+    def _copy(chunk: list[tuple[str, str]]) -> None:
+        for rel, want in chunk:
+            src, dst = os.path.join(root, rel), os.path.join(tmp, rel)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copyfile(src, dst)
+            sha, _ = _sha256_file(dst)
+            if sha != want:
+                raise IOError(f"snapshot file {rel} corrupt: sha {sha} != {want}")
 
-    ray.get(
-        [_copy.remote(rel, meta["sha256"]) for rel, meta in manifest["files"].items()]
-    )
+    pairs = [(rel, meta["sha256"]) for rel, meta in manifest["files"].items()]
+    ray.get([_copy.remote(c) for c in _chunks(pairs)])
     os.rename(tmp, dest_dir)
     return manifest

@@ -293,3 +293,39 @@ def test_integrity_check(ray_session, tiny_index, tiny_corpus, tmp_path):
     add_tombstones(bad3, [999_999_999_999])
     rep5 = integrity_check(bad3, cfg)
     assert not rep5["ok"] and any("unknown doc ids" in e for e in rep5["errors"])
+
+
+def test_integrity_check_sparse_buckets(ray_session, tmp_path):
+    """fsck deep decode on an index whose doc ids populate only SOME
+    buckets (native ids, all multiples of 4 with num_buckets=8 -> only
+    even buckets exist). Regression: the bucket->universe map must key
+    on the real bucket number, not the positional order of non-empty
+    docmap dirs."""
+    import pyarrow as pa
+
+    from search_engine_ray.config import FieldSpec, IndexConfig
+    from search_engine_ray.index import build_index, integrity_check
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([i * 4 for i in range(60)], pa.int64()),
+            "content": pa.array(
+                [f"alpha beta {'gamma ' * (i % 3)}delta_{i % 7}" for i in range(60)]
+            ),
+        }
+    )
+    cfg = IndexConfig(
+        fields=(FieldSpec("content", "c"),),
+        num_buckets=8,
+        num_parts=2,
+        docmap_cols=(),
+        id_cols=("doc_id",),
+        use_native_id=True,
+    )
+    out = str(tmp_path / "sparse")
+    import ray.data as rd
+
+    build_index(rd.from_arrow(docs), out, cfg)
+    rep = integrity_check(out, cfg, decode=True)
+    assert rep["ok"], rep["errors"][:5]
+    assert rep["checks"]["docs"] == 60 and rep["checks"]["decoded_rows"] > 0
