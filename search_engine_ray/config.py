@@ -87,6 +87,17 @@ class IndexConfig:
     # size. Set auto_num_parts=False to pin num_parts exactly.
     merge_part_target_bytes: int = 1 << 30
     auto_num_parts: bool = True
+    # merge-task granularity: each part's merge is split into this
+    # many bucket-group tasks (bg = bucket % merge_groups), so a
+    # term-hash part that drew the hot (Zipf-head) terms can't become
+    # the merge straggler — its postings spread across merge_groups
+    # disjoint tasks (hot terms are bucket-salted, so groups split
+    # them evenly). Measured at 600k docs/16 cpus: 32% lower merge
+    # wall AND lower total task time (smaller, cache-resident sorts)
+    # vs one task per part. Build-time only — the on-disk index layout
+    # (postings/part=K/bucket=B, dict/part=K) is unchanged. Clamped to
+    # num_buckets.
+    merge_groups: int = 4
     # cap on dictionary range-scan prefix expansion (Lucene's
     # maxExpansions analog): at web scale a 2-char prefix can match
     # millions of terms; the cap keeps query cost bounded (expansions

