@@ -2201,6 +2201,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
         both = emb.union(emb.map_batches(_perturb, batch_format="pyarrow"))
         return ann.rp_lsh_near_dup(both, threshold=0.999, n_planes=10)
 
+    def dedup_semantic(sf_dir):
+        # SemDeDup (Abbas et al. 2023): seeded spherical k-means over
+        # the embedding table, mark within-cluster near-dups
+        # (cos >= 0.99 to a lower-id cluster-mate). Near-dups are
+        # PLANTED — a x1.0001-scaled copy of every vector (same
+        # direction, cos == 1) unioned under vec_id+1e6 — so the
+        # dup-marking path is value-checked, not just the clustering
+        # (random synthetic embeddings alone have no 0.99-cos pairs).
+        # The oracle retrains the SAME seeded centroids
+        # (spherical_kmeans is deterministic over the sorted sample)
+        # and replays perturbation + assignment + self-join in SQL;
+        # the f32*f32 product is exact in f64, so CAST(x * <f32 lit>
+        # AS REAL) reproduces numpy's float32 multiply bit-for-bit.
+        from search_engine_ray.ops.ann import semantic_dedup
+
+        emb = _read(sf_dir, "embeddings")
+
+        def _perturb(t: pa.Table) -> pa.Table:
+            vecs = t["embedding"].combine_chunks()
+            flat = pc.list_flatten(vecs).to_numpy(zero_copy_only=False).astype(np.float32)
+            flat = flat * np.float32(1.0001)
+            n = len(vecs)
+            d = flat.size // n
+            offsets = pa.array(np.arange(0, (n + 1) * d, d, dtype=np.int32))
+            e2 = pa.ListArray.from_arrays(offsets, pa.array(flat, pa.float32()))
+            return pa.table({"vec_id": pc.add(t["vec_id"], 1_000_000), "embedding": e2})
+
+        both = emb.select_columns(["vec_id", "embedding"]).union(
+            emb.map_batches(_perturb, batch_format="pyarrow")
+        )
+        out = semantic_dedup(both, threshold=0.99, n_clusters=8).to_pandas()
+        out["cluster"] = out["cluster"].astype("int64")
+        out["is_dup"] = out["is_dup"].astype("int64")
+        return out[["vec_id", "cluster", "is_dup"]]
+
     def ann_ivf(sf_dir):  # rows-only (scale path: cluster-pruned read)
         tag = sf_dir.strip("/").replace("/", "_")
         ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
@@ -2508,6 +2543,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": dedup_minhash,
         "dedup_simhash": dedup_simhash,
         "ann_rp_lsh": ann_rp_lsh,
+        "dedup_semantic": dedup_semantic,
         "mm_features": mm_features,
         "mm_frames": mm_frames,
         "t_lang_id": t_lang_id,
@@ -3262,6 +3298,53 @@ SELECT s.qid, s.vec_id, round(list_dot_product(n.e, q.qe), 4) AS cos
 FROM short s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.qid = s.qid
 QUALIFY row_number() OVER (PARTITION BY s.qid
          ORDER BY round(list_dot_product(n.e, q.qe), 4) DESC, s.vec_id) <= {k}
+"""
+
+    def _semdedup_sql(threshold: float = 0.99, n_clusters: int = 8) -> str:
+        # dedup_semantic oracle: retrain the SAME seeded spherical
+        # k-means (deterministic given the corpus == sample, like
+        # _pq_sql), embed the centroids as literals, assign by argmax
+        # dot with np.argmax's lowest-index tie-break, then a
+        # within-cluster lower-id self-join replays the dup rule.
+        from search_engine_ray.ops.ann import _normalize, spherical_kmeans
+
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
+        df = pq.read_table(os.path.join(sf, "embeddings.parquet")).to_pandas()
+        assert 2 * len(df) <= 4096, "oracle retrain needs the build sample == corpus"
+        # augmented corpus EXACTLY as the entry builds it: original
+        # rows then a float32 x1.0001 copy, sorted by vec_id (original
+        # ids < 1e6 < perturbed ids, so vstack order == sorted order —
+        # matching semantic_dedup's sorted sample)
+        x0 = np.stack(df["embedding"].to_numpy()).astype(np.float32)
+        x = _normalize(np.vstack([x0, x0 * np.float32(1.0001)]).astype(np.float64))
+        cent = spherical_kmeans(x, n_clusters, 10, 5)
+        rows = ",".join(
+            f"({c},[{','.join(repr(float(v)) for v in cent[c])}])"
+            for c in range(cent.shape[0])
+        )
+        scale = repr(float(np.float32(1.0001)))
+        return f"""
+WITH cent(c, cv) AS (VALUES {rows}),
+corpus AS (
+    SELECT vec_id, embedding FROM embeddings
+    UNION ALL
+    SELECT vec_id + 1000000,
+           list_transform(embedding, x -> CAST(x * {scale} AS REAL))
+    FROM embeddings),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ee,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       FROM corpus),
+n AS (SELECT vec_id, list_transform(ee, x -> x / nrm) AS e FROM e0),
+asg AS (SELECT vec_id, e, c AS cluster FROM (
+    SELECT n.vec_id, n.e, c.c,
+           row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.e, c.cv) DESC, c.c) AS rn
+    FROM n CROSS JOIN cent c) WHERE rn = 1)
+SELECT a.vec_id, any_value(a.cluster)::BIGINT AS cluster,
+       coalesce(max(CASE WHEN round(list_dot_product(a.e, b.e), 4) >= {threshold}
+                         THEN 1 ELSE 0 END), 0)::BIGINT AS is_dup
+FROM asg a LEFT JOIN asg b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
+GROUP BY a.vec_id
 """
 
     # mm_features / mm_frames: the INPUT media table (payload sizes /
@@ -4258,6 +4341,7 @@ LIMIT 10
             "FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
         "ann_pq": _pq_sql(),
+        "dedup_semantic": _semdedup_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,
         "pipe_listing": (

@@ -173,6 +173,109 @@ def rp_lsh_near_dup(
     return pairs.groupby(["a", "b"]).aggregate(Max("cos", alias_name="cos"))
 
 
+def spherical_kmeans(
+    m: np.ndarray, n_clusters: int, iters: int, seed: int
+) -> np.ndarray:
+    """Seeded spherical k-means over an already-normalized (n, d)
+    float64 sample — pure numpy, fully deterministic given
+    (m, n_clusters, iters, seed), so value oracles can retrain through
+    this same function and embed the centroids as SQL literals (the
+    train_pq_codebooks pattern). Shared by IVFIndex.build and
+    semantic_dedup."""
+    rng = np.random.default_rng(seed)
+    cent = m[rng.choice(m.shape[0], size=min(n_clusters, m.shape[0]), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cent.T, axis=1)
+        for c in range(cent.shape[0]):
+            sel = m[assign == c]
+            if len(sel):
+                v = sel.mean(axis=0)
+                n = np.linalg.norm(v)
+                if n > 0:
+                    cent[c] = v / n
+    return cent
+
+
+def semantic_dedup(
+    ds: Dataset,
+    threshold: float = 0.95,
+    n_clusters: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 5,
+) -> Dataset:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540) embedding-space
+    near-dedup: seeded spherical k-means over a bounded driver-side
+    sample, one distributed assignment pass (centroids ride the
+    closure, broadcast once per task), then WITHIN each cluster mark
+    every vector whose rounded cosine to a LOWER-id cluster-mate is
+    >= threshold. The keep rule here is deterministic keep-lowest-id
+    (SemDeDup's keep-farthest-from-centroid variant differs only in
+    which member of a near-dup set survives), which makes the whole
+    op SQL-replayable: retrain the same seeded centroids, assign by
+    argmax dot (tie-break: lowest cluster id, matching np.argmax),
+    self-join within cluster. The sample is sorted by id before
+    k-means so the centroids don't depend on Ray block arrival order
+    (preserve_order is off; limit() row order is nondeterministic
+    across runs when the corpus spans several blocks).
+
+    Scale shape: the pairwise cosine is per CLUSTER — pick n_clusters
+    ~ N / target_cluster_size so each map_groups group stays bounded
+    (SemDeDup runs 50k clusters at 100M+ docs); the only shuffle is
+    the cluster groupby, and the sample/centroid state is
+    driver-bounded. Returns (vec_id, cluster, is_dup 0/1) for every
+    input row."""
+    sample = ds.limit(sample_size).to_pandas().sort_values(id_col)
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    cent = spherical_kmeans(m, n_clusters, iters, seed)
+    dim = cent.shape[1]
+
+    def _assign(t: pa.Table) -> pa.Table:
+        mm = _normalize(_to_matrix(t[vec_col], dim))
+        cl = np.argmax(mm @ cent.T, axis=1).astype(np.int64)
+        return pa.table(
+            {id_col: t[id_col], vec_col: t[vec_col], "cluster": pa.array(cl, pa.int64())}
+        )
+
+    def _mark(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                id_col: np.empty(0, np.int64),
+                "cluster": np.empty(0, np.int64),
+                "is_dup": np.empty(0, np.int64),
+            }
+        )
+        if df.empty:
+            return empty
+        out = []
+        for _, g in df.groupby("cluster", sort=False):
+            g = g.sort_values(id_col)
+            ids = g[id_col].to_numpy()
+            mg = _normalize(np.stack(g[vec_col].to_numpy()).astype(np.float64))
+            cos = round_half_up(mg @ mg.T)
+            # dup(i) = any j < i in the cluster with cos >= threshold
+            dup = np.triu(cos >= threshold, k=1).any(axis=0)
+            out.append(
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "cluster": g["cluster"].to_numpy(),
+                        "is_dup": dup.astype(np.int64),
+                    }
+                )
+            )
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    assigned = ds.map_batches(_assign, batch_format="pyarrow")
+    # coarse shard (cluster % 64) bounds group count like rp_lsh's cg
+    coarse = assigned.map_batches(
+        lambda df: df.assign(cg=df["cluster"] % 64), batch_format="pandas"
+    )
+    return coarse.groupby("cg").map_groups(_mark, batch_format="pandas")
+
+
 class IVFIndex:
     """IVF coarse quantizer: build = assign every vector to its nearest
     centroid and write cluster-partitioned Parquet; search = score only
@@ -202,17 +305,7 @@ class IVFIndex:
     ) -> "IVFIndex":
         sample = ds.limit(sample_size).to_pandas()
         m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
-        rng = np.random.default_rng(seed)
-        cent = m[rng.choice(m.shape[0], size=min(n_clusters, m.shape[0]), replace=False)]
-        for _ in range(iters):  # spherical k-means on the sample
-            assign = np.argmax(m @ cent.T, axis=1)
-            for c in range(cent.shape[0]):
-                sel = m[assign == c]
-                if len(sel):
-                    v = sel.mean(axis=0)
-                    n = np.linalg.norm(v)
-                    if n > 0:
-                        cent[c] = v / n
+        cent = spherical_kmeans(m, n_clusters, iters, seed)
         dim = cent.shape[1]
 
         def _assign(t: pa.Table) -> pa.Table:

@@ -1294,3 +1294,37 @@ def test_sorted_export_global_order(ray_session, tmp_path, con):
     assert len(g.glob(f"{out}/range=*")) >= 1
     with pytest.raises(ValueError):
         snk.sorted_export(rd.from_pandas(df.head(0)), ["k"], str(tmp_path / "e"))
+
+
+def test_semantic_dedup_planted(ray_session):
+    """SemDeDup marks the HIGHER-id member of every planted same-
+    direction pair as the dup; every input row appears exactly once."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((40, 16))
+    rows = [{"vec_id": i, "embedding": base[i].astype(np.float32).tolist()} for i in range(40)]
+    for i in range(8):  # planted: same direction, scaled
+        rows.append({"vec_id": 100 + i, "embedding": (base[i] * 1.0001).astype(np.float32).tolist()})
+    ds = rd.from_items(rows)
+    out = ann.semantic_dedup(ds, threshold=0.99, n_clusters=4, seed=7).to_pandas()
+    assert len(out) == 48
+    assert out["vec_id"].is_unique
+    by_id = out.set_index("vec_id")
+    # each planted copy shares its original's cluster and is the dup
+    for i in range(8):
+        assert by_id.loc[100 + i, "cluster"] == by_id.loc[i, "cluster"]
+        assert by_id.loc[100 + i, "is_dup"] == 1
+        assert by_id.loc[i, "is_dup"] == 0
+    # random 16-dim vectors don't hit cos >= 0.99
+    assert int(out["is_dup"].sum()) == 8
+
+
+def test_spherical_kmeans_deterministic():
+    rng = np.random.default_rng(0)
+    m = rng.standard_normal((100, 8))
+    m = m / np.linalg.norm(m, axis=1, keepdims=True)
+    c1 = ann.spherical_kmeans(m, 4, 10, 5)
+    c2 = ann.spherical_kmeans(m.copy(), 4, 10, 5)
+    np.testing.assert_array_equal(c1, c2)
+    np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-12)
