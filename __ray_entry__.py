@@ -2158,6 +2158,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         comps = dd.connected_components(pairs)
         return dd.drop_near_duplicates(docs, comps).select_columns(["doc_id"])
 
+    def dedup_best_quality(sf_dir):
+        # quality-aware survivor selection (the RefinedWeb/Dolma
+        # policy): within each near-dup cluster keep the member with
+        # the HIGHEST heuristic quality score (tie -> lowest id) —
+        # the perturbed copies append a token, so original vs copy
+        # genuinely differ in score and the choice is score-driven,
+        # not id-driven. Oracle: recursive-CTE closure + the t_quality
+        # scoring SQL + one QUALIFY row per component.
+        docs = _docs_with_near_dups(sf_dir)
+        scored = txt.add_quality_score(docs, "text")
+        pairs = dd.ngram_jaccard_pairs(docs, threshold=0.5)
+        comps = dd.connected_components(pairs)
+        return dd.keep_best_in_component(scored, comps, "quality").select_columns(
+            ["doc_id"]
+        )
+
     # ---- similarity search -----------------------------------------
     def ann_cosine(sf_dir):
         emb = _read(sf_dir, "embeddings")
@@ -2165,6 +2181,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
         queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
         return ann.cosine_topk(emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10)
+
+    def ann_hard_negatives(sf_dir):
+        # hard-negative mining (the DPR/ANCE retriever-training data
+        # prep): for each anchor, the 10 corpus vectors MOST similar
+        # to it among those with a DIFFERENT label — near in embedding
+        # space, semantically negative
+        emb = _read(sf_dir, "embeddings")
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return ann.hard_negatives(
+            emb,
+            queries,
+            qt["vec_id"].to_numpy().astype(np.int64),
+            qt["label"].to_numpy().astype(np.int64),
+            k=10,
+        )
 
     def ann_cosine_filtered(sf_dir):
         # filtered kNN (the modern vector-search shape: metadata
@@ -2557,6 +2590,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_ngram": dedup_ngram,
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
+        "dedup_best_quality": dedup_best_quality,
+        "ann_hard_negatives": ann_hard_negatives,
         "ann_pq": ann_pq,
         "ann_cosine_filtered": ann_cosine_filtered,
         "t_strip_dup_ngrams": t_strip_dup_ngrams,
@@ -3437,6 +3472,33 @@ FROM hits
             f", 4) AS quality FROM {table}"
         )
 
+    # dedup_best_quality: survivors under the keep-HIGHEST-quality
+    # policy — same recursive-CTE component closure as
+    # dedup_survivors, winner per component by (quality DESC, doc_id)
+    # over the t_quality scoring SQL applied to the perturbed corpus
+    best_quality_sql = f"""
+WITH RECURSIVE jp AS ({_JACCARD_ALLPAIRS_SQL}),
+edges AS (
+  SELECT a AS u, b AS v FROM jp UNION SELECT b, a FROM jp
+  UNION SELECT a, a FROM jp UNION SELECT b, b FROM jp
+),
+reach(u, v) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.u, g.v FROM reach r JOIN edges g ON r.v = g.u
+),
+comp AS (SELECT u AS doc_id, min(v) AS component FROM reach GROUP BY u),
+{_BOTH_DOCS_SQL},
+qual AS ({_quality_sql_for("both_docs")}),
+best AS (
+  SELECT c.doc_id FROM comp c JOIN qual q USING (doc_id)
+  QUALIFY row_number() OVER (PARTITION BY c.component
+            ORDER BY q.quality DESC, c.doc_id) = 1)
+SELECT bd.doc_id FROM both_docs bd
+WHERE bd.doc_id NOT IN (SELECT doc_id FROM comp)
+   OR bd.doc_id IN (SELECT doc_id FROM best)
+"""
+
     # pipe_curation: the full curation composition (lang-ID -> quality
     # -> filter -> exact dedup keeping min doc_id) over the corpus plus
     # an exact-duplicate copy, all reusing the per-stage oracles above
@@ -3642,6 +3704,7 @@ FROM d WHERE tf > 0
         "dedup_ngram": _JACCARD_ALLPAIRS_SQL,
         "dedup_components": _COMPONENTS_SQL,
         "dedup_survivors": _SURVIVORS_SQL,
+        "dedup_best_quality": best_quality_sql,
         "dedup_minhash": _JACCARD_ALLPAIRS_SQL,
         "dedup_simhash": _SIMHASH_ALLPAIRS_SQL,
         "ann_rp_lsh": _RP_LSH_ALLPAIRS_SQL,
@@ -4312,6 +4375,16 @@ LIMIT 10
             "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
             " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
             "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
+            "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
+        ),
+        "ann_hard_negatives": (
+            "WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe "
+            "FROM embeddings WHERE vec_id IN (0,1,2)) "
+            "SELECT qid, e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel "
             "QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 10"
         ),
         "ann_cosine_filtered": (

@@ -110,6 +110,77 @@ def cosine_topk(
     return partial.groupby("qid").map_groups(_final, batch_format="pandas")
 
 
+class _HardNegScore(_BruteScore):
+    """_BruteScore plus a label mask: corpus rows sharing an anchor's
+    label are excluded from that anchor's candidates (the anchor
+    itself is excluded for free — it shares its own label)."""
+
+    def __init__(self, queries, qids, qlabels, k, vec_col, id_col, label_col):
+        super().__init__(queries, qids, k, vec_col, id_col)
+        self.qlabels = np.asarray(qlabels, dtype=np.int64)
+        self.label_col = label_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t[self.id_col].to_numpy()
+        labels = t[self.label_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        m = _normalize(_to_matrix(t[self.vec_col], self.qn.shape[1]))
+        sims = m @ self.qn.T  # (batch, Q)
+        sims = np.where(labels[:, None] == self.qlabels[None, :], -np.inf, sims)
+        n, q = sims.shape
+        k = min(self.k, n)
+        out_q, out_v, out_s = [], [], []
+        for j in range(q):
+            kth = np.partition(sims[:, j], n - k)[n - k]
+            # rounding-distance slack as in _BruteScore, but -inf
+            # (masked) rows must never ride through a -inf kth
+            sel = np.nonzero(np.isfinite(sims[:, j]) & (sims[:, j] >= kth - 1e-4))[0]
+            out_q.append(np.full(sel.size, self.qids[j], dtype=np.int64))
+            out_v.append(ids[sel])
+            out_s.append(sims[sel, j])
+        return pa.table(
+            {
+                "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                "cos": pa.array(np.concatenate(out_s), pa.float64()),
+            }
+        )
+
+
+def hard_negatives(
+    ds: Dataset,
+    anchors: np.ndarray,
+    anchor_ids: np.ndarray,
+    anchor_labels: np.ndarray,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+) -> Dataset:
+    """Hard-negative mining for retriever / embedding-model training
+    (the DPR/ANCE data-prep step): for every anchor, the k corpus
+    vectors MOST cosine-similar to it among those with a DIFFERENT
+    label — near the anchor in embedding space but semantically
+    negative. Same scale shape as cosine_topk: the anchor matrix is
+    actor-state (broadcast once per actor), each corpus block emits a
+    bounded per-anchor partial top-k, and only candidate rows reach
+    the tiny per-anchor final sort. Returns (qid, vec_id, cos) with
+    cos rounded to 4, ranked cos desc / vec_id asc."""
+    partial = ds.map_batches(
+        _HardNegScore,
+        fn_constructor_args=(anchors, anchor_ids, anchor_labels, k, vec_col, id_col, label_col),
+        batch_format="pyarrow",
+        concurrency=(1, 8),
+    )
+
+    def _final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy()
+        df["cos"] = round_half_up(df["cos"].to_numpy())
+        df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+        return df.head(k)
+
+    return partial.groupby("qid").map_groups(_final, batch_format="pandas")
+
+
 def rp_lsh_near_dup(
     ds: Dataset,
     threshold: float = 0.9,

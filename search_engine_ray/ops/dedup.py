@@ -988,6 +988,98 @@ def drop_near_duplicates(
     )
 
 
+def keep_best_in_component(
+    docs: Dataset,
+    components: Dataset,
+    score_col: str,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+    num_shards: int = 64,
+) -> Dataset:
+    """Quality-aware survivor selection: within every near-dup cluster
+    keep the member with the HIGHEST `score_col` (tie -> lowest id),
+    instead of `drop_near_duplicates`' blind min-id rule — the policy
+    production curation pipelines actually use (RefinedWeb/Dolma keep
+    the best-scoring copy of boilerplate-near documents).
+
+    Scale shape mirrors drop_near_duplicates: `components` is
+    candidate-graph-sized, so membership and the id->component map are
+    broadcast (`ray.put` once, plasma-local per task); member scores
+    are extracted from the corpus with one vectorized searchsorted
+    probe per block (the corpus never shuffles); winners come from a
+    COARSE-sharded groupby (component % num_shards — never one group
+    per component) with a per-shard vectorized sort + drop_duplicates;
+    the final drop set is again broadcast. The only shuffle is the
+    winner groupby over the member-sized table."""
+    import ray
+
+    comp_pdf = components.to_pandas()
+    if not len(comp_pdf) or id_col not in comp_pdf.columns:
+        return docs
+    order = np.argsort(comp_pdf[id_col].to_numpy(dtype=np.int64))
+    member_ids = comp_pdf[id_col].to_numpy(dtype=np.int64)[order]
+    member_comp = comp_pdf[comp_col].to_numpy(dtype=np.int64)[order]
+    mref = ray.put((member_ids, member_comp))
+
+    def _member_scores(t: pa.Table) -> pa.Table:
+        ids_s, comp_s = ray.get(mref)
+        if not len(t):
+            return pa.table(
+                {
+                    id_col: pa.array([], pa.int64()),
+                    comp_col: pa.array([], pa.int64()),
+                    score_col: pa.array([], pa.float64()),
+                }
+            )
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(ids_s, v), 0, ids_s.size - 1)
+        hit = ids_s[pos] == v
+        return pa.table(
+            {
+                id_col: pa.array(v[hit], pa.int64()),
+                comp_col: pa.array(comp_s[pos[hit]], pa.int64()),
+                score_col: pa.array(
+                    t[score_col].to_numpy(zero_copy_only=False)[hit].astype(np.float64)
+                ),
+            }
+        )
+
+    members = docs.map_batches(_member_scores, batch_format="pyarrow")
+    sharded = members.map_batches(
+        lambda df: df.assign(_shard=(df[comp_col] % num_shards).astype(np.int32)),
+        batch_format="pandas",
+    )
+
+    def _winners(df: pd.DataFrame) -> pd.DataFrame:
+        if df.empty:
+            return pd.DataFrame({id_col: np.empty(0, np.int64)})
+        w = df.sort_values(
+            [comp_col, score_col, id_col], ascending=[True, False, True]
+        ).drop_duplicates(comp_col)
+        return pd.DataFrame({id_col: w[id_col].to_numpy(dtype=np.int64)})
+
+    winner_pdf = (
+        sharded.groupby("_shard").map_groups(_winners, batch_format="pandas").to_pandas()
+    )
+    winner_ids = (
+        winner_pdf[id_col].to_numpy(dtype=np.int64)
+        if len(winner_pdf) and id_col in winner_pdf.columns
+        else np.empty(0, np.int64)
+    )
+    drop = np.sort(np.setdiff1d(member_ids, winner_ids))
+    dref = ray.put(drop)
+
+    def _drop(t: pa.Table) -> pa.Table:
+        d = ray.get(dref)
+        if not len(t) or not d.size:
+            return t
+        v = t[id_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        pos = np.clip(np.searchsorted(d, v), 0, d.size - 1)
+        return t.filter(pa.array(d[pos] != v))
+
+    return docs.map_batches(_drop, batch_format="pyarrow")
+
+
 # ---------------------------------------------------- decontamination
 
 

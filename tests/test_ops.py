@@ -1328,3 +1328,67 @@ def test_spherical_kmeans_deterministic():
     c2 = ann.spherical_kmeans(m.copy(), 4, 10, 5)
     np.testing.assert_array_equal(c1, c2)
     np.testing.assert_allclose(np.linalg.norm(c1, axis=1), 1.0, atol=1e-12)
+
+
+def test_keep_best_in_component(ray_session):
+    """Quality-aware survivor selection keeps the argmax-score member
+    per component (tie -> lowest id); singletons always survive."""
+    import ray.data as rd
+
+    docs = rd.from_items(
+        [
+            {"doc_id": 1, "q": 0.5},
+            {"doc_id": 2, "q": 0.9},   # comp 1 winner (best score)
+            {"doc_id": 3, "q": 0.9},   # comp 1 tie -> loses to id 2
+            {"doc_id": 4, "q": 0.1},   # comp 4 winner (only member scored)
+            {"doc_id": 5, "q": 0.1},   # comp 4 tie -> loses to id 4
+            {"doc_id": 9, "q": 0.0},   # unpaired: survives
+        ]
+    )
+    comps = rd.from_items(
+        [
+            {"doc_id": 1, "component": 1},
+            {"doc_id": 2, "component": 1},
+            {"doc_id": 3, "component": 1},
+            {"doc_id": 4, "component": 4},
+            {"doc_id": 5, "component": 4},
+        ]
+    )
+    out = dd.keep_best_in_component(docs, comps, "q").to_pandas()
+    assert sorted(out["doc_id"].tolist()) == [2, 4, 9]
+    # empty components -> identity
+    empty = comps.filter(lambda r: False)
+    out2 = dd.keep_best_in_component(docs, empty, "q").to_pandas()
+    assert len(out2) == 6
+
+
+def test_hard_negatives(ray_session, con):
+    """Per anchor: top-k most-similar DIFFERENT-label vectors; no
+    same-label (hence no self) row ever appears."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    qdf = con.sql(
+        "SELECT vec_id, label, embedding FROM embeddings WHERE vec_id IN (0, 1, 2) ORDER BY vec_id"
+    ).df()
+    queries = np.stack(qdf["embedding"].to_numpy()).astype(np.float64)
+    out = ann.hard_negatives(
+        emb, queries, qdf["vec_id"].to_numpy(), qdf["label"].to_numpy(), k=5
+    ).to_pandas()
+    exp = con.sql(
+        """
+        WITH q AS (SELECT vec_id AS qid, label AS qlabel, embedding AS qe
+                   FROM embeddings WHERE vec_id IN (0,1,2))
+        SELECT qid, vec_id, round(
+            list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) /
+            (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+             sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos
+        FROM embeddings e CROSS JOIN q WHERE e.label <> q.qlabel
+        QUALIFY row_number() OVER (PARTITION BY qid ORDER BY cos DESC, e.vec_id) <= 5
+        """
+    ).df()
+    assert_frames_equal(out[["qid", "vec_id", "cos"]], exp)
+    lbl = con.sql("SELECT vec_id, label FROM embeddings").df().set_index("vec_id")["label"]
+    qlbl = qdf.set_index("vec_id")["label"]
+    for _, r in out.iterrows():
+        assert lbl[r["vec_id"]] != qlbl[r["qid"]]
