@@ -188,6 +188,9 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s46_percolate", "s47_filters", "s48_adjacency", "s52_rank_eval",
         "e12_ingest", "e13_snapshot",
         "r34_histogram", "t_dup_ngrams", "t_strip_dup_ngrams", "t_quality_clf",
+        # round-3: SemDeDup + hard negatives (dedup_best_quality
+        # excluded with the other exact all-pairs-edge entries)
+        "dedup_semantic", "ann_hard_negatives",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

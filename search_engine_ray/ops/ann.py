@@ -1,9 +1,9 @@
 """Similarity search over an embedding column (task brief):
 
 - `cosine_topk`: exact brute-force cosine top-k — the baseline. The
-  query matrix is broadcast once per actor; each batch is one numpy
-  matmul; per-batch partial top-k keeps the shuffle tiny (num_blocks
-  x Q x k rows), final per-query merge is a groupby.
+  query matrix ships once with the prepared UDF; each batch is one
+  numpy matmul; per-batch partial top-k keeps the shuffle tiny
+  (num_blocks x Q x k rows), final per-query merge is a groupby.
 - `rp_lsh_near_dup`: all-pairs near-duplicate detection via random-
   hyperplane LSH bucketing (signature groupby), pairwise verify only
   inside buckets.
@@ -44,8 +44,8 @@ def _normalize(m: np.ndarray) -> np.ndarray:
 
 
 class _BruteScore:
-    """Actor: holds the normalized query matrix; per batch emits each
-    query's local top-k (qid, vec_id, cos)."""
+    """Prepared-instance UDF: holds the normalized query matrix; per
+    batch emits each query's local top-k (qid, vec_id, cos)."""
 
     def __init__(self, queries: np.ndarray, qids: np.ndarray, k: int, vec_col: str, id_col: str):
         self.qn = _normalize(np.asarray(queries, dtype=np.float64))
@@ -92,11 +92,12 @@ def cosine_topk(
     """Exact cosine top-k of each query against the dataset. Returns
     (qid, vec_id, cos) rows, cos rounded to 4 (deterministic ranking:
     cos desc, vec_id asc on the rounded value)."""
+    # plain tasks: the scorer's state (normalized query matrix) is
+    # tiny and ships once as the prepared UDF; an actor pool here pays
+    # spin-up and can starve upstream reads on small sessions
     partial = ds.map_batches(
-        _BruteScore,
-        fn_constructor_args=(queries, qids, k + (1 if exclude_self else 0), vec_col, id_col),
+        _BruteScore(queries, qids, k + (1 if exclude_self else 0), vec_col, id_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:
@@ -160,16 +161,14 @@ def hard_negatives(
     (the DPR/ANCE data-prep step): for every anchor, the k corpus
     vectors MOST cosine-similar to it among those with a DIFFERENT
     label — near the anchor in embedding space but semantically
-    negative. Same scale shape as cosine_topk: the anchor matrix is
-    actor-state (broadcast once per actor), each corpus block emits a
+    negative. Same scale shape as cosine_topk: the anchor matrix
+    ships once with the prepared UDF, each corpus block emits a
     bounded per-anchor partial top-k, and only candidate rows reach
     the tiny per-anchor final sort. Returns (qid, vec_id, cos) with
     cos rounded to 4, ranked cos desc / vec_id asc."""
     partial = ds.map_batches(
-        _HardNegScore,
-        fn_constructor_args=(anchors, anchor_ids, anchor_labels, k, vec_col, id_col, label_col),
+        _HardNegScore(anchors, anchor_ids, anchor_labels, k, vec_col, id_col, label_col),
         batch_format="pyarrow",
-        concurrency=(1, 8),
     )
 
     def _final(df: pd.DataFrame) -> pd.DataFrame:

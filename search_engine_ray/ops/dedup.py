@@ -173,8 +173,9 @@ def _perm_coeffs(p: MinHashParams) -> tuple[np.ndarray, np.ndarray]:
 
 
 class MinHashSignatures:
-    """map_batches actor: doc -> (doc_id, sig:list<uint64>[num_perm]).
-    Permutation coefficients are built once per actor (__init__)."""
+    """map_batches UDF: doc -> (doc_id, sig:list<uint64>[num_perm]).
+    Permutation coefficients are built once in __init__; the prepared
+    instance ships to plain tasks."""
 
     def __init__(self, text_col: str, id_col: str, params: MinHashParams):
         self.text_col, self.id_col, self.p = text_col, id_col, params
@@ -205,11 +206,13 @@ def minhash_signatures(
     ds: Dataset, text_col: str = "text", id_col: str = "doc_id", params: MinHashParams | None = None
 ) -> Dataset:
     params = params or MinHashParams()
+    # plain tasks, not an actor pool: the stage's setup (64 rng
+    # coefficients) is trivial, and a fixed pool pays ~1-2s spin-up
+    # and can starve upstream reads on small sessions — the prepared
+    # instance ships once as the UDF (measured: bands stage 6.8s ->
+    # 1.3-2.8s at sf0.1)
     return ds.map_batches(
-        MinHashSignatures,
-        fn_constructor_args=(text_col, id_col, params),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        MinHashSignatures(text_col, id_col, params), batch_format="pyarrow"
     )
 
 
@@ -249,9 +252,10 @@ def _band_rows(sig_table: pa.Table, id_col: str, p: MinHashParams) -> pa.Table:
 
 
 class MinHashBands:
-    """Fused actor stage: text -> shingle minhash signatures -> band
+    """Fused map stage: text -> shingle minhash signatures -> band
     bucket rows (+ the coarse shuffle key) in ONE map_batches — no
-    intermediate signature dataset between two Ray jobs."""
+    intermediate signature dataset between two Ray jobs. Used as a
+    prepared-instance UDF over plain tasks (setup is trivial)."""
 
     def __init__(self, text_col: str, id_col: str, params: MinHashParams):
         self.inner = MinHashSignatures(text_col, id_col, params)
@@ -321,10 +325,11 @@ def _candidate_pairs(ds_bands: Dataset, id_col: str, max_bucket: int) -> Dataset
 
 class _JaccardVerify:
     """Verify candidate pairs with exact shingle-set Jaccard. The
-    candidate docs' shingle sets are broadcast once per actor (they
-    are << corpus; at larger scale replace with a doc_id join).
+    candidate docs' shingle sets are << corpus; the PREPARED instance
+    is the map UDF, shipped once (at larger scale replace with a
+    doc_id join — verify="join").
 
-    Setup (once per actor) factorizes every shingle string to an int
+    Setup (once, driver-side) factorizes every shingle string to an int
     code — EXACT, no hash-collision risk — and stores one sorted code
     array per doc. Per batch, intersections for ALL pairs come out of
     a single lexsort + adjacent-duplicate count (a code appearing
@@ -523,12 +528,10 @@ def minhash_lsh_pairs(
     pairs with NO broadcast — the path for candidate sets too large to
     hold in one memory."""
     p = params or MinHashParams()
-    # fused: text -> signatures -> band buckets (+ coarse key) in one stage
+    # fused: text -> signatures -> band buckets (+ coarse key) in one
+    # stage; plain tasks (trivial setup — see minhash_signatures)
     bands = ds.map_batches(
-        MinHashBands,
-        fn_constructor_args=(text_col, id_col, p),
-        batch_format="pyarrow",
-        concurrency=(1, 8),
+        MinHashBands(text_col, id_col, p), batch_format="pyarrow"
     )
 
     def _pairs(df: pd.DataFrame) -> pd.DataFrame:
@@ -584,11 +587,11 @@ def minhash_lsh_pairs(
     ]
     shingle_tbl = pa.concat_tables([s for s in shingle_tbl_parts if s.num_rows] or shingle_tbl_parts)
 
+    # the verifier's setup (factorize every candidate shingle string)
+    # runs ONCE driver-side; the prepared instance ships to plain
+    # tasks as the UDF — no actor pool paying the setup per actor
     return rd.from_arrow(pair_all).map_batches(
-        _JaccardVerify,
-        fn_constructor_args=(shingle_tbl, id_col, threshold),
-        batch_format="pyarrow",
-        concurrency=(1, 4),
+        _JaccardVerify(shingle_tbl, id_col, threshold), batch_format="pyarrow"
     )
 
 
@@ -1084,10 +1087,10 @@ def keep_best_in_component(
 
 
 class _ContaminationCheck:
-    """Actor stage flagging docs that share any shingle with the
-    broadcast blocklist. The sorted hash array ships once per actor
-    via fn_constructor_args (object store); each batch is one
-    vectorized np.isin over its distinct per-doc shingle hashes."""
+    """Prepared-instance UDF flagging docs that share any shingle
+    with the blocklist. The sorted hash array ships once with the
+    UDF (object store); each batch is one vectorized np.isin over
+    its distinct per-doc shingle hashes."""
 
     def __init__(self, block: np.ndarray, text_col: str, id_col: str, w: int):
         self.block = block
@@ -1115,7 +1118,7 @@ def contamination_flags(
     text_col: str = "text",
     id_col: str = "doc_id",
     w: int = 3,
-    concurrency: tuple[int, int] | int = (1, 8),
+    concurrency: tuple[int, int] | int | None = None,  # unused; kept for API compat
 ) -> Dataset:
     """Benchmark decontamination (GPT-3-style n-gram overlap filter):
     flag every corpus doc sharing at least one ``w``-token shingle
@@ -1125,8 +1128,8 @@ def contamination_flags(
 
     Scale shape: the blocklist is the EVAL set's shingles — small by
     construction (benchmarks are thousands of docs, not billions) —
-    collected once, deduplicated, and broadcast to an actor pool; the
-    corpus streams through one ``np.isin`` per batch. Shingles compare
+    collected once, deduplicated, and shipped once with the prepared
+    probe UDF; the corpus streams through one ``np.isin`` per batch. Shingles compare
     by the same 64-bit polynomial-over-md5 hash as the Jaccard ring
     (collision odds ~2^-64 per pair; docs shorter than ``w`` tokens
     hash their full token run, mirroring `_shingle_hashes`). Output is
@@ -1143,11 +1146,11 @@ def contamination_flags(
         if hv.size:
             parts.append(np.unique(hv))
     block = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.uint64)
+    # prepared probe ships once as the UDF to plain tasks (the
+    # blocklist is eval-set-sized); no fixed pool to spin up or starve
+    # upstream reads
     return ds.map_batches(
-        _ContaminationCheck,
-        fn_constructor_args=(block, text_col, id_col, w),
-        batch_format="pyarrow",
-        concurrency=concurrency,
+        _ContaminationCheck(block, text_col, id_col, w), batch_format="pyarrow"
     )
 
 
