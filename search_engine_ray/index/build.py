@@ -1037,8 +1037,23 @@ def build_index_resumable(
     independent sub-index; completed shards are skipped on rerun
     (per-partition lineage lives in manifest.json). Mirrors the
     reference's incremental upsert idempotence (E2/E4,
-    lamda/store_product_sync.py:16-25) as overwrite-per-shard."""
+    lamda/store_product_sync.py:16-25) as overwrite-per-shard.
+
+    ``input_files`` may also be a single path string (a parquet file or
+    a directory, expanded recursively like ``build_index``). Expanding
+    here — not via ``sorted(<str>)`` — matters: iterating a bare string
+    yields its CHARACTERS, and a ``'/'`` element would send
+    ``_input_bytes`` recursively globbing the root filesystem (an
+    infinite walk once it enters the ``/proc/self/root`` symlink
+    loop)."""
     config = config or IndexConfig()
+    if isinstance(input_files, str):
+        if os.path.isdir(input_files):
+            input_files = glob.glob(
+                os.path.join(input_files, "**", "*.parquet"), recursive=True
+            )
+        else:
+            input_files = [input_files]
     os.makedirs(out_dir, exist_ok=True)
     manifest_path = os.path.join(out_dir, "manifest.json")
     manifest = {"shards": {}, "resumable": True}

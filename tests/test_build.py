@@ -329,3 +329,34 @@ def test_integrity_check_sparse_buckets(ray_session, tmp_path):
     rep = integrity_check(out, cfg, decode=True)
     assert rep["ok"], rep["errors"][:5]
     assert rep["checks"]["docs"] == 60 and rep["checks"]["decoded_rows"] > 0
+
+
+def test_resumable_build_accepts_directory_string(ray_session, tiny_corpus, tmp_path):
+    """A bare path string must expand to the dir's parquet files — NOT
+    iterate as characters (sorted('<str>') yields chars; a '/' element
+    sent _input_bytes recursively globbing the root filesystem, which
+    never terminates inside the /proc/self/root symlink loop)."""
+    import pyarrow.parquet as pq
+
+    src = tmp_path / "src"
+    src.mkdir()
+    n = tiny_corpus.num_rows
+    for i in range(2):
+        pq.write_table(tiny_corpus.slice(i * n // 2, n // 2), str(src / f"part-{i}.parquet"))
+    cfg = IndexConfig(num_buckets=4, num_parts=4)
+    out = str(tmp_path / "resumable_dir")
+    manifest = build_index_resumable(str(src), out, cfg, files_per_shard=1)
+    assert len(manifest["shards"]) == 2
+    assert all(s["complete"] for s in manifest["shards"].values())
+    # rerun with the same directory string: every shard skipped
+    mtimes = {d: os.path.getmtime(d) for d in glob.glob(os.path.join(out, "shards", "*"))}
+    build_index_resumable(str(src), out, cfg, files_per_shard=1)
+    assert mtimes == {d: os.path.getmtime(d) for d in glob.glob(os.path.join(out, "shards", "*"))}
+    # and the sharded result answers queries like a single build
+    out_s = str(tmp_path / "single_dir")
+    build_index(str(src), out_s, cfg)
+    q = Compound(must=(Term("content", "tokenizer"),))
+    rs = SearchEngine(out_s, cfg).search(q, k=10)
+    rr = SearchEngine(out, cfg).search(q, k=10)
+    assert rr.total == rs.total
+    assert rr.hits["doc_id"].tolist() == rs.hits["doc_id"].tolist()
