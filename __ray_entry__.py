@@ -403,6 +403,32 @@ WHERE bd.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 # interpreted big-endian. Quarter-blocking recall is exact (pigeonhole:
 # <=3 differing bits leave >=1 clean 16-bit quarter), so the engine's
 # candidate generation provably finds every hamming<=3 pair.
+# cross-corpus pairs only — NEW shard (the +1000000 perturbed copies)
+# vs the STANDING corpus (original documents) — for dedup_incremental:
+# same shingle machinery as the all-pairs oracle, join restricted to
+# new x old, columns named like the op's output
+_JACCARD_INCREMENTAL_SQL = f"""
+WITH {_BOTH_DOCS_SQL},
+tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM both_docs),
+sh AS (SELECT doc_id,
+       CASE WHEN len(ts) >= 3 THEN
+         list_distinct(list_transform(range(1, len(ts) - 1),
+                                      j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+            WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')]
+            ELSE [] END AS shingles
+       FROM tok),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+inter AS (SELECT en.doc_id AS new_id, eo.doc_id AS old_id, count(*) AS i
+          FROM e en JOIN e eo ON en.s = eo.s
+          WHERE en.doc_id >= 1000000 AND eo.doc_id < 1000000
+          GROUP BY 1, 2)
+SELECT new_id, old_id, round(i::DOUBLE / (sn.sz + so.sz - i), 4) AS jaccard
+FROM inter JOIN sizes sn ON inter.new_id = sn.doc_id
+           JOIN sizes so ON inter.old_id = so.doc_id
+WHERE round(i::DOUBLE / (sn.sz + so.sz - i), 4) >= 0.5
+"""
+
 _SIMHASH_ALLPAIRS_SQL = f"""
 WITH {_BOTH_DOCS_SQL},
 tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS tk
@@ -2158,6 +2184,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
         comps = dd.connected_components(pairs)
         return dd.drop_near_duplicates(docs, comps).select_columns(["doc_id"])
 
+    def dedup_incremental(sf_dir):
+        # continuous-ingest dedup: the STANDING corpus (original
+        # documents) is indexed ONCE into a stored shingle index
+        # (/tmp cache keyed on source mtime); the NEW shard (the
+        # perturbed +1000000 copies) then streams against the index —
+        # no re-read / re-tokenize of the standing corpus. Exact
+        # recall (shared-shingle blocking), so the cross-pairs
+        # Jaccard SQL is a true value oracle.
+        import ray.data as rd
+
+        tag = sf_dir.strip("/").replace("/", "_")
+        mt = int(os.path.getmtime(os.path.join(sf_dir, "documents.parquet")))
+        idx_dir = f"/tmp/ser_shingle_idx/{tag}_{mt}_w3"
+        if not os.path.exists(idx_dir):
+            old = rd.read_parquet(
+                os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+            )
+            dd.write_shingle_index(old, idx_dir + ".tmp", w=3)
+            os.rename(idx_dir + ".tmp", idx_dir)
+
+        def _perturb(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.add(t["doc_id"], 1_000_000),
+                    "text": pc.binary_join_element_wise(t["text"], "zz_dup_marker", " "),
+                }
+            )
+
+        new_shard = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        ).map_batches(_perturb, batch_format="pyarrow")
+        return dd.incremental_jaccard_pairs(idx_dir, new_shard, threshold=0.5)
+
     def dedup_best_quality(sf_dir):
         # quality-aware survivor selection (the RefinedWeb/Dolma
         # policy): within each near-dup cluster keep the member with
@@ -2591,6 +2650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_components": dedup_components,
         "dedup_survivors": dedup_survivors,
         "dedup_best_quality": dedup_best_quality,
+        "dedup_incremental": dedup_incremental,
         "ann_hard_negatives": ann_hard_negatives,
         "ann_pq": ann_pq,
         "ann_cosine_filtered": ann_cosine_filtered,
@@ -3706,6 +3766,7 @@ FROM d WHERE tf > 0
         "dedup_survivors": _SURVIVORS_SQL,
         "dedup_best_quality": best_quality_sql,
         "dedup_minhash": _JACCARD_ALLPAIRS_SQL,
+        "dedup_incremental": _JACCARD_INCREMENTAL_SQL,
         "dedup_simhash": _SIMHASH_ALLPAIRS_SQL,
         "ann_rp_lsh": _RP_LSH_ALLPAIRS_SQL,
         "s3_bm25_and": _bm25_sql(["hash", "join"], mode="must"),

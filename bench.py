@@ -190,7 +190,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r34_histogram", "t_dup_ngrams", "t_strip_dup_ngrams", "t_quality_clf",
         # round-3: SemDeDup + hard negatives (dedup_best_quality
         # excluded with the other exact all-pairs-edge entries)
-        "dedup_semantic", "ann_hard_negatives",
+        "dedup_semantic", "ann_hard_negatives", "dedup_incremental",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -22,6 +22,7 @@ Scale design:
 from __future__ import annotations
 
 import hashlib
+import os
 from dataclasses import dataclass
 
 import numpy as np
@@ -695,6 +696,192 @@ def ngram_jaccard_pairs(
             {
                 "a": t["a"].filter(keep),
                 "b": t["b"].filter(keep),
+                "jaccard": pa.array(jac[jac >= threshold], pa.float64()),
+            }
+        )
+
+    return inter.map_batches(_jaccard, batch_format="pyarrow")
+
+
+# ------------------------------------- incremental (cross-corpus) dedup
+
+
+def _shingle_rows_table(t: pa.Table, text_col: str, id_col: str, w: int) -> pa.Table:
+    """doc -> distinct (sh, doc, sz) shingle rows (int64 throughout —
+    uint64 columns pickle poorly through shuffles)."""
+    flat, offsets = _shingle_hashes(t[text_col], w)
+    ids = t[id_col].to_numpy().astype(np.int64)
+    sizes = np.diff(offsets)
+    parents = np.repeat(np.arange(t.num_rows), sizes)
+    return pa.table(
+        {
+            "sh": pa.array(flat.view(np.int64), pa.int64()),
+            "doc": pa.array(ids[parents], pa.int64()),
+            "sz": pa.array(sizes[parents].astype(np.int64), pa.int64()),
+        }
+    )
+
+
+def write_shingle_index(
+    ds: Dataset,
+    index_dir: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_shards: int = 64,
+) -> None:
+    """Persist a corpus's inverted shingle index as hash-sharded
+    parquet: (sh:int64, doc:int64, sz:int64) partitioned by
+    shard = sh & (num_shards-1). Built ONCE per corpus; every later
+    arriving shard dedups against the files (incremental_jaccard_pairs)
+    without re-reading or re-tokenizing a byte of this corpus — the
+    continuous-ingest path at 100 TB, where the standing corpus is
+    orders of magnitude larger than each new shard.
+
+    One sort("shard") shuffle co-locates each shard before the write so
+    the directory holds O(blocks + num_shards) files, not (write tasks
+    x num_shards): a 4096-tiny-file layout made every downstream read
+    spawn thousands of near-empty blocks whose groupby sort-shuffle
+    task count exploded (observed: a 5k-doc corpus hung >10 min;
+    co-located files finish in seconds). Build cost is one-time per
+    corpus; the layout is what every later ingest batch reads.
+    (sort, not repartition(keys=...): key-based repartition requires
+    the opt-in HASH_SHUFFLE DataContext strategy.)"""
+
+    def _rows(t: pa.Table) -> pa.Table:
+        rows = _shingle_rows_table(t, text_col, id_col, w)
+        shard = pc.bit_wise_and(rows["sh"], num_shards - 1)
+        return rows.append_column("shard", shard)
+
+    ds.map_batches(_rows, batch_format="pyarrow").sort("shard").write_parquet(
+        index_dir, partition_cols=["shard"]
+    )
+
+
+def incremental_jaccard_pairs(
+    index_dir: str,
+    new_ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    threshold: float = 0.5,
+    max_shingle_df: int = 4096,
+) -> Dataset:
+    """EXACT cross-corpus near-dup pairs between a NEW shard and the
+    STANDING corpus behind a stored shingle index (write_shingle_index):
+    (new_id, old_id, jaccard) with round(jaccard,4) >= threshold.
+
+    Same exact-recall shared-shingle blocking as ngram_jaccard_pairs —
+    any cross pair with J > 0 shares a shingle — but the old side never
+    re-tokenizes: its shingle rows stream from the index parquet,
+    pre-filtered per batch by an np.isin probe against the NEW shard's
+    broadcast distinct-shingle set (the new shard is small by
+    construction — it's one ingest batch — so its distinct hashes fit
+    one object-store value; at extreme new-shard sizes swap the probe
+    for a per-shard Bloom filter and keep the same plan). Only old rows
+    whose shingle occurs in the new shard survive the read, so the
+    cross-pair shuffle carries candidate rows, not the corpus.
+
+      new shard -> (sh, doc, sz) rows          [tokenize once]
+      index     -> rows, np.isin-filtered      [plain tasks, broadcast ref]
+      union -> groupby(sh & 63) -> per-shingle old x new merge (pandas
+      merge on sh IS the vectorized cross product) -> groupby(new, old)
+      count = |intersection| (sizes ride along) -> jaccard filter.
+
+    max_shingle_df drops shingles whose old-side df exceeds the cap
+    inside each coarse group (boilerplate guard, same contract as
+    ngram_jaccard_pairs)."""
+    import ray
+    import ray.data as rd
+
+    # materialize ONLY the new shard's shingle rows (the bounded small
+    # side — one ingest batch): the probe collection below and the
+    # pair plan both consume them, and without pinning, the tokenize
+    # stage would run twice
+    new_rows = new_ds.map_batches(
+        lambda t: _shingle_rows_table(t, text_col, id_col, w), batch_format="pyarrow"
+    ).materialize()
+    # the new shard's distinct shingle set: small (one ingest batch),
+    # collected once, shared via the object store
+    parts = [
+        np.unique(b["sh"].to_numpy())
+        for b in new_rows.iter_batches(batch_format="pyarrow")
+    ]
+    probe = np.unique(np.concatenate(parts)) if parts else np.empty(0, np.int64)
+    probe_ref = ray.put(probe)
+
+    def _filter_old(t: pa.Table) -> pa.Table:
+        pr = ray.get(probe_ref)  # plasma-local after the first batch
+        sh = t["sh"].to_numpy()
+        keep = np.zeros(sh.size, dtype=bool)
+        if pr.size:
+            pos = np.searchsorted(pr, sh)
+            np.clip(pos, 0, pr.size - 1, out=pos)
+            keep = pr[pos] == sh
+        mask = pa.array(keep)
+        return pa.table(
+            {
+                "sh": t["sh"].filter(mask),
+                "doc": t["doc"].filter(mask),
+                "sz": t["sz"].filter(mask),
+                "side": pa.array(np.zeros(int(np.count_nonzero(keep)), np.int64)),
+            }
+        )
+
+    # one read task per index shard file: without the cap the reader
+    # fans out per-file tasks and the downstream groupby sort-shuffle
+    # scales with block count squared-ish in task overhead
+    n_files = sum(
+        1 for _, _, fs in os.walk(index_dir) for f in fs if f.endswith(".parquet")
+    )
+    old_rows = rd.read_parquet(
+        index_dir,
+        columns=["sh", "doc", "sz"],
+        override_num_blocks=max(1, min(n_files, 64)),
+    ).map_batches(_filter_old, batch_format="pyarrow")
+    tagged_new = new_rows.map_batches(
+        lambda t: t.append_column("side", pa.array(np.ones(t.num_rows, np.int64))),
+        batch_format="pyarrow",
+    )
+    both = old_rows.union(tagged_new).map_batches(
+        lambda t: t.append_column("cg", pc.bit_wise_and(t["sh"], _N_COARSE - 1)),
+        batch_format="pyarrow",
+    )
+
+    def _cross(df: pd.DataFrame) -> pd.DataFrame:
+        old = df[df["side"] == 0]
+        new = df[df["side"] == 1]
+        if old.empty or new.empty:
+            return pd.DataFrame(
+                {"new_id": np.empty(0, np.int64), "old_id": np.empty(0, np.int64),
+                 "sz_new": np.empty(0, np.int64), "sz_old": np.empty(0, np.int64)}
+            )
+        dfc = old.groupby("sh", sort=False)["doc"].size()
+        hot = dfc[dfc > max_shingle_df].index
+        if len(hot):
+            old = old[~old["sh"].isin(hot)]
+        m = new.merge(old, on="sh", suffixes=("_n", "_o"))
+        return pd.DataFrame(
+            {"new_id": m["doc_n"].to_numpy(), "old_id": m["doc_o"].to_numpy(),
+             "sz_new": m["sz_n"].to_numpy(), "sz_old": m["sz_o"].to_numpy()}
+        )
+
+    co = both.groupby("cg").map_groups(_cross, batch_format="pandas")
+    inter = co.groupby(["new_id", "old_id"]).aggregate(
+        Count(alias_name="inter"),
+        Min("sz_new", alias_name="sz_new"),
+        Min("sz_old", alias_name="sz_old"),
+    )
+
+    def _jaccard(t: pa.Table) -> pa.Table:
+        i = t["inter"].to_numpy().astype(np.float64)
+        u = t["sz_new"].to_numpy() + t["sz_old"].to_numpy() - t["inter"].to_numpy()
+        jac = _round4_half_up(i / np.maximum(u, 1))
+        keep = pa.array(jac >= threshold)
+        return pa.table(
+            {
+                "new_id": t["new_id"].filter(keep),
+                "old_id": t["old_id"].filter(keep),
                 "jaccard": pa.array(jac[jac >= threshold], pa.float64()),
             }
         )

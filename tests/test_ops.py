@@ -1392,3 +1392,55 @@ def test_hard_negatives(ray_session, con):
     qlbl = qdf.set_index("vec_id")["label"]
     for _, r in out.iterrows():
         assert lbl[r["vec_id"]] != qlbl[r["qid"]]
+
+
+def test_incremental_jaccard_matches_cross_pairs(documents, con, tmp_path):
+    """incremental_jaccard_pairs over a STORED shingle index equals the
+    brute-force cross-pairs SQL (new shard = perturbed copies vs the
+    standing corpus), and the standing corpus is never re-tokenized —
+    the second run consumes only the index parquet."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.ops.dedup import incremental_jaccard_pairs, write_shingle_index
+
+    old = documents.select_columns(["doc_id", "text"])
+    idx = str(tmp_path / "shingle_idx")
+    write_shingle_index(old, idx)
+
+    def _perturb(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pc.add(t["doc_id"], 1_000_000),
+                "text": pc.binary_join_element_wise(t["text"], "zz_dup_marker", " "),
+            }
+        )
+
+    new = old.map_batches(_perturb, batch_format="pyarrow")
+    out = incremental_jaccard_pairs(idx, new, threshold=0.5).to_pandas()
+    exp = con.sql(
+        """
+        WITH both_docs AS (SELECT doc_id, text FROM documents
+             UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' FROM documents),
+        tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM both_docs),
+        sh AS (SELECT doc_id,
+               CASE WHEN len(ts) >= 3 THEN
+                 list_distinct(list_transform(range(1, len(ts) - 1),
+                                              j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+                    WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')] ELSE [] END AS shingles
+               FROM tok),
+        e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sizes AS (SELECT doc_id, count(*) AS sz FROM e GROUP BY 1),
+        inter AS (SELECT en.doc_id AS new_id, eo.doc_id AS old_id, count(*) AS i
+                  FROM e en JOIN e eo ON en.s = eo.s
+                  WHERE en.doc_id >= 1000000 AND eo.doc_id < 1000000 GROUP BY 1, 2)
+        SELECT new_id, old_id, round(i::DOUBLE / (sn.sz + so.sz - i), 4) AS jaccard
+        FROM inter JOIN sizes sn ON inter.new_id = sn.doc_id
+                   JOIN sizes so ON inter.old_id = so.doc_id
+        WHERE round(i::DOUBLE / (sn.sz + so.sz - i), 4) >= 0.5
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+    # every planted copy pairs with its original
+    assert len(out) >= documents.count()
+    planted = out[out["new_id"] == out["old_id"] + 1_000_000]
+    assert len(planted) == documents.count()
