@@ -1681,6 +1681,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.unigram_logprob(docs, "text").drop_columns(["text"])
 
+    def t_bigram_lm(sf_dir):
+        # interpolated bigram-LM scoring (one order up from
+        # t_unigram_lp, the CCNet perplexity-proxy family): two
+        # combiner-shaped count shuffles build the model, the count
+        # maps broadcast once, scoring is factorize + get_indexer
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.bigram_logprob(docs, "text").drop_columns(["text"])
+
+    def t_dsir(sf_dir):
+        # DSIR data selection (Xie et al. 2023): hashed-unigram bucket
+        # LMs for the target domain (lang='en') vs the raw corpus,
+        # per-doc log importance weight, deterministic top-100 keep
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        target = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+            lambda t: t.filter(pc.equal(t["lang"], "en")).select(["doc_id", "text"]),
+            batch_format="pyarrow",
+        )
+        return txt.dsir_select(docs, target, top_n=100)
+
     def t_decontaminate(sf_dir):
         # GPT-3-style benchmark decontamination: eval set = every
         # 97th doc; flag corpus docs sharing any 3-token shingle
@@ -2782,6 +2801,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivf": ann_ivf,
         "ann_ivf_batch": ann_ivf_batch,
         "pipe_listing": pipe_listing,
+        # ---- round-3 second wave (driver-window candidates for r04) ----
+        "t_dsir": t_dsir,
+        "t_bigram_lm": t_bigram_lm,
     }
 
 
@@ -4271,6 +4293,57 @@ SELECT tf.term, tf.tf, coalesce(df.df, 0) AS df FROM tf LEFT JOIN df USING (term
         ),
         "t_quality": _quality_sql_for("documents"),
         "t_bpe_tokens": _bpe_tokens_sql,
+        # t_dsir: hashed-unigram bucket LMs — bucket = md5_number_upper
+        # (first 8 md5 bytes LE, the engine's exact token hash) % 4096;
+        # smoothed probs (c+1)/(n+4096), per-doc sum of log ratios,
+        # deterministic top-100 keep on (rounded weight desc, doc_id)
+        "t_dsir": f"""
+WITH tok AS (SELECT doc_id, unnest({plain_toks}) AS tk FROM documents),
+bk AS (SELECT doc_id, CAST(md5_number_upper(tk) % 4096 AS BIGINT) AS b FROM tok),
+tc AS (SELECT b, count(*) AS c FROM bk JOIN documents USING (doc_id)
+       WHERE lang = 'en' GROUP BY 1),
+tn AS (SELECT count(*) AS n FROM bk JOIN documents USING (doc_id) WHERE lang = 'en'),
+rc AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+rn AS (SELECT count(*) AS n FROM bk),
+lr AS (SELECT r.b,
+              ln((coalesce(t.c, 0) + 1.0) / (tn.n + 4096.0))
+            - ln((r.c + 1.0) / (rn.n + 4096.0)) AS lr
+       FROM rc r LEFT JOIN tc t USING (b), tn, rn),
+w AS (SELECT d.doc_id, round(coalesce(sum(lr.lr), 0), 4) AS dsir_logw
+      FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id
+      LEFT JOIN lr ON lr.b = bk.b GROUP BY 1)
+SELECT doc_id, dsir_logw,
+       CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) <= 100 AS BIGINT)
+       AS selected
+FROM w
+""",
+        # t_bigram_lm: interpolated bigram LM replayed token-by-token —
+        # continuation tokens score -ln(lam*(cb/c_prev) + (1-lam)*(cu/N)),
+        # doc-first tokens -ln(cu/N); (1-lam) is embedded as the exact
+        # Python double 1.0-0.7 so the float math matches bit-for-bit
+        "t_bigram_lm": f"""
+WITH tok AS (SELECT doc_id, unnest({plain_toks}) AS tk,
+                    unnest(range(1, len({plain_toks}) + 1)) AS pos
+             FROM documents),
+uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tok),
+big AS (SELECT t1.tk AS w1, t2.tk AS w2, count(*) AS c
+        FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2),
+lp AS (SELECT t.doc_id,
+        CASE WHEN p.tk IS NULL THEN -ln(u.c::DOUBLE / tot.n)
+             ELSE -ln(0.7 * (coalesce(b.c, 0)::DOUBLE / up.c)
+                      + {1.0 - 0.7!r} * (u.c::DOUBLE / tot.n))
+        END AS lp
+       FROM tok t
+       JOIN uni u ON u.tk = t.tk
+       LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+       LEFT JOIN uni up ON up.tk = p.tk
+       LEFT JOIN big b ON b.w1 = p.tk AND b.w2 = t.tk, tot)
+SELECT d.doc_id, round(coalesce(sum(lp.lp) / count(lp.lp), 0), 4) AS bigram_nlp
+FROM documents d LEFT JOIN lp USING (doc_id)
+GROUP BY 1
+""",
         "t_unigram_lp": f"""
 WITH tok AS (SELECT doc_id, unnest({plain_toks}) AS tk FROM documents),
 cnt AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),

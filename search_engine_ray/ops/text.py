@@ -727,3 +727,262 @@ def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
         return out.append_column("token", flat)
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+# ------------------------------------------------- DSIR data selection
+
+
+def _md5_bucket_counts(ds: Dataset, text_col: str, n_buckets: int) -> tuple[np.ndarray, float]:
+    """Hashed-unigram feature counts: per-batch bincount partials (one
+    <=n_buckets-row table per block) -> ONE bounded groupby-sum
+    shuffle. The shuffle carries at most n_buckets rows per block, not
+    the token stream, so the model build is combiner-shaped like
+    unigram_logprob's vocab pass. Token hash = first 8 md5 bytes
+    little-endian (DuckDB ``md5_number_upper``), computed once per
+    DISTINCT token via factorize."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        flat, _parents, _n = _flat_tokens(t[text_col])
+        if len(flat) == 0:
+            return pa.table({"bk": pa.array([], pa.int64()), "c": pa.array([], pa.int64())})
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False), sort=False)
+        uh = np.fromiter(
+            (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "little") for u in uniq),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bk = (uh % np.uint64(n_buckets)).astype(np.int64)[codes]
+        cnt = np.bincount(bk, minlength=n_buckets)
+        nz = np.nonzero(cnt)[0]
+        return pa.table(
+            {"bk": pa.array(nz, pa.int64()), "c": pa.array(cnt[nz], pa.int64())}
+        )
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("bk")
+        .aggregate(Sum("c", alias_name="c"))
+        .to_pandas()  # <= n_buckets rows by construction
+    )
+    out = np.zeros(n_buckets, dtype=np.float64)
+    if len(agg):
+        out[agg["bk"].to_numpy()] = agg["c"].to_numpy().astype(np.float64)
+    return out, float(out.sum())
+
+
+class _DSIRScorer:
+    """Prepared-instance UDF: the per-bucket log importance ratio
+    (n_buckets floats) ships once with the closure; per batch one
+    md5-per-distinct-token hash + a weighted bincount."""
+
+    def __init__(self, logratio: np.ndarray, n_buckets: int, text_col: str):
+        self.lr = np.asarray(logratio, dtype=np.float64)
+        self.n_buckets = int(n_buckets)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .rounding import round_half_up
+
+        flat, parents, n = _flat_tokens(t[self.text_col])
+        logw = np.zeros(n, dtype=np.float64)
+        if len(flat):
+            codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False), sort=False)
+            uh = np.fromiter(
+                (int.from_bytes(hashlib.md5(u.encode("utf-8")).digest()[:8], "little") for u in uniq),
+                dtype=np.uint64,
+                count=len(uniq),
+            )
+            lr_uniq = self.lr[(uh % np.uint64(self.n_buckets)).astype(np.int64)]
+            logw = np.bincount(parents, weights=lr_uniq[codes], minlength=n)
+        return t.append_column("dsir_logw", pa.array(round_half_up(logw), pa.float64()))
+
+
+def dsir_importance(
+    ds: Dataset,
+    target: Dataset,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> Dataset:
+    """DSIR (Xie et al. 2023, arXiv:2302.03169 "Data Selection for
+    Language Models via Importance Resampling") importance weights:
+    hashed bag-of-unigram features (md5 -> n_buckets), a smoothed
+    bucket LM for the TARGET domain and one for the RAW corpus, and a
+    per-doc log importance weight
+
+        dsir_logw = round(sum_tokens ln(p_target(bk)/p_raw(bk)), 4)
+        p(bk) = (count(bk) + alpha) / (total + alpha * n_buckets)
+
+    Scale shape: each model build is one combiner-shaped shuffle
+    bounded by n_buckets rows per block; the scoring state is
+    n_buckets floats shipped once with the prepared UDF (plain tasks,
+    no actor pool — tiny state); the corpus itself never shuffles.
+    The paper resamples with Gumbel noise; the deterministic variant
+    here (rank by weight, see dsir_select) keeps the op value-
+    checkable — seeded Gumbel keys would compose the same way."""
+    tc, tn = _md5_bucket_counts(target, text_col, n_buckets)
+    rc, rn = _md5_bucket_counts(ds, text_col, n_buckets)
+    b = float(n_buckets)
+    lr = np.log((tc + alpha) / (tn + alpha * b)) - np.log((rc + alpha) / (rn + alpha * b))
+    return ds.map_batches(
+        _DSIRScorer(lr, n_buckets, text_col), batch_format="pyarrow"
+    )
+
+
+def dsir_select(
+    ds: Dataset,
+    target: Dataset,
+    top_n: int,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 4096,
+    alpha: float = 1.0,
+) -> Dataset:
+    """DSIR selection: score with dsir_importance, keep the top_n docs
+    by (dsir_logw desc, id asc) — bounded partial top-k per block, one
+    tiny survivor sort — and flag every doc. Returns
+    (id_col, dsir_logw, selected 0/1); the selected id set (top_n ids)
+    broadcasts for the flag pass, so no full sort of the corpus."""
+    import ray
+
+    from .relational import topk
+
+    scored = dsir_importance(ds, target, text_col, n_buckets, alpha).select_columns(
+        [id_col, "dsir_logw"]
+    )
+    # materialize: the winners pass and the flag pass both consume it,
+    # and the scored table is 2 columns (id, weight), not the corpus
+    scored = scored.materialize()
+    winners = (
+        topk(scored, ["dsir_logw", id_col], top_n, descending=[True, False])
+        .to_pandas()[id_col]
+        .to_numpy(dtype=np.int64)
+    )
+    ref = ray.put(np.sort(winners))
+
+    def _flag(t: pa.Table) -> pa.Table:
+        w = ray.get(ref)
+        ids = t[id_col].to_numpy()
+        pos = np.clip(np.searchsorted(w, ids), 0, max(w.size - 1, 0))
+        sel = (w[pos] == ids).astype(np.int64) if w.size else np.zeros(ids.size, np.int64)
+        return t.append_column("selected", pa.array(sel, pa.int64()))
+
+    return scored.map_batches(_flag, batch_format="pyarrow")
+
+
+# ------------------------------------- interpolated bigram LM scoring
+
+
+class _BigramScorer:
+    """Prepared-instance UDF over broadcast unigram + bigram count
+    maps. Per batch: one factorize per side, two pd.Index lookups over
+    the batch's DISTINCT tokens / token pairs; the interpolation and
+    per-doc mean are pure numpy."""
+
+    def __init__(self, uni_idx, uni_cnt, bi_idx, bi_cnt, total, lam, text_col):
+        self.uni_idx = pd.Index(uni_idx)
+        self.uni_cnt = np.asarray(uni_cnt, dtype=np.float64)
+        self.bi_idx = pd.Index(bi_idx)
+        self.bi_cnt = np.asarray(bi_cnt, dtype=np.float64)
+        self.total = float(total)
+        self.lam = float(lam)
+        self.text_col = text_col
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .rounding import round_half_up
+
+        flat, parents, n = _flat_tokens(t[self.text_col])
+        score = np.zeros(n, dtype=np.float64)
+        if len(flat):
+            toks = flat.to_numpy(zero_copy_only=False)
+            codes, uniq = pd.factorize(toks, sort=False)
+            ui = self.uni_idx.get_indexer(uniq)
+            # unseen tokens (scoring a corpus the model never saw):
+            # count 1 — same floor the SQL uses via coalesce
+            ucnt = np.where(ui >= 0, self.uni_cnt[np.maximum(ui, 0)], 1.0)[codes]
+            p_uni = ucnt / self.total
+            # token i is a continuation iff token i-1 is in the same doc
+            cont = np.zeros(len(toks), dtype=bool)
+            cont[1:] = parents[1:] == parents[:-1]
+            lp = -np.log(p_uni)  # first-token (and fallback) term
+            if cont.any():
+                pairs = np.char.add(
+                    np.char.add(toks[:-1].astype("U"), " "), toks[1:].astype("U")
+                )
+                pcodes, puniq = pd.factorize(pairs, sort=False)
+                bi = self.bi_idx.get_indexer(puniq)
+                bcnt_prev = np.where(bi >= 0, self.bi_cnt[np.maximum(bi, 0)], 0.0)[pcodes]
+                bcnt = np.zeros(len(toks), dtype=np.float64)
+                bcnt[1:] = bcnt_prev
+                prev_cnt = np.ones(len(toks), dtype=np.float64)
+                prev_cnt[1:] = ucnt[:-1]
+                p_bi = self.lam * (bcnt / prev_cnt) + (1.0 - self.lam) * p_uni
+                lp = np.where(cont, -np.log(p_bi), lp)
+            sums = np.bincount(parents, weights=lp, minlength=n)
+            m = np.bincount(parents, minlength=n)
+            score = np.where(m > 0, np.divide(sums, np.maximum(m, 1)), 0.0)
+        return t.append_column(
+            "bigram_nlp", pa.array(round_half_up(score), pa.float64())
+        )
+
+
+def bigram_logprob(
+    ds: Dataset,
+    text_col: str = "text",
+    model_ds: Dataset | None = None,
+    lam: float = 0.7,
+) -> Dataset:
+    """CCNet-style perplexity proxy, one order up from
+    unigram_logprob: per-doc mean negative log-probability under an
+    INTERPOLATED bigram LM built from corpus counts —
+
+        p(w_i | w_{i-1}) = lam * c(w_{i-1} w_i)/c(w_{i-1})
+                           + (1-lam) * c(w_i)/N
+        first token of a doc scores under the unigram term alone;
+        bigram_nlp = round(mean_i -ln p_i, 4), 0 for empty docs.
+
+    Model build = two combiner-shaped count shuffles (vocab- and
+    bigram-vocab-bounded, never corpus-bounded); scoring ships the
+    count maps once with the prepared UDF and runs factorize +
+    get_indexer per batch. The bigram map is the big side — at
+    web-scale vocab swap the broadcast for a hash-join of exploded
+    (doc, pos, bigram) rows against the count table (the
+    dup-ngram-stats fallback pattern); the op's semantics and oracle
+    stay identical."""
+    from .relational import value_counts
+
+    src = model_ds if model_ds is not None else ds
+
+    uni = value_counts(
+        explode_tokens(src.select_columns([text_col]), text_col, []), "token", alias="cnt"
+    ).to_pandas()
+    total = float(uni["cnt"].sum()) if len(uni) else 1.0
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        flat, parents, _n = _flat_tokens(t[text_col])
+        if len(flat) < 2:
+            return pa.table({"bigram": pa.array([], pa.string())})
+        toks = flat.to_numpy(zero_copy_only=False)
+        cont = parents[1:] == parents[:-1]
+        pairs = np.char.add(np.char.add(toks[:-1].astype("U"), " "), toks[1:].astype("U"))
+        return pa.table({"bigram": pa.array(pairs[cont], pa.string())})
+
+    bi = value_counts(
+        src.select_columns([text_col]).map_batches(_bigrams, batch_format="pyarrow"),
+        "bigram",
+        alias="cnt",
+    ).to_pandas()
+
+    return ds.map_batches(
+        _BigramScorer(
+            uni["token"].to_numpy(),
+            uni["cnt"].to_numpy(),
+            bi["bigram"].to_numpy() if len(bi) else np.array([], dtype=object),
+            bi["cnt"].to_numpy() if len(bi) else np.array([], dtype=np.int64),
+            total,
+            lam,
+            text_col,
+        ),
+        batch_format="pyarrow",
+    )

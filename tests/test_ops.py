@@ -1444,3 +1444,79 @@ def test_incremental_jaccard_matches_cross_pairs(documents, con, tmp_path):
     assert len(out) >= documents.count()
     planted = out[out["new_id"] == out["old_id"] + 1_000_000]
     assert len(planted) == documents.count()
+
+
+def test_dsir_select_matches_sql(documents, con):
+    """dsir_select == the full SQL replay: md5-bucket LMs, smoothed
+    log ratios, per-doc sums, deterministic top-N keep."""
+    target = documents.map_batches(
+        lambda t: t.filter(pa.compute.equal(t["lang"], "en")).select(["doc_id", "text"]),
+        batch_format="pyarrow",
+    )
+    out = txt.dsir_select(
+        documents.select_columns(["doc_id", "text"]), target, top_n=50
+    ).to_pandas()
+    exp = con.sql(
+        """
+        WITH tok AS (SELECT doc_id,
+                     unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS tk
+                     FROM documents),
+        bk AS (SELECT doc_id, CAST(md5_number_upper(tk) % 4096 AS BIGINT) AS b FROM tok),
+        tc AS (SELECT b, count(*) AS c FROM bk JOIN documents USING (doc_id)
+               WHERE lang = 'en' GROUP BY 1),
+        tn AS (SELECT count(*) AS n FROM bk JOIN documents USING (doc_id) WHERE lang = 'en'),
+        rc AS (SELECT b, count(*) AS c FROM bk GROUP BY 1),
+        rn AS (SELECT count(*) AS n FROM bk),
+        lr AS (SELECT r.b, ln((coalesce(t.c, 0) + 1.0) / (tn.n + 4096.0))
+                         - ln((r.c + 1.0) / (rn.n + 4096.0)) AS lr
+               FROM rc r LEFT JOIN tc t USING (b), tn, rn),
+        w AS (SELECT d.doc_id, round(coalesce(sum(lr.lr), 0), 4) AS dsir_logw
+              FROM documents d LEFT JOIN bk ON bk.doc_id = d.doc_id
+              LEFT JOIN lr ON lr.b = bk.b GROUP BY 1)
+        SELECT doc_id, dsir_logw,
+               CAST(row_number() OVER (ORDER BY dsir_logw DESC, doc_id) <= 50 AS BIGINT)
+               AS selected
+        FROM w
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+    assert out["selected"].sum() == 50
+    # target-language docs should be enriched among the selected
+    lang = con.sql("SELECT doc_id, lang FROM documents").df().set_index("doc_id")["lang"]
+    sel_en = (lang[out[out["selected"] == 1]["doc_id"]] == "en").mean()
+    all_en = (lang == "en").mean()
+    assert sel_en > all_en
+
+
+def test_bigram_logprob_matches_sql(documents, con):
+    out = txt.bigram_logprob(
+        documents.select_columns(["doc_id", "text"]), "text"
+    ).drop_columns(["text"]).to_pandas()
+    toks = "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')"
+    exp = con.sql(
+        f"""
+        WITH tok AS (SELECT doc_id, unnest({toks}) AS tk,
+                            unnest(range(1, len({toks}) + 1)) AS pos FROM documents),
+        uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+        tot AS (SELECT count(*) AS n FROM tok),
+        big AS (SELECT t1.tk AS w1, t2.tk AS w2, count(*) AS c
+                FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+                GROUP BY 1, 2),
+        lp AS (SELECT t.doc_id,
+                CASE WHEN p.tk IS NULL THEN -ln(u.c::DOUBLE / tot.n)
+                     ELSE -ln(0.7 * (coalesce(b.c, 0)::DOUBLE / up.c)
+                              + {1.0 - 0.7!r} * (u.c::DOUBLE / tot.n))
+                END AS lp
+               FROM tok t
+               JOIN uni u ON u.tk = t.tk
+               LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+               LEFT JOIN uni up ON up.tk = p.tk
+               LEFT JOIN big b ON b.w1 = p.tk AND b.w2 = t.tk, tot)
+        SELECT d.doc_id, round(coalesce(sum(lp.lp) / count(lp.lp), 0), 4) AS bigram_nlp
+        FROM documents d LEFT JOIN lp USING (doc_id) GROUP BY 1
+        """
+    ).df()
+    assert_frames_equal(out, exp)
+    # a corpus-typical doc should be more probable under the bigram LM
+    # than a token-shuffled one: scores must discriminate, not constant
+    assert out["bigram_nlp"].nunique() > 10
