@@ -2396,6 +2396,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             idx, emb, queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, rerank=4
         )
 
+    def ann_ivfpq(sf_dir):
+        # composed IVF + PQ (IVFADC): probe 4 of 8 clusters, ADC-scan
+        # only their code files, exact re-rank only the shortlist —
+        # the billion-scale layout, value-checked end to end (the
+        # oracle retrains centroids+codebooks and replays probing,
+        # encoding, ADC and the re-rank page in SQL)
+        tag = sf_dir.strip("/").replace("/", "_")
+        mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+        ipq_dir = f"/tmp/ser_ivfpq_cache/{tag}_{mt}_v1"
+        emb = _read(sf_dir, "embeddings")
+        if not os.path.exists(os.path.join(ipq_dir, "meta.json")):
+            ann.IVFPQIndex.build(emb, ipq_dir, n_clusters=8, m=8)
+        idx = ann.IVFPQIndex(ipq_dir)
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack([np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()])
+        return idx.search_batch(
+            queries, qt["vec_id"].to_numpy().astype(np.int64), k=10, nprobe=4, rerank=4
+        )
+
     # ---- multimodal plumbing (deterministic fake decode; the fake is
     # counter-mode md5 over the payload hex, so BOTH entries carry SQL
     # value oracles — the oracle rebuilds the payload hex from the
@@ -2804,6 +2824,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ---- round-3 second wave (driver-window candidates for r04) ----
         "t_dsir": t_dsir,
         "t_bigram_lm": t_bigram_lm,
+        "ann_ivfpq": ann_ivfpq,
     }
 
 
@@ -3407,6 +3428,86 @@ adc AS (
   SELECT q.qid, a.vec_id,
          sum(list_dot_product(q.qe[a.sub*{sub}+1 : a.sub*{sub}+{sub}], c.cv)) AS cos_a
   FROM asg a JOIN cent c ON c.sub = a.sub AND c.code = a.code CROSS JOIN q
+  GROUP BY 1, 2),
+short AS (
+  SELECT qid, vec_id FROM adc
+  QUALIFY row_number() OVER (PARTITION BY qid ORDER BY round(cos_a, 4) DESC, vec_id) <= {k * rerank})
+SELECT s.qid, s.vec_id, round(list_dot_product(n.e, q.qe), 4) AS cos
+FROM short s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.qid = s.qid
+QUALIFY row_number() OVER (PARTITION BY s.qid
+         ORDER BY round(list_dot_product(n.e, q.qe), 4) DESC, s.vec_id) <= {k}
+"""
+
+    # ann_ivfpq: the composed IVFADC oracle — retrain the seeded coarse
+    # centroids AND the PQ codebooks from the id-sorted sample (exactly
+    # IVFPQIndex.build), then replay in SQL: normalize, coarse cluster
+    # assignment (argmax dot, lowest cluster on ties), per-subspace code
+    # assignment (_pq_sql's argmin), per-query probe selection (top
+    # nprobe by dot, lowest cluster on ties), ADC restricted to probed
+    # clusters' rows, k*rerank shortlist on the rounded approx cosine,
+    # exact-cosine re-rank page.
+    def _ivfpq_sql(
+        k: int = 10, rerank: int = 4, m: int = 8, n_clusters: int = 8, nprobe: int = 4
+    ) -> str:
+        from search_engine_ray.ops.ann import (
+            _normalize,
+            spherical_kmeans,
+            train_pq_codebooks,
+        )
+
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
+        df = (
+            pq.read_table(os.path.join(sf, "embeddings.parquet"))
+            .to_pandas()
+            .sort_values("vec_id")
+        )
+        assert len(df) <= 4096, "oracle retrain needs the build sample == corpus"
+        x = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        sub = x.shape[1] // m
+        cent = spherical_kmeans(x, n_clusters, 10, 5)
+        books = train_pq_codebooks(x, m, iters=12, seed=7)
+        pn = (books**2).sum(axis=2)
+        cent_rows = ",".join(
+            f"({c},[{','.join(repr(float(v)) for v in cent[c])}])"
+            for c in range(cent.shape[0])
+        )
+        pq_rows = ",".join(
+            f"({j},{c},[{','.join(repr(float(v)) for v in books[j, c])}],{float(pn[j, c])!r})"
+            for j in range(m)
+            for c in range(books.shape[1])
+        )
+        return f"""
+WITH cent(c, cv) AS (VALUES {cent_rows}),
+pqc(sub, code, pv, pn) AS (VALUES {pq_rows}),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ee,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       FROM embeddings),
+n AS (SELECT vec_id, list_transform(ee, x -> x / nrm) AS e FROM e0),
+asgc AS (SELECT vec_id, c AS cluster FROM (
+    SELECT n.vec_id, c.c,
+           row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.e, c.cv) DESC, c.c) AS rn
+    FROM n CROSS JOIN cent c) WHERE rn = 1),
+asgp AS (SELECT vec_id, sub, code FROM (
+    SELECT n.vec_id, p.sub, p.code,
+           row_number() OVER (PARTITION BY n.vec_id, p.sub
+             ORDER BY -2 * list_dot_product(n.e[p.sub*{sub}+1 : p.sub*{sub}+{sub}], p.pv) + p.pn,
+                      p.code) AS rn
+    FROM n CROSS JOIN pqc p) WHERE rn = 1),
+q AS (SELECT vec_id AS qid, e AS qe FROM n WHERE vec_id IN (0, 1, 2)),
+probe AS (SELECT qid, c FROM (
+    SELECT q.qid, c.c,
+           row_number() OVER (PARTITION BY q.qid
+               ORDER BY list_dot_product(q.qe, c.cv) DESC, c.c) AS rn
+    FROM q CROSS JOIN cent c) WHERE rn <= {nprobe}),
+adc AS (
+  SELECT q.qid, a.vec_id,
+         sum(list_dot_product(q.qe[a.sub*{sub}+1 : a.sub*{sub}+{sub}], p2.pv)) AS cos_a
+  FROM asgp a
+  JOIN asgc ac ON ac.vec_id = a.vec_id
+  JOIN probe pr ON pr.c = ac.cluster
+  JOIN q ON q.qid = pr.qid
+  JOIN pqc p2 ON p2.sub = a.sub AND p2.code = a.code
   GROUP BY 1, 2),
 short AS (
   SELECT qid, vec_id FROM adc
@@ -4548,6 +4649,7 @@ LIMIT 10
             "FROM embeddings e, q ORDER BY cos DESC, e.vec_id LIMIT 10"
         ),
         "ann_pq": _pq_sql(),
+        "ann_ivfpq": _ivfpq_sql(),
         "dedup_semantic": _semdedup_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,

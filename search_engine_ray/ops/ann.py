@@ -742,3 +742,248 @@ def pq_search_rerank(
         return df.head(k)
 
     return partial.groupby("qid").map_groups(_final, batch_format="pandas")
+
+
+class IVFPQIndex:
+    """Composed IVF + PQ — IVFADC (Jegou, Douze & Schmid 2011), the
+    billion-scale ANN layout: coarse k-means centroids partition the
+    corpus, and within each partition vectors store as m uint8 PQ
+    codes. A query (1) picks its nprobe closest clusters driver-side,
+    (2) ADC-scans ONLY those clusters' code files (nprobe/nlist of an
+    already-64x-compressed table leaves storage), (3) exact-cosine
+    re-ranks only the shortlist rows read back from the same probed
+    partitions. Codes and raw vectors live in ONE cluster-partitioned
+    parquet dataset; column pruning keeps the ADC scan from reading
+    vectors and the re-rank from reading codes.
+
+    This is the NO-RESIDUAL variant (codes encode the normalized
+    vector itself, not x - centroid): residual encoding changes only
+    what the codebooks train on, while the direct form keeps every
+    stage SQL-replayable — the ann_ivfpq value oracle retrains the
+    same seeded centroids + codebooks and replays probe selection,
+    cluster assignment, per-subspace encoding, the ADC shortlist and
+    the exact re-rank page."""
+
+    def __init__(self, index_dir: str):
+        self.dir = index_dir
+        with open(os.path.join(index_dir, "meta.json")) as f:
+            meta = json.load(f)
+        self.centroids = np.asarray(meta["centroids"], dtype=np.float64)
+        self.codebooks = np.asarray(meta["codebooks"], dtype=np.float64)
+        self.vec_col = meta["vec_col"]
+        self.id_col = meta["id_col"]
+        self.dim = int(meta["dim"])
+
+    @staticmethod
+    def build(
+        ds: Dataset,
+        index_dir: str,
+        n_clusters: int = 8,
+        m: int = 8,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        sample_size: int = 4096,
+        iters: int = 10,
+        pq_iters: int = 12,
+        seed: int = 5,
+        pq_seed: int = 7,
+    ) -> "IVFPQIndex":
+        # sample sorted by id: centroids/codebooks must not depend on
+        # Ray block arrival order (the semantic_dedup lesson)
+        sample = ds.limit(sample_size).to_pandas().sort_values(id_col)
+        x = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+        dim = x.shape[1]
+        if dim % m:
+            raise ValueError(f"dim {dim} not divisible by m={m}")
+        sub = dim // m
+        cent = spherical_kmeans(x, n_clusters, iters, seed)
+        books = train_pq_codebooks(x, m, iters=pq_iters, seed=pq_seed)
+
+        def _assign_encode(t: pa.Table) -> pa.Table:
+            mm = _normalize(_to_matrix(t[vec_col], dim))
+            cl = np.argmax(mm @ cent.T, axis=1).astype(np.int32)
+            codes = np.empty((mm.shape[0], m), dtype=np.uint8)
+            for j in range(m):
+                xj = mm[:, j * sub : (j + 1) * sub]
+                d2 = -2.0 * (xj @ books[j].T) + (books[j] ** 2).sum(axis=1)[None, :]
+                codes[:, j] = np.argmin(d2, axis=1).astype(np.uint8)
+            flat = pa.array(codes.reshape(-1), pa.uint8())
+            return pa.table(
+                {
+                    id_col: t[id_col],
+                    vec_col: t[vec_col],
+                    "codes": pa.FixedSizeListArray.from_arrays(flat, m),
+                    # `cl` STAYS in the row (the hive `cluster` path
+                    # column is dropped from files; packed file-list
+                    # reads need the value back)
+                    "cl": pa.array(cl, pa.int32()),
+                    "cluster": pa.array(cl, pa.int32()),
+                }
+            )
+
+        os.makedirs(index_dir, exist_ok=True)
+        # repartition before the partitioned write (the IVFIndex
+        # lesson: blocks x clusters tiny files otherwise)
+        ds.map_batches(_assign_encode, batch_format="pyarrow").repartition(
+            max(n_clusters, 8)
+        ).write_parquet(os.path.join(index_dir, "data"), partition_cols=["cluster"])
+        with open(os.path.join(index_dir, "meta.json"), "w") as f:
+            json.dump(
+                {
+                    "centroids": cent.tolist(),
+                    "codebooks": books.tolist(),
+                    "vec_col": vec_col,
+                    "id_col": id_col,
+                    "dim": dim,
+                },
+                f,
+            )
+        return IVFPQIndex(index_dir)
+
+    def _probed_files(self, clusters) -> list[str]:
+        import glob as _glob
+
+        return [
+            f
+            for c in sorted(clusters)
+            for f in _glob.glob(
+                os.path.join(self.dir, "data", f"cluster={c}", "*.parquet")
+            )
+        ]
+
+    def search_batch(
+        self,
+        queries: np.ndarray,
+        qids: np.ndarray,
+        k: int = 10,
+        nprobe: int = 4,
+        rerank: int = 4,
+    ):
+        """Batched IVFADC search: probe selection driver-side, ONE
+        packed column-pruned read of the probed clusters' codes for
+        the ADC shortlist (k*rerank per query), then ONE packed
+        column-pruned read of the same partitions' raw vectors
+        filtered to the shortlist for exact re-ranking. Returns a
+        Dataset of (qid, vec_id, cos) — EXACT cosines, k rows per
+        query, same contract as cosine_topk."""
+        import ray
+        import ray.data as rd
+
+        qn = _normalize(np.asarray(queries, dtype=np.float64))
+        qids_arr = np.asarray(qids, dtype=np.int64)
+        mS, _ncent, sub = self.codebooks.shape
+        order = np.argsort(-(qn @ self.centroids.T), axis=1)[:, :nprobe]
+        probing: dict[int, list[int]] = {}
+        for qi in range(qn.shape[0]):
+            for c in order[qi]:
+                probing.setdefault(int(c), []).append(qi)
+        files = self._probed_files(probing)
+        empty = pa.table(
+            {"qid": pa.array([], pa.int64()), "vec_id": pa.array([], pa.int64()),
+             "cos": pa.array([], pa.float64())}
+        )
+        if not files:
+            return rd.from_arrow(empty)
+
+        tables = np.einsum(
+            "qjs,jcs->qjc", qn.reshape(qn.shape[0], mS, sub), self.codebooks
+        )
+        id_col, vec_col, dim = self.id_col, self.vec_col, self.dim
+        shortn = k * rerank
+
+        def _adc(t: pa.Table) -> pa.Table:
+            codes = np.asarray(t["codes"].combine_chunks().flatten()).reshape(-1, mS)
+            ids = t[id_col].to_numpy()
+            cl = t["cl"].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for c in np.unique(cl):
+                qis = probing.get(int(c), [])
+                if not qis:
+                    continue
+                sel = cl == c
+                csub, cids = codes[sel], ids[sel]
+                for qi in qis:
+                    sims = tables[qi, np.arange(mS)[None, :], csub].sum(axis=1)
+                    kk = min(shortn, sims.size)
+                    kth = np.partition(sims, sims.size - kk)[sims.size - kk]
+                    s = np.nonzero(sims >= kth - 1e-4)[0]
+                    out_q.append(np.full(s.size, qids_arr[qi], np.int64))
+                    out_v.append(cids[s])
+                    out_s.append(sims[s])
+            if not out_q:
+                return empty
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cos": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        def _merge_short(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cos"] = round_half_up(df["cos"].to_numpy())
+            df = df.drop_duplicates(["qid", "vec_id"])
+            df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+            return df.head(shortn)
+
+        short = (
+            rd.read_parquet(files, columns=[id_col, "codes", "cl"])
+            .map_batches(_adc, batch_format="pyarrow")
+            .groupby("qid")
+            .map_groups(_merge_short, batch_format="pandas")
+            .to_pandas()  # bounded: n_queries * k * rerank rows
+        )
+        if short.empty:
+            return rd.from_arrow(empty)
+        cand = {
+            int(q): np.sort(g["vec_id"].to_numpy(dtype=np.int64))
+            for q, g in short.groupby("qid")
+        }
+        all_ids = np.sort(np.unique(short["vec_id"].to_numpy(dtype=np.int64)))
+        ref = ray.put((cand, all_ids))
+        qpos = {int(q): i for i, q in enumerate(qids_arr)}
+
+        def _exact(t: pa.Table) -> pa.Table:
+            cands, union_ids = ray.get(ref)
+            ids = t[id_col].to_numpy()
+            pos = np.clip(np.searchsorted(union_ids, ids), 0, union_ids.size - 1)
+            keep = union_ids[pos] == ids
+            if not keep.any():
+                return empty
+            sub_t = t.filter(pa.array(keep))
+            m = _normalize(_to_matrix(sub_t[vec_col], dim))
+            sids = sub_t[id_col].to_numpy()
+            out_q, out_v, out_s = [], [], []
+            for q, cs in cands.items():
+                p = np.clip(np.searchsorted(cs, sids), 0, cs.size - 1)
+                sel = cs[p] == sids
+                if not sel.any():
+                    continue
+                sims = m[sel] @ qn[qpos[q]]
+                out_q.append(np.full(int(sel.sum()), q, np.int64))
+                out_v.append(sids[sel])
+                out_s.append(sims)
+            if not out_q:
+                return empty
+            return pa.table(
+                {
+                    "qid": pa.array(np.concatenate(out_q), pa.int64()),
+                    "vec_id": pa.array(np.concatenate(out_v), pa.int64()),
+                    "cos": pa.array(np.concatenate(out_s), pa.float64()),
+                }
+            )
+
+        def _final(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy()
+            df["cos"] = round_half_up(df["cos"].to_numpy())
+            df = df.drop_duplicates(["qid", "vec_id"])
+            df = df.sort_values(["cos", "vec_id"], ascending=[False, True], kind="mergesort")
+            return df.head(k)
+
+        return (
+            rd.read_parquet(files, columns=[id_col, vec_col])
+            .map_batches(_exact, batch_format="pyarrow")
+            .groupby("qid")
+            .map_groups(_final, batch_format="pandas")
+        )

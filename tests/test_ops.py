@@ -1520,3 +1520,47 @@ def test_bigram_logprob_matches_sql(documents, con):
     # a corpus-typical doc should be more probable under the bigram LM
     # than a token-shuffled one: scores must discriminate, not constant
     assert out["bigram_nlp"].nunique() > 10
+
+
+def test_ivfpq_search(ray_session, tmp_path):
+    """IVFPQIndex: (1) returned cosines are EXACT (re-rank reads raw
+    vectors), (2) every hit lies in a probed cluster (pruning is
+    real), (3) recall@10 vs brute force clears a floor at nprobe=4/8
+    and a higher one probing all clusters."""
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{SF}/embeddings.parquet")
+    idx = ann.IVFPQIndex.build(emb, str(tmp_path / "ivfpq"), n_clusters=8, m=8)
+
+    df = emb.to_pandas()
+    x = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    xn = x / np.linalg.norm(x, axis=1, keepdims=True)
+    ids = df["vec_id"].to_numpy()
+    qsel = np.argsort(ids)[:3]
+    qn, qids = xn[qsel], ids[qsel]
+
+    brute = {}
+    for i, q in enumerate(qn):
+        sims = np.round(xn @ q, 4)
+        order = np.lexsort((ids, -sims))[:10]
+        brute[qids[i]] = set(ids[order])
+
+    for nprobe, floor in [(4, 0.5), (8, 0.9)]:
+        out = idx.search_batch(qn, qids, k=10, nprobe=nprobe, rerank=4).to_pandas()
+        assert (out.groupby("qid").size() == 10).all()
+        # exactness: the returned cos is the true rounded cosine
+        pos = {v: i for i, v in enumerate(ids)}
+        for _, r in out.iterrows():
+            true = round(float(xn[pos[r["vec_id"]]] @ qn[list(qids).index(r["qid"])]), 4)
+            assert abs(r["cos"] - true) <= 1e-9
+        rec = np.mean(
+            [len(set(g["vec_id"]) & brute[q]) / 10 for q, g in out.groupby("qid")]
+        )
+        assert rec >= floor, (nprobe, rec)
+
+    # pruning: with nprobe=1 every hit's cluster == the query's top cluster
+    cent = idx.centroids
+    out1 = idx.search_batch(qn[:1], qids[:1], k=10, nprobe=1, rerank=4).to_pandas()
+    top_cl = int(np.argmax(cent @ qn[0]))
+    hit_cl = np.argmax(xn[[pos[v] for v in out1["vec_id"]]] @ cent.T, axis=1)
+    assert (hit_cl == top_cl).all()
