@@ -1961,6 +1961,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = round_half_up(out["score"].to_numpy())
         return out.reset_index(drop=True)
 
+    def s56_collapse(sf_dir):
+        # ES field collapsing: one hit per distinct `lang` — each
+        # group's best-scoring doc — ranked like ordinary hits. Exact
+        # over the full matched set: every bucket ships its per-group
+        # argmax (payload bounded by field cardinality), the driver
+        # keeps the global max per group.
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=5,
+            collapse="lang",
+        )
+        out = r.hits[["doc_id", "lang", "score"]].copy()
+        out["score"] = round_half_up(out["score"].to_numpy())
+        return out.reset_index(drop=True)
+
+    def s57_pinned(sf_dir):
+        # ES `pinned` query: ids (7, 999999, 3) promote to the top in
+        # that order — 999999 doesn't exist and must drop out — and
+        # organic BM25 hits (pinned ids excluded) fill the page
+        eng = _doc_engine(sf_dir)
+        return eng.pinned_search(
+            Compound(must=(Term("text", "vector"),)), pinned=(7, 999999, 3), k=10
+        )
+
     def s25_range_filter(sf_dir):
         # S25 Atlas $search `range` operator inside compound.filter:
         # required non-scoring numeric predicate, lowered onto the
@@ -2825,6 +2850,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dsir": t_dsir,
         "t_bigram_lm": t_bigram_lm,
         "ann_ivfpq": ann_ivfpq,
+        "s56_collapse": s56_collapse,
+        "s57_pinned": s57_pinned,
     }
 
 
@@ -3736,6 +3763,49 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
         "s22_pattern": s22_sql,
         "s23_range_facet": s23_sql,
         "s24_sort_by_field": s24_sql,
+        # s56: ES field collapsing — full BM25 over the match set, one
+        # row per lang (best raw score, doc_id asc on ties), then the
+        # representatives rank/page like ordinary hits
+        "s56_collapse": f"""
+WITH tok AS (SELECT doc_id, lang, {_TOKS.format(col="text")} AS ts FROM documents),
+d AS (SELECT doc_id, lang, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf > 0) AS df FROM d),
+sc AS (SELECT d.doc_id, d.lang,
+              ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * tf * 2.2 /
+              (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS sr
+       FROM d, s WHERE tf > 0),
+best AS (SELECT doc_id, lang, sr FROM sc
+         QUALIFY row_number() OVER (PARTITION BY lang ORDER BY sr DESC, doc_id) = 1)
+SELECT doc_id, lang, round(sr, 4) AS score FROM best
+ORDER BY sr DESC, doc_id LIMIT 5
+""",
+        # s57: ES pinned query — existing pinned ids first in the given
+        # order, organic BM25 (pinned excluded) fills to k=10
+        "s57_pinned": f"""
+WITH pin(doc_id, prio) AS (VALUES (7, 1), (999999, 2), (3, 3)),
+pe AS (SELECT p.doc_id, p.prio FROM pin p JOIN documents d USING (doc_id)),
+tok AS (SELECT doc_id, {_TOKS.format(col="text")} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf > 0) AS df FROM d),
+org AS (SELECT d.doc_id,
+               ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * tf * 2.2 /
+               (tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS sr
+        FROM d, s
+        WHERE tf > 0 AND d.doc_id NOT IN (SELECT doc_id FROM pe)
+        QUALIFY row_number() OVER (ORDER BY sr DESC, d.doc_id)
+                <= 10 - (SELECT count(*) FROM pe)),
+allr AS (
+  SELECT doc_id, 0 AS grp, prio AS o1, 0.0 AS o2 FROM pe
+  UNION ALL
+  SELECT doc_id, 1, 0, -sr FROM org)
+SELECT row_number() OVER (ORDER BY grp, o1, o2, doc_id) AS rank, doc_id,
+       CAST(1 - grp AS BIGINT) AS pinned
+FROM allr
+""",
         "s25_range_filter": s25_sql,
         "s26_match_all_browse": s26_sql,
         "s27_query_string": s27_sql,

@@ -332,6 +332,15 @@ class _QuerySpec:
     # classic_idf**2, mu*p, or boost) — see scoring.leaf_score
     similarity: str = "bm25"
     mu: float = 2000.0
+    # ES field collapsing: the page holds ONE hit per distinct value of
+    # this docmap column — each group's best-scoring doc (doc_id asc on
+    # score ties). Each bucket ships one `coll` row per distinct value
+    # in its matched set (its local per-group argmax); the driver keeps
+    # the global per-group max, so the result is exact over the FULL
+    # matched set however the representatives rank. Payload is bounded
+    # by collapse-field cardinality per bucket — the field ES collapse
+    # is designed for (category/brand/host), never a unique key.
+    collapse_field: str | None = None
 
 
 class _DocmapCache:
@@ -777,6 +786,27 @@ def _finish(
         ca, cd = float(spec.search_after[0]), int(spec.search_after[1])
         keep = (m_scores < ca) | ((m_scores == ca) & (m_ids > cd))
         m_ids, m_scores = m_ids[keep], m_scores[keep]
+    # ES field collapsing: ship this bucket's per-group argmax rows
+    # instead of hit rows — the driver's cross-bucket per-group max is
+    # then exact over the full matched set (a group spans buckets; the
+    # local best is all a bucket can contribute to it)
+    if spec.collapse_field is not None:
+        coll_rows: list[tuple[str, int, float]] = []
+        if m_ids.size:
+            cvals = dmc.attrs(bucket, m_ids, (spec.collapse_field,))[spec.collapse_field]
+            cvals = np.asarray([str(v) for v in cvals])
+            order = np.lexsort((m_ids, -m_scores, cvals))
+            sv = cvals[order]
+            first = np.ones(order.size, dtype=bool)
+            first[1:] = sv[1:] != sv[:-1]
+            sel = order[first]
+            coll_rows = [
+                (str(cvals[i]), int(m_ids[i]), float(m_scores[i])) for i in sel
+            ]
+        return _result_table(
+            np.empty(0, np.int64), np.empty(0, np.float64), total,
+            facet_rows, stat_rows, None, quant_rows, coll_rows,
+        )
     # local top-(skip+k), deterministic tie-break (rank asc, doc_id
     # asc) where rank is -score by default or the stored-field sort
     # key (ES sort). Exact under ties: select everything at or above
@@ -802,38 +832,45 @@ def _finish(
 
 
 def _result_table(
-    ids, scores, total: int, facet_rows, stat_rows=(), sort_keys=None, quant_rows=()
+    ids, scores, total: int, facet_rows, stat_rows=(), sort_keys=None, quant_rows=(),
+    coll_rows=(),
 ) -> pa.Table:
     # stat rows carry their float value in the `score` column; quant
     # rows carry (histogram value in `score`, count in `count`); hit
     # rows carry their stored-field sort key in `sort_key` when the
     # query sorts by attribute (0.0 otherwise — schema is fixed across
-    # buckets so the scatter-gather concat never unifies)
+    # buckets so the scatter-gather concat never unifies); coll rows
+    # carry a collapse group's local-best (value, doc_id, score)
     kinds = (
         ["hit"] * len(ids) + ["total"] + ["facet"] * len(facet_rows)
         + ["stat"] * len(stat_rows) + ["quant"] * len(quant_rows)
+        + ["coll"] * len(coll_rows)
     )
     pad = len(facet_rows) + len(stat_rows) + len(quant_rows)
-    doc_ids = list(map(int, ids)) + [0] + [0] * pad
+    doc_ids = list(map(int, ids)) + [0] + [0] * pad + [d for _, d, _ in coll_rows]
     scs = (
         list(map(float, scores)) + [0.0] + [0.0] * len(facet_rows)
         + [v for _, _, v in stat_rows] + [v for _, v, _ in quant_rows]
+        + [s for _, _, s in coll_rows]
     )
     counts = (
         [0] * len(ids) + [total] + [c for _, _, c in facet_rows]
         + [0] * len(stat_rows) + [c for _, _, c in quant_rows]
+        + [0] * len(coll_rows)
     )
     ffields = (
         [""] * len(ids) + [""] + [f for f, _, _ in facet_rows]
         + [f for f, _, _ in stat_rows] + [f for f, _, _ in quant_rows]
+        + [""] * len(coll_rows)
     )
     fvals = (
         [""] * len(ids) + [""] + [v for _, v, _ in facet_rows]
         + [op for _, op, _ in stat_rows] + [""] * len(quant_rows)
+        + [v for v, _, _ in coll_rows]
     )
     sks = (
         list(map(float, sort_keys)) if sort_keys is not None else [0.0] * len(ids)
-    ) + [0.0] * (1 + pad)
+    ) + [0.0] * (1 + pad + len(coll_rows))
     return pa.table(
         {
             "kind": pa.array(kinds, pa.string()),
@@ -1684,8 +1721,16 @@ class SearchEngine:
         quantile_fields: dict[str, tuple] | None = None,
         similarity: str = "bm25",
         mu: float = 2000.0,
+        collapse: str | None = None,
     ) -> SearchResult:
-        """search_after: deep-pagination cursor (score, doc_id) of the
+        """collapse: ES field collapsing — the page holds one hit per
+        distinct value of this docmap column (each group's best doc,
+        doc_id asc on ties), ranked like ordinary hits; `total` still
+        counts DOCUMENTS, as in ES. Mutually exclusive with sort_by /
+        search_after; disables pruning (a pruned doc could own a
+        group).
+
+        search_after: deep-pagination cursor (score, doc_id) of the
         LAST hit of the previous page — the page starts strictly after
         it in (score desc, doc_id asc) order. Unlike skip (which ships
         skip+k candidates per bucket), a cursor ships only k however
@@ -1708,6 +1753,8 @@ class SearchEngine:
             raise ValueError("search_after and skip are mutually exclusive")
         if search_after is not None and sort_by is not None:
             raise ValueError("search_after and sort_by are mutually exclusive")
+        if collapse is not None and (sort_by is not None or search_after is not None):
+            raise ValueError("collapse is mutually exclusive with sort_by/search_after")
         if similarity not in scoring.SIMILARITIES:
             raise ValueError(f"unknown similarity {similarity!r}")
         rf = tuple((c, tuple(e)) for c, e in (range_facets or {}).items())
@@ -1767,6 +1814,7 @@ class SearchEngine:
             and not stat_fields
             and not rf
             and sort_by is None
+            and collapse is None
             and not match_all
             and not quantile_fields
             and all(
@@ -1782,6 +1830,8 @@ class SearchEngine:
             quantile_fields=tuple((quantile_fields or {}).keys()),
             similarity=similarity, mu=mu,
         )
+        if collapse is not None:
+            spec = _QuerySpec(**{**spec.__dict__, "collapse_field": collapse})
         if prune:
             theta0 = float("-inf")
             if len(term_keys) > 1:
@@ -1814,7 +1864,24 @@ class SearchEngine:
             # so total=0 is exact even under pruning
             return SearchResult(0, _empty_hits(), total_exact=True)
         total = int(out.loc[out["kind"] == "total", "count"].sum())
-        if sort_by is not None:
+        if collapse is not None:
+            # global per-group max over the buckets' local bests: one
+            # row per group survives, then representatives rank like
+            # ordinary hits (score desc, doc_id asc) and page
+            cr = out[out["kind"] == "coll"][["facet_value", "doc_id", "score"]]
+            if len(cr):
+                cr = cr.sort_values(
+                    ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+                )
+                hits = (
+                    cr.groupby("facet_value", sort=False)
+                    .head(1)[["doc_id", "score"]]
+                    .iloc[skip : skip + k]
+                    .reset_index(drop=True)
+                )
+            else:
+                hits = _empty_hits()
+        elif sort_by is not None:
             hits = out[out["kind"] == "hit"][["doc_id", "score", "sort_key"]]
             hits = hits.sort_values(
                 ["sort_key", "doc_id"], ascending=[not sort_by[1], True], kind="mergesort"
@@ -1893,6 +1960,50 @@ class SearchEngine:
             with_metadata=False,
         )
         return {c: len(res.facets.get(c, {})) for c in cols}
+
+    def pinned_search(
+        self,
+        q: Compound,
+        pinned: Sequence[int],
+        k: int = 10,
+        filter_spec: FilterSpec | None = None,
+    ) -> pd.DataFrame:
+        """ES `pinned` query: the given ids appear FIRST, in the given
+        order — whether or not they match the organic query — provided
+        they exist in the index and aren't tombstoned; organic hits
+        (score-ranked, pinned ids excluded) fill the remaining slots.
+        Returns (rank, doc_id, pinned 0/1). The existence probe is one
+        partition-local filtered docmap read (no scan); the organic
+        page ships k + len(pinned) candidates so exclusion can never
+        underfill the page."""
+        self._refresh_tombstones()
+        pin = [int(p) for p in pinned]
+        probe = self._attach_metadata(
+            pd.DataFrame({"doc_id": pd.Series(pin, dtype="int64"),
+                          "score": np.zeros(len(pin))})
+        )
+        meta_cols = [c for c in probe.columns if c not in ("doc_id", "score")]
+        exists = (
+            set(probe.dropna(subset=meta_cols[:1])["doc_id"].astype(int))
+            if meta_cols
+            else set()
+        )
+        if self.tombstones is not None and getattr(self.tombstones, "size", 0):
+            exists -= set(int(t) for t in self.tombstones)
+        live_pin = [p for p in pin if p in exists]
+        r = self.search(
+            q, k=k + len(pin), filter_spec=filter_spec, with_metadata=False
+        )
+        org = r.hits[~r.hits["doc_id"].isin(live_pin)].head(max(0, k - len(live_pin)))
+        out_ids = live_pin + list(org["doc_id"].astype(int))
+        flags = [1] * len(live_pin) + [0] * len(org)
+        return pd.DataFrame(
+            {
+                "rank": np.arange(1, len(out_ids) + 1, dtype=np.int64),
+                "doc_id": pd.Series(out_ids, dtype="int64"),
+                "pinned": pd.Series(flags, dtype="int64"),
+            }
+        )
 
     def msearch(
         self,

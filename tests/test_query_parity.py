@@ -1324,3 +1324,34 @@ def test_top_hits_matches_search_all(engine):
     got = got.sort_values(key).reset_index(drop=True)
     exp = exp.sort_values(key).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, exp, check_dtype=False)
+
+
+def test_collapse_field(engine):
+    """ES field collapsing: one hit per repo, each the true per-group
+    best over the FULL match set (not just the top page), ranked like
+    ordinary hits; total still counts documents."""
+    q = Compound(must=(Term("content", "import"),))
+    full = engine.search(q, k=100000)
+    r = engine.search(q, k=5, collapse="repo")
+    f = full.hits.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    )
+    exp = f.groupby("repo", sort=False).head(1).head(5)
+    assert r.hits["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(
+        r.hits["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
+    assert r.hits["repo"].is_unique
+    assert r.total == full.total
+
+
+def test_pinned_query(engine):
+    """ES pinned query: existing pinned ids first in the given order
+    (nonexistent ids drop out), organic hits exclude pinned ids."""
+    q = Compound(must=(Term("content", "import"),))
+    ids = engine.search(q, k=10, with_metadata=False).hits["doc_id"].tolist()
+    out = engine.pinned_search(q, pinned=(ids[3], 10**9, ids[0]), k=6)
+    assert out["doc_id"].tolist()[:2] == [ids[3], ids[0]]
+    assert out["pinned"].tolist() == [1, 1, 0, 0, 0, 0]
+    assert out["doc_id"].tolist()[2:] == [i for i in ids if i not in (ids[3], ids[0])][:4]
+    assert out["rank"].tolist() == [1, 2, 3, 4, 5, 6]
