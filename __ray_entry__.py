@@ -1700,6 +1700,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return txt.dsir_select(docs, target, top_n=100)
 
+    def pipe_corpus_report(sf_dir):
+        # corpus card: per-lang doc counts, token totals, mean
+        # quality, exact-dup profile — one combiner-shaped stats pass
+        # plus the dedup digest shuffle, driver-sized output
+        from search_engine_ray.pipelines.corpus_report import corpus_report
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        return corpus_report(docs)
+
     def t_decontaminate(sf_dir):
         # GPT-3-style benchmark decontamination: eval set = every
         # 97th doc; flag corpus docs sharing any 3-token shingle
@@ -2852,6 +2861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_ivfpq": ann_ivfpq,
         "s56_collapse": s56_collapse,
         "s57_pinned": s57_pinned,
+        "pipe_corpus_report": pipe_corpus_report,
     }
 
 
@@ -4463,6 +4473,27 @@ SELECT tf.term, tf.tf, coalesce(df.df, 0) AS df FROM tf LEFT JOIN df USING (term
             "FROM documents"
         ),
         "t_quality": _quality_sql_for("documents"),
+        # corpus card: every metric recomputed independently; the
+        # engine's tokenizer and quality/rounding formulas are the
+        # oracle-pinned ones
+        "pipe_corpus_report": f"""
+WITH q AS ({_quality_sql_for("documents")}),
+tok AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt
+        FROM documents),
+base AS (SELECT count(*) AS n FROM documents),
+dig AS (SELECT count(DISTINCT md5(coalesce(text, ''))) AS d FROM documents)
+SELECT 'docs' AS metric, lang AS key, count(*)::DOUBLE AS value
+FROM documents GROUP BY lang
+UNION ALL SELECT 'docs', 'all', n::DOUBLE FROM base
+UNION ALL SELECT 'tokens', 'all', (SELECT sum(nt) FROM tok)::DOUBLE
+UNION ALL SELECT 'avg_tokens', 'all',
+          round((SELECT sum(nt) FROM tok)::DOUBLE / n, 4) FROM base
+UNION ALL SELECT 'mean_quality', 'all',
+          round((SELECT sum(quality) FROM q) / n, 4) FROM base
+UNION ALL SELECT 'distinct_texts', 'all', d::DOUBLE FROM dig
+UNION ALL SELECT 'dup_excess', 'all',
+          (SELECT n FROM base) - d FROM dig
+""",
         "t_bpe_tokens": _bpe_tokens_sql,
         # t_dsir: hashed-unigram bucket LMs — bucket = md5_number_upper
         # (first 8 md5 bytes LE, the engine's exact token hash) % 4096;

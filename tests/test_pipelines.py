@@ -123,3 +123,46 @@ def test_rescore_window_semantics(tiny_index):
     comb = {d: 1.0 * pc_ + 2.0 * smap.get(d, 0.0) for d, pc_ in pmap.items()}
     exp_ids = [d for d, _ in sorted(comb.items(), key=lambda kv: (-kv[1], kv[0]))[:10]]
     assert big["doc_id"].tolist() == exp_ids
+
+
+def test_corpus_report(ray_session):
+    """Corpus card vs an independent SQL recompute of every metric."""
+    import duckdb
+    import pandas as pd
+    import ray.data as rd
+
+    from search_engine_ray.pipelines.corpus_report import corpus_report
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf}/documents.parquet')"
+    )
+    docs = rd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "text", "lang"])
+    out = corpus_report(docs)
+    exp = con.sql(
+        """
+        WITH q AS (SELECT doc_id, round(
+          0.4 * (len(list_distinct(regexp_extract_all(lower(text),'[a-z0-9_]+')))::DOUBLE
+               / len(regexp_extract_all(lower(text),'[a-z0-9_]+'))) +
+          0.3 * (length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE / length(text)) +
+          0.3 * (least(len(regexp_extract_all(lower(text),'[a-z0-9_]+')), 200)::DOUBLE / 200), 4)
+          AS quality FROM documents),
+        tok AS (SELECT len(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS nt FROM documents),
+        base AS (SELECT count(*) AS n FROM documents),
+        dig AS (SELECT count(DISTINCT md5(coalesce(text, ''))) AS d FROM documents)
+        SELECT 'docs' AS metric, lang AS key, count(*)::DOUBLE AS value
+        FROM documents GROUP BY lang
+        UNION ALL SELECT 'docs', 'all', n::DOUBLE FROM base
+        UNION ALL SELECT 'tokens', 'all', (SELECT sum(nt) FROM tok)::DOUBLE
+        UNION ALL SELECT 'avg_tokens', 'all',
+                  round((SELECT sum(nt) FROM tok)::DOUBLE / n, 4) FROM base
+        UNION ALL SELECT 'mean_quality', 'all',
+                  round((SELECT sum(quality) FROM q) / n, 4) FROM base
+        UNION ALL SELECT 'distinct_texts', 'all', d::DOUBLE FROM dig
+        UNION ALL SELECT 'dup_excess', 'all', (SELECT n FROM base) - d FROM dig
+        """
+    ).df()
+    a = out.sort_values(["metric", "key"]).reset_index(drop=True)
+    b = exp.sort_values(["metric", "key"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
