@@ -1021,6 +1021,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["l_orderkey", "l_linenumber", "l_extendedprice", "o_custkey", "o_orderstatus"]
         ]
 
+    def r35_pagerank(sf_dir):
+        # iterative distributed graph compute: PageRank (5 power
+        # iterations, d=0.85) over the symmetrized customer-supplier
+        # purchase graph (distinct (custkey, suppkey) pairs via the
+        # lineitem x orders shuffle join; supplier ids offset by 1e6).
+        # Every iteration is one hash-join + one groupby-sum — rank
+        # state never touches the driver.
+        from search_engine_ray.ops.graph import pagerank
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        # materialize the (bounded) distinct pair set BEFORE the
+        # fan-out: edges is consumed three times downstream (edge
+        # rows + both node projections), and re-executing the join
+        # lineage per consumer runs several 16-partition JoinOperators
+        # concurrently — actor-pool starvation on small sessions
+        pairs = rel.distinct(
+            rel.hash_join(
+                li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+                num_partitions=16,
+            ).select_columns(["o_custkey", "l_suppkey"]),
+            ["o_custkey", "l_suppkey"],
+        ).materialize()
+
+        def _fwd(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": t["o_custkey"], "dst": pc.add(t["l_suppkey"], 1_000_000)}
+            )
+
+        def _rev(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {"src": pc.add(t["l_suppkey"], 1_000_000), "dst": t["o_custkey"]}
+            )
+
+        edges = pairs.map_batches(_fwd, batch_format="pyarrow").union(
+            pairs.map_batches(_rev, batch_format="pyarrow")
+        )
+        return pagerank(edges, damping=0.85, iters=5)
+
     def r24_sessionize(sf_dir):
         # event-stream sessionization: new session after >30 min of
         # user inactivity; per-user 1-based session numbering
@@ -2862,6 +2901,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s56_collapse": s56_collapse,
         "s57_pinned": s57_pinned,
         "pipe_corpus_report": pipe_corpus_report,
+        "r35_pagerank": r35_pagerank,
     }
 
 
@@ -3553,6 +3593,35 @@ SELECT s.qid, s.vec_id, round(list_dot_product(n.e, q.qe), 4) AS cos
 FROM short s JOIN n ON n.vec_id = s.vec_id JOIN q ON q.qid = s.qid
 QUALIFY row_number() OVER (PARTITION BY s.qid
          ORDER BY round(list_dot_product(n.e, q.qe), 4) DESC, s.vec_id) <= {k}
+"""
+
+    # r35: PageRank replayed as unrolled power-iteration CTEs — same
+    # per-edge pr/od division, same (1-d)/N + d*s op order (the (1-d)
+    # literal is the exact Python double) as ops/graph.pagerank
+    def _pagerank_sql(iters: int = 5, d: float = 0.85) -> str:
+        steps = []
+        for i in range(iters):
+            steps.append(
+                f"""pr{i + 1} AS (
+  SELECT n2.node, {1.0 - d!r} / nn.n + {d!r} * coalesce(s.s, 0) AS pr
+  FROM nodes n2 CROSS JOIN nn
+  LEFT JOIN (SELECT e.dst AS node, sum(p.pr / e.od) AS s
+             FROM edges_od e JOIN pr{i} p ON p.node = e.src GROUP BY 1) s
+    ON s.node = n2.node)"""
+            )
+        chain = ",\n".join(steps)
+        return f"""
+WITH e0 AS (SELECT DISTINCT o.o_custkey AS c, l.l_suppkey AS sk
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+edges AS (SELECT c AS src, 1000000 + sk AS dst FROM e0
+          UNION ALL SELECT 1000000 + sk, c FROM e0),
+deg AS (SELECT src, count(*) AS od FROM edges GROUP BY 1),
+edges_od AS (SELECT e.src, e.dst, d2.od FROM edges e JOIN deg d2 USING (src)),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+pr0 AS (SELECT node, 1.0 / nn.n AS pr FROM nodes, nn),
+{chain}
+SELECT node, round(pr, 4) AS pr FROM pr{iters}
 """
 
     def _semdedup_sql(threshold: float = 0.99, n_clusters: int = 8) -> str:
@@ -4751,6 +4820,7 @@ LIMIT 10
         ),
         "ann_pq": _pq_sql(),
         "ann_ivfpq": _ivfpq_sql(),
+        "r35_pagerank": _pagerank_sql(),
         "dedup_semantic": _semdedup_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,

@@ -1564,3 +1564,43 @@ def test_ivfpq_search(ray_session, tmp_path):
     top_cl = int(np.argmax(cent @ qn[0]))
     hit_cl = np.argmax(xn[[pos[v] for v in out1["vec_id"]]] @ cent.T, axis=1)
     assert (hit_cl == top_cl).all()
+
+
+def test_pagerank_matches_numpy(ray_session):
+    """5-iteration distributed PageRank == the dense numpy power
+    iteration on a small random-ish digraph (exact op-order parity)."""
+    import ray.data as rd
+
+    from search_engine_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n, m = 40, 300
+    src = rng.integers(0, n, m).astype(np.int64)
+    dst = rng.integers(0, n, m).astype(np.int64)
+    edges = rd.from_arrow(pa.table({"src": src, "dst": dst}))
+    out = (
+        pagerank(edges, damping=0.85, iters=5)
+        .to_pandas()
+        .set_index("node")["pr"]
+        .sort_index()
+    )
+
+    nodes = np.unique(np.concatenate([src, dst]))
+    pos = {v: i for i, v in enumerate(nodes)}
+    N = nodes.size
+    od = np.zeros(N)
+    for s in src:
+        od[pos[s]] += 1
+    pr = np.full(N, 1.0 / N)
+    base = (1.0 - 0.85) / N
+    for _ in range(5):
+        s_acc = np.zeros(N)
+        w = pr[[pos[x] for x in src]] / od[[pos[x] for x in src]]
+        np.add.at(s_acc, [pos[x] for x in dst], w)
+        pr = base + 0.85 * s_acc
+    exp = pd.Series(np.round(pr + 1e-12 * 0, 10), index=nodes)
+    assert list(out.index) == list(nodes)
+    np.testing.assert_allclose(out.to_numpy(), np.round(exp.to_numpy(), 4), atol=2e-4)
+    # probability mass is conserved up to dangling leakage and the
+    # per-node 4dp rounding (at most 5e-5 each)
+    assert out.sum() <= 1.0 + 5e-5 * N
