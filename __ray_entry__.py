@@ -2083,6 +2083,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
             sf_dir, q, boosts=(FieldValueBoost("n_chars", factor=0.01, modifier="log1p"),)
         )
 
+    def s58_rank_feature(sf_dir):
+        # ES rank_feature (saturation): score += 1.5 * v/(v + 200)
+        # over n_chars — the static-document-feature relevance fold
+        # (what you'd do with a pagerank column at web scale)
+        from search_engine_ray.query import RankFeatureBoost
+
+        q = Compound(must=(Term("text", "vector"),))
+        return _bm25_query(
+            sf_dir, q, boosts=(RankFeatureBoost("n_chars", pivot=200.0, boost=1.5),)
+        )
+
     def s30_decay(sf_dir):
         # S30 ES function_score decay: relevance multiplied by a gauss
         # (resp. linear) decay of |n_chars - 200| with offset 25 and
@@ -2902,6 +2913,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s57_pinned": s57_pinned,
         "pipe_corpus_report": pipe_corpus_report,
         "r35_pagerank": r35_pagerank,
+        "s58_rank_feature": s58_rank_feature,
     }
 
 
@@ -3889,6 +3901,11 @@ FROM allr
         "s26_match_all_browse": s26_sql,
         "s27_query_string": s27_sql,
         "s28_field_value_boost": s28_sql,
+        # s58: rank_feature saturation — additive static-feature fold,
+        # same float op order as RankFeatureBoost (v/(v+pivot) then *)
+        "s58_rank_feature": _bm25_sql(
+            ["vector"], boost_sql="1.5 * (d.n_chars / (d.n_chars + 200.0))"
+        ),
         "e10_delete_by_query": e10_sql,
         # e11 sorted export: the rank column IS the ORDER BY proof
         "e11_sorted_export": (

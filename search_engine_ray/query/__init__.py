@@ -19,6 +19,7 @@ from search_engine_ray.query.executor import (  # noqa: F401
     DecayBoost,
     DocAttrBoost,
     FieldValueBoost,
+    RankFeatureBoost,
     FilterSpec,
     SearchEngine,
     SearchResult,

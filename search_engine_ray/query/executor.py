@@ -173,6 +173,24 @@ class FieldValueBoost:
 
 
 @dataclass(frozen=True)
+class RankFeatureBoost:
+    """ES `rank_feature` query with the saturation function:
+
+        score += boost * v / (v + pivot)
+
+    over a non-negative numeric docmap column — the standard way to
+    fold a static per-document feature (pagerank, popularity, url
+    length) into relevance. Missing/NaN values contribute 0 (in ES a
+    missing rank_feature simply doesn't match the clause). Additive:
+    applies with the other additive boosts, before the multiplicative
+    field_value_factor/decay/negative ones."""
+
+    col: str
+    pivot: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DecayBoost:
     """ES function_score decay (``gauss`` | ``exp`` | ``linear``): the
     relevance score is MULTIPLIED by a function of the distance between
@@ -444,6 +462,8 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
             out.append(("neg", np.asarray(ids, dtype=np.int64), float(bst.factor)))
         elif isinstance(bst, DocAttrBoost):
             out.append(("attr", bst, None))
+        elif isinstance(bst, RankFeatureBoost):
+            out.append(("rankf", bst, None))
         elif isinstance(bst, FieldValueBoost):
             if bst.modifier not in _FV_MODIFIERS:
                 raise ValueError(f"unknown field_value_factor modifier {bst.modifier!r}")
@@ -718,6 +738,12 @@ def _finish(
         elif kind == "fv":
             attrs = dmc.attrs(bucket, m_ids, (payload.col,))
             m_scores = payload.apply(m_scores, attrs[payload.col])
+        elif kind == "rankf":
+            attrs = dmc.attrs(bucket, m_ids, (payload.col,))
+            v = np.asarray(attrs[payload.col], dtype=np.float64)
+            m_scores = m_scores + np.where(
+                np.isnan(v), 0.0, payload.boost * (v / (v + payload.pivot))
+            )
         else:
             bst: DocAttrBoost = payload
             attrs = dmc.attrs(bucket, m_ids, (bst.col,))

@@ -1355,3 +1355,27 @@ def test_pinned_query(engine):
     assert out["pinned"].tolist() == [1, 1, 0, 0, 0, 0]
     assert out["doc_id"].tolist()[2:] == [i for i in ids if i not in (ids[3], ids[0])][:4]
     assert out["rank"].tolist() == [1, 2, 3, 4, 5, 6]
+
+
+def test_rank_feature_boost(engine):
+    """rank_feature saturation: score' = score + b*v/(v+pivot), ranked
+    by the boosted score — verified against a manual recompute over
+    the unboosted full hit list (doc_id is the numeric feature, as in
+    the synthetic docmap)."""
+    from search_engine_ray.query import RankFeatureBoost
+
+    q = Compound(must=(Term("content", "import"),))
+    base = engine.search(q, k=100000).hits
+    r = engine.search(
+        q, k=10, boosts=(RankFeatureBoost("doc_id", pivot=1000.0, boost=2.0),),
+        with_metadata=False,
+    )
+    v = base["doc_id"].to_numpy().astype(float)
+    boosted = base.assign(score=base["score"].to_numpy() + 2.0 * (v / (v + 1000.0)))
+    exp = boosted.sort_values(
+        ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+    ).head(10)
+    assert r.hits["doc_id"].tolist() == exp["doc_id"].tolist()
+    np.testing.assert_allclose(
+        r.hits["score"].to_numpy(), exp["score"].to_numpy(), rtol=0, atol=1e-9
+    )
