@@ -1336,6 +1336,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
         return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
 
+    def s59_span_first(sf_dir):
+        # ES/Lucene span_first: 'vector' within the first 30 analyzed
+        # tokens (0-based position < 30); tf counts qualifying
+        # occurrences, df = docs with any, one BM25 clause
+        from search_engine_ray.query.phrase import phrase_search_all
+
+        eng = _doc_engine(sf_dir)
+        d = eng.dirs[0]
+        if not os.path.isdir(os.path.join(d, "positions")):
+            from search_engine_ray.config import DOCUMENTS_CONFIG
+            from search_engine_ray.index import build_positions
+
+            build_positions(
+                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+            )
+        df = phrase_search_all(eng, "text", ["vector"], first_end=30).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
     def s53_phrase_prefix(sf_dir):
         # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
         # — the final slot expands against the term dictionary (6
@@ -2914,6 +2934,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_corpus_report": pipe_corpus_report,
         "r35_pagerank": r35_pagerank,
         "s58_rank_feature": s58_rank_feature,
+        "s59_span_first": s59_span_first,
     }
 
 
@@ -4091,6 +4112,20 @@ GROUP BY tf.doc_id ORDER BY score DESC, tf.doc_id LIMIT 10
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
 d AS (SELECT doc_id, len(ts) AS dl,
       len(list_filter(range(1, len(ts)), i -> ts[i] = 'hash' AND ts[i+1] = 'join')) AS ptf
+      FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE ptf > 0) AS df FROM d)
+SELECT d.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
+FROM d, s WHERE ptf > 0
+ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        # s59: span_first — 1-based list index i <= 30 == the engine's
+        # 0-based position < 30; dl/score formula as every phrase entry
+        "s59_span_first": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl,
+      len(list_filter(range(1, least(len(ts), 30) + 1), i -> ts[i] = 'vector')) AS ptf
       FROM tok),
 s AS (SELECT count(*) AS n, sum(dl) AS total_len, count(*) FILTER (WHERE ptf > 0) AS df FROM d)
 SELECT d.doc_id, round(

@@ -191,6 +191,11 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # round-3: SemDeDup + hard negatives (dedup_best_quality
         # excluded with the other exact all-pairs-edge entries)
         "dedup_semantic", "ann_hard_negatives", "dedup_incremental",
+        # round-3 second wave: composed IVF-PQ (first run builds the
+        # /tmp-cached index), DSIR selection, bigram LM, field
+        # collapse, corpus card, 5-iteration PageRank
+        "ann_ivfpq", "t_dsir", "t_bigram_lm", "s56_collapse",
+        "pipe_corpus_report", "r35_pagerank",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

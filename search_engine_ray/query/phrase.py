@@ -107,10 +107,15 @@ def _pair_window_keys(streams, window: int, ordered: bool = True):
 def phrase_postings(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
-    ordered: bool = True,
+    ordered: bool = True, first_end: int | None = None,
 ):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
     the phrase. Raises if the positional sidecar is missing.
+
+    ``first_end`` (Lucene/ES span_first, single token only): keep only
+    occurrences within the first ``first_end`` analyzed tokens of the
+    doc (0-based position < first_end); ptf counts qualifying
+    occurrences, df = docs with any.
 
     window=1 is the exact phrase (each next token immediately follows).
     window>1 is ordered proximity, PAIRS only: ptf counts (i, j)
@@ -126,6 +131,8 @@ def phrase_postings(
     cfg = engine.config
     if window > 1 and len(tokens) != 2:
         raise ValueError("window > 1 supports exactly two tokens (ordered proximity pair)")
+    if first_end is not None and (len(tokens) != 1 or window > 1 or last_prefix is not None):
+        raise ValueError("first_end (span_first) takes exactly one token, window=1, no prefix")
     exp_keys: list[str] = []
     if last_prefix is not None:
         if window > 1:
@@ -188,7 +195,15 @@ def phrase_postings(
             if any(tk not in by_term for tk in term_keys):
                 return empty
             streams = [by_term[tk] for tk in term_keys]
-            if window > 1:
+            if first_end is not None:
+                keys = _occurrence_keys(streams[0])
+                keep_k = (keys & np.int64(0xFFFFFFFF)) < np.int64(first_end)
+                doc_ranks, ptf = (
+                    np.unique(keys[keep_k] >> np.int64(32), return_counts=True)
+                    if keep_k.any()
+                    else (np.empty(0, np.int64), np.empty(0, np.int64))
+                )
+            elif window > 1:
                 doc_ranks, ptf = _pair_window_keys(streams, window, ordered=ordered)
             elif exp_keys:
                 exp_streams = [by_term[k] for k in exp_keys if k in by_term]
@@ -245,7 +260,7 @@ _EMPTY_POSTINGS = pa.table(
 def phrase_search_all(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
-    ordered: bool = True,
+    ordered: bool = True, first_end: int | None = None,
 ):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
@@ -256,7 +271,7 @@ def phrase_search_all(
     mat = phrase_postings(
         engine, field, phrase, window=window,
         last_prefix=last_prefix, max_expansions=max_expansions,
-        ordered=ordered,
+        ordered=ordered, first_end=first_end,
     ).materialize()
     df = mat.count()
     if df == 0:

@@ -248,3 +248,35 @@ def test_unordered_proximity_pair(pos_index, tiny_corpus):
     }
     for d, n in o.items():
         assert got.get(d, 0) >= n
+
+
+def test_span_first(pos_index, tiny_corpus):
+    """span_first: ptf counts only occurrences with 0-based position
+    < end — verified against a brute analyzed-token scan; a huge end
+    equals the plain single-term match set."""
+    from search_engine_ray.index.build import doc_uid
+    from search_engine_ray.query.phrase import phrase_postings
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    end = 5
+    got = (
+        phrase_postings(eng, "content", ["import"], first_end=end)
+        .to_pandas()
+        .set_index("doc_id")["ptf"]
+        .to_dict()
+    )
+    exp = {}
+    repo, path, content = (tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        ptf = sum(1 for i, t in enumerate(ts[:end]) if t == "import")
+        if ptf:
+            exp[doc_uid([str(r), str(p)])] = ptf
+    assert got == exp
+    wide = phrase_postings(eng, "content", ["import"], first_end=10**6).to_pandas()
+    plain = phrase_postings(eng, "content", ["import"]).to_pandas()
+    assert (
+        wide.sort_values("doc_id")["ptf"].tolist()
+        == plain.sort_values("doc_id")["ptf"].tolist()
+    )
