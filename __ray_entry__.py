@@ -403,12 +403,18 @@ WHERE bd.doc_id NOT IN (SELECT doc_id FROM comp WHERE doc_id <> component)
 # interpreted big-endian. Quarter-blocking recall is exact (pigeonhole:
 # <=3 differing bits leave >=1 clean 16-bit quarter), so the engine's
 # candidate generation provably finds every hamming<=3 pair.
-# cross-corpus pairs only — NEW shard (the +1000000 perturbed copies)
-# vs the STANDING corpus (original documents) — for dedup_incremental:
-# same shingle machinery as the all-pairs oracle, join restricted to
-# new x old, columns named like the op's output
+# cross-corpus pairs only — NEW shard (a 10% perturbed slice, the
+# realistic "one ingest batch vs a much larger standing corpus" shape
+# the op is designed for) vs the STANDING corpus — for
+# dedup_incremental: same shingle machinery as the all-pairs oracle,
+# join restricted to new x old, columns named like the op's output
+_INC_DOCS_SQL = (
+    "both_docs AS (SELECT doc_id, text FROM documents "
+    "UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' "
+    "FROM documents WHERE doc_id % 10 = 0)"
+)
 _JACCARD_INCREMENTAL_SQL = f"""
-WITH {_BOTH_DOCS_SQL},
+WITH {_INC_DOCS_SQL},
 tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM both_docs),
 sh AS (SELECT doc_id,
        CASE WHEN len(ts) >= 3 THEN
@@ -2328,6 +2334,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
             os.rename(idx_dir + ".tmp", idx_dir)
 
         def _perturb(t: pa.Table) -> pa.Table:
+            # the NEW shard is a 10% slice — the op's design point is
+            # "one ingest batch vs a much larger standing corpus";
+            # perturbing the whole corpus degrades it to all-pairs
+            keep = pa.array(t["doc_id"].to_numpy() % 10 == 0)
+            t = t.filter(keep)
             return pa.table(
                 {
                     "doc_id": pc.add(t["doc_id"], 1_000_000),

@@ -1604,3 +1604,49 @@ def test_pagerank_matches_numpy(ray_session):
     # probability mass is conserved up to dangling leakage and the
     # per-node 4dp rounding (at most 5e-5 each)
     assert out.sum() <= 1.0 + 5e-5 * N
+
+
+def test_append_shingle_index_continuous_ingest(documents, con, tmp_path):
+    """The full continuous-ingest loop: batch 2 dedups against BOTH
+    the original corpus and batch 1's accepted survivors after
+    append_shingle_index folds batch 1 in."""
+    import pyarrow.compute as pc
+
+    from search_engine_ray.ops.dedup import (
+        append_shingle_index,
+        incremental_jaccard_pairs,
+        write_shingle_index,
+    )
+
+    old = documents.select_columns(["doc_id", "text"])
+    idx = str(tmp_path / "inc_idx")
+    write_shingle_index(old, idx)
+
+    def _shift(off, suffix):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.add(t["doc_id"], off),
+                    "text": pc.binary_join_element_wise(t["text"], suffix, " "),
+                }
+            )
+
+        return f
+
+    # batch 1: near-copies of the corpus -> all should pair; fold the
+    # batch in regardless (survivor policy is the caller's)
+    b1 = old.map_batches(_shift(1_000_000, "ingest_one"), batch_format="pyarrow")
+    p1 = incremental_jaccard_pairs(idx, b1, threshold=0.5).to_pandas()
+    assert (p1["new_id"] == p1["old_id"] + 1_000_000).sum() == documents.count()
+    append_shingle_index(b1, idx)
+
+    # batch 2: near-copies of BATCH 1 (two tokens differ from the
+    # original) — must now pair against batch 1's ids too
+    b2 = b1.map_batches(_shift(1_000_000, "ingest_two"), batch_format="pyarrow")
+    p2 = incremental_jaccard_pairs(idx, b2, threshold=0.5).to_pandas()
+    hits_b1 = p2[(p2["old_id"] >= 1_000_000) & (p2["new_id"] == p2["old_id"] + 1_000_000)]
+    assert len(hits_b1) == documents.count()
+    # and the original corpus is still matched as well (J drops with
+    # two extra tokens but stays near 1 for long docs; just require
+    # some cross-pairs to generation 0)
+    assert (p2["old_id"] < 1_000_000).any()
