@@ -286,6 +286,19 @@ def _bm25_query(sf_dir: str, q, k: int = 10, boosts: tuple = ()) -> pd.DataFrame
     )
 
 
+def _ensure_positions(eng, sf_dir: str) -> None:
+    """Build the positional sidecar for the cached documents index
+    once (atomic under the index dir); every phrase entry shares it."""
+    d = eng.dirs[0]
+    if not os.path.isdir(os.path.join(d, "positions")):
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index import build_positions
+
+        build_positions(
+            os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
+        )
+
+
 def _docs_with_near_dups(sf_dir: str):
     """documents ∪ perturbed copy (id+1000000, one token appended) —
     a deterministic near-dup corpus for the dedup rows-only entries."""
@@ -620,21 +633,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # chain (intersect1d over rank<<32|pos keys), tf = phrase
         # occurrences, df = docs containing the phrase. The sidecar is
         # built once per cached index (atomic-subtree rename).
-        from search_engine_ray.query.phrase import phrase_search_all
+        from search_engine_ray.query.phrase import phrase_topk
 
         eng = _doc_engine(sf_dir)
-        d = eng.dirs[0]
-        if not os.path.isdir(os.path.join(d, "positions")):
-            from search_engine_ray.config import DOCUMENTS_CONFIG
-            from search_engine_ray.index import build_positions
-
-            build_positions(
-                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
-            )
-        df = phrase_search_all(eng, "text", "hash join").to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        _ensure_positions(eng, sf_dir)
+        # actor path: the chain runs inside the persistent scorer pool
+        # (ms warm) — phrase_search_all (the Dataset path) stays the
+        # route for stop-phrase-scale match sets
+        return phrase_topk(eng, "text", "hash join", k=10)
 
     def s12_proximity(sf_dir):
         # S12 ordered proximity pair: "hash ... scan" with the second
@@ -642,21 +648,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position PAIRS (what a SQL positions self-join counts), df =
         # docs with any pair, scored as one BM25 clause. Same sidecar
         # and chain machinery as s11 with per-gap intersections.
-        from search_engine_ray.query.phrase import phrase_search_all
+        from search_engine_ray.query.phrase import phrase_topk
 
         eng = _doc_engine(sf_dir)
-        d = eng.dirs[0]
-        if not os.path.isdir(os.path.join(d, "positions")):
-            from search_engine_ray.config import DOCUMENTS_CONFIG
-            from search_engine_ray.index import build_positions
-
-            build_positions(
-                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
-            )
-        df = phrase_search_all(eng, "text", ["hash", "scan"], window=3).to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(eng, "text", ["hash", "scan"], window=3, k=10)
 
     def s13_synonyms(sf_dir):
         # S13 SynonymQuery blend: ("big", "fast") score as ONE
@@ -1324,60 +1320,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES span_near in_order=false: |pos('scan') - pos('hash')| in
         # [1, 3] — both directions of the s12 ordered pair; ptf counts
         # position pairs, one BM25 clause
-        from search_engine_ray.query.phrase import phrase_search_all
+        from search_engine_ray.query.phrase import phrase_topk
 
         eng = _doc_engine(sf_dir)
-        d = eng.dirs[0]
-        if not os.path.isdir(os.path.join(d, "positions")):
-            from search_engine_ray.config import DOCUMENTS_CONFIG
-            from search_engine_ray.index import build_positions
-
-            build_positions(
-                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
-            )
-        df = phrase_search_all(
-            eng, "text", ["hash", "scan"], window=3, ordered=False
-        ).to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(eng, "text", ["hash", "scan"], window=3, ordered=False, k=10)
 
     def s59_span_first(sf_dir):
         # ES/Lucene span_first: 'vector' within the first 30 analyzed
         # tokens (0-based position < 30); tf counts qualifying
         # occurrences, df = docs with any, one BM25 clause
-        from search_engine_ray.query.phrase import phrase_search_all
+        from search_engine_ray.query.phrase import phrase_topk
 
         eng = _doc_engine(sf_dir)
-        d = eng.dirs[0]
-        if not os.path.isdir(os.path.join(d, "positions")):
-            from search_engine_ray.config import DOCUMENTS_CONFIG
-            from search_engine_ray.index import build_positions
-
-            build_positions(
-                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
-            )
-        df = phrase_search_all(eng, "text", ["vector"], first_end=30).to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(eng, "text", ["vector"], first_end=30, k=10)
 
     def s53_phrase_prefix(sf_dir):
         # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
         # — the final slot expands against the term dictionary (6
         # expansions at this sf) and ANY expansion completes the
         # phrase; tf counts completed occurrences, one BM25 clause
-        from search_engine_ray.query.phrase import phrase_search_all
+        from search_engine_ray.query.phrase import phrase_topk
 
         eng = _doc_engine(sf_dir)
-        d = eng.dirs[0]
-        if not os.path.isdir(os.path.join(d, "positions")):
-            from search_engine_ray.config import DOCUMENTS_CONFIG
-            from search_engine_ray.index import build_positions
-
-            build_positions(
-                os.path.join(sf_dir, "documents.parquet"), d, DOCUMENTS_CONFIG
-            )
+        _ensure_positions(eng, sf_dir)
         # oracle-parity precondition: the DuckDB oracle expands EVERY
         # token LIKE 's%', while match_phrase_prefix truncates to the
         # lexicographically-first max_expansions (50) — fail loudly if
@@ -1389,10 +1356,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         assert n_exp < 50, (
             f"s53 oracle assumes expansions < cap; dictionary has {n_exp} 's*' terms"
         )
-        df = phrase_search_all(eng, "text", "hash", last_prefix="s").to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
-        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        return phrase_topk(eng, "text", "hash", last_prefix="s", k=10)
 
     def s51_best_fields(sf_dir):
         # ES multi_match best_fields (Lucene DisMax of per-field

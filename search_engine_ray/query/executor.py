@@ -986,6 +986,88 @@ class _BucketScorerImpl:
         separate calls."""
         return [self.score(parts, term_keys, spec) for parts, term_keys, spec in reqs]
 
+    def phrase_rows(
+        self,
+        parts: list[int],
+        term_keys: list[str],
+        window: int = 1,
+        ordered: bool = True,
+        first_end: int | None = None,
+        exp_keys: tuple[str, ...] = (),
+    ) -> pa.Table:
+        """Scatter-gather phrase half (phrase.phrase_topk's actor
+        side): per owned bucket, decode this bucket's position streams
+        for the phrase terms — cached per (shard, bucket, term) like
+        ordinary postings — and run the shared chain kernel
+        (phrase.chain_core). Returns (doc_id, ptf, dl) rows across the
+        owned buckets: the phrase's match set there, small by
+        construction (phrases are selective; stop-phrase-scale match
+        sets belong on the Dataset path)."""
+        from search_engine_ray.index.positions import decode_positions_term
+        from search_engine_ray.query.phrase import chain_core
+
+        keyset = sorted(set(term_keys) | set(exp_keys))
+        out_i: list[np.ndarray] = []
+        out_p: list[np.ndarray] = []
+        out_d: list[np.ndarray] = []
+        for b in self.buckets:
+            for di, d in enumerate(self.index_dirs):
+                missing = [
+                    tk for tk in keyset if (di, b, "pos", tk) not in self._post_cache
+                ]
+                if missing:
+                    files = [
+                        f
+                        for k in parts
+                        for f in glob.glob(
+                            os.path.join(d, "positions", f"part={k}", f"bucket={b}", "*.parquet")
+                        )
+                    ]
+                    got = set()
+                    if files:
+                        td = pads.dataset(files).to_table(
+                            columns=["term", "df_local", "doc_bytes", "tf_bytes",
+                                     "dl_bytes", "pos_bytes"],
+                            filter=pc.field("term").isin(missing),
+                        )
+                        for row in td.to_pylist():
+                            self._post_cache[(di, b, "pos", row["term"])] = (
+                                decode_positions_term(
+                                    row["doc_bytes"], row["tf_bytes"],
+                                    row["dl_bytes"], row["pos_bytes"],
+                                    int(row["df_local"]),
+                                )
+                            )
+                            got.add(row["term"])
+                    for tk in missing:
+                        if tk not in got:
+                            self._post_cache[(di, b, "pos", tk)] = None  # absent
+                by_term = {
+                    tk: s
+                    for tk in keyset
+                    if (s := self._post_cache.get((di, b, "pos", tk))) is not None
+                }
+                doc_ranks, ptf, dl = chain_core(
+                    by_term, list(term_keys), window, ordered, first_end, list(exp_keys)
+                )
+                if doc_ranks.size == 0:
+                    continue
+                out_i.append(self._univ(di, b)[doc_ranks])
+                out_p.append(ptf)
+                out_d.append(dl)
+        if not out_i:
+            return pa.table(
+                {"doc_id": pa.array([], pa.int64()), "ptf": pa.array([], pa.int64()),
+                 "dl": pa.array([], pa.int64())}
+            )
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_i).astype(np.int64), pa.int64()),
+                "ptf": pa.array(np.concatenate(out_p), pa.int64()),
+                "dl": pa.array(np.concatenate(out_d), pa.int64()),
+            }
+        )
+
     def score(self, parts: list[int], term_keys: list[str], spec: _QuerySpec) -> pa.Table:
         resolved = _resolve_boosts(spec.boosts)
         if spec.match_all:

@@ -104,6 +104,46 @@ def _pair_window_keys(streams, window: int, ordered: bool = True):
     return doc_ranks, ptf
 
 
+def chain_core(
+    by_term: dict,
+    term_keys: list[str],
+    window: int,
+    ordered: bool,
+    first_end: int | None,
+    exp_keys: list[str],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The pure per-(shard, bucket) phrase kernel shared by the Dataset
+    path (phrase_postings) and the scatter-gather actor path
+    (phrase_topk): decoded (ranks, tfs, dls, positions) streams per
+    term -> (doc_ranks, ptf, dl) of the phrase match set. Returns
+    empty arrays when any required term is absent."""
+    empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
+    if any(tk not in by_term for tk in term_keys):
+        return empty
+    streams = [by_term[tk] for tk in term_keys]
+    if first_end is not None:
+        keys = _occurrence_keys(streams[0])
+        keep_k = (keys & np.int64(0xFFFFFFFF)) < np.int64(first_end)
+        if not keep_k.any():
+            return empty
+        doc_ranks, ptf = np.unique(keys[keep_k] >> np.int64(32), return_counts=True)
+    elif window > 1:
+        doc_ranks, ptf = _pair_window_keys(streams, window, ordered=ordered)
+    elif exp_keys:
+        exp_streams = [by_term[k] for k in exp_keys if k in by_term]
+        if not exp_streams:
+            return empty
+        merged = np.sort(np.concatenate([_occurrence_keys(s) for s in exp_streams]))
+        doc_ranks, ptf = _chain_keys(streams, extra_last_keys=merged)
+    else:
+        doc_ranks, ptf = _chain_keys(streams)
+    if doc_ranks.size == 0:
+        return empty
+    ranks_last, _, dls_last, _ = streams[-1]
+    dl = dls_last[np.searchsorted(ranks_last, doc_ranks)]
+    return doc_ranks.astype(np.int64), ptf.astype(np.int64), dl.astype(np.int64)
+
+
 def phrase_postings(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
@@ -192,29 +232,9 @@ def phrase_postings(
                 by_term[row.term] = decode_positions_term(
                     row.doc_bytes, row.tf_bytes, row.dl_bytes, row.pos_bytes, int(row.df_local)
                 )
-            if any(tk not in by_term for tk in term_keys):
-                return empty
-            streams = [by_term[tk] for tk in term_keys]
-            if first_end is not None:
-                keys = _occurrence_keys(streams[0])
-                keep_k = (keys & np.int64(0xFFFFFFFF)) < np.int64(first_end)
-                doc_ranks, ptf = (
-                    np.unique(keys[keep_k] >> np.int64(32), return_counts=True)
-                    if keep_k.any()
-                    else (np.empty(0, np.int64), np.empty(0, np.int64))
-                )
-            elif window > 1:
-                doc_ranks, ptf = _pair_window_keys(streams, window, ordered=ordered)
-            elif exp_keys:
-                exp_streams = [by_term[k] for k in exp_keys if k in by_term]
-                if not exp_streams:
-                    return empty
-                merged = np.sort(
-                    np.concatenate([_occurrence_keys(s) for s in exp_streams])
-                )
-                doc_ranks, ptf = _chain_keys(streams, extra_last_keys=merged)
-            else:
-                doc_ranks, ptf = _chain_keys(streams)
+            doc_ranks, ptf, dl = chain_core(
+                by_term, term_keys, window, ordered, first_end, exp_keys
+            )
             if doc_ranks.size == 0:
                 return empty
             b = int(df["bucket"].iloc[0])
@@ -224,10 +244,6 @@ def phrase_postings(
                 .to_numpy()
             )
             ids = universe[doc_ranks]
-            # dl from the LAST token's stream (all tokens of one doc
-            # share the field dl; the last is where the chain ended)
-            ranks_last, _, dls_last, _ = streams[-1]
-            dl = dls_last[np.searchsorted(ranks_last, doc_ranks)]
             if tomb is not None and tomb.size:
                 keep = ~np.isin(ids, tomb, assume_unique=False)
                 ids, ptf, dl = ids[keep], ptf[keep], dl[keep]
@@ -288,6 +304,75 @@ def phrase_search_all(
         return pa.table({"doc_id": t["doc_id"], "score": pa.array(sc, pa.float64())})
 
     return mat.map_batches(_score, batch_format="pyarrow")
+
+
+def phrase_topk(
+    engine, field: str, phrase, k: int = 10, window: int = 1,
+    last_prefix: str | None = None, max_expansions: int = 50,
+    ordered: bool = True, first_end: int | None = None,
+) -> pd.DataFrame:
+    """Warm-path phrase top-k: the chain runs INSIDE the persistent
+    scorer pool (ONE RPC fan-out; decoded position streams cached per
+    actor like ordinary postings) instead of a Ray Dataset job per
+    query — milliseconds warm where phrase_search pays seconds of job
+    overhead. The pool gathers the phrase's full (doc_id, ptf, dl)
+    match set — phrases are selective by construction; route a
+    stop-phrase-scale query through phrase_search (the streaming
+    Dataset path) instead.
+
+    Output contract: (doc_id, score) with score ROUNDED to 4, page
+    ordered by (rounded score desc, doc_id asc) — exactly the driver
+    entries' (and their SQL oracles') ranking rule."""
+    import ray
+
+    from search_engine_ray.ops.rounding import round_half_up
+
+    for d in engine.dirs:
+        if not os.path.isdir(os.path.join(d, "positions")):
+            raise RuntimeError(
+                f"positions sidecar missing under {d!r}; run index.build_positions first"
+            )
+    engine._refresh_tombstones()
+    tokens = _analyzed(engine, phrase)
+    cfg = engine.config
+    exp_keys: list[str] = []
+    if last_prefix is not None:
+        from search_engine_ray.query.qast import Prefix as _Prefix
+
+        exp_keys = sorted(engine._expand_prefix(_Prefix(field, last_prefix)))[:max_expansions]
+        if not tokens or not exp_keys:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+    if not tokens:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    term_keys = [cfg.term_key(field, t) for t in tokens]
+    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys})
+    futs = [
+        a.phrase_rows.remote(
+            parts, term_keys, window, ordered, first_end, tuple(exp_keys)
+        )
+        for a in engine._scorer_pool()
+    ]
+    rows = pa.concat_tables(ray.get(futs)).to_pandas()
+    tomb = engine.tombstones
+    if tomb is not None and getattr(tomb, "size", 0) and len(rows):
+        rows = rows[~rows["doc_id"].isin(tomb)]
+    df = len(rows)
+    if df == 0:
+        return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                             "score": pd.Series(dtype="float64")})
+    stats = engine.stats
+    tidf = float(scoring.idf(stats["n_docs"], df))
+    sc = scoring.bm25_score(
+        rows["ptf"].to_numpy(), rows["dl"].to_numpy(), tidf,
+        stats["k1"], stats["b"], stats["fields"][field]["avgdl"],
+    )
+    out = pd.DataFrame(
+        {"doc_id": rows["doc_id"].to_numpy(), "score": round_half_up(sc)}
+    )
+    out = out.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+    return out.head(k).reset_index(drop=True)
 
 
 def phrase_search(

@@ -280,3 +280,36 @@ def test_span_first(pos_index, tiny_corpus):
         wide.sort_values("doc_id")["ptf"].tolist()
         == plain.sort_values("doc_id")["ptf"].tolist()
     )
+
+
+def test_phrase_topk_actor_path_parity(pos_index):
+    """phrase_topk (scatter-gather actor path) == the Dataset path,
+    for exact phrase / proximity / unordered / span_first / prefix —
+    same rows, same rounded scores, same ranking rule."""
+    import pandas as pd
+
+    from search_engine_ray.ops.rounding import round_half_up
+    from search_engine_ray.query.phrase import phrase_search_all, phrase_topk
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    cases = [
+        dict(phrase=["import", "yield"]),
+        dict(phrase=["class", "with"]),
+        dict(phrase=["import"], first_end=5),
+        dict(phrase=["import", "yield"], window=3),
+        dict(phrase=["import", "yield"], window=3, ordered=False),
+        dict(phrase=["import"], last_prefix="yi"),
+        dict(phrase=["zzzqqq"]),  # zero hits
+    ]
+    for case in cases:
+        got = phrase_topk(eng, "content", k=1000, **case)
+        ref = phrase_search_all(eng, "content", **case).to_pandas()
+        if ref.empty:  # fully-empty Datasets drop their schema
+            ref = pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                "score": pd.Series(dtype="float64")})
+        ref["score"] = round_half_up(ref["score"].to_numpy())
+        ref = ref.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        ).head(1000).reset_index(drop=True)
+        pd.testing.assert_frame_equal(got, ref, check_dtype=False), case
