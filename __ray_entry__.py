@@ -2746,6 +2746,172 @@ def queries() -> dict[str, Callable[[str], Any]]:
         filtered = rel.filter_conditions(docs, [("lang", "in", ["en", "de"])])
         return rel.value_counts(filtered, "source", alias="cnt")
 
+    # ---- round-3 third wave ------------------------------------------
+
+    def t_gopher_rules(sf_dir):
+        # the published Gopher quality-rule bundle (Rae et al. 2021
+        # §A1.1): every rule as its own metric column + the combined
+        # pass verdict; one vectorized Arrow map, no shuffle
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.add_gopher_rules(docs).drop_columns(["text"])
+
+    def t_reservoir_sample(sf_dir):
+        # weighted sampling without replacement (Efraimidis-Spirakis
+        # A-ES): hash-derived uniforms -> u^(1/w) keys, top-50 —
+        # deterministic across runs and cluster sizes
+        docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        return sk.weighted_reservoir_sample(docs, "doc_id", "n_chars", k=50)
+
+    def ann_range(sf_dir):
+        # radius (range) search: everything with round(cos,4) >= 0.3
+        # of each query — the fixed-radius companion to cosine_topk
+        emb = _read(sf_dir, "embeddings")
+        qt = pq.read_table(os.path.join(sf_dir, "embeddings.parquet"))
+        qt = qt.filter(pc.is_in(qt["vec_id"], value_set=pa.array([0, 1, 2], pa.int64())))
+        queries = np.stack(
+            [np.asarray(v, dtype=np.float64) for v in qt["embedding"].to_pylist()]
+        )
+        return ann.cosine_range(
+            emb, queries, qt["vec_id"].to_numpy().astype(np.int64), threshold=0.3
+        )
+
+    def s60_terms_set(sf_dir):
+        # ES terms_set: the required should-clause count comes PER DOC
+        # from the docmap (minimum_should_match_field n_chars through
+        # the _script analog least(3, 1 + n_chars // 300))
+        q = Compound(
+            should=tuple(Term("text", t) for t in ("hash", "join", "vector", "index")),
+            msm_field="n_chars",
+            msm_map=lambda v: np.minimum(3, 1 + v // 300),
+        )
+        return _bm25_query(sf_dir, q)
+
+    def s61_rare_terms(sf_dir):
+        # ES rare_terms agg: long-tail facet values of the matched set
+        # (doc_count <= 16), count asc — the inverse of top-N terms
+        eng = _doc_engine(sf_dir)
+        r = eng.search(
+            Compound(must=(Term("text", "vector"),)),
+            k=1,
+            with_metadata=False,
+            facet_fields=("source",),
+        )
+        items = [(v, c) for v, c in r.facets.get("source", {}).items() if c <= 16]
+        items.sort(key=lambda x: (x[1], x[0]))
+        return pd.DataFrame(items, columns=["source", "cnt"])
+
+    def s62_multi_terms(sf_dir):
+        # ES multi_terms agg: composite (lang, source) buckets over the
+        # FULL matched set, top-10 by count. The key pair is fused into
+        # one column inside the scorer output batches, so the count is
+        # a single low-cardinality combiner groupby — no multi-key
+        # sort-exchange, matched rows never leave their partitions
+        # un-aggregated.
+        eng = _doc_engine(sf_dir)
+        matched = eng.search_all(
+            Compound(must=(Term("text", "vector"),)), attach_cols=("lang", "source")
+        )
+
+        def _fuse(t: pa.Table) -> pa.Table:
+            key = pc.binary_join_element_wise(
+                pc.cast(t["lang"], pa.string()), pc.cast(t["source"], pa.string()), "|"
+            )
+            return pa.table({"key": key})
+
+        counts = rel.value_counts(
+            matched.map_batches(_fuse, batch_format="pyarrow"), "key", alias="cnt"
+        )
+        top = rel.topk(counts, ["cnt", "key"], 10, descending=[True, False]).to_pandas()
+        parts = top["key"].str.split("|", n=1, expand=True)
+        return pd.DataFrame(
+            {"lang": parts[0], "source": parts[1], "cnt": top["cnt"].astype("int64")}
+        )
+
+    def s63_diversified_sampler(sf_dir):
+        # ES diversified_sampler agg: at most one doc per `source`
+        # (the collapse representatives = the diversity sample), then
+        # the metric agg over the de-biased sample
+        eng = _doc_engine(sf_dir)
+        r = eng.search(Compound(must=(Term("text", "vector"),)), k=100, collapse="source")
+        reps = r.hits
+        avg = float(np.int64(reps["n_chars"].to_numpy().sum())) / len(reps)
+        return pd.DataFrame(
+            {
+                "n_sampled": [np.int64(len(reps))],
+                "avg_n_chars": [float(round_half_up(np.array([avg]))[0])],
+            }
+        )
+
+    def s64_match_bool_prefix(sf_dir):
+        # ES match_bool_prefix: every term an optional should clause,
+        # the LAST one a prefix (dictionary range scan, per-expansion
+        # idf) — the type-ahead cousin of match_phrase_prefix without
+        # position constraints. Ranking on the ROUNDED score absorbs
+        # SQL SUM() float-order differences across the expansion set
+        # (same convention as the s2 range scan).
+        eng = _doc_engine(sf_dir)
+        q = Compound(
+            should=(Term("text", "hash"), Term("text", "join"), Prefix("text", "vec")),
+            min_should_match=1,
+        )
+        df = eng.search_all(q).to_pandas()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+
+    def s66_distance_feature(sf_dir):
+        # ES distance_feature query: additive proximity boost
+        # boost * pivot / (pivot + |n_chars - 500|) — full boost at the
+        # origin, half at distance pivot (recency/proximity ranking
+        # without a hard range filter)
+        from search_engine_ray.query import DistanceFeatureBoost
+
+        b = DistanceFeatureBoost("n_chars", origin=500.0, pivot=100.0, boost=5.0)
+        return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)), boosts=(b,))
+
+    def r36_derivative(sf_dir):
+        # ES pipeline aggs (derivative + cumulative_sum) over a
+        # calendar date_histogram: the distributed part is the
+        # month-bucket combiner aggregate; the window pass runs on the
+        # tiny (one-row-per-month) result
+        ds = _read(sf_dir, "events", ["ts", "value"])
+        out = rel.calendar_window_aggregate(
+            ds, "ts", "month", {"n": ("count", "value")}
+        ).to_pandas()
+        out = out.sort_values("window_start").reset_index(drop=True)
+        out["window_start"] = out["window_start"].astype("datetime64[us]").astype("int64")
+        out["cum_n"] = out["n"].cumsum().astype("int64")
+        out["deriv"] = out["n"].diff()
+        out = out.iloc[1:].reset_index(drop=True)  # ES emits no deriv for the first bucket
+        out["deriv"] = out["deriv"].astype("int64")
+        out["n"] = out["n"].astype("int64")
+        return out[["window_start", "n", "deriv", "cum_n"]]
+
+    def e14_compaction(sf_dir):
+        # small-file compaction (the sink-maintenance op): 16 accreted
+        # fragments -> ceil(n / target) files via one streaming
+        # repartition + atomic swap; row content byte-identical
+        import ray.data as rd
+
+        from search_engine_ray.ops.sinks import compact_parquet
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_idx_cache/{tag}/compact_{int(os.path.getmtime(src))}"
+        small, compacted = os.path.join(base, "small"), os.path.join(base, "compacted")
+        done = os.path.join(base, "_DONE")
+        if not os.path.exists(done):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            docs = _read(sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"])
+            docs.repartition(16).write_parquet(small)
+            n_files = compact_parquet(small, compacted, target_rows_per_file=1_000_000)
+            assert n_files < 16
+            with open(done, "w") as f:
+                f.write(str(n_files))
+        return rd.read_parquet(compacted)
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -2910,11 +3076,100 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r35_pagerank": r35_pagerank,
         "s58_rank_feature": s58_rank_feature,
         "s59_span_first": s59_span_first,
+        # ---- round-3 third wave (driver-window candidates for r04) -----
+        "t_gopher_rules": t_gopher_rules,
+        "t_reservoir_sample": t_reservoir_sample,
+        "ann_range": ann_range,
+        "s60_terms_set": s60_terms_set,
+        "s61_rare_terms": s61_rare_terms,
+        "s62_multi_terms": s62_multi_terms,
+        "s63_diversified_sampler": s63_diversified_sampler,
+        "s64_match_bool_prefix": s64_match_bool_prefix,
+        "s66_distance_feature": s66_distance_feature,
+        "r36_derivative": r36_derivative,
+        "e14_compaction": e14_compaction,
     }
 
 
 def oracle_sql() -> dict[str, str]:
     toks = _TOKS.format(col="text")
+
+    # t_gopher_rules: every Gopher rule recomputed from scratch in SQL
+    # (words = regexp_extract_all('\S+'), lines = split on chr(10));
+    # int sums are exact, float divisions use the engine's op order
+    _stop_hits = " + ".join(
+        f"(CASE WHEN list_contains(lws, '{s}') THEN 1 ELSE 0 END)"
+        for s in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    _gopher_sql = rf"""
+WITH w AS (
+  SELECT doc_id, coalesce(text, '') AS tx,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS ws,
+         str_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id,
+    len(ws) AS n_words,
+    CASE WHEN len(ws) > 0
+      THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws)
+      ELSE 0 END AS mean_word_len,
+    CASE WHEN len(ws) > 0
+      THEN CAST(len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\.\.\.')) AS DOUBLE) / len(ws)
+      ELSE 0 END AS symbol_word_ratio,
+    CASE WHEN len(ls) > 0
+      THEN CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ls)
+      ELSE 0 END AS bullet_line_frac,
+    CASE WHEN len(ls) > 0
+      THEN CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) / len(ls)
+      ELSE 0 END AS ellipsis_line_frac,
+    CASE WHEN len(ws) > 0
+      THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws)
+      ELSE 0 END AS alpha_word_frac,
+    ({_stop_hits}) AS n_stop_hits
+  FROM (SELECT doc_id, tx, ws, ls, list_transform(ws, x -> lower(x)) AS lws FROM w))
+SELECT doc_id, n_words,
+  round(mean_word_len, 4) AS mean_word_len,
+  round(symbol_word_ratio, 4) AS symbol_word_ratio,
+  round(bullet_line_frac, 4) AS bullet_line_frac,
+  round(ellipsis_line_frac, 4) AS ellipsis_line_frac,
+  round(alpha_word_frac, 4) AS alpha_word_frac,
+  n_stop_hits,
+  (n_words >= 50 AND n_words <= 100000
+   AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+   AND symbol_word_ratio <= 0.1 AND bullet_line_frac <= 0.9
+   AND ellipsis_line_frac <= 0.3 AND alpha_word_frac >= 0.8
+   AND n_stop_hits >= 2) AS gopher_pass
+FROM m
+"""
+
+    # s60_terms_set: 4 should terms, per-doc required count
+    # least(3, 1 + n_chars // 300) — the minimum_should_match_field
+    # (+ _script) replay; score = sum of the MATCHING terms' BM25
+    _ts_terms = ["hash", "join", "vector", "index"]
+    _ts_tf = ", ".join(
+        f"len(list_filter(ts, t -> t = '{t}')) AS tf{i}" for i, t in enumerate(_ts_terms)
+    )
+    _ts_df = ", ".join(
+        f"count(*) FILTER (WHERE tf{i} > 0) AS df{i}" for i in range(len(_ts_terms))
+    )
+    _ts_score = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"ln(1 + (s.n - s.df{i} + 0.5) / (s.df{i} + 0.5)) * tf{i} * 2.2 / "
+        f"(tf{i} + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)"
+        for i in range(len(_ts_terms))
+    )
+    _ts_nmatch = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END)" for i in range(len(_ts_terms))
+    )
+    _terms_set_sql = f"""
+WITH tok AS (SELECT doc_id, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, n_chars, len(ts) AS dl, {_ts_tf} FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len, {_ts_df} FROM d)
+SELECT d.doc_id, round({_ts_score}, 4) AS score
+FROM d, s
+WHERE ({_ts_nmatch}) >= least(3, 1 + d.n_chars // 300)
+ORDER BY ({_ts_score}) DESC, d.doc_id LIMIT 10
+"""
     from search_engine_ray.ops.text import BPE_PATTERN, WS_PATTERN
 
     # both patterns are RE2 on both sides (Arrow count_substring_regex
@@ -4887,5 +5142,100 @@ FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
         "pipe_grouped_search": grouped_search_sql,
         "t_lang_id": lang_sql,
         "t_rolling_fp": rolling_sql,
+        # ---- round-3 third wave -------------------------------------
+        "t_gopher_rules": _gopher_sql,
+        "t_reservoir_sample": """
+WITH w AS (
+  SELECT doc_id, n_chars,
+    CAST(md5_number_upper(CAST(doc_id AS VARCHAR)) AS DOUBLE) / 18446744073709551616.0 AS u
+  FROM documents)
+SELECT doc_id, n_chars, round(pow(u, 1.0 / n_chars), 6) AS sample_key
+FROM w
+ORDER BY pow(u, 1.0 / n_chars) DESC, doc_id
+LIMIT 50
+""",
+        "ann_range": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id IN (0,1,2)) "
+            "SELECT qid, e.vec_id, round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) AS cos "
+            "FROM embeddings e CROSS JOIN q WHERE e.vec_id != q.qid "
+            "AND round("
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 4) >= 0.3"
+        ),
+        "s60_terms_set": _terms_set_sql,
+        "s61_rare_terms": f"""
+WITH tok AS (SELECT doc_id, source, {toks} AS ts FROM documents)
+SELECT source, count(*) AS cnt FROM tok
+WHERE len(list_filter(ts, t -> t = 'vector')) > 0
+GROUP BY 1 HAVING count(*) <= 16
+ORDER BY cnt, source
+""",
+        "s62_multi_terms": f"""
+WITH tok AS (SELECT doc_id, lang, source, {toks} AS ts FROM documents),
+m AS (SELECT lang, source, count(*) AS cnt FROM tok
+      WHERE len(list_filter(ts, t -> t = 'vector')) > 0 GROUP BY 1, 2)
+SELECT lang, source, cnt FROM m
+ORDER BY cnt DESC, lang || '|' || source LIMIT 10
+""",
+        "s63_diversified_sampler": f"""
+WITH tok AS (SELECT doc_id, source, n_chars, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, source, n_chars, len(ts) AS dl,
+             len(list_filter(ts, t -> t = 'vector')) AS tf0 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+             count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d),
+scored AS (
+  SELECT d.doc_id, d.source, d.n_chars,
+         ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+         (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS raw
+  FROM d, s WHERE tf0 > 0),
+reps AS (SELECT * FROM scored
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY raw DESC, doc_id) = 1)
+SELECT count(*) AS n_sampled,
+       round(CAST(sum(n_chars) AS DOUBLE) / count(*), 4) AS avg_n_chars
+FROM reps
+""",
+        "s64_match_bool_prefix": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts,
+      len(list_filter(ts, t -> t = 'hash')) AS tf0,
+      len(list_filter(ts, t -> t = 'join')) AS tf1 FROM tok),
+s AS (SELECT count(*) AS n, sum(dl) AS total_len,
+      count(*) FILTER (WHERE tf0 > 0) AS df0,
+      count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d),
+e AS (SELECT doc_id, dl, unnest(list_filter(ts, t -> t LIKE 'vec%')) AS tk FROM d),
+tf AS (SELECT doc_id, dl, tk, count(*) AS tf FROM e GROUP BY 1, 2, 3),
+df AS (SELECT tk, count(*) AS df FROM tf GROUP BY 1),
+px AS (SELECT tf.doc_id, sum(
+      ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf * 2.2 /
+      (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / (s.total_len / s.n)))) AS ps
+   FROM tf JOIN df USING (tk), s GROUP BY 1)
+SELECT d.doc_id, round(
+   (CASE WHEN tf0 > 0 THEN ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
+    (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) +
+   (CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * tf1 * 2.2 /
+    (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) +
+   coalesce(px.ps, 0), 4) AS score
+FROM d LEFT JOIN px USING (doc_id), s
+WHERE tf0 > 0 OR tf1 > 0 OR px.ps IS NOT NULL
+ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        "s66_distance_feature": _bm25_sql(
+            ["vector"],
+            boost_sql="5.0 * (100.0 / (100.0 + abs(d.n_chars - 500.0)))",
+        ),
+        "r36_derivative": (
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('month', ts)) AS BIGINT) AS window_start, "
+            "count(*) AS n FROM events GROUP BY 1) "
+            "SELECT window_start, n, "
+            "n - lag(n) OVER (ORDER BY window_start) AS deriv, "
+            "CAST(sum(n) OVER (ORDER BY window_start ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_n "
+            "FROM m QUALIFY lag(n) OVER (ORDER BY window_start) IS NOT NULL "
+            "ORDER BY window_start"
+        ),
+        "e14_compaction": "SELECT doc_id, lang, source, n_chars FROM documents",
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }

@@ -111,6 +111,61 @@ def cosine_topk(
     return partial.groupby("qid").map_groups(_final, batch_format="pandas")
 
 
+class _RangeScore:
+    """Prepared-instance UDF for radius search: emits every (qid,
+    vec_id, cos) with cos >= threshold. Pure map — no top-k state, no
+    shuffle; output size is bounded by the radius, not the corpus."""
+
+    def __init__(self, queries, qids, threshold, vec_col, id_col, exclude_self):
+        self.qn = _normalize(np.asarray(queries, dtype=np.float64))
+        self.qids = np.asarray(qids, dtype=np.int64)
+        self.threshold = float(threshold)
+        self.vec_col, self.id_col = vec_col, id_col
+        self.exclude_self = exclude_self
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from .rounding import round_half_up
+
+        ids = t[self.id_col].to_numpy()
+        m = _normalize(_to_matrix(t[self.vec_col], self.qn.shape[1]))
+        sims = m @ self.qn.T  # (batch, Q)
+        # filter on the ROUNDED value: the oracle's WHERE clause uses
+        # round(cos,4) >= thr, so the boundary must agree bit-for-bit
+        r = round_half_up(sims.ravel()).reshape(sims.shape)
+        vi, qi = np.nonzero(r >= self.threshold)
+        out_q, out_v, out_s = self.qids[qi], ids[vi], r[vi, qi]
+        if self.exclude_self:
+            keep = out_q != out_v
+            out_q, out_v, out_s = out_q[keep], out_v[keep], out_s[keep]
+        return pa.table(
+            {
+                "qid": pa.array(out_q, pa.int64()),
+                "vec_id": pa.array(out_v, pa.int64()),
+                "cos": pa.array(out_s, pa.float64()),
+            }
+        )
+
+
+def cosine_range(
+    ds: Dataset,
+    queries: np.ndarray,
+    qids: np.ndarray,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    exclude_self: bool = True,
+) -> Dataset:
+    """Radius (range) search: ALL corpus vectors with round(cos,4) >=
+    threshold of each query — the fixed-radius companion to
+    cosine_topk (ES knn `similarity` cutoff / FAISS range_search).
+    One streaming pass, embarrassingly parallel; use when the question
+    is "everything this close", not "the k closest"."""
+    return ds.map_batches(
+        _RangeScore(queries, qids, threshold, vec_col, id_col, exclude_self),
+        batch_format="pyarrow",
+    )
+
+
 class _HardNegScore(_BruteScore):
     """_BruteScore plus a label mask: corpus rows sharing an anchor's
     label are excluded from that anchor's candidates (the anchor

@@ -42,6 +42,32 @@ def full_refresh(ds: Dataset, out_dir: str) -> str:
     return out_dir
 
 
+def compact_parquet(src_dir: str, out_dir: str, target_rows_per_file: int) -> int:
+    """Small-file compaction (the maintenance op every long-running
+    Parquet sink needs: upsert/append sinks accrete files; readers and
+    the object store pay per-file overhead). Streams `src_dir` through
+    a repartition sized so each output file holds ~target_rows_per_file
+    rows, then atomically swaps the compacted copy over `out_dir`
+    (tmp + rename — a failed run leaves the target untouched). Row
+    content is byte-identical; only the file layout changes. Returns
+    the output file count."""
+    import math
+
+    import ray.data as rd
+
+    ds = rd.read_parquet(src_dir)
+    n = ds.count()
+    n_files = max(1, math.ceil(n / max(1, target_rows_per_file)))
+    tmp = f"{out_dir}.tmp-{uuid.uuid4().hex[:8]}"
+    ds.repartition(n_files).write_parquet(tmp)
+    old = f"{out_dir}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(out_dir):
+        os.rename(out_dir, old)
+    os.rename(tmp, out_dir)
+    shutil.rmtree(old, ignore_errors=True)
+    return sum(1 for f in os.listdir(out_dir) if f.endswith(".parquet"))
+
+
 def upsert_partitions(ds: Dataset, out_dir: str, partition_cols: Sequence[str]) -> list[str]:
     """E4: overwrite only the hive partitions present in `ds`; other
     partitions are untouched. Returns the swapped partition paths."""

@@ -132,6 +132,54 @@ def stratified_hash_sample(
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def weighted_reservoir_sample(
+    ds: Dataset,
+    key_col: str,
+    weight_col: str,
+    k: int,
+    salt: str = "",
+) -> Dataset:
+    """Weighted sampling without replacement, Efraimidis-Spirakis
+    A-ES (2006): each row draws u = md5_upper64(str(key)+salt) / 2^64
+    in [0,1) and a sample key u^(1/w); the k largest keys ARE a
+    weighted sample without replacement. Deterministic (hash-derived
+    uniforms, not RNG) so the draw is reproducible across runs AND
+    cluster sizes, and exactly SQL-replayable. Distributed as a pure
+    map (per-batch partial top-k) + one k-row merge — rows never
+    shuffle; only <=k survivors per block move. Rows with w <= 0 get
+    key 0 (never drawn before any positive-weight row).
+
+    Output: the input columns plus ``sample_key`` rounded half-away to
+    6dp (ranking uses the UNROUNDED key, doc order ties broken by the
+    string key asc)."""
+    from .relational import topk
+    from .rounding import round_half_up
+
+    def _keys(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[key_col], pa.string()).to_pylist()
+        h = _md5_upper64([v + salt for v in vals])
+        u = h.astype(np.float64) / _TWO64
+        w = pc.cast(t[weight_col], pa.float64()).to_numpy(zero_copy_only=False)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            key = np.where(w > 0, u ** (1.0 / np.maximum(w, 1e-300)), 0.0)
+        return t.append_column("sample_key", pa.array(key, pa.float64()))
+
+    picked = topk(
+        ds.map_batches(_keys, batch_format="pyarrow"),
+        ["sample_key", key_col],
+        k,
+        descending=[True, False],
+    )
+
+    def _round(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sample_key")
+        return t.set_column(
+            i, "sample_key", pa.array(round_half_up(t["sample_key"].to_numpy(), 6))
+        )
+
+    return picked.map_batches(_round, batch_format="pyarrow")
+
+
 def mix_to_budget(
     ds: Dataset,
     budgets: dict,

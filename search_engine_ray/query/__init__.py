@@ -17,6 +17,7 @@ from search_engine_ray.query.executor import (  # noqa: F401
     ConditionalAddBoost,
     NegativeBoost,
     DecayBoost,
+    DistanceFeatureBoost,
     DocAttrBoost,
     FieldValueBoost,
     RankFeatureBoost,

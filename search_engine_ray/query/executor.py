@@ -191,6 +191,23 @@ class RankFeatureBoost:
 
 
 @dataclass(frozen=True)
+class DistanceFeatureBoost:
+    """ES `distance_feature` query (numeric/date form):
+
+        score += boost * pivot / (pivot + |v - origin|)
+
+    over a numeric docmap column — full ``boost`` at the origin,
+    half at distance ``pivot``, decaying hyperbolically beyond
+    (recency / proximity boosting without a hard range filter).
+    Missing/NaN values contribute 0. Additive, like rank_feature."""
+
+    col: str
+    origin: float
+    pivot: float
+    boost: float = 1.0
+
+
+@dataclass(frozen=True)
 class DecayBoost:
     """ES function_score decay (``gauss`` | ``exp`` | ``linear``): the
     relevance score is MULTIPLIED by a function of the distance between
@@ -359,6 +376,14 @@ class _QuerySpec:
     # by collapse-field cardinality per bucket — the field ES collapse
     # is designed for (category/brand/host), never a unique key.
     collapse_field: str | None = None
+    # ES terms_set minimum_should_match_field/_script: the required
+    # should-clause count comes PER DOC from this docmap column
+    # (msm_map, a pure vectorized ndarray -> ndarray callable,
+    # optionally transforms the raw values); overrides the fixed
+    # min_should_match when set. Evaluated bucket-locally against the
+    # partition's own docmap — no extra shuffle at any scale.
+    msm_field: str | None = None
+    msm_map: Any = None
 
 
 class _DocmapCache:
@@ -464,6 +489,8 @@ def _resolve_boosts(boosts: tuple) -> list[tuple]:
             out.append(("attr", bst, None))
         elif isinstance(bst, RankFeatureBoost):
             out.append(("rankf", bst, None))
+        elif isinstance(bst, DistanceFeatureBoost):
+            out.append(("distf", bst, None))
         elif isinstance(bst, FieldValueBoost):
             if bst.modifier not in _FV_MODIFIERS:
                 raise ValueError(f"unknown field_value_factor modifier {bst.modifier!r}")
@@ -682,7 +709,14 @@ def score_postings_table(
         else:
             should_cnt[seg] += 1
     matched = must_cnt == n_must
-    if spec.min_should_match > 0:
+    if spec.msm_field is not None and uniq.size:
+        # terms_set: required should count read per doc from the docmap
+        req = dmc.attrs(bucket, uniq, (spec.msm_field,))[spec.msm_field]
+        req = np.asarray(req, dtype=np.int64)
+        if spec.msm_map is not None:
+            req = np.asarray(spec.msm_map(req), dtype=np.int64)
+        matched &= should_cnt >= req
+    elif spec.min_should_match > 0:
         matched &= should_cnt >= spec.min_should_match
     elif n_must == 0 and any(lf.occur == "should" for lf in spec.leaves):
         matched &= should_cnt > 0
@@ -743,6 +777,14 @@ def _finish(
             v = np.asarray(attrs[payload.col], dtype=np.float64)
             m_scores = m_scores + np.where(
                 np.isnan(v), 0.0, payload.boost * (v / (v + payload.pivot))
+            )
+        elif kind == "distf":
+            attrs = dmc.attrs(bucket, m_ids, (payload.col,))
+            v = np.asarray(attrs[payload.col], dtype=np.float64)
+            m_scores = m_scores + np.where(
+                np.isnan(v),
+                0.0,
+                payload.boost * (payload.pivot / (payload.pivot + np.abs(v - payload.origin))),
             )
         else:
             bst: DocAttrBoost = payload
@@ -1795,6 +1837,8 @@ class SearchEngine:
             k1=self.stats["k1"],
             b=self.stats["b"],
             min_should_match=q.min_should_match,
+            msm_field=getattr(q, "msm_field", None),
+            msm_map=getattr(q, "msm_map", None),
             n_take=n_take,
             filter_spec=filter_spec,
             boosts=tuple(boosts),
@@ -1916,6 +1960,7 @@ class SearchEngine:
             and not q.must_not
             and not q.filter
             and q.min_should_match <= 1
+            and getattr(q, "msm_field", None) is None
             and filter_spec is None
             and not boosts
             and not facet_fields
@@ -2252,7 +2297,18 @@ class SearchEngine:
                 }
             )
         matched = must_cnt == n_must
-        if q.min_should_match > 0:
+        if getattr(q, "msm_field", None) is not None:
+            try:
+                raw = impl.dmc.attrs(bucket, np.array([doc_id], np.int64), (q.msm_field,))[
+                    q.msm_field
+                ]
+                req = np.asarray(raw, dtype=np.int64)
+                if q.msm_map is not None:
+                    req = np.asarray(q.msm_map(req), dtype=np.int64)
+                matched &= should_cnt >= int(req[0])
+            except RuntimeError:  # unknown doc_id
+                matched = False
+        elif q.min_should_match > 0:
             matched &= should_cnt >= q.min_should_match
         elif n_must == 0 and any(lf.occur == "should" for lf in leaves):
             matched &= should_cnt > 0

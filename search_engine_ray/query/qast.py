@@ -202,6 +202,14 @@ class Compound:
     min_should_match: int = 0
     must_not: tuple[Leaf, ...] = ()
     filter: tuple[Leaf, ...] = ()
+    # ES terms_set `minimum_should_match_field`: the required should
+    # count comes PER DOC from this docmap column instead of the fixed
+    # min_should_match. msm_map (the `minimum_should_match_script`
+    # analog) optionally transforms the raw column values into the
+    # required count (e.g. lambda v: np.minimum(3, 1 + v // 300));
+    # it must be a pure vectorized ndarray -> ndarray function.
+    msm_field: str | None = None
+    msm_map: object | None = None
 
     @property
     def leaves(self) -> tuple[Leaf, ...]:
