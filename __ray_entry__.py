@@ -1336,6 +1336,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _ensure_positions(eng, sf_dir)
         return phrase_topk(eng, "text", ["vector"], first_end=30, k=10)
 
+    def s67_span_or(sf_dir):
+        # ES span_near over a span_or first slot: ('merge'|'sort')
+        # followed by 'key' within 1-2 positions; the OR slot's merged
+        # occurrence keys stay unique (one position holds one token),
+        # so ptf counts position PAIRS exactly like s12; one BM25
+        # clause, df = docs with any pair
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["key"], window=2, or_first=["merge", "sort"], k=10
+        )
+
+    def s68_span_not(sf_dir):
+        # ES span_not: occurrences of 'scan' survive only when no
+        # 'slow'/'fast' occurrence lies within +-2 positions in the
+        # same doc (pre/post exclusion window); ptf counts surviving
+        # occurrences, df = docs with any, one BM25 clause
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["scan"], exclude=["slow", "fast"], exclude_dist=2, k=10
+        )
+
     def s53_phrase_prefix(sf_dir):
         # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
         # — the final slot expands against the term dictionary (6
@@ -3076,6 +3103,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r35_pagerank": r35_pagerank,
         "s58_rank_feature": s58_rank_feature,
         "s59_span_first": s59_span_first,
+        "s67_span_or": s67_span_or,
+        "s68_span_not": s68_span_not,
         # ---- round-3 third wave (driver-window candidates for r04) -----
         "t_gopher_rules": t_gopher_rules,
         "t_reservoir_sample": t_reservoir_sample,
@@ -4363,6 +4392,43 @@ SELECT d.doc_id, round(
     (ptf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))), 4) AS score
 FROM d, s WHERE ptf > 0
 ORDER BY score DESC, d.doc_id LIMIT 10
+""",
+        # s67: span_or-in-span_near — pair count with the first slot
+        # matching EITHER alternative (positions of distinct tokens
+        # never collide, so the join counts each pair once)
+        "s67_span_or": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t IN ('merge', 'sort')),
+b AS (SELECT doc_id, p FROM e WHERE t = 'key'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2 GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s68: span_not — 'scan' occurrences with no 'slow'/'fast'
+        # within +-2 positions in the same doc
+        "s68_span_not": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'scan'),
+x AS (SELECT doc_id, p FROM e WHERE t IN ('slow', 'fast')),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf FROM a
+      WHERE NOT EXISTS (SELECT 1 FROM x
+                        WHERE x.doc_id = a.doc_id AND abs(x.p - a.p) <= 2)
+      GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
 """,
         "s53_phrase_prefix": f"""
 WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),

@@ -196,6 +196,14 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # collapse, corpus card, 5-iteration PageRank
         "ann_ivfpq", "t_dsir", "t_bigram_lm", "s56_collapse",
         "pipe_corpus_report", "r35_pagerank",
+        # round-3 third wave: Gopher rules, A-ES weighted sample,
+        # radius search, terms_set, composite/rare/diversified aggs,
+        # bool-prefix, distance_feature, pipeline aggs, compaction
+        "t_gopher_rules", "t_reservoir_sample", "ann_range",
+        "s60_terms_set", "s61_rare_terms", "s62_multi_terms",
+        "s63_diversified_sampler", "s64_match_bool_prefix",
+        "s66_distance_feature", "r36_derivative", "e14_compaction",
+        "s67_span_or", "s68_span_not",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

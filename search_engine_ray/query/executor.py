@@ -1036,6 +1036,9 @@ class _BucketScorerImpl:
         ordered: bool = True,
         first_end: int | None = None,
         exp_keys: tuple[str, ...] = (),
+        or_keys: tuple[str, ...] = (),
+        exclude_keys: tuple[str, ...] = (),
+        exclude_dist: int = 0,
     ) -> pa.Table:
         """Scatter-gather phrase half (phrase.phrase_topk's actor
         side): per owned bucket, decode this bucket's position streams
@@ -1048,7 +1051,7 @@ class _BucketScorerImpl:
         from search_engine_ray.index.positions import decode_positions_term
         from search_engine_ray.query.phrase import chain_core
 
-        keyset = sorted(set(term_keys) | set(exp_keys))
+        keyset = sorted(set(term_keys) | set(exp_keys) | set(or_keys) | set(exclude_keys))
         out_i: list[np.ndarray] = []
         out_p: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
@@ -1090,7 +1093,10 @@ class _BucketScorerImpl:
                     if (s := self._post_cache.get((di, b, "pos", tk))) is not None
                 }
                 doc_ranks, ptf, dl = chain_core(
-                    by_term, list(term_keys), window, ordered, first_end, list(exp_keys)
+                    by_term, list(term_keys), window, ordered, first_end, list(exp_keys),
+                    or_keys=list(or_keys) or None,
+                    exclude_keys=list(exclude_keys) or None,
+                    exclude_dist=exclude_dist,
                 )
                 if doc_ranks.size == 0:
                     continue

@@ -89,6 +89,14 @@ def _pair_window_keys(streams, window: int, ordered: bool = True):
     distinct tokens; for an identical token pair each unordered pair
     is counted from both sides, matching the SQL abs-gap self-join."""
     k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
+    return _pair_window_raw(k1, k2, window, ordered)
+
+
+def _pair_window_raw(k1: np.ndarray, k2: np.ndarray, window: int, ordered: bool):
+    """The pair-window kernel on raw occurrence-key arrays (lets the
+    first slot be a UNION of alternatives — ES span_or inside
+    span_near — whose merged keys stay unique because one position
+    holds one token)."""
     hits = []
     for delta in range(1, window + 1):
         m = np.intersect1d(k1 + delta, k2, assume_unique=True)
@@ -111,17 +119,53 @@ def chain_core(
     ordered: bool,
     first_end: int | None,
     exp_keys: list[str],
+    or_keys: list[str] | None = None,
+    exclude_keys: list[str] | None = None,
+    exclude_dist: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The pure per-(shard, bucket) phrase kernel shared by the Dataset
     path (phrase_postings) and the scatter-gather actor path
     (phrase_topk): decoded (ranks, tfs, dls, positions) streams per
     term -> (doc_ranks, ptf, dl) of the phrase match set. Returns
-    empty arrays when any required term is absent."""
+    empty arrays when any required term is absent.
+
+    ``or_keys`` (ES span_or inside span_near): the FIRST slot matches
+    ANY of these term keys (term_keys holds only the second token);
+    merged occurrence keys stay unique because one position holds one
+    token, so pair counting is exact.
+    ``exclude_keys``/``exclude_dist`` (ES span_not): term_keys holds
+    ONE include token; its occurrences survive only when no exclude
+    occurrence lies within ±exclude_dist positions in the same doc.
+    ptf counts surviving occurrences, df = docs with any."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if any(tk not in by_term for tk in term_keys):
         return empty
     streams = [by_term[tk] for tk in term_keys]
-    if first_end is not None:
+    if exclude_keys is not None:
+        keys = _occurrence_keys(streams[0])
+        bad = [_occurrence_keys(by_term[k]) for k in exclude_keys if k in by_term]
+        if bad:
+            badk = np.concatenate(bad)
+            ban = np.unique(
+                np.concatenate(
+                    [badk + np.int64(d) for d in range(-exclude_dist, exclude_dist + 1)]
+                )
+            )
+            keys = keys[~np.isin(keys, ban, assume_unique=False)]
+        if keys.size == 0:
+            return empty
+        doc_ranks, ptf = np.unique(keys >> np.int64(32), return_counts=True)
+    elif or_keys is not None:
+        alt = [_occurrence_keys(by_term[k]) for k in or_keys if k in by_term]
+        if not alt:
+            return empty
+        k_or = np.sort(np.concatenate(alt))
+        doc_ranks, ptf = _pair_window_raw(
+            k_or, _occurrence_keys(streams[0]), max(window, 1), ordered
+        )
+        if doc_ranks.size == 0:
+            return empty
+    elif first_end is not None:
         keys = _occurrence_keys(streams[0])
         keep_k = (keys & np.int64(0xFFFFFFFF)) < np.int64(first_end)
         if not keep_k.any():
@@ -148,6 +192,8 @@ def phrase_postings(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
     ordered: bool = True, first_end: int | None = None,
+    or_first: list[str] | None = None,
+    exclude: list[str] | None = None, exclude_dist: int = 0,
 ):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
     the phrase. Raises if the positional sidecar is missing.
@@ -169,7 +215,15 @@ def phrase_postings(
 
     tokens = _analyzed(engine, phrase)
     cfg = engine.config
-    if window > 1 and len(tokens) != 2:
+    or_keys = [cfg.term_key(field, t) for t in or_first] if or_first else None
+    exclude_keys = [cfg.term_key(field, t) for t in exclude] if exclude else None
+    if or_keys is not None or exclude_keys is not None:
+        if len(tokens) != 1 or last_prefix is not None or first_end is not None:
+            raise ValueError(
+                "or_first (span_or-in-span_near) / exclude (span_not) take exactly "
+                "one phrase token, no prefix, no first_end"
+            )
+    elif window > 1 and len(tokens) != 2:
         raise ValueError("window > 1 supports exactly two tokens (ordered proximity pair)")
     if first_end is not None and (len(tokens) != 1 or window > 1 or last_prefix is not None):
         raise ValueError("first_end (span_first) takes exactly one token, window=1, no prefix")
@@ -188,8 +242,9 @@ def phrase_postings(
     if not tokens:
         return rd.from_arrow(_EMPTY_POSTINGS)
     term_keys = [cfg.term_key(field, t) for t in tokens]
-    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys})
-    keyset = sorted(set(term_keys + exp_keys))
+    aux_keys = (or_keys or []) + (exclude_keys or [])
+    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys + aux_keys})
+    keyset = sorted(set(term_keys + exp_keys + aux_keys))
     tomb = engine.tombstones
     pieces = []
     for d in engine.dirs:
@@ -233,7 +288,8 @@ def phrase_postings(
                     row.doc_bytes, row.tf_bytes, row.dl_bytes, row.pos_bytes, int(row.df_local)
                 )
             doc_ranks, ptf, dl = chain_core(
-                by_term, term_keys, window, ordered, first_end, exp_keys
+                by_term, term_keys, window, ordered, first_end, exp_keys,
+                or_keys=or_keys, exclude_keys=exclude_keys, exclude_dist=exclude_dist,
             )
             if doc_ranks.size == 0:
                 return empty
@@ -277,6 +333,8 @@ def phrase_search_all(
     engine, field: str, phrase, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
     ordered: bool = True, first_end: int | None = None,
+    or_first: list[str] | None = None,
+    exclude: list[str] | None = None, exclude_dist: int = 0,
 ):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
@@ -288,6 +346,7 @@ def phrase_search_all(
         engine, field, phrase, window=window,
         last_prefix=last_prefix, max_expansions=max_expansions,
         ordered=ordered, first_end=first_end,
+        or_first=or_first, exclude=exclude, exclude_dist=exclude_dist,
     ).materialize()
     df = mat.count()
     if df == 0:
@@ -310,6 +369,8 @@ def phrase_topk(
     engine, field: str, phrase, k: int = 10, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
     ordered: bool = True, first_end: int | None = None,
+    or_first: list[str] | None = None,
+    exclude: list[str] | None = None, exclude_dist: int = 0,
 ) -> pd.DataFrame:
     """Warm-path phrase top-k: the chain runs INSIDE the persistent
     scorer pool (ONE RPC fan-out; decoded position streams cached per
@@ -347,10 +408,16 @@ def phrase_topk(
         return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
                              "score": pd.Series(dtype="float64")})
     term_keys = [cfg.term_key(field, t) for t in tokens]
-    parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys})
+    or_keys = tuple(cfg.term_key(field, t) for t in or_first) if or_first else ()
+    exclude_keys = tuple(cfg.term_key(field, t) for t in exclude) if exclude else ()
+    parts = sorted({
+        term_part(tk, cfg.num_parts)
+        for tk in term_keys + exp_keys + list(or_keys) + list(exclude_keys)
+    })
     futs = [
         a.phrase_rows.remote(
-            parts, term_keys, window, ordered, first_end, tuple(exp_keys)
+            parts, term_keys, window, ordered, first_end, tuple(exp_keys),
+            or_keys, exclude_keys, exclude_dist,
         )
         for a in engine._scorer_pool()
     ]

@@ -282,6 +282,65 @@ def test_span_first(pos_index, tiny_corpus):
     )
 
 
+def test_span_or_near(pos_index, tiny_corpus):
+    """span_near over a span_or first slot: ('import'|'class')
+    followed by 'yield' within the window — ptf counts position pairs,
+    verified against a brute analyzed-token scan."""
+    from search_engine_ray.index.build import doc_uid
+    from search_engine_ray.query.phrase import phrase_postings
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    w = 3
+    got = (
+        phrase_postings(eng, "content", ["yield"], window=w, or_first=["import", "class"])
+        .to_pandas()
+        .set_index("doc_id")["ptf"]
+        .to_dict()
+    )
+    exp = {}
+    repo, path, content = (tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        pa_ = [i for i, t in enumerate(ts) if t in ("import", "class")]
+        pb_ = [i for i, t in enumerate(ts) if t == "yield"]
+        ptf = sum(1 for i in pa_ for j in pb_ if 1 <= j - i <= w)
+        if ptf:
+            exp[doc_uid([str(r), str(p)])] = ptf
+    assert got == exp
+
+
+def test_span_not(pos_index, tiny_corpus):
+    """span_not: 'import' occurrences survive only with no
+    'class'/'with' within +-dist positions; brute-verified. dist=0
+    bans only same-position (impossible) -> equals the plain term."""
+    from search_engine_ray.index.build import doc_uid
+    from search_engine_ray.query.phrase import phrase_postings
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    dist = 2
+    got = (
+        phrase_postings(eng, "content", ["import"], exclude=["class", "with"],
+                        exclude_dist=dist)
+        .to_pandas()
+        .set_index("doc_id")["ptf"]
+        .to_dict()
+    )
+    exp = {}
+    repo, path, content = (tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        bad = {i for i, t in enumerate(ts) if t in ("class", "with")}
+        ptf = sum(
+            1 for i, t in enumerate(ts)
+            if t == "import" and not any(abs(i - j) <= dist for j in bad)
+        )
+        if ptf:
+            exp[doc_uid([str(r), str(p)])] = ptf
+    assert got == exp
+
+
 def test_phrase_topk_actor_path_parity(pos_index):
     """phrase_topk (scatter-gather actor path) == the Dataset path,
     for exact phrase / proximity / unordered / span_first / prefix —
@@ -300,6 +359,8 @@ def test_phrase_topk_actor_path_parity(pos_index):
         dict(phrase=["import", "yield"], window=3),
         dict(phrase=["import", "yield"], window=3, ordered=False),
         dict(phrase=["import"], last_prefix="yi"),
+        dict(phrase=["yield"], window=3, or_first=["import", "class"]),
+        dict(phrase=["import"], exclude=["class", "with"], exclude_dist=2),
         dict(phrase=["zzzqqq"]),  # zero hits
     ]
     for case in cases:
