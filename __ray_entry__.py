@@ -1081,6 +1081,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id"])
         return pd.DataFrame({"distinct_est": [sk.kmv_distinct(ev, "user_id", k=64)]})
 
+    def sketch_hll(sf_dir):
+        # HyperLogLog cardinality (the ES `cardinality` estimator),
+        # m=64 registers over md5-hashed user_ids; the harmonic sum
+        # folds as an exact integer so the estimate replays in SQL
+        # independent of register visit order
+        ev = _read(sf_dir, "events", ["user_id"])
+        return pd.DataFrame({"distinct_est": [sk.hll_distinct(ev, "user_id", p=6)]})
+
+    def r38_extended_stats(sf_dir):
+        # ES extended_stats per group: count/sum/avg/var_pop/std_pop
+        # + avg±2σ bounds over l_quantity (integer-valued, so the
+        # moment sums are float64-exact) — per-key raw-moment combiner
+        # then a tiny groupby-sum
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        return sk.extended_stats(li, "l_returnflag", "l_quantity", sigma=2.0)
+
     def sketch_quantiles(sf_dir):
         # exact discrete quantiles from one value-histogram shuffle;
         # q values are binary-exact (q*n has no float fuzz vs DuckDB)
@@ -2899,11 +2915,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def r36_derivative(sf_dir):
         # ES pipeline aggs (derivative + cumulative_sum) over a
         # calendar date_histogram: the distributed part is the
-        # month-bucket combiner aggregate; the window pass runs on the
-        # tiny (one-row-per-month) result
+        # day-bucket combiner aggregate; the window pass runs on the
+        # tiny (one-row-per-day) result
         ds = _read(sf_dir, "events", ["ts", "value"])
         out = rel.calendar_window_aggregate(
-            ds, "ts", "month", {"n": ("count", "value")}
+            ds, "ts", "day", {"n": ("count", "value")}
         ).to_pandas()
         out = out.sort_values("window_start").reset_index(drop=True)
         out["window_start"] = out["window_start"].astype("datetime64[us]").astype("int64")
@@ -2913,6 +2929,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["deriv"] = out["deriv"].astype("int64")
         out["n"] = out["n"].astype("int64")
         return out[["window_start", "n", "deriv", "cum_n"]]
+
+    def r37_moving_avg(sf_dir):
+        # ES moving_fn pipeline aggs over the day date_histogram:
+        # trailing 3-bucket moving average and lag-2 serial
+        # differencing of the bucket count. The distributed part is
+        # the day combiner; the window pass runs on the tiny
+        # one-row-per-day series with the op order pinned
+        # ((n₋₂+n₋₁+n)/3 — integer inputs, no summation-order drift)
+        ds = _read(sf_dir, "events", ["ts", "value"])
+        out = rel.calendar_window_aggregate(
+            ds, "ts", "day", {"n": ("count", "value")}
+        ).to_pandas()
+        out = out.sort_values("window_start").reset_index(drop=True)
+        out["window_start"] = out["window_start"].astype("datetime64[us]").astype("int64")
+        n = out["n"].astype("float64")
+        out["mavg3"] = round_half_up(
+            ((n.shift(2) + n.shift(1)) + n).to_numpy() / 3.0
+        )
+        out["sdiff2"] = out["n"] - out["n"].shift(2)
+        out = out.iloc[2:].reset_index(drop=True)  # ES emits no value until the window fills
+        out["n"] = out["n"].astype("int64")
+        out["sdiff2"] = out["sdiff2"].astype("int64")
+        return out[["window_start", "n", "mavg3", "sdiff2"]]
 
     def e14_compaction(sf_dir):
         # small-file compaction (the sink-maintenance op): 16 accreted
@@ -3081,6 +3120,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r24_sessionize": r24_sessionize,
         "r25_bloom_join": r25_bloom_join,
         "sketch_kmv": sketch_kmv,
+        "sketch_hll": sketch_hll,
+        "r37_moving_avg": r37_moving_avg,
+        "r38_extended_stats": r38_extended_stats,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -4685,6 +4727,53 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "ELSE round(63 / (CAST(kth AS DOUBLE) / 18446744073709551616.0), 4) END "
             "AS distinct_est FROM s"
         ),
+        "sketch_hll": (
+            # the same HLL estimate rebuilt in SQL: register = top 6
+            # md5 bits, rho = leading zeros of the low 58 bits + 1,
+            # harmonic sum as the exact integer sum(2^(59-mx)) so the
+            # float division happens once, order-independently;
+            # linear-counting branch when raw <= 2.5m with empty regs
+            "WITH h AS (SELECT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv FROM events), "
+            "r AS (SELECT CAST(hv >> 58 AS BIGINT) AS reg, "
+            "hv & ((1::UBIGINT << 58) - 1) AS low FROM h), "
+            "rho AS (SELECT reg, CAST(length(regexp_extract(lpad(bin(low), 58, '0'), '^0*')) "
+            "+ 1 AS BIGINT) AS rho FROM r), "
+            "regs AS (SELECT reg, max(rho) AS mx FROM rho GROUP BY reg), "
+            "allr AS (SELECT g.range AS reg, COALESCE(mx, 0) AS mx "
+            "FROM range(64) g LEFT JOIN regs ON regs.reg = g.range), "
+            "e AS (SELECT sum(1::HUGEINT << (59 - mx)) AS s_int, "
+            "count(*) FILTER (WHERE mx = 0) AS zeros FROM allr) "
+            "SELECT round(CASE WHEN (0.709 * 4096.0) * 576460752303423488.0 "
+            "/ CAST(s_int AS DOUBLE) <= 160.0 AND zeros > 0 "
+            "THEN 64.0 * ln(64.0 / zeros) "
+            "ELSE (0.709 * 4096.0) * 576460752303423488.0 / CAST(s_int AS DOUBLE) END, 4) "
+            "AS distinct_est FROM e"
+        ),
+        "r37_moving_avg": (
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start, "
+            "count(*) AS n FROM events GROUP BY 1) "
+            "SELECT window_start, n, "
+            "round(((lag(CAST(n AS DOUBLE), 2) OVER w + lag(CAST(n AS DOUBLE), 1) OVER w) "
+            "+ CAST(n AS DOUBLE)) / 3.0, 4) AS mavg3, "
+            "n - lag(n, 2) OVER w AS sdiff2 "
+            "FROM m WINDOW w AS (ORDER BY window_start) "
+            "QUALIFY lag(n, 2) OVER w IS NOT NULL ORDER BY window_start"
+        ),
+        "r38_extended_stats": (
+            # ES's naive var_pop form sq/n - avg*avg, same op order as
+            # the engine; l_quantity is integer-valued so the moment
+            # sums are float64-exact on both sides
+            "WITH p AS (SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(l_quantity AS DOUBLE)) AS s, "
+            "sum(CAST(l_quantity AS DOUBLE) * CAST(l_quantity AS DOUBLE)) AS sq "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, n, round(s, 4) AS sum_v, round(s / n, 4) AS avg_v, "
+            "round(sq / n - (s / n) * (s / n), 4) AS var_v, "
+            "round(sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 4) AS std_v, "
+            "round(s / n + 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 4) AS upper_sd, "
+            "round(s / n - 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 4) AS lower_sd "
+            "FROM p ORDER BY l_returnflag"
+        ),
         "sketch_cm": (
             # the exact count-min estimate rebuilt in SQL: cell sums
             # per (row, md5(r:value) % width), min over rows per query
@@ -5294,7 +5383,7 @@ ORDER BY score DESC, d.doc_id LIMIT 10
             boost_sql="5.0 * (100.0 / (100.0 + abs(d.n_chars - 500.0)))",
         ),
         "r36_derivative": (
-            "WITH m AS (SELECT CAST(epoch_us(date_trunc('month', ts)) AS BIGINT) AS window_start, "
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start, "
             "count(*) AS n FROM events GROUP BY 1) "
             "SELECT window_start, n, "
             "n - lag(n) OVER (ORDER BY window_start) AS deriv, "

@@ -2,9 +2,11 @@
 (task brief: training-data pipeline analytics beyond the reference).
 
 - KMV (K-minimum-values) distinct-count sketch: DETERMINISTIC given
-  the hash, so unlike HLL it is value-checkable against a SQL oracle
+  the hash, so it is value-checkable against a SQL oracle
   (the k smallest md5 hashes and the (k-1)/U_(k) estimator are both
-  expressible in DuckDB). Per block only the k smallest hashes
+  expressible in DuckDB). hll_distinct applies the same md5-replay
+  trick to HyperLogLog (the ES `cardinality` estimator) with an
+  order-independent integer harmonic fold. Per block only the k smallest hashes
   survive (map-side combiner), the global merge is a bounded top-k —
   the shuffle payload is O(k x blocks) regardless of input size.
 - histogram quantiles: EXACT discrete quantiles via a distributed
@@ -78,6 +80,71 @@ def kmv_distinct(ds: Dataset, col: str, k: int = 256) -> float:
     if hs.size < k:
         return float(hs.size)
     return round_half_up((k - 1) / (float(hs[-1]) / _TWO64), 4)
+
+
+def _bit_length_u64(x: np.ndarray) -> np.ndarray:
+    """Vectorized bit_length for uint64 (binary-search shifts — no
+    float log2, which is inexact near powers of two)."""
+    x = x.copy()
+    n = np.zeros(x.shape, np.int64)
+    for s in (32, 16, 8, 4, 2, 1):
+        m = x >= (np.uint64(1) << np.uint64(s))
+        n[m] += s
+        x = np.where(m, x >> np.uint64(s), x)
+    return n + (x != 0)
+
+
+def hll_distinct(ds: Dataset, col: str, p: int = 6) -> float:
+    """Approximate distinct count via HyperLogLog (the estimator
+    behind the ES `cardinality` aggregation): m = 2^p registers, each
+    holding the max leading-zero run (+1) of the low 64-p hash bits
+    among values routed to it; estimate = alpha_m * m^2 / sum(2^-reg),
+    with Flajolet's linear-counting correction when the raw estimate
+    is <= 2.5m and empty registers remain.
+
+    Deterministic and SQL-replayable like kmv_distinct: the hash is
+    md5_number_upper of the string form, and the harmonic sum is
+    folded as the EXACT integer sum(2^(maxrho - reg)) so the estimate
+    is independent of register visit order (no float-summation-order
+    drift between the engine and the DuckDB oracle).
+
+    Distribution shape: per block the partial is the block's <= m
+    (register, rho) maxima — a fixed-size combiner regardless of block
+    rows — and the global merge is a groupby-max over <= m * blocks
+    tiny rows. Nothing data-scale leaves the map stage."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    low_bits = 64 - p
+    # alpha per the HLL paper's small-m constants, 0.7213/(1+1.079/m) beyond
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = pc.unique(pc.cast(t[col], pa.string()))
+        h = _md5_upper64(vals.to_pylist())
+        reg = (h >> np.uint64(low_bits)).astype(np.int64)
+        low = h & np.uint64((1 << low_bits) - 1)
+        rho = (low_bits - _bit_length_u64(low) + 1).astype(np.int64)
+        df = pd.DataFrame({"reg": reg, "rho": rho}).groupby("reg", as_index=False).max()
+        return pa.table({"reg": df["reg"].to_numpy(), "rho": df["rho"].to_numpy()})
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby("reg")
+        .aggregate(Max("rho", alias_name="mx"))
+        .to_pandas()
+    )
+    mx = np.zeros(m, np.int64)
+    mx[regs["reg"].to_numpy()] = regs["mx"].to_numpy()
+    zeros = int((mx == 0).sum())
+    # exact integer harmonic fold: sum(2^-mx) == s_int / 2^(low_bits+1)
+    s_int = int(sum(1 << (low_bits + 1 - int(v)) for v in mx))
+    raw = (alpha * float(m * m)) * float(1 << (low_bits + 1)) / float(s_int)
+    if raw <= 2.5 * m and zeros > 0:
+        return round_half_up(float(m) * float(np.log(float(m) / zeros)), 4)
+    return round_half_up(raw, 4)
 
 
 def hash_sample(ds: Dataset, col: str, rate: float, salt: str = "") -> Dataset:
@@ -384,6 +451,56 @@ def matrix_stats(ds: Dataset, x_col: str, y_col: str) -> pd.DataFrame:
     return pd.DataFrame({
         "stat": ["count", "mean_x", "mean_y", "var_x", "var_y", "covar", "corr"],
         "value": round_half_up(np.array(vals, dtype=np.float64)),
+    })
+
+
+def extended_stats(
+    ds: Dataset, key: str, col: str, sigma: float = 2.0
+) -> pd.DataFrame:
+    """ES extended_stats aggregation per group: count, sum, avg,
+    population variance (ES's naive sum_sq/n - avg² form), std, and
+    the std-deviation bounds avg ± sigma·std. Same shape as
+    matrix_stats one level down: per-batch raw moments PER KEY
+    (count/Σx/Σx², a bounded-by-cardinality combiner), a tiny
+    groupby-sum exchange, final math on the per-group row.
+
+    Exact against SQL when `col` holds integer-valued numbers within
+    2^53 (TPC-H quantities): the moment sums are then exact in
+    float64, so no summation-order drift. Values rounded half-up to 4
+    (DuckDB tie rule); rows ordered by key."""
+    from ray.data.aggregate import Sum
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = t.select([key, col]).to_pandas()
+        x = df[col].to_numpy(dtype=np.float64)
+        df = df.assign(_n=(~np.isnan(x)).astype(np.int64),
+                       _s=np.nan_to_num(x), _sq=np.nan_to_num(x * x))
+        g = df.groupby(key, as_index=False)[["_n", "_s", "_sq"]].sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby(key)
+        .aggregate(Sum("_n", alias_name="n"), Sum("_s", alias_name="s"),
+                   Sum("_sq", alias_name="sq"))
+        .to_pandas()
+        .sort_values(key, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    n = agg["n"].to_numpy(dtype=np.float64)
+    s, sq = agg["s"].to_numpy(dtype=np.float64), agg["sq"].to_numpy(dtype=np.float64)
+    avg = s / n
+    var = sq / n - avg * avg
+    std = np.sqrt(np.maximum(var, 0.0))
+    return pd.DataFrame({
+        key: agg[key],
+        "n": agg["n"].astype("int64"),
+        "sum_v": round_half_up(s),
+        "avg_v": round_half_up(avg),
+        "var_v": round_half_up(var),
+        "std_v": round_half_up(std),
+        "upper_sd": round_half_up(avg + sigma * std),
+        "lower_sd": round_half_up(avg - sigma * std),
     })
 
 

@@ -785,6 +785,62 @@ def test_kmv_distinct(ray_session):
     assert 130 <= est <= 270, est
 
 
+def test_hll_distinct(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    # brute HLL over the same md5 hashes == the distributed op,
+    # regardless of how values land in blocks
+    vals = (np.arange(3000) % 700).astype(np.int64)
+    ds = rd.from_pandas(pd.DataFrame({"x": vals}), override_num_blocks=7)
+    est = sk.hll_distinct(ds, "x", p=6)
+    h = sk._md5_upper64([str(v) for v in sorted(set(vals.tolist()))])
+    reg = (h >> np.uint64(58)).astype(np.int64)
+    low = h & np.uint64((1 << 58) - 1)
+    rho = (58 - sk._bit_length_u64(low) + 1).astype(np.int64)
+    mx = np.zeros(64, np.int64)
+    np.maximum.at(mx, reg, rho)
+    zeros = int((mx == 0).sum())
+    s_int = int(sum(1 << (59 - int(v)) for v in mx))
+    raw = (0.709 * 4096.0) * float(1 << 59) / float(s_int)
+    exp = 64.0 * np.log(64.0 / zeros) if (raw <= 160.0 and zeros > 0) else raw
+    from search_engine_ray.ops.rounding import round_half_up
+
+    assert est == round_half_up(exp, 4)
+    # sane accuracy at m=64 (~13% rel error): 700 true distinct
+    assert 450 <= est <= 1000, est
+    # small-cardinality input exercises the linear-counting branch
+    tiny = rd.from_pandas(pd.DataFrame({"x": np.arange(12)}))
+    est2 = sk.hll_distinct(tiny, "x", p=6)
+    assert 6 <= est2 <= 25, est2
+
+
+def test_extended_stats(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+    from search_engine_ray.ops.rounding import round_half_up
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame({"g": rng.integers(0, 3, 500).astype(str),
+                       "v": rng.integers(1, 51, 500).astype(np.float64)})
+    out = sk.extended_stats(rd.from_pandas(df, override_num_blocks=5), "g", "v")
+    assert list(out["g"]) == sorted(out["g"])
+    for _, row in out.iterrows():
+        x = df.loc[df["g"] == row["g"], "v"].to_numpy()
+        avg = x.sum() / x.size
+        var = (x * x).sum() / x.size - avg * avg
+        std = np.sqrt(max(var, 0.0))
+        assert row["n"] == x.size
+        assert row["sum_v"] == round_half_up(x.sum(), 4)
+        assert row["avg_v"] == round_half_up(avg, 4)
+        assert row["var_v"] == round_half_up(var, 4)
+        assert row["std_v"] == round_half_up(std, 4)
+        assert row["upper_sd"] == round_half_up(avg + 2.0 * std, 4)
+        assert row["lower_sd"] == round_half_up(avg - 2.0 * std, 4)
+
+
 def test_hash_sample(ray_session):
     import ray.data as rd
 
