@@ -1379,6 +1379,34 @@ def queries() -> dict[str, Callable[[str], Any]]:
             eng, "text", ["scan"], exclude=["slow", "fast"], exclude_dist=2, k=10
         )
 
+    def s69_span_containing(sf_dir):
+        # ES span_containing: big = ordered pair 'sort'..'order' with
+        # gap 1-5, little = 'column'; matches big spans holding a
+        # little occurrence t1.pos <= p <= t2.pos; ptf counts
+        # qualifying SPANS, df = docs with any, one BM25 clause
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["sort", "order"], window=5, little="column",
+            span_mode="containing", k=10,
+        )
+
+    def s70_span_within(sf_dir):
+        # ES span_within: the inverse — matches little ('column')
+        # occurrences lying inside any big span; ptf counts qualifying
+        # little OCCURRENCES (deduped across overlapping spans), dl
+        # from the little term's field length
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["sort", "order"], window=5, little="column",
+            span_mode="within", k=10,
+        )
+
     def s53_phrase_prefix(sf_dir):
         # ES match_phrase_prefix / Lucene MultiPhraseQuery: "hash s*"
         # — the final slot expands against the term dictionary (6
@@ -3147,6 +3175,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s59_span_first": s59_span_first,
         "s67_span_or": s67_span_or,
         "s68_span_not": s68_span_not,
+        "s69_span_containing": s69_span_containing,
+        "s70_span_within": s70_span_within,
         # ---- round-3 third wave (driver-window candidates for r04) -----
         "t_gopher_rules": t_gopher_rules,
         "t_reservoir_sample": t_reservoir_sample,
@@ -4446,6 +4476,49 @@ a AS (SELECT doc_id, dl, p FROM e WHERE t IN ('merge', 'sort')),
 b AS (SELECT doc_id, p FROM e WHERE t = 'key'),
 m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
       FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2 GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s69: span_containing — big pair spans (p1, p2), p2-p1 in
+        # [1,5], qualifying when a little 'column' occurrence lies in
+        # [p1, p2]; ptf counts qualifying spans
+        "s69_span_containing": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'sort'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'order'),
+c AS (SELECT doc_id, p FROM e WHERE t = 'column'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 5
+      WHERE EXISTS (SELECT 1 FROM c
+                    WHERE c.doc_id = a.doc_id AND c.p BETWEEN a.p AND b.p)
+      GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s70: span_within — little 'column' occurrences inside any
+        # big span, deduped (count DISTINCT little positions)
+        "s70_span_within": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, p FROM e WHERE t = 'sort'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'order'),
+c AS (SELECT doc_id, dl, p FROM e WHERE t = 'column'),
+m AS (SELECT c.doc_id, c.dl, count(DISTINCT c.p) AS ptf
+      FROM c WHERE EXISTS (SELECT 1 FROM a JOIN b
+                           ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 5
+                           WHERE a.doc_id = c.doc_id AND c.p BETWEEN a.p AND b.p)
+      GROUP BY 1, 2),
 s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
              count(*) AS df FROM m)
 SELECT m.doc_id, round(

@@ -1039,6 +1039,8 @@ class _BucketScorerImpl:
         or_keys: tuple[str, ...] = (),
         exclude_keys: tuple[str, ...] = (),
         exclude_dist: int = 0,
+        little_key: str | None = None,
+        span_mode: str = "containing",
     ) -> pa.Table:
         """Scatter-gather phrase half (phrase.phrase_topk's actor
         side): per owned bucket, decode this bucket's position streams
@@ -1051,7 +1053,10 @@ class _BucketScorerImpl:
         from search_engine_ray.index.positions import decode_positions_term
         from search_engine_ray.query.phrase import chain_core
 
-        keyset = sorted(set(term_keys) | set(exp_keys) | set(or_keys) | set(exclude_keys))
+        keyset = sorted(
+            set(term_keys) | set(exp_keys) | set(or_keys) | set(exclude_keys)
+            | ({little_key} if little_key is not None else set())
+        )
         out_i: list[np.ndarray] = []
         out_p: list[np.ndarray] = []
         out_d: list[np.ndarray] = []
@@ -1097,6 +1102,7 @@ class _BucketScorerImpl:
                     or_keys=list(or_keys) or None,
                     exclude_keys=list(exclude_keys) or None,
                     exclude_dist=exclude_dist,
+                    little_key=little_key, span_mode=span_mode,
                 )
                 if doc_ranks.size == 0:
                     continue

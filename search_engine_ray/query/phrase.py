@@ -122,6 +122,8 @@ def chain_core(
     or_keys: list[str] | None = None,
     exclude_keys: list[str] | None = None,
     exclude_dist: int = 0,
+    little_key: str | None = None,
+    span_mode: str = "containing",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The pure per-(shard, bucket) phrase kernel shared by the Dataset
     path (phrase_postings) and the scatter-gather actor path
@@ -136,11 +138,51 @@ def chain_core(
     ``exclude_keys``/``exclude_dist`` (ES span_not): term_keys holds
     ONE include token; its occurrences survive only when no exclude
     occurrence lies within ±exclude_dist positions in the same doc.
-    ptf counts surviving occurrences, df = docs with any."""
+    ptf counts surviving occurrences, df = docs with any.
+    ``little_key`` (ES span_containing / span_within): the big span is
+    the ordered pair term_keys=[t1, t2] with gap in [1, window];
+    span_mode="containing" counts big spans holding a little
+    occurrence t1.pos <= p <= t2.pos (ptf per qualifying span);
+    span_mode="within" counts little occurrences inside any big span
+    (ptf per qualifying occurrence, dl from the little term)."""
     empty = (np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if any(tk not in by_term for tk in term_keys):
         return empty
     streams = [by_term[tk] for tk in term_keys]
+    if little_key is not None:
+        if little_key not in by_term:
+            return empty
+        k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
+        k3 = _occurrence_keys(by_term[little_key])
+        hits: list[np.ndarray] = []
+        for delta in range(1, max(window, 1) + 1):
+            ends = np.intersect1d(k1 + np.int64(delta), k2, assume_unique=True)
+            if ends.size == 0:
+                continue
+            starts = ends - np.int64(delta)
+            if span_mode == "containing":
+                qual = np.zeros(starts.size, bool)
+                for o in range(delta + 1):
+                    qual |= np.isin(starts + np.int64(o), k3, assume_unique=False)
+                if qual.any():
+                    hits.append(starts[qual] >> np.int64(32))
+            else:  # within: collect the qualifying little OCCURRENCE keys
+                for o in range(delta + 1):
+                    m = np.intersect1d(starts + np.int64(o), k3, assume_unique=True)
+                    if m.size:
+                        hits.append(m)
+        if not hits:
+            return empty
+        if span_mode == "containing":
+            doc_ranks, ptf = np.unique(np.concatenate(hits), return_counts=True)
+            dl_stream = streams[0]
+        else:
+            u = np.unique(np.concatenate(hits))  # a little occ may sit in many spans
+            doc_ranks, ptf = np.unique(u >> np.int64(32), return_counts=True)
+            dl_stream = by_term[little_key]
+        ranks_s, _, dls_s, _ = dl_stream
+        dl = dls_s[np.searchsorted(ranks_s, doc_ranks)]
+        return doc_ranks.astype(np.int64), ptf.astype(np.int64), dl.astype(np.int64)
     if exclude_keys is not None:
         keys = _occurrence_keys(streams[0])
         bad = [_occurrence_keys(by_term[k]) for k in exclude_keys if k in by_term]
@@ -194,6 +236,7 @@ def phrase_postings(
     ordered: bool = True, first_end: int | None = None,
     or_first: list[str] | None = None,
     exclude: list[str] | None = None, exclude_dist: int = 0,
+    little: str | None = None, span_mode: str = "containing",
 ):
     """Lazy Dataset of (doc_id, ptf, dl) — one row per doc containing
     the phrase. Raises if the positional sidecar is missing.
@@ -217,7 +260,16 @@ def phrase_postings(
     cfg = engine.config
     or_keys = [cfg.term_key(field, t) for t in or_first] if or_first else None
     exclude_keys = [cfg.term_key(field, t) for t in exclude] if exclude else None
-    if or_keys is not None or exclude_keys is not None:
+    little_key = cfg.term_key(field, little) if little is not None else None
+    if little_key is not None:
+        if len(tokens) != 2 or or_keys or exclude_keys or last_prefix or first_end:
+            raise ValueError(
+                "little (span_containing/span_within) takes a two-token big span, "
+                "no other span mode"
+            )
+        if span_mode not in ("containing", "within"):
+            raise ValueError(f"span_mode must be containing|within, got {span_mode!r}")
+    elif or_keys is not None or exclude_keys is not None:
         if len(tokens) != 1 or last_prefix is not None or first_end is not None:
             raise ValueError(
                 "or_first (span_or-in-span_near) / exclude (span_not) take exactly "
@@ -243,6 +295,8 @@ def phrase_postings(
         return rd.from_arrow(_EMPTY_POSTINGS)
     term_keys = [cfg.term_key(field, t) for t in tokens]
     aux_keys = (or_keys or []) + (exclude_keys or [])
+    if little_key is not None:
+        aux_keys = aux_keys + [little_key]
     parts = sorted({term_part(tk, cfg.num_parts) for tk in term_keys + exp_keys + aux_keys})
     keyset = sorted(set(term_keys + exp_keys + aux_keys))
     tomb = engine.tombstones
@@ -290,6 +344,7 @@ def phrase_postings(
             doc_ranks, ptf, dl = chain_core(
                 by_term, term_keys, window, ordered, first_end, exp_keys,
                 or_keys=or_keys, exclude_keys=exclude_keys, exclude_dist=exclude_dist,
+                little_key=little_key, span_mode=span_mode,
             )
             if doc_ranks.size == 0:
                 return empty
@@ -335,6 +390,7 @@ def phrase_search_all(
     ordered: bool = True, first_end: int | None = None,
     or_first: list[str] | None = None,
     exclude: list[str] | None = None, exclude_dist: int = 0,
+    little: str | None = None, span_mode: str = "containing",
 ):
     """Score EVERY doc containing the phrase; returns a Dataset of
     (doc_id, score) — the phrase analog of SearchEngine.search_all.
@@ -347,6 +403,7 @@ def phrase_search_all(
         last_prefix=last_prefix, max_expansions=max_expansions,
         ordered=ordered, first_end=first_end,
         or_first=or_first, exclude=exclude, exclude_dist=exclude_dist,
+        little=little, span_mode=span_mode,
     ).materialize()
     df = mat.count()
     if df == 0:
@@ -371,6 +428,7 @@ def phrase_topk(
     ordered: bool = True, first_end: int | None = None,
     or_first: list[str] | None = None,
     exclude: list[str] | None = None, exclude_dist: int = 0,
+    little: str | None = None, span_mode: str = "containing",
 ) -> pd.DataFrame:
     """Warm-path phrase top-k: the chain runs INSIDE the persistent
     scorer pool (ONE RPC fan-out; decoded position streams cached per
@@ -410,14 +468,16 @@ def phrase_topk(
     term_keys = [cfg.term_key(field, t) for t in tokens]
     or_keys = tuple(cfg.term_key(field, t) for t in or_first) if or_first else ()
     exclude_keys = tuple(cfg.term_key(field, t) for t in exclude) if exclude else ()
+    little_key = cfg.term_key(field, little) if little is not None else None
     parts = sorted({
         term_part(tk, cfg.num_parts)
         for tk in term_keys + exp_keys + list(or_keys) + list(exclude_keys)
+        + ([little_key] if little_key is not None else [])
     })
     futs = [
         a.phrase_rows.remote(
             parts, term_keys, window, ordered, first_end, tuple(exp_keys),
-            or_keys, exclude_keys, exclude_dist,
+            or_keys, exclude_keys, exclude_dist, little_key, span_mode,
         )
         for a in engine._scorer_pool()
     ]

@@ -341,6 +341,44 @@ def test_span_not(pos_index, tiny_corpus):
     assert got == exp
 
 
+def test_span_containing_within(pos_index, tiny_corpus):
+    """span_containing counts big pair spans holding a little
+    occurrence; span_within counts (deduped) little occurrences inside
+    any big span — both brute-verified."""
+    from search_engine_ray.index.build import doc_uid
+    from search_engine_ray.query.phrase import phrase_postings
+
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    w = 3
+    got_c = (
+        phrase_postings(eng, "content", ["import", "yield"], window=w,
+                        little="class", span_mode="containing")
+        .to_pandas().set_index("doc_id")["ptf"].to_dict()
+    )
+    got_w = (
+        phrase_postings(eng, "content", ["import", "yield"], window=w,
+                        little="class", span_mode="within")
+        .to_pandas().set_index("doc_id")["ptf"].to_dict()
+    )
+    exp_c, exp_w = {}, {}
+    repo, path, content = (tiny_corpus[c].to_pylist() for c in ("repo", "path", "content"))
+    for r, p, text in zip(repo, path, content):
+        ts = analyze(text or "")
+        p1 = [i for i, t in enumerate(ts) if t == "import"]
+        p2 = [i for i, t in enumerate(ts) if t == "yield"]
+        p3 = [i for i, t in enumerate(ts) if t == "class"]
+        spans = [(i, j) for i in p1 for j in p2 if 1 <= j - i <= w]
+        nc = sum(1 for i, j in spans if any(i <= q <= j for q in p3))
+        nw = len({q for q in p3 if any(i <= q <= j for i, j in spans)})
+        if nc:
+            exp_c[doc_uid([str(r), str(p)])] = nc
+        if nw:
+            exp_w[doc_uid([str(r), str(p)])] = nw
+    assert got_c == exp_c
+    assert got_w == exp_w
+
+
 def test_phrase_topk_actor_path_parity(pos_index):
     """phrase_topk (scatter-gather actor path) == the Dataset path,
     for exact phrase / proximity / unordered / span_first / prefix —
@@ -361,6 +399,10 @@ def test_phrase_topk_actor_path_parity(pos_index):
         dict(phrase=["import"], last_prefix="yi"),
         dict(phrase=["yield"], window=3, or_first=["import", "class"]),
         dict(phrase=["import"], exclude=["class", "with"], exclude_dist=2),
+        dict(phrase=["import", "yield"], window=3, little="class",
+             span_mode="containing"),
+        dict(phrase=["import", "yield"], window=3, little="class",
+             span_mode="within"),
         dict(phrase=["zzzqqq"]),  # zero hits
     ]
     for case in cases:
