@@ -1652,6 +1652,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(_accent, batch_format="pyarrow")
         ).select_columns(["doc_id", "norm"])
 
+    def t_keywords(sf_dir):
+        # per-doc tf-idf keyword extraction: top-3 tokens by
+        # tf*ln(N/df), ties by token asc; df map is a
+        # vocabulary-bounded combiner broadcast once
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.tfidf_keywords(docs, "text", "doc_id", top_n=3)
+
     def t_top_terms(sf_dir):
         # heavy hitters by composition: explode -> count -> bounded
         # top-k (no full sort)
@@ -3048,6 +3055,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_hash_sample": t_hash_sample,
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
+        "t_keywords": t_keywords,
         "t_mix_budget": t_mix_budget,
         "pipe_hybrid": pipe_hybrid,
         "pipe_curation": pipe_curation,
@@ -5213,6 +5221,22 @@ FROM m WHERE ix > 0
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
         ),
+        # t_keywords: per-doc top-3 tf-idf tokens; raw-score ranking
+        # (round only on output), ties by token asc — same op order
+        # as the engine (tf * ln(N/df), N = all document rows)
+        "t_keywords": """
+WITH e AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t
+           FROM documents),
+tf AS (SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf FROM e GROUP BY 1, 2),
+df AS (SELECT t, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM e GROUP BY 1),
+nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM documents),
+sc AS (SELECT tf.doc_id, tf.t, tf.tf * ln(nn.n / df.df) AS s,
+       row_number() OVER (PARTITION BY tf.doc_id
+                          ORDER BY tf.tf * ln(nn.n / df.df) DESC, tf.t) AS rnk
+       FROM tf JOIN df USING (t), nn)
+SELECT doc_id, t AS token, rnk, round(s, 4) AS tfidf
+FROM sc WHERE rnk <= 3 ORDER BY doc_id, rnk
+""",
         # t_mix_budget: rate_s = min(1, budget_s/total_tokens_s) as a
         # DOUBLE division, threshold = min(int(rate*2^64), 2^64-1) —
         # the engine's exact clamp, floor == int() truncation for

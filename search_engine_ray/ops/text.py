@@ -825,6 +825,92 @@ def explode_tokens(ds: Dataset, text_col: str, keep: list[str]) -> Dataset:
     return ds.map_batches(_f, batch_format="pyarrow")
 
 
+def tfidf_keywords(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id", top_n: int = 3
+) -> Dataset:
+    """Per-doc keyword extraction: the top_n tokens by tf·idf
+    (idf = ln(N/df), ranking ties broken by token asc). Two passes:
+
+    1. DF pass — per block, the distinct (doc, token) pairs collapse
+       to a (token, df_partial) combiner (vocabulary-bounded, never
+       the token stream); one groupby-sum gives the global df map,
+       broadcast once via ray.put.
+    2. Score pass — per batch, factorize tokens, one np.unique over
+       packed (doc, code) keys for tf, vectorized score + lexsort
+       head-per-doc. No Python loop over rows.
+
+    Output: (id_col, token, rnk, tfidf) with rnk 1..top_n and tfidf
+    rounded half-up to 4. Docs with no tokens emit nothing. At
+    web-scale vocabulary the broadcast df map is the same bounded
+    object as the unigram-LM count map (ops.text.unigram_logprob);
+    beyond worker heap, swap the probe for the documented hash_join
+    fallback there."""
+    import ray
+
+    from .rounding import round_half_up
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        flat, parents, _n = _flat_tokens(t[text_col])
+        if len(flat) == 0:
+            return pa.table({"token": pa.array([], pa.string()),
+                             "dfp": pa.array([], pa.int64())})
+        toks = flat.to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(toks, sort=False)
+        nv = max(len(uniq), 1)
+        uk = np.unique(parents * nv + codes)
+        cnt = np.bincount(uk % nv, minlength=nv)
+        return pa.table({"token": pa.array(uniq, pa.string()),
+                         "dfp": pa.array(cnt, pa.int64())})
+
+    from ray.data.aggregate import Sum
+
+    dfmap = (
+        ds.map_batches(_df_partial, batch_format="pyarrow")
+        .groupby("token")
+        .aggregate(Sum("dfp", alias_name="df"))
+        .to_pandas()
+    )
+    n_docs = float(ds.count())
+    df_ref = ray.put(dict(zip(dfmap["token"], dfmap["df"].astype(np.int64))))
+
+    def _score(t: pa.Table) -> pa.Table:
+        df_lut = ray.get(df_ref)
+        flat, parents, _n = _flat_tokens(t[text_col])
+        empty = pa.table({
+            id_col: pa.array([], t[id_col].type),
+            "token": pa.array([], pa.string()),
+            "rnk": pa.array([], pa.int64()),
+            "tfidf": pa.array([], pa.float64()),
+        })
+        if len(flat) == 0:
+            return empty
+        toks = flat.to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(toks, sort=False)
+        nv = max(len(uniq), 1)
+        uk, tf = np.unique(parents * nv + codes, return_counts=True)
+        doc_idx, code = uk // nv, uk % nv
+        idf = np.log(n_docs / np.array([float(df_lut[u]) for u in uniq], np.float64))
+        score = tf.astype(np.float64) * idf[code]
+        tok_arr = uniq[code]
+        # head-per-doc: primary doc asc, then score desc, token asc
+        order = np.lexsort((tok_arr, -score, doc_idx))
+        d_sorted = doc_idx[order]
+        starts = np.flatnonzero(np.r_[True, d_sorted[1:] != d_sorted[:-1]])
+        counts = np.diff(np.r_[starts, d_sorted.size])
+        rank = np.arange(d_sorted.size) - np.repeat(starts, counts)
+        keep = rank < top_n
+        sel = order[keep]
+        ids = t[id_col].take(pa.array(doc_idx[sel], pa.int64()))
+        return pa.table({
+            id_col: ids,
+            "token": pa.array(tok_arr[sel], pa.string()),
+            "rnk": pa.array(rank[keep] + 1, pa.int64()),
+            "tfidf": pa.array(round_half_up(score[sel]), pa.float64()),
+        })
+
+    return ds.map_batches(_score, batch_format="pyarrow")
+
+
 # ------------------------------------------------- DSIR data selection
 
 

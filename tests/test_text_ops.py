@@ -438,3 +438,47 @@ def test_line_dedup_all_unique_noop(ray_session):
     out = dd.line_dedup(docs).to_pandas().sort_values("doc_id")
     assert out["clean_text"].tolist() == ["a\nb", "c\nd"]
     assert out["n_removed"].sum() == 0
+
+
+def test_tfidf_keywords(ray_session):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from search_engine_ray.ops import text as txt
+    from search_engine_ray.ops.rounding import round_half_up
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": [
+            "apple banana apple cherry",
+            "banana banana date",
+            "cherry date apple",
+            "",  # tokenless doc emits nothing but still counts in N
+        ],
+    })
+    out = (
+        txt.tfidf_keywords(rd.from_pandas(docs, override_num_blocks=3),
+                           "text", "doc_id", top_n=2)
+        .to_pandas()
+        .sort_values(["doc_id", "rnk"])
+        .reset_index(drop=True)
+    )
+    # brute tf-idf with N = 4 (all rows) and df over token presence
+    toks = {i: (t.split() if t else []) for i, t in zip(docs["doc_id"], docs["text"])}
+    df = {}
+    for ts in toks.values():
+        for u in set(ts):
+            df[u] = df.get(u, 0) + 1
+    exp = []
+    for i, ts in toks.items():
+        scores = {}
+        for u in set(ts):
+            scores[u] = ts.count(u) * math.log(4.0 / df[u])
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for r, (u, s) in enumerate(top, 1):
+            exp.append((i, u, r, float(round_half_up(s, 4))))
+    exp_df = pd.DataFrame(exp, columns=["doc_id", "token", "rnk", "tfidf"])
+    pd.testing.assert_frame_equal(out, exp_df, check_dtype=False)
+    assert 4 not in set(out["doc_id"])
