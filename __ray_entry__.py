@@ -1034,18 +1034,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
         orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
-        # materialize the (bounded) distinct pair set BEFORE the
-        # fan-out: edges is consumed three times downstream (edge
-        # rows + both node projections), and re-executing the join
-        # lineage per consumer runs several 16-partition JoinOperators
-        # concurrently — actor-pool starvation on small sessions
-        pairs = rel.distinct(
+        # materialize the joined pairs BEFORE the symmetrize fan-out
+        # (the union consumes them twice; re-executing the join
+        # lineage per branch runs two 16-partition JoinOperators).
+        # NO distinct pass here: dedup_edges=True collapses duplicate
+        # pairs inside pagerank's one-time src-shard build for free —
+        # a separate Dataset.distinct is a full extra sort-shuffle
+        pairs = (
             rel.hash_join(
                 li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
                 num_partitions=16,
-            ).select_columns(["o_custkey", "l_suppkey"]),
-            ["o_custkey", "l_suppkey"],
-        ).materialize()
+            )
+            .select_columns(["o_custkey", "l_suppkey"])
+            .materialize()
+        )
 
         def _fwd(t: pa.Table) -> pa.Table:
             return pa.table(
@@ -1060,7 +1062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         edges = pairs.map_batches(_fwd, batch_format="pyarrow").union(
             pairs.map_batches(_rev, batch_format="pyarrow")
         )
-        return pagerank(edges, damping=0.85, iters=5)
+        return pagerank(edges, damping=0.85, iters=5, dedup_edges=True)
 
     def r24_sessionize(sf_dir):
         # event-stream sessionization: new session after >30 min of
@@ -2927,15 +2929,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # position constraints. Ranking on the ROUNDED score absorbs
         # SQL SUM() float-order differences across the expansion set
         # (same convention as the s2 range scan).
+        # Served from the actor scatter-gather path with k+slack like
+        # s22: the page is provably exact unless the rounded k-th
+        # score ties across the retrieval boundary (then fall back to
+        # the full-scan Dataset job).
         eng = _doc_engine(sf_dir)
         q = Compound(
             should=(Term("text", "hash"), Term("text", "join"), Prefix("text", "vec")),
             min_should_match=1,
         )
-        df = eng.search_all(q).to_pandas()
-        df["score"] = round_half_up(df["score"].to_numpy())
+        k, slack = 10, 40
+        res = eng.search(q, k=k + slack, with_metadata=False)
+        df = pd.DataFrame(
+            {
+                "doc_id": res.hits["doc_id"].to_numpy().astype(np.int64),
+                "score": round_half_up(res.hits["score"].to_numpy()),
+            }
+        )
         df = df.sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
-        return df.head(10)[["doc_id", "score"]].reset_index(drop=True)
+        page = df.head(k)
+        if (
+            res.total > len(df)
+            and len(page) == k
+            and df["score"].min() >= page["score"].iloc[-1]
+        ):
+            df = eng.search_all(q).to_pandas()
+            df["score"] = round_half_up(df["score"].to_numpy())
+            df = df.sort_values(
+                ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+            )
+            page = df.head(k)
+        return page[["doc_id", "score"]].reset_index(drop=True)
 
     def s66_distance_feature(sf_dir):
         # ES distance_feature query: additive proximity boost

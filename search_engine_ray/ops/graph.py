@@ -2,19 +2,23 @@
 
 `pagerank` is the second member of the iterative-distributed family
 (the first is dedup.connected_components' min-label propagation): a
-power iteration where every step is TWO bounded groupby shuffles —
-rank meets its out-edges in src-sharded groups, contributions fold in
-dst-sharded groups — and no per-node state ever lives on the driver.
+power iteration with CO-PARTITIONED state. The edge list is hash-
+partitioned by src-shard exactly ONCE (the only time edge rows move);
+rank state lives in node-shard tables co-partitioned with the edges
+(node-shard == src-shard for a node's out-edges), so each iteration
+moves only the per-edge contribution mass (node, w) between shards —
+a task-based 64x64 exchange of small Arrow tables, never a sort and
+never a re-shuffle of the static edge set. No per-node state ever
+lives on the driver; the driver holds only object refs and one int
+per shard.
 
-Deliberately NOT Dataset.join: Ray 2.49's hash-shuffle ops emit
-schema-less empty blocks that a later join's Acero kernel rejects
-("No match for FieldRef on right side"), so iterative join chains
-break. The coarse-shard union + map_groups pandas-merge pattern
-(shared with dedup's component propagation) tolerates them; all edges
-of a src land in one shard (shard key = the group key), so per-group
-merges are exact. The rank table is materialized once per iteration
-(O(nodes) rows — the iterative-lineage cut connected_components also
-makes).
+Deliberately raw Ray tasks, not Dataset ops: a Dataset groupby per
+iteration re-sorts the (static) edge table every step — the classic
+iterative-workload mismatch with streaming-batch engines. At cluster
+scale the one-time partition is the single all-to-all; iterations are
+bandwidth-proportional to contribution mass only, and every task's
+inputs are plasma-local once placed. Raise _N_SHARDS with node count
+(it bounds per-task state at nodes/shards + edges/shards rows).
 """
 
 from __future__ import annotations
@@ -22,14 +26,38 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ray.data import Dataset
-from ray.data.aggregate import Count
 
 from search_engine_ray.ops.rounding import round_half_up
 
 _N_SHARDS = 64
+
+_EDGE_SCHEMA = pa.schema([("src", pa.int64()), ("dst", pa.int64())])
+_NODE_SCHEMA = pa.schema([("node", pa.int64())])
+_NW_SCHEMA = pa.schema([("node", pa.int64()), ("w", pa.float64())])
+_PR_SCHEMA = pa.schema([("node", pa.int64()), ("pr", pa.float64())])
+
+
+def _empty(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
+
+
+def _shard_slices(keys: np.ndarray, arrays: dict[str, np.ndarray], nsh: int):
+    """Order rows by shard(key) and return one table per shard."""
+    cg = keys & np.int64(nsh - 1)
+    order = np.argsort(cg, kind="stable")
+    cg_sorted = cg[order]
+    bounds = np.searchsorted(cg_sorted, np.arange(nsh + 1))
+    out = []
+    for s in range(nsh):
+        lo, hi = bounds[s], bounds[s + 1]
+        out.append(
+            pa.table({k: pa.array(v[order[lo:hi]], pa.int64() if v.dtype == np.int64
+                                  else pa.float64())
+                      for k, v in arrays.items()})
+        )
+    return out
 
 
 def pagerank(
@@ -38,10 +66,15 @@ def pagerank(
     iters: int = 5,
     src_col: str = "src",
     dst_col: str = "dst",
+    dedup_edges: bool = False,
 ) -> Dataset:
     """PageRank by `iters` power iterations over a directed edge list
-    (duplicate edges count once per occurrence; pre-distinct if that's
-    not wanted). The node universe is every id appearing as src or
+    (duplicate edges count once per occurrence; ``dedup_edges=True``
+    collapses duplicates INSIDE the one-time shard build — every copy
+    of an (src, dst) pair lands in the same src-shard, so the
+    per-shard lexsort dedup is globally exact and costs no extra
+    shuffle, unlike a separate Dataset.distinct pass).
+    The node universe is every id appearing as src or
     dst; dangling nodes (no out-edges) contribute nothing — callers
     wanting the classic dangling-mass redistribution should symmetrize
     the graph first (the tested entry does).
@@ -49,164 +82,138 @@ def pagerank(
         pr_0        = 1/N
         pr_{i+1}(v) = (1-d)/N + d * sum_{(u,v) in E} pr_i(u)/outdeg(u)
 
-    Returns (node, pr) with pr rounded to 4 — the float op order
-    (per-edge pr/outdeg division, then the sum, then (1-d)/N + d*s)
-    matches the SQL oracle's exactly."""
-    empty_nw = pd.DataFrame(
-        {"node": np.empty(0, np.int64), "w": np.empty(0, np.float64)}
-    )
+    Returns (node, pr) with pr rounded to 4. Per-node contribution
+    sums fold in a FIXED order (src-shard 0..N, stable row order), so
+    results are bit-deterministic across runs; the SQL oracle's
+    unordered SUM may differ in the last ulp, absorbed by the 4dp
+    rounding."""
+    import ray
+    import ray.data as rd
 
-    def _edge_rows(t: pa.Table) -> pa.Table:
-        src = t[src_col].cast(pa.int64())
-        return pa.table(
-            {
-                "key": src,
-                "dst": t[dst_col].cast(pa.int64()),
-                "pr": pa.array(np.zeros(t.num_rows), pa.float64()),
-                "side": pa.array(np.zeros(t.num_rows, np.int64)),
-                "cg": pc.bit_wise_and(src, _N_SHARDS - 1),
-            }
+    nsh = _N_SHARDS
+
+    @ray.remote
+    def _split(tbl: pa.Table):
+        # one input block -> per-src-shard (src, dst) pieces
+        if tbl.num_rows == 0 or src_col not in tbl.column_names:
+            return [_empty(_EDGE_SCHEMA)] * nsh
+        src = tbl[src_col].cast(pa.int64()).combine_chunks().to_numpy()
+        dst = tbl[dst_col].cast(pa.int64()).combine_chunks().to_numpy()
+        return _shard_slices(src, {"src": src, "dst": dst}, nsh)
+
+    @ray.remote
+    def _build_shard(*pieces: pa.Table):
+        # assemble src-shard s: edges sorted by src with per-edge
+        # outdeg, plus per-NODE-shard distinct node ids seen here
+        live = [p for p in pieces if p.num_rows]
+        if not live:
+            return [_empty(_EDGE_SCHEMA).append_column("od", pa.array([], pa.int64()))] + [
+                _empty(_NODE_SCHEMA)
+            ] * nsh
+        t = pa.concat_tables(live)
+        src = t["src"].combine_chunks().to_numpy()
+        dst = t["dst"].combine_chunks().to_numpy()
+        if dedup_edges:
+            order = np.lexsort((dst, src))
+            src, dst = src[order], dst[order]
+            keep = np.r_[True, (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])]
+            src, dst = src[keep], dst[keep]
+        else:
+            order = np.argsort(src, kind="stable")
+            src, dst = src[order], dst[order]
+        uniq, counts = np.unique(src, return_counts=True)
+        od = np.repeat(counts, counts)  # outdeg per edge row
+        edge_tbl = pa.table({"src": pa.array(src, pa.int64()),
+                             "dst": pa.array(dst, pa.int64()),
+                             "od": pa.array(od, pa.int64())})
+        # node ids: srcs (all in this shard) + dsts (spread over shards)
+        all_nodes = np.unique(np.concatenate([uniq, dst]))
+        ncg = all_nodes & np.int64(nsh - 1)
+        out = [edge_tbl]
+        for d in range(nsh):
+            out.append(pa.table({"node": pa.array(all_nodes[ncg == d], pa.int64())}))
+        return out
+
+    @ray.remote
+    def _union_nodes(*pieces: pa.Table):
+        live = [p["node"].combine_chunks().to_numpy() for p in pieces if p.num_rows]
+        nodes = np.unique(np.concatenate(live)) if live else np.empty(0, np.int64)
+        return pa.table({"node": pa.array(nodes, pa.int64())}), int(nodes.size)
+
+    @ray.remote
+    def _init_pr(nodes_tbl: pa.Table, n: int) -> pa.Table:
+        nd = nodes_tbl["node"].combine_chunks().to_numpy()
+        return pa.table({"node": pa.array(nd, pa.int64()),
+                         "pr": pa.array(np.full(nd.size, 1.0 / n), pa.float64())})
+
+    @ray.remote
+    def _contrib(edge_tbl: pa.Table, pr_tbl: pa.Table):
+        # src-shard task: w = pr(src)/outdeg(src) per edge, routed to
+        # the dst's node-shard. pr_tbl is sorted by node (built so).
+        if edge_tbl.num_rows == 0:
+            return [_empty(_NW_SCHEMA)] * nsh
+        src = edge_tbl["src"].combine_chunks().to_numpy()
+        dst = edge_tbl["dst"].combine_chunks().to_numpy()
+        od = edge_tbl["od"].combine_chunks().to_numpy()
+        pn = pr_tbl["node"].combine_chunks().to_numpy()
+        pv = pr_tbl["pr"].combine_chunks().to_numpy()
+        w = pv[np.searchsorted(pn, src)] / od
+        return _shard_slices(dst, {"node": dst, "w": w}, nsh)
+
+    @ray.remote
+    def _fold(nodes_tbl: pa.Table, n: int, *pieces: pa.Table) -> pa.Table:
+        # node-shard task: sum inbound mass per node in FIXED piece
+        # order, then the damping update for EVERY node in the shard
+        nd = nodes_tbl["node"].combine_chunks().to_numpy()
+        base = (1.0 - damping) / n
+        acc = np.zeros(nd.size, np.float64)
+        for p in pieces:
+            if p.num_rows == 0:
+                continue
+            node = p["node"].combine_chunks().to_numpy()
+            w = p["w"].combine_chunks().to_numpy()
+            np.add.at(acc, np.searchsorted(nd, node), w)
+        return pa.table({"node": pa.array(nd, pa.int64()),
+                         "pr": pa.array(base + damping * acc, pa.float64())})
+
+    # ---- one-time partition (the only time edge rows move) ---------
+    blk_refs = edges.to_arrow_refs()
+    piece_refs = [
+        _split.options(num_returns=nsh).remote(b) for b in blk_refs
+    ]
+    shard_out = [
+        _build_shard.options(num_returns=nsh + 1).remote(
+            *[piece_refs[b][s] for b in range(len(piece_refs))]
         )
-
-    # few-block layout: every iteration sort-shuffles this table, and
-    # Ray's sort groupby pays per-block fixed costs that dominate at
-    # small scale (at 100 TB the block count follows data size anyway)
-    edge_rows = (
-        edges.map_batches(_edge_rows, batch_format="pyarrow")
-        .repartition(8)
-        .materialize()
-    )
-
-    # node universe: distinct src ∪ dst (one bounded groupby)
-    nodes = (
-        edges.map_batches(
-            lambda t: pa.table({"node": t[src_col].cast(pa.int64())}),
-            batch_format="pyarrow",
+        for s in range(nsh)
+    ]
+    edge_shards = [shard_out[s][0] for s in range(nsh)]
+    node_out = [
+        _union_nodes.options(num_returns=2).remote(
+            *[shard_out[s][1 + d] for s in range(nsh)]
         )
-        .union(
-            edges.map_batches(
-                lambda t: pa.table({"node": t[dst_col].cast(pa.int64())}),
-                batch_format="pyarrow",
-            )
-        )
-        .groupby("node")
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-        .repartition(4)
-        .materialize()
-    )
-    n = nodes.count()
-    base = (1.0 - damping) / n
-    init = 1.0 / n
+        for d in range(nsh)
+    ]
+    node_shards = [node_out[d][0] for d in range(nsh)]
+    n = int(sum(ray.get([node_out[d][1] for d in range(nsh)])))
+    if n == 0:
+        return rd.from_arrow(_empty(_PR_SCHEMA))
 
-    def _pr_rows(t: pa.Table) -> pa.Table:
-        if "node" not in t.column_names:  # schema-less empty block
-            t = pa.table({"node": pa.array([], pa.int64()),
-                          "pr": pa.array([], pa.float64())})
-        node = t["node"].cast(pa.int64())
-        return pa.table(
-            {
-                "key": node,
-                "dst": pa.array(np.zeros(t.num_rows, np.int64)),
-                "pr": t["pr"].cast(pa.float64()),
-                "side": pa.array(np.ones(t.num_rows, np.int64)),
-                "cg": pc.bit_wise_and(node, _N_SHARDS - 1),
-            }
-        )
-
-    def _contrib(df: pd.DataFrame) -> pd.DataFrame:
-        # one src-shard: every out-edge of a src is here, so outdeg is
-        # exact; w = pr(src)/outdeg(src) per edge
-        if df.empty or "side" not in df.columns:
-            return empty_nw
-        e = df[df["side"] == 0]
-        p = df[df["side"] == 1]
-        if e.empty or p.empty:
-            return empty_nw
-        od = e.groupby("key", sort=False)["dst"].transform("size").to_numpy()
-        prv = p.set_index("key")["pr"]
-        w = prv.reindex(e["key"]).to_numpy() / od
-        return pd.DataFrame({"node": e["dst"].to_numpy(), "w": w})
-
-    def _fold(df: pd.DataFrame) -> pd.DataFrame:
-        # one dst-shard: sum contributions per node, apply the damping
-        # update for EVERY node row (side=1), inbound or not
-        out_empty = pd.DataFrame(
-            {"node": np.empty(0, np.int64), "pr": np.empty(0, np.float64)}
-        )
-        if df.empty or "side" not in df.columns:
-            return out_empty
-        nodes_g = df[df["side"] == 1]
-        if nodes_g.empty:
-            return out_empty
-        c = df[df["side"] == 0]
-        s = c.groupby("node", sort=False)["w"].sum() if len(c) else pd.Series(dtype=float)
-        sv = s.reindex(nodes_g["node"]).fillna(0.0).to_numpy()
-        return pd.DataFrame(
-            {
-                "node": nodes_g["node"].to_numpy(),
-                "pr": base + damping * sv,
-            }
-        )
-
-    pr = nodes.map_batches(
-        lambda t: t.append_column(
-            "pr", pa.array(np.full(t.num_rows, init), pa.float64())
-        )
-        if "node" in t.column_names
-        else pa.table({"node": pa.array([], pa.int64()), "pr": pa.array([], pa.float64())}),
-        batch_format="pyarrow",
-    ).materialize()
-
-    node_rows_static = nodes.map_batches(
-        lambda t: pa.table(
-            {
-                "node": t["node"].cast(pa.int64()),
-                "w": pa.array(np.zeros(t.num_rows), pa.float64()),
-                "side": pa.array(np.ones(t.num_rows, np.int64)),
-                "cg": pc.bit_wise_and(t["node"].cast(pa.int64()), _N_SHARDS - 1),
-            }
-        )
-        if "node" in t.column_names
-        else pa.table(
-            {"node": pa.array([], pa.int64()), "w": pa.array([], pa.float64()),
-             "side": pa.array([], pa.int64()), "cg": pa.array([], pa.int64())}
-        ),
-        batch_format="pyarrow",
-    ).materialize()
-
+    # ---- co-partitioned power iteration -----------------------------
+    pr = [_init_pr.remote(node_shards[d], n) for d in range(nsh)]
     for _ in range(iters):
-        stream1 = edge_rows.union(pr.map_batches(_pr_rows, batch_format="pyarrow"))
-        contrib = stream1.groupby("cg").map_groups(_contrib, batch_format="pandas")
-        tagged = contrib.map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["node"],
-                    "w": t["w"],
-                    "side": pa.array(np.zeros(t.num_rows, np.int64)),
-                    "cg": pc.bit_wise_and(t["node"], _N_SHARDS - 1),
-                }
-            )
-            if "node" in t.column_names
-            else pa.table(
-                {"node": pa.array([], pa.int64()), "w": pa.array([], pa.float64()),
-                 "side": pa.array([], pa.int64()), "cg": pa.array([], pa.int64())}
-            ),
-            batch_format="pyarrow",
-        )
-        pr = (
-            tagged.union(node_rows_static)
-            .groupby("cg")
-            .map_groups(_fold, batch_format="pandas")
-            .repartition(4)
-            .materialize()
-        )
+        contrib = [
+            _contrib.options(num_returns=nsh).remote(edge_shards[s], pr[s])
+            for s in range(nsh)
+        ]
+        pr = [
+            _fold.remote(node_shards[d], n, *[contrib[s][d] for s in range(nsh)])
+            for d in range(nsh)
+        ]
 
     def _round(t: pa.Table) -> pa.Table:
         if "node" not in t.column_names:
-            return pa.table(
-                {"node": pa.array([], pa.int64()), "pr": pa.array([], pa.float64())}
-            )
+            return _empty(_PR_SCHEMA)
         return pa.table(
             {
                 "node": t["node"],
@@ -214,4 +221,4 @@ def pagerank(
             }
         )
 
-    return pr.map_batches(_round, batch_format="pyarrow")
+    return rd.from_arrow_refs(pr).map_batches(_round, batch_format="pyarrow")

@@ -1706,3 +1706,27 @@ def test_append_shingle_index_continuous_ingest(documents, con, tmp_path):
     # two extra tokens but stays near 1 for long docs; just require
     # some cross-pairs to generation 0)
     assert (p2["old_id"] < 1_000_000).any()
+
+
+def test_pagerank_dedup_edges(ray_session):
+    """dedup_edges=True inside the shard build == pre-distincting the
+    edge list (every copy of a pair lands in the same src-shard)."""
+    import ray.data as rd
+
+    from search_engine_ray.ops.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    src = rng.integers(0, 25, 200).astype(np.int64)
+    dst = rng.integers(0, 25, 200).astype(np.int64)
+    dup = pa.table({"src": np.concatenate([src, src[:80]]),
+                    "dst": np.concatenate([dst, dst[:80]])})
+    uniq = pd.DataFrame({"src": src, "dst": dst}).drop_duplicates()
+    a = (
+        pagerank(rd.from_arrow(dup), iters=3, dedup_edges=True)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    b = (
+        pagerank(rd.from_pandas(uniq), iters=3)
+        .to_pandas().sort_values("node").reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(a, b)
