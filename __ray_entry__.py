@@ -1099,6 +1099,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
         li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
         return sk.extended_stats(li, "l_returnflag", "l_quantity", sigma=2.0)
 
+    def _geo_coords(sf_dir):
+        # deterministic pseudo lat/lon per customer (TPC-H has no geo
+        # columns): md5-derived uniform doubles, replayed bit-exactly
+        # by md5_number_upper in the oracles
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        cust = _read(sf_dir, "customer", ["c_custkey"])
+
+        def _coords(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            h1 = _md5_upper64([str(k) for k in keys]).astype(np.float64)
+            h2 = _md5_upper64([f"{k}:lon" for k in keys]).astype(np.float64)
+            two64 = 18446744073709551616.0
+            return pa.table({
+                "c_custkey": pa.array(keys, pa.int64()),
+                "lat": pa.array((h1 / two64) * 180.0 - 90.0, pa.float64()),
+                "lon": pa.array((h2 / two64) * 360.0 - 180.0, pa.float64()),
+            })
+
+        return cust.map_batches(_coords, batch_format="pyarrow")
+
+    def r39_geo_radius(sf_dir):
+        # ES geo_distance query: customers within 3000 km of
+        # (10, 20), 20 nearest by (rounded distance, key) — latitude
+        # bounding-band prefilter, exact pinned-op-order haversine
+        from search_engine_ray.ops import geo
+
+        hits = geo.geo_radius(
+            _geo_coords(sf_dir), "lat", "lon", 10.0, 20.0, 3000.0, ["c_custkey"]
+        )
+        return (
+            rel.topk(hits, ["distance_km", "c_custkey"], 20, descending=False)
+            .to_pandas().reset_index(drop=True)
+        )
+
+    def r40_geo_grid(sf_dir):
+        # ES geohash_grid-style aggregation on a 30-degree integer
+        # grid: per-block cell combiner, cells (never rows) shuffle
+        from search_engine_ray.ops import geo
+
+        out = (
+            geo.geo_grid_counts(_geo_coords(sf_dir), "lat", "lon", 30.0)
+            .to_pandas()
+            .sort_values(["cell_lat", "cell_lon"])
+            .reset_index(drop=True)
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
     def sketch_quantiles(sf_dir):
         # exact discrete quantiles from one value-histogram shuffle;
         # q values are binary-exact (q*n has no float fuzz vs DuckDB)
@@ -3183,6 +3232,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_hll": sketch_hll,
         "r37_moving_avg": r37_moving_avg,
         "r38_extended_stats": r38_extended_stats,
+        "r39_geo_radius": r39_geo_radius,
+        "r40_geo_grid": r40_geo_grid,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -4879,6 +4930,36 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "round(s / n - 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 4) AS lower_sd "
             "FROM p ORDER BY l_returnflag"
         ),
+        # r39/r40: coords derived per customer from md5 doubles; the
+        # haversine is written term-for-term in the engine's op order
+        # (raw-distance filter, round only at the output edge)
+        "r39_geo_radius": """
+WITH c AS (SELECT c_custkey,
+  (CAST(md5_number_upper(CAST(c_custkey AS VARCHAR)) AS DOUBLE)
+   / 18446744073709551616.0) * 180.0 - 90.0 AS lat,
+  (CAST(md5_number_upper(CAST(c_custkey AS VARCHAR) || ':lon') AS DOUBLE)
+   / 18446744073709551616.0) * 360.0 - 180.0 AS lon
+ FROM customer),
+d AS (SELECT c_custkey, 2.0 * 6371.0 * asin(sqrt(
+   sin(radians(10.0 - lat) / 2.0) * sin(radians(10.0 - lat) / 2.0) +
+   cos(radians(lat)) * cos(radians(10.0)) *
+   sin(radians(20.0 - lon) / 2.0) * sin(radians(20.0 - lon) / 2.0))) AS dkm
+ FROM c)
+SELECT c_custkey, round(dkm, 4) AS distance_km FROM d
+WHERE dkm <= 3000.0 ORDER BY round(dkm, 4), c_custkey LIMIT 20
+""",
+        "r40_geo_grid": """
+WITH c AS (SELECT
+  (CAST(md5_number_upper(CAST(c_custkey AS VARCHAR)) AS DOUBLE)
+   / 18446744073709551616.0) * 180.0 - 90.0 AS lat,
+  (CAST(md5_number_upper(CAST(c_custkey AS VARCHAR) || ':lon') AS DOUBLE)
+   / 18446744073709551616.0) * 360.0 - 180.0 AS lon
+ FROM customer)
+SELECT CAST(floor(lat / 30.0) AS BIGINT) AS cell_lat,
+       CAST(floor(lon / 30.0) AS BIGINT) AS cell_lon,
+       CAST(count(*) AS BIGINT) AS n
+FROM c GROUP BY 1, 2 ORDER BY 1, 2
+""",
         "sketch_cm": (
             # the exact count-min estimate rebuilt in SQL: cell sums
             # per (row, md5(r:value) % width), min over rows per query

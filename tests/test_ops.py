@@ -1730,3 +1730,46 @@ def test_pagerank_dedup_edges(ray_session):
         .to_pandas().sort_values("node").reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_geo_radius_and_grid(ray_session):
+    """Latitude-band prefilter never drops a true hit (parity with the
+    unfiltered brute haversine); grid cells decode exactly for
+    negative coordinates."""
+    import ray.data as rd
+
+    from search_engine_ray.ops import geo
+    from search_engine_ray.ops.rounding import round_half_up
+
+    rng = np.random.default_rng(3)
+    n = 4000
+    df = pd.DataFrame({
+        "id": np.arange(n, dtype=np.int64),
+        "lat": rng.uniform(-90, 90, n),
+        "lon": rng.uniform(-180, 180, n),
+    })
+    ds = rd.from_pandas(df, override_num_blocks=4)
+    out = (
+        geo.geo_radius(ds, "lat", "lon", 48.0, 2.0, 2500.0, ["id"])
+        .to_pandas().sort_values("id").reset_index(drop=True)
+    )
+    d = geo.haversine_km(df["lat"].to_numpy(), df["lon"].to_numpy(), 48.0, 2.0)
+    hit = d <= 2500.0
+    exp = pd.DataFrame({
+        "id": df["id"].to_numpy()[hit],
+        "distance_km": round_half_up(d[hit]),
+    }).reset_index(drop=True)
+    pd.testing.assert_frame_equal(out, exp)
+    assert len(out) > 0
+
+    grid = (
+        geo.geo_grid_counts(ds, "lat", "lon", 30.0)
+        .to_pandas().sort_values(["cell_lat", "cell_lon"]).reset_index(drop=True)
+    )
+    bg = df.assign(cell_lat=np.floor(df["lat"] / 30.0).astype(np.int64),
+                   cell_lon=np.floor(df["lon"] / 30.0).astype(np.int64))
+    exp_g = (
+        bg.groupby(["cell_lat", "cell_lon"]).size().rename("n").reset_index()
+    )
+    pd.testing.assert_frame_equal(grid, exp_g, check_dtype=False)
+    assert grid["cell_lat"].min() < 0 and grid["cell_lon"].min() < 0
