@@ -1148,6 +1148,166 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out
 
+    def r41_outer_join(sf_dir):
+        # left-outer hash join (the shuffle JoinOperator's outer
+        # path): every customer keeps a row, order-less customers get
+        # n_orders = 0 — the $lookup + preserveNullAndEmptyArrays
+        # shape at both-sides-big scale
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        per_cust = rel.grouped_aggregate(
+            orders, "o_custkey", {"n_orders": ("count", "o_orderkey")}
+        )
+        j = rel.hash_join(
+            cust, per_cust, on=["c_custkey"], right_on=["o_custkey"],
+            how="left_outer", num_partitions=8,
+        )
+
+        def _fill(t: pa.Table) -> pa.Table:
+            n = pc.fill_null(t["n_orders"], 0)
+            return pa.table({
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "n_orders": pc.cast(n, pa.int64()),
+            })
+
+        out = j.map_batches(_fill, batch_format="pyarrow").to_pandas()
+        return out.sort_values("c_custkey").reset_index(drop=True)
+
+    def r42_auto_histogram(sf_dir):
+        # ES auto_date_histogram: pick the FINEST calendar interval
+        # from the ladder (year > quarter > month > week > day) whose
+        # bucket count fits the target, then run that histogram. The
+        # probe pass is one combiner aggregate per unit over distinct
+        # truncs (bounded rows); the choice is data-dependent and the
+        # oracle replays the same ladder walk in SQL
+        target = 20
+        ds = _read(sf_dir, "events", ["ts", "value"]).materialize()
+        chosen = "year"
+        # walk FINEST -> coarsest, first fit wins (ES semantics; week
+        # vs month counts are not nested, so a coarse-to-fine walk
+        # with early break would pick differently on short spans)
+        for unit in ("day", "week", "month", "quarter", "year"):
+            n_buckets = rel.calendar_window_aggregate(
+                ds, "ts", unit, {"n": ("count", "value")}
+            ).count()
+            if n_buckets <= target:
+                chosen = unit
+                break
+        out = rel.calendar_window_aggregate(
+            ds, "ts", chosen, {"n": ("count", "value")}
+        ).to_pandas()
+        out = out.sort_values("window_start").reset_index(drop=True)
+        out["window_start"] = out["window_start"].astype("datetime64[us]").astype("int64")
+        out["n"] = out["n"].astype("int64")
+        out.insert(0, "interval", chosen)
+        return out
+
+    def pipe_tpch_q1(sf_dir):
+        # TPC-H Q1 as a composed pipeline: scan-pushed filter ->
+        # per-key raw-moment combiner -> tiny groupby (the
+        # extended_stats machinery shape, more measures)
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+             "l_discount", "l_tax", "l_shipdate"],
+        )
+        cutoff = pd.Timestamp("1998-09-02")
+
+        def _partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df = df[df["l_shipdate"] <= cutoff]
+            if df.empty:
+                return pa.table({
+                    "k": pa.array([], pa.string()),
+                    "sq": pa.array([], pa.float64()), "sb": pa.array([], pa.float64()),
+                    "sd": pa.array([], pa.float64()), "sc": pa.array([], pa.float64()),
+                    "sdisc": pa.array([], pa.float64()), "n": pa.array([], pa.int64()),
+                })
+            disc_price = df["l_extendedprice"] * (1 - df["l_discount"])
+            charge = disc_price * (1 + df["l_tax"])
+            g = pd.DataFrame({
+                "k": df["l_returnflag"] + "|" + df["l_linestatus"],
+                "sq": df["l_quantity"], "sb": df["l_extendedprice"],
+                "sd": disc_price, "sc": charge, "sdisc": df["l_discount"],
+            })
+            agg = g.groupby("k", as_index=False).sum()
+            agg["n"] = g.groupby("k", as_index=False).size()["size"].astype("int64")
+            return pa.Table.from_pandas(agg, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            li.map_batches(_partial, batch_format="pyarrow")
+            .groupby("k")
+            .aggregate(Sum("sq", alias_name="sum_qty"),
+                       Sum("sb", alias_name="sum_base_price"),
+                       Sum("sd", alias_name="sum_disc_price"),
+                       Sum("sc", alias_name="sum_charge"),
+                       Sum("sdisc", alias_name="_sdisc"),
+                       Sum("n", alias_name="count_order"))
+            .to_pandas()
+            .sort_values("k", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        n = agg["count_order"].to_numpy(dtype=np.float64)
+        out = pd.DataFrame({
+            "l_returnflag": agg["k"].str.split("|").str[0],
+            "l_linestatus": agg["k"].str.split("|").str[1],
+            "sum_qty": round_half_up(agg["sum_qty"].to_numpy()),
+            "sum_base_price": round_half_up(agg["sum_base_price"].to_numpy()),
+            "sum_disc_price": round_half_up(agg["sum_disc_price"].to_numpy()),
+            "sum_charge": round_half_up(agg["sum_charge"].to_numpy()),
+            "avg_qty": round_half_up(agg["sum_qty"].to_numpy() / n),
+            "avg_price": round_half_up(agg["sum_base_price"].to_numpy() / n),
+            "avg_disc": round_half_up(agg["_sdisc"].to_numpy() / n),
+            "count_order": agg["count_order"].astype("int64"),
+        })
+        return out
+
+    def pipe_tpch_q3(sf_dir):
+        # TPC-H Q3 (adapted: this synthetic orders table carries no
+        # o_shippriority): shuffle-join chain over three tables +
+        # revenue aggregate + top-10
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"])
+        cut = pd.Timestamp("1995-03-15")
+
+        def _cust_f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["c_mktsegment"], "BUILDING"))
+
+        def _ord_f(t: pa.Table) -> pa.Table:
+            return t.filter(pc.less(t["o_orderdate"], pa.scalar(cut)))
+
+        def _li_f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.greater(t["l_shipdate"], pa.scalar(cut)))
+            rev = pc.multiply(
+                t["l_extendedprice"],
+                pc.subtract(pa.scalar(1.0), t["l_discount"]),
+            )
+            return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+        j = rel.hash_join(
+            orders.map_batches(_ord_f, batch_format="pyarrow"),
+            cust.map_batches(_cust_f, batch_format="pyarrow"),
+            on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
+        )
+        j2 = rel.hash_join(
+            li.map_batches(_li_f, batch_format="pyarrow"),
+            j, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+        agg = rel.grouped_aggregate(
+            j2, ["l_orderkey", "o_orderdate"], {"revenue": ("sum", "rev")}
+        ).to_pandas()
+        agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
+        agg = agg.sort_values(
+            ["revenue", "l_orderkey"], ascending=[False, True], kind="mergesort"
+        ).head(10).reset_index(drop=True)
+        agg["o_orderdate"] = agg["o_orderdate"].astype("datetime64[us]").astype("int64")
+        return agg[["l_orderkey", "revenue", "o_orderdate"]]
+
     def sketch_quantiles(sf_dir):
         # exact discrete quantiles from one value-histogram shuffle;
         # q values are binary-exact (q*n has no float fuzz vs DuckDB)
@@ -3234,6 +3394,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r38_extended_stats": r38_extended_stats,
         "r39_geo_radius": r39_geo_radius,
         "r40_geo_grid": r40_geo_grid,
+        "r41_outer_join": r41_outer_join,
+        "r42_auto_histogram": r42_auto_histogram,
+        "pipe_tpch_q1": pipe_tpch_q1,
+        "pipe_tpch_q3": pipe_tpch_q3,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -4930,6 +5094,57 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "round(s / n - 2.0 * sqrt(greatest(sq / n - (s / n) * (s / n), 0.0)), 4) AS lower_sd "
             "FROM p ORDER BY l_returnflag"
         ),
+        "r41_outer_join": (
+            "SELECT c.c_custkey, c.c_mktsegment, "
+            "CAST(COALESCE(o.n_orders, 0) AS BIGINT) AS n_orders "
+            "FROM customer c LEFT JOIN (SELECT o_custkey, count(*) AS n_orders "
+            "FROM orders GROUP BY 1) o ON c.c_custkey = o.o_custkey "
+            "ORDER BY c.c_custkey"
+        ),
+        # r42: the ladder walk replayed — finest unit whose distinct
+        # trunc count fits target 20 (week at 30-day events data);
+        # a wrong engine choice yields different bucket keys
+        "r42_auto_histogram": """
+WITH n AS (
+  SELECT (SELECT count(DISTINCT date_trunc('year', ts)) FROM events) AS y,
+         (SELECT count(DISTINCT date_trunc('quarter', ts)) FROM events) AS q,
+         (SELECT count(DISTINCT date_trunc('month', ts)) FROM events) AS m,
+         (SELECT count(DISTINCT date_trunc('week', ts)) FROM events) AS w,
+         (SELECT count(DISTINCT date_trunc('day', ts)) FROM events) AS d),
+u AS (SELECT CASE WHEN d <= 20 THEN 'day' WHEN w <= 20 THEN 'week'
+                  WHEN m <= 20 THEN 'month' WHEN q <= 20 THEN 'quarter'
+                  ELSE 'year' END AS unit FROM n)
+SELECT u.unit AS interval,
+       CAST(epoch_us(date_trunc(u.unit, ts)) AS BIGINT) AS window_start,
+       CAST(count(*) AS BIGINT) AS n
+FROM events, u GROUP BY 1, 2 ORDER BY 2
+""",
+        "pipe_tpch_q1": """
+SELECT l_returnflag, l_linestatus,
+  round(sum(l_quantity), 4) AS sum_qty,
+  round(sum(l_extendedprice), 4) AS sum_base_price,
+  round(sum(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+  round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+  round(sum(l_quantity) / count(*), 4) AS avg_qty,
+  round(sum(l_extendedprice) / count(*), 4) AS avg_price,
+  round(sum(l_discount) / count(*), 4) AS avg_disc,
+  count(*) AS count_order
+FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY 1, 2 ORDER BY l_returnflag, l_linestatus
+""",
+        "pipe_tpch_q3": """
+SELECT l.l_orderkey,
+  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue,
+  CAST(epoch_us(o.o_orderdate) AS BIGINT) AS o_orderdate
+FROM customer c JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_mktsegment = 'BUILDING'
+  AND o.o_orderdate < TIMESTAMP '1995-03-15'
+  AND l.l_shipdate > TIMESTAMP '1995-03-15'
+GROUP BY l.l_orderkey, o.o_orderdate
+ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) DESC, l.l_orderkey
+LIMIT 10
+""",
         # r39/r40: coords derived per customer from md5 doubles; the
         # haversine is written term-for-term in the engine's op order
         # (raw-distance filter, round only at the output edge)
