@@ -1308,6 +1308,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg["o_orderdate"] = agg["o_orderdate"].astype("datetime64[us]").astype("int64")
         return agg[["l_orderkey", "revenue", "o_orderdate"]]
 
+    def pipe_tpch_q5(sf_dir):
+        # TPC-H Q5 (local-supplier revenue per nation): the
+        # mixed-strategy join showcase — orders x customer and
+        # lineitem x (orders x customer) go through the shuffle
+        # JoinOperator (both sides big at scale), while region ->
+        # nation -> supplier collapse into TWO broadcast lookups
+        # (tiny dims, ray.put once, plain-function probe per batch —
+        # no actor pool, no extra exchange)
+        import ray
+
+        lo = pd.Timestamp("1996-01-01")
+        hi = pd.Timestamp("1997-01-01")
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet"))
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet"))
+        asia_rk = reg.filter(pc.equal(reg["r_name"], "ASIA"))["r_regionkey"][0].as_py()
+        nat = nat.filter(pc.equal(nat["n_regionkey"], asia_rk))
+        nation_name = dict(zip(
+            nat["n_nationkey"].to_pylist(), nat["n_name"].to_pylist()
+        ))
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+        )
+        sk = sup["s_suppkey"].to_numpy().astype(np.int64)
+        sv = sup["s_nationkey"].to_numpy().astype(np.int64)
+        so = np.argsort(sk)
+        asia_keys = np.array(sorted(nation_name), np.int64)
+        asia_names = np.array([nation_name[int(k)] for k in asia_keys])
+        maps_ref = ray.put((sk[so], sv[so], asia_keys, asia_names))
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        li = _read(sf_dir, "lineitem",
+                   ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"])
+
+        def _ord_f(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                        pc.less(t["o_orderdate"], pa.scalar(hi)))
+            t = t.filter(m)
+            return pa.table({"o_orderkey": t["o_orderkey"], "o_custkey": t["o_custkey"]})
+
+        def _li_f(t: pa.Table) -> pa.Table:
+            rev = pc.multiply(t["l_extendedprice"],
+                              pc.subtract(pa.scalar(1.0), t["l_discount"]))
+            return pa.table({"l_orderkey": t["l_orderkey"],
+                             "l_suppkey": t["l_suppkey"], "rev": rev})
+
+        j1 = rel.hash_join(
+            orders.map_batches(_ord_f, batch_format="pyarrow"), cust,
+            on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
+        )
+        j2 = rel.hash_join(
+            li.map_batches(_li_f, batch_format="pyarrow"), j1,
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+
+        def _probe(t: pa.Table) -> pa.Table:
+            skeys, snats, akeys, anames = ray.get(maps_ref)
+            supp = t["l_suppkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cnat = t["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            pos = np.clip(np.searchsorted(skeys, supp), 0, skeys.size - 1)
+            snat = np.where(skeys[pos] == supp, snats[pos], -1)
+            keep = (snat == cnat) & np.isin(snat, akeys)
+            rev = t["rev"].to_numpy(zero_copy_only=False)[keep]
+            npos = np.searchsorted(akeys, snat[keep])
+            return pa.table({"n_name": pa.array(anames[npos], pa.string()),
+                             "rev": pa.array(rev, pa.float64())})
+
+        agg = (
+            rel.grouped_aggregate(
+                j2.map_batches(_probe, batch_format="pyarrow"),
+                "n_name", {"revenue": ("sum", "rev")},
+            )
+            .to_pandas()
+        )
+        agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
+        return agg.sort_values(
+            ["revenue", "n_name"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+
+    def pipe_tpch_q6(sf_dir):
+        # TPC-H Q6 (forecast revenue change): the prune-at-the-read
+        # entry — columns AND the shipdate/discount/quantity predicate
+        # push into the parquet scan, then one Sum aggregate over the
+        # per-batch partial products
+
+        lo = pd.Timestamp("1996-01-01")
+        hi = pd.Timestamp("1997-01-01")
+        flt = (
+            (pc.field("l_shipdate") >= pa.scalar(lo))
+            & (pc.field("l_shipdate") < pa.scalar(hi))
+            & (pc.field("l_discount") >= 0.05) & (pc.field("l_discount") <= 0.07)
+            & (pc.field("l_quantity") < 24.0)
+        )
+        ds = _rd().read_parquet(
+            os.path.join(sf_dir, "lineitem.parquet"),
+            columns=["l_extendedprice", "l_discount"],
+            filter=flt,
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            v = pc.multiply(t["l_extendedprice"], t["l_discount"])
+            return pa.table({"rev": pa.array([float(pc.sum(v).as_py() or 0.0)],
+                                             pa.float64())})
+
+        from ray.data.aggregate import Sum
+
+        total = ds.map_batches(_partial, batch_format="pyarrow").aggregate(
+            Sum("rev", alias_name="revenue")
+        )
+        return pd.DataFrame({"revenue": [float(round_half_up(total["revenue"], 4))]})
+
     def sketch_quantiles(sf_dir):
         # exact discrete quantiles from one value-histogram shuffle;
         # q values are binary-exact (q*n has no float fuzz vs DuckDB)
@@ -3398,6 +3509,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r42_auto_histogram": r42_auto_histogram,
         "pipe_tpch_q1": pipe_tpch_q1,
         "pipe_tpch_q3": pipe_tpch_q3,
+        "pipe_tpch_q5": pipe_tpch_q5,
+        "pipe_tpch_q6": pipe_tpch_q6,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5145,6 +5258,27 @@ GROUP BY l.l_orderkey, o.o_orderdate
 ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) DESC, l.l_orderkey
 LIMIT 10
 """,
+        "pipe_tpch_q5": """
+SELECT n.n_name,
+  round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) AS revenue
+FROM customer c
+JOIN orders o ON c.c_custkey = o.o_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1997-01-01'
+GROUP BY n.n_name
+ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) DESC, n.n_name
+""",
+        "pipe_tpch_q6": (
+            "SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0"
+        ),
         # r39/r40: coords derived per customer from md5 doubles; the
         # haversine is written term-for-term in the engine's op order
         # (raw-distance filter, round only at the output edge)
