@@ -2826,6 +2826,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["is_dup"] = out["is_dup"].astype("int64")
         return out[["vec_id", "cluster", "is_dup"]]
 
+    def t_cluster_sample(sf_dir):
+        # cluster-balanced selection (DataComp/DCLM diversity stage):
+        # seeded k-means assignment + keep the 20 lowest-md5-hash
+        # members per cluster — the kept set covers embedding space
+        # instead of following corpus density; fully deterministic,
+        # the oracle retrains the centroids and replays the draw
+        from search_engine_ray.ops.ann import cluster_balanced_sample
+
+        emb = _read(sf_dir, "embeddings")
+        out = (
+            cluster_balanced_sample(emb, quota=20, n_clusters=8)
+            .to_pandas()
+            .sort_values(["cluster", "vec_id"])
+            .reset_index(drop=True)
+        )
+        out["cluster"] = out["cluster"].astype("int64")
+        return out[["vec_id", "cluster"]]
+
     def ann_ivf(sf_dir):  # rows-only (scale path: cluster-pruned read)
         tag = sf_dir.strip("/").replace("/", "_")
         ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
@@ -3365,6 +3383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": dedup_simhash,
         "ann_rp_lsh": ann_rp_lsh,
         "dedup_semantic": dedup_semantic,
+        "t_cluster_sample": t_cluster_sample,
         "mm_features": mm_features,
         "mm_frames": mm_frames,
         "t_lang_id": t_lang_id,
@@ -4393,6 +4412,42 @@ SELECT a.vec_id, any_value(a.cluster)::BIGINT AS cluster,
                          THEN 1 ELSE 0 END), 0)::BIGINT AS is_dup
 FROM asg a LEFT JOIN asg b ON b.cluster = a.cluster AND b.vec_id < a.vec_id
 GROUP BY a.vec_id
+"""
+
+    def _cluster_sample_sql(quota: int = 20, n_clusters: int = 8) -> str:
+        # t_cluster_sample oracle: retrain the seeded centroids
+        # (corpus == sample, asserted), assign by argmax dot with the
+        # lowest-index tie-break, draw quota lowest md5 hashes per
+        # cluster (hash order == unsigned order == md5_number_upper)
+        from search_engine_ray.ops.ann import _normalize, spherical_kmeans
+
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
+        df = pq.read_table(os.path.join(sf, "embeddings.parquet")).to_pandas()
+        assert len(df) <= 4096, "oracle retrain needs the build sample == corpus"
+        df = df.sort_values("vec_id")
+        x = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        cent = spherical_kmeans(x, n_clusters, 10, 5)
+        rows = ",".join(
+            f"({c},[{','.join(repr(float(v)) for v in cent[c])}])"
+            for c in range(cent.shape[0])
+        )
+        return f"""
+WITH cent(c, cv) AS (VALUES {rows}),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ee,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       FROM embeddings),
+n AS (SELECT vec_id, list_transform(ee, x -> x / nrm) AS e FROM e0),
+asg AS (SELECT vec_id, c AS cluster FROM (
+    SELECT n.vec_id, c.c,
+           row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.e, c.cv) DESC, c.c) AS rn
+    FROM n CROSS JOIN cent c) WHERE rn = 1)
+SELECT vec_id, cluster::BIGINT AS cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY cluster
+               ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+    FROM asg) WHERE rk <= {quota}
+ORDER BY cluster, vec_id
 """
 
     # mm_features / mm_frames: the INPUT media table (payload sizes /
@@ -5810,6 +5865,7 @@ LIMIT 10
         "ann_ivfpq": _ivfpq_sql(),
         "r35_pagerank": _pagerank_sql(),
         "dedup_semantic": _semdedup_sql(),
+        "t_cluster_sample": _cluster_sample_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,
         "pipe_listing": (

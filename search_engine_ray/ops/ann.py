@@ -401,6 +401,59 @@ def semantic_dedup(
     return coarse.groupby("cg").map_groups(_mark, batch_format="pandas")
 
 
+def cluster_balanced_sample(
+    ds: Dataset,
+    quota: int,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 5,
+) -> Dataset:
+    """Cluster-balanced data selection (the diversity-sampling stage
+    of a DataComp/DCLM-style curation loop): assign every vector to a
+    seeded spherical k-means cluster, then keep the `quota`
+    lowest-hash members per cluster — a deterministic uniform draw
+    WITHIN each cluster, so the kept set covers embedding space
+    instead of following corpus density. The draw key is
+    md5_upper64(str(id)) (the kmv/hash_sample hash), so selection is
+    reproducible across runs/cluster sizes and SQL-replayable
+    (md5_number_upper + row_number per cluster).
+
+    Scale shape: centroids train on a bounded driver-side sample and
+    ride the task closure; assignment is one streaming pass; the
+    per-cluster head uses group_topn's map-side combiner, so the
+    shuffle carries at most quota x clusters x blocks rows. Returns
+    (id_col, cluster) of the selected rows."""
+    from search_engine_ray.ops.relational import group_topn
+    from search_engine_ray.ops.sketch import _md5_upper64
+
+    sample = ds.limit(sample_size).to_pandas().sort_values(id_col)
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    cent = spherical_kmeans(m, n_clusters, iters, seed)
+    dim = cent.shape[1]
+    flip = np.uint64(1 << 63)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        mm = _normalize(_to_matrix(t[vec_col], dim))
+        cl = np.argmax(mm @ cent.T, axis=1).astype(np.int64)
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        # order-preserving signed remap of the uint64 hash (kmv trick)
+        h = (_md5_upper64([str(i) for i in ids]) ^ flip).view(np.int64)
+        return pa.table({
+            id_col: t[id_col],
+            "cluster": pa.array(cl, pa.int64()),
+            "h": pa.array(h, pa.int64()),
+        })
+
+    picked = group_topn(
+        ds.map_batches(_assign, batch_format="pyarrow"),
+        key="cluster", sort_keys=["h", id_col], n=quota,
+    )
+    return picked.drop_columns(["h"])
+
+
 class IVFIndex:
     """IVF coarse quantizer: build = assign every vector to its nearest
     centroid and write cluster-partitioned Parquet; search = score only
