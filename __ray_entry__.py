@@ -1308,6 +1308,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg["o_orderdate"] = agg["o_orderdate"].astype("datetime64[us]").astype("int64")
         return agg[["l_orderkey", "revenue", "o_orderdate"]]
 
+    def r43_funnel(sf_dir):
+        # event-funnel analysis: users completing view -> click ->
+        # purchase with each step within 2h of the previous (greedy-
+        # earliest chain); one user-shard exchange, vectorized
+        # packed-searchsorted walk per shard
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        return rel.funnel(
+            ev, "user_id", "ts", "event_type",
+            steps=("view", "click", "purchase"), step_window_s=7200.0,
+        )
+
     def pipe_tpch_q5(sf_dir):
         # TPC-H Q5 (local-supplier revenue per nation): the
         # mixed-strategy join showcase — orders x customer and
@@ -3530,6 +3541,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q3": pipe_tpch_q3,
         "pipe_tpch_q5": pipe_tpch_q5,
         "pipe_tpch_q6": pipe_tpch_q6,
+        "r43_funnel": r43_funnel,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5327,6 +5339,25 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) DESC, n.n_name
+""",
+        # r43: the greedy-earliest chain as correlated min() CTEs
+        "r43_funnel": """
+WITH t1 AS (SELECT user_id, min(ts) AS t FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+t2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN t1 ON e.user_id = t1.user_id
+       WHERE e.event_type = 'click' AND e.ts > t1.t
+         AND e.ts <= t1.t + INTERVAL 2 HOUR GROUP BY 1),
+t3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+       JOIN t2 ON e.user_id = t2.user_id
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t
+         AND e.ts <= t2.t + INTERVAL 2 HOUR GROUP BY 1)
+SELECT * FROM (
+  SELECT 1::BIGINT AS step, 'view' AS event_type,
+         (SELECT count(*) FROM t1)::BIGINT AS n_users
+  UNION ALL SELECT 2, 'click', (SELECT count(*) FROM t2)
+  UNION ALL SELECT 3, 'purchase', (SELECT count(*) FROM t3)
+) ORDER BY step
 """,
         "pipe_tpch_q6": (
             "SELECT round(sum(l_extendedprice * l_discount), 4) AS revenue "

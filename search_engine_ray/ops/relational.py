@@ -946,6 +946,93 @@ def sessionize(
     )
 
 
+def funnel(
+    ds: Dataset,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    step_window_s: float,
+    num_shards: int = 64,
+) -> pd.DataFrame:
+    """Event-funnel analysis (the product-analytics sequence query):
+    per user, GREEDY-EARLIEST completion of the step chain —
+    t₁ = min ts of steps[0]; t_k = min ts of steps[k] with
+    t_{k-1} < ts <= t_{k-1} + step_window_s. Returns one row per step:
+    (step 1-based, event_type, n_users reaching it). Greedy-earliest
+    is deterministic and SQL-replayable as a chain of correlated
+    min() CTEs.
+
+    Scale shape: one hash exchange co-locates each user's events on a
+    coarse shard; per shard the walk is ONE vectorized pass per step —
+    events sort by (user, ts) once and each step resolves through a
+    packed int64 searchsorted (user_code << 43 | rel_ts_us), no
+    per-user Python. Packing needs rel_ts < 2^43 us (~100 days of
+    span) and < 2^20 users per shard — raise num_shards for bigger
+    cohorts; both bounds are asserted."""
+
+    def _tag(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[df[type_col].isin(list(steps))]
+        return df.assign(
+            _shard=(pd.util.hash_array(df[user_col].to_numpy()) % num_shards).astype("int64")
+        )
+
+    inf = np.iinfo(np.int64).max
+    w_us = int(step_window_s * 1e6)
+
+    def _walk(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"step": np.empty(0, np.int64),
+                              "n": np.empty(0, np.int64)})
+        if df.empty:
+            return empty
+        u_codes, _uniq = pd.factorize(df[user_col], sort=False)
+        nu = len(_uniq)
+        ts = df[ts_col].astype("datetime64[us]").astype("int64").to_numpy()
+        rel = ts - ts.min()
+        assert nu < (1 << 20) and rel.max() < (1 << 43), (
+            "funnel packing bounds exceeded; raise num_shards or pre-split by time"
+        )
+        tcol = df[type_col].to_numpy()
+        t_prev = np.full(nu, inf, np.int64)
+        m0 = tcol == steps[0]
+        np.minimum.at(t_prev, u_codes[m0], rel[m0])
+        counts = [int((t_prev != inf).sum())]
+        for k in range(1, len(steps)):
+            mk = tcol == steps[k]
+            uk, tk = u_codes[mk], rel[mk]
+            order = np.lexsort((tk, uk))
+            uk, tk = uk[order], tk[order]
+            keys = (uk.astype(np.int64) << np.int64(43)) | tk
+            users = np.flatnonzero(t_prev != inf)
+            q = (users.astype(np.int64) << np.int64(43)) | (t_prev[users] + 1)
+            idx = np.searchsorted(keys, q)
+            ok = idx < keys.size
+            safe = np.clip(idx, 0, max(keys.size - 1, 0))
+            ok &= (uk[safe] == users) & (tk[safe] <= t_prev[users] + w_us) if keys.size else False
+            t_new = np.full(nu, inf, np.int64)
+            t_new[users[ok]] = tk[safe[ok]]
+            t_prev = t_new
+            counts.append(int(ok.sum()))
+        return pd.DataFrame({"step": np.arange(1, len(steps) + 1, dtype=np.int64),
+                             "n": np.array(counts, np.int64)})
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pandas")
+        .groupby("_shard")
+        .map_groups(_walk, batch_format="pandas")
+        .to_pandas()
+    )
+    agg = parts.groupby("step", as_index=False)["n"].sum() if len(parts) else pd.DataFrame(
+        {"step": np.arange(1, len(steps) + 1, dtype=np.int64),
+         "n": np.zeros(len(steps), np.int64)}
+    )
+    out = pd.DataFrame({"step": np.arange(1, len(steps) + 1, dtype=np.int64)})
+    out["event_type"] = list(steps)
+    out = out.merge(agg, on="step", how="left").fillna({"n": 0})
+    out["n_users"] = out["n"].astype("int64")
+    return out[["step", "event_type", "n_users"]]
+
+
 def range_join(
     ds: Dataset,
     intervals: pa.Table,

@@ -1773,3 +1773,31 @@ def test_geo_radius_and_grid(ray_session):
     )
     pd.testing.assert_frame_equal(grid, exp_g, check_dtype=False)
     assert grid["cell_lat"].min() < 0 and grid["cell_lon"].min() < 0
+
+
+def test_funnel_greedy_earliest(ray_session):
+    """Greedy-earliest chain semantics vs a brute per-user walk,
+    including the trap case: the earliest step-1 event closes the
+    window on a step-2 event a LATER step-1 event would have caught
+    (greedy is deliberately not optimal-completion)."""
+    import ray.data as rd
+
+    rows = []
+    # u1 completes: A@0, B@30s, C@50s
+    rows += [(1, 0, "A"), (1, 30, "B"), (1, 50, "C")]
+    # u2 trap: A@0 (greedy), B@200 (outside 100s window of t=0);
+    # A@150 would have caught B@200, but greedy already fixed t1=0
+    rows += [(2, 0, "A"), (2, 150, "A"), (2, 200, "B"), (2, 210, "C")]
+    # u3 reaches step 2 only: A@0, B@40, no C in window
+    rows += [(3, 0, "A"), (3, 40, "B"), (3, 500, "C")]
+    # u4 never starts
+    rows += [(4, 10, "B"), (4, 20, "C")]
+    df = pd.DataFrame(rows, columns=["user_id", "sec", "event_type"])
+    df["ts"] = pd.Timestamp("2024-01-01") + pd.to_timedelta(df["sec"], unit="s")
+    out = rel.funnel(
+        rd.from_pandas(df[["user_id", "ts", "event_type"]], override_num_blocks=3),
+        "user_id", "ts", "event_type", steps=("A", "B", "C"), step_window_s=100.0,
+    )
+    assert out["step"].tolist() == [1, 2, 3]
+    assert out["event_type"].tolist() == ["A", "B", "C"]
+    assert out["n_users"].tolist() == [3, 2, 1]
