@@ -1319,6 +1319,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
             steps=("view", "click", "purchase"), step_window_s=7200.0,
         )
 
+    def r44_retention(sf_dir):
+        # cohort retention triangle: cohort = week of the user's first
+        # event, retained at offset k if any event in cohort+k weeks;
+        # one user-shard exchange, per-shard vectorized fold, global
+        # sum over (cohorts x offsets) tiny rows
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+        return rel.retention(ev, "user_id", "ts", period="week")
+
     def pipe_tpch_q5(sf_dir):
         # TPC-H Q5 (local-supplier revenue per nation): the
         # mixed-strategy join showcase — orders x customer and
@@ -3542,6 +3550,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q5": pipe_tpch_q5,
         "pipe_tpch_q6": pipe_tpch_q6,
         "r43_funnel": r43_funnel,
+        "r44_retention": r44_retention,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5339,6 +5348,15 @@ WHERE r.r_name = 'ASIA'
   AND o.o_orderdate < TIMESTAMP '1997-01-01'
 GROUP BY n.n_name
 ORDER BY round(sum(l.l_extendedprice * (1.0 - l.l_discount)), 4) DESC, n.n_name
+""",
+        "r44_retention": """
+WITH e AS (SELECT user_id, date_trunc('week', ts) AS per FROM events),
+c AS (SELECT user_id, min(per) AS cohort FROM e GROUP BY 1),
+d AS (SELECT DISTINCT e.user_id, c.cohort, e.per FROM e JOIN c USING (user_id))
+SELECT CAST(epoch_us(cohort) AS BIGINT) AS cohort_start,
+       CAST(date_diff('week', cohort, per) AS BIGINT) AS period_offset,
+       CAST(count(*) AS BIGINT) AS n_users
+FROM d GROUP BY 1, 2 ORDER BY 1, 2
 """,
         # r43: the greedy-earliest chain as correlated min() CTEs
         "r43_funnel": """

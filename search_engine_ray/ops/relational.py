@@ -1033,6 +1033,108 @@ def funnel(
     return out[["step", "event_type", "n_users"]]
 
 
+def retention(
+    ds: Dataset,
+    user_col: str,
+    ts_col: str,
+    period: str = "week",
+    num_shards: int = 64,
+) -> pd.DataFrame:
+    """Cohort retention (the product-analytics triangle): each user's
+    cohort is the calendar period of their FIRST event; the user is
+    retained at offset k if they have any event in cohort + k periods.
+    Returns (cohort_start epoch-us, period_offset, n_users), offsets
+    0-based (offset 0 = the cohort period itself, so it equals cohort
+    size).
+
+    Scale shape: one hash exchange co-locates each user's events on a
+    coarse shard (users never span shards, so per-shard first-event
+    and distinct-offset sets are globally exact); per shard ONE
+    vectorized pass — groupby-min for the cohort, np.unique over
+    packed (user, period) keys for the distinct offsets; the global
+    fold is a groupby-sum over (cohorts x offsets) tiny rows."""
+    import pyarrow.compute as _pc
+
+    if period not in ("day", "week", "month"):
+        raise ValueError(f"unsupported period {period!r}")
+    kw = {"week_starts_monday": True} if period == "week" else {}
+
+    def _tag(t: pa.Table) -> pa.Table:
+        per = _pc.floor_temporal(t[ts_col], unit=period, **kw)
+        sh = _pc.bit_wise_and(
+            _pc.cast(t[user_col], pa.int64()), np.int64(num_shards - 1)
+        )
+        return pa.table({
+            user_col: t[user_col],
+            "_per": _pc.cast(per, pa.timestamp("us")),
+            "_shard": sh,
+        })
+
+    def _fold(df: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({
+            "cohort": np.empty(0, np.int64),
+            "offset": np.empty(0, np.int64),
+            "n": np.empty(0, np.int64),
+        })
+        if df.empty:
+            return empty
+        per = df["_per"].astype("datetime64[us]").astype("int64").to_numpy()
+        u_codes, _u = pd.factorize(df[user_col], sort=False)
+        cohort = np.full(len(_u), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(cohort, u_codes, per)
+        # distinct (user, period) pairs -> offsets vs the user's cohort
+        key = u_codes.astype(np.int64) * np.int64(1 << 42) + (
+            per // np.int64(1_000_000)  # us -> s keeps the pack exact
+        )
+        uk = np.unique(key)
+        ku = (uk // np.int64(1 << 42)).astype(np.int64)
+        ksec = uk % np.int64(1 << 42)
+        g = pd.DataFrame({
+            "cohort": cohort[ku],
+            "sec": ksec * np.int64(1_000_000),
+        })
+        out = (
+            g.assign(offset=lambda d: _period_offset(d["cohort"], d["sec"], period))
+            .groupby(["cohort", "offset"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
+    parts = (
+        ds.map_batches(_tag, batch_format="pyarrow")
+        .groupby("_shard")
+        .map_groups(_fold, batch_format="pandas")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"cohort_start": pd.Series(dtype="int64"),
+                             "period_offset": pd.Series(dtype="int64"),
+                             "n_users": pd.Series(dtype="int64")})
+    agg = parts.groupby(["cohort", "offset"], as_index=False)["n"].sum()
+    agg = agg.sort_values(["cohort", "offset"]).reset_index(drop=True)
+    return pd.DataFrame({
+        "cohort_start": agg["cohort"].astype("int64"),
+        "period_offset": agg["offset"].astype("int64"),
+        "n_users": agg["n"].astype("int64"),
+    })
+
+
+def _period_offset(cohort_us: pd.Series, ts_us: pd.Series, period: str) -> np.ndarray:
+    """Whole calendar periods between two already-truncated epochs —
+    exact integer arithmetic for day/week (fixed widths in us); month
+    offsets count calendar months (12*dy + dm)."""
+    c = cohort_us.to_numpy(dtype=np.int64)
+    t = ts_us.to_numpy(dtype=np.int64)
+    if period in ("day", "week"):
+        width = np.int64(86_400_000_000 * (7 if period == "week" else 1))
+        return ((t - c) // width).astype(np.int64)
+    cm = pd.DatetimeIndex(pd.to_datetime(c, unit="us"))
+    tm = pd.DatetimeIndex(pd.to_datetime(t, unit="us"))
+    return ((tm.year - cm.year) * 12 + (tm.month - cm.month)).to_numpy().astype(np.int64)
+
+
 def range_join(
     ds: Dataset,
     intervals: pa.Table,

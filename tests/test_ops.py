@@ -1801,3 +1801,44 @@ def test_funnel_greedy_earliest(ray_session):
     assert out["step"].tolist() == [1, 2, 3]
     assert out["event_type"].tolist() == ["A", "B", "C"]
     assert out["n_users"].tolist() == [3, 2, 1]
+
+
+def test_retention_cohorts(ray_session):
+    """Cohort/offset counts vs a brute pandas walk, month period
+    included (calendar-month offsets, not fixed widths)."""
+    import ray.data as rd
+
+    rng = np.random.default_rng(7)
+    n = 800
+    users = rng.integers(0, 60, n).astype(np.int64)
+    ts = pd.Timestamp("2024-01-03") + pd.to_timedelta(
+        rng.integers(0, 90 * 86400, n), unit="s"
+    )
+    df = pd.DataFrame({"user_id": users, "ts": ts})
+    for period in ("week", "month"):
+        out = rel.retention(
+            rd.from_pandas(df, override_num_blocks=4), "user_id", "ts", period=period
+        )
+        if period == "week":  # Monday-start weeks (Arrow/DuckDB rule)
+            p = df["ts"].dt.normalize() - pd.to_timedelta(df["ts"].dt.dayofweek, unit="D")
+        else:
+            p = df["ts"].dt.to_period("M").dt.start_time
+        b = pd.DataFrame({"u": df["user_id"], "p": p})
+        cohort = b.groupby("u")["p"].min()
+        d = b.drop_duplicates()
+        d["cohort"] = cohort.reindex(d["u"]).to_numpy()
+        if period == "week":
+            d["off"] = ((d["p"] - d["cohort"]).dt.days // 7).astype(int)
+        else:
+            d["off"] = (d["p"].dt.year - d["cohort"].dt.year) * 12 + (
+                d["p"].dt.month - d["cohort"].dt.month
+            )
+        exp = (
+            d.groupby([d["cohort"].astype("datetime64[us]").astype("int64"), "off"])
+            .size().rename("n_users").reset_index()
+            .rename(columns={"cohort": "cohort_start", "off": "period_offset"})
+            .sort_values(["cohort_start", "period_offset"]).reset_index(drop=True)
+        )
+        got = out.astype({"cohort_start": "int64"})
+        pd.testing.assert_frame_equal(got, exp.astype({"n_users": "int64"}),
+                                      check_dtype=False)
