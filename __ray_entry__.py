@@ -1438,6 +1438,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pd.DataFrame({"revenue": [float(round_half_up(total["revenue"], 4))]})
 
+    def r45_grouped_hll(sf_dir):
+        # per-group HLL distinct (ES cardinality inside a terms agg):
+        # distinct users per event_type; per-block (key, reg, rho)
+        # combiner, one groupby-max exchange, estimates replayed in
+        # SQL from the same md5 registers
+        ev = _read(sf_dir, "events", ["event_type", "user_id"])
+        return sk.grouped_hll_distinct(ev, "event_type", "user_id", p=6)
+
     def sketch_quantiles(sf_dir):
         # exact discrete quantiles from one value-histogram shuffle;
         # q values are binary-exact (q*n has no float fuzz vs DuckDB)
@@ -3551,6 +3559,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q6": pipe_tpch_q6,
         "r43_funnel": r43_funnel,
         "r44_retention": r44_retention,
+        "r45_grouped_hll": r45_grouped_hll,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5258,6 +5267,29 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "ELSE (0.709 * 4096.0) * 576460752303423488.0 / CAST(s_int AS DOUBLE) END, 4) "
             "AS distinct_est FROM e"
         ),
+        # r45: sketch_hll per event_type — registers keyed by group
+        "r45_grouped_hll": """
+WITH h AS (SELECT event_type,
+           md5_number_upper(CAST(user_id AS VARCHAR)) AS hv FROM events),
+r AS (SELECT event_type, CAST(hv >> 58 AS BIGINT) AS reg,
+             hv & ((1::UBIGINT << 58) - 1) AS low FROM h),
+rho AS (SELECT event_type, reg,
+        CAST(length(regexp_extract(lpad(bin(low), 58, '0'), '^0*')) + 1 AS BIGINT) AS rho
+        FROM r),
+regs AS (SELECT event_type, reg, max(rho) AS mx FROM rho GROUP BY 1, 2),
+ks AS (SELECT DISTINCT event_type FROM events),
+allr AS (SELECT ks.event_type, g.range AS reg, COALESCE(mx, 0) AS mx
+         FROM ks CROSS JOIN range(64) g
+         LEFT JOIN regs ON regs.event_type = ks.event_type AND regs.reg = g.range),
+e AS (SELECT event_type, sum(1::HUGEINT << (59 - mx)) AS s_int,
+             count(*) FILTER (WHERE mx = 0) AS zeros FROM allr GROUP BY 1)
+SELECT event_type, round(CASE WHEN (0.709 * 4096.0) * 576460752303423488.0
+                   / CAST(s_int AS DOUBLE) <= 160.0 AND zeros > 0
+             THEN 64.0 * ln(64.0 / zeros)
+             ELSE (0.709 * 4096.0) * 576460752303423488.0 / CAST(s_int AS DOUBLE) END, 4)
+       AS distinct_est
+FROM e ORDER BY event_type
+""",
         "r37_moving_avg": (
             "WITH m AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS window_start, "
             "count(*) AS n FROM events GROUP BY 1) "

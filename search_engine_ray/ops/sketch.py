@@ -147,6 +147,61 @@ def hll_distinct(ds: Dataset, col: str, p: int = 6) -> float:
     return round_half_up(raw, 4)
 
 
+def grouped_hll_distinct(
+    ds: Dataset, key: str, col: str, p: int = 6
+) -> pd.DataFrame:
+    """Per-group approximate distinct count — the ES `cardinality`
+    aggregation nested inside a terms aggregation. Same deterministic
+    md5-register HLL as hll_distinct, PER KEY: the per-block partial
+    is <= (keys x m) tiny (key, reg, rho) rows, the exchange is one
+    groupby-max over them, and the final estimate math runs on the
+    (keys x m)-row result — bounded by group cardinality, never data
+    size. Returns (key, distinct_est) sorted by key."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    m = 1 << p
+    low_bits = 64 - p
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pa.table({key: t[key], "v": pc.cast(t[col], pa.string())}).to_pandas()
+        df = df.drop_duplicates()
+        h = _md5_upper64(df["v"].tolist())
+        reg = (h >> np.uint64(low_bits)).astype(np.int64)
+        low = h & np.uint64((1 << low_bits) - 1)
+        rho = (low_bits - _bit_length_u64(low) + 1).astype(np.int64)
+        g = (
+            pd.DataFrame({key: df[key].to_numpy(), "reg": reg, "rho": rho})
+            .groupby([key, "reg"], as_index=False)
+            .max()
+        )
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    from ray.data.aggregate import Max
+
+    regs = (
+        ds.map_batches(_partial, batch_format="pyarrow")
+        .groupby([key, "reg"])
+        .aggregate(Max("rho", alias_name="mx"))
+        .to_pandas()
+    )
+    out_k, out_e = [], []
+    for k, g in regs.groupby(key, sort=True):
+        mx = np.zeros(m, np.int64)
+        mx[g["reg"].to_numpy()] = g["mx"].to_numpy()
+        zeros = int((mx == 0).sum())
+        s_int = int(sum(1 << (low_bits + 1 - int(v)) for v in mx))
+        raw = (alpha * float(m * m)) * float(1 << (low_bits + 1)) / float(s_int)
+        est = (
+            float(m) * float(np.log(float(m) / zeros))
+            if (raw <= 2.5 * m and zeros > 0)
+            else raw
+        )
+        out_k.append(k)
+        out_e.append(float(round_half_up(est, 4)))
+    return pd.DataFrame({key: out_k, "distinct_est": out_e})
+
+
 def hash_sample(ds: Dataset, col: str, rate: float, salt: str = "") -> Dataset:
     """Deterministic hash sampling: keep rows whose
     md5_upper64(str(value) + salt) < rate * 2^64. Unlike random

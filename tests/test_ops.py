@@ -1842,3 +1842,22 @@ def test_retention_cohorts(ray_session):
         got = out.astype({"cohort_start": "int64"})
         pd.testing.assert_frame_equal(got, exp.astype({"n_users": "int64"}),
                                       check_dtype=False)
+
+
+def test_grouped_hll_matches_per_group_single(ray_session):
+    """grouped_hll_distinct(key) == hll_distinct run per key slice."""
+    import ray.data as rd
+
+    import search_engine_ray.ops.sketch as sk
+
+    rng = np.random.default_rng(13)
+    df = pd.DataFrame({
+        "g": rng.choice(["a", "b", "c"], 2000),
+        "v": rng.integers(0, 400, 2000).astype(np.int64),
+    })
+    out = sk.grouped_hll_distinct(
+        rd.from_pandas(df, override_num_blocks=5), "g", "v", p=6
+    ).set_index("g")["distinct_est"]
+    for g in ("a", "b", "c"):
+        solo = sk.hll_distinct(rd.from_pandas(df[df["g"] == g]), "v", p=6)
+        assert out[g] == solo, (g, out[g], solo)
