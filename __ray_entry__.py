@@ -1438,6 +1438,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return pd.DataFrame({"revenue": [float(round_half_up(total["revenue"], 4))]})
 
+    def e15_force_merge(sf_dir):
+        # Lucene forceMerge: a 2-shard resumable index + parent-level
+        # tombstones (doc_id % 10 == 0) fold into ONE index — the merge
+        # IS the global compaction (rank streams re-encoded against the
+        # union universe, df/avgdl/n_docs recomputed). The check is
+        # end-to-end: BM25 over the merged index must equal the SQL
+        # oracle over the SURVIVING corpus
+        import glob as _glob
+        import shutil
+
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index import build_index_resumable, merge_indexes
+        from search_engine_ray.index.build import add_tombstones, load_tombstones
+        from search_engine_ray.query import SearchEngine
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_merge_cache/{tag}_{int(os.path.getmtime(src))}_v1"
+        sharded = os.path.join(base, "sharded")
+        merged = os.path.join(base, "merged")
+        if not os.path.exists(os.path.join(merged, "manifest.json")):
+            shutil.rmtree(base, ignore_errors=True)
+            t = pq.read_table(src)
+            files_dir = os.path.join(base, "files")
+            os.makedirs(files_dir)
+            half = t.num_rows // 2
+            f1, f2 = os.path.join(files_dir, "a.parquet"), os.path.join(files_dir, "b.parquet")
+            pq.write_table(t.slice(0, half), f1)
+            pq.write_table(t.slice(half), f2)
+            build_index_resumable([f1, f2], sharded, DOCUMENTS_CONFIG, files_per_shard=1)
+            ids = t["doc_id"].to_numpy()
+            add_tombstones(sharded, ids[ids % 10 == 0])
+            shards = sorted(_glob.glob(os.path.join(sharded, "shards", "shard_*")))
+            merge_indexes(
+                shards, merged, DOCUMENTS_CONFIG,
+                extra_tombstones=load_tombstones(sharded),
+            )
+        eng = SearchEngine(merged, DOCUMENTS_CONFIG)
+        res = eng.search(
+            Compound(must=(Term("text", "vector"),)), k=10, with_metadata=False
+        )
+        return pd.DataFrame({
+            "doc_id": res.hits["doc_id"].to_numpy(),
+            "score": round_half_up(res.hits["score"].to_numpy()),
+        })
+
     def r45_grouped_hll(sf_dir):
         # per-group HLL distinct (ES cardinality inside a terms agg):
         # distinct users per event_type; per-block (key, reg, rho)
@@ -3560,6 +3606,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r43_funnel": r43_funnel,
         "r44_retention": r44_retention,
         "r45_grouped_hll": r45_grouped_hll,
+        "e15_force_merge": e15_force_merge,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5266,6 +5313,11 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             "THEN 64.0 * ln(64.0 / zeros) "
             "ELSE (0.709 * 4096.0) * 576460752303423488.0 / CAST(s_int AS DOUBLE) END, 4) "
             "AS distinct_est FROM e"
+        ),
+        # e15: BM25 over the post-merge corpus (doc_id % 10 pruned)
+        "e15_force_merge": _bm25_sql(
+            ["vector"],
+            table_sql="(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
         ),
         # r45: sketch_hll per event_type — registers keyed by group
         "r45_grouped_hll": """
