@@ -1484,6 +1484,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score": round_half_up(res.hits["score"].to_numpy()),
         })
 
+    def e16_cdc_replay(sf_dir):
+        # CDC / WAL replay to final state: the events stream read as
+        # an op log (signup=INSERT, error=DELETE, others=UPSERT per
+        # user), replayed by last-writer-wins — one combiner-shaped
+        # group_dedup_first (<=1 row per key per block rides the
+        # shuffle), then delete-tombstones drop. The streaming analog
+        # of the reference's upsert-sink idempotence
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"])
+
+        def _ops(t: pa.Table) -> pa.Table:
+            et = t["event_type"]
+            op = pc.case_when(
+                pc.make_struct(
+                    pc.equal(et, "signup"), pc.equal(et, "error"),
+                ),
+                "I", "D", "U",
+            )
+            return pa.table({
+                "user_id": t["user_id"], "ts": t["ts"],
+                "event_id": t["event_id"], "op": op, "value": t["value"],
+            })
+
+        last = rel.group_dedup_first(
+            ev.map_batches(_ops, batch_format="pyarrow"),
+            "user_id", ["ts", "event_id"], descending=True,
+        )
+        def _live(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t["op"], "D"))
+
+        out = (
+            last.map_batches(_live, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("user_id")
+            .reset_index(drop=True)
+        )
+        out["value"] = round_half_up(out["value"].to_numpy())
+        return out[["user_id", "op", "value"]]
+
     def r45_grouped_hll(sf_dir):
         # per-group HLL distinct (ES cardinality inside a terms agg):
         # distinct users per event_type; per-block (key, reg, rho)
@@ -2053,6 +2091,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # vocabulary-bounded combiner broadcast once
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.tfidf_keywords(docs, "text", "doc_id", top_n=3)
+
+    def t_collocations(sf_dir):
+        # PMI collocation extraction: ordered token pairs within a
+        # 2-position window, PMI over the pair distribution, top-20;
+        # the exchange carries (pair, count) combiner rows only
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.collocations(docs, "text", window=2, min_count=5, top_k=20)
 
     def t_top_terms(sf_dir):
         # heavy hitters by composition: explode -> count -> bounded
@@ -3492,6 +3537,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_strat_sample": t_strat_sample,
         "t_top_terms": t_top_terms,
         "t_keywords": t_keywords,
+        "t_collocations": t_collocations,
         "t_mix_budget": t_mix_budget,
         "pipe_hybrid": pipe_hybrid,
         "pipe_curation": pipe_curation,
@@ -3607,6 +3653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r44_retention": r44_retention,
         "r45_grouped_hll": r45_grouped_hll,
         "e15_force_merge": e15_force_merge,
+        "e16_cdc_replay": e16_cdc_replay,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5319,6 +5366,17 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             ["vector"],
             table_sql="(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
         ),
+        # e16: last-writer-wins replay, deletes drop the key
+        "e16_cdc_replay": """
+WITH ops AS (SELECT user_id, ts, event_id,
+  CASE event_type WHEN 'signup' THEN 'I' WHEN 'error' THEN 'D' ELSE 'U' END AS op,
+  value FROM events),
+last AS (SELECT * FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn FROM ops) WHERE rn = 1)
+SELECT user_id, op, round(value, 4) AS value FROM last
+WHERE op <> 'D' ORDER BY user_id
+""",
         # r45: sketch_hll per event_type — registers keyed by group
         "r45_grouped_hll": """
 WITH h AS (SELECT event_type,
@@ -5863,6 +5921,26 @@ FROM m WHERE ix > 0
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 20"
         ),
+        # t_collocations: PMI over the pair distribution — marginals
+        # are pair-count sums, ranking on the raw ln, round at output
+        "t_collocations": """
+WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts
+             FROM documents),
+e AS (SELECT doc_id, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM tok),
+pr AS (SELECT a.t AS a, b.t AS b FROM e a
+       JOIN e b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2),
+c AS (SELECT a, b, count(*) AS c_ab FROM pr GROUP BY 1, 2),
+tot AS (SELECT CAST(sum(c_ab) AS DOUBLE) AS T FROM c),
+l AS (SELECT a AS t, sum(c_ab) AS cl FROM c GROUP BY 1),
+r AS (SELECT b AS t, sum(c_ab) AS cr FROM c GROUP BY 1),
+s AS (SELECT c.a, c.b, c.c_ab,
+      ln(CAST(c.c_ab AS DOUBLE) * tot.T /
+         (CAST(l.cl AS DOUBLE) * CAST(r.cr AS DOUBLE))) AS praw
+      FROM c, tot
+      JOIN l ON l.t = c.a JOIN r ON r.t = c.b WHERE c.c_ab >= 5)
+SELECT a, b, CAST(c_ab AS BIGINT) AS c_ab, round(praw, 4) AS pmi
+FROM s ORDER BY praw DESC, a, b LIMIT 20
+""",
         # t_keywords: per-doc top-3 tf-idf tokens; raw-score ranking
         # (round only on output), ties by token asc — same op order
         # as the engine (tf * ln(N/df), N = all document rows)

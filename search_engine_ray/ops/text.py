@@ -911,6 +911,84 @@ def tfidf_keywords(
     return ds.map_batches(_score, batch_format="pyarrow")
 
 
+def collocations(
+    ds: Dataset,
+    text_col: str = "text",
+    window: int = 2,
+    min_count: int = 5,
+    top_k: int = 20,
+) -> pd.DataFrame:
+    """Collocation extraction by pointwise mutual information: count
+    ordered token pairs (a, b) with b within `window` positions after
+    a (in the same doc), then PMI = ln(c_ab * T / (c_a * c_b)) over
+    pairs with c_ab >= min_count; returns the top_k by (PMI desc,
+    a, b) with pmi rounded half-up to 4. T = total pair slots
+    (sum over gaps of per-doc max(len - gap, 0)), c_a / c_b = the
+    token's occurrences as left / right member of any slot.
+
+    Scale shape: pair extraction is vectorized per batch (array
+    shifts, no Python over tokens); the exchange carries one
+    (pair, count) row per distinct pair per block (combiner), bounded
+    by observed-bigram vocabulary, and unigram slot counts ride the
+    same shape. PMI math runs on the bounded count tables."""
+    from ray.data.aggregate import Sum
+
+    from .rounding import round_half_up
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        flat, parents, _n = _flat_tokens(t[text_col])
+        toks = flat.to_numpy(zero_copy_only=False)
+        lefts, rights = [], []
+        for gap in range(1, window + 1):
+            if len(toks) <= gap:
+                break
+            same = parents[:-gap] == parents[gap:]
+            lefts.append(toks[:-gap][same])
+            rights.append(toks[gap:][same])
+        if not lefts:
+            return pa.table({"a": pa.array([], pa.string()),
+                             "b": pa.array([], pa.string()),
+                             "cnt": pa.array([], pa.int64())})
+        a = np.concatenate(lefts)
+        b = np.concatenate(rights)
+        df = (
+            pd.DataFrame({"a": a, "b": b})
+            .groupby(["a", "b"], as_index=False)
+            .size()
+            .rename(columns={"size": "cnt"})
+        )
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    counts = (
+        ds.map_batches(_pairs, batch_format="pyarrow")
+        .groupby(["a", "b"])
+        .aggregate(Sum("cnt", alias_name="c_ab"))
+        .to_pandas()
+    )
+    if counts.empty:
+        return pd.DataFrame({"a": [], "b": [], "c_ab": [], "pmi": []})
+    c_a = counts.groupby("a", as_index=False)["c_ab"].sum().rename(
+        columns={"a": "t", "c_ab": "c_left"})
+    c_b = counts.groupby("b", as_index=False)["c_ab"].sum().rename(
+        columns={"b": "t", "c_ab": "c_right"})
+    total = float(counts["c_ab"].sum())
+    df = counts[counts["c_ab"] >= min_count].copy()
+    df = df.merge(c_a, left_on="a", right_on="t").drop(columns=["t"])
+    df = df.merge(c_b, left_on="b", right_on="t").drop(columns=["t"])
+    pmi_raw = np.log(
+        df["c_ab"].to_numpy(dtype=np.float64) * total
+        / (df["c_left"].to_numpy(dtype=np.float64)
+           * df["c_right"].to_numpy(dtype=np.float64))
+    )
+    df["pmi"] = pmi_raw
+    df = df.sort_values(["pmi", "a", "b"], ascending=[False, True, True],
+                        kind="mergesort").head(top_k)
+    out = df.reset_index(drop=True)[["a", "b", "c_ab", "pmi"]]
+    out["c_ab"] = out["c_ab"].astype("int64")
+    out["pmi"] = round_half_up(out["pmi"].to_numpy())
+    return out
+
+
 # ------------------------------------------------- DSIR data selection
 
 
