@@ -416,3 +416,116 @@ def test_phrase_topk_actor_path_parity(pos_index):
             ["score", "doc_id"], ascending=[False, True], kind="mergesort"
         ).head(1000).reset_index(drop=True)
         pd.testing.assert_frame_equal(got, ref, check_dtype=False), case
+
+
+# ---------------- pure-kernel property tests (no Ray, no index) ------
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _stream(rng_ints, n_docs=6, max_pos=30):
+    """Build a (ranks, tfs, dls, positions) stream from a set of
+    (doc, pos) occurrence pairs."""
+    occ = sorted(set(rng_ints))
+    if not occ:
+        return None
+    import numpy as np
+
+    docs = np.array([d for d, _ in occ], np.int64)
+    pos = np.array([p for _, p in occ], np.int64)
+    ranks, tfs = np.unique(docs, return_counts=True)
+    dls = np.full(ranks.size, max_pos + 5, np.int64)
+    return ranks, tfs.astype(np.int64), dls, pos
+
+
+occ_sets = st.lists(
+    st.tuples(st.integers(0, 5), st.integers(0, 29)), min_size=1, max_size=40
+)
+
+
+@settings(max_examples=120, deadline=None)
+@given(a=occ_sets, b=occ_sets, w=st.integers(1, 4), ordered=st.booleans())
+def test_pair_window_kernel_matches_brute(a, b, w, ordered):
+    import numpy as np
+
+    from search_engine_ray.query.phrase import _occurrence_keys, _pair_window_raw
+
+    sa, sb = _stream(a), _stream(b)
+    k1, k2 = _occurrence_keys(sa), _occurrence_keys(sb)
+    doc_ranks, ptf = _pair_window_raw(np.sort(k1), np.sort(k2), w, ordered)
+    got = dict(zip(doc_ranks.tolist(), ptf.tolist()))
+    brute = {}
+    A, B = sorted(set(a)), sorted(set(b))
+    for d in {x for x, _ in A} | {x for x, _ in B}:
+        pa_ = [p for dd, p in A if dd == d]
+        pb_ = [p for dd, p in B if dd == d]
+        n = sum(
+            1 for i in pa_ for j in pb_
+            if (1 <= j - i <= w) or (not ordered and 1 <= i - j <= w)
+        )
+        if n:
+            brute[d] = n
+    assert got == brute
+
+
+@settings(max_examples=120, deadline=None)
+@given(inc=occ_sets, exc=occ_sets, dist=st.integers(0, 5))
+def test_span_not_kernel_matches_brute(inc, exc, dist):
+    from search_engine_ray.query.phrase import chain_core
+
+    si, se = _stream(inc), _stream(exc)
+    by_term = {"t:a": si, "t:x": se}
+    doc_ranks, ptf, _dl = chain_core(
+        by_term, ["t:a"], 1, True, None, [],
+        exclude_keys=["t:x"], exclude_dist=dist,
+    )
+    got = dict(zip(doc_ranks.tolist(), ptf.tolist()))
+    I, X = sorted(set(inc)), sorted(set(exc))
+    brute = {}
+    for d, p in I:
+        if any(dd == d and abs(pp - p) <= dist for dd, pp in X):
+            continue
+        brute[d] = brute.get(d, 0) + 1
+    assert got == brute
+
+
+@settings(max_examples=60, deadline=None)
+@given(big1=occ_sets, big2=occ_sets, little=occ_sets,
+       w=st.integers(1, 4), within=st.booleans())
+def test_span_containing_kernel_matches_brute(big1, big2, little, w, within):
+    from search_engine_ray.query.phrase import chain_core
+
+    by_term = {"t:a": _stream(big1), "t:b": _stream(big2), "t:c": _stream(little)}
+    doc_ranks, ptf, _dl = chain_core(
+        by_term, ["t:a", "t:b"], w, True, None, [],
+        little_key="t:c", span_mode="within" if within else "containing",
+    )
+    got = dict(zip(doc_ranks.tolist(), ptf.tolist()))
+    A, B, C = (sorted(set(x)) for x in (big1, big2, little))
+    brute = {}
+    docs = {d for d, _ in A} | {d for d, _ in B} | {d for d, _ in C}
+    for d in docs:
+        pa_ = [p for dd, p in A if dd == d]
+        pb_ = [p for dd, p in B if dd == d]
+        pc_ = [p for dd, p in C if dd == d]
+        spans = [(i, j) for i in pa_ for j in pb_ if 1 <= j - i <= w]
+        if within:
+            n = len({q for q in pc_ if any(i <= q <= j for i, j in spans)})
+        else:
+            n = sum(1 for i, j in spans if any(i <= q <= j for q in pc_))
+        if n:
+            brute[d] = n
+    assert got == brute
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(st.integers(0, 2**64 - 1), min_size=1, max_size=30))
+def test_bit_length_u64_matches_python(vals):
+    import numpy as np
+
+    from search_engine_ray.ops.sketch import _bit_length_u64
+
+    x = np.array(vals, np.uint64)
+    got = _bit_length_u64(x)
+    assert got.tolist() == [int(v).bit_length() for v in vals]
