@@ -1522,6 +1522,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = round_half_up(out["value"].to_numpy())
         return out[["user_id", "op", "value"]]
 
+    def e17_index_stats(sf_dir):
+        # index-integrity stats (the _cat/indices analog), value-
+        # checked against the corpus: the text field's DICTIONARY size
+        # must equal the analyzed distinct-token count, total_len the
+        # analyzed token count — a global build-integrity oracle over
+        # the dict + stats components
+        import glob as _glob
+
+        eng = _doc_engine(sf_dir)
+        vocab = 0
+        for d in eng.dirs:
+            for f in _glob.glob(os.path.join(d, "dict", "part=*", "dict.parquet")):
+                t = pq.read_table(f, columns=["term"])
+                s = pc.starts_with(t["term"], "c:")
+                vocab += int(pc.sum(s).as_py() or 0)
+        st = eng.stats
+        tl = int(st["fields"]["text"]["total_len"])
+        n = int(st["n_docs"])
+        return pd.DataFrame({
+            "n_docs": pd.array([n], dtype="int64"),
+            "text_vocab": pd.array([vocab], dtype="int64"),
+            "text_total_len": pd.array([tl], dtype="int64"),
+            "avgdl": [float(round_half_up(tl / n, 4))],
+        })
+
     def r45_grouped_hll(sf_dir):
         # per-group HLL distinct (ES cardinality inside a terms agg):
         # distinct users per event_type; per-block (key, reg, rho)
@@ -3654,6 +3679,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r45_grouped_hll": r45_grouped_hll,
         "e15_force_merge": e15_force_merge,
         "e16_cdc_replay": e16_cdc_replay,
+        "e17_index_stats": e17_index_stats,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5366,6 +5392,20 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
             ["vector"],
             table_sql="(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
         ),
+        # e17: dictionary size == analyzed distinct tokens, total_len
+        # == analyzed token count — the build-integrity oracle
+        "e17_index_stats": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+v AS (SELECT count(DISTINCT t) AS vocab
+      FROM (SELECT unnest(ts) AS t FROM d))
+SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_docs,
+       CAST(v.vocab AS BIGINT) AS text_vocab,
+       CAST((SELECT sum(dl) FROM d) AS BIGINT) AS text_total_len,
+       round((SELECT sum(dl) FROM d) /
+             CAST((SELECT count(*) FROM d) AS DOUBLE), 4) AS avgdl
+FROM v
+""",
         # e16: last-writer-wins replay, deletes drop the key
         "e16_cdc_replay": """
 WITH ops AS (SELECT user_id, ts, event_id,
