@@ -1522,6 +1522,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = round_half_up(out["value"].to_numpy())
         return out[["user_id", "op", "value"]]
 
+    def r46_weighted_avg(sf_dir):
+        # ES weighted_avg aggregation per group: quantity-weighted
+        # mean price by returnflag — one raw-moment combiner
+        # (sum(w*v), sum(w)) then the division on the per-group row
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            df["_wv"] = df["l_extendedprice"] * df["l_quantity"]
+            g = df.groupby("l_returnflag", as_index=False)[["_wv", "l_quantity"]].sum()
+            return pa.Table.from_pandas(
+                g.rename(columns={"l_quantity": "_w"}), preserve_index=False
+            )
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            li.map_batches(_partial, batch_format="pyarrow")
+            .groupby("l_returnflag")
+            .aggregate(Sum("_wv", alias_name="wv"), Sum("_w", alias_name="w"))
+            .to_pandas()
+            .sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "l_returnflag": agg["l_returnflag"],
+            "weighted_avg_price": round_half_up(
+                agg["wv"].to_numpy() / agg["w"].to_numpy()
+            ),
+        })
+
     def e17_index_stats(sf_dir):
         # index-integrity stats (the _cat/indices analog), value-
         # checked against the corpus: the text field's DICTIONARY size
@@ -3680,6 +3711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e15_force_merge": e15_force_merge,
         "e16_cdc_replay": e16_cdc_replay,
         "e17_index_stats": e17_index_stats,
+        "r46_weighted_avg": r46_weighted_avg,
         "sketch_cm": sketch_cm,
         "sketch_quantiles": sketch_quantiles,
         "r29_grouped_quantiles": r29_grouped_quantiles,
@@ -5391,6 +5423,11 @@ ORDER BY (ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 /
         "e15_force_merge": _bm25_sql(
             ["vector"],
             table_sql="(SELECT * FROM documents WHERE doc_id % 10 <> 0)",
+        ),
+        "r46_weighted_avg": (
+            "SELECT l_returnflag, round(sum(l_extendedprice * l_quantity) "
+            "/ sum(l_quantity), 4) AS weighted_avg_price "
+            "FROM lineitem GROUP BY 1 ORDER BY 1"
         ),
         # e17: dictionary size == analyzed distinct tokens, total_len
         # == analyzed token count — the build-integrity oracle

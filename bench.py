@@ -210,7 +210,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r42_auto_histogram", "pipe_tpch_q1", "pipe_tpch_q3",
         "pipe_tpch_q5", "pipe_tpch_q6", "t_cluster_sample", "r43_funnel", "r44_retention",
         "r45_grouped_hll", "e15_force_merge", "t_collocations",
-        "e16_cdc_replay", "e17_index_stats",
+        "e16_cdc_replay", "e17_index_stats", "r46_weighted_avg",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
