@@ -959,20 +959,32 @@ def collocations(
         )
         return pa.Table.from_pandas(df, preserve_index=False)
 
-    counts = (
-        ds.map_batches(_pairs, batch_format="pyarrow")
-        .groupby(["a", "b"])
-        .aggregate(Sum("cnt", alias_name="c_ab"))
+    pair_counts = ds.map_batches(_pairs, batch_format="pyarrow").groupby(
+        ["a", "b"]
+    ).aggregate(Sum("cnt", alias_name="c_ab")).materialize()
+    # marginals + total fold DISTRIBUTED (token-vocab-bounded rows);
+    # only the min_count survivors reach the driver — the raw bigram
+    # table never does (at web scale it dwarfs the token vocabulary)
+    c_a = (
+        pair_counts.groupby("a").aggregate(Sum("c_ab", alias_name="c_left"))
+        .to_pandas().rename(columns={"a": "t"})
+    )
+    c_b = (
+        pair_counts.groupby("b").aggregate(Sum("c_ab", alias_name="c_right"))
+        .to_pandas().rename(columns={"b": "t"})
+    )
+    if c_a.empty:
+        return pd.DataFrame({"a": [], "b": [], "c_ab": [], "pmi": []})
+    total = float(c_a["c_left"].sum())
+    df = (
+        pair_counts.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c_ab"], min_count)),
+            batch_format="pyarrow",
+        )
         .to_pandas()
     )
-    if counts.empty:
+    if df.empty:
         return pd.DataFrame({"a": [], "b": [], "c_ab": [], "pmi": []})
-    c_a = counts.groupby("a", as_index=False)["c_ab"].sum().rename(
-        columns={"a": "t", "c_ab": "c_left"})
-    c_b = counts.groupby("b", as_index=False)["c_ab"].sum().rename(
-        columns={"b": "t", "c_ab": "c_right"})
-    total = float(counts["c_ab"].sum())
-    df = counts[counts["c_ab"] >= min_count].copy()
     df = df.merge(c_a, left_on="a", right_on="t").drop(columns=["t"])
     df = df.merge(c_b, left_on="b", right_on="t").drop(columns=["t"])
     pmi_raw = np.log(
