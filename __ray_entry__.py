@@ -17,6 +17,7 @@ ray.init()/ray.shutdown() here or in the library code these use.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -3549,6 +3550,361 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 f.write(str(n_files))
         return rd.read_parquet(compacted)
 
+    # ---- round-3 fourth wave: remaining ES agg family + relational
+    # gaps + LLM soft-dedup (driver-window candidates for r04) --------
+    def r47_string_stats(sf_dir):
+        # ES string_stats over a keyword field: count / min / max / avg
+        # length + Shannon entropy of the character distribution. One
+        # combiner pass — each block ships an alphabet-sized codepoint
+        # histogram + length moments, never rows
+        docs = _read(sf_dir, "documents", ["source"])
+        st = txt.string_stats(docs, "source")
+        return pd.DataFrame({
+            "count": pd.array([st["count"]], dtype="int64"),
+            "min_length": pd.array([st["min_length"]], dtype="int64"),
+            "max_length": pd.array([st["max_length"]], dtype="int64"),
+            "avg_length": [float(round_half_up(st["avg_length"], 4))],
+            "entropy": [float(round_half_up(st["entropy"], 4))],
+        })
+
+    def r48_top_metrics(sf_dir):
+        # ES top_metrics: per returnflag, the l_extendedprice carried
+        # by the latest-shipped line (sort: l_shipdate desc, unique
+        # (orderkey, linenumber) tiebreak) — group_dedup_first keeps
+        # <=1 row per key per block on the shuffle
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber", "l_extendedprice"],
+        )
+        top = (
+            rel.group_dedup_first(
+                li, "l_returnflag",
+                ["l_shipdate", "l_orderkey", "l_linenumber"],
+                descending=True,
+            )
+            .to_pandas()
+            .sort_values("l_returnflag", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "l_returnflag": top["l_returnflag"],
+            "top_shipdate": top["l_shipdate"].dt.strftime("%Y-%m-%d"),
+            "metric_price": round_half_up(top["l_extendedprice"].to_numpy()),
+        })
+
+    def r49_boxplot(sf_dir):
+        # ES boxplot agg per group: min / q1 / q2 / q3 / max with
+        # linear interpolation (quantile_cont). Exact at any corpus
+        # size for a bounded-distinct column: the shuffle carries a
+        # per-(group, value) count histogram, interpolation walks the
+        # tiny aggregate
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        q = rel.grouped_discrete_quantiles(
+            li, "l_returnflag", "l_quantity", [0.25, 0.5, 0.75]
+        ).sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "l_returnflag": q["l_returnflag"],
+            "min_v": q["min_v"],
+            "q1": round_half_up(q["q0.25"].to_numpy(), 4),
+            "q2": round_half_up(q["q0.5"].to_numpy(), 4),
+            "q3": round_half_up(q["q0.75"].to_numpy(), 4),
+            "max_v": q["max_v"],
+        })
+
+    def r50_mad(sf_dir):
+        # ES median_absolute_deviation per group: median(|x - median|).
+        # BOTH medians resolve from the one (group, value) histogram —
+        # the |x - m| distribution's counts are a re-bucketing of the
+        # same histogram, so the corpus is scanned once and nothing
+        # group-sized leaves the combiner
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_quantity"])
+        cnt = (
+            rel.grouped_aggregate(
+                li, ["l_returnflag", "l_quantity"], {"n": ("count", "l_quantity")}
+            )
+            .to_pandas()
+            .sort_values(["l_returnflag", "l_quantity"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+        def _median(vals: np.ndarray, counts: np.ndarray) -> float:
+            cum = np.cumsum(counts)
+            n = int(cum[-1])
+            pos = 0.5 * (n - 1)
+            lo, hi = int(np.floor(pos)), int(np.ceil(pos))
+            v_lo = vals[np.searchsorted(cum, lo + 1)]
+            v_hi = vals[np.searchsorted(cum, hi + 1)]
+            return float(v_lo + (pos - lo) * (v_hi - v_lo))
+
+        rows = []
+        for g, grp in cnt.groupby("l_returnflag", sort=True):
+            vals = grp["l_quantity"].to_numpy(dtype=np.float64)
+            ns = grp["n"].to_numpy(dtype=np.int64)
+            med = _median(vals, ns)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            # re-bucket: same counts, deviation values (merge equal keys)
+            dv, dn = dev[order], ns[order]
+            uniq, start = np.unique(dv, return_index=True)
+            sums = np.add.reduceat(dn, start)
+            rows.append({
+                "l_returnflag": g,
+                "median_v": float(round_half_up(med, 4)),
+                "mad": float(round_half_up(_median(uniq, sums), 4)),
+            })
+        return pd.DataFrame(rows)
+
+    def r51_t_test(sf_dir):
+        # ES t_test agg (heteroscedastic / Welch): purchase vs click
+        # event values — three raw moments per side ride one combiner
+        # exchange, the statistic folds on two rows
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            t = t.filter(
+                pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+            )
+            df = t.to_pandas()
+            df["_v"] = df["value"].astype(np.float64)
+            df["_v2"] = df["_v"] * df["_v"]
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("_v", "size"), s=("_v", "sum"), sq=("_v2", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        m = (
+            ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("event_type")
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"), Sum("sq", alias_name="sq"))
+            .to_pandas()
+            .set_index("event_type")
+        )
+
+        def _stats(k):
+            n = float(m.loc[k, "n"])
+            mean = m.loc[k, "s"] / n
+            # sample variance ddof=1 in the naive-moments form the SQL
+            # replays: (sq - n*mean^2) / (n-1)
+            var = (m.loc[k, "sq"] - n * mean * mean) / (n - 1.0)
+            return n, mean, var
+
+        n1, m1, v1 = _stats("purchase")
+        n2, m2, v2 = _stats("click")
+        se2 = v1 / n1 + v2 / n2
+        t_stat = (m1 - m2) / math.sqrt(se2)
+        # Welch–Satterthwaite degrees of freedom
+        dof = se2 * se2 / ((v1 / n1) ** 2 / (n1 - 1.0) + (v2 / n2) ** 2 / (n2 - 1.0))
+        return pd.DataFrame({
+            "t_stat": [float(round_half_up(t_stat, 4))],
+            "dof": [float(round_half_up(dof, 2))],
+            "n_purchase": pd.array([int(n1)], dtype="int64"),
+            "n_click": pd.array([int(n2)], dtype="int64"),
+        })
+
+    def _month_value_sums(sf_dir) -> pd.DataFrame:
+        # shared date_histogram base: month -> (sum(value), count) via
+        # the calendar-window combiner; the month table is bounded
+        ev = _read(sf_dir, "events", ["ts", "value"])
+        m = rel.calendar_window_aggregate(
+            ev, "ts", "month", {"n": ("count", "value"), "s": ("sum", "value")}
+        ).to_pandas().sort_values("window_start", kind="mergesort").reset_index(drop=True)
+        m["month_start"] = m["window_start"].astype("datetime64[us]").astype("int64")
+        return m
+
+    def r52_bucket_selector(sf_dir):
+        # ES bucket_selector + bucket_sort pipeline aggs: keep monthly
+        # buckets with sum(value) above the gate, order by the sum
+        # desc, top 5 — the filter/sort run on the bucket table, the
+        # corpus rides one combiner exchange
+        m = _month_value_sums(sf_dir)
+        m = m[m["s"] > 1000.0].copy()
+        # order on the ROUNDED sum so the sort key is fp-parity-safe
+        m["sum_value"] = round_half_up(m["s"].to_numpy(), 4)
+        m = m.sort_values(
+            ["sum_value", "month_start"], ascending=[False, True], kind="mergesort"
+        ).head(5).reset_index(drop=True)
+        return pd.DataFrame({
+            "month_start": m["month_start"],
+            "sum_value": m["sum_value"],
+            "n": m["n"].astype("int64"),
+        })
+
+    def r53_serial_diff(sf_dir):
+        # ES serial_diff pipeline agg (lag=3) over the monthly count
+        # series: seasonality-adjusted deltas on the bucket table
+        m = _month_value_sums(sf_dir)
+        out = pd.DataFrame({
+            "month_start": m["month_start"],
+            "n": m["n"].to_numpy(dtype=np.int64),
+        })
+        out["sdiff3"] = out["n"] - out["n"].shift(3)
+        out = out.dropna(subset=["sdiff3"]).reset_index(drop=True)
+        out["sdiff3"] = out["sdiff3"].astype("int64")
+        return out
+
+    def r54_cumulative_cardinality(sf_dir):
+        # ES cumulative_cardinality: distinct users ever seen, by
+        # month. The classic decomposition — each user's FIRST month
+        # (a group_dedup_first combiner), then a month histogram and a
+        # running sum over the tiny bucket table; no distinct-in-window
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+        first = rel.group_dedup_first(ev, "user_id", ["ts"], descending=False)
+        hist = rel.calendar_window_aggregate(
+            first, "ts", "month", {"new_users": ("count", "user_id")}
+        ).to_pandas().sort_values("window_start", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "month_start": hist["window_start"].astype("datetime64[us]").astype("int64"),
+            "new_users": hist["new_users"].astype("int64"),
+            "cumulative_users": hist["new_users"].cumsum().astype("int64"),
+        })
+
+    def r55_cube(sf_dir):
+        # GROUP BY CUBE(returnflag, linestatus): all four grouping
+        # sets from ONE data shuffle — coarser sets re-aggregate the
+        # finest (6-row) result. Null keys rendered 'ALL' to keep the
+        # column string-typed both sides
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity"])
+        out = rel.cube_aggregate(
+            li, ["l_returnflag", "l_linestatus"], "l_quantity", alias="sum_qty"
+        ).to_pandas()
+        for c in ("l_returnflag", "l_linestatus"):
+            out[c] = out[c].fillna("ALL")
+        out["sum_qty"] = round_half_up(out["sum_qty"].to_numpy(), 4)
+        return out.sort_values(
+            ["l_returnflag", "l_linestatus"], kind="mergesort"
+        ).reset_index(drop=True)
+
+    def r56_set_ops(sf_dir):
+        # INTERSECT / EXCEPT over distinct nation keys of customers vs
+        # suppliers: one tagged union + presence-flag groupby (each
+        # side pre-distincted per block by the combiner), set op
+        # resolved from the two flags — never a pairwise join
+        cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+            lambda t: pa.table({
+                "k": t["c_nationkey"],
+                "in_c": pa.array(np.ones(len(t), np.int64)),
+                "in_s": pa.array(np.zeros(len(t), np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+            lambda t: pa.table({
+                "k": t["s_nationkey"],
+                "in_c": pa.array(np.zeros(len(t), np.int64)),
+                "in_s": pa.array(np.ones(len(t), np.int64)),
+            }),
+            batch_format="pyarrow",
+        )
+        from ray.data.aggregate import Max
+
+        flags = (
+            cust.union(supp)
+            .groupby("k")
+            .aggregate(Max("in_c", alias_name="in_c"), Max("in_s", alias_name="in_s"))
+            .to_pandas()
+        )
+        both = flags[(flags["in_c"] == 1) & (flags["in_s"] == 1)]["k"]
+        only_c = flags[(flags["in_c"] == 1) & (flags["in_s"] == 0)]["k"]
+        only_s = flags[(flags["in_c"] == 0) & (flags["in_s"] == 1)]["k"]
+        out = pd.concat([
+            pd.DataFrame({"op": "intersect", "nationkey": both}),
+            pd.DataFrame({"op": "cust_except_supp", "nationkey": only_c}),
+            pd.DataFrame({"op": "supp_except_cust", "nationkey": only_s}),
+        ])
+        return out.sort_values(["op", "nationkey"], kind="mergesort").reset_index(drop=True)
+
+    def r57_anti_join(sf_dir):
+        # NOT EXISTS anti-join: customers with no big-ticket order
+        # (totalprice > 300k — predicate pushed into the scan). The
+        # order-side key set is distinct-compressed per block before
+        # the broadcast (bounded by customer cardinality); at cluster
+        # scale the same shape hash-partitions both sides on custkey
+        ok = rel.distinct(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+                lambda t: t.filter(pc.greater(t["o_totalprice"], 300000.0)).select(
+                    ["o_custkey"]
+                ),
+                batch_format="pyarrow",
+            ),
+            "o_custkey",
+        )
+        keys = np.sort(ok.to_pandas()["o_custkey"].to_numpy(dtype=np.int64))
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+        out = (
+            rel.semi_join_ids(cust, "c_custkey", keys, keep=False)
+            .to_pandas()
+            .sort_values("c_custkey", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["c_acctbal"] = round_half_up(out["c_acctbal"].to_numpy())
+        return out
+
+    def r58_window_ranks(sf_dir):
+        # SQL rank family completion: ntile(4) / percent_rank /
+        # cume_dist per order-priority partition, unique (date, key)
+        # ordering so tie assignment is deterministic both sides
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority", "o_orderdate", "o_totalprice"])
+        out = (
+            rel.window_functions(
+                od,
+                "o_orderpriority",
+                ["o_orderdate", "o_orderkey"],
+                {
+                    "rn": ("row_number",),
+                    "nt4": ("ntile", 4),
+                    "pr": ("percent_rank",),
+                    "cd": ("cume_dist",),
+                },
+            )
+            .to_pandas()
+            .sort_values("o_orderkey", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["pr"] = round_half_up(out["pr"].to_numpy(), 6)
+        out["cd"] = round_half_up(out["cd"].to_numpy(), 6)
+        out["o_totalprice"] = round_half_up(out["o_totalprice"].to_numpy())
+        return out[["o_orderkey", "o_orderpriority", "o_totalprice", "rn", "nt4", "pr", "cd"]]
+
+    def t_soft_dedup(sf_dir):
+        # SoftDeDup: instead of dropping duplicates, reweight — each
+        # doc's sampling weight is 1 / multiplicity of its exact
+        # content digest (the soft analog of R17's exact dedup; cf.
+        # the SoftDedup data-reweighting literature). One shuffle of
+        # (digest, doc_id) pairs; weights resolve in-group so no
+        # digest->count table is ever broadcast or driver-held
+        docs = _docs_with_near_dups(sf_dir)
+        return dd.soft_dedup_weights(docs, "text", "doc_id")
+
+    def s74_random_score(sf_dir):
+        # ES function_score random_score with seed + field: the
+        # deterministic per-doc draw is md5_number_upper("{seed}:{id}")
+        # scaled to [0,1) — reproducible across runs and replayable in
+        # SQL, unlike Lucene's internal hash. Top 20 over the lang='en'
+        # filter clause (score from the function only, boost_mode
+        # replace)
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+        def _score(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["lang"], "en"))
+            ids = t["doc_id"].to_pylist()
+            h = _md5_upper64([f"42:{i}" for i in ids])
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "rand_score": pa.array(h.astype(np.float64) / 2.0**64),
+            })
+
+        out = rel.topk(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            ["rand_score", "doc_id"], 20, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        out["rand_score"] = round_half_up(out["rand_score"].to_numpy(), 6)
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -3750,6 +4106,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s66_distance_feature": s66_distance_feature,
         "r36_derivative": r36_derivative,
         "e14_compaction": e14_compaction,
+        # ---- round-3 fourth wave (driver-window candidates for r04) ----
+        "r47_string_stats": r47_string_stats,
+        "r48_top_metrics": r48_top_metrics,
+        "r49_boxplot": r49_boxplot,
+        "r50_mad": r50_mad,
+        "r51_t_test": r51_t_test,
+        "r52_bucket_selector": r52_bucket_selector,
+        "r53_serial_diff": r53_serial_diff,
+        "r54_cumulative_cardinality": r54_cumulative_cardinality,
+        "r55_cube": r55_cube,
+        "r56_set_ops": r56_set_ops,
+        "r57_anti_join": r57_anti_join,
+        "r58_window_ranks": r58_window_ranks,
+        "t_soft_dedup": t_soft_dedup,
+        "s74_random_score": s74_random_score,
     }
 
 
@@ -6287,5 +6658,123 @@ ORDER BY score DESC, d.doc_id LIMIT 10
             "ORDER BY window_start"
         ),
         "e14_compaction": "SELECT doc_id, lang, source, n_chars FROM documents",
+        # ---- round-3 fourth wave --------------------------------------
+        "r47_string_stats": (
+            # entropy replayed character by character (ASCII field, so
+            # codepoints == string_split chars)
+            "WITH ch AS (SELECT unnest(string_split(source, '')) AS c FROM documents), "
+            "f AS (SELECT c, CAST(count(*) AS DOUBLE) AS n FROM ch GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS t FROM f), "
+            "e AS (SELECT round(-sum((n / t) * log2(n / t)), 4) AS entropy FROM f, tot) "
+            "SELECT CAST(count(*) AS BIGINT) AS count, "
+            "CAST(min(length(source)) AS BIGINT) AS min_length, "
+            "CAST(max(length(source)) AS BIGINT) AS max_length, "
+            "round(sum(length(source)) / CAST(count(*) AS DOUBLE), 4) AS avg_length, "
+            "(SELECT entropy FROM e) AS entropy FROM documents"
+        ),
+        "r48_top_metrics": (
+            "WITH r AS (SELECT l_returnflag, strftime(l_shipdate, '%Y-%m-%d') AS top_shipdate, "
+            "round(l_extendedprice, 4) AS metric_price, "
+            "row_number() OVER (PARTITION BY l_returnflag ORDER BY "
+            "l_shipdate DESC, l_orderkey DESC, l_linenumber DESC) AS rn FROM lineitem) "
+            "SELECT l_returnflag, top_shipdate, metric_price FROM r WHERE rn = 1 "
+            "ORDER BY l_returnflag"
+        ),
+        "r49_boxplot": (
+            "SELECT l_returnflag, CAST(min(l_quantity) AS DOUBLE) AS min_v, "
+            "round(quantile_cont(l_quantity, 0.25), 4) AS q1, "
+            "round(quantile_cont(l_quantity, 0.50), 4) AS q2, "
+            "round(quantile_cont(l_quantity, 0.75), 4) AS q3, "
+            "CAST(max(l_quantity) AS DOUBLE) AS max_v "
+            "FROM lineitem GROUP BY 1 ORDER BY 1"
+        ),
+        "r50_mad": (
+            "WITH med AS (SELECT l_returnflag AS rf, quantile_cont(l_quantity, 0.5) AS m "
+            "FROM lineitem GROUP BY 1) "
+            "SELECT l_returnflag, round(max(m), 4) AS median_v, "
+            "round(quantile_cont(abs(l_quantity - m), 0.5), 4) AS mad "
+            "FROM lineitem JOIN med ON l_returnflag = rf "
+            "GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "r51_t_test": (
+            # Welch t + Satterthwaite dof from the same naive moments
+            # (n, sum, sum of squares) the combiner ships
+            "WITH p AS (SELECT event_type, CAST(count(*) AS DOUBLE) AS n, "
+            "sum(value) AS s, sum(value * value) AS sq FROM events "
+            "WHERE event_type IN ('purchase', 'click') GROUP BY 1), "
+            "a AS (SELECT n, s / n AS m, (sq - n * (s / n) * (s / n)) / (n - 1) AS v "
+            "FROM p WHERE event_type = 'purchase'), "
+            "b AS (SELECT n, s / n AS m, (sq - n * (s / n) * (s / n)) / (n - 1) AS v "
+            "FROM p WHERE event_type = 'click') "
+            "SELECT round((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n), 4) AS t_stat, "
+            "round((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n) / "
+            "((a.v / a.n) * (a.v / a.n) / (a.n - 1) + (b.v / b.n) * (b.v / b.n) / (b.n - 1)), 2) AS dof, "
+            "CAST(a.n AS BIGINT) AS n_purchase, CAST(b.n AS BIGINT) AS n_click "
+            "FROM a, b"
+        ),
+        "r52_bucket_selector": (
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('month', ts)) AS BIGINT) AS month_start, "
+            "sum(value) AS s, CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1) "
+            "SELECT month_start, round(s, 4) AS sum_value, n FROM m WHERE s > 1000.0 "
+            "ORDER BY round(s, 4) DESC, month_start LIMIT 5"
+        ),
+        "r53_serial_diff": (
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('month', ts)) AS BIGINT) AS month_start, "
+            "CAST(count(*) AS BIGINT) AS n FROM events GROUP BY 1) "
+            "SELECT month_start, n, n - lag(n, 3) OVER (ORDER BY month_start) AS sdiff3 "
+            "FROM m QUALIFY lag(n, 3) OVER (ORDER BY month_start) IS NOT NULL "
+            "ORDER BY month_start"
+        ),
+        "r54_cumulative_cardinality": (
+            "WITH f AS (SELECT user_id, min(ts) AS first_ts FROM events GROUP BY 1), "
+            "m AS (SELECT CAST(epoch_us(date_trunc('month', first_ts)) AS BIGINT) AS month_start, "
+            "CAST(count(*) AS BIGINT) AS new_users FROM f GROUP BY 1) "
+            "SELECT month_start, new_users, "
+            "CAST(sum(new_users) OVER (ORDER BY month_start ROWS UNBOUNDED PRECEDING) AS BIGINT) "
+            "AS cumulative_users FROM m ORDER BY month_start"
+        ),
+        "r55_cube": (
+            "SELECT COALESCE(l_returnflag, 'ALL') AS l_returnflag, "
+            "COALESCE(l_linestatus, 'ALL') AS l_linestatus, "
+            "round(sum(l_quantity), 4) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus) ORDER BY 1, 2"
+        ),
+        "r56_set_ops": (
+            "WITH c AS (SELECT DISTINCT c_nationkey AS k FROM customer), "
+            "s AS (SELECT DISTINCT s_nationkey AS k FROM supplier) "
+            "SELECT 'intersect' AS op, k AS nationkey FROM (SELECT k FROM c INTERSECT SELECT k FROM s) "
+            "UNION ALL SELECT 'cust_except_supp' AS op, k FROM (SELECT k FROM c EXCEPT SELECT k FROM s) "
+            "UNION ALL SELECT 'supp_except_cust' AS op, k FROM (SELECT k FROM s EXCEPT SELECT k FROM c) "
+            "ORDER BY op, nationkey"
+        ),
+        "r57_anti_join": (
+            "SELECT c_custkey, c_name, round(c_acctbal, 4) AS c_acctbal FROM customer "
+            "WHERE NOT EXISTS (SELECT 1 FROM orders "
+            "WHERE o_custkey = c_custkey AND o_totalprice > 300000.0) "
+            "ORDER BY c_custkey"
+        ),
+        "r58_window_ranks": (
+            "SELECT o_orderkey, o_orderpriority, round(o_totalprice, 4) AS o_totalprice, "
+            "row_number() OVER w AS rn, ntile(4) OVER w AS nt4, "
+            "round(percent_rank() OVER w, 6) AS pr, round(cume_dist() OVER w, 6) AS cd "
+            "FROM orders WINDOW w AS (PARTITION BY o_orderpriority "
+            "ORDER BY o_orderdate, o_orderkey) ORDER BY o_orderkey"
+        ),
+        "t_soft_dedup": (
+            "WITH both_docs AS ("
+            "  SELECT doc_id, text FROM documents "
+            "  UNION ALL SELECT doc_id + 1000000, text || ' zz_dup_marker' FROM documents) "
+            "SELECT doc_id, "
+            "CAST(count(*) OVER (PARTITION BY md5(text)) AS BIGINT) AS dup_count, "
+            "1.0 / count(*) OVER (PARTITION BY md5(text)) AS weight "
+            "FROM both_docs ORDER BY doc_id"
+        ),
+        "s74_random_score": (
+            "SELECT doc_id, round(md5_number_upper(CAST('42:' || doc_id AS VARCHAR)) "
+            "/ 18446744073709551616.0, 6) AS rand_score "
+            "FROM documents WHERE lang = 'en' "
+            "ORDER BY md5_number_upper(CAST('42:' || doc_id AS VARCHAR)) DESC, doc_id "
+            "LIMIT 20"
+        ),
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }

@@ -211,6 +211,13 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "pipe_tpch_q5", "pipe_tpch_q6", "t_cluster_sample", "r43_funnel", "r44_retention",
         "r45_grouped_hll", "e15_force_merge", "t_collocations",
         "e16_cdc_replay", "e17_index_stats", "r46_weighted_avg",
+        # round-3 fourth wave: remaining ES aggs, relational gaps,
+        # soft-dedup reweighting, deterministic random_score
+        "r47_string_stats", "r48_top_metrics", "r49_boxplot", "r50_mad",
+        "r51_t_test", "r52_bucket_selector", "r53_serial_diff",
+        "r54_cumulative_cardinality", "r55_cube", "r56_set_ops",
+        "r57_anti_join", "r58_window_ranks", "t_soft_dedup",
+        "s74_random_score",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -149,6 +149,38 @@ def exact_dedup(ds: Dataset, text_col: str = "text", id_col: str = "doc_id") -> 
     )
 
 
+def soft_dedup_weights(
+    ds: Dataset, text_col: str = "text", id_col: str = "doc_id"
+) -> Dataset:
+    """SoftDeDup: keep every document but assign sampling weight
+    1 / multiplicity of its exact content digest (data reweighting in
+    place of hard dedup — duplicated content contributes once in
+    expectation). One hash shuffle of (digest, id) pairs; each digest
+    group resolves its own weight, so no digest->count map is
+    broadcast, driver-held, or joined. Output: id, dup_count, weight."""
+
+    def _digest(t: pa.Table) -> pa.Table:
+        hs = [
+            hashlib.md5((s or "").encode("utf-8")).hexdigest()
+            for s in t[text_col].to_pylist()
+        ]
+        return pa.table({"digest": pa.array(hs, pa.string()), id_col: t[id_col]})
+
+    def _weigh(df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        return pd.DataFrame({
+            id_col: df[id_col],
+            "dup_count": np.full(n, n, dtype=np.int64),
+            "weight": np.full(n, 1.0 / n, dtype=np.float64),
+        })
+
+    return (
+        ds.map_batches(_digest, batch_format="pyarrow")
+        .groupby("digest")
+        .map_groups(_weigh, batch_format="pandas")
+    )
+
+
 # ------------------------------------------------------------- MinHash
 
 

@@ -416,13 +416,37 @@ def window_functions(
                 # ES cumulative_sum pipeline agg / SQL ROWS UNBOUNDED
                 # PRECEDING running total
                 df[out_col] = df[spec[1]].cumsum()
+            elif kind == "ntile":
+                # SQL NTILE(k): first n%k buckets get ceil(n/k) rows
+                k = int(spec[1])
+                idx = np.arange(n, dtype=np.int64)
+                big, n_big = n // k + 1, n % k
+                cut = n_big * big
+                small = max(n // k, 1)  # k>n: every bucket size 1
+                df[out_col] = np.where(
+                    idx < cut, idx // big + 1, n_big + (idx - cut) // small + 1
+                ).astype(np.int64)
+            elif kind == "percent_rank":
+                # (rank - 1) / (n - 1); 0.0 for a single-row partition
+                r = first_row[grp_id - 1] if n else np.empty(0, np.int64)
+                df[out_col] = (r - 1) / max(n - 1, 1)
+            elif kind == "cume_dist":
+                # rows with order key <= current / n (tie-group last row)
+                if n:
+                    last_row = np.append(first_row[1:] - 1, n)
+                    df[out_col] = last_row[grp_id - 1] / n
+                else:
+                    df[out_col] = np.empty(0, np.float64)
             else:
                 raise ValueError(f"unknown window function {kind!r}")
         return df
 
     # validate specs eagerly (before the lazy plan hides the error)
     for spec in specs.values():
-        if spec[0] not in ("row_number", "rank", "dense_rank", "lag", "lead", "cumsum"):
+        if spec[0] not in (
+            "row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
+            "ntile", "percent_rank", "cume_dist",
+        ):
             raise ValueError(f"unknown window function {spec[0]!r}")
     return ds.groupby(pkeys).map_groups(_g, batch_format="pandas")
 
@@ -481,6 +505,112 @@ def rollup_aggregate(
     for lv in levels[1:]:
         out = out.union(lv)
     return out
+
+
+def cube_aggregate(
+    ds: Dataset,
+    keys: Sequence[str],
+    value_col: str,
+    alias: str = "total",
+    op: str = "sum",
+) -> Dataset:
+    """GROUP BY CUBE(keys...): every subset of the grouping keys,
+    absent keys null-filled (ANSI CUBE). Like rollup_aggregate the
+    corpus is scanned ONCE — the finest grouping is a map-side-combined
+    groupby, and every coarser subset re-aggregates the finest result
+    (group-count-sized, tiny), so 2^k levels cost one data shuffle plus
+    k small aggregate passes."""
+    if op not in ("sum", "min", "max"):
+        raise ValueError(f"op {op!r} does not re-aggregate across cube levels")
+    keys = list(keys)
+    fine = grouped_aggregate(ds, keys, {alias: (op, value_col)}).materialize()
+    sch = fine.schema()
+    key_types: dict[str, pa.DataType] = {}
+    for nm, tp in zip(sch.names, sch.types):
+        if nm not in keys:
+            continue
+        if isinstance(tp, pa.DataType):
+            key_types[nm] = tp
+        else:  # pandas-block schema carries numpy dtypes
+            try:
+                key_types[nm] = pa.from_numpy_dtype(tp)
+            except (pa.ArrowNotImplementedError, TypeError):
+                key_types[nm] = pa.string()
+
+    def _null_fill(absent: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            for c in absent:
+                t = t.append_column(c, pa.nulls(len(t), key_types[c]))
+            return t.select(keys + [alias])
+
+        return _f
+
+    from itertools import combinations
+
+    import ray.data as _rd
+
+    levels = [fine]
+    for r in range(len(keys) - 1, 0, -1):
+        for subset in combinations(keys, r):
+            sub = grouped_aggregate(fine, list(subset), {alias: (op, alias)})
+            absent = [k for k in keys if k not in subset]
+            levels.append(sub.map_batches(_null_fill(absent), batch_format="pyarrow"))
+    agg_cls = {"sum": Sum, "min": Min, "max": Max}[op]
+    tot = fine.aggregate(agg_cls(alias, alias_name=alias))[alias]
+    one = pa.table(
+        {**{c: pa.nulls(1, key_types[c]) for c in keys}, alias: pa.array([tot])}
+    )
+    levels.append(_rd.from_arrow(one))
+    out = levels[0]
+    for lv in levels[1:]:
+        out = out.union(lv)
+    return out
+
+
+def grouped_discrete_quantiles(
+    ds: Dataset,
+    key: str,
+    value_col: str,
+    probs: Sequence[float],
+) -> pd.DataFrame:
+    """Exact per-group quantiles (linear interpolation, SQL
+    quantile_cont / numpy default) for a LOW-CARDINALITY numeric
+    column, computed from a per-(group, value) count histogram: the
+    shuffle moves one row per distinct (key, value) per block — a
+    combiner — and the interpolation walks the sorted histogram on the
+    (small) aggregate. The scale contract is distinct-value count, not
+    row count; for continuous columns use the quantile sketch in
+    ops.sketch instead. Returns a driver DataFrame: one row per group,
+    one column per prob (q{p}), plus min_v/max_v/n."""
+    cnt = (
+        grouped_aggregate(
+            ds.map_batches(
+                lambda t: t.select([key, value_col]), batch_format="pyarrow"
+            ),
+            [key, value_col],
+            {"n": ("count", value_col)},
+        )
+        .to_pandas()
+        .sort_values([key, value_col], kind="mergesort")
+        .reset_index(drop=True)
+    )
+    rows = []
+    for g, grp in cnt.groupby(key, sort=True):
+        vals = grp[value_col].to_numpy(dtype=np.float64)
+        counts = grp["n"].to_numpy(dtype=np.int64)
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        row = {key: g, "n": n, "min_v": float(vals[0]), "max_v": float(vals[-1])}
+        for p in probs:
+            pos = p * (n - 1)
+            lo = int(np.floor(pos))
+            hi = int(np.ceil(pos))
+            # value at sorted index i = vals[searchsorted(cum, i+1)]
+            v_lo = vals[np.searchsorted(cum, lo + 1)]
+            v_hi = vals[np.searchsorted(cum, hi + 1)]
+            row[f"q{p}"] = float(v_lo + (pos - lo) * (v_hi - v_lo))
+        rows.append(row)
+    return pd.DataFrame(rows)
 
 
 def pivot_aggregate(

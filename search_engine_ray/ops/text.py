@@ -1258,3 +1258,58 @@ def bigram_logprob(
         ),
         batch_format="pyarrow",
     )
+
+
+def string_stats(ds: Dataset, col: str) -> dict:
+    """ES string_stats aggregation over a keyword/text field: count,
+    min/max/avg length and the Shannon entropy of the field's
+    character distribution (show_distribution's base). One streaming
+    pass: each batch emits a bounded partial — one row per distinct
+    codepoint (histogram via utf-32 reinterpret + bincount, no Python
+    loop over chars) plus one length-moments row — so the driver folds
+    alphabet-sized partials, never rows. Entropy is computed over
+    codepoints in ascending order, matching the SQL oracle's
+    group-by-character replay."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vals = pc.cast(t[col], pa.string())
+        lens = pc.utf8_length(vals).to_numpy(zero_copy_only=False)
+        joined = "".join(vals.to_pandas().fillna(""))
+        codes = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+        uniq, cnts = np.unique(codes, return_counts=True)
+        return pa.table({
+            "key": pa.array(
+                np.concatenate([uniq.astype(np.int64), [-1, -2, -3, -4]])
+            ),
+            "n": pa.array(
+                np.concatenate([
+                    cnts.astype(np.int64),
+                    [
+                        int(len(t)),
+                        int(lens.sum()),
+                        int(lens.min()) if len(t) else 0,
+                        int(lens.max()) if len(t) else 0,
+                    ],
+                ])
+            ),
+        })
+
+    part = (
+        ds.map_batches(lambda t: t.select([col]), batch_format="pyarrow")
+        .map_batches(_partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    chars = part[part["key"] >= 0].groupby("key", sort=True)["n"].sum()
+    count = int(part.loc[part["key"] == -1, "n"].sum())
+    total_len = int(part.loc[part["key"] == -2, "n"].sum())
+    min_len = int(part.loc[part["key"] == -3, "n"].min()) if count else 0
+    max_len = int(part.loc[part["key"] == -4, "n"].max()) if count else 0
+    p = chars.to_numpy(dtype=np.float64) / float(total_len) if total_len else np.array([])
+    entropy = float(-(p * np.log2(p)).sum()) if p.size else 0.0
+    return {
+        "count": count,
+        "min_length": min_len,
+        "max_length": max_len,
+        "avg_length": total_len / count if count else 0.0,
+        "entropy": entropy,
+    }
