@@ -3905,6 +3905,197 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["rand_score"] = round_half_up(out["rand_score"].to_numpy(), 6)
         return out
 
+    def pipe_tpch_q4(sf_dir):
+        # TPC-H Q4 (adapted: EXISTS gate on returned lines instead of
+        # the commit/receipt columns this synthetic lineitem lacks):
+        # priority counts of orders with >=1 returned line. The
+        # EXISTS compiles to distinct-returned-orderkeys (a combiner
+        # distinct) hash-joined with orders — a semi-join where both
+        # sides stay sharded; the priority count rides a second, tiny
+        # combiner exchange
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag"])
+        returned = rel.distinct(
+            li.map_batches(
+                lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+                    ["l_orderkey"]
+                ),
+                batch_format="pyarrow",
+            ),
+            "l_orderkey",
+        )
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        j = rel.hash_join(
+            orders, returned, on=["o_orderkey"], right_on=["l_orderkey"],
+            num_partitions=8,
+        )
+        out = (
+            rel.grouped_aggregate(
+                j, ["o_orderpriority"], {"order_count": ("count", "o_orderkey")}
+            )
+            .to_pandas()
+            .sort_values("o_orderpriority", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["order_count"] = out["order_count"].astype("int64")
+        return out
+
+    def pipe_tpch_q10(sf_dir):
+        # TPC-H Q10: top-20 customers by returned-item revenue. Two
+        # big-side shuffle joins (lineitem x orders, then x customer);
+        # nation (25 rows) folds in as a broadcast map enrich — the
+        # Q5 mixed-strategy shape at four tables
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+
+        def _li_f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.equal(t["l_returnflag"], "R"))
+            rev = pc.multiply(
+                t["l_extendedprice"], pc.subtract(pa.scalar(1.0), t["l_discount"])
+            )
+            return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        j = rel.hash_join(
+            li.map_batches(_li_f, batch_format="pyarrow"),
+            orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
+        j2 = rel.hash_join(
+            j, cust, on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
+        )
+        nat = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        j3 = rel.broadcast_map_enrich(
+            j2, dict(zip(nat["n_nationkey"], nat["n_name"])),
+            "c_nationkey", "n_name", default="",
+        )
+        # the equi-join folds c_custkey into the left key name o_custkey
+        agg = rel.grouped_aggregate(
+            j3, ["o_custkey", "c_name", "n_name"], {"revenue": ("sum", "rev")}
+        ).to_pandas().rename(columns={"o_custkey": "c_custkey"})
+        agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
+        agg = agg.sort_values(
+            ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
+        ).head(20).reset_index(drop=True)
+        return agg[["c_custkey", "c_name", "n_name", "revenue"]]
+
+    def pipe_tpch_q14(sf_dir):
+        # TPC-H Q14 (promotion effect): % of revenue from PROMO parts.
+        # part is the canonical broadcast dimension — partkey->is_promo
+        # ships once via ray.put; lineitem streams through one masked
+        # two-moment partial, the ratio folds on one row
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        promo = np.sort(
+            pt.filter(pc.equal(pt["p_type"], "PROMO"))["p_partkey"].to_numpy()
+        )
+        import ray as _ray
+
+        pref = _ray.put(promo)
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice", "l_discount"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            pk = _ray.get(pref)
+            keys = t["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(pk, keys), 0, max(pk.size - 1, 0))
+            is_promo = pk.size > 0
+            m = (pk[pos] == keys) if is_promo else np.zeros(len(keys), bool)
+            rev = (
+                t["l_extendedprice"].to_numpy()
+                * (1.0 - t["l_discount"].to_numpy())
+            )
+            return pa.table({
+                "promo_rev": pa.array([float(rev[m].sum())]),
+                "total_rev": pa.array([float(rev.sum())]),
+            })
+
+        from ray.data.aggregate import Sum
+
+        tot = li.map_batches(_partial, batch_format="pyarrow").aggregate(
+            Sum("promo_rev", alias_name="p"), Sum("total_rev", alias_name="t")
+        )
+        return pd.DataFrame({
+            "promo_revenue_pct": [
+                float(round_half_up(100.0 * tot["p"] / tot["t"], 4))
+            ]
+        })
+
+    def s75_combined_fields(sf_dir):
+        # ES combined_fields query (BM25F): text (w=1) and source (w=2)
+        # score as ONE synthetic field — per-term tf is the weighted
+        # sum of per-field tfs, doc length the weighted field lengths,
+        # df the any-field doc count. Two streaming passes: a one-row
+        # moments partial (N, Σdl, per-term df), then broadcast stats
+        # score every doc vectorized and a bounded top-k
+        terms = ["vector", "src3"]
+        W_TEXT, W_SRC = 1.0, 2.0
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def _tfs(t: pa.Table) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+            from search_engine_ray.ops.text import _flat_tokens
+
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            dl_text = np.bincount(parents, minlength=n).astype(np.float64)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            tf = np.zeros((len(terms), n), np.float64)
+            for i, term in enumerate(terms):
+                tf_text = np.bincount(
+                    parents[toks == term], minlength=n
+                ).astype(np.float64)
+                tf[i] = W_TEXT * tf_text + W_SRC * (src == term)
+            dl = W_TEXT * dl_text + W_SRC * 1.0
+            return tf, dl, n
+
+        def _moments(t: pa.Table) -> pa.Table:
+            tf, dl, n = _tfs(t)
+            cols = {
+                "n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([float(dl.sum())]),
+            }
+            for i in range(len(terms)):
+                cols[f"df{i}"] = pa.array([int((tf[i] > 0).sum())], pa.int64())
+            return pa.table(cols)
+
+        from ray.data.aggregate import Sum
+
+        st = docs.map_batches(_moments, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl"),
+            *[Sum(f"df{i}", alias_name=f"df{i}") for i in range(len(terms))],
+        )
+        n_docs, avgdl = float(st["n"]), st["sum_dl"] / float(st["n"])
+        idf = np.array([
+            math.log(1.0 + (n_docs - st[f"df{i}"] + 0.5) / (st[f"df{i}"] + 0.5))
+            for i in range(len(terms))
+        ])
+
+        def _score(t: pa.Table) -> pa.Table:
+            tf, dl, n = _tfs(t)
+            denom_tail = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+            score = np.zeros(n, np.float64)
+            for i in range(len(terms)):
+                with np.errstate(invalid="ignore"):
+                    contrib = idf[i] * tf[i] * 2.2 / (tf[i] + denom_tail)
+                score += np.where(tf[i] > 0, contrib, 0.0)
+            keep = (tf > 0).any(axis=0)
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(keep)),
+                "raw": pa.array(score[keep]),
+            })
+
+        top = rel.topk(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            ["raw", "doc_id"], 10, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "score": round_half_up(top["raw"].to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4121,6 +4312,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r58_window_ranks": r58_window_ranks,
         "t_soft_dedup": t_soft_dedup,
         "s74_random_score": s74_random_score,
+        "pipe_tpch_q4": pipe_tpch_q4,
+        "pipe_tpch_q10": pipe_tpch_q10,
+        "pipe_tpch_q14": pipe_tpch_q14,
+        "s75_combined_fields": s75_combined_fields,
     }
 
 
@@ -6775,6 +6970,53 @@ ORDER BY score DESC, d.doc_id LIMIT 10
             "FROM documents WHERE lang = 'en' "
             "ORDER BY md5_number_upper(CAST('42:' || doc_id AS VARCHAR)) DESC, doc_id "
             "LIMIT 20"
+        ),
+        "pipe_tpch_q4": (
+            "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
+            "FROM orders WHERE EXISTS (SELECT 1 FROM lineitem "
+            "WHERE l_orderkey = o_orderkey AND l_returnflag = 'R') "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "pipe_tpch_q10": (
+            "SELECT c_custkey, c_name, n_name, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM customer, orders, lineitem, nation "
+            "WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey "
+            "AND l_returnflag = 'R' AND c_nationkey = n_nationkey "
+            "GROUP BY c_custkey, c_name, n_name "
+            "ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 4) DESC, c_custkey "
+            "LIMIT 20"
+        ),
+        "pipe_tpch_q14": (
+            "SELECT round(100.0 * "
+            "sum(CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) "
+            "ELSE 0 END) / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_revenue_pct "
+            "FROM lineitem JOIN part ON l_partkey = p_partkey"
+        ),
+        "s75_combined_fields": (
+            # BM25F: weighted per-field tf/dl into one synthetic field
+            # (text w=1, source w=2), any-field df, Okapi op order as
+            # _bm25_sql
+            "WITH tok AS (SELECT doc_id, source, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "d AS (SELECT doc_id, len(ts) * 1.0 + 2.0 AS dl, "
+            "len(list_filter(ts, t -> t = 'vector')) * 1.0 + "
+            "(CASE WHEN source = 'vector' THEN 2.0 ELSE 0.0 END) AS tf0, "
+            "len(list_filter(ts, t -> t = 'src3')) * 1.0 + "
+            "(CASE WHEN source = 'src3' THEN 2.0 ELSE 0.0 END) AS tf1 FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len, "
+            "count(*) FILTER (WHERE tf0 > 0) AS df0, "
+            "count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d) "
+            "SELECT d.doc_id, round("
+            "(CASE WHEN tf0 > 0 THEN ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) "
+            "* tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
+            "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END), 4) AS score "
+            "FROM d, s WHERE tf0 > 0 OR tf1 > 0 "
+            "ORDER BY ((CASE WHEN tf0 > 0 THEN ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) "
+            "* tf0 * 2.2 / (tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
+            "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
+            "LIMIT 10"
         ),
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }
