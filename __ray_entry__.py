@@ -4096,6 +4096,99 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score": round_half_up(top["raw"].to_numpy()),
         })
 
+    def t_ccnet_buckets(sf_dir):
+        # CCNet head/middle/tail buckets: per-language perplexity
+        # tertiles of the interpolated-bigram-LM score. Thresholds are
+        # per-(lang, score) HISTOGRAM quantiles (scores are rounded to
+        # 4 decimals, so distinct values are bounded and the quantile
+        # shuffle is a combiner) broadcast back over the scored stream
+        # — no language's documents ever co-locate in one task, unlike
+        # an ntile window
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        scored = txt.bigram_logprob(docs, "text").drop_columns(["text"]).materialize()
+        q = sk.grouped_quantiles(
+            scored, "lang", "bigram_nlp", [1.0 / 3.0, 2.0 / 3.0]
+        ).to_pandas()
+        th = {}
+        for lang, grp in q.groupby("lang"):
+            g = grp.sort_values("q")
+            th[lang] = (float(g["value"].iloc[0]), float(g["value"].iloc[1]))
+        import ray as _ray
+
+        tref = _ray.put(th)
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            thr = _ray.get(tref)
+            langs = t["lang"].to_numpy(zero_copy_only=False)
+            nlp = t["bigram_nlp"].to_numpy()
+            q1 = np.array([thr[g][0] for g in langs])
+            q2 = np.array([thr[g][1] for g in langs])
+            bucket = np.where(nlp <= q1, "head", np.where(nlp <= q2, "middle", "tail"))
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "bigram_nlp": t["bigram_nlp"],
+                "bucket": pa.array(bucket.astype(object), pa.string()),
+            })
+
+        return (
+            scored.map_batches(_bucket, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def r59_geo_bounds(sf_dir):
+        # ES geo_bounds + geo_centroid per nation over the derived
+        # deterministic coordinates: per-block (nation: n, Σlat, Σlon,
+        # min/max lat/lon) partials, one tiny groupby exchange
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            h1 = _md5_upper64([str(k) for k in keys]).astype(np.float64)
+            h2 = _md5_upper64([f"{k}:lon" for k in keys]).astype(np.float64)
+            two64 = 18446744073709551616.0
+            df = pd.DataFrame({
+                "nation": t["c_nationkey"].to_numpy(zero_copy_only=False),
+                "lat": (h1 / two64) * 180.0 - 90.0,
+                "lon": (h2 / two64) * 360.0 - 180.0,
+            })
+            g = df.groupby("nation", as_index=False).agg(
+                n=("lat", "size"), slat=("lat", "sum"), slon=("lon", "sum"),
+                min_lat=("lat", "min"), max_lat=("lat", "max"),
+                min_lon=("lon", "min"), max_lon=("lon", "max"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Max, Min, Sum
+
+        agg = (
+            cust.map_batches(_partial, batch_format="pyarrow")
+            .groupby("nation")
+            .aggregate(
+                Sum("n", alias_name="n"), Sum("slat", alias_name="slat"),
+                Sum("slon", alias_name="slon"),
+                Min("min_lat", alias_name="min_lat"), Max("max_lat", alias_name="max_lat"),
+                Min("min_lon", alias_name="min_lon"), Max("max_lon", alias_name="max_lon"),
+            )
+            .to_pandas()
+            .sort_values("nation", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out = pd.DataFrame({"nation": agg["nation"], "n": agg["n"].astype("int64")})
+        for c in ("min_lat", "max_lat", "min_lon", "max_lon"):
+            out[c] = round_half_up(agg[c].to_numpy(), 6)
+        out["centroid_lat"] = round_half_up(
+            (agg["slat"] / agg["n"]).to_numpy(), 6
+        )
+        out["centroid_lon"] = round_half_up(
+            (agg["slon"] / agg["n"]).to_numpy(), 6
+        )
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4316,6 +4409,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q10": pipe_tpch_q10,
         "pipe_tpch_q14": pipe_tpch_q14,
         "s75_combined_fields": s75_combined_fields,
+        "t_ccnet_buckets": t_ccnet_buckets,
+        "r59_geo_bounds": r59_geo_bounds,
     }
 
 
@@ -6970,6 +7065,48 @@ ORDER BY score DESC, d.doc_id LIMIT 10
             "FROM documents WHERE lang = 'en' "
             "ORDER BY md5_number_upper(CAST('42:' || doc_id AS VARCHAR)) DESC, doc_id "
             "LIMIT 20"
+        ),
+        "t_ccnet_buckets": f"""
+WITH tok AS (SELECT doc_id, unnest({plain_toks}) AS tk,
+                    unnest(range(1, len({plain_toks}) + 1)) AS pos
+             FROM documents),
+uni AS (SELECT tk, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT count(*) AS n FROM tok),
+big AS (SELECT t1.tk AS w1, t2.tk AS w2, count(*) AS c
+        FROM tok t1 JOIN tok t2 ON t2.doc_id = t1.doc_id AND t2.pos = t1.pos + 1
+        GROUP BY 1, 2),
+lp AS (SELECT t.doc_id,
+        CASE WHEN p.tk IS NULL THEN -ln(u.c::DOUBLE / tot.n)
+             ELSE -ln(0.7 * (coalesce(b.c, 0)::DOUBLE / up.c)
+                      + {1.0 - 0.7!r} * (u.c::DOUBLE / tot.n))
+        END AS lp
+       FROM tok t
+       JOIN uni u ON u.tk = t.tk
+       LEFT JOIN tok p ON p.doc_id = t.doc_id AND p.pos = t.pos - 1
+       LEFT JOIN uni up ON up.tk = p.tk
+       LEFT JOIN big b ON b.w1 = p.tk AND b.w2 = t.tk, tot),
+score AS (SELECT d.doc_id, d.lang,
+          round(coalesce(sum(lp.lp) / count(lp.lp), 0), 4) AS bigram_nlp
+          FROM documents d LEFT JOIN lp USING (doc_id) GROUP BY 1, 2),
+q AS (SELECT lang, quantile_disc(bigram_nlp, 1.0/3) AS q1,
+             quantile_disc(bigram_nlp, 2.0/3) AS q2 FROM score GROUP BY 1)
+SELECT s.doc_id, s.lang, s.bigram_nlp,
+ CASE WHEN s.bigram_nlp <= q.q1 THEN 'head'
+      WHEN s.bigram_nlp <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
+FROM score s JOIN q USING (lang) ORDER BY s.doc_id
+""",
+        "r59_geo_bounds": (
+            "WITH pt AS (SELECT c_nationkey AS nation, "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR)) / 18446744073709551616.0) "
+            "* 180.0 - 90.0 AS lat, "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR) || ':lon') / 18446744073709551616.0) "
+            "* 360.0 - 180.0 AS lon FROM customer) "
+            "SELECT nation, CAST(count(*) AS BIGINT) AS n, "
+            "round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat, "
+            "round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon, "
+            "round(sum(lat) / count(*), 6) AS centroid_lat, "
+            "round(sum(lon) / count(*), 6) AS centroid_lon "
+            "FROM pt GROUP BY 1 ORDER BY 1"
         ),
         "pipe_tpch_q4": (
             "SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count "
