@@ -4189,6 +4189,152 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r60_rate(sf_dir):
+        # ES rate aggregation (unit=day) inside a WEEK date_histogram
+        # (the 30-day corpus gives 5-6 weekly buckets): weekly
+        # sum(value) / 7 — ES normalizes by the full interval length
+        # regardless of partial edge weeks. One calendar-window
+        # combiner, normalization on the bucket table
+        ev = _read(sf_dir, "events", ["ts", "value"])
+        m = rel.calendar_window_aggregate(
+            ev, "ts", "week", {"s": ("sum", "value")}
+        ).to_pandas().sort_values("window_start", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "week_start": m["window_start"].astype("datetime64[us]").astype("int64"),
+            "sum_value": round_half_up(m["s"].to_numpy(), 4),
+            "rate_per_day": round_half_up(m["s"].to_numpy() / 7.0, 4),
+        })
+
+    def r61_bucket_script(sf_dir):
+        # ES bucket_script pipeline agg: per month, purchase revenue
+        # over click count — both metrics are masked partials of ONE
+        # pass (agg FILTER in SQL), the script runs on the bucket table
+        ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            m = pc.cast(pc.floor_temporal(t["ts"], unit="day"), pa.timestamp("us"))
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({
+                "month": m.to_numpy(zero_copy_only=False),
+                "pv": np.where(et == "purchase", v, 0.0),
+                "ck": (et == "click").astype(np.int64),
+            })
+            g = df.groupby("month", as_index=False).agg(
+                pv=("pv", "sum"), ck=("ck", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            ev.map_batches(_partial, batch_format="pyarrow")
+            .groupby("month")
+            .aggregate(Sum("pv", alias_name="pv"), Sum("ck", alias_name="ck"))
+            .to_pandas()
+            .sort_values("month", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        agg = agg[agg["ck"] > 0].reset_index(drop=True)
+        return pd.DataFrame({
+            "day_start": agg["month"].astype("datetime64[us]").astype("int64"),
+            "purchase_value": round_half_up(agg["pv"].to_numpy(), 4),
+            "clicks": agg["ck"].astype("int64"),
+            "value_per_click": round_half_up(
+                (agg["pv"] / agg["ck"]).to_numpy(), 4
+            ),
+        })
+
+    def r62_stats_bucket(sf_dir):
+        # ES sibling pipeline aggs (stats_bucket = min_/max_/avg_/
+        # sum_bucket in one): five-number stats OVER the monthly-sum
+        # bucket series; the second-level agg folds on the bucket table
+        m = _month_value_sums(sf_dir)
+        s = m["s"].to_numpy()
+        return pd.DataFrame({
+            "n_buckets": pd.array([len(m)], dtype="int64"),
+            "min_bucket": [float(round_half_up(s.min(), 4))],
+            "max_bucket": [float(round_half_up(s.max(), 4))],
+            "avg_bucket": [float(round_half_up(s.sum() / len(s), 4))],
+            "sum_buckets": [float(round_half_up(s.sum(), 4))],
+        })
+
+    def e18_schema_merge(sf_dir):
+        # schema-evolution union (the E-ring "new extract version adds
+        # a column" case): v1 rows carry lang, v2 rows carry source —
+        # the union null-fills each side to the merged schema inside
+        # map_batches (no driver materialization), downstream combiner
+        # counts per-version rows and per-column nulls
+        docs_a = _read(sf_dir, "documents", ["doc_id", "lang"])
+        docs_b = _read(sf_dir, "documents", ["doc_id", "source"])
+
+        def _v1(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": t["doc_id"],
+                "lang": t["lang"],
+                "source": pa.nulls(len(t), pa.string()),
+                "v": pa.array(np.full(len(t), 1, np.int64)),
+            })
+
+        def _v2(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pc.add(t["doc_id"], 1_000_000),
+                "lang": pa.nulls(len(t), pa.string()),
+                "source": t["source"],
+                "v": pa.array(np.full(len(t), 2, np.int64)),
+            })
+
+        u = docs_a.map_batches(_v1, batch_format="pyarrow").union(
+            docs_b.map_batches(_v2, batch_format="pyarrow")
+        )
+
+        def _partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "v": t["v"].to_numpy(),
+                "null_lang": pc.is_null(t["lang"]).to_numpy(zero_copy_only=False).astype(np.int64),
+                "null_source": pc.is_null(t["source"]).to_numpy(zero_copy_only=False).astype(np.int64),
+            })
+            g = df.groupby("v", as_index=False).agg(
+                n=("null_lang", "size"), null_lang=("null_lang", "sum"),
+                null_source=("null_source", "sum"),
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        out = (
+            u.map_batches(_partial, batch_format="pyarrow")
+            .groupby("v")
+            .aggregate(
+                Sum("n", alias_name="n"), Sum("null_lang", alias_name="null_lang"),
+                Sum("null_source", alias_name="null_source"),
+            )
+            .to_pandas()
+            .sort_values("v", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        for c in ("n", "null_lang", "null_source"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def s76_ids(sf_dir):
+        # ES ids query: fetch a fixed id set (constant score 1.0) —
+        # the IN predicate pushes into the parquet scan so only
+        # matching row groups leave storage
+        ids = [3, 7, 11, 19, 42]
+        import pyarrow.dataset as pads
+        import ray.data as rd
+
+        expr = pads.field("doc_id").isin(ids)
+        ds = rd.read_parquet(
+            os.path.join(sf_dir, "documents.parquet"),
+            columns=["doc_id", "lang", "n_chars"],
+            filter=expr,
+        )
+        out = ds.to_pandas().sort_values("doc_id", kind="mergesort").reset_index(drop=True)
+        out["score"] = 1.0
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4411,6 +4557,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s75_combined_fields": s75_combined_fields,
         "t_ccnet_buckets": t_ccnet_buckets,
         "r59_geo_bounds": r59_geo_bounds,
+        "r60_rate": r60_rate,
+        "r61_bucket_script": r61_bucket_script,
+        "r62_stats_bucket": r62_stats_bucket,
+        "e18_schema_merge": e18_schema_merge,
+        "s76_ids": s76_ids,
     }
 
 
@@ -7095,6 +7246,41 @@ SELECT s.doc_id, s.lang, s.bigram_nlp,
       WHEN s.bigram_nlp <= q.q2 THEN 'middle' ELSE 'tail' END AS bucket
 FROM score s JOIN q USING (lang) ORDER BY s.doc_id
 """,
+        "r60_rate": (
+            "WITH m AS (SELECT date_trunc('week', ts) AS wk, sum(value) AS s "
+            "FROM events GROUP BY 1) "
+            "SELECT CAST(epoch_us(wk) AS BIGINT) AS week_start, round(s, 4) AS sum_value, "
+            "round(s / 7.0, 4) AS rate_per_day "
+            "FROM m ORDER BY 1"
+        ),
+        "r61_bucket_script": (
+            "WITH m AS (SELECT CAST(epoch_us(date_trunc('day', ts)) AS BIGINT) AS day_start, "
+            "sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0 END) AS pv, "
+            "count(*) FILTER (WHERE event_type = 'click') AS ck FROM events GROUP BY 1) "
+            "SELECT day_start, round(pv, 4) AS purchase_value, "
+            "CAST(ck AS BIGINT) AS clicks, round(pv / ck, 4) AS value_per_click "
+            "FROM m WHERE ck > 0 ORDER BY day_start"
+        ),
+        "r62_stats_bucket": (
+            "WITH m AS (SELECT sum(value) AS s FROM events "
+            "GROUP BY date_trunc('month', ts)) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_buckets, "
+            "round(min(s), 4) AS min_bucket, round(max(s), 4) AS max_bucket, "
+            "round(sum(s) / count(*), 4) AS avg_bucket, "
+            "round(sum(s), 4) AS sum_buckets FROM m"
+        ),
+        "e18_schema_merge": (
+            "WITH u AS (SELECT doc_id, lang, NULL::VARCHAR AS source, 1 AS v FROM documents "
+            "UNION ALL SELECT doc_id + 1000000, NULL::VARCHAR, source, 2 FROM documents) "
+            "SELECT CAST(v AS BIGINT) AS v, CAST(count(*) AS BIGINT) AS n, "
+            "CAST(count(*) FILTER (WHERE lang IS NULL) AS BIGINT) AS null_lang, "
+            "CAST(count(*) FILTER (WHERE source IS NULL) AS BIGINT) AS null_source "
+            "FROM u GROUP BY v ORDER BY v"
+        ),
+        "s76_ids": (
+            "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
+            "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
         "r59_geo_bounds": (
             "WITH pt AS (SELECT c_nationkey AS nation, "
             "(md5_number_upper(CAST(c_custkey AS VARCHAR)) / 18446744073709551616.0) "
