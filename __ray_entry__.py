@@ -4335,6 +4335,85 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["score"] = 1.0
         return out
 
+    def s77_most_fields(sf_dir):
+        # ES multi_match most_fields (contrast with s75 combined_fields:
+        # per-field BM25 scores SUMMED, each field keeping its own
+        # df/length norms, vs one fused synthetic field). Same two-pass
+        # shape: one-row per-field moment partials, broadcast stats,
+        # vectorized scoring, bounded top-k
+        terms = ["vector", "src3"]
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def _tfs(t: pa.Table):
+            from search_engine_ray.ops.text import _flat_tokens
+
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            dl_text = np.bincount(parents, minlength=n).astype(np.float64)
+            src = t["source"].to_numpy(zero_copy_only=False)
+            tf_t = np.zeros((len(terms), n), np.float64)
+            tf_s = np.zeros((len(terms), n), np.float64)
+            for i, term in enumerate(terms):
+                tf_t[i] = np.bincount(parents[toks == term], minlength=n)
+                tf_s[i] = (src == term).astype(np.float64)
+            return tf_t, tf_s, dl_text, n
+
+        def _moments(t: pa.Table) -> pa.Table:
+            tf_t, tf_s, dl_text, n = _tfs(t)
+            cols = {
+                "n": pa.array([n], pa.int64()),
+                "sum_dl_t": pa.array([float(dl_text.sum())]),
+            }
+            for i in range(len(terms)):
+                cols[f"dft{i}"] = pa.array([int((tf_t[i] > 0).sum())], pa.int64())
+                cols[f"dfs{i}"] = pa.array([int((tf_s[i] > 0).sum())], pa.int64())
+            return pa.table(cols)
+
+        from ray.data.aggregate import Sum
+
+        aggs = [Sum("n", alias_name="n"), Sum("sum_dl_t", alias_name="sum_dl_t")]
+        for i in range(len(terms)):
+            aggs += [Sum(f"dft{i}", alias_name=f"dft{i}"), Sum(f"dfs{i}", alias_name=f"dfs{i}")]
+        st = docs.map_batches(_moments, batch_format="pyarrow").aggregate(*aggs)
+        n_docs = float(st["n"])
+        avgdl_t = st["sum_dl_t"] / n_docs
+
+        def _idf(df):
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        idf_t = np.array([_idf(st[f"dft{i}"]) for i in range(len(terms))])
+        idf_s = np.array([_idf(st[f"dfs{i}"]) for i in range(len(terms))])
+
+        def _score(t: pa.Table) -> pa.Table:
+            tf_t, tf_s, dl_text, n = _tfs(t)
+            denom_t = 1.2 * (1.0 - 0.75 + 0.75 * dl_text / avgdl_t)
+            score = np.zeros(n, np.float64)
+            hit = np.zeros(n, bool)
+            for i in range(len(terms)):
+                m_t = tf_t[i] > 0
+                score += np.where(
+                    m_t, idf_t[i] * tf_t[i] * 2.2 / (tf_t[i] + denom_t), 0.0
+                )
+                # source: single-token field, dl = avgdl = 1 -> norm 1
+                m_s = tf_s[i] > 0
+                score += np.where(
+                    m_s, idf_s[i] * tf_s[i] * 2.2 / (tf_s[i] + 1.2), 0.0
+                )
+                hit |= m_t | m_s
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "raw": pa.array(score[hit]),
+            })
+
+        top = rel.topk(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            ["raw", "doc_id"], 10, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "score": round_half_up(top["raw"].to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4562,6 +4641,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r62_stats_bucket": r62_stats_bucket,
         "e18_schema_merge": e18_schema_merge,
         "s76_ids": s76_ids,
+        "s77_most_fields": s77_most_fields,
     }
 
 
@@ -7280,6 +7360,39 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "s77_most_fields": (
+            # per-field BM25 summed (most_fields): text keeps its own
+            # df/dl/avgdl; source is a single-token field so its norm
+            # collapses to tf/(tf+1.2)
+            "WITH tok AS (SELECT doc_id, source, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "d AS (SELECT doc_id, len(ts) * 1.0 AS dl, "
+            "len(list_filter(ts, t -> t = 'vector')) * 1.0 AS tt0, "
+            "len(list_filter(ts, t -> t = 'src3')) * 1.0 AS tt1, "
+            "CASE WHEN source = 'vector' THEN 1.0 ELSE 0.0 END AS sv0, "
+            "CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END AS sv1 FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len, "
+            "count(*) FILTER (WHERE tt0 > 0) AS dft0, count(*) FILTER (WHERE tt1 > 0) AS dft1, "
+            "count(*) FILTER (WHERE sv0 > 0) AS dfs0, count(*) FILTER (WHERE sv1 > 0) AS dfs1 FROM d) "
+            "SELECT d.doc_id, round("
+            "(CASE WHEN tt0 > 0 THEN ln(1 + (s.n - s.dft0 + 0.5) / (s.dft0 + 0.5)) "
+            "* tt0 * 2.2 / (tt0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN tt1 > 0 THEN ln(1 + (s.n - s.dft1 + 0.5) / (s.dft1 + 0.5)) "
+            "* tt1 * 2.2 / (tt1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN sv0 > 0 THEN ln(1 + (s.n - s.dfs0 + 0.5) / (s.dfs0 + 0.5)) "
+            "* sv0 * 2.2 / (sv0 + 1.2) ELSE 0 END) + "
+            "(CASE WHEN sv1 > 0 THEN ln(1 + (s.n - s.dfs1 + 0.5) / (s.dfs1 + 0.5)) "
+            "* sv1 * 2.2 / (sv1 + 1.2) ELSE 0 END), 4) AS score "
+            "FROM d, s WHERE tt0 > 0 OR tt1 > 0 OR sv0 > 0 OR sv1 > 0 "
+            "ORDER BY ((CASE WHEN tt0 > 0 THEN ln(1 + (s.n - s.dft0 + 0.5) / (s.dft0 + 0.5)) "
+            "* tt0 * 2.2 / (tt0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN tt1 > 0 THEN ln(1 + (s.n - s.dft1 + 0.5) / (s.dft1 + 0.5)) "
+            "* tt1 * 2.2 / (tt1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) + "
+            "(CASE WHEN sv0 > 0 THEN ln(1 + (s.n - s.dfs0 + 0.5) / (s.dfs0 + 0.5)) "
+            "* sv0 * 2.2 / (sv0 + 1.2) ELSE 0 END) + "
+            "(CASE WHEN sv1 > 0 THEN ln(1 + (s.n - s.dfs1 + 0.5) / (s.dfs1 + 0.5)) "
+            "* sv1 * 2.2 / (sv1 + 1.2) ELSE 0 END)) DESC, d.doc_id "
+            "LIMIT 10"
         ),
         "r59_geo_bounds": (
             "WITH pt AS (SELECT c_nationkey AS nation, "
