@@ -1246,7 +1246,7 @@ def test_window_functions_ties_and_leads(ray_session, con):
     assert out2["rnk"].tolist() == [1, 1, 3, 3, 5]
     assert out2["drnk"].tolist() == [1, 1, 2, 2, 3]
     with pytest.raises(ValueError):
-        rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("ntile", 3)})
+        rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("nth_value", 3)})
 
 
 def test_matrix_stats_nulls(ray_session):
