@@ -3961,26 +3961,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             li.map_batches(_li_f, batch_format="pyarrow"),
             orders, on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
         )
-        cust = _read(sf_dir, "customer", ["c_custkey", "c_name", "c_nationkey"])
-        j2 = rel.hash_join(
-            j, cust, on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
-        )
-        nat = pq.read_table(
-            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
-        ).to_pandas()
-        j3 = rel.broadcast_map_enrich(
-            j2, dict(zip(nat["n_nationkey"], nat["n_name"])),
-            "c_nationkey", "n_name", default="",
-        )
-        # the equi-join folds c_custkey into the left key name o_custkey
+        # aggregate BEFORE touching customer: revenue by custkey is a
+        # combiner exchange bounded by distinct custkeys; only the 20
+        # winning keys ever need names, so the customer/nation lookups
+        # are pushdown-filtered point reads, not a second big-side join
         agg = rel.grouped_aggregate(
-            j3, ["o_custkey", "c_name", "n_name"], {"revenue": ("sum", "rev")}
+            j, ["o_custkey"], {"revenue": ("sum", "rev")}
         ).to_pandas().rename(columns={"o_custkey": "c_custkey"})
         agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
         agg = agg.sort_values(
             ["revenue", "c_custkey"], ascending=[False, True], kind="mergesort"
         ).head(20).reset_index(drop=True)
-        return agg[["c_custkey", "c_name", "n_name", "revenue"]]
+        import pyarrow.dataset as pads
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name", "c_nationkey"],
+            filters=pads.field("c_custkey").isin(agg["c_custkey"].tolist()),
+        ).to_pandas()
+        nat = pq.read_table(
+            os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        cust["n_name"] = cust["c_nationkey"].map(
+            dict(zip(nat["n_nationkey"], nat["n_name"]))
+        )
+        out = agg.merge(cust[["c_custkey", "c_name", "n_name"]], on="c_custkey")
+        return out[["c_custkey", "c_name", "n_name", "revenue"]]
 
     def pipe_tpch_q14(sf_dir):
         # TPC-H Q14 (promotion effect): % of revenue from PROMO parts.
