@@ -4420,6 +4420,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score": round_half_up(top["raw"].to_numpy()),
         })
 
+    def s78_intervals(sf_dir):
+        # ES intervals query, all_of(ordered, max_gaps=6) over
+        # [hash, value, table]: 'value' must sit STRICTLY between a
+        # 'hash'..'table' pair with total gaps <= 6 (gap counting, not
+        # Lucene slop edit-distance); ptf counts qualifying
+        # (start, end) pairs, one BM25 clause, served from the scorer
+        # actor pool like the span family (span_mode="interval")
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["hash", "table"], window=8,
+            little="value", span_mode="interval", k=10,
+        )
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4648,6 +4664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e18_schema_merge": e18_schema_merge,
         "s76_ids": s76_ids,
         "s77_most_fields": s77_most_fields,
+        "s78_intervals": s78_intervals,
     }
 
 
@@ -5992,6 +6009,27 @@ m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
       FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 5
       WHERE EXISTS (SELECT 1 FROM c
                     WHERE c.doc_id = a.doc_id AND c.p BETWEEN a.p AND b.p)
+      GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s78: intervals all_of(ordered, max_gaps=6) — 'value' strictly
+        # between a 'hash'..'table' pair, total gaps = c.p - a.p - 2
+        "s78_intervals": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'hash'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'value'),
+c AS (SELECT doc_id, p FROM e WHERE t = 'table'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN c ON a.doc_id = c.doc_id AND c.p - a.p BETWEEN 2 AND 8
+      WHERE EXISTS (SELECT 1 FROM b
+                    WHERE b.doc_id = a.doc_id AND b.p > a.p AND b.p < c.p)
       GROUP BY 1, 2),
 s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
              count(*) AS df FROM m)

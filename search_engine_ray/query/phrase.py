@@ -155,14 +155,20 @@ def chain_core(
         k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
         k3 = _occurrence_keys(by_term[little_key])
         hits: list[np.ndarray] = []
-        for delta in range(1, max(window, 1) + 1):
+        # "interval" (ES intervals all_of ordered): the middle term
+        # must sit STRICTLY between the endpoints, so spans start at
+        # delta=2 and the interior offsets are 1..delta-1; ptf counts
+        # qualifying (start, end) pairs — total gaps = delta - 2
+        strict = span_mode == "interval"
+        for delta in range(2 if strict else 1, max(window, 1) + 1):
             ends = np.intersect1d(k1 + np.int64(delta), k2, assume_unique=True)
             if ends.size == 0:
                 continue
             starts = ends - np.int64(delta)
-            if span_mode == "containing":
+            if span_mode in ("containing", "interval"):
                 qual = np.zeros(starts.size, bool)
-                for o in range(delta + 1):
+                offsets = range(1, delta) if strict else range(delta + 1)
+                for o in offsets:
                     qual |= np.isin(starts + np.int64(o), k3, assume_unique=False)
                 if qual.any():
                     hits.append(starts[qual] >> np.int64(32))
@@ -173,7 +179,7 @@ def chain_core(
                         hits.append(m)
         if not hits:
             return empty
-        if span_mode == "containing":
+        if span_mode in ("containing", "interval"):
             doc_ranks, ptf = np.unique(np.concatenate(hits), return_counts=True)
             dl_stream = streams[0]
         else:
@@ -267,8 +273,10 @@ def phrase_postings(
                 "little (span_containing/span_within) takes a two-token big span, "
                 "no other span mode"
             )
-        if span_mode not in ("containing", "within"):
-            raise ValueError(f"span_mode must be containing|within, got {span_mode!r}")
+        if span_mode not in ("containing", "within", "interval"):
+            raise ValueError(
+                f"span_mode must be containing|within|interval, got {span_mode!r}"
+            )
     elif or_keys is not None or exclude_keys is not None:
         if len(tokens) != 1 or last_prefix is not None or first_end is not None:
             raise ValueError(

@@ -529,3 +529,35 @@ def test_bit_length_u64_matches_python(vals):
     x = np.array(vals, np.uint64)
     got = _bit_length_u64(x)
     assert got.tolist() == [int(v).bit_length() for v in vals]
+
+
+@settings(max_examples=60, deadline=None)
+@given(big1=occ_sets, big2=occ_sets, little=occ_sets, w=st.integers(2, 6))
+def test_interval_kernel_matches_brute(big1, big2, little, w):
+    """span_mode='interval' (ES intervals all_of ordered): middle term
+    strictly between the endpoints, ptf = qualifying (start, end)
+    pairs with end - start in [2, w]."""
+    from search_engine_ray.query.phrase import chain_core
+
+    by_term = {"t:a": _stream(big1), "t:b": _stream(big2), "t:c": _stream(little)}
+    doc_ranks, ptf, _dl = chain_core(
+        by_term, ["t:a", "t:b"], w, True, None, [],
+        little_key="t:c", span_mode="interval",
+    )
+    got = dict(zip(doc_ranks.tolist(), ptf.tolist()))
+    A, B, C = (sorted(set(x)) for x in (big1, big2, little))
+    brute = {}
+    docs = {d for d, _ in A} | {d for d, _ in B} | {d for d, _ in C}
+    for d in docs:
+        pa_ = [p for dd, p in A if dd == d]
+        pb_ = [p for dd, p in B if dd == d]
+        pc_ = [p for dd, p in C if dd == d]
+        n = sum(
+            1
+            for i in pa_
+            for j in pb_
+            if 2 <= j - i <= w and any(i < q < j for q in pc_)
+        )
+        if n:
+            brute[d] = n
+    assert got == brute
