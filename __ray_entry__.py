@@ -4436,6 +4436,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             little="value", span_mode="interval", k=10,
         )
 
+    def s79_intervals_any(sf_dir):
+        # ES intervals any_of as the middle slot: all_of(ordered,
+        # max_gaps=4, [hash, any_of(value, part), table]) — the
+        # alternatives' occurrence keys merge before the strict-
+        # interior test (unique by construction: one position holds
+        # one token)
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["hash", "table"], window=6,
+            little=("value", "part"), span_mode="interval", k=10,
+        )
+
+    def s80_span_multi(sf_dir):
+        # ES span_multi: a prefix multi-term wrapped as a span — any
+        # dictionary expansion of 's*' (6 terms at this corpus) can
+        # open an ordered span closed by 'table' within 2 positions;
+        # the expansion rides the same merged-occurrence-key path as
+        # span_or, capped + asserted (the s53 lesson)
+        from search_engine_ray.query.phrase import phrase_topk
+
+        eng = _doc_engine(sf_dir)
+        _ensure_positions(eng, sf_dir)
+        return phrase_topk(
+            eng, "text", ["table"], window=2,
+            first_prefix="s", k=10,
+        )
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4665,6 +4695,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s76_ids": s76_ids,
         "s77_most_fields": s77_most_fields,
         "s78_intervals": s78_intervals,
+        "s79_intervals_any": s79_intervals_any,
+        "s80_span_multi": s80_span_multi,
     }
 
 
@@ -6031,6 +6063,44 @@ m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
       WHERE EXISTS (SELECT 1 FROM b
                     WHERE b.doc_id = a.doc_id AND b.p > a.p AND b.p < c.p)
       GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s79: intervals any_of middle slot — ('value'|'part')
+        # strictly between a 'hash'..'table' pair, total gaps <= 4
+        "s79_intervals_any": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t = 'hash'),
+b AS (SELECT doc_id, p FROM e WHERE t IN ('value', 'part')),
+c AS (SELECT doc_id, p FROM e WHERE t = 'table'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN c ON a.doc_id = c.doc_id AND c.p - a.p BETWEEN 2 AND 6
+      WHERE EXISTS (SELECT 1 FROM b
+                    WHERE b.doc_id = a.doc_id AND b.p > a.p AND b.p < c.p)
+      GROUP BY 1, 2),
+s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
+             count(*) AS df FROM m)
+SELECT m.doc_id, round(
+    ln(1 + (s.n - s.df + 0.5) / (s.df + 0.5)) * ptf * 2.2 /
+    (ptf + 1.2 * (1 - 0.75 + 0.75 * m.dl / (s.total_len / s.n))), 4) AS score
+FROM m, s ORDER BY score DESC, m.doc_id LIMIT 10
+""",
+        # s80: span_multi — any 's*' dictionary expansion opens an
+        # ordered span closed by 'table' within 2; ptf counts pairs
+        "s80_span_multi": f"""
+WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+d AS (SELECT doc_id, len(ts) AS dl, ts FROM tok),
+e AS (SELECT doc_id, dl, unnest(ts) AS t, generate_subscripts(ts, 1) AS p FROM d),
+a AS (SELECT doc_id, dl, p FROM e WHERE t LIKE 's%'),
+b AS (SELECT doc_id, p FROM e WHERE t = 'table'),
+m AS (SELECT a.doc_id, a.dl, count(*) AS ptf
+      FROM a JOIN b ON a.doc_id = b.doc_id AND b.p - a.p BETWEEN 1 AND 2 GROUP BY 1, 2),
 s AS (SELECT (SELECT count(*) FROM d) AS n, (SELECT sum(dl) FROM d) AS total_len,
              count(*) AS df FROM m)
 SELECT m.doc_id, round(

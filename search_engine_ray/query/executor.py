@@ -1053,9 +1053,12 @@ class _BucketScorerImpl:
         from search_engine_ray.index.positions import decode_positions_term
         from search_engine_ray.query.phrase import chain_core
 
+        lks = (
+            set() if little_key is None
+            else {little_key} if isinstance(little_key, str) else set(little_key)
+        )
         keyset = sorted(
-            set(term_keys) | set(exp_keys) | set(or_keys) | set(exclude_keys)
-            | ({little_key} if little_key is not None else set())
+            set(term_keys) | set(exp_keys) | set(or_keys) | set(exclude_keys) | lks
         )
         out_i: list[np.ndarray] = []
         out_p: list[np.ndarray] = []

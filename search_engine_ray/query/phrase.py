@@ -122,7 +122,7 @@ def chain_core(
     or_keys: list[str] | None = None,
     exclude_keys: list[str] | None = None,
     exclude_dist: int = 0,
-    little_key: str | None = None,
+    little_key: str | tuple | None = None,
     span_mode: str = "containing",
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """The pure per-(shard, bucket) phrase kernel shared by the Dataset
@@ -150,10 +150,15 @@ def chain_core(
         return empty
     streams = [by_term[tk] for tk in term_keys]
     if little_key is not None:
-        if little_key not in by_term:
+        # little may be ONE term or a set of alternatives (ES
+        # intervals any_of as the middle slot): occurrence keys of the
+        # alternatives merge — still unique, one position one token
+        lks = [little_key] if isinstance(little_key, str) else list(little_key)
+        lks = [k for k in lks if k in by_term]
+        if not lks:
             return empty
         k1, k2 = _occurrence_keys(streams[0]), _occurrence_keys(streams[1])
-        k3 = _occurrence_keys(by_term[little_key])
+        k3 = np.sort(np.concatenate([_occurrence_keys(by_term[k]) for k in lks]))
         hits: list[np.ndarray] = []
         # "interval" (ES intervals all_of ordered): the middle term
         # must sit STRICTLY between the endpoints, so spans start at
@@ -183,9 +188,11 @@ def chain_core(
             doc_ranks, ptf = np.unique(np.concatenate(hits), return_counts=True)
             dl_stream = streams[0]
         else:
+            if len(lks) != 1:
+                raise ValueError("span_within takes exactly one little term")
             u = np.unique(np.concatenate(hits))  # a little occ may sit in many spans
             doc_ranks, ptf = np.unique(u >> np.int64(32), return_counts=True)
-            dl_stream = by_term[little_key]
+            dl_stream = by_term[lks[0]]
         ranks_s, _, dls_s, _ = dl_stream
         dl = dls_s[np.searchsorted(ranks_s, doc_ranks)]
         return doc_ranks.astype(np.int64), ptf.astype(np.int64), dl.astype(np.int64)
@@ -434,9 +441,9 @@ def phrase_topk(
     engine, field: str, phrase, k: int = 10, window: int = 1,
     last_prefix: str | None = None, max_expansions: int = 50,
     ordered: bool = True, first_end: int | None = None,
-    or_first: list[str] | None = None,
+    or_first: list[str] | None = None, first_prefix: str | None = None,
     exclude: list[str] | None = None, exclude_dist: int = 0,
-    little: str | None = None, span_mode: str = "containing",
+    little: str | tuple | None = None, span_mode: str = "containing",
 ) -> pd.DataFrame:
     """Warm-path phrase top-k: the chain runs INSIDE the persistent
     scorer pool (ONE RPC fan-out; decoded position streams cached per
@@ -475,12 +482,38 @@ def phrase_topk(
                              "score": pd.Series(dtype="float64")})
     term_keys = [cfg.term_key(field, t) for t in tokens]
     or_keys = tuple(cfg.term_key(field, t) for t in or_first) if or_first else ()
+    if first_prefix is not None:
+        # ES span_multi: the FIRST slot is a prefix multi-term, every
+        # dictionary expansion can open the span. Lexicographic cap,
+        # asserted un-hit so corpus growth fails loudly (the s53
+        # expansion-cap lesson) instead of silently diverging from a
+        # LIKE-based oracle
+        from search_engine_ray.query.qast import Prefix as _Prefix
+
+        if or_keys:
+            raise ValueError("first_prefix and or_first are mutually exclusive")
+        exp = sorted(engine._expand_prefix(_Prefix(field, first_prefix)))
+        assert len(exp) < max_expansions, (
+            f"prefix {first_prefix!r} expands to {len(exp)} >= cap {max_expansions}"
+        )
+        if not exp:
+            return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        or_keys = tuple(exp)
     exclude_keys = tuple(cfg.term_key(field, t) for t in exclude) if exclude else ()
-    little_key = cfg.term_key(field, little) if little is not None else None
+    if little is None:
+        little_key = None
+    elif isinstance(little, str):
+        little_key = cfg.term_key(field, little)
+    else:
+        little_key = tuple(cfg.term_key(field, t) for t in little)
+    _lks = (
+        [] if little_key is None
+        else [little_key] if isinstance(little_key, str) else list(little_key)
+    )
     parts = sorted({
         term_part(tk, cfg.num_parts)
-        for tk in term_keys + exp_keys + list(or_keys) + list(exclude_keys)
-        + ([little_key] if little_key is not None else [])
+        for tk in term_keys + exp_keys + list(or_keys) + list(exclude_keys) + _lks
     })
     futs = [
         a.phrase_rows.remote(
