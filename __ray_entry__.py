@@ -4466,6 +4466,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
             first_prefix="s", k=10,
         )
 
+    def t_temperature_mix(sf_dir):
+        # temperature-balanced multilingual sampling (XLM-R mixing,
+        # alpha=0.5): per-lang keep-rates from ONE count exchange,
+        # tail languages up-sampled toward count^alpha shares, applied
+        # as a deterministic md5-threshold streaming filter
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+        out = (
+            sk.temperature_mix(docs, "lang", "doc_id", target_total=200, alpha=0.5)
+            .to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4697,6 +4711,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s78_intervals": s78_intervals,
         "s79_intervals_any": s79_intervals_any,
         "s80_span_multi": s80_span_multi,
+        "t_temperature_mix": t_temperature_mix,
     }
 
 
@@ -7474,6 +7489,18 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "t_temperature_mix": (
+            # per-lang keep-rate = min(1, target * (c^alpha / sum) / c),
+            # same op order as sketch.temperature_mix
+            "WITH cnt AS (SELECT lang, CAST(count(*) AS DOUBLE) AS c "
+            "FROM documents GROUP BY 1), "
+            "s AS (SELECT sum(pow(c, 0.5)) AS s FROM cnt), "
+            "r AS (SELECT lang, least(1.0, 200.0 * (pow(c, 0.5) / s.s) / c) "
+            "* 18446744073709551616.0 AS lim FROM cnt, s) "
+            "SELECT d.doc_id, d.lang FROM documents d JOIN r USING (lang) "
+            "WHERE md5_number_upper(CAST(d.doc_id AS VARCHAR)) < r.lim "
+            "ORDER BY d.doc_id"
         ),
         "s77_most_fields": (
             # per-field BM25 summed (most_fields): text keeps its own

@@ -609,3 +609,49 @@ def cm_sketch(ds: Dataset, col: str, depth: int = 4, width: int = 1024) -> Count
         flat = pc.list_flatten(bt["cm"]).to_numpy(zero_copy_only=False)
         out.grid += flat.reshape(-1, d * w).sum(axis=0).reshape(d, w)
     return out
+
+
+def temperature_mix(
+    ds: Dataset,
+    group_col: str,
+    id_col: str,
+    target_total: int,
+    alpha: float = 0.5,
+) -> Dataset:
+    """Temperature-balanced multilingual sampling (the XLM-R /
+    multilingual-LM mixing rule): draw ~target_total docs with
+    per-group probability proportional to count^alpha — alpha < 1
+    up-samples tail languages relative to their corpus share. Group
+    counts ride ONE combiner exchange (bounded by group cardinality);
+    the per-group keep-rates are computed once on the tiny count table
+    and applied as a deterministic md5-threshold streaming filter
+    (hash_sample semantics — reproducible at any parallelism, no
+    coordination). The rate arithmetic and the UBIGINT<DOUBLE hash
+    compare replay bit-identically in SQL."""
+    from ray.data.aggregate import Count
+
+    cnt = (
+        ds.map_batches(lambda t: t.select([group_col]), batch_format="pyarrow")
+        .groupby(group_col)
+        .aggregate(Count(alias_name="c"))
+        .to_pandas()
+        .sort_values(group_col, kind="mergesort")
+        .reset_index(drop=True)
+    )
+    c = cnt["c"].to_numpy(dtype=np.float64)
+    s = float(np.power(c, alpha).sum())
+    rates = np.minimum(1.0, float(target_total) * (np.power(c, alpha) / s) / c)
+    thresh = {g: r * 18446744073709551616.0 for g, r in zip(cnt[group_col], rates)}
+    import ray as _ray
+
+    tref = _ray.put(thresh)
+
+    def _f(t: pa.Table) -> pa.Table:
+        th = _ray.get(tref)
+        groups = t[group_col].to_numpy(zero_copy_only=False)
+        ids = [str(v) for v in t[id_col].to_pylist()]
+        h = _md5_upper64(ids).astype(np.float64)
+        lim = np.array([th[g] for g in groups])
+        return t.filter(pa.array(h < lim))
+
+    return ds.map_batches(_f, batch_format="pyarrow")
