@@ -4480,6 +4480,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r63_unpivot(sf_dir):
+        # SQL UNPIVOT (melt) — the inverse of r28's pivot: the wide
+        # per-cohort count table back to (cohort, event_type, n) long
+        # form. Melt is row-local (one map_batches, no exchange beyond
+        # the pivot's own combiner); zero-count cells drop like
+        # UNPIVOT's default NULL exclusion
+        ds = _read(sf_dir, "events", ["user_id", "event_type"])
+        cohort = ds.map_batches(
+            lambda t: pa.table({"cohort": pc.cast(
+                pc.bit_wise_and(t["user_id"], 7), pa.int64()),
+                "event_type": t["event_type"]}),
+            batch_format="pyarrow",
+        )
+        types = ["click", "view", "purchase", "signup", "error"]
+        wide = rel.pivot_aggregate(cohort, "cohort", "event_type", types)
+
+        def _melt(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            long = df.melt(
+                id_vars=["cohort"], value_vars=types,
+                var_name="event_type", value_name="n",
+            )
+            long = long[long["n"] > 0]
+            return pa.Table.from_pandas(long, preserve_index=False)
+
+        out = (
+            wide.map_batches(_melt, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["cohort", "event_type"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["n"] = out["n"].astype("int64")
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4712,6 +4746,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s79_intervals_any": s79_intervals_any,
         "s80_span_multi": s80_span_multi,
         "t_temperature_mix": t_temperature_mix,
+        "r63_unpivot": r63_unpivot,
     }
 
 
@@ -7489,6 +7524,12 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "r63_unpivot": (
+            "SELECT CAST(user_id % 8 AS BIGINT) AS cohort, event_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM events "
+            "WHERE event_type IN ('click', 'view', 'purchase', 'signup', 'error') "
+            "GROUP BY 1, 2 ORDER BY 1, 2"
         ),
         "t_temperature_mix": (
             # per-lang keep-rate = min(1, target * (c^alpha / sum) / c),
