@@ -4514,6 +4514,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out
 
+    def s81_sig_chi2(sf_dir):
+        # ES significant_terms with the chi_square heuristic (classic
+        # 2x2 contingency, Manning IR 13.5.2; the JLH entry is s31) —
+        # same combiner shuffle, different scorer
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return txt.significant_terms(
+            docs, "vector", k=10, min_doc_count=2, heuristic="chi_square"
+        )
+
+    def r64_rolling_window(sf_dir):
+        # SQL window FRAME (ROWS 6 PRECEDING AND CURRENT ROW): 7-row
+        # rolling sum + mean of value per event_type partition ordered
+        # by (ts, event_id) — cumsum-difference kernel, O(n) per
+        # partition, no per-row frame scan
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "ts", "value"])
+        out = (
+            rel.window_functions(
+                ev, "event_type", ["ts", "event_id"],
+                {
+                    "rsum7": ("rolling_sum", "value", 7),
+                    "rmean7": ("rolling_mean", "value", 7),
+                },
+            )
+            .to_pandas()
+            .sort_values("event_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["rsum7"] = round_half_up(out["rsum7"].to_numpy(), 4)
+        out["rmean7"] = round_half_up(out["rmean7"].to_numpy(), 4)
+        out["value"] = round_half_up(out["value"].to_numpy(), 4)
+        return out[["event_id", "event_type", "value", "rsum7", "rmean7"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4747,6 +4779,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s80_span_multi": s80_span_multi,
         "t_temperature_mix": t_temperature_mix,
         "r63_unpivot": r63_unpivot,
+        "s81_sig_chi2": s81_sig_chi2,
+        "r64_rolling_window": r64_rolling_window,
     }
 
 
@@ -7524,6 +7558,42 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        # s81: chi_square significance — 2x2 contingency, signed by
+        # over/under-representation, same CTE skeleton as s31
+        "s81_sig_chi2": """
+WITH tok AS (SELECT doc_id,
+                    list_distinct(regexp_extract_all(lower(text), '[a-z0-9_]+')) AS ts
+             FROM documents),
+fgd AS (SELECT doc_id, ts, list_contains(ts, 'vector') AS fg FROM tok),
+n AS (SELECT CAST(count(*) AS DOUBLE) AS bg_n,
+             CAST(count(*) FILTER (WHERE fg) AS DOUBLE) AS fg_n FROM fgd),
+e AS (SELECT unnest(ts) AS term, fg FROM fgd),
+c AS (SELECT term, CAST(count(*) FILTER (WHERE fg) AS BIGINT) AS fg,
+             CAST(count(*) AS BIGINT) AS bg
+      FROM e WHERE term <> 'vector' GROUP BY 1),
+x AS (SELECT term, fg, bg,
+       CAST(fg AS DOUBLE) AS o11, CAST(bg - fg AS DOUBLE) AS o12,
+       n.fg_n - fg AS o21, (n.bg_n - n.fg_n) - (bg - fg) AS o22,
+       n.bg_n AS bn, n.fg_n AS fn
+      FROM c, n WHERE fg >= 2),
+sc AS (SELECT term, fg, bg,
+        CASE WHEN (o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22) > 0
+             THEN bn * ((o11 * o22 - o12 * o21) * (o11 * o22 - o12 * o21))
+                  / ((o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22))
+             ELSE 0 END
+        * (CASE WHEN o11 / fn >= CAST(bg AS DOUBLE) / bn THEN 1 ELSE -1 END) AS raw
+       FROM x)
+SELECT term, fg, bg, round(raw, 4) AS score
+FROM sc ORDER BY raw DESC, term LIMIT 10
+""",
+        "r64_rolling_window": (
+            "SELECT event_id, event_type, round(value, 4) AS value, "
+            "round(sum(value) OVER w, 4) AS rsum7, "
+            "round(avg(value) OVER w, 4) AS rmean7 "
+            "FROM events WINDOW w AS (PARTITION BY event_type "
+            "ORDER BY ts, event_id ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) "
+            "ORDER BY event_id"
         ),
         "r63_unpivot": (
             "SELECT CAST(user_id % 8 AS BIGINT) AS cohort, event_type, "

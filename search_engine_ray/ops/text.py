@@ -585,6 +585,7 @@ def significant_terms(
     text_col: str = "text",
     k: int = 10,
     min_doc_count: int = 2,
+    heuristic: str = "jlh",
 ) -> Dataset:
     """ES significant_terms aggregation: terms over-represented in the
     matched set (docs containing `query_term`, the foreground) versus
@@ -642,12 +643,30 @@ def significant_terms(
             "score": pa.array([], pa.float64()),
         }))
 
+    if heuristic not in ("jlh", "chi_square"):
+        raise ValueError(f"heuristic must be jlh|chi_square, got {heuristic!r}")
+
     def _score(t: pa.Table) -> pa.Table:
         keep = pc.and_(pc.not_equal(t["term"], ""), pc.greater_equal(t["fg"], min_doc_count))
         t = t.filter(keep)
         fgr = t["fg"].to_numpy().astype(np.float64) / fg_n
         bgr = t["bg"].to_numpy().astype(np.float64) / bg_n
-        raw = (fgr - bgr) * fgr / bgr
+        if heuristic == "chi_square":
+            # classic 2x2 contingency chi-square (Manning et al., IR,
+            # 13.5.2): rows = term present/absent, cols = fg/bg-rest
+            o11 = t["fg"].to_numpy().astype(np.float64)
+            o12 = t["bg"].to_numpy().astype(np.float64) - o11  # in rest
+            o21 = fg_n - o11
+            rest_n = bg_n - fg_n
+            o22 = rest_n - o12
+            num = bg_n * (o11 * o22 - o12 * o21) ** 2
+            den = (o11 + o12) * (o11 + o21) * (o12 + o22) * (o21 + o22)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                raw = np.where(den > 0, num / den, 0.0)
+            # signed: negative association (under-representation) ranks last
+            raw = np.where(fgr >= bgr, raw, -raw)
+        else:
+            raw = (fgr - bgr) * fgr / bgr
         return pa.table({
             "term": t["term"],
             "fg": t["fg"],
