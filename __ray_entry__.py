@@ -4546,6 +4546,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["value"] = round_half_up(out["value"].to_numpy(), 4)
         return out[["event_id", "event_type", "value", "rsum7", "rmean7"]]
 
+    def e19_reindex_alias(sf_dir):
+        # ES zero-downtime reindex: clients address an ALIAS; a new
+        # physical index (here: the corpus minus lang='zh', the
+        # "mapping change") builds beside the live one, then one
+        # atomic alias flip (temp-write + rename, never torn) cuts
+        # searches over. Pre-flip results must match the full-corpus
+        # engine; the returned post-flip page is BM25 over the
+        # filtered corpus, SQL-checked
+        from search_engine_ray.config import DOCUMENTS_CONFIG
+        from search_engine_ray.index import build_index
+        from search_engine_ray.index.alias import resolve_alias, set_alias
+        from search_engine_ray.query import SearchEngine
+
+        src = os.path.join(sf_dir, "documents.parquet")
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_idx_cache/{tag}/alias_{int(os.path.getmtime(src))}"
+        v2_dir = os.path.join(base, "v2")
+        if not os.path.exists(os.path.join(v2_dir, "manifest.json")):
+            os.makedirs(base, exist_ok=True)
+            filt = os.path.join(base, "docs_nozh.parquet")
+            t = pq.read_table(src)
+            pq.write_table(t.filter(pc.not_equal(t["lang"], "zh")), filt)
+            build_index(filt, v2_dir, DOCUMENTS_CONFIG, sha_col="text")
+        v1_dir = _doc_engine(sf_dir).dirs[0]
+        alias = os.path.join(base, "alias.json")
+        set_alias(alias, v1_dir)
+        q = Compound(must=(Term("text", "vector"),))
+        pre = SearchEngine(resolve_alias(alias), DOCUMENTS_CONFIG).search(
+            q, k=10, with_metadata=False
+        )
+        expected = _bm25_query(sf_dir, q)
+        assert pre.hits["doc_id"].tolist() == expected["doc_id"].tolist()
+        set_alias(alias, v2_dir)  # the atomic flip
+        post = SearchEngine(resolve_alias(alias), DOCUMENTS_CONFIG).search(
+            q, k=10, with_metadata=False
+        )
+        return pd.DataFrame({
+            "doc_id": post.hits["doc_id"].to_numpy(),
+            "score": round_half_up(post.hits["score"].to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4781,6 +4822,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r63_unpivot": r63_unpivot,
         "s81_sig_chi2": s81_sig_chi2,
         "r64_rolling_window": r64_rolling_window,
+        "e19_reindex_alias": e19_reindex_alias,
     }
 
 
@@ -7558,6 +7600,10 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "e19_reindex_alias": _bm25_sql(
+            ["vector"],
+            table_sql="(SELECT doc_id, n_chars, text FROM documents WHERE lang <> 'zh')",
         ),
         # s81: chi_square significance — 2x2 contingency, signed by
         # over/under-representation, same CTE skeleton as s31
