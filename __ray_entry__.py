@@ -4587,6 +4587,39 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "score": round_half_up(post.hits["score"].to_numpy()),
         })
 
+    def r65_terms_by_subagg(sf_dir):
+        # ES terms aggregation ordered by a SUB-aggregation (order:
+        # {avg_chars: desc}, size 3): bucket metrics ride one
+        # raw-moment combiner; the ordering runs on the bucket table —
+        # rounded avg + lang tiebreak so the cut is fp-parity-safe
+        docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "s": t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64),
+            })
+            g = df.groupby("lang", as_index=False).agg(n=("s", "size"), s=("s", "sum"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        from ray.data.aggregate import Sum
+
+        agg = (
+            docs.map_batches(_partial, batch_format="pyarrow")
+            .groupby("lang")
+            .aggregate(Sum("n", alias_name="n"), Sum("s", alias_name="s"))
+            .to_pandas()
+        )
+        agg["avg_chars"] = round_half_up((agg["s"] / agg["n"]).to_numpy(), 4)
+        agg = agg.sort_values(
+            ["avg_chars", "lang"], ascending=[False, True], kind="mergesort"
+        ).head(3).reset_index(drop=True)
+        return pd.DataFrame({
+            "lang": agg["lang"],
+            "doc_count": agg["n"].astype("int64"),
+            "avg_chars": agg["avg_chars"],
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4823,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s81_sig_chi2": s81_sig_chi2,
         "r64_rolling_window": r64_rolling_window,
         "e19_reindex_alias": e19_reindex_alias,
+        "r65_terms_by_subagg": r65_terms_by_subagg,
     }
 
 
@@ -7600,6 +7634,13 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "r65_terms_by_subagg": (
+            "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count, "
+            "round(sum(CAST(n_chars AS DOUBLE)) / count(*), 4) AS avg_chars "
+            "FROM documents GROUP BY 1 "
+            "ORDER BY round(sum(CAST(n_chars AS DOUBLE)) / count(*), 4) DESC, lang "
+            "LIMIT 3"
         ),
         "e19_reindex_alias": _bm25_sql(
             ["vector"],

@@ -115,3 +115,32 @@ def test_soft_dedup_weights_sum_to_distinct_count(ray_session):
     assert w.loc[0, "dup_count"] == 3 and w.loc[0, "weight"] == pytest.approx(1 / 3)
     assert w.loc[3, "dup_count"] == 1 and w.loc[3, "weight"] == 1.0
     assert out["weight"].sum() == pytest.approx(3.0)  # one unit per distinct text
+
+
+def test_alias_flip_and_guard(tmp_path):
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from search_engine_ray.index.alias import resolve_alias, set_alias
+
+    idx1 = tmp_path / "v1"
+    idx1.mkdir()
+    (idx1 / "manifest.json").write_text("{}")
+    alias = str(tmp_path / "alias.json")
+    set_alias(alias, str(idx1))
+    assert resolve_alias(alias) == str(idx1)
+    # refuse to flip to a non-servable target
+    with _pytest.raises(ValueError):
+        set_alias(alias, str(tmp_path / "nope"))
+    assert resolve_alias(alias) == str(idx1)  # pointer untouched
+    # flip to a second servable index
+    idx2 = tmp_path / "v2"
+    idx2.mkdir()
+    (idx2 / "manifest.json").write_text("{}")
+    set_alias(alias, str(idx2))
+    assert resolve_alias(alias) == str(idx2)
+    # no torn temp file left behind
+    assert not os.path.exists(alias + ".tmp")
+    assert json.load(open(alias))["target"] == str(idx2)
