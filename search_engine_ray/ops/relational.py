@@ -142,6 +142,53 @@ def broadcast_join(
     )
 
 
+def join_auto(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    right_on: Sequence[str] | None = None,
+    how: str = "inner",
+    broadcast_threshold_bytes: int = 64 << 20,
+) -> Dataset:
+    """Cost-based join strategy (the optimizer decision every SQL
+    engine makes): if the RIGHT side's estimated size fits
+    ``broadcast_threshold_bytes`` (default 64 MB — comfortably inside
+    a worker heap alongside batch + hash table), materialize it and
+    run the shuffle-free broadcast hash join; otherwise fall back to
+    the hash-partitioned shuffle join. At 100 TB the dimension tables
+    broadcast and the fact-fact joins shuffle, with no per-call
+    tuning. Size comes from Dataset.size_bytes() (parquet metadata for
+    un-executed scans); an unknown size falls back to the shuffle path
+    — the conservative choice."""
+    how_norm = how.replace(" ", "_")
+    try:
+        rsize = right.size_bytes()
+    except Exception:
+        rsize = None
+    if rsize is not None and rsize <= broadcast_threshold_bytes:
+        import ray as _ray
+
+        refs = right.to_arrow_refs()
+        tabs = [_ray.get(r) for r in refs]
+        if not tabs:
+            tabs = [pa.table({})]
+        small = pa.concat_tables(tabs, promote_options="default")
+        bmode = {
+            "inner": "inner", "left_outer": "left outer",
+            "left_semi": "left semi", "left_anti": "left anti",
+        }.get(how_norm)
+        if bmode is not None:
+            return broadcast_join(left, small, on, right_on, how=bmode)
+    shuffle_mode = {
+        "inner": "inner", "left_outer": "left_outer",
+        "right_outer": "right_outer", "full_outer": "full_outer",
+    }.get(how_norm)
+    if shuffle_mode is None:
+        raise ValueError(f"join type {how!r} needs the broadcast path "
+                         f"(right side too big or size unknown)")
+    return hash_join(left, right, on, right_on, how=shuffle_mode)
+
+
 class _MapEnrich:
     """Actor: holds the broadcast key->value mapping (fetched from the
     object store once per actor); per batch one vectorized pandas map."""

@@ -144,3 +144,29 @@ def test_alias_flip_and_guard(tmp_path):
     # no torn temp file left behind
     assert not os.path.exists(alias + ".tmp")
     assert json.load(open(alias))["target"] == str(idx2)
+
+
+def test_join_auto_broadcast_and_shuffle_paths(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    left = pd.DataFrame({"k": rng.integers(0, 50, 500), "x": np.arange(500)})
+    right = pd.DataFrame({"k": np.arange(50), "name": [f"n{i}" for i in range(50)]})
+    exp = left.merge(right, on="k").sort_values(["x"]).reset_index(drop=True)
+    # tiny right side -> broadcast path
+    out_b = (
+        rel.join_auto(_ds(left), _ds(right), on=["k"])
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out_b[["k", "x", "name"]], exp[["k", "x", "name"]], check_dtype=False
+    )
+    # threshold 0 forces the shuffle path; same result
+    out_s = (
+        rel.join_auto(_ds(left), _ds(right), on=["k"], broadcast_threshold_bytes=0)
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        out_s[["k", "x", "name"]].reset_index(drop=True),
+        exp[["k", "x", "name"]], check_dtype=False,
+    )
