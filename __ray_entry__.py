@@ -4620,6 +4620,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "avg_chars": agg["avg_chars"],
         })
 
+    def r66_join_auto(sf_dir):
+        # cost-based join strategy driver-exercised: orders x customer
+        # through join_auto — at this scale the customer side fits the
+        # 64 MB broadcast gate, so the plan is shuffle-free; the same
+        # call at fact-fact sizes falls back to the hash-partitioned
+        # shuffle join (both paths result-equal under pytest)
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        j = rel.join_auto(orders, cust, on=["o_custkey"], right_on=["c_custkey"])
+        agg = (
+            rel.grouped_aggregate(
+                j, ["c_mktsegment"], {"n": ("count", "o_orderkey"),
+                                      "revenue": ("sum", "o_totalprice")}
+            )
+            .to_pandas()
+            .sort_values("c_mktsegment", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        agg["n"] = agg["n"].astype("int64")
+        agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
+        return agg
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4857,6 +4879,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r64_rolling_window": r64_rolling_window,
         "e19_reindex_alias": e19_reindex_alias,
         "r65_terms_by_subagg": r65_terms_by_subagg,
+        "r66_join_auto": r66_join_auto,
     }
 
 
@@ -7634,6 +7657,12 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "r66_join_auto": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 4) AS revenue "
+            "FROM orders JOIN customer ON o_custkey = c_custkey "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "r65_terms_by_subagg": (
             "SELECT lang, CAST(count(*) AS BIGINT) AS doc_count, "
