@@ -4642,6 +4642,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
         agg["revenue"] = round_half_up(agg["revenue"].to_numpy())
         return agg
 
+    def t_embed_outliers(sf_dir):
+        # embedding outlier removal (the CLIP-filtering curation
+        # stage): vectors whose cosine to the corpus centroid falls
+        # below tau are flagged. One Σvec combiner builds the centroid
+        # (dim-sized partials, never vectors, on the driver); the
+        # centroid broadcasts and the flagging is a streaming filter
+        from search_engine_ray.ops.ann import _to_matrix
+
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def _sums(t: pa.Table) -> pa.Table:
+            m = _to_matrix(t["embedding"], 64)
+            return pa.table({
+                "s": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "n": pa.array([len(t)], pa.int64()),
+            })
+
+        parts = emb.map_batches(_sums, batch_format="pyarrow").to_pandas()
+        total = np.sum(np.stack(parts["s"].to_numpy()), axis=0)
+        cent = total / float(parts["n"].sum())
+        import ray as _ray
+
+        cref = _ray.put(cent)
+        TAU = 0.05
+
+        def _flag(t: pa.Table) -> pa.Table:
+            c = _ray.get(cref)
+            m = _to_matrix(t["embedding"], 64)
+            cos = (m @ c) / (
+                np.sqrt((m * m).sum(axis=1)) * math.sqrt(float(c @ c))
+            )
+            keep = cos < TAU
+            return pa.table({
+                "vec_id": t["vec_id"].filter(pa.array(keep)),
+                "cos_centroid": pa.array(round_half_up(cos[keep], 4)),
+            })
+
+        return (
+            emb.map_batches(_flag, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("vec_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def ann_maxsim(sf_dir):
+        # ColBERT-style late interaction (MaxSim): docs are 4-vector
+        # groups (vec_id // 4), queries the 3 broadcast query vectors;
+        # score(doc) = sum over queries of max over the doc's vectors
+        # of cosine. Per-vector cosines reduce to per-group maxes in a
+        # map-side-combined groupby — the exchange carries one row per
+        # (group, block); the sum of maxes folds on the group table
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        from search_engine_ray.ops.ann import _to_matrix
+
+        qt = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", [0, 1, 2])],
+        )
+        qm = _to_matrix(qt["embedding"], 64)
+        qn = qm / np.sqrt((qm * qm).sum(axis=1))[:, None]
+        import ray as _ray
+
+        qref = _ray.put(qn)
+
+        def _cos(t: pa.Table) -> pa.Table:
+            q = _ray.get(qref)
+            m = _to_matrix(t["embedding"], 64)
+            mn = m / np.sqrt((m * m).sum(axis=1))[:, None]
+            cos = mn @ q.T  # (n, 3)
+            g = t["vec_id"].to_numpy() // 4
+            return pa.table({
+                "g": pa.array(g),
+                "c0": pa.array(cos[:, 0]), "c1": pa.array(cos[:, 1]),
+                "c2": pa.array(cos[:, 2]),
+            })
+
+        agg = rel.grouped_aggregate(
+            emb.map_batches(_cos, batch_format="pyarrow"),
+            ["g"],
+            {"m0": ("max", "c0"), "m1": ("max", "c1"), "m2": ("max", "c2")},
+        ).to_pandas()
+        agg["score"] = round_half_up(
+            (agg["m0"] + agg["m1"] + agg["m2"]).to_numpy(), 4
+        )
+        agg = agg.sort_values(
+            ["score", "g"], ascending=[False, True], kind="mergesort"
+        ).head(5).reset_index(drop=True)
+        return pd.DataFrame({"g": agg["g"].astype("int64"), "score": agg["score"]})
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4880,6 +4969,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e19_reindex_alias": e19_reindex_alias,
         "r65_terms_by_subagg": r65_terms_by_subagg,
         "r66_join_auto": r66_join_auto,
+        "t_embed_outliers": t_embed_outliers,
+        "ann_maxsim": ann_maxsim,
     }
 
 
@@ -7657,6 +7748,32 @@ FROM score s JOIN q USING (lang) ORDER BY s.doc_id
         "s76_ids": (
             "SELECT doc_id, lang, n_chars, 1.0 AS score FROM documents "
             "WHERE doc_id IN (3, 7, 11, 19, 42) ORDER BY doc_id"
+        ),
+        "t_embed_outliers": (
+            "WITH u AS (SELECT unnest(embedding::DOUBLE[]) AS x, "
+            "generate_subscripts(embedding, 1) AS i FROM embeddings), "
+            "c AS (SELECT i, avg(x) AS v FROM u GROUP BY 1), "
+            "cv AS (SELECT list(v ORDER BY i) AS cvec FROM c), "
+            "s AS (SELECT vec_id, "
+            "list_dot_product(embedding::DOUBLE[], cvec) / "
+            "(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(cvec, cvec))) AS cos "
+            "FROM embeddings, cv) "
+            "SELECT vec_id, round(cos, 4) AS cos_centroid FROM s "
+            "WHERE cos < 0.05 ORDER BY vec_id"
+        ),
+        "ann_maxsim": (
+            "WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings "
+            "WHERE vec_id IN (0, 1, 2)), "
+            "c AS (SELECT e.vec_id // 4 AS g, q.qid, "
+            "list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[]) / "
+            "(sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) * "
+            " sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) AS cos "
+            "FROM embeddings e CROSS JOIN q), "
+            "m AS (SELECT g, qid, max(cos) AS mx FROM c GROUP BY 1, 2), "
+            "s AS (SELECT g, sum(mx) AS score FROM m GROUP BY 1) "
+            "SELECT CAST(g AS BIGINT) AS g, round(score, 4) AS score FROM s "
+            "ORDER BY round(score, 4) DESC, g LIMIT 5"
         ),
         "r66_join_auto": (
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "

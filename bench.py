@@ -223,7 +223,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "e18_schema_merge", "s76_ids", "s77_most_fields", "s78_intervals",
         "s79_intervals_any", "s80_span_multi", "t_temperature_mix", "r63_unpivot",
         "s81_sig_chi2", "r64_rolling_window", "e19_reindex_alias", "r65_terms_by_subagg",
-        "r66_join_auto",
+        "r66_join_auto", "t_embed_outliers", "ann_maxsim",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
