@@ -4731,6 +4731,255 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).head(5).reset_index(drop=True)
         return pd.DataFrame({"g": agg["g"].astype("int64"), "score": agg["score"]})
 
+    def pipe_tpch_q13(sf_dir):
+        # TPC-H Q13 (customer order-count distribution). The LEFT
+        # JOIN never materializes: per-custkey order counts are a
+        # combiner exchange bounded by distinct custkeys, the count
+        # distribution a second (tiny) exchange, and the zero-order
+        # bucket folds in as ONE scalar — total customers minus
+        # custkeys seen — exact under the o_custkey FK
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            t = t.filter(pc.not_equal(t["o_orderpriority"], "3-MEDIUM"))
+            return t.select(["o_custkey"])
+
+        counts = rel.grouped_aggregate(
+            orders.map_batches(_f, batch_format="pyarrow"),
+            ["o_custkey"], {"c_count": ("count", "o_custkey")},
+        )
+        dist = (
+            rel.grouped_aggregate(counts, ["c_count"], {"custdist": ("count", "c_count")})
+            .to_pandas()
+        )
+        n_cust = pq.read_metadata(os.path.join(sf_dir, "customer.parquet")).num_rows
+        zero = int(n_cust) - int(dist["custdist"].sum())
+        if zero > 0:
+            dist = pd.concat(
+                [dist, pd.DataFrame({"c_count": [0], "custdist": [zero]})],
+                ignore_index=True,
+            )
+        dist["c_count"] = dist["c_count"].astype("int64")
+        dist["custdist"] = dist["custdist"].astype("int64")
+        return dist.sort_values(
+            ["custdist", "c_count"], ascending=[False, False], kind="mergesort"
+        ).reset_index(drop=True)
+
+    def pipe_tpch_q15(sf_dir):
+        # TPC-H Q15 (top supplier): quarterly revenue per supplier is
+        # one combiner exchange bounded by supplier count; the max
+        # resolves on that small table and names are point reads.
+        # Revenue rounds to 4dp BEFORE the max-equality compare on
+        # both sides so fp association can't split a tie
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+        lo, hi = np.datetime64("1996-01-01"), np.datetime64("1996-04-01")
+
+        def _f(t: pa.Table) -> pa.Table:
+            d = t["l_shipdate"].to_numpy()
+            m = (d >= lo) & (d < hi)
+            rev = t["l_extendedprice"].to_numpy() * (1.0 - t["l_discount"].to_numpy())
+            return pa.table({
+                "l_suppkey": pa.array(t["l_suppkey"].to_numpy()[m]),
+                "rev": pa.array(rev[m]),
+            })
+
+        agg = rel.grouped_aggregate(
+            li.map_batches(_f, batch_format="pyarrow"),
+            ["l_suppkey"], {"total_revenue": ("sum", "rev")},
+        ).to_pandas()
+        agg["total_revenue"] = round_half_up(agg["total_revenue"].to_numpy())
+        best = agg[agg["total_revenue"] == agg["total_revenue"].max()].rename(
+            columns={"l_suppkey": "s_suppkey"}
+        )
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        out = best.merge(sup, on="s_suppkey")
+        return (
+            out[["s_suppkey", "s_name", "total_revenue"]]
+            .sort_values("s_suppkey", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def pipe_tpch_q17(sf_dir):
+        # TPC-H Q17 (small-quantity revenue): one brand's partkeys
+        # broadcast once (sorted array + searchsorted probe); per-part
+        # avg qty is a combiner exchange bounded by the brand's parts;
+        # the avg map broadcasts back and the final fold is a masked
+        # one-row-per-batch partial. The < threshold rounds to 6dp on
+        # both sides so a 1-ulp avg difference can't flip a compare
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_brand"]
+        )
+        keys = np.sort(
+            pt.filter(pc.equal(pt["p_brand"], "Brand#13"))["p_partkey"].to_numpy()
+        )
+        import ray as _ray
+
+        kref = _ray.put(keys)
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"])
+
+        def _sub(t: pa.Table) -> pa.Table:
+            pk = _ray.get(kref)
+            k = t["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(pk, k), 0, max(pk.size - 1, 0))
+            m = (pk[pos] == k) if pk.size else np.zeros(len(k), bool)
+            return pa.table({
+                "l_partkey": pa.array(k[m]),
+                "l_quantity": pa.array(t["l_quantity"].to_numpy()[m]),
+                "l_extendedprice": pa.array(t["l_extendedprice"].to_numpy()[m]),
+            })
+
+        sub = li.map_batches(_sub, batch_format="pyarrow")
+        avg = rel.grouped_aggregate(
+            sub, ["l_partkey"], {"avg_qty": ("mean", "l_quantity")}
+        ).to_pandas()
+        ak = np.sort(avg["l_partkey"].to_numpy().astype(np.int64))
+        av = avg.set_index("l_partkey")["avg_qty"].loc[ak].to_numpy()
+        thr = round_half_up(0.2 * av, 6)
+        aref = _ray.put((ak, thr))
+
+        def _rev(t: pa.Table) -> pa.Table:
+            sk, sthr = _ray.get(aref)
+            k = t["l_partkey"].to_numpy()
+            pos = np.searchsorted(sk, k)
+            m = t["l_quantity"].to_numpy() < sthr[pos]
+            return pa.table(
+                {"s": pa.array([float(t["l_extendedprice"].to_numpy()[m].sum())])}
+            )
+
+        from ray.data.aggregate import Sum
+
+        tot = sub.map_batches(_rev, batch_format="pyarrow").aggregate(
+            Sum("s", alias_name="s")
+        )
+        return pd.DataFrame(
+            {"avg_yearly": [float(round_half_up(float(tot["s"]) / 7.0))]}
+        )
+
+    def pipe_tpch_q18(sf_dir):
+        # TPC-H Q18 (large-volume orders): per-order qty sum is the
+        # combiner exchange (bounded by order count, qty sums of
+        # integer-valued doubles are fp-exact); survivors of the >180
+        # gate hash-join back to orders sharded, the top-100 rides the
+        # bounded partial-topk, and customer names are point reads for
+        # the 100 winners only
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+        sums = rel.grouped_aggregate(
+            li, ["l_orderkey"], {"sum_qty": ("sum", "l_quantity")}
+        )
+
+        def _gate(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t["sum_qty"], 180.0))
+
+        big = sums.map_batches(_gate, batch_format="pyarrow")
+        orders = _read(
+            sf_dir, "orders",
+            ["o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"],
+        )
+        j = rel.hash_join(
+            orders, big, on=["o_orderkey"], right_on=["l_orderkey"], num_partitions=8
+        )
+        top = rel.topk(
+            j, ["o_totalprice", "o_orderdate", "o_orderkey"], 100,
+            descending=[True, False, False],
+        ).to_pandas()
+        import pyarrow.dataset as pads
+
+        cust = pq.read_table(
+            os.path.join(sf_dir, "customer.parquet"),
+            columns=["c_custkey", "c_name"],
+            filters=pads.field("c_custkey").isin(top["o_custkey"].tolist()),
+        ).to_pandas()
+        out = top.merge(cust, left_on="o_custkey", right_on="c_custkey")
+        out["o_orderdate"] = out["o_orderdate"].astype("datetime64[us]").astype("int64")
+        out["sum_qty"] = out["sum_qty"].astype("int64")
+        out = out.sort_values(
+            ["o_totalprice", "o_orderdate", "o_orderkey"],
+            ascending=[False, True, True], kind="mergesort",
+        ).reset_index(drop=True)
+        return out[
+            ["c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty"]
+        ]
+
+    def pipe_tpch_q22(sf_dir):
+        # TPC-H Q22 (global-sales-opportunity), adapted to this
+        # schema: nationkey stands in for the phone country code and
+        # the anti-join gate is "no URGENT orders" (every synthetic
+        # customer has orders, so the literal NOT EXISTS is vacuous).
+        # Urgent custkeys reduce to a combiner distinct; the anti join
+        # is a left_outer hash join + null filter — both sides stay
+        # sharded; the acctbal average folds from one two-moment pass
+        codes = [1, 3, 5, 7, 9, 11, 13]
+        cust = _read(
+            sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"]
+        )
+
+        def _in_codes(t: pa.Table) -> pa.Table:
+            return t.filter(
+                pc.is_in(t["c_nationkey"], value_set=pa.array(codes, pa.int32()))
+            )
+
+        pool = cust.map_batches(_in_codes, batch_format="pyarrow")
+
+        def _moments(t: pa.Table) -> pa.Table:
+            b = t["c_acctbal"].to_numpy()
+            pos = b[b > 0.0]
+            return pa.table({
+                "s": pa.array([float(pos.sum())]),
+                "n": pa.array([int(pos.size)], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        mom = pool.map_batches(_moments, batch_format="pyarrow").aggregate(
+            Sum("s", alias_name="s"), Sum("n", alias_name="n")
+        )
+        avg_bal = float(mom["s"]) / float(mom["n"])
+        orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"])
+        urgent = rel.distinct(
+            orders.map_batches(
+                lambda t: t.filter(
+                    pc.equal(t["o_orderpriority"], "1-URGENT")
+                ).select(["o_custkey"]),
+                batch_format="pyarrow",
+            ),
+            "o_custkey",
+        ).map_batches(
+            lambda t: t.append_column("hit", pa.array(np.ones(len(t), np.int8))),
+            batch_format="pyarrow",
+        )
+
+        def _rich(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater(t["c_acctbal"], avg_bal))
+
+        rich = pool.map_batches(_rich, batch_format="pyarrow")
+        j = rel.hash_join(
+            rich, urgent, on=["c_custkey"], right_on=["o_custkey"],
+            how="left_outer", num_partitions=8,
+        )
+
+        def _anti(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_null(t["hit"]))
+
+        out = (
+            rel.grouped_aggregate(
+                j.map_batches(_anti, batch_format="pyarrow"),
+                ["c_nationkey"],
+                {"numcust": ("count", "c_custkey"), "totacctbal": ("sum", "c_acctbal")},
+            )
+            .to_pandas()
+            .sort_values("c_nationkey", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["c_nationkey"] = out["c_nationkey"].astype("int64")
+        out["numcust"] = out["numcust"].astype("int64")
+        out["totacctbal"] = round_half_up(out["totacctbal"].to_numpy())
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -4971,6 +5220,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r66_join_auto": r66_join_auto,
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
+        "pipe_tpch_q13": pipe_tpch_q13,
+        "pipe_tpch_q15": pipe_tpch_q15,
+        "pipe_tpch_q17": pipe_tpch_q17,
+        "pipe_tpch_q18": pipe_tpch_q18,
+        "pipe_tpch_q22": pipe_tpch_q22,
     }
 
 
@@ -7938,6 +8192,50 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "pipe_tpch_q13": (
+            "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
+            "SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count "
+            "FROM customer LEFT JOIN orders ON c_custkey = o_custkey "
+            "AND o_orderpriority <> '3-MEDIUM' GROUP BY c_custkey) "
+            "GROUP BY c_count ORDER BY custdist DESC, c_count DESC"
+        ),
+        "pipe_tpch_q15": (
+            "WITH revenue AS (SELECT l_suppkey AS supplier_no, "
+            "round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_revenue "
+            "FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY l_suppkey) "
+            "SELECT s_suppkey, s_name, total_revenue FROM supplier, revenue "
+            "WHERE s_suppkey = supplier_no "
+            "AND total_revenue = (SELECT max(total_revenue) FROM revenue) "
+            "ORDER BY s_suppkey"
+        ),
+        "pipe_tpch_q17": (
+            "SELECT round(sum(l_extendedprice) / 7.0, 4) AS avg_yearly "
+            "FROM lineitem, part WHERE p_partkey = l_partkey "
+            "AND p_brand = 'Brand#13' AND l_quantity < round(0.2 * ("
+            "SELECT avg(l_quantity) FROM lineitem l2 "
+            "WHERE l2.l_partkey = p_partkey), 6)"
+        ),
+        "pipe_tpch_q18": (
+            "SELECT c_name, c_custkey, o_orderkey, "
+            "epoch_us(o_orderdate) AS o_orderdate, o_totalprice, "
+            "CAST(sq.sum_qty AS BIGINT) AS sum_qty "
+            "FROM customer, orders, (SELECT l_orderkey, sum(l_quantity) AS sum_qty "
+            "FROM lineitem GROUP BY l_orderkey HAVING sum(l_quantity) > 180) sq "
+            "WHERE o_orderkey = sq.l_orderkey AND c_custkey = o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderdate, o_orderkey LIMIT 100"
+        ),
+        "pipe_tpch_q22": (
+            "SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey, "
+            "CAST(count(*) AS BIGINT) AS numcust, "
+            "round(sum(c_acctbal), 4) AS totacctbal "
+            "FROM customer WHERE c_nationkey IN (1,3,5,7,9,11,13) "
+            "AND c_acctbal > (SELECT avg(c_acctbal) FROM customer "
+            "WHERE c_acctbal > 0.0 AND c_nationkey IN (1,3,5,7,9,11,13)) "
+            "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
+            "AND o_orderpriority = '1-URGENT') "
+            "GROUP BY c_nationkey ORDER BY c_nationkey"
         ),
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }
