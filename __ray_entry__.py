@@ -4980,6 +4980,321 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["totacctbal"] = round_half_up(out["totacctbal"].to_numpy())
         return out
 
+    def pipe_tpch_q7(sf_dir):
+        # TPC-H Q7 (volume shipping between two nations). Supplier
+        # and nation are broadcast dimensions (suppkey->nation label
+        # ships once); customer pre-filters to the two nations BEFORE
+        # its join, so the two all-to-alls (orders x customer-sub,
+        # lineitem-sub x orders-sub) only move qualifying rows; the
+        # (supp_nation, cust_nation, year) rollup is a tiny combiner
+        N1, N2 = "NATION_1", "NATION_2"
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nk = dict(zip(nat["n_name"], nat["n_nationkey"]))
+        k1, k2 = int(nk[N1]), int(nk[N2])
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        sup = sup[sup["s_nationkey"].isin([k1, k2])]
+        sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+        snat = np.where(
+            sup.set_index("s_suppkey")["s_nationkey"].loc[sk].to_numpy() == k1, N1, N2
+        )
+        import ray as _ray
+
+        sref = _ray.put((sk, snat))
+        lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-12-31T23:59:59.999999")
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+        )
+
+        def _li(t: pa.Table) -> pa.Table:
+            k, lab = _ray.get(sref)
+            d = t["l_shipdate"].to_numpy()
+            key = t["l_suppkey"].to_numpy()
+            pos = np.clip(np.searchsorted(k, key), 0, max(k.size - 1, 0))
+            m = (d >= lo) & (d <= hi) & ((k[pos] == key) if k.size else False)
+            vol = t["l_extendedprice"].to_numpy()[m] * (
+                1.0 - t["l_discount"].to_numpy()[m]
+            )
+            return pa.table({
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[m]),
+                "supp_nation": pa.array(lab[pos[m]]),
+                "l_year": pa.array(d[m].astype("datetime64[Y]").astype(np.int64) + 1970),
+                "volume": pa.array(vol),
+            })
+
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def _cust(t: pa.Table) -> pa.Table:
+            nkc = t["c_nationkey"].to_numpy()
+            m = (nkc == k1) | (nkc == k2)
+            return pa.table({
+                "c_custkey": pa.array(t["c_custkey"].to_numpy()[m]),
+                "cust_nation": pa.array(np.where(nkc[m] == k1, N1, N2)),
+            })
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        osub = rel.hash_join(
+            orders, cust.map_batches(_cust, batch_format="pyarrow"),
+            on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
+        )
+        j = rel.hash_join(
+            li.map_batches(_li, batch_format="pyarrow"), osub,
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+
+        def _cross(t: pa.Table) -> pa.Table:
+            return t.filter(pc.not_equal(t["supp_nation"], t["cust_nation"]))
+
+        out = (
+            rel.grouped_aggregate(
+                j.map_batches(_cross, batch_format="pyarrow"),
+                ["supp_nation", "cust_nation", "l_year"],
+                {"revenue": ("sum", "volume")},
+            )
+            .to_pandas()
+            .sort_values(["supp_nation", "cust_nation", "l_year"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["l_year"] = out["l_year"].astype("int64")
+        out["revenue"] = round_half_up(out["revenue"].to_numpy())
+        return out
+
+    def pipe_tpch_q8(sf_dir):
+        # TPC-H Q8 (national market share, adapted: p_type test is
+        # equality on this schema's coarse types). part and supplier
+        # broadcast; customer pre-filters to the region's nationkeys
+        # (nation+region are driver-side tiny); numerator and
+        # denominator ride ONE combiner exchange keyed by year
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        rk = int(reg[reg["r_name"] == "ASIA"]["r_regionkey"].iloc[0])
+        asia_keys = set(nat[nat["n_regionkey"] == rk]["n_nationkey"].astype(int))
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"]
+        )
+        pkeys = np.sort(
+            pt.filter(pc.equal(pt["p_type"], "ECONOMY"))["p_partkey"].to_numpy()
+        )
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+        sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+        slab = np.array(
+            [nname[int(x)] for x in sup.set_index("s_suppkey")["s_nationkey"].loc[sk]]
+        )
+        import ray as _ray
+
+        bref = _ray.put((pkeys, sk, slab))
+        lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-12-31T23:59:59.999999")
+        cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        ck = pa.array(sorted(asia_keys), pa.int32())
+
+        def _cust(t: pa.Table) -> pa.Table:
+            return t.filter(pc.is_in(t["c_nationkey"], value_set=ck)).select(
+                ["c_custkey"]
+            )
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def _ord(t: pa.Table) -> pa.Table:
+            d = t["o_orderdate"].to_numpy()
+            m = (d >= lo) & (d <= hi)
+            return pa.table({
+                "o_orderkey": pa.array(t["o_orderkey"].to_numpy()[m]),
+                "o_custkey": pa.array(t["o_custkey"].to_numpy()[m]),
+                "o_year": pa.array(d[m].astype("datetime64[Y]").astype(np.int64) + 1970),
+            })
+
+        osub = rel.hash_join(
+            orders.map_batches(_ord, batch_format="pyarrow"),
+            cust.map_batches(_cust, batch_format="pyarrow"),
+            on=["o_custkey"], right_on=["c_custkey"], num_partitions=8,
+        )
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        def _li(t: pa.Table) -> pa.Table:
+            pk, skk, lab = _ray.get(bref)
+            k = t["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(pk, k), 0, max(pk.size - 1, 0))
+            m = (pk[pos] == k) if pk.size else np.zeros(len(k), bool)
+            s = t["l_suppkey"].to_numpy()[m]
+            sp = np.clip(np.searchsorted(skk, s), 0, max(skk.size - 1, 0))
+            vol = t["l_extendedprice"].to_numpy()[m] * (
+                1.0 - t["l_discount"].to_numpy()[m]
+            )
+            return pa.table({
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[m]),
+                "volume": pa.array(vol),
+                "is_n3": pa.array((lab[sp] == "NATION_3").astype(np.float64)),
+            })
+
+        j = rel.hash_join(
+            li.map_batches(_li, batch_format="pyarrow"), osub,
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+
+        def _parts(t: pa.Table) -> pa.Table:
+            v = t["volume"].to_numpy()
+            return pa.table({
+                "o_year": t["o_year"],
+                "vol": t["volume"],
+                "vol_n3": pa.array(v * t["is_n3"].to_numpy()),
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                j.map_batches(_parts, batch_format="pyarrow"),
+                ["o_year"], {"num": ("sum", "vol_n3"), "den": ("sum", "vol")},
+            )
+            .to_pandas()
+            .sort_values("o_year", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        res = pd.DataFrame({
+            "o_year": out["o_year"].astype("int64"),
+            "mkt_share": round_half_up((out["num"] / out["den"]).to_numpy(), 6),
+        })
+        return res
+
+    def pipe_tpch_q9(sf_dir):
+        # TPC-H Q9 (product-type profit, adapted: supplycost proxies
+        # as 10% of p_retailprice — this schema has no partsupp).
+        # part attrs + supplier nation broadcast; the per-line amount
+        # pre-aggregates by (nation, orderkey) BEFORE the orders join
+        # so the all-to-all moves group rows, then folds by year
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_retailprice"],
+        )
+        m = pc.match_substring(pt["p_name"], "widget")
+        pk = pt.filter(m)["p_partkey"].to_numpy()
+        order_idx = np.argsort(pk)
+        pk = pk[order_idx]
+        prp = pt.filter(m)["p_retailprice"].to_numpy()[order_idx]
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nname = dict(zip(nat["n_nationkey"].astype(int), nat["n_name"]))
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+        slab = np.array(
+            [nname[int(x)] for x in sup.set_index("s_suppkey")["s_nationkey"].loc[sk]]
+        )
+        import ray as _ray
+
+        bref = _ray.put((pk, prp, sk, slab))
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+             "l_extendedprice", "l_discount"],
+        )
+
+        def _amount(t: pa.Table) -> pa.Table:
+            pkk, rp, skk, lab = _ray.get(bref)
+            k = t["l_partkey"].to_numpy()
+            pos = np.clip(np.searchsorted(pkk, k), 0, max(pkk.size - 1, 0))
+            mm = (pkk[pos] == k) if pkk.size else np.zeros(len(k), bool)
+            amt = (
+                t["l_extendedprice"].to_numpy()[mm]
+                * (1.0 - t["l_discount"].to_numpy()[mm])
+                - 0.1 * rp[pos[mm]] * t["l_quantity"].to_numpy()[mm]
+            )
+            s = t["l_suppkey"].to_numpy()[mm]
+            sp = np.clip(np.searchsorted(skk, s), 0, max(skk.size - 1, 0))
+            return pa.table({
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[mm]),
+                "nation": pa.array(lab[sp]),
+                "amount": pa.array(amt),
+            })
+
+        partial = rel.grouped_aggregate(
+            li.map_batches(_amount, batch_format="pyarrow"),
+            ["nation", "l_orderkey"], {"amount": ("sum", "amount")},
+        )
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+        def _yr(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "o_year": pa.array(
+                    t["o_orderdate"].to_numpy().astype("datetime64[Y]").astype(np.int64)
+                    + 1970
+                ),
+            })
+
+        j = rel.hash_join(
+            partial, orders.map_batches(_yr, batch_format="pyarrow"),
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+        out = (
+            rel.grouped_aggregate(
+                j, ["nation", "o_year"], {"sum_profit": ("sum", "amount")}
+            )
+            .to_pandas()
+            .sort_values(
+                ["nation", "o_year"], ascending=[True, False], kind="mergesort"
+            )
+            .reset_index(drop=True)
+        )
+        out["o_year"] = out["o_year"].astype("int64")
+        out["sum_profit"] = round_half_up(out["sum_profit"].to_numpy())
+        return out
+
+    def pipe_tpch_q12(sf_dir):
+        # TPC-H Q12 (shipping-mode priority counts, adapted: this
+        # lineitem has no shipmode/commit/receipt — linestatus stands
+        # in for the mode and "late" means shipped >60 days after the
+        # order date). One sharded join, flags fold map-side
+        lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linestatus", "l_shipdate"])
+
+        def _li(t: pa.Table) -> pa.Table:
+            d = t["l_shipdate"].to_numpy()
+            m = (d >= lo) & (d < hi)
+            return pa.table({
+                "l_orderkey": pa.array(t["l_orderkey"].to_numpy()[m]),
+                "l_linestatus": t["l_linestatus"].filter(pa.array(m)),
+                "l_shipdate": pa.array(d[m]),
+            })
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+        j = rel.hash_join(
+            li.map_batches(_li, batch_format="pyarrow"), orders,
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+
+        def _flags(t: pa.Table) -> pa.Table:
+            late = t["l_shipdate"].to_numpy() > (
+                t["o_orderdate"].to_numpy() + np.timedelta64(60, "D")
+            )
+            pr = t["o_orderpriority"].to_numpy(zero_copy_only=False)
+            high = np.isin(pr, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+            return pa.table({
+                "l_linestatus": t["l_linestatus"].filter(pa.array(late)),
+                "high": pa.array(high[late]),
+                "low": pa.array(1 - high[late]),
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                j.map_batches(_flags, batch_format="pyarrow"),
+                ["l_linestatus"],
+                {"high_line_count": ("sum", "high"), "low_line_count": ("sum", "low")},
+            )
+            .to_pandas()
+            .sort_values("l_linestatus", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["high_line_count"] = out["high_line_count"].astype("int64")
+        out["low_line_count"] = out["low_line_count"].astype("int64")
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -5220,6 +5535,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r66_join_auto": r66_join_auto,
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
+        "pipe_tpch_q7": pipe_tpch_q7,
+        "pipe_tpch_q8": pipe_tpch_q8,
+        "pipe_tpch_q9": pipe_tpch_q9,
+        "pipe_tpch_q12": pipe_tpch_q12,
         "pipe_tpch_q13": pipe_tpch_q13,
         "pipe_tpch_q15": pipe_tpch_q15,
         "pipe_tpch_q17": pipe_tpch_q17,
@@ -8192,6 +8511,60 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "pipe_tpch_q7": (
+            "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue "
+            "FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation, "
+            "EXTRACT(year FROM l_shipdate) AS l_year, "
+            "l_extendedprice * (1 - l_discount) AS volume "
+            "FROM supplier, lineitem, orders, customer, nation n1, nation n2 "
+            "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
+            "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
+            "AND c_nationkey = n2.n_nationkey "
+            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
+            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' "
+            "AND TIMESTAMP '1997-12-31 23:59:59.999999') shipping "
+            "GROUP BY supp_nation, cust_nation, l_year "
+            "ORDER BY supp_nation, cust_nation, l_year"
+        ),
+        "pipe_tpch_q8": (
+            "SELECT o_year, round(sum(CASE WHEN nation = 'NATION_3' THEN volume "
+            "ELSE 0 END) / sum(volume), 6) AS mkt_share "
+            "FROM (SELECT EXTRACT(year FROM o_orderdate) AS o_year, "
+            "l_extendedprice * (1 - l_discount) AS volume, n2.n_name AS nation "
+            "FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region "
+            "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+            "AND l_orderkey = o_orderkey AND o_custkey = c_custkey "
+            "AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey "
+            "AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey "
+            "AND p_type = 'ECONOMY' AND o_orderdate BETWEEN TIMESTAMP '1996-01-01' "
+            "AND TIMESTAMP '1997-12-31 23:59:59.999999') all_nations "
+            "GROUP BY o_year ORDER BY o_year"
+        ),
+        "pipe_tpch_q9": (
+            "SELECT nation, o_year, round(sum(amount), 4) AS sum_profit "
+            "FROM (SELECT n_name AS nation, "
+            "EXTRACT(year FROM o_orderdate) AS o_year, "
+            "l_extendedprice * (1 - l_discount) "
+            "- 0.1 * p_retailprice * l_quantity AS amount "
+            "FROM part, supplier, lineitem, orders, nation "
+            "WHERE s_suppkey = l_suppkey AND p_partkey = l_partkey "
+            "AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey "
+            "AND p_name LIKE '%widget%') profit "
+            "GROUP BY nation, o_year ORDER BY nation, o_year DESC"
+        ),
+        "pipe_tpch_q12": (
+            "SELECT l_linestatus, "
+            "CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count, "
+            "CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') "
+            "THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count "
+            "FROM orders, lineitem WHERE o_orderkey = l_orderkey "
+            "AND l_shipdate > o_orderdate + INTERVAL 60 DAY "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_linestatus ORDER BY l_linestatus"
         ),
         "pipe_tpch_q13": (
             "SELECT c_count, CAST(count(*) AS BIGINT) AS custdist FROM ("
