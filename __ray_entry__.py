@@ -5295,6 +5295,390 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["low_line_count"] = out["low_line_count"].astype("int64")
         return out
 
+    def pipe_tpch_q2(sf_dir):
+        # TPC-H Q2 (minimum-cost supplier, adapted: this schema has
+        # no partsupp, so the supplies relation is the DISTINCT
+        # (l_partkey, l_suppkey) pairs from lineitem and the min is
+        # on s_acctbal). Pairs reduce via a combiner distinct; part
+        # filter and EUROPE supplier attrs broadcast; the per-part
+        # min + join-back resolve on the qualifying-pair table. The
+        # min-equality compares raw column doubles (no arithmetic),
+        # so fp association cannot split it
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        reg = pq.read_table(os.path.join(sf_dir, "region.parquet")).to_pandas()
+        rk = int(reg[reg["r_name"] == "EUROPE"]["r_regionkey"].iloc[0])
+        eur = nat[nat["n_regionkey"] == rk]
+        nname = dict(zip(eur["n_nationkey"].astype(int), eur["n_name"]))
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"),
+            columns=["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        ).to_pandas()
+        sup = sup[sup["s_nationkey"].isin(list(nname))]
+        sk = np.sort(sup["s_suppkey"].to_numpy(np.int64))
+        srec = sup.set_index("s_suppkey").loc[sk]
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_name", "p_size", "p_type"],
+        )
+        pm = pc.and_(pc.less_equal(pt["p_size"], 5), pc.equal(pt["p_type"], "LARGE"))
+        psel = pt.filter(pm)
+        pk = psel["p_partkey"].to_numpy()
+        pidx = np.argsort(pk)
+        pk = pk[pidx]
+        pname = psel["p_name"].to_numpy(zero_copy_only=False)[pidx]
+        import ray as _ray
+
+        bref = _ray.put((pk, sk))
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            pkk, skk = _ray.get(bref)
+            p = t["l_partkey"].to_numpy()
+            s = t["l_suppkey"].to_numpy()
+            pp = np.clip(np.searchsorted(pkk, p), 0, max(pkk.size - 1, 0))
+            sp = np.clip(np.searchsorted(skk, s), 0, max(skk.size - 1, 0))
+            m = ((pkk[pp] == p) if pkk.size else np.zeros(len(p), bool)) & (
+                (skk[sp] == s) if skk.size else False
+            )
+            return pa.table({
+                "p_partkey": pa.array(p[m]), "s_suppkey": pa.array(s[m])
+            })
+
+        pairs = rel.distinct(
+            li.map_batches(_pairs, batch_format="pyarrow"),
+            ["p_partkey", "s_suppkey"],
+        )
+        bal = dict(zip(sk.tolist(), srec["s_acctbal"].to_numpy()))
+        balref = _ray.put(bal)
+
+        def _bal(t: pa.Table) -> pa.Table:
+            b = _ray.get(balref)
+            s = t["s_suppkey"].to_numpy()
+            return t.append_column(
+                "s_acctbal", pa.array([b[int(x)] for x in s], pa.float64())
+            )
+
+        withbal = pairs.map_batches(_bal, batch_format="pyarrow")
+        mins = rel.grouped_aggregate(
+            withbal, ["p_partkey"], {"min_bal": ("min", "s_acctbal")}
+        ).to_pandas()
+        cand = withbal.to_pandas().merge(mins, on="p_partkey")
+        cand = cand[cand["s_acctbal"] == cand["min_bal"]]
+        cand["s_name"] = srec["s_name"].loc[cand["s_suppkey"]].to_numpy()
+        cand["n_name"] = [
+            nname[int(srec["s_nationkey"].loc[s])] for s in cand["s_suppkey"]
+        ]
+        pmap = dict(zip(pk.tolist(), pname))
+        cand["p_name"] = cand["p_partkey"].map(pmap)
+        out = cand.sort_values(
+            ["s_acctbal", "n_name", "s_name", "p_partkey"],
+            ascending=[False, True, True, True], kind="mergesort",
+        ).head(100).reset_index(drop=True)
+        return out[["s_acctbal", "s_name", "n_name", "p_partkey", "p_name"]]
+
+    def pipe_tpch_q11(sf_dir):
+        # TPC-H Q11 (important stock, adapted: stock value proxies as
+        # shipped quantity x p_retailprice from one nation's
+        # suppliers). Supplier set + part prices broadcast; per-part
+        # values are ONE combiner exchange; the global threshold is a
+        # scalar fold of the group table. Both sides of the > compare
+        # round to 4dp so summation order can't flip the boundary
+        nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
+        nk = int(nat[nat["n_name"] == "NATION_3"]["n_nationkey"].iloc[0])
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        sk = np.sort(sup[sup["s_nationkey"] == nk]["s_suppkey"].to_numpy(np.int64))
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_retailprice"]
+        )
+        pk = pt["p_partkey"].to_numpy()
+        pidx = np.argsort(pk)
+        pk, prp = pk[pidx], pt["p_retailprice"].to_numpy()[pidx]
+        import ray as _ray
+
+        bref = _ray.put((sk, pk, prp))
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity"])
+
+        def _val(t: pa.Table) -> pa.Table:
+            skk, pkk, rp = _ray.get(bref)
+            s = t["l_suppkey"].to_numpy()
+            sp = np.clip(np.searchsorted(skk, s), 0, max(skk.size - 1, 0))
+            m = (skk[sp] == s) if skk.size else np.zeros(len(s), bool)
+            p = t["l_partkey"].to_numpy()[m]
+            pp = np.searchsorted(pkk, p)
+            return pa.table({
+                "l_partkey": pa.array(p),
+                "v": pa.array(t["l_quantity"].to_numpy()[m] * rp[pp]),
+            })
+
+        v = rel.grouped_aggregate(
+            li.map_batches(_val, batch_format="pyarrow"),
+            ["l_partkey"], {"value": ("sum", "v")},
+        ).to_pandas()
+        thr = round_half_up(np.array([v["value"].sum() * 0.001]))[0]
+        v["value"] = round_half_up(v["value"].to_numpy())
+        out = (
+            v[v["value"] > thr]
+            .sort_values(["value", "l_partkey"], ascending=[False, True], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return out[["l_partkey", "value"]]
+
+    def pipe_tpch_q16(sf_dir):
+        # TPC-H Q16 (part/supplier relationship counts, adapted: the
+        # supplies relation is lineitem's distinct pairs; no supplier
+        # complaint filter on this schema). Qualifying part attrs
+        # broadcast; pairs reduce map-side; the count-distinct is the
+        # SECOND distinct exchange keyed by (brand, type, size, supp)
+        sizes = [1, 4, 9, 14, 19, 23, 36, 45]
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_type", "p_size"],
+        )
+        m = pc.and_(
+            pc.and_(
+                pc.not_equal(pt["p_brand"], "Brand#15"),
+                pc.not_equal(pt["p_type"], "PROMO"),
+            ),
+            pc.is_in(pt["p_size"], value_set=pa.array(sizes, pa.int32())),
+        )
+        psel = pt.filter(m)
+        pk = psel["p_partkey"].to_numpy()
+        pidx = np.argsort(pk)
+        pk = pk[pidx]
+        battrs = (
+            psel.select(["p_brand", "p_type", "p_size"]).to_pandas().iloc[pidx]
+        )
+        import ray as _ray
+
+        bref = _ray.put((
+            pk,
+            battrs["p_brand"].to_numpy(),
+            battrs["p_type"].to_numpy(),
+            battrs["p_size"].to_numpy().astype(np.int64),
+        ))
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+
+        def _enrich(t: pa.Table) -> pa.Table:
+            pkk, br, ty, sz = _ray.get(bref)
+            p = t["l_partkey"].to_numpy()
+            pp = np.clip(np.searchsorted(pkk, p), 0, max(pkk.size - 1, 0))
+            mm = (pkk[pp] == p) if pkk.size else np.zeros(len(p), bool)
+            i = pp[mm]
+            return pa.table({
+                "p_brand": pa.array(br[i]), "p_type": pa.array(ty[i]),
+                "p_size": pa.array(sz[i]),
+                "l_suppkey": pa.array(t["l_suppkey"].to_numpy()[mm]),
+            })
+
+        quads = rel.distinct(
+            li.map_batches(_enrich, batch_format="pyarrow"),
+            ["p_brand", "p_type", "p_size", "l_suppkey"],
+        )
+        out = (
+            rel.grouped_aggregate(
+                quads, ["p_brand", "p_type", "p_size"],
+                {"supplier_cnt": ("count", "l_suppkey")},
+            )
+            .to_pandas()
+            .sort_values(
+                ["supplier_cnt", "p_brand", "p_type", "p_size"],
+                ascending=[False, True, True, True], kind="mergesort",
+            )
+            .reset_index(drop=True)
+        )
+        out["p_size"] = out["p_size"].astype("int64")
+        out["supplier_cnt"] = out["supplier_cnt"].astype("int64")
+        return out
+
+    def pipe_tpch_q19(sf_dir):
+        # TPC-H Q19 (discounted revenue, disjunctive predicates,
+        # adapted to brand/size/quantity — no container column). The
+        # three brand rules broadcast as per-partkey quantity bounds;
+        # the whole disjunction evaluates in one masked partial pass
+        rules = [
+            ("Brand#12", 1, 5, 1.0, 11.0),
+            ("Brand#23", 1, 10, 10.0, 20.0),
+            ("Brand#4", 1, 15, 20.0, 30.0),
+        ]
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"),
+            columns=["p_partkey", "p_brand", "p_size"],
+        )
+        pks, qlos, qhis = [], [], []
+        for brand, slo, shi, qlo, qhi in rules:
+            sel = pt.filter(
+                pc.and_(
+                    pc.equal(pt["p_brand"], brand),
+                    pc.and_(
+                        pc.greater_equal(pt["p_size"], slo),
+                        pc.less_equal(pt["p_size"], shi),
+                    ),
+                )
+            )
+            k = sel["p_partkey"].to_numpy()
+            pks.append(k)
+            qlos.append(np.full(k.size, qlo))
+            qhis.append(np.full(k.size, qhi))
+        pk = np.concatenate(pks)
+        qlo_a, qhi_a = np.concatenate(qlos), np.concatenate(qhis)
+        pidx = np.argsort(pk)
+        pk, qlo_a, qhi_a = pk[pidx], qlo_a[pidx], qhi_a[pidx]
+        import ray as _ray
+
+        bref = _ray.put((pk, qlo_a, qhi_a))
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+        def _rev(t: pa.Table) -> pa.Table:
+            pkk, lo_a, hi_a = _ray.get(bref)
+            p = t["l_partkey"].to_numpy()
+            q = t["l_quantity"].to_numpy()
+            pp = np.clip(np.searchsorted(pkk, p), 0, max(pkk.size - 1, 0))
+            m = (
+                ((pkk[pp] == p) if pkk.size else np.zeros(len(p), bool))
+                & (q >= lo_a[pp]) & (q <= hi_a[pp])
+            )
+            rev = t["l_extendedprice"].to_numpy()[m] * (
+                1.0 - t["l_discount"].to_numpy()[m]
+            )
+            return pa.table({"s": pa.array([float(rev.sum())])})
+
+        from ray.data.aggregate import Sum
+
+        tot = li.map_batches(_rev, batch_format="pyarrow").aggregate(
+            Sum("s", alias_name="s")
+        )
+        return pd.DataFrame({"revenue": [float(round_half_up(float(tot["s"] or 0.0)))]})
+
+    def pipe_tpch_q20(sf_dir):
+        # TPC-H Q20 (excess-stock suppliers, adapted: the availqty
+        # gate becomes total 1996 shipped quantity of 'blue%' parts
+        # > 100 — quantity sums of integer-valued doubles are
+        # fp-exact so the HAVING gate can't waver). Part set
+        # broadcast; per-supplier sums are one bounded combiner
+        # exchange; names resolve as point reads on the survivors
+        pt = pq.read_table(
+            os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"]
+        )
+        pk = np.sort(
+            pt.filter(pc.starts_with(pt["p_name"], "blue"))["p_partkey"].to_numpy()
+        )
+        import ray as _ray
+
+        pref = _ray.put(pk)
+        lo, hi = np.datetime64("1996-01-01"), np.datetime64("1997-01-01")
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"])
+
+        def _f(t: pa.Table) -> pa.Table:
+            pkk = _ray.get(pref)
+            d = t["l_shipdate"].to_numpy()
+            p = t["l_partkey"].to_numpy()
+            pp = np.clip(np.searchsorted(pkk, p), 0, max(pkk.size - 1, 0))
+            m = (
+                (d >= lo) & (d < hi)
+                & ((pkk[pp] == p) if pkk.size else np.zeros(len(p), bool))
+            )
+            return pa.table({
+                "l_suppkey": pa.array(t["l_suppkey"].to_numpy()[m]),
+                "l_quantity": pa.array(t["l_quantity"].to_numpy()[m]),
+            })
+
+        agg = rel.grouped_aggregate(
+            li.map_batches(_f, batch_format="pyarrow"),
+            ["l_suppkey"], {"qty": ("sum", "l_quantity")},
+        ).to_pandas()
+        agg = agg[agg["qty"] > 100.0]
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        out = (
+            agg.rename(columns={"l_suppkey": "s_suppkey"})
+            .merge(sup, on="s_suppkey")
+            .sort_values("s_name", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["qty"] = out["qty"].astype("int64")
+        return out[["s_name", "qty"]]
+
+    def pipe_tpch_q21(sf_dir):
+        # TPC-H Q21 (suppliers who kept orders waiting, adapted: with
+        # no commit/receipt dates, "waiting" means a finished-status
+        # order with >=2 suppliers where EXACTLY ONE supplier has a
+        # returned line — the exists/not-exists pair compiles to
+        # per-order distinct-supplier stats). Pairs reduce by
+        # (orderkey, suppkey) max-flag combiner; order stats fold on
+        # the pair table; blame counts on the tiny survivor set
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+        def _fo(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["o_orderstatus"], "F")).select(["o_orderkey"])
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_returnflag"])
+
+        def _flag(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "r": pa.array(
+                    pc.equal(t["l_returnflag"], "R").to_numpy(zero_copy_only=False)
+                    .astype(np.int64)
+                ),
+            })
+
+        j = rel.hash_join(
+            li.map_batches(_flag, batch_format="pyarrow"),
+            orders.map_batches(_fo, batch_format="pyarrow"),
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+        pair = rel.grouped_aggregate(
+            j, ["l_orderkey", "l_suppkey"], {"r": ("max", "r")}
+        )
+
+        def _enc(t: pa.Table) -> pa.Table:
+            r = t["r"].to_numpy()
+            s = t["l_suppkey"].to_numpy()
+            BIG = np.int64(2**62)
+            return pa.table({
+                "l_orderkey": t["l_orderkey"],
+                "one": pa.array(np.ones(len(t), np.int64)),
+                "r": t["r"],
+                "rs": pa.array(np.where(r == 1, s, BIG)),
+            })
+
+        stats = rel.grouped_aggregate(
+            pair.map_batches(_enc, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"ns": ("sum", "one"), "nr": ("sum", "r"), "rs": ("min", "rs")},
+        )
+
+        def _gate(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(t["ns"], 2), pc.equal(t["nr"], 1))
+            return t.filter(m).select(["rs"])
+
+        blame = (
+            rel.grouped_aggregate(
+                stats.map_batches(_gate, batch_format="pyarrow"),
+                ["rs"], {"numwait": ("count", "rs")},
+            ).to_pandas()
+        )
+        sup = pq.read_table(
+            os.path.join(sf_dir, "supplier.parquet"), columns=["s_suppkey", "s_name"]
+        ).to_pandas()
+        out = (
+            blame.rename(columns={"rs": "s_suppkey"})
+            .merge(sup, on="s_suppkey")
+            .groupby("s_name", as_index=False)["numwait"].sum()
+            .sort_values(["numwait", "s_name"], ascending=[False, True], kind="mergesort")
+            .head(100)
+            .reset_index(drop=True)
+        )
+        out["numwait"] = out["numwait"].astype("int64")
+        return out[["s_name", "numwait"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -5535,14 +5919,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r66_join_auto": r66_join_auto,
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
+        "pipe_tpch_q2": pipe_tpch_q2,
         "pipe_tpch_q7": pipe_tpch_q7,
         "pipe_tpch_q8": pipe_tpch_q8,
         "pipe_tpch_q9": pipe_tpch_q9,
         "pipe_tpch_q12": pipe_tpch_q12,
+        "pipe_tpch_q11": pipe_tpch_q11,
         "pipe_tpch_q13": pipe_tpch_q13,
         "pipe_tpch_q15": pipe_tpch_q15,
+        "pipe_tpch_q16": pipe_tpch_q16,
         "pipe_tpch_q17": pipe_tpch_q17,
         "pipe_tpch_q18": pipe_tpch_q18,
+        "pipe_tpch_q19": pipe_tpch_q19,
+        "pipe_tpch_q20": pipe_tpch_q20,
+        "pipe_tpch_q21": pipe_tpch_q21,
         "pipe_tpch_q22": pipe_tpch_q22,
     }
 
@@ -8511,6 +8901,71 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "pipe_tpch_q2": (
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "SELECT s_acctbal, s_name, n_name, p_partkey, p_name "
+            "FROM part, supplier, nation, region, ps "
+            "WHERE p_partkey = ps.l_partkey AND s_suppkey = ps.l_suppkey "
+            "AND p_size <= 5 AND p_type = 'LARGE' "
+            "AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey "
+            "AND r_name = 'EUROPE' "
+            "AND s_acctbal = (SELECT min(s_acctbal) "
+            "FROM supplier s2, nation n2, region r2, ps ps2 "
+            "WHERE p_partkey = ps2.l_partkey AND s2.s_suppkey = ps2.l_suppkey "
+            "AND s2.s_nationkey = n2.n_nationkey AND n2.n_regionkey = r2.r_regionkey "
+            "AND r2.r_name = 'EUROPE') "
+            "ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100"
+        ),
+        "pipe_tpch_q11": (
+            "WITH v AS (SELECT l_partkey, sum(l_quantity * p_retailprice) AS value "
+            "FROM lineitem, part, supplier, nation "
+            "WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey "
+            "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' "
+            "GROUP BY l_partkey) "
+            "SELECT l_partkey, round(value, 4) AS value FROM v "
+            "WHERE round(value, 4) > (SELECT round(sum(value) * 0.001, 4) FROM v) "
+            "ORDER BY round(value, 4) DESC, l_partkey"
+        ),
+        "pipe_tpch_q16": (
+            "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
+            "SELECT p_brand, p_type, CAST(p_size AS BIGINT) AS p_size, "
+            "CAST(count(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt "
+            "FROM ps, part WHERE p_partkey = ps.l_partkey "
+            "AND p_brand <> 'Brand#15' AND p_type <> 'PROMO' "
+            "AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45) "
+            "GROUP BY p_brand, p_type, p_size "
+            "ORDER BY supplier_cnt DESC, p_brand, p_type, p_size"
+        ),
+        "pipe_tpch_q19": (
+            "SELECT round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue "
+            "FROM lineitem, part WHERE p_partkey = l_partkey AND ("
+            "(p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5 "
+            "AND l_quantity BETWEEN 1 AND 11) "
+            "OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 "
+            "AND l_quantity BETWEEN 10 AND 20) "
+            "OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15 "
+            "AND l_quantity BETWEEN 20 AND 30))"
+        ),
+        "pipe_tpch_q20": (
+            "SELECT s_name, CAST(q.qty AS BIGINT) AS qty FROM supplier JOIN "
+            "(SELECT l_suppkey, sum(l_quantity) AS qty FROM lineitem, part "
+            "WHERE p_partkey = l_partkey AND p_name LIKE 'blue%' "
+            "AND l_shipdate >= TIMESTAMP '1996-01-01' "
+            "AND l_shipdate < TIMESTAMP '1997-01-01' "
+            "GROUP BY l_suppkey HAVING sum(l_quantity) > 100) q "
+            "ON s_suppkey = q.l_suppkey ORDER BY s_name"
+        ),
+        "pipe_tpch_q21": (
+            "WITH l AS (SELECT l_orderkey, l_suppkey, l_returnflag FROM lineitem "
+            "JOIN orders ON o_orderkey = l_orderkey WHERE o_orderstatus = 'F'), "
+            "g AS (SELECT l_orderkey, count(DISTINCT l_suppkey) AS ns, "
+            "count(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R') AS nr, "
+            "min(l_suppkey) FILTER (WHERE l_returnflag = 'R') AS rs "
+            "FROM l GROUP BY l_orderkey) "
+            "SELECT s_name, CAST(count(*) AS BIGINT) AS numwait "
+            "FROM g JOIN supplier ON s_suppkey = rs WHERE ns >= 2 AND nr = 1 "
+            "GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 100"
         ),
         "pipe_tpch_q7": (
             "SELECT supp_nation, cust_nation, l_year, round(sum(volume), 4) AS revenue "
