@@ -5679,6 +5679,227 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["numwait"] = out["numwait"].astype("int64")
         return out[["s_name", "numwait"]]
 
+    def s82_dis_max(sf_dir):
+        # ES dis_max with tie_breaker=0.3 over {match text:'vector',
+        # term source:'src3'}: score = best + 0.3 * other (for two
+        # sub-queries: max + tb * (sum - max)), vs most_fields' plain
+        # sum (s77). Same streaming shape: one-row per-field moment
+        # partials, broadcast stats, vectorized scoring, bounded topk
+        TB = 0.3
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def _tfs(t: pa.Table):
+            from search_engine_ray.ops.text import _flat_tokens
+
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            dl = np.bincount(parents, minlength=n).astype(np.float64)
+            tf_t = np.bincount(parents[toks == "vector"], minlength=n).astype(
+                np.float64
+            )
+            tf_s = (
+                t["source"].to_numpy(zero_copy_only=False) == "src3"
+            ).astype(np.float64)
+            return tf_t, tf_s, dl, n
+
+        def _moments(t: pa.Table) -> pa.Table:
+            tf_t, tf_s, dl, n = _tfs(t)
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([float(dl.sum())]),
+                "dft": pa.array([int((tf_t > 0).sum())], pa.int64()),
+                "dfs": pa.array([int((tf_s > 0).sum())], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        st = docs.map_batches(_moments, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl"),
+            Sum("dft", alias_name="dft"), Sum("dfs", alias_name="dfs"),
+        )
+        n_docs = float(st["n"])
+        avgdl = st["sum_dl"] / n_docs
+
+        def _idf(df):
+            return math.log(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+
+        idf_t, idf_s = _idf(st["dft"]), _idf(st["dfs"])
+
+        def _score(t: pa.Table) -> pa.Table:
+            tf_t, tf_s, dl, n = _tfs(t)
+            denom = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+            sc_t = np.where(tf_t > 0, idf_t * tf_t * 2.2 / (tf_t + denom), 0.0)
+            sc_s = np.where(tf_s > 0, idf_s * tf_s * 2.2 / (tf_s + 1.2), 0.0)
+            hit = (tf_t > 0) | (tf_s > 0)
+            both = np.maximum(sc_t, sc_s) + TB * np.minimum(sc_t, sc_s)
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "raw": pa.array(both[hit]),
+            })
+
+        top = rel.topk(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            ["raw", "doc_id"], 10, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "score": round_half_up(top["raw"].to_numpy()),
+        })
+
+    def s83_script_score(sf_dir):
+        # ES script_score: _score * (1 + ln(1 + n_chars/1000)) — the
+        # script re-weights EVERY match, so the page cannot come from
+        # a plain BM25 top-k; same two-pass streaming skeleton with
+        # the doc-field factor applied in the scoring pass
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def _tf(t: pa.Table):
+            from search_engine_ray.ops.text import _flat_tokens
+
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            dl = np.bincount(parents, minlength=n).astype(np.float64)
+            tf = np.bincount(parents[toks == "hash"], minlength=n).astype(np.float64)
+            return tf, dl, n
+
+        def _moments(t: pa.Table) -> pa.Table:
+            tf, dl, n = _tf(t)
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([float(dl.sum())]),
+                "df": pa.array([int((tf > 0).sum())], pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        st = docs.map_batches(_moments, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl"),
+            Sum("df", alias_name="df"),
+        )
+        n_docs = float(st["n"])
+        avgdl = st["sum_dl"] / n_docs
+        idf = math.log(1.0 + (n_docs - st["df"] + 0.5) / (st["df"] + 0.5))
+
+        def _score(t: pa.Table) -> pa.Table:
+            tf, dl, n = _tf(t)
+            denom = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+            bm25 = idf * tf * 2.2 / (tf + denom)
+            factor = 1.0 + np.log(1.0 + t["n_chars"].to_numpy() / 1000.0)
+            hit = tf > 0
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "raw": pa.array((bm25 * factor)[hit]),
+            })
+
+        top = rel.topk(
+            docs.map_batches(_score, batch_format="pyarrow"),
+            ["raw", "doc_id"], 10, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "score": round_half_up(top["raw"].to_numpy()),
+        })
+
+    def s84_more_like_this(sf_dir):
+        # ES more_like_this: the 5 highest tf*idf terms of doc 42
+        # become a should-query; the source doc is excluded from the
+        # page (include=false). Pass 1 streams the corpus once for
+        # candidate dfs + moments (candidates bounded by ONE doc's
+        # vocabulary, broadcast as a sorted array); term selection
+        # orders by 6dp-rounded tf*idf with a term tiebreak; pass 2
+        # scores the expanded should via the indexed engine's full
+        # match set and pages on the 4dp-rounded score
+        from search_engine_ray.ops.text import _flat_tokens
+
+        DOC, NTERMS, K = 42, 5, 10
+        src = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"],
+            filters=[("doc_id", "=", DOC)],
+        )
+        flat, parents, _n = _flat_tokens(src["text"])
+        toks = flat.to_numpy(zero_copy_only=False)
+        cand, tf_src = np.unique(toks, return_counts=True)
+        import ray as _ray
+
+        cref = _ray.put(cand)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _dfs(t: pa.Table) -> pa.Table:
+            cc = _ray.get(cref)
+            f, par, n = _flat_tokens(t["text"])
+            tk = f.to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(cc, tk), 0, max(cc.size - 1, 0))
+            m = cc[pos] == tk
+            # distinct (doc, candidate) pairs -> df partials
+            key = par[m].astype(np.int64) * cc.size + pos[m]
+            uk = np.unique(key)
+            dfp = np.bincount((uk % cc.size).astype(np.int64), minlength=cc.size)
+            dl = np.bincount(par, minlength=n)
+            out = {"n": pa.array([n], pa.int64()),
+                   "sum_dl": pa.array([float(dl.sum())])}
+            out["df"] = pa.array([dfp.astype(np.int64)], pa.list_(pa.int64()))
+            return pa.table(out)
+
+        parts = docs.map_batches(_dfs, batch_format="pyarrow").to_pandas()
+        n_docs = float(parts["n"].sum())
+        dfs = np.sum(np.stack(parts["df"].to_numpy()), axis=0).astype(np.float64)
+        idf = np.log(1.0 + (n_docs - dfs + 0.5) / (dfs + 0.5))
+        sel_key = round_half_up(tf_src * idf, 6)
+        order = np.lexsort((cand, -sel_key))[:NTERMS]
+        terms = [str(x) for x in cand[order]]
+        eng = _doc_engine(sf_dir)
+        q = Compound(should=tuple(Term("text", t) for t in terms), min_should_match=1)
+        df = eng.search_all(q).to_pandas()
+        df = df[df["doc_id"] != DOC].copy()
+        df["score"] = round_half_up(df["score"].to_numpy())
+        df = df.sort_values(
+            ["score", "doc_id"], ascending=[False, True], kind="mergesort"
+        )
+        return df.head(K)[["doc_id", "score"]].reset_index(drop=True)
+
+    def r67_geotile_grid(sf_dir):
+        # ES geotile_grid aggregation at zoom 4 over the derived
+        # deterministic customer coordinates (r59's md5 scheme):
+        # web-mercator tile keys "z/x/y" count map-side per batch,
+        # one tiny combiner exchange, top-10 buckets
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        Z = 4
+        N = 1 << Z
+        LAT_MAX = 85.05112878
+        cust = _read(sf_dir, "customer", ["c_custkey"])
+
+        def _tiles(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            two64 = 18446744073709551616.0
+            lat = (_md5_upper64([str(k) for k in keys]).astype(np.float64) / two64) * 180.0 - 90.0
+            lon = (_md5_upper64([f"{k}:lon" for k in keys]).astype(np.float64) / two64) * 360.0 - 180.0
+            lat = np.clip(lat, -LAT_MAX, LAT_MAX)
+            latr = np.radians(lat)
+            x = np.clip(np.floor((lon + 180.0) / 360.0 * N), 0, N - 1).astype(np.int64)
+            y = np.clip(
+                np.floor(
+                    (1.0 - np.log(np.tan(latr) + 1.0 / np.cos(latr)) / np.pi) / 2.0 * N
+                ),
+                0, N - 1,
+            ).astype(np.int64)
+            df = pd.DataFrame({"key": [f"{Z}/{a}/{b}" for a, b in zip(x, y)]})
+            g = df.groupby("key", as_index=False).size().rename(columns={"size": "cnt"})
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                cust.map_batches(_tiles, batch_format="pyarrow"),
+                ["key"], {"doc_count": ("sum", "cnt")},
+            )
+            .to_pandas()
+            .sort_values(["doc_count", "key"], ascending=[False, True], kind="mergesort")
+            .head(10)
+            .reset_index(drop=True)
+        )
+        out["doc_count"] = out["doc_count"].astype("int64")
+        return out[["key", "doc_count"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -5919,6 +6140,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r66_join_auto": r66_join_auto,
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
+        "s82_dis_max": s82_dis_max,
+        "s83_script_score": s83_script_score,
+        "s84_more_like_this": s84_more_like_this,
+        "r67_geotile_grid": r67_geotile_grid,
         "pipe_tpch_q2": pipe_tpch_q2,
         "pipe_tpch_q7": pipe_tpch_q7,
         "pipe_tpch_q8": pipe_tpch_q8,
@@ -8901,6 +9126,76 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "s82_dis_max": (
+            # dis_max tie_breaker=0.3: greatest + 0.3 * least of the
+            # two per-field BM25 sub-scores (field norms as s77)
+            "WITH tok AS (SELECT doc_id, source, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "d AS (SELECT doc_id, len(ts) * 1.0 AS dl, "
+            "len(list_filter(ts, t -> t = 'vector')) * 1.0 AS tt0, "
+            "CASE WHEN source = 'src3' THEN 1.0 ELSE 0.0 END AS sv0 FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len, "
+            "count(*) FILTER (WHERE tt0 > 0) AS dft0, "
+            "count(*) FILTER (WHERE sv0 > 0) AS dfs0 FROM d), "
+            "sc AS (SELECT d.doc_id, "
+            "(CASE WHEN tt0 > 0 THEN ln(1 + (s.n - s.dft0 + 0.5) / (s.dft0 + 0.5)) "
+            "* tt0 * 2.2 / (tt0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END) AS st, "
+            "(CASE WHEN sv0 > 0 THEN ln(1 + (s.n - s.dfs0 + 0.5) / (s.dfs0 + 0.5)) "
+            "* sv0 * 2.2 / (sv0 + 1.2) ELSE 0 END) AS ss "
+            "FROM d, s WHERE tt0 > 0 OR sv0 > 0) "
+            "SELECT doc_id, round(greatest(st, ss) + 0.3 * least(st, ss), 4) AS score "
+            "FROM sc ORDER BY (greatest(st, ss) + 0.3 * least(st, ss)) DESC, doc_id "
+            "LIMIT 10"
+        ),
+        "s83_script_score": (
+            # script_score: bm25 * (1 + ln(1 + n_chars/1000))
+            "WITH tok AS (SELECT doc_id, n_chars, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "d AS (SELECT doc_id, n_chars, len(ts) * 1.0 AS dl, "
+            "len(list_filter(ts, t -> t = 'hash')) * 1.0 AS tf0 FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len, "
+            "count(*) FILTER (WHERE tf0 > 0) AS df0 FROM d), "
+            "sc AS (SELECT d.doc_id, "
+            "(ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+            "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) "
+            "* (1 + ln(1 + d.n_chars / 1000.0)) AS raw "
+            "FROM d, s WHERE tf0 > 0) "
+            "SELECT doc_id, round(raw, 4) AS score FROM sc "
+            "ORDER BY raw DESC, doc_id LIMIT 10"
+        ),
+        "s84_more_like_this": (
+            # MLT: top-5 tf*idf terms of doc 42 -> should query,
+            # source doc excluded; selection ties break on the term,
+            # the page on the 4dp-rounded score
+            "WITH tok AS (SELECT doc_id, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "ex AS (SELECT doc_id, unnest(ts) AS tok FROM tok), "
+            "d AS (SELECT doc_id, len(ts) * 1.0 AS dl FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d), "
+            "src AS (SELECT tok, count(*) * 1.0 AS tf FROM ex WHERE doc_id = 42 GROUP BY tok), "
+            "cdf AS (SELECT tok, count(DISTINCT doc_id) * 1.0 AS df FROM ex "
+            "WHERE tok IN (SELECT tok FROM src) GROUP BY tok), "
+            "sel AS (SELECT src.tok, cdf.df FROM src JOIN cdf ON src.tok = cdf.tok, s "
+            "ORDER BY round(src.tf * ln(1 + (s.n - cdf.df + 0.5) / (cdf.df + 0.5)), 6) DESC, src.tok "
+            "LIMIT 5), "
+            "tfs AS (SELECT ex.doc_id, ex.tok, count(*) * 1.0 AS tf FROM ex "
+            "JOIN sel ON ex.tok = sel.tok GROUP BY ex.doc_id, ex.tok), "
+            "sc AS (SELECT tfs.doc_id, sum(ln(1 + (s.n - sel.df + 0.5) / (sel.df + 0.5)) "
+            "* tfs.tf * 2.2 / (tfs.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) AS raw "
+            "FROM tfs JOIN sel ON tfs.tok = sel.tok JOIN d ON d.doc_id = tfs.doc_id, s "
+            "GROUP BY tfs.doc_id) "
+            "SELECT doc_id, round(raw, 4) AS score FROM sc WHERE doc_id <> 42 "
+            "ORDER BY round(raw, 4) DESC, doc_id LIMIT 10"
+        ),
+        "r67_geotile_grid": (
+            "WITH pt AS (SELECT "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR)) / 18446744073709551616.0) "
+            "* 180.0 - 90.0 AS lat, "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR) || ':lon') / 18446744073709551616.0) "
+            "* 360.0 - 180.0 AS lon FROM customer), "
+            "cl AS (SELECT greatest(least(lat, 85.05112878), -85.05112878) AS lat, lon FROM pt), "
+            "xy AS (SELECT CAST(least(greatest(floor((lon + 180.0) / 360.0 * 16), 0), 15) AS BIGINT) AS x, "
+            "CAST(least(greatest(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi()) / 2.0 * 16), 0), 15) AS BIGINT) AS y FROM cl) "
+            "SELECT '4/' || x || '/' || y AS key, CAST(count(*) AS BIGINT) AS doc_count "
+            "FROM xy GROUP BY 1 ORDER BY doc_count DESC, key LIMIT 10"
         ),
         "pipe_tpch_q2": (
             "WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) "
