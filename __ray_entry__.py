@@ -5900,6 +5900,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["doc_count"] = out["doc_count"].astype("int64")
         return out[["key", "doc_count"]]
 
+    def t_dsir_sample(sf_dir):
+        # DSIR importance resampling (Xie et al. 2023, "Data
+        # Selection for Language Models via Importance Resampling"),
+        # hashed-unigram variant: tokens hash into 64 buckets; the
+        # target (lang=en, source=src1) and raw bucket distributions
+        # are TWO 64-long combiner partials from one corpus pass;
+        # per-doc log importance weight sums ln(p/q) over tokens
+        # (add-1 smoothed), and the without-replacement draw is the
+        # Gumbel top-k trick with a deterministic md5 Gumbel so the
+        # draw replays bit-identically in SQL
+        from search_engine_ray.ops.sketch import _md5_upper64
+        from search_engine_ray.ops.text import _flat_tokens
+
+        B, K = 64, 50
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang", "source"])
+
+        def _counts(t: pa.Table) -> pa.Table:
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            bkt = (_md5_upper64([str(x) for x in toks]) % B).astype(np.int64)
+            raw = np.bincount(bkt, minlength=B)
+            is_t = (
+                (t["lang"].to_numpy(zero_copy_only=False) == "en")
+                & (t["source"].to_numpy(zero_copy_only=False) == "src1")
+            )
+            tm = is_t[parents]
+            tgt = np.bincount(bkt[tm], minlength=B)
+            return pa.table({
+                "raw": pa.array([raw.astype(np.int64)], pa.list_(pa.int64())),
+                "tgt": pa.array([tgt.astype(np.int64)], pa.list_(pa.int64())),
+            })
+
+        parts = docs.map_batches(_counts, batch_format="pyarrow").to_pandas()
+        raw_c = np.sum(np.stack(parts["raw"].to_numpy()), axis=0).astype(np.float64)
+        tgt_c = np.sum(np.stack(parts["tgt"].to_numpy()), axis=0).astype(np.float64)
+        logr = np.log((tgt_c + 1.0) / (tgt_c.sum() + B)) - np.log(
+            (raw_c + 1.0) / (raw_c.sum() + B)
+        )
+        import ray as _ray
+
+        lref = _ray.put(logr)
+        TWO64P2 = 18446744073709551618.0
+
+        def _weigh(t: pa.Table) -> pa.Table:
+            lr = _ray.get(lref)
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            bkt = (_md5_upper64([str(x) for x in toks]) % B).astype(np.int64)
+            logw = np.bincount(parents, weights=lr[bkt], minlength=n)
+            ids = t["doc_id"].to_numpy()
+            u = (
+                _md5_upper64([f"dsir:{i}" for i in ids]).astype(np.float64) + 1.0
+            ) / TWO64P2
+            g = -np.log(-np.log(u))
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "logw": pa.array(logw),
+                "key": pa.array(round_half_up(logw + g, 6)),
+            })
+
+        top = rel.topk(
+            docs.map_batches(_weigh, batch_format="pyarrow"),
+            ["key", "doc_id"], K, descending=[True, False],
+        ).to_pandas().reset_index(drop=True)
+        return pd.DataFrame({
+            "doc_id": top["doc_id"],
+            "logw": round_half_up(top["logw"].to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6140,6 +6209,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r66_join_auto": r66_join_auto,
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
+        "t_dsir_sample": t_dsir_sample,
         "s82_dis_max": s82_dis_max,
         "s83_script_score": s83_script_score,
         "s84_more_like_this": s84_more_like_this,
@@ -9126,6 +9196,30 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "t_dsir_sample": (
+            # DSIR hashed-unigram importance resampling: 64 md5
+            # buckets, add-1 smoothed ln(p/q), Gumbel top-50 with a
+            # deterministic md5 Gumbel (same op order as the Ray side)
+            "WITH tok AS (SELECT doc_id, lang, source, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "ex AS (SELECT doc_id, lang, source, "
+            "CAST(md5_number_upper(unnest(ts)) % 64 AS BIGINT) AS bkt FROM tok), "
+            "rawc AS (SELECT bkt, count(*) * 1.0 AS c FROM ex GROUP BY bkt), "
+            "tgtc AS (SELECT bkt, count(*) * 1.0 AS c FROM ex "
+            "WHERE lang = 'en' AND source = 'src1' GROUP BY bkt), "
+            "tots AS (SELECT (SELECT coalesce(sum(c), 0) FROM rawc) AS rt, "
+            "(SELECT coalesce(sum(c), 0) FROM tgtc) AS tt), "
+            "lr AS (SELECT rawc.bkt, "
+            "ln((coalesce(tgtc.c, 0) + 1.0) / (tots.tt + 64)) "
+            "- ln((rawc.c + 1.0) / (tots.rt + 64)) AS w "
+            "FROM rawc LEFT JOIN tgtc ON rawc.bkt = tgtc.bkt, tots), "
+            "dw AS (SELECT ex.doc_id, sum(lr.w) AS logw FROM ex "
+            "JOIN lr ON ex.bkt = lr.bkt GROUP BY ex.doc_id), "
+            "keyed AS (SELECT doc_id, logw, round(logw + "
+            "(-ln(-ln((md5_number_upper('dsir:' || doc_id) + 1.0) / 18446744073709551618.0))), 6) AS key "
+            "FROM dw) "
+            "SELECT doc_id, round(logw, 4) AS logw FROM keyed "
+            "ORDER BY key DESC, doc_id LIMIT 50"
         ),
         "s82_dis_max": (
             # dis_max tie_breaker=0.3: greatest + 0.3 * least of the
