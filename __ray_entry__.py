@@ -5969,6 +5969,150 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "logw": round_half_up(top["logw"].to_numpy()),
         })
 
+    def t_gopher_rules(sf_dir):
+        # Gopher quality rules (Rae et al. 2021 §A1.1), thresholds
+        # adapted to this corpus's token stats: word count in
+        # [15, 90], mean word length in [3.8, 5.2], >=80% of words
+        # alphabetic, >=2 distinct common stopwords. One streaming
+        # pass; every per-doc stat is exact integer arithmetic or a
+        # single int/int division, so the rule gates can't waver
+        from search_engine_ray.ops.text import _flat_tokens
+
+        STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _rules(t: pa.Table) -> pa.Table:
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            n_words = np.bincount(parents, minlength=n).astype(np.int64)
+            lens = np.array([len(x) for x in toks], np.float64)
+            sum_len = np.bincount(parents, weights=lens, minlength=n)
+            alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
+                zero_copy_only=False
+            )
+            n_alpha = np.bincount(parents[alpha], minlength=n).astype(np.float64)
+            nstop = np.zeros(n, np.int64)
+            for sw in STOPS:
+                hitdoc = np.zeros(n, bool)
+                hitdoc[parents[toks == sw]] = True
+                nstop += hitdoc
+            nz = np.maximum(n_words, 1).astype(np.float64)
+            mwl = sum_len / nz
+            aratio = n_alpha / nz
+            f_len = (n_words < 15) | (n_words > 90)
+            f_mwl = (mwl < 3.8) | (mwl > 5.2)
+            f_alpha = aratio < 0.8
+            f_stop = nstop < 2
+            rej = f_len | f_mwl | f_alpha | f_stop
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(rej)),
+                "n_words": pa.array(n_words[rej]),
+                "mwl": pa.array(round_half_up(mwl[rej])),
+                "nstop": pa.array(nstop[rej]),
+                "flag_len": pa.array(f_len[rej].astype(np.int64)),
+                "flag_mwl": pa.array(f_mwl[rej].astype(np.int64)),
+                "flag_alpha": pa.array(f_alpha[rej].astype(np.int64)),
+                "flag_stop": pa.array(f_stop[rej].astype(np.int64)),
+            })
+
+        return (
+            docs.map_batches(_rules, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values("doc_id", kind="mergesort")
+            .reset_index(drop=True)
+        )
+
+    def s85_search_as_you_type(sf_dir):
+        # ES search_as_you_type: the _2gram shingle subfield with a
+        # bool_prefix tail — typed "vector s" scores as a prefix
+        # multi-term rewrite over 2-shingles 'vector_s*', each
+        # expansion with its OWN idf, contributions summed
+        # (s2_range_scan semantics on a derived shingle field).
+        # Pass 1 streams shingle moments, pass 2 the expansion dfs
+        # (bounded by the dictionary behind one prefix), pass 3
+        # scores vectorized with the stats broadcast
+        from search_engine_ray.ops.text import _flat_tokens
+
+        PREFIX = "vector_s"
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _bigrams(t: pa.Table):
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = pd.Series(flat.to_numpy(zero_copy_only=False))
+            same = parents[:-1] == parents[1:] if len(toks) > 1 else np.array([], bool)
+            bg = (toks.iloc[:-1].reset_index(drop=True) + "_"
+                  + toks.iloc[1:].reset_index(drop=True))[same].to_numpy()
+            bpar = parents[:-1][same]
+            return bg, bpar, n
+
+        def _moments(t: pa.Table) -> pa.Table:
+            bg, bpar, n = _bigrams(t)
+            return pa.table({
+                "n": pa.array([n], pa.int64()),
+                "sum_dl": pa.array([float(len(bg))]),
+            })
+
+        from ray.data.aggregate import Sum
+
+        st = docs.map_batches(_moments, batch_format="pyarrow").aggregate(
+            Sum("n", alias_name="n"), Sum("sum_dl", alias_name="sum_dl")
+        )
+        n_docs = float(st["n"])
+        avgdl = st["sum_dl"] / n_docs
+
+        def _dfs(t: pa.Table) -> pa.Table:
+            bg, bpar, n = _bigrams(t)
+            m = np.char.startswith(bg.astype(str), PREFIX)
+            if not m.any():
+                return pa.table({"b": pa.array([], pa.string()),
+                                 "df": pa.array([], pa.int64())})
+            pairs = pd.DataFrame({"b": bg[m], "p": bpar[m]}).drop_duplicates()
+            g = pairs.groupby("b", as_index=False).size()
+            return pa.table({"b": pa.array(g["b"].to_numpy(dtype=object)),
+                             "df": pa.array(g["size"].to_numpy(np.int64))})
+
+        dfs = (
+            rel.grouped_aggregate(
+                docs.map_batches(_dfs, batch_format="pyarrow"), ["b"],
+                {"df": ("sum", "df")},
+            ).to_pandas()
+        )
+        exp = np.sort(dfs["b"].to_numpy(dtype=object).astype(str))
+        idf = np.log(
+            1.0
+            + (n_docs - dfs.set_index("b")["df"].loc[exp].to_numpy() + 0.5)
+            / (dfs.set_index("b")["df"].loc[exp].to_numpy() + 0.5)
+        )
+        import ray as _ray
+
+        eref = _ray.put((exp, idf))
+
+        def _score(t: pa.Table) -> pa.Table:
+            ee, ii = _ray.get(eref)
+            bg, bpar, n = _bigrams(t)
+            dl = np.bincount(bpar, minlength=n).astype(np.float64)
+            denom = 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)
+            score = np.zeros(n, np.float64)
+            hit = np.zeros(n, bool)
+            for e, w in zip(ee, ii):
+                tf = np.bincount(bpar[bg == e], minlength=n).astype(np.float64)
+                m = tf > 0
+                score += np.where(m, w * tf * 2.2 / (tf + denom), 0.0)
+                hit |= m
+            return pa.table({
+                "doc_id": t["doc_id"].filter(pa.array(hit)),
+                "score": pa.array(round_half_up(score[hit])),
+            })
+
+        out = (
+            docs.map_batches(_score, batch_format="pyarrow")
+            .to_pandas()
+            .sort_values(["score", "doc_id"], ascending=[False, True], kind="mergesort")
+            .head(10)
+            .reset_index(drop=True)
+        )
+        return out[["doc_id", "score"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6210,6 +6354,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
         "t_dsir_sample": t_dsir_sample,
+        "t_gopher_rules": t_gopher_rules,
+        "s85_search_as_you_type": s85_search_as_you_type,
         "s82_dis_max": s82_dis_max,
         "s83_script_score": s83_script_score,
         "s84_more_like_this": s84_more_like_this,
@@ -9196,6 +9342,41 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "(CASE WHEN tf1 > 0 THEN ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) "
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
+        ),
+        "t_gopher_rules": (
+            # Gopher rejection rules: the mean-word-length and alpha
+            # gates are single int/int divisions so both sides agree
+            "WITH tok AS (SELECT doc_id, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words, "
+            "CASE WHEN len(ts) > 0 THEN list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) ELSE 0 END AS mwl, "
+            "CASE WHEN len(ts) > 0 THEN len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(ts) ELSE 0 END AS aratio, "
+            "CAST(len(list_intersect(ts, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nstop "
+            "FROM tok) "
+            "SELECT doc_id, n_words, round(mwl, 4) AS mwl, nstop, "
+            "CAST(n_words < 15 OR n_words > 90 AS BIGINT) AS flag_len, "
+            "CAST(mwl < 3.8 OR mwl > 5.2 AS BIGINT) AS flag_mwl, "
+            "CAST(aratio < 0.8 AS BIGINT) AS flag_alpha, "
+            "CAST(nstop < 2 AS BIGINT) AS flag_stop "
+            "FROM d WHERE n_words < 15 OR n_words > 90 OR mwl < 3.8 OR mwl > 5.2 "
+            "OR aratio < 0.8 OR nstop < 2 ORDER BY doc_id"
+        ),
+        "s85_search_as_you_type": (
+            # bool_prefix tail over the _2gram shingle field: prefix
+            # expansions each score with their own idf and sum
+            "WITH tok AS (SELECT doc_id, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "bg AS (SELECT doc_id, [ts[i] || '_' || ts[i+1] for i in range(1, len(ts))] AS bs FROM tok), "
+            "d AS (SELECT doc_id, len(bs) * 1.0 AS dl FROM bg), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len FROM d), "
+            "ex AS (SELECT doc_id, unnest(bs) AS b FROM bg), "
+            "m AS (SELECT doc_id, b, count(*) * 1.0 AS tf FROM ex "
+            "WHERE starts_with(b, 'vector_s') GROUP BY doc_id, b), "
+            "bdf AS (SELECT b, count(*) * 1.0 AS df FROM m GROUP BY b), "
+            "sc AS (SELECT m.doc_id, sum(ln(1 + (s.n - bdf.df + 0.5) / (bdf.df + 0.5)) "
+            "* m.tf * 2.2 / (m.tf + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n)))) AS raw "
+            "FROM m JOIN bdf ON m.b = bdf.b JOIN d ON d.doc_id = m.doc_id, s "
+            "GROUP BY m.doc_id) "
+            "SELECT doc_id, round(raw, 4) AS score FROM sc "
+            "ORDER BY round(raw, 4) DESC, doc_id LIMIT 10"
         ),
         "t_dsir_sample": (
             # DSIR hashed-unigram importance resampling: 64 md5
