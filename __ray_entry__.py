@@ -4987,7 +4987,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # its join, so the two all-to-alls (orders x customer-sub,
         # lineitem-sub x orders-sub) only move qualifying rows; the
         # (supp_nation, cust_nation, year) rollup is a tiny combiner
-        N1, N2 = "NATION_1", "NATION_2"
+        N1, N2 = "NATION_3", "NATION_8"
         nat = pq.read_table(os.path.join(sf_dir, "nation.parquet")).to_pandas()
         nk = dict(zip(nat["n_name"], nat["n_nationkey"]))
         k1, k2 = int(nk[N1]), int(nk[N2])
@@ -9546,8 +9546,8 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey "
             "AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey "
             "AND c_nationkey = n2.n_nationkey "
-            "AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2') "
-            "OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')) "
+            "AND ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_8') "
+            "OR (n1.n_name = 'NATION_8' AND n2.n_name = 'NATION_3')) "
             "AND l_shipdate BETWEEN TIMESTAMP '1996-01-01' "
             "AND TIMESTAMP '1997-12-31 23:59:59.999999') shipping "
             "GROUP BY supp_nation, cust_nation, l_year "

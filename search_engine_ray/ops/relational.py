@@ -40,6 +40,63 @@ from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 Condition = tuple[str, str, Any]  # (column, op, value)
 
+
+# --- empty-partition join fix --------------------------------------
+# Ray 2.49's hash-shuffle join (Dataset.join) crashes when a hash
+# partition receives ZERO rows from one side: the aggregator builds
+# that side as a zero-column table and pyarrow's Acero join fails with
+# "No match or multiple matches for key field". Empty partitions are
+# routine for highly selective inputs (a 20-row side sharded 8 ways).
+# Fix: a StatefulShuffleAggregation subclass whose finalize handles
+# the schema-less sides with the algebraically correct result —
+#   - side-preserving types (left_outer/full_outer/left_anti with the
+#     right side empty, mirrored for right_*) return the surviving
+#     side as-is; the missing side's columns null-fill at Ray's block
+#     unify (the same path empty map_groups schemas take);
+#   - every match-requiring type returns an empty table.
+# JoinOperator is constructed DRIVER-side at planning, so patching its
+# __init__ default routes every Dataset.join through the subclass; the
+# factory lambda pickles the class by reference, and aggregator actors
+# import this module to resolve it (the repo rides the worker
+# sys.path like every map_batches closure already does).
+try:
+    from ray.data._internal.execution.operators.join import (
+        JoinOperator as _RayJoinOperator,
+        JoiningShuffleAggregation as _RayJoiningAgg,
+    )
+
+    class _SafeJoinAgg(_RayJoiningAgg):
+        def finalize(self, partition_id: int):
+            left = self._get_partition_builder(
+                input_seq_id=0, partition_id=partition_id
+            ).build()
+            right = self._get_partition_builder(
+                input_seq_id=1, partition_id=partition_id
+            ).build()
+            if left.num_columns > 0 and right.num_columns > 0:
+                return super().finalize(partition_id)
+            jt = str(getattr(self._join_type, "value", self._join_type))
+            if left.num_columns == 0 and right.num_columns > 0:
+                if jt in ("right_outer", "full_outer", "right_anti"):
+                    return right
+            elif right.num_columns == 0 and left.num_columns > 0:
+                if jt in ("left_outer", "full_outer", "left_anti"):
+                    return left
+            return pa.table({})
+
+    if not getattr(_RayJoinOperator, "_ser_safe_join", False):
+        _orig_join_init = _RayJoinOperator.__init__
+
+        def _join_init(self, *args, **kwargs):
+            if kwargs.get("shuffle_aggregation_type") is None:
+                kwargs["shuffle_aggregation_type"] = _SafeJoinAgg
+            _orig_join_init(self, *args, **kwargs)
+
+        _RayJoinOperator.__init__ = _join_init
+        _RayJoinOperator._ser_safe_join = True
+except ImportError:  # future Ray: layout changed — assume bug fixed
+    pass
+
 _OPS: dict[str, Callable] = {
     "==": pc.equal,
     "!=": pc.not_equal,

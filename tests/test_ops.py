@@ -1861,3 +1861,43 @@ def test_grouped_hll_matches_per_group_single(ray_session):
     for g in ("a", "b", "c"):
         solo = sk.hll_distinct(rd.from_pandas(df[df["g"] == g]), "v", p=6)
         assert out[g] == solo, (g, out[g], solo)
+
+
+def test_hash_join_empty_partitions(ray_session):
+    """Tiny sides shard into empty hash partitions; Ray 2.49's join
+    crashes on the zero-column partition blocks without the _SafeJoinAgg
+    patch (relational.py). Every join type must survive and match
+    pandas semantics."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import search_engine_ray.ops.relational as rel
+
+    left = rd.from_arrow(pa.table({
+        "k": pa.array(np.arange(12, dtype=np.int64)),
+        "a": pa.array(np.arange(12, dtype=np.int64) * 10),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.array([2, 3, 5], dtype=np.int64)),
+        "b": pa.array(np.array([20, 30, 50], dtype=np.int64)),
+    }))
+    inner = rel.hash_join(
+        left, right, on=["k"], right_on=["rk"], num_partitions=8
+    ).to_pandas()
+    assert sorted(inner["k"]) == [2, 3, 5]
+    lo = rel.hash_join(
+        left, right, on=["k"], right_on=["rk"], how="left_outer", num_partitions=8
+    ).to_pandas()
+    assert len(lo) == 12
+    matched = lo[lo["b"].notna()]
+    assert sorted(matched["k"]) == [2, 3, 5]
+    # fully-empty right side: left_outer keeps every left row
+    empty_right = rd.from_arrow(pa.table({
+        "rk": pa.array([], pa.int64()), "b": pa.array([], pa.int64()),
+    }))
+    lo2 = rel.hash_join(
+        left, empty_right, on=["k"], right_on=["rk"], how="left_outer",
+        num_partitions=8,
+    ).to_pandas()
+    assert len(lo2) == 12 and sorted(lo2["k"]) == list(range(12))
