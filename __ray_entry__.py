@@ -5969,59 +5969,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "logw": round_half_up(top["logw"].to_numpy()),
         })
 
-    def t_gopher_rules(sf_dir):
-        # Gopher quality rules (Rae et al. 2021 §A1.1), thresholds
-        # adapted to this corpus's token stats: word count in
-        # [15, 90], mean word length in [3.8, 5.2], >=80% of words
-        # alphabetic, >=2 distinct common stopwords. One streaming
-        # pass; every per-doc stat is exact integer arithmetic or a
-        # single int/int division, so the rule gates can't waver
-        from search_engine_ray.ops.text import _flat_tokens
-
-        STOPS = ["the", "be", "to", "of", "and", "that", "have", "with"]
-        docs = _read(sf_dir, "documents", ["doc_id", "text"])
-
-        def _rules(t: pa.Table) -> pa.Table:
-            flat, parents, n = _flat_tokens(t["text"])
-            toks = flat.to_numpy(zero_copy_only=False)
-            n_words = np.bincount(parents, minlength=n).astype(np.int64)
-            lens = np.array([len(x) for x in toks], np.float64)
-            sum_len = np.bincount(parents, weights=lens, minlength=n)
-            alpha = pc.match_substring_regex(flat, "[a-z]").to_numpy(
-                zero_copy_only=False
-            )
-            n_alpha = np.bincount(parents[alpha], minlength=n).astype(np.float64)
-            nstop = np.zeros(n, np.int64)
-            for sw in STOPS:
-                hitdoc = np.zeros(n, bool)
-                hitdoc[parents[toks == sw]] = True
-                nstop += hitdoc
-            nz = np.maximum(n_words, 1).astype(np.float64)
-            mwl = sum_len / nz
-            aratio = n_alpha / nz
-            f_len = (n_words < 15) | (n_words > 90)
-            f_mwl = (mwl < 3.8) | (mwl > 5.2)
-            f_alpha = aratio < 0.8
-            f_stop = nstop < 2
-            rej = f_len | f_mwl | f_alpha | f_stop
-            return pa.table({
-                "doc_id": t["doc_id"].filter(pa.array(rej)),
-                "n_words": pa.array(n_words[rej]),
-                "mwl": pa.array(round_half_up(mwl[rej])),
-                "nstop": pa.array(nstop[rej]),
-                "flag_len": pa.array(f_len[rej].astype(np.int64)),
-                "flag_mwl": pa.array(f_mwl[rej].astype(np.int64)),
-                "flag_alpha": pa.array(f_alpha[rej].astype(np.int64)),
-                "flag_stop": pa.array(f_stop[rej].astype(np.int64)),
-            })
-
-        return (
-            docs.map_batches(_rules, batch_format="pyarrow")
-            .to_pandas()
-            .sort_values("doc_id", kind="mergesort")
-            .reset_index(drop=True)
-        )
-
     def s85_search_as_you_type(sf_dir):
         # ES search_as_you_type: the _2gram shingle subfield with a
         # bool_prefix tail — typed "vector s" scores as a prefix
@@ -6112,6 +6059,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
         return out[["doc_id", "score"]]
+
+    def r68_geohash_grid(sf_dir):
+        # ES geohash_grid at precision 3 over the derived md5
+        # coordinates: 8 lon bits + 7 lat bits interleave MSB-first
+        # (lon leads) into 15 bits -> three base32 chars; per-batch
+        # tile counts, one tiny combiner exchange, top-10 buckets
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+        cust = _read(sf_dir, "customer", ["c_custkey"])
+
+        def _tiles(t: pa.Table) -> pa.Table:
+            keys = t["c_custkey"].to_numpy(zero_copy_only=False)
+            two64 = 18446744073709551616.0
+            lat = (_md5_upper64([str(k) for k in keys]).astype(np.float64) / two64) * 180.0 - 90.0
+            lon = (_md5_upper64([f"{k}:lon" for k in keys]).astype(np.float64) / two64) * 360.0 - 180.0
+            lon_i = np.minimum(np.floor((lon + 180.0) / 360.0 * 256.0), 255.0).astype(np.int64)
+            lat_i = np.minimum(np.floor((lat + 90.0) / 180.0 * 128.0), 127.0).astype(np.int64)
+            v = np.zeros(len(keys), np.int64)
+            for i in range(8):  # lon bits, MSB first -> even positions
+                v |= ((lon_i >> (7 - i)) & 1) << (14 - 2 * i)
+            for j in range(7):  # lat bits -> odd positions
+                v |= ((lat_i >> (6 - j)) & 1) << (13 - 2 * j)
+            gh = [B32[a >> 10] + B32[(a >> 5) & 31] + B32[a & 31] for a in v]
+            g = pd.DataFrame({"key": gh}).groupby("key", as_index=False).size()
+            return pa.Table.from_pandas(
+                g.rename(columns={"size": "cnt"}), preserve_index=False
+            )
+
+        out = (
+            rel.grouped_aggregate(
+                cust.map_batches(_tiles, batch_format="pyarrow"),
+                ["key"], {"doc_count": ("sum", "cnt")},
+            )
+            .to_pandas()
+            .sort_values(["doc_count", "key"], ascending=[False, True], kind="mergesort")
+            .head(10)
+            .reset_index(drop=True)
+        )
+        out["doc_count"] = out["doc_count"].astype("int64")
+        return out[["key", "doc_count"]]
+
+    def r69_scripted_metric(sf_dir):
+        # ES scripted_metric: init/map/combine/reduce with a per-doc
+        # script — here a weighted revenue (value doubles when
+        # user_id % 3 == 0). map+combine run fused per batch (one
+        # partial row per (type, block)); reduce is the groupby sum
+        ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+        def _map_combine(t: pa.Table) -> pa.Table:
+            w = np.where(t["user_id"].to_numpy() % 3 == 0, 2.0, 1.0)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "wv": t["value"].to_numpy() * w,
+            })
+            g = df.groupby("event_type", as_index=False)["wv"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                ev.map_batches(_map_combine, batch_format="pyarrow"),
+                ["event_type"], {"weighted_value": ("sum", "wv")},
+            )
+            .to_pandas()
+            .sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["weighted_value"] = round_half_up(out["weighted_value"].to_numpy())
+        return out
 
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
@@ -6354,8 +6370,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_embed_outliers": t_embed_outliers,
         "ann_maxsim": ann_maxsim,
         "t_dsir_sample": t_dsir_sample,
-        "t_gopher_rules": t_gopher_rules,
         "s85_search_as_you_type": s85_search_as_you_type,
+        "r68_geohash_grid": r68_geohash_grid,
+        "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
         "s83_script_score": s83_script_score,
         "s84_more_like_this": s84_more_like_this,
@@ -9343,22 +9360,34 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "* tf1 * 2.2 / (tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) ELSE 0 END)) DESC, d.doc_id "
             "LIMIT 10"
         ),
-        "t_gopher_rules": (
-            # Gopher rejection rules: the mean-word-length and alpha
-            # gates are single int/int divisions so both sides agree
-            "WITH tok AS (SELECT doc_id, " + _TOKS.format(col="text") + " AS ts FROM documents), "
-            "d AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_words, "
-            "CASE WHEN len(ts) > 0 THEN list_sum(list_transform(ts, t -> len(t))) * 1.0 / len(ts) ELSE 0 END AS mwl, "
-            "CASE WHEN len(ts) > 0 THEN len(list_filter(ts, t -> regexp_matches(t, '[a-z]'))) * 1.0 / len(ts) ELSE 0 END AS aratio, "
-            "CAST(len(list_intersect(ts, ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS nstop "
-            "FROM tok) "
-            "SELECT doc_id, n_words, round(mwl, 4) AS mwl, nstop, "
-            "CAST(n_words < 15 OR n_words > 90 AS BIGINT) AS flag_len, "
-            "CAST(mwl < 3.8 OR mwl > 5.2 AS BIGINT) AS flag_mwl, "
-            "CAST(aratio < 0.8 AS BIGINT) AS flag_alpha, "
-            "CAST(nstop < 2 AS BIGINT) AS flag_stop "
-            "FROM d WHERE n_words < 15 OR n_words > 90 OR mwl < 3.8 OR mwl > 5.2 "
-            "OR aratio < 0.8 OR nstop < 2 ORDER BY doc_id"
+        "r68_geohash_grid": (
+            # precision-3 geohash: 8 lon + 7 lat bits interleaved
+            # MSB-first (lon leads), three base32 chars
+            "WITH pt AS (SELECT "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR)) / 18446744073709551616.0) "
+            "* 180.0 - 90.0 AS lat, "
+            "(md5_number_upper(CAST(c_custkey AS VARCHAR) || ':lon') / 18446744073709551616.0) "
+            "* 360.0 - 180.0 AS lon FROM customer), "
+            "ix AS (SELECT CAST(least(floor((lon + 180.0) / 360.0 * 256.0), 255) AS BIGINT) AS li, "
+            "CAST(least(floor((lat + 90.0) / 180.0 * 128.0), 127) AS BIGINT) AS ti FROM pt), "
+            "v AS (SELECT "
+            "((li >> 7) & 1) * 16384 + ((ti >> 6) & 1) * 8192 + "
+            "((li >> 6) & 1) * 4096 + ((ti >> 5) & 1) * 2048 + "
+            "((li >> 5) & 1) * 1024 + ((ti >> 4) & 1) * 512 + "
+            "((li >> 4) & 1) * 256 + ((ti >> 3) & 1) * 128 + "
+            "((li >> 3) & 1) * 64 + ((ti >> 2) & 1) * 32 + "
+            "((li >> 2) & 1) * 16 + ((ti >> 1) & 1) * 8 + "
+            "((li >> 1) & 1) * 4 + (ti & 1) * 2 + (li & 1) AS h FROM ix), "
+            "gh AS (SELECT substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(h // 1024 AS INT) + 1, 1) || "
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST((h // 32) % 32 AS INT) + 1, 1) || "
+            "substring('0123456789bcdefghjkmnpqrstuvwxyz', CAST(h % 32 AS INT) + 1, 1) AS key FROM v) "
+            "SELECT key, CAST(count(*) AS BIGINT) AS doc_count FROM gh "
+            "GROUP BY key ORDER BY doc_count DESC, key LIMIT 10"
+        ),
+        "r69_scripted_metric": (
+            "SELECT event_type, round(sum(value * "
+            "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "s85_search_as_you_type": (
             # bool_prefix tail over the _2gram shingle field: prefix
