@@ -5348,22 +5348,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             li.map_batches(_pairs, batch_format="pyarrow"),
             ["p_partkey", "s_suppkey"],
         )
-        bal = dict(zip(sk.tolist(), srec["s_acctbal"].to_numpy()))
-        balref = _ray.put(bal)
+        bal_arr = srec["s_acctbal"].to_numpy()
+        balref = _ray.put((sk, bal_arr))
 
         def _bal(t: pa.Table) -> pa.Table:
-            b = _ray.get(balref)
+            kk, bb = _ray.get(balref)
             s = t["s_suppkey"].to_numpy()
             return t.append_column(
-                "s_acctbal", pa.array([b[int(x)] for x in s], pa.float64())
+                "s_acctbal", pa.array(bb[np.searchsorted(kk, s)])
             )
 
         withbal = pairs.map_batches(_bal, batch_format="pyarrow")
         mins = rel.grouped_aggregate(
             withbal, ["p_partkey"], {"min_bal": ("min", "s_acctbal")}
+        )
+        # min-equality join-back stays sharded (pairs x mins co-hash on
+        # p_partkey); only the <=100-row page reaches the driver
+        jm = rel.hash_join(
+            withbal,
+            rel.rename(mins, {"p_partkey": "mp"}),
+            on=["p_partkey"], right_on=["mp"], num_partitions=8,
+        )
+
+        def _eq(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["s_acctbal"], t["min_bal"]))
+
+        cand = rel.topk(
+            jm.map_batches(_eq, batch_format="pyarrow"),
+            ["s_acctbal", "p_partkey"], 100, descending=[True, False],
         ).to_pandas()
-        cand = withbal.to_pandas().merge(mins, on="p_partkey")
-        cand = cand[cand["s_acctbal"] == cand["min_bal"]]
         cand["s_name"] = srec["s_name"].loc[cand["s_suppkey"]].to_numpy()
         cand["n_name"] = [
             nname[int(srec["s_nationkey"].loc[s])] for s in cand["s_suppkey"]
@@ -5415,11 +5428,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         v = rel.grouped_aggregate(
             li.map_batches(_val, batch_format="pyarrow"),
             ["l_partkey"], {"value": ("sum", "v")},
-        ).to_pandas()
-        thr = round_half_up(np.array([v["value"].sum() * 0.001]))[0]
-        v["value"] = round_half_up(v["value"].to_numpy())
+        )
+        # the group table (bounded by distinct parts) pins in the
+        # object store so the scalar fold and the > gate don't
+        # re-run the lineitem pass; only the important tail (small
+        # by construction) ever reaches the driver
+        v = v.materialize()
+        from ray.data.aggregate import Sum
+
+        total = v.aggregate(Sum("value", alias_name="s"))
+        thr = float(round_half_up(np.array([float(total["s"]) * 0.001]))[0])
+
+        def _gate(t: pa.Table) -> pa.Table:
+            val = round_half_up(t["value"].to_numpy())
+            keep = val > thr
+            return pa.table({
+                "l_partkey": t["l_partkey"].filter(pa.array(keep)),
+                "value": pa.array(val[keep]),
+            })
+
         out = (
-            v[v["value"] > thr]
+            v.map_batches(_gate, batch_format="pyarrow")
+            .to_pandas()
             .sort_values(["value", "l_partkey"], ascending=[False, True], kind="mergesort")
             .reset_index(drop=True)
         )
