@@ -5437,7 +5437,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from ray.data.aggregate import Sum
 
         total = v.aggregate(Sum("value", alias_name="s"))
-        thr = float(round_half_up(np.array([float(total["s"]) * 0.001]))[0])
+        # "important" = >2x the average per-part value: scale-free
+        # (the TPC-H 0.0001/SF fraction rewritten so the gate keeps a
+        # stable tail at every corpus size)
+        thr = float(
+            round_half_up(np.array([2.0 * float(total["s"]) / float(v.count())]))[0]
+        )
 
         def _gate(t: pa.Table) -> pa.Table:
             val = round_half_up(t["value"].to_numpy())
@@ -9553,7 +9558,7 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "AND s_nationkey = n_nationkey AND n_name = 'NATION_3' "
             "GROUP BY l_partkey) "
             "SELECT l_partkey, round(value, 4) AS value FROM v "
-            "WHERE round(value, 4) > (SELECT round(sum(value) * 0.001, 4) FROM v) "
+            "WHERE round(value, 4) > (SELECT round(2.0 * sum(value) / count(*), 4) FROM v) "
             "ORDER BY round(value, 4) DESC, l_partkey"
         ),
         "pipe_tpch_q16": (
