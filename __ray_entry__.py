@@ -6164,6 +6164,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["weighted_value"] = round_half_up(out["weighted_value"].to_numpy())
         return out
 
+    def pipe_fineweb(sf_dir):
+        # FineWeb/RefinedWeb-shaped curation capstone as ONE streaming
+        # lineage: Gopher quality gate -> GPT-3 n-gram benchmark
+        # decontamination -> exact dedup -> per-language rollup. Every
+        # stage is the library op the standalone entries already
+        # value-check; the composition adds two sharded joins (flags
+        # and survivors rejoin the kept stream by doc_id — same-key
+        # co-hash, no broadcast of corpus-sized state) and a tiny
+        # final combiner keyed by language
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        g = txt.add_gopher_rules(docs)
+
+        def _keep(t: pa.Table) -> pa.Table:
+            # Gopher gate with corpus-adapted word/stopword floors
+            # (the published 50-word / 2-stopword floors blank this
+            # short-doc synthetic corpus); fraction rules at their
+            # published values. Bounds sit far from the corpus value
+            # range, so rounded-column gating matches the SQL replay
+            m = (
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(t["n_words"], 15),
+                        pc.greater_equal(t["n_stop_hits"], 1),
+                    ),
+                    pc.and_(
+                        pc.and_(
+                            pc.greater_equal(t["mean_word_len"], 3.0),
+                            pc.less_equal(t["mean_word_len"], 10.0),
+                        ),
+                        pc.and_(
+                            pc.less_equal(t["symbol_word_ratio"], 0.1),
+                            pc.and_(
+                                pc.and_(
+                                    pc.less_equal(t["bullet_line_frac"], 0.9),
+                                    pc.less_equal(t["ellipsis_line_frac"], 0.3),
+                                ),
+                                pc.greater_equal(t["alpha_word_frac"], 0.8),
+                            ),
+                        ),
+                    ),
+                )
+            )
+            return t.filter(m).select(["doc_id", "text", "lang", "n_words"])
+
+        kept = g.map_batches(_keep, batch_format="pyarrow")
+        et = pq.read_table(
+            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
+        )
+        ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
+        flags = dd.contamination_flags(kept, ev, w=3)
+
+        def _cleanf(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["contaminated"], 0)).select(["doc_id"])
+
+        clean_ids = flags.map_batches(_cleanf, batch_format="pyarrow")
+        clean = rel.hash_join(
+            kept, rel.rename(clean_ids, {"doc_id": "cid"}),
+            on=["doc_id"], right_on=["cid"], num_partitions=8,
+        )
+        surv = dd.exact_dedup(clean, "text", "doc_id").select_columns(["doc_id"])
+        final = rel.hash_join(
+            clean, rel.rename(surv, {"doc_id": "sid"}),
+            on=["doc_id"], right_on=["sid"], num_partitions=8,
+        )
+        out = (
+            rel.grouped_aggregate(
+                final, ["lang"],
+                {"n_docs": ("count", "doc_id"), "total_words": ("sum", "n_words")},
+            )
+            .to_pandas()
+            .sort_values("lang", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["total_words"] = out["total_words"].astype("int64")
+        return out[["lang", "n_docs", "total_words"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6406,6 +6483,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_maxsim": ann_maxsim,
         "t_dsir_sample": t_dsir_sample,
         "s85_search_as_you_type": s85_search_as_you_type,
+        "pipe_fineweb": pipe_fineweb,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9424,6 +9502,39 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
         ),
+        "pipe_fineweb": rf"""
+WITH w AS (
+  SELECT doc_id, lang, coalesce(text, '') AS tx,
+         regexp_extract_all(coalesce(text, ''), '\S+') AS ws,
+         str_split(coalesce(text, ''), chr(10)) AS ls
+  FROM documents),
+m AS (
+  SELECT doc_id, lang, len(ws) AS n_words,
+    CASE WHEN len(ws) > 0 THEN CAST(list_sum(list_transform(ws, x -> len(x))) AS DOUBLE) / len(ws) ELSE 0 END AS mean_word_len,
+    CASE WHEN len(ws) > 0 THEN CAST(len(regexp_extract_all(tx, '#')) + len(regexp_extract_all(tx, '\.\.\.')) AS DOUBLE) / len(ws) ELSE 0 END AS symbol_word_ratio,
+    CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls, l -> regexp_matches(l, '^\s*[-*•]'))) AS DOUBLE) / len(ls) ELSE 0 END AS bullet_line_frac,
+    CASE WHEN len(ls) > 0 THEN CAST(len(list_filter(ls, l -> regexp_matches(l, '\.\.\.\s*$'))) AS DOUBLE) / len(ls) ELSE 0 END AS ellipsis_line_frac,
+    CASE WHEN len(ws) > 0 THEN CAST(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) AS DOUBLE) / len(ws) ELSE 0 END AS alpha_word_frac,
+    ({_stop_hits}) AS n_stop_hits
+  FROM (SELECT doc_id, lang, tx, ws, ls, list_transform(ws, x -> lower(x)) AS lws FROM w)),
+pass AS (SELECT doc_id FROM m WHERE n_words >= 15
+  AND mean_word_len >= 3.0 AND mean_word_len <= 10.0 AND symbol_word_ratio <= 0.1
+  AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+  AND alpha_word_frac >= 0.8 AND n_stop_hits >= 1),
+tok AS (SELECT doc_id, regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS ts FROM documents),
+sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN
+    list_distinct(list_transform(range(1, len(ts) - 1), j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2]))
+  WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')] ELSE [] END AS shingles FROM tok),
+e AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0),
+cont AS (SELECT DISTINCT doc_id FROM e JOIN ev USING (s)),
+clean AS (SELECT d.doc_id, d.text, d.lang FROM documents d JOIN pass USING (doc_id)
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM cont)),
+surv AS (SELECT min(doc_id) AS doc_id FROM clean GROUP BY md5(text))
+SELECT c.lang, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(m.n_words) AS BIGINT) AS total_words
+FROM clean c JOIN surv USING (doc_id) JOIN m USING (doc_id)
+GROUP BY c.lang ORDER BY c.lang
+""",
         "s85_search_as_you_type": (
             # bool_prefix tail over the _2gram shingle field: prefix
             # expansions each score with their own idf and sum
