@@ -224,6 +224,16 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s79_intervals_any", "s80_span_multi", "t_temperature_mix", "r63_unpivot",
         "s81_sig_chi2", "r64_rolling_window", "e19_reindex_alias", "r65_terms_by_subagg",
         "r66_join_auto", "t_embed_outliers", "ann_maxsim",
+        # round-3 continuation: full TPC-H, MLT/dis_max/script_score/
+        # SAYT, geotile+geohash grids, scripted_metric, DSIR Gumbel
+        # resampling, FineWeb-shaped curation capstone
+        "pipe_tpch_q2", "pipe_tpch_q7", "pipe_tpch_q8", "pipe_tpch_q9",
+        "pipe_tpch_q11", "pipe_tpch_q12", "pipe_tpch_q13", "pipe_tpch_q15",
+        "pipe_tpch_q16", "pipe_tpch_q17", "pipe_tpch_q18", "pipe_tpch_q19",
+        "pipe_tpch_q20", "pipe_tpch_q21", "pipe_tpch_q22",
+        "s82_dis_max", "s83_script_score", "s84_more_like_this",
+        "s85_search_as_you_type", "r67_geotile_grid", "r68_geohash_grid",
+        "r69_scripted_metric", "t_dsir_sample", "pipe_fineweb",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
