@@ -6241,6 +6241,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["total_words"] = out["total_words"].astype("int64")
         return out[["lang", "n_docs", "total_words"]]
 
+    def t_bpe_train(sf_dir):
+        # distributed BPE merge training (Sennrich et al. 2016): the
+        # corpus folds ONCE into a (token, tf) vocab table — the
+        # scale unit from then on — and each of the 3 merge rounds is
+        # one pair-count exchange over the vocab plus a vectorized
+        # spaced-string replace (Arrow replace_substring; merges
+        # apply to non-overlapping space-delimited occurrences
+        # left-to-right, the str.replace/SQL-replace semantics both
+        # sides share — back-to-back repeats of a pair fold on the
+        # following round). Ties break (count desc, pair asc) so the
+        # learned merges replay bit-identically in SQL
+        from search_engine_ray.ops.text import _flat_tokens
+
+        STEPS = 3
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _tf(t: pa.Table) -> pa.Table:
+            flat, parents, n = _flat_tokens(t["text"])
+            toks = flat.to_numpy(zero_copy_only=False)
+            u, c = np.unique(toks, return_counts=True)
+            return pa.table({
+                "tok": pa.array(u.astype(object)),
+                "tf": pa.array(c.astype(np.int64)),
+            })
+
+        vocab = rel.grouped_aggregate(
+            docs.map_batches(_tf, batch_format="pyarrow"), ["tok"], {"tf": ("sum", "tf")}
+        )
+
+        def _spaced(t: pa.Table) -> pa.Table:
+            s = [" ".join(list(x)) for x in t["tok"].to_numpy(zero_copy_only=False)]
+            return pa.table({"s": pa.array(s, pa.string()), "tf": t["tf"]})
+
+        cur = vocab.map_batches(_spaced, batch_format="pyarrow").materialize()
+        merges = []
+        for step in range(STEPS):
+
+            def _pairs(t: pa.Table) -> pa.Table:
+                parts = pc.split_pattern(t["s"].combine_chunks(), pattern=" ")
+                flat = pc.list_flatten(parts)
+                par = pc.list_parent_indices(parts).to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64)
+                sy = pd.Series(flat.to_numpy(zero_copy_only=False))
+                same = par[:-1] == par[1:] if len(sy) > 1 else np.array([], bool)
+                pair = (
+                    sy.iloc[:-1].reset_index(drop=True) + " "
+                    + sy.iloc[1:].reset_index(drop=True)
+                )[same]
+                w = t["tf"].to_numpy()[par[:-1][same]]
+                if not len(pair):
+                    return pa.table({
+                        "pair": pa.array([], pa.string()),
+                        "w": pa.array([], pa.int64()),
+                    })
+                g = pd.DataFrame({"pair": pair.to_numpy(), "w": w}).groupby(
+                    "pair", as_index=False
+                )["w"].sum()
+                return pa.Table.from_pandas(g, preserve_index=False)
+
+            agg = rel.grouped_aggregate(
+                cur.map_batches(_pairs, batch_format="pyarrow"),
+                ["pair"], {"w": ("sum", "w")},
+            )
+            best = rel.topk(agg, ["w", "pair"], 1, descending=[True, False]).to_pandas()
+            if best.empty:
+                break
+            pair, w = str(best["pair"].iloc[0]), int(best["w"].iloc[0])
+            merges.append((step + 1, pair, w))
+            merged = pair.replace(" ", "")
+
+            def _apply(t: pa.Table, _p=pair, _m=merged) -> pa.Table:
+                padded = pc.binary_join_element_wise(
+                    pa.array([" "] * len(t)), t["s"].combine_chunks(),
+                    pa.array([" "] * len(t)), "",
+                )
+                rep = pc.replace_substring(padded, pattern=f" {_p} ", replacement=f" {_m} ")
+                return pa.table({
+                    "s": pc.utf8_trim_whitespace(rep), "tf": t["tf"]
+                })
+
+            cur = cur.map_batches(_apply, batch_format="pyarrow").materialize()
+        return pd.DataFrame(merges, columns=["step", "pair", "w"])
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6484,6 +6568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_dsir_sample": t_dsir_sample,
         "s85_search_as_you_type": s85_search_as_you_type,
         "pipe_fineweb": pipe_fineweb,
+        "t_bpe_train": t_bpe_train,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9501,6 +9586,35 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "t_bpe_train": (
+            # three unrolled BPE rounds: pair counts weighted by token
+            # frequency, best pair by (count desc, pair asc), spaced-
+            # string replace (same non-overlapping left-to-right
+            # semantics as the Arrow kernel)
+            "WITH tok AS (SELECT doc_id, " + _TOKS.format(col="text") + " AS ts FROM documents), "
+            "ex AS (SELECT unnest(ts) AS tok FROM tok), "
+            "tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf FROM ex GROUP BY tok), "
+            "v0 AS (SELECT array_to_string([tok[i] for i in range(1, len(tok)+1)], ' ') AS s, tf FROM tf), "
+            "p1 AS (SELECT pr AS pair, CAST(sum(tf) AS BIGINT) AS w FROM "
+            "(SELECT unnest([ps[i] || ' ' || ps[i+1] for i in range(1, len(ps))]) AS pr, tf "
+            "FROM (SELECT str_split(s, ' ') AS ps, tf FROM v0)) GROUP BY pr), "
+            "b1 AS (SELECT pair, w FROM p1 ORDER BY w DESC, pair LIMIT 1), "
+            "v1 AS (SELECT trim(replace(' ' || s || ' ', ' ' || (SELECT pair FROM b1) || ' ', "
+            "' ' || (SELECT replace(pair, ' ', '') FROM b1) || ' ')) AS s, tf FROM v0), "
+            "p2 AS (SELECT pr AS pair, CAST(sum(tf) AS BIGINT) AS w FROM "
+            "(SELECT unnest([ps[i] || ' ' || ps[i+1] for i in range(1, len(ps))]) AS pr, tf "
+            "FROM (SELECT str_split(s, ' ') AS ps, tf FROM v1)) GROUP BY pr), "
+            "b2 AS (SELECT pair, w FROM p2 ORDER BY w DESC, pair LIMIT 1), "
+            "v2 AS (SELECT trim(replace(' ' || s || ' ', ' ' || (SELECT pair FROM b2) || ' ', "
+            "' ' || (SELECT replace(pair, ' ', '') FROM b2) || ' ')) AS s, tf FROM v1), "
+            "p3 AS (SELECT pr AS pair, CAST(sum(tf) AS BIGINT) AS w FROM "
+            "(SELECT unnest([ps[i] || ' ' || ps[i+1] for i in range(1, len(ps))]) AS pr, tf "
+            "FROM (SELECT str_split(s, ' ') AS ps, tf FROM v2)) GROUP BY pr), "
+            "b3 AS (SELECT pair, w FROM p3 ORDER BY w DESC, pair LIMIT 1) "
+            "SELECT CAST(1 AS BIGINT) AS step, pair, w FROM b1 "
+            "UNION ALL SELECT 2, pair, w FROM b2 "
+            "UNION ALL SELECT 3, pair, w FROM b3 ORDER BY step"
         ),
         "pipe_fineweb": rf"""
 WITH w AS (
