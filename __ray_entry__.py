@@ -6325,6 +6325,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             cur = cur.map_batches(_apply, batch_format="pyarrow").materialize()
         return pd.DataFrame(merges, columns=["step", "pair", "w"])
 
+    def s86_has_child(sf_dir):
+        # ES has_child with min_children=2: parent orders whose
+        # children (lineitems) match returnflag=R AND quantity>=45 at
+        # least twice. The child match folds to per-parent counts in
+        # one combiner exchange; survivors of the min_children gate
+        # rejoin orders sharded for the parent fields
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"])
+
+        def _kids(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(t["l_returnflag"], "R"),
+                pc.greater_equal(t["l_quantity"], 45.0),
+            )
+            return t.filter(m).select(["l_orderkey"])
+
+        counts = rel.grouped_aggregate(
+            li.map_batches(_kids, batch_format="pyarrow"),
+            ["l_orderkey"], {"n_children": ("count", "l_orderkey")},
+        )
+
+        def _gate(t: pa.Table) -> pa.Table:
+            return t.filter(pc.greater_equal(t["n_children"], 2))
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        j = rel.hash_join(
+            orders, counts.map_batches(_gate, batch_format="pyarrow"),
+            on=["o_orderkey"], right_on=["l_orderkey"], num_partitions=8,
+        )
+        out = (
+            rel.topk(j, ["o_orderkey"], 10, descending=[False])
+            .to_pandas()
+            .sort_values("o_orderkey", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["n_children"] = out["n_children"].astype("int64")
+        return out[["o_orderkey", "o_orderpriority", "n_children"]]
+
+    def s87_has_parent(sf_dir):
+        # ES has_parent: child lineitems whose parent order matches
+        # (URGENT, status F); the parent filter pre-shrinks the join's
+        # right side before the one sharded exchange
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_orderpriority"])
+
+        def _par(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.equal(t["o_orderpriority"], "1-URGENT"),
+                pc.equal(t["o_orderstatus"], "F"),
+            )
+            return t.filter(m).select(["o_orderkey", "o_orderpriority"])
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+        j = rel.hash_join(
+            li, orders.map_batches(_par, batch_format="pyarrow"),
+            on=["l_orderkey"], right_on=["o_orderkey"], num_partitions=8,
+        )
+        out = (
+            rel.topk(j, ["l_orderkey", "l_linenumber"], 10, descending=[False, False])
+            .to_pandas()
+            .sort_values(["l_orderkey", "l_linenumber"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["l_linenumber"] = out["l_linenumber"].astype("int64")
+        return out[["l_orderkey", "l_linenumber", "o_orderpriority"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6569,6 +6633,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s85_search_as_you_type": s85_search_as_you_type,
         "pipe_fineweb": pipe_fineweb,
         "t_bpe_train": t_bpe_train,
+        "s86_has_child": s86_has_child,
+        "s87_has_parent": s87_has_parent,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9586,6 +9652,20 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "s86_has_child": (
+            "SELECT o_orderkey, o_orderpriority, "
+            "CAST(c.n_children AS BIGINT) AS n_children FROM orders JOIN "
+            "(SELECT l_orderkey, count(*) AS n_children FROM lineitem "
+            "WHERE l_returnflag = 'R' AND l_quantity >= 45 "
+            "GROUP BY l_orderkey HAVING count(*) >= 2) c "
+            "ON o_orderkey = c.l_orderkey ORDER BY o_orderkey LIMIT 10"
+        ),
+        "s87_has_parent": (
+            "SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber, "
+            "o_orderpriority FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE o_orderpriority = '1-URGENT' AND o_orderstatus = 'F' "
+            "ORDER BY l_orderkey, l_linenumber LIMIT 10"
         ),
         "t_bpe_train": (
             # three unrolled BPE rounds: pair counts weighted by token
