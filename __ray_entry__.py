@@ -6389,6 +6389,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["l_linenumber"] = out["l_linenumber"].astype("int64")
         return out[["l_orderkey", "l_linenumber", "o_orderpriority"]]
 
+    def s88_msearch(sf_dir):
+        # ES _msearch: three queries in ONE scatter-gather round (one
+        # score_many RPC per scorer actor instead of an RPC per
+        # query); per-query semantics identical to search(), so the
+        # oracle is the UNION of the per-query BM25 replays
+        eng = _doc_engine(sf_dir)
+        plans = [
+            Compound(must=(Term("text", "vector"),)),
+            Compound(must=(Term("text", "hash"),)),
+            Compound(
+                should=(Term("text", "spark"), Term("text", "window")),
+                min_should_match=1,
+            ),
+        ]
+        frames = []
+        for qid, res in enumerate(eng.msearch(plans, k=5)):
+            hits = res.hits
+            frames.append(pd.DataFrame({
+                "qid": np.full(len(hits), qid, np.int64),
+                "doc_id": hits["doc_id"].to_numpy(),
+                "score": round_half_up(hits["score"].to_numpy()),
+            }))
+        return pd.concat(frames, ignore_index=True)
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6635,6 +6659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_bpe_train": t_bpe_train,
         "s86_has_child": s86_has_child,
         "s87_has_parent": s87_has_parent,
+        "s88_msearch": s88_msearch,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9652,6 +9677,12 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "s88_msearch": (
+            "SELECT 0 AS qid, * FROM (" + _bm25_sql(["vector"], k=5) + ") "
+            "UNION ALL SELECT 1, * FROM (" + _bm25_sql(["hash"], k=5) + ") "
+            "UNION ALL SELECT 2, * FROM ("
+            + _bm25_sql(["spark", "window"], mode="should", k=5) + ")"
         ),
         "s86_has_child": (
             "SELECT o_orderkey, o_orderpriority, "
