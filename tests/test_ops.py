@@ -1901,3 +1901,35 @@ def test_hash_join_empty_partitions(ray_session):
         num_partitions=8,
     ).to_pandas()
     assert len(lo2) == 12 and sorted(lo2["k"]) == list(range(12))
+
+
+def test_hash_join_empty_left_outer_variants(ray_session):
+    """The right-preserving branches of _SafeJoinAgg: a fully-empty
+    LEFT side under right_outer/full_outer keeps every right row."""
+    import pyarrow as pa
+
+    import ray.data as rd
+
+    import search_engine_ray.ops.relational as rel
+
+    empty_left = rd.from_arrow(pa.table({
+        "k": pa.array([], pa.int64()), "a": pa.array([], pa.int64()),
+    }))
+    right = rd.from_arrow(pa.table({
+        "rk": pa.array(np.arange(9, dtype=np.int64)),
+        "b": pa.array(np.arange(9, dtype=np.int64) * 2),
+    }))
+    ro = rel.hash_join(
+        empty_left, right, on=["k"], right_on=["rk"], how="right_outer",
+        num_partitions=8,
+    ).to_pandas()
+    assert len(ro) == 9 and sorted(ro["rk"]) == list(range(9))
+    fo = rel.hash_join(
+        empty_left, right, on=["k"], right_on=["rk"], how="full_outer",
+        num_partitions=8,
+    ).to_pandas()
+    assert len(fo) == 9
+    inner = rel.hash_join(
+        empty_left, right, on=["k"], right_on=["rk"], num_partitions=8
+    ).to_pandas()
+    assert len(inner) == 0
