@@ -6413,6 +6413,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }))
         return pd.concat(frames, ignore_index=True)
 
+    def r70_winsorize(sf_dir):
+        # grouped winsorization (outlier capping): per event_type the
+        # exact p05/p95 resolve from one per-(group, value) histogram
+        # exchange (grouped_discrete_quantiles); the tiny bounds map
+        # broadcasts and clipping + the before/after means fold in a
+        # second combiner pass. quantile_cont interpolation matches
+        # the SQL oracle's op order; means round to 4dp
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+        qs = rel.grouped_discrete_quantiles(ev, "event_type", "value", [0.05, 0.95])
+        bounds = {
+            str(g): (float(lo), float(hi))
+            for g, lo, hi in zip(qs["event_type"], qs["q0.05"], qs["q0.95"])
+        }
+        import ray as _ray
+
+        bref = _ray.put(bounds)
+
+        def _clip(t: pa.Table) -> pa.Table:
+            b = _ray.get(bref)
+            g = t["event_type"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy()
+            lo = np.array([b[x][0] for x in g])
+            hi = np.array([b[x][1] for x in g])
+            w = np.minimum(np.maximum(v, lo), hi)
+            df = pd.DataFrame({"event_type": g, "s_raw": v, "s_win": w})
+            out = df.groupby("event_type", as_index=False).agg(
+                s_raw=("s_raw", "sum"), s_win=("s_win", "sum"),
+                n=("s_raw", "size"),
+            )
+            return pa.Table.from_pandas(out, preserve_index=False)
+
+        agg = (
+            rel.grouped_aggregate(
+                ev.map_batches(_clip, batch_format="pyarrow"),
+                ["event_type"],
+                {"s_raw": ("sum", "s_raw"), "s_win": ("sum", "s_win"), "n": ("sum", "n")},
+            )
+            .to_pandas()
+            .sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "event_type": agg["event_type"],
+            "n": agg["n"].astype("int64"),
+            "mean_raw": round_half_up((agg["s_raw"] / agg["n"]).to_numpy()),
+            "mean_winsorized": round_half_up((agg["s_win"] / agg["n"]).to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6660,6 +6708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s86_has_child": s86_has_child,
         "s87_has_parent": s87_has_parent,
         "s88_msearch": s88_msearch,
+        "r70_winsorize": r70_winsorize,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9677,6 +9726,16 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r70_winsorize": (
+            "WITH q AS (SELECT event_type, "
+            "quantile_cont(value, 0.05) AS lo, quantile_cont(value, 0.95) AS hi "
+            "FROM events GROUP BY event_type) "
+            "SELECT e.event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(e.value) / count(*), 4) AS mean_raw, "
+            "round(sum(least(greatest(e.value, q.lo), q.hi)) / count(*), 4) AS mean_winsorized "
+            "FROM events e JOIN q ON e.event_type = q.event_type "
+            "GROUP BY e.event_type ORDER BY e.event_type"
         ),
         "s88_msearch": (
             "SELECT 0 AS qid, * FROM (" + _bm25_sql(["vector"], k=5) + ") "
