@@ -6461,6 +6461,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mean_winsorized": round_half_up((agg["s_win"] / agg["n"]).to_numpy()),
         })
 
+    def sketch_kmv_intersect(sf_dir):
+        # theta-sketch set intersection (DataSketches semantics) with
+        # a deterministic md5 KMV, k=64: estimated |click-users ∩
+        # purchase-users| replays bit-identically in SQL (integer
+        # hash compares, fixed division order); the exact count rides
+        # one presence-flag combiner exchange for the error column.
+        # k=64 < distinct-users at sf>=0.01 exercises the theta path;
+        # sf0.001 (15 users) exercises the exact mode
+        K = 64
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+        def _side(kind):
+            return ev.map_batches(
+                lambda t, _k=kind: t.filter(pc.equal(t["event_type"], _k)).select(
+                    ["user_id"]
+                ),
+                batch_format="pyarrow",
+            )
+
+        res = sk.kmv_intersect(_side("click"), _side("purchase"), "user_id", k=K)
+
+        def _flags(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(),
+                "c": pc.equal(t["event_type"], "click").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+                "p": pc.equal(t["event_type"], "purchase").to_numpy(
+                    zero_copy_only=False
+                ).astype(np.int64),
+            })
+            g = df.groupby("user_id", as_index=False).agg(c=("c", "max"), p=("p", "max"))
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        both = rel.grouped_aggregate(
+            ev.map_batches(_flags, batch_format="pyarrow"),
+            ["user_id"], {"c": ("max", "c"), "p": ("max", "p")},
+        )
+
+        def _gate(t: pa.Table) -> pa.Table:
+            m = pc.and_(pc.equal(t["c"], 1), pc.equal(t["p"], 1))
+            return pa.table({"n": pa.array([int(t.filter(m).num_rows)], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        exact = int(
+            both.map_batches(_gate, batch_format="pyarrow").aggregate(
+                Sum("n", alias_name="n")
+            )["n"]
+        )
+        return pd.DataFrame({
+            "est_common_users": [float(round_half_up(np.array([res["est"]]))[0])],
+            "theta": [float(round_half_up(np.array([res["theta"]]), 6)[0])],
+            "exact_common_users": [np.int64(exact)],
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6709,6 +6765,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s87_has_parent": s87_has_parent,
         "s88_msearch": s88_msearch,
         "r70_winsorize": r70_winsorize,
+        "sketch_kmv_intersect": sketch_kmv_intersect,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9726,6 +9783,36 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "sketch_kmv_intersect": (
+            # deterministic md5 KMV theta intersection, k=64; joint
+            # theta = smaller k-th hash of the FULL sides, estimate =
+            # |common below theta| / theta; exact via INTERSECT
+            "WITH ha AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h "
+            "FROM events WHERE event_type = 'click'), "
+            "hb AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS h "
+            "FROM events WHERE event_type = 'purchase'), "
+            "ak AS (SELECT h FROM ha ORDER BY h LIMIT 64), "
+            "bk AS (SELECT h FROM hb ORDER BY h LIMIT 64), "
+            "thr AS (SELECT CASE "
+            "WHEN (SELECT count(*) FROM ha) >= 64 AND (SELECT count(*) FROM hb) >= 64 "
+            "THEN least((SELECT max(h) FROM ak), (SELECT max(h) FROM bk)) "
+            "WHEN (SELECT count(*) FROM ha) >= 64 THEN (SELECT max(h) FROM ak) "
+            "WHEN (SELECT count(*) FROM hb) >= 64 THEN (SELECT max(h) FROM bk) "
+            "ELSE NULL END AS t), "
+            "common AS (SELECT h FROM ak INTERSECT SELECT h FROM bk), "
+            "ret AS (SELECT CAST(count(*) AS BIGINT) AS r FROM common "
+            "WHERE (SELECT t FROM thr) IS NULL OR h < (SELECT t FROM thr)), "
+            "ex AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ("
+            "SELECT user_id FROM events WHERE event_type = 'click' "
+            "INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase')) "
+            "SELECT round(CASE WHEN (SELECT t FROM thr) IS NULL "
+            "THEN (SELECT r FROM ret) * 1.0 "
+            "ELSE (SELECT r FROM ret) / ((SELECT t FROM thr) / 18446744073709551616.0) END, 4) "
+            "AS est_common_users, "
+            "round(CASE WHEN (SELECT t FROM thr) IS NULL THEN 1.0 "
+            "ELSE (SELECT t FROM thr) / 18446744073709551616.0 END, 6) AS theta, "
+            "(SELECT n FROM ex) AS exact_common_users"
         ),
         "r70_winsorize": (
             "WITH q AS (SELECT event_type, "

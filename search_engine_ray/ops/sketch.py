@@ -82,6 +82,51 @@ def kmv_distinct(ds: Dataset, col: str, k: int = 256) -> float:
     return round_half_up((k - 1) / (float(hs[-1]) / _TWO64), 4)
 
 
+def kmv_intersect(ds_a: Dataset, ds_b: Dataset, col: str, k: int = 256) -> dict:
+    """Theta-sketch-style set INTERSECTION on two KMV sketches
+    (Apache DataSketches semantics): each side keeps its k smallest
+    distinct md5 hashes; the joint theta is the smaller k-th hash of
+    the FULL sides (1.0 when a side holds fewer than k distinct
+    values, i.e. it is exact); the estimate is |common hashes below
+    theta| / theta. Hashing and comparisons are integer-exact and the
+    division order is fixed, so the estimate replays bit-identically
+    in SQL (md5_number_upper + least/greatest arithmetic). Each
+    side's sketch costs one distinct + bounded-topk exchange; only
+    2k hashes reach the driver. Returns
+    {"est": float, "theta": float, "exact_mode": bool}."""
+    _FLIP = np.uint64(1 << 63)
+
+    def _sketch(ds: Dataset) -> tuple[np.ndarray, bool]:
+        def _partial(t: pa.Table) -> pa.Table:
+            vals = pc.unique(pc.cast(t[col], pa.string()))
+            h = np.unique(_md5_upper64(vals.to_pylist()))
+            return pa.table({"h": (h[:k] ^ _FLIP).view(np.int64)})
+
+        survivors = topk(
+            distinct(ds.map_batches(_partial, batch_format="pyarrow"), "h"),
+            ["h"], k, descending=False,
+        )
+        signed = np.unique(survivors.to_pandas()["h"].to_numpy(dtype=np.int64))[:k]
+        hs = signed.view(np.uint64) ^ _FLIP
+        # kmv_distinct convention: k survivors -> estimating, fewer -> exact
+        return hs, hs.size == k
+
+    ha, full_a = _sketch(ds_a)
+    hb, full_b = _sketch(ds_b)
+    thr: int | None = None
+    if full_a:
+        thr = int(ha[-1])
+    if full_b:
+        tb = int(hb[-1])
+        thr = tb if thr is None else min(thr, tb)
+    common = np.intersect1d(ha, hb)
+    if thr is None:
+        return {"est": float(common.size), "theta": 1.0, "exact_mode": True}
+    retained = int((common < np.uint64(thr)).sum())
+    theta = float(thr) / _TWO64
+    return {"est": retained / theta, "theta": theta, "exact_mode": False}
+
+
 def _bit_length_u64(x: np.ndarray) -> np.ndarray:
     """Vectorized bit_length for uint64 (binary-search shifts — no
     float log2, which is inexact near powers of two)."""
