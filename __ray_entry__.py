@@ -6517,6 +6517,41 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_common_users": [np.int64(exact)],
         })
 
+    def sketch_kmv_union(sf_dir):
+        # theta-sketch set UNION: the union sketch IS the KMV of the
+        # concatenated streams (Dataset.union — no extra operator
+        # needed), so |click-users ∪ purchase-users| estimates with
+        # the same k=64 estimator the intersect entry shares; exact
+        # companion via one distinct exchange
+        K = 64
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+        def _side(kind):
+            return ev.map_batches(
+                lambda t, _k=kind: t.filter(pc.equal(t["event_type"], _k)).select(
+                    ["user_id"]
+                ),
+                batch_format="pyarrow",
+            )
+
+        est = sk.kmv_distinct(_side("click").union(_side("purchase")), "user_id", k=K)
+        exact = rel.distinct(
+            ev.map_batches(
+                lambda t: t.filter(
+                    pc.is_in(
+                        t["event_type"],
+                        value_set=pa.array(["click", "purchase"]),
+                    )
+                ).select(["user_id"]),
+                batch_format="pyarrow",
+            ),
+            "user_id",
+        ).count()
+        return pd.DataFrame({
+            "est_union_users": [float(est)],
+            "exact_union_users": [np.int64(exact)],
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6766,6 +6801,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s88_msearch": s88_msearch,
         "r70_winsorize": r70_winsorize,
         "sketch_kmv_intersect": sketch_kmv_intersect,
+        "sketch_kmv_union": sketch_kmv_union,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9783,6 +9819,17 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "sketch_kmv_union": (
+            "WITH h AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv "
+            "FROM events WHERE event_type IN ('click', 'purchase')), "
+            "k AS (SELECT hv FROM h ORDER BY hv LIMIT 64), "
+            "s AS (SELECT count(*) AS c, max(hv) AS kth FROM k), "
+            "ex AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM events "
+            "WHERE event_type IN ('click', 'purchase')) "
+            "SELECT CASE WHEN c < 64 THEN CAST(c AS DOUBLE) "
+            "ELSE round(63 / (CAST(kth AS DOUBLE) / 18446744073709551616.0), 4) END "
+            "AS est_union_users, (SELECT n FROM ex) AS exact_union_users FROM s"
         ),
         "sketch_kmv_intersect": (
             # deterministic md5 KMV theta intersection, k=64; joint
