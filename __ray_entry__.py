@@ -6552,6 +6552,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exact_union_users": [np.int64(exact)],
         })
 
+    def ann_sq8(sf_dir):
+        # scalar (int8) quantization ANN — the ES/Lucene int8 flat
+        # baseline, completing the family beside PQ/IVF/RP-LSH: one
+        # dim-sized min/max combiner trains the quantizer, the
+        # per-dim grid broadcasts, scoring dequantizes codes and dots
+        # the float queries in one vectorized pass, top-5 per query
+        # rides the bounded group_topn. code/dequant arithmetic is a
+        # fixed op-order chain so the whole thing replays in SQL
+        from search_engine_ray.ops.ann import _to_matrix
+
+        DIM = 64
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def _mm(t: pa.Table) -> pa.Table:
+            m = _to_matrix(t["embedding"], DIM)
+            return pa.table({
+                "lo": pa.array([m.min(axis=0)], pa.list_(pa.float64())),
+                "hi": pa.array([m.max(axis=0)], pa.list_(pa.float64())),
+            })
+
+        parts = emb.map_batches(_mm, batch_format="pyarrow").to_pandas()
+        lo = np.min(np.stack(parts["lo"].to_numpy()), axis=0)
+        hi = np.max(np.stack(parts["hi"].to_numpy()), axis=0)
+        rng = hi - lo
+        qt = pq.read_table(
+            os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"],
+            filters=[("vec_id", "in", [0, 1, 2])],
+        )
+        qm = _to_matrix(qt["embedding"], DIM)
+        qids = qt["vec_id"].to_numpy().astype(np.int64)
+        import ray as _ray
+
+        bref = _ray.put((lo, hi, rng, qm, qids))
+
+        def _score(t: pa.Table) -> pa.Table:
+            blo, bhi, brng, bq, bqids = _ray.get(bref)
+            m = _to_matrix(t["embedding"], DIM)
+            code = np.clip(np.floor((m - blo) / brng * 256.0), 0.0, 255.0)
+            dv = np.where(brng == 0.0, blo, blo + (code + 0.5) * brng / 256.0)
+            s = dv @ bq.T  # (n, n_queries)
+            n = len(t)
+            ids = t["vec_id"].to_numpy()
+            return pa.table({
+                "qid": pa.array(np.repeat(bqids, n)),
+                "vec_id": pa.array(np.tile(ids, len(bqids))),
+                "score": pa.array(round_half_up(s.T.reshape(-1))),
+            })
+
+        top = rel.group_topn(
+            emb.map_batches(_score, batch_format="pyarrow"),
+            "qid", ["score", "vec_id"], 5, descending=[True, False],
+        ).to_pandas()
+        return (
+            top.sort_values(["qid", "vec_id"], kind="mergesort")
+            .reset_index(drop=True)[["qid", "vec_id", "score"]]
+        )
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6802,6 +6859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r70_winsorize": r70_winsorize,
         "sketch_kmv_intersect": sketch_kmv_intersect,
         "sketch_kmv_union": sketch_kmv_union,
+        "ann_sq8": ann_sq8,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9819,6 +9877,23 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "ann_sq8": (
+            # int8 scalar quantization: per-dim min/max grid, code =
+            # clamp(floor((v-lo)/(hi-lo)*256)), dequant = lo +
+            # (code+0.5)*(hi-lo)/256, float-query dot product
+            "WITH ex AS (SELECT vec_id, i, embedding[i] AS v FROM embeddings, "
+            "(SELECT unnest(range(1, 65)) AS i) r), "
+            "mm AS (SELECT i, min(v) AS lo, max(v) AS hi FROM ex GROUP BY i), "
+            "qv AS (SELECT vec_id AS qid, i, v AS qval FROM ex WHERE vec_id IN (0, 1, 2)), "
+            "dq AS (SELECT ex.vec_id, ex.i, CASE WHEN mm.hi = mm.lo THEN mm.lo "
+            "ELSE mm.lo + (least(greatest(floor((ex.v - mm.lo) / (mm.hi - mm.lo) * 256.0), 0.0), 255.0) + 0.5) "
+            "* (mm.hi - mm.lo) / 256.0 END AS dv FROM ex JOIN mm USING (i)), "
+            "sc AS (SELECT qv.qid, dq.vec_id, round(sum(dq.dv * qv.qval), 4) AS score "
+            "FROM dq JOIN qv USING (i) GROUP BY qv.qid, dq.vec_id), "
+            "rk AS (SELECT qid, vec_id, score, "
+            "row_number() OVER (PARTITION BY qid ORDER BY score DESC, vec_id) AS rn FROM sc) "
+            "SELECT qid, vec_id, score FROM rk WHERE rn <= 5 ORDER BY qid, vec_id"
         ),
         "sketch_kmv_union": (
             "WITH h AS (SELECT DISTINCT md5_number_upper(CAST(user_id AS VARCHAR)) AS hv "
