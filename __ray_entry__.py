@@ -6609,6 +6609,70 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["qid", "vec_id", "score"]]
         )
 
+    def t_expectations(sf_dir):
+        # data-quality expectations (Great-Expectations-style
+        # validation at scale): five constraint families over
+        # lineitem, each a streaming masked count or ONE combiner
+        # exchange — range, not-null, compound-key uniqueness
+        # (excess rows = total - distinct pairs), a cross-table
+        # temporal rule (ship >= order date via the sharded join),
+        # and referential integrity (left_outer + null count). One
+        # row per expectation with the violation count
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_shipdate"],
+        )
+
+        from ray.data.aggregate import Sum
+
+        def _local(t: pa.Table) -> pa.Table:
+            q = t["l_quantity"].to_numpy()
+            return pa.table({
+                "range_viol": pa.array([int(((q < 1.0) | (q > 50.0)).sum())], pa.int64()),
+                "null_viol": pa.array([int(t["l_orderkey"].null_count)], pa.int64()),
+                "rows": pa.array([len(t)], pa.int64()),
+            })
+
+        loc = li.map_batches(_local, batch_format="pyarrow").aggregate(
+            Sum("range_viol", alias_name="rv"), Sum("null_viol", alias_name="nv"),
+            Sum("rows", alias_name="n"),
+        )
+        distinct_pairs = rel.distinct(li, ["l_orderkey", "l_linenumber"]).count()
+        uniq_viol = int(loc["n"]) - int(distinct_pairs)
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+        j = rel.hash_join(
+            li, orders, on=["l_orderkey"], right_on=["o_orderkey"],
+            how="left_outer", num_partitions=8,
+        )
+
+        def _joined(t: pa.Table) -> pa.Table:
+            od = t["o_orderdate"]
+            orphan = int(od.null_count)
+            sd = t["l_shipdate"].to_numpy()
+            odv = od.to_numpy(zero_copy_only=False)
+            ok = np.array([o is not None for o in odv.tolist()]) if orphan else np.ones(len(t), bool)
+            late = int((sd[ok] < od.drop_null().to_numpy()).sum()) if ok.any() else 0
+            return pa.table({
+                "fk_viol": pa.array([orphan], pa.int64()),
+                "temporal_viol": pa.array([late], pa.int64()),
+            })
+
+        jj = j.map_batches(_joined, batch_format="pyarrow").aggregate(
+            Sum("fk_viol", alias_name="fk"), Sum("temporal_viol", alias_name="tv")
+        )
+        return pd.DataFrame({
+            "expectation": [
+                "quantity_in_range_1_50", "orderkey_not_null",
+                "orderkey_linenumber_unique", "shipdate_after_orderdate",
+                "orderkey_fk_in_orders",
+            ],
+            "violations": np.array(
+                [int(loc["rv"]), int(loc["nv"]), uniq_viol, int(jj["tv"]), int(jj["fk"])],
+                np.int64,
+            ),
+            "checked_rows": np.array([int(loc["n"])] * 5, np.int64),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6860,6 +6924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_kmv_intersect": sketch_kmv_intersect,
         "sketch_kmv_union": sketch_kmv_union,
         "ann_sq8": ann_sq8,
+        "t_expectations": t_expectations,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9877,6 +9942,23 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "t_expectations": (
+            "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS rows FROM lineitem) "
+            "SELECT 'quantity_in_range_1_50' AS expectation, "
+            "CAST((SELECT count(*) FROM lineitem WHERE l_quantity < 1 OR l_quantity > 50) AS BIGINT) AS violations, "
+            "(SELECT rows FROM n) AS checked_rows "
+            "UNION ALL SELECT 'orderkey_not_null', "
+            "CAST((SELECT count(*) FROM lineitem WHERE l_orderkey IS NULL) AS BIGINT), (SELECT rows FROM n) "
+            "UNION ALL SELECT 'orderkey_linenumber_unique', "
+            "(SELECT rows FROM n) - CAST((SELECT count(*) FROM "
+            "(SELECT DISTINCT l_orderkey, l_linenumber FROM lineitem)) AS BIGINT), (SELECT rows FROM n) "
+            "UNION ALL SELECT 'shipdate_after_orderdate', "
+            "CAST((SELECT count(*) FROM lineitem JOIN orders ON o_orderkey = l_orderkey "
+            "WHERE l_shipdate < o_orderdate) AS BIGINT), (SELECT rows FROM n) "
+            "UNION ALL SELECT 'orderkey_fk_in_orders', "
+            "CAST((SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN "
+            "(SELECT o_orderkey FROM orders)) AS BIGINT), (SELECT rows FROM n)"
         ),
         "ann_sq8": (
             # int8 scalar quantization: per-dim min/max grid, code =
