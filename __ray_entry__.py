@@ -6673,6 +6673,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "checked_rows": np.array([int(loc["n"])] * 5, np.int64),
         })
 
+    def r71_late_events(sf_dir):
+        # streaming watermark semantics replayed in batch (the
+        # Flink/Beam allowed-lateness rule): per user the high-water
+        # mark is the running max of PRIOR event times in arrival
+        # order (new `cummax_prev` window spec); an event is late
+        # when its time sits >3 days behind that mark. Arrival order
+        # is a deterministic md5 permutation of event_id (the corpus
+        # ts is monotone, so the permutation stands in for network
+        # reordering). One user-sharded window exchange + a tiny
+        # per-type rollup
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        _FLIP = np.uint64(1 << 63)
+
+        def _arr(t: pa.Table) -> pa.Table:
+            h = _md5_upper64(
+                [str(x) for x in t["event_id"].to_numpy(zero_copy_only=False)]
+            )
+            return t.append_column("arrival", pa.array((h ^ _FLIP).view(np.int64)))
+
+        w = rel.window_functions(
+            ev.map_batches(_arr, batch_format="pyarrow"),
+            "user_id", "arrival", {"hw": ("cummax_prev", "ts")},
+        )
+
+        def _late(t: pa.Table) -> pa.Table:
+            df = t.to_pandas()
+            late = (
+                df["hw"].notna()
+                & (df["ts"] < df["hw"] - pd.Timedelta(days=3))
+            ).to_numpy().astype(np.int64)
+            g = pd.DataFrame({
+                "event_type": df["event_type"], "late": late,
+                "one": np.ones(len(df), np.int64),
+            }).groupby("event_type", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                w.map_batches(_late, batch_format="pyarrow"),
+                ["event_type"],
+                {"late_count": ("sum", "late"), "total": ("sum", "one")},
+            )
+            .to_pandas()
+            .sort_values("event_type", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["late_count"] = out["late_count"].astype("int64")
+        out["total"] = out["total"].astype("int64")
+        return out[["event_type", "late_count", "total"]]
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6925,6 +6977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_kmv_union": sketch_kmv_union,
         "ann_sq8": ann_sq8,
         "t_expectations": t_expectations,
+        "r71_late_events": r71_late_events,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9942,6 +9995,16 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r71_late_events": (
+            "WITH w AS (SELECT event_type, ts, max(ts) OVER ("
+            "PARTITION BY user_id "
+            "ORDER BY md5_number_upper(CAST(event_id AS VARCHAR)) "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS hw FROM events) "
+            "SELECT event_type, CAST(count(*) FILTER (WHERE hw IS NOT NULL "
+            "AND ts < hw - INTERVAL 3 DAY) AS BIGINT) AS late_count, "
+            "CAST(count(*) AS BIGINT) AS total FROM w "
+            "GROUP BY event_type ORDER BY event_type"
         ),
         "t_expectations": (
             "WITH n AS (SELECT CAST(count(*) AS BIGINT) AS rows FROM lineitem) "

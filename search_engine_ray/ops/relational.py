@@ -520,6 +520,14 @@ def window_functions(
                 # ES cumulative_sum pipeline agg / SQL ROWS UNBOUNDED
                 # PRECEDING running total
                 df[out_col] = df[spec[1]].cumsum()
+            elif kind == "cummax_prev":
+                # running max of the PRIOR rows (SQL ROWS BETWEEN
+                # UNBOUNDED PRECEDING AND 1 PRECEDING) — the streaming
+                # watermark primitive: each row sees the high-water
+                # mark before itself; NaN/NaT on the partition's first
+                # row (no prior row)
+                v = df[spec[1]]
+                df[out_col] = v.cummax().shift(1)
             elif kind in ("rolling_sum", "rolling_mean"):
                 # SQL ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW frame
                 # via cumsum difference — O(n), no per-row window scan;
@@ -564,6 +572,7 @@ def window_functions(
         if spec[0] not in (
             "row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
             "ntile", "percent_rank", "cume_dist", "rolling_sum", "rolling_mean",
+            "cummax_prev",
         ):
             raise ValueError(f"unknown window function {spec[0]!r}")
     return ds.groupby(pkeys).map_groups(_g, batch_format="pandas")
