@@ -6725,6 +6725,68 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["total"] = out["total"].astype("int64")
         return out[["event_type", "late_count", "total"]]
 
+    def pipe_triangles(sf_dir):
+        # distributed triangle counting (Suri & Vassilvitskii 2011
+        # MapReduce shape) over the parts-co-ordered graph: co-order
+        # edges dedup in one combiner exchange; wedges form by
+        # joining the edge list with itself on the id-ordered apex
+        # (each triangle x<y<z counted exactly once as the wedge
+        # (x->y, x->z) closed by (y,z)); the close is a second
+        # sharded two-key join. Wedge count folds from per-apex
+        # degrees (c choose 2) without materializing wedges twice.
+        # Degree-based orientation is the documented skew refinement
+        # at clique-heavy scale; id order suffices here
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        lp = rel.distinct(li, ["l_orderkey", "l_partkey"])
+        both = rel.hash_join(
+            lp, rel.rename(lp, {"l_orderkey": "ok2", "l_partkey": "y"}),
+            on=["l_orderkey"], right_on=["ok2"], num_partitions=8,
+        )
+
+        def _lt(t: pa.Table) -> pa.Table:
+            m = pc.less(t["l_partkey"], t["y"])
+            tt = t.filter(m)
+            return pa.table({"x": tt["l_partkey"], "y": tt["y"]})
+
+        pairs = rel.distinct(
+            both.map_batches(_lt, batch_format="pyarrow"), ["x", "y"]
+        ).materialize()
+        n_edges = pairs.count()
+        outdeg = rel.grouped_aggregate(pairs, ["x"], {"c": ("count", "x")})
+
+        def _wedgecnt(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy().astype(np.int64)
+            return pa.table({"w": pa.array([int((c * (c - 1) // 2).sum())], pa.int64())})
+
+        from ray.data.aggregate import Sum
+
+        n_wedges = int(
+            outdeg.map_batches(_wedgecnt, batch_format="pyarrow").aggregate(
+                Sum("w", alias_name="w")
+            )["w"]
+        )
+        wed = rel.hash_join(
+            pairs, rel.rename(pairs, {"x": "x2", "y": "b"}),
+            on=["x"], right_on=["x2"], num_partitions=8,
+        )
+
+        def _w(t: pa.Table) -> pa.Table:
+            m = pc.less(t["y"], t["b"])
+            tt = t.filter(m)
+            return pa.table({"a": tt["y"], "b": tt["b"]})
+
+        closed = rel.hash_join(
+            wed.map_batches(_w, batch_format="pyarrow"),
+            rel.rename(pairs, {"x": "cx", "y": "cy"}),
+            on=["a", "b"], right_on=["cx", "cy"], num_partitions=8,
+        )
+        n_tri = closed.count()
+        return pd.DataFrame({
+            "edges": [np.int64(n_edges)],
+            "wedges": [np.int64(n_wedges)],
+            "triangles": [np.int64(n_tri)],
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -6978,6 +7040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_sq8": ann_sq8,
         "t_expectations": t_expectations,
         "r71_late_events": r71_late_events,
+        "pipe_triangles": pipe_triangles,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -9995,6 +10058,17 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "pipe_triangles": (
+            "WITH pairs AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y "
+            "FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey "
+            "AND a.l_partkey < b.l_partkey), "
+            "w AS (SELECT e1.y AS a, e2.y AS b FROM pairs e1 "
+            "JOIN pairs e2 ON e1.x = e2.x AND e1.y < e2.y) "
+            "SELECT CAST((SELECT count(*) FROM pairs) AS BIGINT) AS edges, "
+            "CAST((SELECT count(*) FROM w) AS BIGINT) AS wedges, "
+            "CAST((SELECT count(*) FROM w JOIN pairs e3 "
+            "ON e3.x = w.a AND e3.y = w.b) AS BIGINT) AS triangles"
         ),
         "r71_late_events": (
             "WITH w AS (SELECT event_type, ts, max(ts) OVER ("
