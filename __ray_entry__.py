@@ -6787,6 +6787,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "triangles": [np.int64(n_tri)],
         })
 
+    def t_bootstrap_means(sf_dir):
+        # Poisson bootstrap (Chamandy et al., Google — THE
+        # distributed bootstrap: each row contributes Poisson(1)
+        # copies per replicate independently, so replicas never need
+        # a global resample): 50 replicate means of events.value.
+        # The Poisson draw inverts a deterministic md5 uniform
+        # through the cdf ladder (5 literal thresholds, capped),
+        # identical in SQL, so every replicate mean value-checks.
+        # Per batch the (row x replicate) counts fold to one row per
+        # replicate; the exchange carries 50 rows per block
+        B = 50
+        CDF = (
+            0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+            0.9810118431238462, 0.9963401531726563,
+        )
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+        TWO64 = 18446744073709551616.0
+
+        def _partials(t: pa.Table) -> pa.Table:
+            ids = t["event_id"].to_numpy(zero_copy_only=False)
+            v = t["value"].to_numpy()
+            bs, scv, sc = [], [], []
+            for b in range(1, B + 1):
+                u = _md5_upper64([f"{i}:{b}" for i in ids]).astype(np.float64) / TWO64
+                cnt = np.zeros(len(ids), np.int64)
+                for thr in CDF:
+                    cnt += u >= thr
+                bs.append(b)
+                scv.append(float((cnt * v).sum()))
+                sc.append(int(cnt.sum()))
+            return pa.table({
+                "b": pa.array(bs, pa.int64()),
+                "scv": pa.array(scv),
+                "sc": pa.array(sc, pa.int64()),
+            })
+
+        agg = (
+            rel.grouped_aggregate(
+                ev.map_batches(_partials, batch_format="pyarrow"),
+                ["b"], {"scv": ("sum", "scv"), "sc": ("sum", "sc")},
+            )
+            .to_pandas()
+            .sort_values("b", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "b": agg["b"].astype("int64"),
+            "mean_b": round_half_up((agg["scv"] / agg["sc"]).to_numpy()),
+        })
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -7041,6 +7093,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_expectations": t_expectations,
         "r71_late_events": r71_late_events,
         "pipe_triangles": pipe_triangles,
+        "t_bootstrap_means": t_bootstrap_means,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -10058,6 +10111,21 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "t_bootstrap_means": (
+            "WITH r AS (SELECT unnest(range(1, 51)) AS b), "
+            "x AS (SELECT b, value, "
+            "md5_number_upper(CAST(event_id AS VARCHAR) || ':' || b) "
+            "/ 18446744073709551616.0 AS u FROM events, r), "
+            "c AS (SELECT b, value, "
+            "(CASE WHEN u >= 0.36787944117144233 THEN 1 ELSE 0 END "
+            "+ CASE WHEN u >= 0.7357588823428847 THEN 1 ELSE 0 END "
+            "+ CASE WHEN u >= 0.9196986029286058 THEN 1 ELSE 0 END "
+            "+ CASE WHEN u >= 0.9810118431238462 THEN 1 ELSE 0 END "
+            "+ CASE WHEN u >= 0.9963401531726563 THEN 1 ELSE 0 END) AS cnt FROM x) "
+            "SELECT CAST(b AS BIGINT) AS b, "
+            "round(sum(cnt * value) / sum(cnt), 4) AS mean_b "
+            "FROM c GROUP BY b ORDER BY b"
         ),
         "pipe_triangles": (
             "WITH pairs AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y "
