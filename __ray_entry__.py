@@ -6839,6 +6839,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mean_b": round_half_up((agg["scv"] / agg["sc"]).to_numpy()),
         })
 
+    def r72_basket_rules(sf_dir):
+        # market-basket association rules (Agrawal-Srikant support/
+        # confidence/lift, the 2-itemset level): per-order distinct
+        # part pairs count in one exchange, per-part order
+        # frequencies in another (bounded by the part dimension and
+        # broadcast back as sorted arrays); lift = c_xy * N /
+        # (c_x * c_y) ranks the top-10 rules above min-support 5
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        lp = rel.distinct(li, ["l_orderkey", "l_partkey"]).materialize()
+        both = rel.hash_join(
+            lp, rel.rename(lp, {"l_orderkey": "ok2", "l_partkey": "y"}),
+            on=["l_orderkey"], right_on=["ok2"], num_partitions=8,
+        )
+
+        def _lt(t: pa.Table) -> pa.Table:
+            m = pc.less(t["l_partkey"], t["y"])
+            tt = t.filter(m)
+            return pa.table({"x": tt["l_partkey"], "y": tt["y"]})
+
+        pair_cnt = rel.grouped_aggregate(
+            both.map_batches(_lt, batch_format="pyarrow"),
+            ["x", "y"], {"c_xy": ("count", "x")},
+        )
+        item_cnt = rel.grouped_aggregate(
+            lp, ["l_partkey"], {"c": ("count", "l_partkey")}
+        ).to_pandas()
+        ik = np.sort(item_cnt["l_partkey"].to_numpy(np.int64))
+        ic = item_cnt.set_index("l_partkey")["c"].loc[ik].to_numpy(np.float64)
+        n_orders = float(
+            pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
+        )
+        import ray as _ray
+
+        iref = _ray.put((ik, ic))
+
+        def _lift(t: pa.Table) -> pa.Table:
+            kk, cc = _ray.get(iref)
+            cxy = t["c_xy"].to_numpy().astype(np.float64)
+            m = cxy >= 5.0
+            x = t["x"].to_numpy()[m]
+            y = t["y"].to_numpy()[m]
+            cxy = cxy[m]
+            cx = cc[np.searchsorted(kk, x)]
+            cy = cc[np.searchsorted(kk, y)]
+            return pa.table({
+                "x": pa.array(x), "y": pa.array(y),
+                "c_xy": pa.array(cxy.astype(np.int64)),
+                "confidence": pa.array(round_half_up(cxy / cx)),
+                "lift": pa.array(round_half_up(cxy * n_orders / (cx * cy))),
+            })
+
+        top = rel.topk(
+            pair_cnt.map_batches(_lift, batch_format="pyarrow"),
+            ["lift", "x", "y"], 10, descending=[True, False, False],
+        ).to_pandas()
+        return (
+            top.sort_values(["lift", "x", "y"], ascending=[False, True, True], kind="mergesort")
+            .reset_index(drop=True)[["x", "y", "c_xy", "confidence", "lift"]]
+        )
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -7094,6 +7154,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r71_late_events": r71_late_events,
         "pipe_triangles": pipe_triangles,
         "t_bootstrap_means": t_bootstrap_means,
+        "r72_basket_rules": r72_basket_rules,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -10111,6 +10172,22 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r72_basket_rules": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "pc AS (SELECT a.l_partkey AS x, b.l_partkey AS y, "
+            "CAST(count(*) AS BIGINT) AS c_xy FROM lp a "
+            "JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY x, y), "
+            "ic AS (SELECT l_partkey, count(*) * 1.0 AS c FROM lp GROUP BY l_partkey), "
+            "n AS (SELECT count(*) * 1.0 AS o FROM orders), "
+            "rules AS (SELECT pc.x, pc.y, pc.c_xy, "
+            "round(pc.c_xy / ix.c, 4) AS confidence, "
+            "round(pc.c_xy * (SELECT o FROM n) / (ix.c * iy.c), 4) AS lift "
+            "FROM pc JOIN ic ix ON ix.l_partkey = pc.x "
+            "JOIN ic iy ON iy.l_partkey = pc.y WHERE pc.c_xy >= 5) "
+            "SELECT x, y, c_xy, confidence, lift FROM rules "
+            "ORDER BY lift DESC, x, y LIMIT 10"
         ),
         "t_bootstrap_means": (
             "WITH r AS (SELECT unnest(range(1, 51)) AS b), "
