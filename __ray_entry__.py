@@ -6899,6 +6899,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)[["x", "y", "c_xy", "confidence", "lift"]]
         )
 
+    def r73_benford(sf_dir):
+        # Benford first-digit forensics over o_totalprice: digit =
+        # floor(v / 10^floor(log10 v)) (identical fp chain both
+        # sides), counts fold in one 9-cell combiner, expected mass
+        # log10(1 + 1/d), and the chi-square statistic closes the
+        # fraud-screen report
+        orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+        def _digits(t: pa.Table) -> pa.Table:
+            v = t["o_totalprice"].to_numpy()
+            v = v[v > 0.0]
+            d = np.floor(v / np.power(10.0, np.floor(np.log10(v)))).astype(np.int64)
+            cnt = np.bincount(d, minlength=10)[1:10]
+            return pa.table({
+                "d": pa.array(np.arange(1, 10, dtype=np.int64)),
+                "n": pa.array(cnt.astype(np.int64)),
+            })
+
+        agg = (
+            rel.grouped_aggregate(
+                orders.map_batches(_digits, batch_format="pyarrow"),
+                ["d"], {"n": ("sum", "n")},
+            )
+            .to_pandas()
+            .sort_values("d", kind="mergesort")
+            .reset_index(drop=True)
+        )
+        total = float(agg["n"].sum())
+        exp_p = np.log10(1.0 + 1.0 / agg["d"].to_numpy().astype(np.float64))
+        exp_n = total * exp_p
+        chi2 = float(
+            (((agg["n"].to_numpy().astype(np.float64) - exp_n) ** 2) / exp_n).sum()
+        )
+        out = pd.DataFrame({
+            "d": agg["d"].astype("int64"),
+            "n": agg["n"].astype("int64"),
+            "expected": round_half_up(exp_n),
+            "chi2_total": round_half_up(np.full(9, chi2)),
+        })
+        return out
+
     return {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -7155,6 +7196,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_triangles": pipe_triangles,
         "t_bootstrap_means": t_bootstrap_means,
         "r72_basket_rules": r72_basket_rules,
+        "r73_benford": r73_benford,
         "r68_geohash_grid": r68_geohash_grid,
         "r69_scripted_metric": r69_scripted_metric,
         "s82_dis_max": s82_dis_max,
@@ -10172,6 +10214,20 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "SELECT event_type, round(sum(value * "
             "CASE WHEN user_id % 3 = 0 THEN 2.0 ELSE 1.0 END), 4) AS weighted_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r73_benford": (
+            "WITH d AS (SELECT CAST(floor(o_totalprice / "
+            "pow(10, floor(log10(o_totalprice)))) AS BIGINT) AS d "
+            "FROM orders WHERE o_totalprice > 0), "
+            "c AS (SELECT digit AS d, "
+            "CAST(count(dd.d) AS BIGINT) AS n FROM "
+            "(SELECT unnest(range(1, 10)) AS digit) r "
+            "LEFT JOIN d dd ON dd.d = r.digit GROUP BY digit), "
+            "t AS (SELECT sum(n) * 1.0 AS total FROM c), "
+            "e AS (SELECT c.d, c.n, (SELECT total FROM t) * log10(1 + 1.0 / c.d) AS exp_n FROM c), "
+            "x AS (SELECT round(sum((n - exp_n) * (n - exp_n) / exp_n), 4) AS chi2 FROM e) "
+            "SELECT e.d, e.n, round(e.exp_n, 4) AS expected, "
+            "(SELECT chi2 FROM x) AS chi2_total FROM e ORDER BY e.d"
         ),
         "r72_basket_rules": (
             "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "

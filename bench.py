@@ -235,7 +235,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "s85_search_as_you_type", "r67_geotile_grid", "r68_geohash_grid",
         "r69_scripted_metric", "t_dsir_sample", "pipe_fineweb", "t_bpe_train",
         "s86_has_child", "s87_has_parent", "s88_msearch", "r70_winsorize",
-        "sketch_kmv_intersect", "sketch_kmv_union", "ann_sq8", "t_expectations", "r71_late_events", "t_bootstrap_means",
+        "sketch_kmv_intersect", "sketch_kmv_union", "ann_sq8", "t_expectations", "r71_late_events", "t_bootstrap_means", "r72_basket_rules", "r73_benford",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
