@@ -538,6 +538,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def _read(sf_dir: str, table: str, columns=None):
         return _rd().read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
 
+    def _eval_set(sf_dir: str) -> pa.Table:
+        # benchmark eval-set fixture (every 97th doc), derived
+        # DATASET-side: column-pruned distributed read + filter, then
+        # a small collect of the ~1/97 survivors as Arrow blocks.
+        # Never a driver-side pq.read_table of the full corpus
+        # (VERDICT r03 #5: at 100x that materializes the corpus text
+        # on the driver).
+        def _f(t: pa.Table) -> pa.Table:
+            return t.filter(pa.array(t["doc_id"].to_numpy() % 97 == 0))
+
+        ev = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _f, batch_format="pyarrow"
+        )
+        import ray as _ray
+
+        parts = [p for p in _ray.get(ev.to_arrow_refs()) if p.num_rows]
+        if not parts:
+            return pa.table({"doc_id": pa.array([], pa.int64()),
+                             "text": pa.array([], pa.string())})
+        return pa.concat_tables(parts)
+
     # ---- search / scoring (S1-S8) -----------------------------------
     def s1_bm25_term(sf_dir):
         return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)))
@@ -709,17 +730,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # joins on (product_id, store_id)): composite-key broadcast
         # join of lineitem against the returned-lines slice on the
         # (l_orderkey, l_linenumber) primary key
+        # VERDICT r03 #6: the returned-lines slice is ~25% of lineitem
+        # — NOT small by construction, so no driver-side read and no
+        # unconditional broadcast. The predicate pushes into the scan
+        # (row-group pruning) and join_auto makes the cost-based
+        # broadcast-vs-shuffle choice (a fact-sized right side takes
+        # the hash-partitioned shuffle path).
+        import pyarrow.dataset as pads
+
         li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber", "l_quantity"])
-        small = pq.read_table(
+        right = _rd().read_parquet(
             os.path.join(sf_dir, "lineitem.parquet"),
-            columns=["l_orderkey", "l_linenumber", "l_extendedprice", "l_returnflag"],
+            columns=["l_orderkey", "l_linenumber", "l_extendedprice"],
+            filter=(pads.field("l_returnflag") == "R"),
         )
-        small = small.filter(pc.equal(small["l_returnflag"], "R"))
-        small = small.select(["l_orderkey", "l_linenumber", "l_extendedprice"]).rename_columns(
-            ["rk", "rl", "ret_price"]
-        )
-        return rel.broadcast_join(
-            li, small, on=["l_orderkey", "l_linenumber"], right_on=["rk", "rl"], how="inner"
+
+        def _rn(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "rk": t["l_orderkey"], "rl": t["l_linenumber"],
+                "ret_price": t["l_extendedprice"],
+            })
+
+        return rel.join_auto(
+            li, right.map_batches(_rn, batch_format="pyarrow"),
+            on=["l_orderkey", "l_linenumber"], right_on=["rk", "rl"], how="inner",
         )
 
     def r5_semijoin(sf_dir):
@@ -2317,11 +2351,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # GPT-3-style benchmark decontamination: eval set = every
         # 97th doc; flag corpus docs sharing any 3-token shingle
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
-        et = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
-        return dd.contamination_flags(docs, ev, w=3)
+        return dd.contamination_flags(docs, _eval_set(sf_dir), w=3)
 
     def t_pii_clean(sf_dir):
         # PII redaction stage over a corpus with deterministically
@@ -3021,7 +3051,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     def ann_ivf(sf_dir):  # rows-only (scale path: cluster-pruned read)
         tag = sf_dir.strip("/").replace("/", "_")
-        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
+        # keyed on source mtime (the e1 CSV-cache lesson, same fix as
+        # ann_pq): regenerated testdata must not serve stale centroids
+        _ivf_mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_{_ivf_mt}_v2"
         emb = _read(sf_dir, "embeddings")
         if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
             ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)
@@ -3034,7 +3067,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def ann_ivf_batch(sf_dir):
         # Dataset-native batched ANN over the IVF partitions
         tag = sf_dir.strip("/").replace("/", "_")
-        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_v2"  # v2: repartitioned build (few files/cluster)
+        # keyed on source mtime (the e1 CSV-cache lesson, same fix as
+        # ann_pq): regenerated testdata must not serve stale centroids
+        _ivf_mt = int(os.path.getmtime(os.path.join(sf_dir, "embeddings.parquet")))
+        ivf_dir = f"/tmp/ser_ivf_cache/{tag}_{_ivf_mt}_v2"
         emb = _read(sf_dir, "embeddings")
         if not os.path.exists(os.path.join(ivf_dir, "centroids.json")):
             ann.IVFIndex.build(emb, ivf_dir, n_clusters=8)
@@ -6209,11 +6245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
             return t.filter(m).select(["doc_id", "text", "lang", "n_words"])
 
         kept = g.map_batches(_keep, batch_format="pyarrow")
-        et = pq.read_table(
-            os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"]
-        )
-        ev = et.filter(pa.array(et["doc_id"].to_numpy() % 97 == 0))
-        flags = dd.contamination_flags(kept, ev, w=3)
+        flags = dd.contamination_flags(kept, _eval_set(sf_dir), w=3)
 
         def _cleanf(t: pa.Table) -> pa.Table:
             return t.filter(pc.equal(t["contaminated"], 0)).select(["doc_id"])
@@ -6845,7 +6877,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # part pairs count in one exchange, per-part order
         # frequencies in another (bounded by the part dimension and
         # broadcast back as sorted arrays); lift = c_xy * N /
-        # (c_x * c_y) ranks the top-10 rules above min-support 5
+        # (c_x * c_y) ranks the top-10 rules above min-support 2.
+        # The support gate is deliberately NOT scale-proportional:
+        # pair supports SHRINK as the part dimension grows (TPC-H
+        # part count scales with sf), so an absolute >=5 empties the
+        # rule set at sf0.1 (the round-3 driver-bench crash). >=2
+        # ("co-occurred in at least two orders") is non-degenerate at
+        # every sf, and the empty path below pins the output schema
+        # anyway (empty Ray datasets yield schema-less frames).
         li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
         lp = rel.distinct(li, ["l_orderkey", "l_partkey"]).materialize()
         both = rel.hash_join(
@@ -6877,7 +6916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         def _lift(t: pa.Table) -> pa.Table:
             kk, cc = _ray.get(iref)
             cxy = t["c_xy"].to_numpy().astype(np.float64)
-            m = cxy >= 5.0
+            m = cxy >= 2.0
             x = t["x"].to_numpy()[m]
             y = t["y"].to_numpy()[m]
             cxy = cxy[m]
@@ -6894,6 +6933,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pair_cnt.map_batches(_lift, batch_format="pyarrow"),
             ["lift", "x", "y"], 10, descending=[True, False, False],
         ).to_pandas()
+        if "lift" not in top.columns:  # all blocks empty -> schema-less frame
+            top = pd.DataFrame({
+                "x": pd.Series(dtype=np.int64), "y": pd.Series(dtype=np.int64),
+                "c_xy": pd.Series(dtype=np.int64),
+                "confidence": pd.Series(dtype=np.float64),
+                "lift": pd.Series(dtype=np.float64),
+            })
         return (
             top.sort_values(["lift", "x", "y"], ascending=[False, True, True], kind="mergesort")
             .reset_index(drop=True)[["x", "y", "c_xy", "confidence", "lift"]]
@@ -6940,7 +6986,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         return out
 
-    return {
+    d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
         "pipe_grouped_search": pipe_grouped_search,
@@ -7218,6 +7264,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q20": pipe_tpch_q20,
         "pipe_tpch_q21": pipe_tpch_q21,
         "pipe_tpch_q22": pipe_tpch_q22,
+    }
+    # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
+    # correctness gate checks the FIRST 50 keys in insertion order;
+    # front-load the 50 newest never-driver-checked entries (stats
+    # wave, TPC-H, spans/geo — newest first: they carry the highest
+    # bug risk, r72 was the proof). Cumulative coverage after this
+    # window: 158/269. Remaining entries keep their original order.
+    _r4_window = [
+        "pipe_tpch_q22", "pipe_tpch_q21", "pipe_tpch_q20", "pipe_tpch_q19",
+        "pipe_tpch_q18", "pipe_tpch_q17", "pipe_tpch_q16", "pipe_tpch_q15",
+        "pipe_tpch_q13", "pipe_tpch_q11", "pipe_tpch_q12", "pipe_tpch_q9",
+        "pipe_tpch_q8", "pipe_tpch_q7", "pipe_tpch_q2", "r67_geotile_grid",
+        "s84_more_like_this", "s83_script_score", "s82_dis_max",
+        "r69_scripted_metric", "r68_geohash_grid", "r73_benford",
+        "r72_basket_rules", "t_bootstrap_means", "pipe_triangles",
+        "r71_late_events", "t_expectations", "ann_sq8", "sketch_kmv_union",
+        "sketch_kmv_intersect", "r70_winsorize", "s88_msearch",
+        "s87_has_parent", "s86_has_child", "t_bpe_train", "pipe_fineweb",
+        "s85_search_as_you_type", "t_dsir_sample", "ann_maxsim",
+        "t_embed_outliers", "r66_join_auto", "r65_terms_by_subagg",
+        "e19_reindex_alias", "r64_rolling_window", "s81_sig_chi2",
+        "r63_unpivot", "t_temperature_mix", "s80_span_multi",
+        "s79_intervals_any", "s78_intervals",
+    ]
+    return {k: d[k] for k in _r4_window} | {
+        k: v for k, v in d.items() if k not in _r4_window
     }
 
 
@@ -10241,7 +10313,7 @@ FROM sc ORDER BY raw DESC, term LIMIT 10
             "round(pc.c_xy / ix.c, 4) AS confidence, "
             "round(pc.c_xy * (SELECT o FROM n) / (ix.c * iy.c), 4) AS lift "
             "FROM pc JOIN ic ix ON ix.l_partkey = pc.x "
-            "JOIN ic iy ON iy.l_partkey = pc.y WHERE pc.c_xy >= 5) "
+            "JOIN ic iy ON iy.l_partkey = pc.y WHERE pc.c_xy >= 2) "
             "SELECT x, y, c_xy, confidence, lift FROM rules "
             "ORDER BY lift DESC, x, y LIMIT 10"
         ),

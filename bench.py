@@ -487,7 +487,42 @@ def run_scaling() -> dict:
     }
 
 
+def run_smoke(names: list[str]) -> dict:
+    """Pre-commit gate (round-3 postmortem): run the named queries()
+    entries ONCE at the bench sf (default sf0.1) in this process and
+    report seconds-or-error per entry. Every NEW entry that lands in
+    the bench pick list MUST pass `python bench.py --smoke <names>`
+    before its commit — sf0.01 pytest green does not cover
+    scale-dependent breaks (empty intermediates, absolute thresholds,
+    schema-less empty frames). Exits rc=1 if any entry raises."""
+    _init_ray(NUM_CPUS)
+    import __ray_entry__ as entrymod
+    from ray.data import Dataset
+
+    qs = entrymod.queries()
+    out, failed = {}, False
+    for name in names:
+        t0 = time.perf_counter()
+        try:
+            res = qs[name](SF_DIR)
+            if isinstance(res, Dataset):
+                res = res.to_pandas()
+            nrows = len(res)
+            out[name] = {"s": round(time.perf_counter() - t0, 3), "rows": nrows}
+        except Exception as e:  # noqa: BLE001 - smoke gate reports, not hides
+            failed = True
+            out[name] = {"error": f"{type(e).__name__}: {e}"}
+    import ray
+
+    ray.shutdown()
+    return {"sf": SF_DIR, "num_cpus": NUM_CPUS, "smoke": out, "ok": not failed}
+
+
 if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--smoke":
+        r = run_smoke(sys.argv[2:])
+        print(json.dumps(r))
+        sys.exit(0 if r["ok"] else 1)
     if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--scale-build":

@@ -303,7 +303,19 @@ def phrase_postings(
                              "(a lone prefix is the plain Prefix query)")
         from search_engine_ray.query.qast import Prefix as _Prefix
 
-        exp_keys = sorted(engine._expand_prefix(_Prefix(field, last_prefix)))[:max_expansions]
+        exp = sorted(engine._expand_prefix(_Prefix(field, last_prefix)))
+        # Assert, don't silently truncate (ADVICE r03 / the s80
+        # expansion-cap lesson): the s53 value oracle replays the FULL
+        # dictionary expansion in SQL, so a dictionary that outgrows
+        # the cap would make this path quietly diverge from it. ES's
+        # own max_expansions truncation is reproducible only if both
+        # sides apply it — fail loud until the oracle encodes the cap.
+        assert len(exp) < max_expansions, (
+            f"prefix {last_prefix!r} expands to {len(exp)} >= cap {max_expansions}; "
+            "the value oracle replays the UNCAPPED expansion — raise the cap "
+            "or encode it in the oracle before relying on this result"
+        )
+        exp_keys = exp
         if not exp_keys:
             return rd.from_arrow(_EMPTY_POSTINGS)
     if not tokens:
