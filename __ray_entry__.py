@@ -6986,6 +6986,186 @@ def queries() -> dict[str, Callable[[str], Any]]:
         })
         return out
 
+    # ---- round-4 statistics / aggregation wave ----------------------
+
+    _EV_ANCHOR_US = 1704067200000000  # epoch_us('2024-01-01'), events epoch
+
+    def r74_grouped_ols(sf_dir):
+        # grouped simple OLS (DuckDB regr_* family semantics): per
+        # event_type fit of value on x = fractional days since the
+        # events epoch. Five raw moments per group ride ONE combiner
+        # exchange (x bounded 0..31, y bounded ~1e3, so raw-moment
+        # sums stay fp-stable at any sf); slope/intercept/r2 fold
+        # driver-side on k rows.
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            x = (t["ts"].cast(pa.int64()).to_numpy() - _EV_ANCHOR_US) / 86400e6
+            y = t["value"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_pylist(),
+                "n": 1.0, "sx": x, "sy": y,
+                "sxx": x * x, "sxy": x * y, "syy": y * y,
+            })
+            g = df.groupby("event_type", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow"), ["event_type"],
+            {c: ("sum", c) for c in ["n", "sx", "sy", "sxx", "sxy", "syy"]},
+        ).to_pandas().sort_values("event_type", kind="mergesort")
+        n = m["n"].to_numpy(); sx = m["sx"].to_numpy(); sy = m["sy"].to_numpy()
+        sxx = m["sxx"].to_numpy(); sxy = m["sxy"].to_numpy(); syy = m["syy"].to_numpy()
+        num = n * sxy - sx * sy
+        den = n * sxx - sx * sx
+        slope = num / den
+        return pd.DataFrame({
+            "event_type": m["event_type"].to_numpy(),
+            "n": n.astype(np.int64),
+            "slope": round_half_up(slope),
+            "intercept": round_half_up((sy - slope * sx) / n),
+            "r2": round_half_up(num * num / (den * (n * syy - sy * sy))),
+        }).reset_index(drop=True)
+
+    def r75_matrix_stats(sf_dir):
+        # ES matrix_stats agg: pairwise sample covariance +
+        # correlation over (l_quantity, l_discount, l_tax) via the
+        # TWO-PASS centered algorithm — pass 1 is a tiny mean
+        # combiner, pass 2 folds centered cross-products per block
+        # (numerically stable; the raw-moment form cancels
+        # catastrophically on wide-magnitude columns, which is why
+        # l_extendedprice is out of scope here). Oracle replays the
+        # identical two-pass chain.
+        cols = ["l_quantity", "l_discount", "l_tax"]
+        li = _read(sf_dir, "lineitem", cols)
+        agg = li.map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([float(t.num_rows)])}
+                | {f"s_{c}": pa.array([float(np.sum(t[c].to_numpy(zero_copy_only=False)))]) for c in cols}
+            ),
+            batch_format="pyarrow",
+        ).to_pandas().sum()
+        n = float(agg["n"])
+        means = {c: float(agg[f"s_{c}"]) / n for c in cols}
+        import ray as _ray
+
+        mref = _ray.put(means)
+
+        def _centered(t: pa.Table) -> pa.Table:
+            mm = _ray.get(mref)
+            v = {c: t[c].to_numpy(zero_copy_only=False).astype(np.float64) - mm[c] for c in cols}
+            out = {}
+            for i, a in enumerate(cols):
+                for b in cols[i:]:
+                    out[f"cp_{a}_{b}"] = pa.array([float(np.sum(v[a] * v[b]))])
+            return pa.table(out)
+
+        cp = li.map_batches(_centered, batch_format="pyarrow").to_pandas().sum()
+        rows = []
+        for i, a in enumerate(cols):
+            for b in cols[i + 1:]:
+                s_ab = float(cp[f"cp_{a}_{b}"])
+                s_aa = float(cp[f"cp_{a}_{a}"])
+                s_bb = float(cp[f"cp_{b}_{b}"])
+                rows.append({
+                    "f1": a, "f2": b,
+                    "covar": float(round_half_up(np.array([s_ab / (n - 1.0)]))[0]),
+                    "corr": float(round_half_up(np.array([s_ab / math.sqrt(s_aa * s_bb)]))[0]),
+                })
+        return pd.DataFrame(rows).sort_values(["f1", "f2"], kind="mergesort").reset_index(drop=True)
+
+    def r76_anova(sf_dir):
+        # one-way ANOVA F-statistic of value across the event_type
+        # groups: per-group (n, sum, sumsq) ride one combiner
+        # exchange; SSB/SSW fold driver-side on k rows (value bounded
+        # ~1e3 keeps the raw-moment form fp-stable).
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            y = t["value"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_pylist(),
+                "n": 1.0, "s": y, "sq": y * y,
+            })
+            g = df.groupby("event_type", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow"), ["event_type"],
+            {c: ("sum", c) for c in ["n", "s", "sq"]},
+        ).to_pandas()
+        ng = m["n"].to_numpy(); sg = m["s"].to_numpy(); qg = m["sq"].to_numpy()
+        ntot = float(ng.sum()); k = float(len(m))
+        grand = float(sg.sum()) / ntot
+        mg = sg / ng
+        ssb = float((ng * (mg - grand) ** 2).sum())
+        ssw = float((qg - ng * mg * mg).sum())
+        f_stat = (ssb / (k - 1.0)) / (ssw / (ntot - k))
+        return pd.DataFrame({
+            "k": [int(k)], "n": [int(ntot)],
+            "f_stat": round_half_up(np.array([f_stat])),
+        })
+
+    def r77_percentiles_bucket(sf_dir):
+        # ES percentiles_bucket pipeline agg: daily sums of value
+        # (bucket table = #days, driver-bounded), then p25/p50/p75
+        # with linear interpolation over the sorted bucket values —
+        # numpy percentile == DuckDB quantile_cont.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        daily = rel.grouped_aggregate(
+            ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+            {"s": ("sum", "value")},
+        ).to_pandas()
+        v = np.percentile(daily["s"].to_numpy(np.float64), [25, 50, 75], method="linear")
+        return pd.DataFrame({
+            "p": np.array([25, 50, 75], np.int64), "v": round_half_up(v),
+        })
+
+    def r78_entropy(sf_dir):
+        # per-user Shannon entropy of the event-type mix: the
+        # (user, event_type) count table is one exchange (bounded by
+        # users x types, not events); the entropy folds per user in a
+        # map_groups over <= k rows each.
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+        c = rel.grouped_aggregate(
+            ev, ["user_id", "event_type"], {"c": ("count", "event_type")}
+        )
+
+        def _h(df: pd.DataFrame) -> pd.DataFrame:
+            cc = df["c"].to_numpy(np.float64)
+            n = cc.sum()
+            p = cc / n
+            return pd.DataFrame({
+                "user_id": [int(df["user_id"].iloc[0])],
+                "n_events": [int(n)],
+                "entropy": round_half_up(np.array([float(-(p * np.log(p)).sum())])),
+            })
+
+        out = (
+            c.groupby("user_id").map_groups(_h, batch_format="pandas")
+            .to_pandas().sort_values("user_id", kind="mergesort").reset_index(drop=True)
+        )
+        return out
+
+    def s89_terms_enum(sf_dir):
+        # ES terms_enum API: lexicographically-first index dictionary
+        # terms under a prefix — served straight from the term
+        # dictionary (no postings touched), the same structure the s2
+        # prefix expansion walks.
+        eng = _doc_engine(sf_dir)
+        from search_engine_ray.query.qast import Prefix as _Prefix
+
+        keys = sorted(eng._expand_prefix(_Prefix("text", "s")))[:20]
+        prefix_len = len(eng.config.term_key("text", ""))
+        return pd.DataFrame({"term": [k[prefix_len:] for k in keys]})
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -7264,6 +7444,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pipe_tpch_q20": pipe_tpch_q20,
         "pipe_tpch_q21": pipe_tpch_q21,
         "pipe_tpch_q22": pipe_tpch_q22,
+        # round-4 statistics / aggregation wave
+        "r74_grouped_ols": r74_grouped_ols,
+        "r75_matrix_stats": r75_matrix_stats,
+        "r76_anova": r76_anova,
+        "r77_percentiles_bucket": r77_percentiles_bucket,
+        "r78_entropy": r78_entropy,
+        "s89_terms_enum": s89_terms_enum,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -10794,6 +10981,67 @@ GROUP BY c.lang ORDER BY c.lang
             "AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey "
             "AND o_orderpriority = '1-URGENT') "
             "GROUP BY c_nationkey ORDER BY c_nationkey"
+        ),
+        # round-4 statistics / aggregation wave
+        "r74_grouped_ols": (
+            "WITH b AS (SELECT event_type, "
+            "(epoch_us(ts) - 1704067200000000) / 86400000000.0 AS x, "
+            "value AS y FROM events), "
+            "m AS (SELECT event_type, count(*) * 1.0 AS n, sum(x) AS sx, "
+            "sum(y) AS sy, sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy "
+            "FROM b GROUP BY event_type) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, "
+            "round((n*sxy - sx*sy) / (n*sxx - sx*sx), 4) AS slope, "
+            "round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 4) AS intercept, "
+            "round(pow(n*sxy - sx*sy, 2) / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS r2 "
+            "FROM m ORDER BY event_type"
+        ),
+        "r75_matrix_stats": (
+            "WITH m AS (SELECT sum(l_quantity)/count(*) AS mq, "
+            "sum(l_discount)/count(*) AS md, sum(l_tax)/count(*) AS mt, "
+            "count(*) * 1.0 AS n FROM lineitem), "
+            "c AS (SELECT l_quantity - mq AS q, l_discount - md AS d, "
+            "l_tax - mt AS t, n FROM lineitem, m), "
+            "s AS (SELECT any_value(n) AS n, sum(q*q) AS sqq, sum(d*d) AS sdd, "
+            "sum(t*t) AS stt, sum(q*d) AS sqd, sum(q*t) AS sqt, sum(d*t) AS sdt FROM c) "
+            "SELECT f1, f2, round(cp / (n - 1.0), 4) AS covar, "
+            "round(cp / sqrt(v1 * v2), 4) AS corr FROM ("
+            "SELECT 'l_quantity' AS f1, 'l_discount' AS f2, sqd AS cp, sqq AS v1, sdd AS v2, n FROM s "
+            "UNION ALL SELECT 'l_quantity', 'l_tax', sqt, sqq, stt, n FROM s "
+            "UNION ALL SELECT 'l_discount', 'l_tax', sdt, sdd, stt, n FROM s) "
+            "ORDER BY f1, f2"
+        ),
+        "r76_anova": (
+            "WITH g AS (SELECT event_type, count(*) * 1.0 AS n, sum(value) AS s, "
+            "sum(value * value) AS sq FROM events GROUP BY event_type), "
+            "tot AS (SELECT sum(n) AS ntot, count(*) * 1.0 AS k, "
+            "sum(s) / sum(n) AS grand FROM g) "
+            "SELECT CAST(k AS BIGINT) AS k, CAST(ntot AS BIGINT) AS n, "
+            "round(((SELECT sum(n * pow(s / n - grand, 2)) FROM g, tot) / (k - 1.0)) "
+            "/ ((SELECT sum(sq - n * pow(s / n, 2)) FROM g) / (ntot - k)), 4) AS f_stat "
+            "FROM tot"
+        ),
+        "r77_percentiles_bucket": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day) "
+            "SELECT unnest([25, 50, 75]) AS p, "
+            "unnest([round(quantile_cont(s, 0.25), 4), "
+            "round(quantile_cont(s, 0.50), 4), "
+            "round(quantile_cont(s, 0.75), 4)]) AS v FROM d"
+        ),
+        "r78_entropy": (
+            "WITH c AS (SELECT user_id, event_type, count(*) * 1.0 AS c "
+            "FROM events GROUP BY user_id, event_type), "
+            "n AS (SELECT user_id, sum(c) AS n FROM c GROUP BY user_id) "
+            "SELECT c.user_id, CAST(any_value(n.n) AS BIGINT) AS n_events, "
+            "round(-sum((c.c / n.n) * ln(c.c / n.n)), 4) AS entropy "
+            "FROM c JOIN n ON c.user_id = n.user_id "
+            "GROUP BY c.user_id ORDER BY c.user_id"
+        ),
+        "s89_terms_enum": (
+            f"WITH tk AS (SELECT unnest({toks}) AS tok FROM documents) "
+            "SELECT DISTINCT tok AS term FROM tk WHERE tok LIKE 's%' "
+            "ORDER BY term LIMIT 20"
         ),
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }

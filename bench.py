@@ -236,6 +236,9 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r69_scripted_metric", "t_dsir_sample", "pipe_fineweb", "t_bpe_train",
         "s86_has_child", "s87_has_parent", "s88_msearch", "r70_winsorize",
         "sketch_kmv_intersect", "sketch_kmv_union", "ann_sq8", "t_expectations", "r71_late_events", "t_bootstrap_means", "r72_basket_rules", "r73_benford",
+        # round-4 statistics/aggregation wave (all sf0.1-smoked pre-commit)
+        "r74_grouped_ols", "r75_matrix_stats", "r76_anova",
+        "r77_percentiles_bucket", "r78_entropy", "s89_terms_enum",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
