@@ -6769,19 +6769,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Degree-based orientation is the documented skew refinement
         # at clique-heavy scale; id order suffices here
         li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        lp = rel.distinct(li, ["l_orderkey", "l_partkey"])
-        both = rel.hash_join(
-            lp, rel.rename(lp, {"l_orderkey": "ok2", "l_partkey": "y"}),
-            on=["l_orderkey"], right_on=["ok2"], num_partitions=8,
-        )
-
-        def _lt(t: pa.Table) -> pa.Table:
-            m = pc.less(t["l_partkey"], t["y"])
-            tt = t.filter(m)
-            return pa.table({"x": tt["l_partkey"], "y": tt["y"]})
-
-        pairs = rel.distinct(
-            both.map_batches(_lt, batch_format="pyarrow"), ["x", "y"]
+        # edge derivation via cooccur_pairs (vectorized per-basket
+        # segment expansion, no self-join — same rewrite as r72);
+        # the c_xy counts drop, only the distinct edge set remains
+        pairs = rel.cooccur_pairs(li, "l_orderkey", "l_partkey").select_columns(
+            ["x", "y"]
         ).materialize()
         n_edges = pairs.count()
         outdeg = rel.grouped_aggregate(pairs, ["x"], {"c": ("count", "x")})
@@ -6886,26 +6878,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # every sf, and the empty path below pins the output schema
         # anyway (empty Ray datasets yield schema-less frames).
         li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        lp = rel.distinct(li, ["l_orderkey", "l_partkey"]).materialize()
-        both = rel.hash_join(
-            lp, rel.rename(lp, {"l_orderkey": "ok2", "l_partkey": "y"}),
-            on=["l_orderkey"], right_on=["ok2"], num_partitions=8,
-        )
-
-        def _lt(t: pa.Table) -> pa.Table:
-            m = pc.less(t["l_partkey"], t["y"])
-            tt = t.filter(m)
-            return pa.table({"x": tt["l_partkey"], "y": tt["y"]})
-
-        pair_cnt = rel.grouped_aggregate(
-            both.map_batches(_lt, batch_format="pyarrow"),
-            ["x", "y"], {"c_xy": ("count", "x")},
-        )
-        item_cnt = rel.grouped_aggregate(
-            lp, ["l_partkey"], {"c": ("count", "l_partkey")}
+        # pair counts WITHOUT a self-join: cooccur_pairs hash-shards
+        # whole orders, generates each basket's C(m,2) pairs with
+        # vectorized segment expansion, and pre-aggregates per shard;
+        # with_item_counts rides the per-part order frequencies on the
+        # SAME exchange as sentinel y=-1 rows, so ONE pass over
+        # lineitem serves both tables (replaced the hash_join+filter
+        # two-exchange plan: 27.6 s -> see BASELINE.md A/B)
+        pi = rel.cooccur_pairs(
+            li, "l_orderkey", "l_partkey", with_item_counts=True
+        ).materialize()
+        item_cnt = pi.map_batches(
+            lambda t: t.filter(pc.equal(t["y"], -1)).select(["x", "c_xy"]),
+            batch_format="pyarrow",
         ).to_pandas()
-        ik = np.sort(item_cnt["l_partkey"].to_numpy(np.int64))
-        ic = item_cnt.set_index("l_partkey")["c"].loc[ik].to_numpy(np.float64)
+        pair_cnt = pi.map_batches(
+            lambda t: t.filter(pc.not_equal(t["y"], -1)), batch_format="pyarrow"
+        )
+        ik = np.sort(item_cnt["x"].to_numpy(np.int64))
+        ic = item_cnt.set_index("x")["c_xy"].loc[ik].to_numpy(np.float64)
         n_orders = float(
             pq.read_metadata(os.path.join(sf_dir, "orders.parquet")).num_rows
         )

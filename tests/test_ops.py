@@ -1933,3 +1933,43 @@ def test_hash_join_empty_left_outer_variants(ray_session):
         empty_left, right, on=["k"], right_on=["rk"], num_partitions=8
     ).to_pandas()
     assert len(inner) == 0
+
+
+def test_cooccur_pairs_vs_bruteforce(ray_session):
+    """cooccur_pairs == brute-force distinct-pair counting, including
+    duplicate (group, item) rows, singleton groups, and x < y order."""
+    import itertools
+
+    import ray.data as rd
+
+    import search_engine_ray.ops.relational as rel
+
+    rng = np.random.RandomState(7)
+    g = rng.randint(0, 40, size=500).astype(np.int64)
+    i = rng.randint(0, 25, size=500).astype(np.int64)
+    ds = rd.from_arrow(pa.table({"gid": pa.array(g), "item": pa.array(i)}))
+    got = (
+        rel.cooccur_pairs(ds, "gid", "item", num_buckets=8)
+        .to_pandas().sort_values(["x", "y"]).reset_index(drop=True)
+    )
+    want: dict[tuple, int] = {}
+    for gid in np.unique(g):
+        items = sorted(set(i[g == gid].tolist()))
+        for x, y in itertools.combinations(items, 2):
+            want[(x, y)] = want.get((x, y), 0) + 1
+    assert len(got) == len(want)
+    for _, r in got.iterrows():
+        assert want[(r["x"], r["y"])] == r["c_xy"], (r["x"], r["y"])
+
+
+def test_cooccur_pairs_empty_and_singletons(ray_session):
+    import ray.data as rd
+
+    import search_engine_ray.ops.relational as rel
+
+    ds = rd.from_arrow(pa.table({
+        "gid": pa.array([1, 2, 3], pa.int64()),
+        "item": pa.array([10, 20, 30], pa.int64()),
+    }))
+    out = rel.cooccur_pairs(ds, "gid", "item", num_buckets=4).to_pandas()
+    assert len(out) == 0
