@@ -239,6 +239,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         # round-4 statistics/aggregation wave (all sf0.1-smoked pre-commit)
         "r74_grouped_ols", "r75_matrix_stats", "r76_anova",
         "r77_percentiles_bucket", "r78_entropy", "s89_terms_enum",
+        "r79_ks_test", "dedup_containment",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -638,9 +638,17 @@ def ngram_jaccard_pairs(
     w: int = 3,
     threshold: float = 0.5,
     max_shingle_df: int = 4096,
+    metric: str = "jaccard",
 ) -> Dataset:
     """EXACT all-pairs n-gram Jaccard near-dup pairs: (a, b, jaccard)
     with round(jaccard,4) >= threshold, a < b.
+
+    ``metric="containment"`` scores |A∩B| / min(|A|, |B|) instead
+    (column name "containment") — the asymmetric measure that catches
+    SUBSET duplicates (a short doc embedded verbatim in a longer one
+    scores ~1.0 here but low Jaccard, the Broder containment / DataComp
+    dedup case). Same exact-recall blocking: containment > 0 implies a
+    shared shingle.
 
     Candidate generation is shared-shingle blocking: any pair with
     J > 0 shares >= 1 shingle, so (unlike MinHash-LSH banding) recall
@@ -750,14 +758,17 @@ def ngram_jaccard_pairs(
 
     def _jaccard(t: pa.Table) -> pa.Table:
         i = t["inter"].to_numpy().astype(np.float64)
-        u = t["sz_a"].to_numpy() + t["sz_b"].to_numpy() - t["inter"].to_numpy()
+        if metric == "containment":
+            u = np.minimum(t["sz_a"].to_numpy(), t["sz_b"].to_numpy())
+        else:
+            u = t["sz_a"].to_numpy() + t["sz_b"].to_numpy() - t["inter"].to_numpy()
         jac = _round4_half_up(i / np.maximum(u, 1))
         keep = pa.array(jac >= threshold)
         return pa.table(
             {
                 "a": t["a"].filter(keep),
                 "b": t["b"].filter(keep),
-                "jaccard": pa.array(jac[jac >= threshold], pa.float64()),
+                metric: pa.array(jac[jac >= threshold], pa.float64()),
             }
         )
 
