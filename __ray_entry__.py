@@ -7168,6 +7168,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r80_change_point(sf_dir):
+        # ES change_point agg (CUSUM screen) over a day histogram:
+        # daily sums fold in one combiner exchange (bucket table =
+        # #days, driver-bounded); the CUSUM S_k = cumsum(x - mean)
+        # and argmax |S_k| close on the tiny bucket series.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        daily = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort")
+        )
+        x = daily["s"].to_numpy(np.float64)
+        cu = np.cumsum(x - float(x.sum()) / x.size)
+        k = int(np.argmax(np.abs(cu)))
+        return pd.DataFrame({
+            "change_day": [np.int64(daily["day"].iloc[k])],
+            "magnitude": round_half_up(np.array([abs(cu[k])])),
+        })
+
+    def t_zipf(sf_dir):
+        # Zipf's-law fit over the corpus token frequency distribution:
+        # the (token, count) table is the vocabulary-bounded combiner
+        # output; rank by (count desc, token) and the log-log OLS
+        # slope (the Zipf exponent) folds driver-side on vocab rows.
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        toks = txt.explode_tokens(docs, "text", ["doc_id"]).select_columns(["token"])
+        counts = rel.value_counts(toks, "token", alias="cnt").to_pandas()
+        counts = counts.sort_values(
+            ["cnt", "token"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        lr = np.log(np.arange(1, len(counts) + 1, dtype=np.float64))
+        lc = np.log(counts["cnt"].to_numpy(np.float64))
+        n = float(lr.size)
+        sx, sy = lr.sum(), lc.sum()
+        sxx, sxy = (lr * lr).sum(), (lr * lc).sum()
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        return pd.DataFrame({
+            "n_types": [np.int64(len(counts))],
+            "zipf_s": round_half_up(np.array([-slope])),
+            "intercept": round_half_up(np.array([(sy - slope * sx) / n])),
+        })
+
+    def r81_two_proportions(sf_dir):
+        # A/B two-proportion z-test: cohort = parity of the json
+        # payload's k (r2-style JSON extraction in the batch kernel),
+        # success = purchase events; per-cohort (n, s) ride one
+        # 2-row combiner, the pooled z folds driver-side.
+        ev = _read(sf_dir, "events", ["event_type", "props"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(
+                pc.struct_field(pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            grp = (k % 2).astype(np.int64)
+            succ = (np.asarray(t["event_type"]) == "purchase").astype(np.int64)
+            df = pd.DataFrame({"grp": grp, "n": 1, "s": succ})
+            g = df.groupby("grp", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow"), ["grp"],
+            {"n": ("sum", "n"), "s": ("sum", "s")},
+        ).to_pandas().set_index("grp")
+        n1, s1 = float(m.loc[0, "n"]), float(m.loc[0, "s"])
+        n2, s2 = float(m.loc[1, "n"]), float(m.loc[1, "s"])
+        p1, p2 = s1 / n1, s2 / n2
+        pool = (s1 + s2) / (n1 + n2)
+        z = (p1 - p2) / math.sqrt(pool * (1 - pool) * (1 / n1 + 1 / n2))
+        return pd.DataFrame({
+            "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+            "p1": round_half_up(np.array([p1])),
+            "p2": round_half_up(np.array([p2])),
+            "z_stat": round_half_up(np.array([z])),
+        })
+
     def r79_ks_test(sf_dir):
         # distributed two-sample Kolmogorov-Smirnov: D = sup over the
         # merged value set of |F1 - F2|. The (value, c1, c2) table
@@ -7538,6 +7623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s89_terms_enum": s89_terms_enum,
         "r79_ks_test": r79_ks_test,
         "dedup_containment": dedup_containment,
+        "r80_change_point": r80_change_point,
+        "t_zipf": t_zipf,
+        "r81_two_proportions": r81_two_proportions,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11145,5 +11233,39 @@ GROUP BY c.lang ORDER BY c.lang
             "round(max(abs(f1 - f2)), 4) AS d_stat FROM o"
         ),
         "dedup_containment": _CONTAINMENT_ALLPAIRS_SQL,
+        "r80_change_point": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "c AS (SELECT day, sum(s - (SELECT sum(s) / count(*) FROM d)) "
+            "OVER (ORDER BY day) AS cu FROM d) "
+            "SELECT day AS change_day, round(abs(cu), 4) AS magnitude "
+            "FROM c ORDER BY abs(cu) DESC, day LIMIT 1"
+        ),
+        "t_zipf": (
+            f"WITH tk AS (SELECT unnest({toks}) AS tok FROM documents), "
+            "c AS (SELECT tok, count(*) * 1.0 AS cnt FROM tk GROUP BY tok), "
+            "r AS (SELECT ln(row_number() OVER (ORDER BY cnt DESC, tok)) AS lr, "
+            "ln(cnt) AS lc FROM c), "
+            "m AS (SELECT count(*) * 1.0 AS n, sum(lr) AS sx, sum(lc) AS sy, "
+            "sum(lr * lr) AS sxx, sum(lr * lc) AS sxy FROM r) "
+            "SELECT CAST(n AS BIGINT) AS n_types, "
+            "round(-((n * sxy - sx * sy) / (n * sxx - sx * sx)), 4) AS zipf_s, "
+            "round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4) AS intercept "
+            "FROM m"
+        ),
+        "r81_two_proportions": (
+            "WITH g AS (SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 2 AS grp, "
+            "count(*) * 1.0 AS n, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s "
+            "FROM events GROUP BY grp), "
+            "w AS (SELECT max(n) FILTER (WHERE grp = 0) AS n1, "
+            "max(s) FILTER (WHERE grp = 0) AS s1, "
+            "max(n) FILTER (WHERE grp = 1) AS n2, "
+            "max(s) FILTER (WHERE grp = 1) AS s2 FROM g) "
+            "SELECT CAST(n1 AS BIGINT) AS n1, CAST(n2 AS BIGINT) AS n2, "
+            "round(s1 / n1, 4) AS p1, round(s2 / n2, 4) AS p2, "
+            "round((s1 / n1 - s2 / n2) / sqrt(((s1 + s2) / (n1 + n2)) "
+            "* (1 - (s1 + s2) / (n1 + n2)) * (1 / n1 + 1 / n2)), 4) AS z_stat FROM w"
+        ),
         # rows-only (non-SQL-expressible): mm_features (stubbed decode)
     }

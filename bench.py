@@ -240,6 +240,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r74_grouped_ols", "r75_matrix_stats", "r76_anova",
         "r77_percentiles_bucket", "r78_entropy", "s89_terms_enum",
         "r79_ks_test", "dedup_containment",
+        "r80_change_point", "t_zipf", "r81_two_proportions",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
