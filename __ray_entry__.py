@@ -2336,6 +2336,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return txt.add_bpe_token_stats(docs, "text").drop_columns(["text"])
 
+    def t_fertility(sf_dir):
+        # tokenizer fertility (BPE segments per whitespace word) per
+        # language — the tokenizer-efficiency metric multilingual
+        # pipelines track; both counts are single RE2 kernels, the
+        # per-lang fold is a 2-sum combiner
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        stats = txt.add_bpe_token_stats(docs, "text").drop_columns(["text"])
+        agg = (
+            rel.grouped_aggregate(
+                stats, ["lang"],
+                {"n_ws": ("sum", "n_ws_tokens"), "n_bpe": ("sum", "n_bpe_tokens")},
+            )
+            .to_pandas().sort_values("lang", kind="mergesort").reset_index(drop=True)
+        )
+        agg["n_ws"] = agg["n_ws"].astype("int64")
+        agg["n_bpe"] = agg["n_bpe"].astype("int64")
+        agg["fertility"] = round_half_up(
+            agg["n_bpe"].to_numpy(np.float64) / agg["n_ws"].to_numpy(np.float64)
+        )
+        return agg[["lang", "n_ws", "n_bpe", "fertility"]]
+
     def t_unigram_lp(sf_dir):
         # CCNet-style unigram-LM scoring: vocab-bounded model build +
         # broadcast scoring pass
@@ -3170,6 +3191,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return out[["media_id", "frame_idx", "frame_hex"]]
 
     # ---- sources / ETL ring ----------------------------------------
+    def e20_orc_source(sf_dir):
+        # ORC source via the custom-source composition (Ray 2.49 has
+        # no read_orc): read_binary_files over the ORC directory ->
+        # per-file pyarrow.orc decode inside map_batches with COLUMN
+        # PRUNING pushed into ORCFile.read(columns=...) — the standard
+        # shape for any format Ray lacks natively; file-level
+        # parallelism is the partition grain. Fixture: customer
+        # dumped to 4 ORC files (mtime-keyed cache, e1 lesson).
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "customer.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        orc_dir = f"/tmp/ser_orc_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(orc_dir, "_DONE")):
+            import shutil
+
+            import pyarrow.orc as _orc
+
+            shutil.rmtree(orc_dir, ignore_errors=True)
+            os.makedirs(orc_dir, exist_ok=True)
+            t = pq.read_table(src, columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+            step = max(1, (t.num_rows + 3) // 4)
+            for i in range(0, t.num_rows, step):
+                _orc.write_table(
+                    t.slice(i, step), os.path.join(orc_dir, f"part-{i:08d}.orc")
+                )
+            open(os.path.join(orc_dir, "_DONE"), "w").write("ok")
+
+        def _decode(t: pa.Table) -> pa.Table:
+            import io
+
+            import pyarrow.orc as _orc
+
+            outs = [
+                _orc.ORCFile(io.BytesIO(b.as_py())).read(
+                    columns=["c_mktsegment", "c_acctbal"]
+                )
+                for b in t["bytes"]
+            ]
+            return pa.concat_tables(outs)
+
+        import glob as _g
+
+        ds = rd.read_binary_files(
+            sorted(_g.glob(os.path.join(orc_dir, "*.orc")))
+        ).map_batches(_decode, batch_format="pyarrow", batch_size=1)
+        out = rel.grouped_aggregate(
+            ds, "c_mktsegment",
+            {"cnt": ("count", "c_acctbal"), "sum_bal": ("sum", "c_acctbal")},
+        ).to_pandas().sort_values("c_mktsegment", kind="mergesort").reset_index(drop=True)
+        out["cnt"] = out["cnt"].astype("int64")
+        out["sum_bal"] = round_half_up(out["sum_bal"].to_numpy(np.float64))
+        return out[["c_mktsegment", "cnt", "sum_bal"]]
+
     def e1_csv_source(sf_dir):
         # E1 CSV reader (reference utils.py:6-34): parquet -> csv ->
         # ray.data.read_csv -> grouped count; values must equal the
@@ -7168,6 +7244,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def t_novelty(sf_dir):
+        # per-doc n-gram novelty (RefinedWeb curation signal): frac of
+        # a doc's distinct 3-shingles whose earliest holder (min
+        # doc_id) is the doc itself — shingle->min(doc) combiner, one
+        # co-hash join back, per-doc fold; nothing broadcasts
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return dd.novelty_fractions(docs, "text", "doc_id", w=3)
+
+    def r82_autocorr(sf_dir):
+        # lag-1 autocorrelation of the daily value-sum series: the
+        # bucket table is driver-bounded (#days); the Pearson fold on
+        # (x_t, x_{t-1}) runs on that tiny series with the identical
+        # raw-moment chain the SQL replays
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        daily = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort")
+        )
+        v = daily["s"].to_numpy(np.float64)
+        x, y = v[:-1], v[1:]
+        n = float(x.size)
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+        acf1 = (n * sxy - sx * sy) / math.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+        return pd.DataFrame({
+            "n_lags": [np.int64(n)],
+            "acf1": round_half_up(np.array([acf1])),
+        })
+
     def r80_change_point(sf_dir):
         # ES change_point agg (CUSUM screen) over a day histogram:
         # daily sums fold in one combiner exchange (bucket table =
@@ -7626,6 +7741,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r80_change_point": r80_change_point,
         "t_zipf": t_zipf,
         "r81_two_proportions": r81_two_proportions,
+        "t_novelty": t_novelty,
+        "r82_autocorr": r82_autocorr,
+        "e20_orc_source": e20_orc_source,
+        "t_fertility": t_fertility,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11233,6 +11352,44 @@ GROUP BY c.lang ORDER BY c.lang
             "round(max(abs(f1 - f2)), 4) AS d_stat FROM o"
         ),
         "dedup_containment": _CONTAINMENT_ALLPAIRS_SQL,
+        "e20_orc_source": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
+            "round(sum(c_acctbal), 4) AS sum_bal "
+            "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "t_fertility": (
+            "WITH c AS (SELECT lang, "
+            f"len(regexp_extract_all(coalesce(text, ''), '{WS_PATTERN}')) AS ws, "
+            f"len(regexp_extract_all(coalesce(text, ''), '{_bpe}')) AS bpe "
+            "FROM documents) "
+            "SELECT lang, CAST(sum(ws) AS BIGINT) AS n_ws, "
+            "CAST(sum(bpe) AS BIGINT) AS n_bpe, "
+            "round(sum(bpe) * 1.0 / sum(ws), 4) AS fertility "
+            "FROM c GROUP BY lang ORDER BY lang"
+        ),
+        "t_novelty": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "sh AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(ts) - 1), "
+            "j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])) "
+            "WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')] ELSE [] END AS shingles FROM tok), "
+            "e AS (SELECT doc_id, unnest(shingles) AS s FROM sh), "
+            "f AS (SELECT s, min(doc_id) AS first_doc FROM e GROUP BY s) "
+            "SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_shingles, "
+            "round(CAST(count(*) FILTER (WHERE f.first_doc = e.doc_id) AS DOUBLE) "
+            "/ count(*), 4) AS novel_frac "
+            "FROM e JOIN f ON e.s = f.s GROUP BY e.doc_id"
+        ),
+        "r82_autocorr": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "l AS (SELECT s AS y, lag(s) OVER (ORDER BY day) AS x FROM d), "
+            "v AS (SELECT x, y FROM l WHERE x IS NOT NULL), "
+            "m AS (SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x*x) AS sxx, sum(x*y) AS sxy, sum(y*y) AS syy FROM v) "
+            "SELECT CAST(n AS BIGINT) AS n_lags, "
+            "round((n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 4) AS acf1 FROM m"
+        ),
         "r80_change_point": (
             "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
             "sum(value) AS s FROM events GROUP BY day), "

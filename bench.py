@@ -241,6 +241,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r77_percentiles_bucket", "r78_entropy", "s89_terms_enum",
         "r79_ks_test", "dedup_containment",
         "r80_change_point", "t_zipf", "r81_two_proportions",
+        "t_novelty", "r82_autocorr", "e20_orc_source", "t_fertility",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

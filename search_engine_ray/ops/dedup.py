@@ -1427,6 +1427,61 @@ class _ContaminationCheck:
         )
 
 
+def novelty_fractions(
+    ds: Dataset,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    w: int = 3,
+    num_partitions: int = 16,
+) -> Dataset:
+    """Per-doc n-gram novelty (the RefinedWeb/CCNet curation signal
+    'how much of this doc is first-seen here'): for each doc with >= 1
+    ``w``-shingle, novel_frac = fraction of its DISTINCT shingles
+    whose earliest holder (min ``id_col`` across the corpus) is this
+    doc. Ingest-ordered ids make this 'unseen in any earlier doc'.
+
+    Scale shape: shingle rows (sh, doc) -> grouped min(doc) per
+    shingle (combiner exchange over the shingle dimension) -> one
+    co-hash join back on the shingle key -> per-doc (novel, total)
+    combiner. Nothing broadcasts; the join moves the shingle-row
+    table once. Output: (doc_id, n_shingles, novel_frac)."""
+    from search_engine_ray.ops import relational as _rel
+
+    def _rows(t: pa.Table) -> pa.Table:
+        tab = _shingle_rows_table(t, text_col, id_col, w)
+        return tab.select(["sh", "doc"])
+
+    sh = ds.map_batches(_rows, batch_format="pyarrow")
+    first = _rel.grouped_aggregate(sh, ["sh"], {"first_doc": ("min", "doc")})
+    j = _rel.hash_join(
+        sh, _rel.rename(first, {"sh": "sh2"}),
+        on=["sh"], right_on=["sh2"], num_partitions=num_partitions,
+    )
+
+    def _per_doc(t: pa.Table) -> pa.Table:
+        doc = t["doc"].to_numpy(zero_copy_only=False)
+        novel = (t["first_doc"].to_numpy(zero_copy_only=False) == doc).astype(np.int64)
+        df = pd.DataFrame({"doc_id": doc, "n_shingles": 1, "novel": novel})
+        g = df.groupby("doc_id", as_index=False).sum()
+        return pa.Table.from_pandas(g, preserve_index=False)
+
+    agg = _rel.grouped_aggregate(
+        j.map_batches(_per_doc, batch_format="pyarrow"), ["doc_id"],
+        {"n_shingles": ("sum", "n_shingles"), "novel": ("sum", "novel")},
+    )
+
+    def _frac(t: pa.Table) -> pa.Table:
+        n = t["n_shingles"].to_numpy(zero_copy_only=False).astype(np.float64)
+        nov = t["novel"].to_numpy(zero_copy_only=False).astype(np.float64)
+        return pa.table({
+            "doc_id": t["doc_id"],
+            "n_shingles": t["n_shingles"],
+            "novel_frac": pa.array(_round4_half_up(nov / n), pa.float64()),
+        })
+
+    return agg.map_batches(_frac, batch_format="pyarrow")
+
+
 def contamination_flags(
     ds: Dataset,
     eval_side,
