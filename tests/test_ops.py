@@ -1973,3 +1973,22 @@ def test_cooccur_pairs_empty_and_singletons(ray_session):
     }))
     out = rel.cooccur_pairs(ds, "gid", "item", num_buckets=4).to_pandas()
     assert len(out) == 0
+
+
+def test_cooccur_pairs_item_counts(ray_session):
+    """with_item_counts=True rides per-item distinct-group counts as
+    y=-1 sentinel rows on the same exchange."""
+    import ray.data as rd
+
+    import search_engine_ray.ops.relational as rel
+
+    g = np.array([1, 1, 1, 2, 2, 3], np.int64)
+    i = np.array([10, 20, 10, 10, 30, 10], np.int64)  # dup (1,10) row
+    ds = rd.from_arrow(pa.table({"gid": pa.array(g), "item": pa.array(i)}))
+    out = rel.cooccur_pairs(
+        ds, "gid", "item", num_buckets=4, with_item_counts=True
+    ).to_pandas()
+    items = out[out["y"] == -1].set_index("x")["c_xy"].to_dict()
+    pairs = out[out["y"] >= 0].set_index(["x", "y"])["c_xy"].to_dict()
+    assert items == {10: 3, 20: 1, 30: 1}
+    assert pairs == {(10, 20): 1, (10, 30): 1}
