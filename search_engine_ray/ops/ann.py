@@ -739,6 +739,12 @@ class PQIndex:
         def _score(t: pa.Table) -> pa.Table:
             codes = np.asarray(t["codes"].combine_chunks().flatten()).reshape(-1, mS)
             ids = t[id_col].to_numpy()
+            if tables.shape[0] == 0 or ids.size == 0:
+                # empty query batch / empty code block: pinned-schema
+                # empty output (np.concatenate below needs >= 1 array)
+                return pa.table({"qid": pa.array([], pa.int64()),
+                                 "vec_id": pa.array([], pa.int64()),
+                                 "cos": pa.array([], pa.float64())})
             out_q, out_v, out_s = [], [], []
             # approx cos per query: sum_j tables[q, j, codes[:, j]]
             for qi in range(tables.shape[0]):
@@ -792,6 +798,15 @@ def pq_search_rerank(
     qn = _normalize(np.asarray(queries, dtype=np.float64))
     qids_arr = np.asarray(qids, dtype=np.int64)
     short = pq_index.search_batch(qn, qids_arr, k=k * rerank).to_pandas()
+    if "qid" not in short.columns or short.empty:
+        # empty ADC shortlist (no queries / empty codes): return the
+        # pinned-schema empty result directly — no exact-rerank scan
+        # of the source at all
+        return rd.from_arrow(pa.table({
+            "qid": pa.array([], pa.int64()),
+            "vec_id": pa.array([], pa.int64()),
+            "cos": pa.array([], pa.float64()),
+        }))
     cand: dict[int, np.ndarray] = {
         int(q): np.sort(g["vec_id"].to_numpy(dtype=np.int64))
         for q, g in short.groupby("qid")

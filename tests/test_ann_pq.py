@@ -84,3 +84,33 @@ def test_pq_dim_not_divisible_rejected(ray_session, tmp_path):
     ds = rd.from_items([{"vec_id": 0, "embedding": [0.1] * 10}])
     with pytest.raises(ValueError):
         PQIndex.build(ds, str(tmp_path / "bad"), m=3)
+
+
+def test_pq_search_rerank_empty_shortlist(ray_session, tmp_path):
+    """ADVICE r03 regression: an empty ADC shortlist (query matches
+    nothing / empty codes) returns an empty (qid, vec_id, cos) frame
+    with pinned columns instead of IndexError."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from search_engine_ray.ops import ann
+
+    rng = np.random.RandomState(3)
+    vecs = rng.randn(40, 8).astype(np.float64)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(40), pa.int64()),
+        "embedding": pa.array([list(map(float, v)) for v in vecs]),
+    })
+    d = str(tmp_path / "pq")
+    ann.PQIndex.build(rd.from_arrow(t), d, m=4)
+    idx = ann.PQIndex(d)
+    # empty query batch -> empty shortlist -> empty exact pass
+    out = ann.pq_search_rerank(
+        idx, rd.from_arrow(t), np.empty((0, 8)), np.empty(0, np.int64), k=5
+    )
+    assert out.count() == 0
+    # schema stays pinned on the Dataset (Ray's to_pandas() drops
+    # columns for ANY empty dataset — the r72 lesson — so consumers
+    # must pin driver-side; the op guarantees the Arrow schema)
+    assert {f for f in out.schema().names} >= {"qid", "vec_id", "cos"}

@@ -561,3 +561,17 @@ def test_interval_kernel_matches_brute(big1, big2, little, w):
         if n:
             brute[d] = n
     assert got == brute
+
+
+def test_phrase_prefix_cap_asserts_not_truncates(pos_index, ray_session):
+    """ADVICE r03 regression: a dictionary expansion that reaches
+    max_expansions must fail loud (the value oracle replays the
+    UNCAPPED expansion), never silently truncate."""
+    out, cfg = pos_index
+    eng = SearchEngine(out, cfg)
+    with pytest.raises(AssertionError, match="expands to"):
+        # every corpus has >= 1 term under a single-letter prefix, so
+        # cap=1 guarantees len(exp) >= cap
+        phrase_postings(
+            eng, "content", ["import"], last_prefix="t", max_expansions=1
+        )
