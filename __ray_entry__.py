@@ -7244,6 +7244,102 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r83_transitions(sf_dir):
+        # first-order Markov transition matrix of the per-user event
+        # stream: users hash-shard (whole user -> one shard), each
+        # shard lexsorts (user, ts, event_id) and counts consecutive
+        # (from, to) pairs vectorized; the exchange then moves only
+        # the (from, to, cnt) table (bounded by |types|^2); row
+        # probabilities close on that tiny table driver-side.
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_b": pa.array((u * np.int64(2654435761)) % np.int64(64), pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "ts": t["ts"].cast(pa.int64()),
+                "eid": t["event_id"].cast(pa.int64()),
+                "et": t["event_type"],
+            })
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            eid = t["eid"].to_numpy(zero_copy_only=False)
+            et = np.asarray(t["et"].to_pylist(), dtype=object)
+            o = np.lexsort((eid, ts, u))
+            u, et = u[o], et[o]
+            same = u[1:] == u[:-1]
+            df = pd.DataFrame({
+                "from_type": et[:-1][same], "to_type": et[1:][same], "cnt": 1
+            })
+            g = df.groupby(["from_type", "to_type"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(_pairs, batch_format="pyarrow"),
+            ["from_type", "to_type"], {"cnt": ("sum", "cnt")},
+        ).to_pandas().sort_values(["from_type", "to_type"], kind="mergesort").reset_index(drop=True)
+        tot = m.groupby("from_type")["cnt"].transform("sum").to_numpy(np.float64)
+        m["cnt"] = m["cnt"].astype("int64")
+        m["prob"] = round_half_up(m["cnt"].to_numpy(np.float64) / tot)
+        return m[["from_type", "to_type", "cnt", "prob"]]
+
+    def r84_conversion_lag(sf_dir):
+        # click -> purchase conversion lag: users hash-shard, each
+        # shard computes per-user first-click ts and first purchase
+        # strictly after it (in-shard vectorized merge — users are
+        # co-located so no cross-shard join), and only (n_users,
+        # n_converted, sum_lag) partials fold globally.
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_b": pa.array((u * np.int64(2654435761)) % np.int64(64), pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "ts": t["ts"].cast(pa.int64()),
+                "et": t["event_type"],
+            })
+
+        def _lag(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "u": t["u"].to_numpy(zero_copy_only=False),
+                "ts": t["ts"].to_numpy(zero_copy_only=False),
+                "et": t["et"].to_pylist(),
+            })
+            clicks = df[df["et"] == "click"].groupby("u")["ts"].min()
+            if clicks.empty:
+                return pa.table({"n_users": pa.array([0], pa.int64()),
+                                 "n_conv": pa.array([0], pa.int64()),
+                                 "sum_lag": pa.array([0.0], pa.float64())})
+            pur = df[df["et"] == "purchase"][["u", "ts"]].merge(
+                clicks.rename("c_ts"), left_on="u", right_index=True
+            )
+            pur = pur[pur["ts"] > pur["c_ts"]]
+            fp = pur.groupby("u").agg(p_ts=("ts", "min"), c_ts=("c_ts", "min"))
+            lag_s = (fp["p_ts"] - fp["c_ts"]).to_numpy(np.float64) / 1e6
+            return pa.table({
+                "n_users": pa.array([int(len(clicks))], pa.int64()),
+                "n_conv": pa.array([int(len(fp))], pa.int64()),
+                "sum_lag": pa.array([float(lag_s.sum())], pa.float64()),
+            })
+
+        parts = (
+            ev.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(_lag, batch_format="pyarrow")
+            .to_pandas()
+        )
+        n_users = int(parts["n_users"].sum())
+        n_conv = int(parts["n_conv"].sum())
+        mean_lag = float(parts["sum_lag"].sum()) / n_conv if n_conv else 0.0
+        return pd.DataFrame({
+            "n_users": [np.int64(n_users)], "n_conv": [np.int64(n_conv)],
+            "mean_lag_s": round_half_up(np.array([mean_lag])),
+        })
+
     def t_novelty(sf_dir):
         # per-doc n-gram novelty (RefinedWeb curation signal): frac of
         # a doc's distinct 3-shingles whose earliest holder (min
@@ -7745,6 +7841,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r82_autocorr": r82_autocorr,
         "e20_orc_source": e20_orc_source,
         "t_fertility": t_fertility,
+        "r83_transitions": r83_transitions,
+        "r84_conversion_lag": r84_conversion_lag,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11356,6 +11454,26 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r83_transitions": (
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+            "p AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS cnt "
+            "FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, CAST(cnt AS BIGINT) AS cnt, "
+            "round(cnt * 1.0 / sum(cnt) OVER (PARTITION BY from_type), 4) AS prob "
+            "FROM p ORDER BY from_type, to_type"
+        ),
+        "r84_conversion_lag": (
+            "WITH c AS (SELECT user_id, min(ts) AS c_ts FROM events "
+            "WHERE event_type = 'click' GROUP BY user_id), "
+            "p AS (SELECT c.user_id, min(e.ts) AS p_ts, min(c.c_ts) AS c_ts "
+            "FROM events e JOIN c ON e.user_id = c.user_id "
+            "WHERE e.event_type = 'purchase' AND e.ts > c.c_ts GROUP BY c.user_id) "
+            "SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_users, "
+            "CAST(count(*) AS BIGINT) AS n_conv, "
+            "round(avg((epoch_us(p_ts) - epoch_us(c_ts)) / 1000000.0), 4) AS mean_lag_s "
+            "FROM p"
         ),
         "t_fertility": (
             "WITH c AS (SELECT lang, "
