@@ -10,8 +10,9 @@ line:
     {"metric": "index_build_docs_per_sec", "value": N, "unit": "sec",
      "queries": {...per-stage seconds...}, "sf": ..., "num_cpus": N}
 
---scaling: runs the SAME build workload (SCALE_DOCS, default 600k
-docs) in fresh subprocesses at num_cpus=4 and num_cpus=16 (sandbox
+--scaling: runs the SAME build workload (SCALE_DOCS, default 1.2M
+docs; the r3w9 record window and the round-4 windows B-D used
+SCALE_DOCS=600000) in fresh subprocesses at num_cpus=4 and 16 (sandbox
 proxy for N and 4N nodes, north rule), best-of-2 per level, and
 reports both throughputs, raw efficiency thr(4N)/(4*thr(N)), the
 hardware-capacity ratio of this box, and the ceiling-normalized

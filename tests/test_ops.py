@@ -1992,3 +1992,33 @@ def test_cooccur_pairs_item_counts(ray_session):
     pairs = out[out["y"] >= 0].set_index(["x", "y"])["c_xy"].to_dict()
     assert items == {10: 3, 20: 1, 30: 1}
     assert pairs == {(10, 20): 1, (10, 30): 1}
+
+
+def test_novelty_fractions_vs_bruteforce(ray_session):
+    """novelty_fractions == per-doc fraction of distinct 3-shingles
+    whose min holder id is the doc itself."""
+    import ray.data as rd
+
+    import search_engine_ray.ops.dedup as dd
+
+    texts = [
+        "alpha beta gamma delta",        # doc 1: all novel
+        "alpha beta gamma epsilon",      # doc 2: shares 'alpha beta gamma'
+        "zeta eta theta",                # doc 3: single shingle, novel
+        "alpha beta gamma delta",        # doc 4: exact dup of doc 1
+    ]
+    t = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+        "text": pa.array(texts, pa.string()),
+    })
+    out = (
+        dd.novelty_fractions(rd.from_arrow(t), "text", "doc_id", w=3)
+        .to_pandas().set_index("doc_id").sort_index()
+    )
+    # doc1: shingles {abg, bgd} both first here -> 1.0
+    # doc2: {abg (first=1), bge} -> 0.5
+    # doc3: {zet} -> 1.0 ; doc4: {abg, bgd} both first=1 -> 0.0
+    assert out.loc[1, "novel_frac"] == 1.0 and out.loc[1, "n_shingles"] == 2
+    assert out.loc[2, "novel_frac"] == 0.5
+    assert out.loc[3, "novel_frac"] == 1.0 and out.loc[3, "n_shingles"] == 1
+    assert out.loc[4, "novel_frac"] == 0.0
