@@ -7118,7 +7118,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         }).reset_index(drop=True)
 
     def r75_matrix_stats(sf_dir):
-        # ES matrix_stats agg: pairwise sample covariance +
+        # ES matrix_stats agg, full pairwise MATRIX form (r31 is the
+        # two-column raw-moment variant): sample covariance +
         # correlation over (l_quantity, l_discount, l_tax) via the
         # TWO-PASS centered algorithm — pass 1 is a tiny mean
         # combiner, pass 2 folds centered cross-products per block
@@ -7243,6 +7244,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("user_id", kind="mergesort").reset_index(drop=True)
         )
         return out
+
+    def t_langid_eval(sf_dir):
+        # language-ID evaluation: confusion matrix of the corpus's
+        # declared lang vs the n-gram heuristic's prediction — the
+        # (lang, pred) count table is one combiner exchange bounded
+        # by |langs|^2; the same quality-eval shape any classifier
+        # stage gets before shipping a filter at 100 TB.
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+        pred = txt.add_lang_id(docs, "text")
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "lang": t["lang"].to_pylist(),
+                "pred": t["lang_id"].to_pylist(),
+                "cnt": 1,
+            })
+            g = df.groupby(["lang", "pred"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                pred.map_batches(_pairs, batch_format="pyarrow"),
+                ["lang", "pred"], {"cnt": ("sum", "cnt")},
+            )
+            .to_pandas().sort_values(["lang", "pred"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["lang", "pred", "cnt"]]
+
+    def r85_normalize(sf_dir):
+        # ES normalize pipeline agg: daily value sums carry
+        # percent_of_sum and 0-1 rescale columns — sibling-bucket
+        # normalizations over the driver-bounded bucket table.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        daily = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        v = daily["s"].to_numpy(np.float64)
+        return pd.DataFrame({
+            "day": daily["day"].astype("int64"),
+            "s": round_half_up(v),
+            "pct_of_sum": round_half_up(v / v.sum()),
+            "rescaled": round_half_up((v - v.min()) / (v.max() - v.min())),
+        })
 
     def r83_transitions(sf_dir):
         # first-order Markov transition matrix of the per-user event
@@ -7843,6 +7900,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_fertility": t_fertility,
         "r83_transitions": r83_transitions,
         "r84_conversion_lag": r84_conversion_lag,
+        "t_langid_eval": t_langid_eval,
+        "r85_normalize": r85_normalize,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11454,6 +11513,21 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "t_langid_eval": (
+            f"WITH pred AS ({lang_sql}) "
+            "SELECT d.lang AS lang, p.lang_id AS pred, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM pred p JOIN documents d ON p.doc_id = d.doc_id "
+            "GROUP BY d.lang, p.lang_id ORDER BY lang, pred"
+        ),
+        "r85_normalize": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day) "
+            "SELECT day, round(s, 4) AS s, "
+            "round(s / sum(s) OVER (), 4) AS pct_of_sum, "
+            "round((s - min(s) OVER ()) / (max(s) OVER () - min(s) OVER ()), 4) AS rescaled "
+            "FROM d ORDER BY day"
         ),
         "r83_transitions": (
             "WITH o AS (SELECT user_id, event_type, lead(event_type) "
