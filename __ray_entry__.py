@@ -7245,6 +7245,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r86_gini(sf_dir):
+        # Gini coefficient of o_totalprice (the inequality/skew
+        # diagnostic — the same measure that flags hot-key skew in a
+        # shuffle): ONE global sort, then each sorted block reports
+        # (min, count, sum_x, sum_local_rank*x) and the driver folds
+        # sum(rank*x) = sum_blk(offset*sum_x + sum_local) over the
+        # #blocks-sized summary. Rank permutation among ties leaves
+        # the statistic unchanged, so block tie-order is irrelevant.
+        orders = _read(sf_dir, "orders", ["o_totalprice"])
+        srt = orders.sort("o_totalprice")
+
+        def _blk(t: pa.Table) -> pa.Table:
+            if t.num_rows == 0:
+                return pa.table({"mn": pa.array([], pa.float64()),
+                                 "cnt": pa.array([], pa.int64()),
+                                 "sx": pa.array([], pa.float64()),
+                                 "slx": pa.array([], pa.float64())})
+            x = t["o_totalprice"].to_numpy().astype(np.float64)
+            loc = np.arange(1, x.size + 1, dtype=np.float64)
+            return pa.table({
+                "mn": pa.array([float(x[0])], pa.float64()),
+                "cnt": pa.array([int(x.size)], pa.int64()),
+                "sx": pa.array([float(x.sum())], pa.float64()),
+                "slx": pa.array([float((loc * x).sum())], pa.float64()),
+            })
+
+        meta = (
+            srt.map_batches(_blk, batch_format="pyarrow")
+            .to_pandas().sort_values("mn", kind="mergesort")
+        )
+        cnt = meta["cnt"].to_numpy(np.int64)
+        off = np.concatenate(([0], np.cumsum(cnt)))[:-1].astype(np.float64)
+        n = float(cnt.sum())
+        sx = float(meta["sx"].sum())
+        srx = float((off * meta["sx"].to_numpy()).sum() + meta["slx"].sum())
+        gini = 2.0 * srx / (n * sx) - (n + 1.0) / n
+        return pd.DataFrame({
+            "n": [np.int64(n)], "gini": round_half_up(np.array([gini])),
+        })
+
+    def t_char_entropy(sf_dir):
+        # per-doc character-level Shannon entropy (the gibberish /
+        # binary-noise screen beside the Gopher word rules): texts
+        # concatenate once per batch, codepoints come from a utf-32
+        # view (no per-char Python loop), and per-(doc, char) run
+        # counts fold into per-doc entropies with segment sums.
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _ent(t: pa.Table) -> pa.Table:
+            texts = [x or "" for x in t["text"].to_pylist()]
+            ids = t["doc_id"].to_numpy(zero_copy_only=False)
+            lens = np.array([len(s) for s in texts], np.int64)
+            keep = lens > 0
+            joined = "".join(texts)
+            codes = np.frombuffer(joined.encode("utf-32-le"), np.uint32)
+            parents = np.repeat(np.arange(len(texts)), lens)
+            o = np.lexsort((codes, parents))
+            p, c = parents[o], codes[o]
+            first = np.ones(p.size, dtype=bool)
+            first[1:] = (p[1:] != p[:-1]) | (c[1:] != c[:-1])
+            starts = np.flatnonzero(first)
+            runs = np.diff(np.concatenate((starts, [p.size]))).astype(np.float64)
+            rp = p[starts]  # parent per run
+            pr = runs / lens[rp].astype(np.float64)
+            terms = -(pr * np.log(pr))
+            ent = np.zeros(len(texts), np.float64)
+            np.add.at(ent, rp, terms)
+            return pa.table({
+                "doc_id": pa.array(ids[keep], pa.int64()),
+                "n_ch": pa.array(lens[keep], pa.int64()),
+                "char_entropy": pa.array(round_half_up(ent[keep]), pa.float64()),
+            })
+
+        return docs.map_batches(_ent, batch_format="pyarrow")
+
     def t_langid_eval(sf_dir):
         # language-ID evaluation: confusion matrix of the corpus's
         # declared lang vs the n-gram heuristic's prediction — the
@@ -7902,6 +7977,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r84_conversion_lag": r84_conversion_lag,
         "t_langid_eval": t_langid_eval,
         "r85_normalize": r85_normalize,
+        "r86_gini": r86_gini,
+        "t_char_entropy": t_char_entropy,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11513,6 +11590,24 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r86_gini": (
+            "WITH v AS (SELECT o_totalprice AS x, "
+            "row_number() OVER (ORDER BY o_totalprice) AS r FROM orders), "
+            "m AS (SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(r * x) AS srx FROM v) "
+            "SELECT CAST(n AS BIGINT) AS n, "
+            "round(2 * srx / (n * sx) - (n + 1) / n, 4) AS gini FROM m"
+        ),
+        "t_char_entropy": (
+            "WITH ch AS (SELECT doc_id, length(text) AS n_ch, "
+            "unnest(range(1, length(text) + 1)) AS i, text FROM documents "
+            "WHERE length(coalesce(text, '')) > 0), "
+            "c AS (SELECT doc_id, any_value(n_ch) AS n_ch, substr(text, i, 1) AS c, "
+            "count(*) * 1.0 AS cnt FROM ch GROUP BY doc_id, substr(text, i, 1)), "
+            "e AS (SELECT doc_id, any_value(n_ch) AS n_ch, "
+            "round(-sum((cnt / n_ch) * ln(cnt / n_ch)), 4) AS char_entropy "
+            "FROM c GROUP BY doc_id) "
+            "SELECT doc_id, CAST(n_ch AS BIGINT) AS n_ch, char_entropy FROM e"
         ),
         "t_langid_eval": (
             f"WITH pred AS ({lang_sql}) "
