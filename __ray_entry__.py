@@ -7245,6 +7245,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def t_cluster_sizes(sf_dir):
+        # duplicate-cluster size distribution (the dedup telemetry a
+        # curation run reports: how many pairs/triples/… of near-dups
+        # exist): exact-recall pair set -> distributed min-label
+        # components -> per-component size -> (size, n_components)
+        # histogram. Sizes fold per component in one exchange bounded
+        # by #paired-docs; the histogram is component-count-bounded.
+        pairs = dd.ngram_jaccard_pairs(_docs_with_near_dups(sf_dir), threshold=0.5)
+        comp = dd.connected_components(pairs)
+        sizes = rel.grouped_aggregate(
+            comp, ["component"], {"size": ("count", "component")}
+        )
+        out = (
+            rel.grouped_aggregate(sizes, ["size"], {"n_components": ("count", "size")})
+            .to_pandas().sort_values("size", kind="mergesort").reset_index(drop=True)
+        )
+        out["size"] = out["size"].astype("int64")
+        out["n_components"] = out["n_components"].astype("int64")
+        return out[["size", "n_components"]]
+
+    def r87_seasonal_anomaly(sf_dir):
+        # day-of-week seasonal anomaly screen: daily sums (bounded
+        # bucket table) -> per-dow profile (mean, population sd) ->
+        # z-score per day -> top-3 |z| anomalies. The combiner
+        # exchange is the day histogram; everything after runs on
+        # #days rows driver-side.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        daily = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        day = daily["day"].to_numpy(np.int64)
+        s = daily["s"].to_numpy(np.float64)
+        dow = day % 7
+        m = np.zeros(7); sd = np.zeros(7)
+        for w in range(7):
+            vals = s[dow == w]
+            m[w] = vals.mean()
+            sd[w] = vals.std()  # population sd == stddev_pop
+        z = (s - m[dow]) / sd[dow]
+        order = np.lexsort((day, -np.abs(z)))[:3]
+        return pd.DataFrame({
+            "day": day[order],
+            "dow": dow[order].astype(np.int64),
+            "s": round_half_up(s[order]),
+            "z": round_half_up(z[order]),
+        })
+
     def r86_gini(sf_dir):
         # Gini coefficient of o_totalprice (the inequality/skew
         # diagnostic — the same measure that flags hot-key skew in a
@@ -7979,6 +8037,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r85_normalize": r85_normalize,
         "r86_gini": r86_gini,
         "t_char_entropy": t_char_entropy,
+        "r87_seasonal_anomaly": r87_seasonal_anomaly,
+        "t_cluster_sizes": t_cluster_sizes,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11590,6 +11650,23 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "t_cluster_sizes": (
+            f"WITH comp AS ({_COMPONENTS_SQL}), "
+            "sz AS (SELECT component, CAST(count(*) AS BIGINT) AS size "
+            "FROM comp GROUP BY component) "
+            "SELECT size, CAST(count(*) AS BIGINT) AS n_components "
+            "FROM sz GROUP BY size ORDER BY size"
+        ),
+        "r87_seasonal_anomaly": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "p AS (SELECT day, day % 7 AS dow, s, "
+            "avg(s) OVER (PARTITION BY day % 7) AS m, "
+            "stddev_pop(s) OVER (PARTITION BY day % 7) AS sd FROM d) "
+            "SELECT day, CAST(dow AS BIGINT) AS dow, round(s, 4) AS s, "
+            "round((s - m) / sd, 4) AS z FROM p "
+            "ORDER BY abs((s - m) / sd) DESC, day LIMIT 3"
         ),
         "r86_gini": (
             "WITH v AS (SELECT o_totalprice AS x, "
