@@ -7245,6 +7245,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def s90_explain(sf_dir):
+        # Lucene IndexSearcher.explain as a page: the s3 conjunction's
+        # top-10 with PER-CLAUSE contribution columns — each clause
+        # re-scored through the same float64 op-order scoring core
+        # restricted to the doc's bucket, so c0 + c1 reproduces the
+        # search score exactly; the oracle writes both per-term BM25
+        # contributions out in SQL.
+        eng = _doc_engine(sf_dir)
+        q = Compound(must=(Term("text", "hash"), Term("text", "join")))
+        res = eng.search(q, k=10, with_metadata=False)
+        rows = []
+        for d in res.hits["doc_id"].tolist():
+            ex = eng.explain(q, int(d))
+            cs = [c["score"] for c in ex["clauses"]]
+            rows.append({
+                "doc_id": np.int64(d),
+                "c0": float(round_half_up(np.array([cs[0]]))[0]),
+                "c1": float(round_half_up(np.array([cs[1]]))[0]),
+                "score": float(round_half_up(np.array([cs[0] + cs[1]]))[0]),
+            })
+        return pd.DataFrame(rows, columns=["doc_id", "c0", "c1", "score"])
+
     def t_cluster_sizes(sf_dir):
         # duplicate-cluster size distribution (the dedup telemetry a
         # curation run reports: how many pairs/triples/… of near-dups
@@ -8039,6 +8061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_char_entropy": t_char_entropy,
         "r87_seasonal_anomaly": r87_seasonal_anomaly,
         "t_cluster_sizes": t_cluster_sizes,
+        "s90_explain": s90_explain,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11650,6 +11673,24 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "s90_explain": (
+            f"WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents), "
+            "d AS (SELECT doc_id, len(ts) AS dl, "
+            "len(list_filter(ts, t -> t = 'hash')) AS tf0, "
+            "len(list_filter(ts, t -> t = 'join')) AS tf1 FROM tok), "
+            "s AS (SELECT count(*) AS n, sum(dl) AS total_len, "
+            "count(*) FILTER (WHERE tf0 > 0) AS df0, "
+            "count(*) FILTER (WHERE tf1 > 0) AS df1 FROM d), "
+            "e AS (SELECT d.doc_id, "
+            "ln(1 + (s.n - s.df0 + 0.5) / (s.df0 + 0.5)) * tf0 * 2.2 / "
+            "(tf0 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS x0, "
+            "ln(1 + (s.n - s.df1 + 0.5) / (s.df1 + 0.5)) * tf1 * 2.2 / "
+            "(tf1 + 1.2 * (1 - 0.75 + 0.75 * d.dl / (s.total_len / s.n))) AS x1 "
+            "FROM d, s WHERE tf0 > 0 AND tf1 > 0) "
+            "SELECT doc_id, round(x0, 4) AS c0, round(x1, 4) AS c1, "
+            "round(x0 + x1, 4) AS score FROM e "
+            "ORDER BY (x0 + x1) DESC, doc_id LIMIT 10"
         ),
         "t_cluster_sizes": (
             f"WITH comp AS ({_COMPONENTS_SQL}), "
