@@ -7245,6 +7245,74 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def r88_degree_dist(sf_dir):
+        # degree distribution of the co-order part graph (the skew
+        # telemetry that decides salting/orientation for the graph
+        # ops): undirected degrees fold from the cooccur edge set
+        # (each edge contributes to both endpoints), then a
+        # (degree, n_nodes) histogram bounded by max degree.
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        edges = rel.cooccur_pairs(li, "l_orderkey", "l_partkey")
+
+        def _ends(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "node": pa.concat_arrays([
+                    t["x"].combine_chunks().cast(pa.int64()),
+                    t["y"].combine_chunks().cast(pa.int64()),
+                ]),
+            })
+
+        deg = rel.grouped_aggregate(
+            edges.map_batches(_ends, batch_format="pyarrow"), ["node"],
+            {"degree": ("count", "node")},
+        )
+        out = (
+            rel.grouped_aggregate(deg, ["degree"], {"n_nodes": ("count", "degree")})
+            .to_pandas().sort_values("degree", kind="mergesort").reset_index(drop=True)
+        )
+        out["degree"] = out["degree"].astype("int64")
+        out["n_nodes"] = out["n_nodes"].astype("int64")
+        return out[["degree", "n_nodes"]]
+
+    def e21_hive_pruning(sf_dir):
+        # partition-pruned read (the 'prune at the read' axis as an
+        # explicit op): events written hive-partitioned by event_type
+        # (mtime-keyed cache), then ONE partition's directory read
+        # back — file-level pruning, the other partitions never leave
+        # storage — and rolled up per day.
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        part_dir = f"/tmp/ser_hive_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(part_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(part_dir, ignore_errors=True)
+            _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).write_parquet(
+                part_dir, partition_cols=["event_type"]
+            )
+            open(os.path.join(part_dir, "_DONE"), "w").write("ok")
+        clicks = rd.read_parquet(os.path.join(part_dir, "event_type=click"))
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                clicks.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"cnt": ("count", "value"), "s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        out["s"] = round_half_up(out["s"].to_numpy(np.float64))
+        return out[["day", "cnt", "s"]]
+
     def s90_explain(sf_dir):
         # Lucene IndexSearcher.explain as a page: the s3 conjunction's
         # top-10 with PER-CLAUSE contribution columns — each clause
@@ -8062,6 +8130,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r87_seasonal_anomaly": r87_seasonal_anomaly,
         "t_cluster_sizes": t_cluster_sizes,
         "s90_explain": s90_explain,
+        "r88_degree_dist": r88_degree_dist,
+        "e21_hive_pruning": e21_hive_pruning,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11673,6 +11743,21 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r88_degree_dist": (
+            "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
+            "e AS (SELECT a.l_partkey AS x, b.l_partkey AS y FROM lp a "
+            "JOIN lp b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey "
+            "GROUP BY x, y), "
+            "n AS (SELECT x AS node FROM e UNION ALL SELECT y FROM e), "
+            "d AS (SELECT node, CAST(count(*) AS BIGINT) AS degree FROM n GROUP BY node) "
+            "SELECT degree, CAST(count(*) AS BIGINT) AS n_nodes "
+            "FROM d GROUP BY degree ORDER BY degree"
+        ),
+        "e21_hive_pruning": (
+            "SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS cnt, round(sum(value), 4) AS s "
+            "FROM events WHERE event_type = 'click' GROUP BY day ORDER BY day"
         ),
         "s90_explain": (
             f"WITH tok AS (SELECT doc_id, {toks} AS ts FROM documents), "
