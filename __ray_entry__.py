@@ -7245,6 +7245,59 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out
 
+    def _daily_sums(sf_dir):
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()),
+                "value": t["value"],
+            })
+
+        return (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+
+    def r89_mann_kendall(sf_dir):
+        # Mann-Kendall trend test on the daily value-sum series: the
+        # combiner exchange is the day histogram; S = sum of pairwise
+        # sign(x_j - x_i) and the no-ties variance close on the
+        # driver-bounded series (continuous sums -> no tie
+        # correction, same convention both sides).
+        daily = _daily_sums(sf_dir)
+        x = daily["s"].to_numpy(np.float64)
+        n = x.size
+        diff = np.sign(x[None, :] - x[:, None])
+        S = float(np.triu(diff, 1).sum())
+        var = n * (n - 1) * (2 * n + 5) / 18.0
+        z = (S - 1) / math.sqrt(var) if S > 0 else ((S + 1) / math.sqrt(var) if S < 0 else 0.0)
+        return pd.DataFrame({
+            "n_days": [np.int64(n)], "s_stat": [np.int64(S)],
+            "z": round_half_up(np.array([z])),
+        })
+
+    def r90_runs_test(sf_dir):
+        # Wald-Wolfowitz runs test on the daily up/down move sequence:
+        # day-over-day diff signs from the bounded series, R = runs,
+        # z = (R - mu) / sigma with the exact two-type run moments.
+        daily = _daily_sums(sf_dir)
+        x = daily["s"].to_numpy(np.float64)
+        sgn = np.sign(np.diff(x))
+        sgn = sgn[sgn != 0.0]
+        n1 = float((sgn > 0).sum()); n2 = float((sgn < 0).sum())
+        runs = 1 + int((sgn[1:] != sgn[:-1]).sum())
+        mu = 2 * n1 * n2 / (n1 + n2) + 1
+        var = (2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) / ((n1 + n2) ** 2 * (n1 + n2 - 1))
+        z = (runs - mu) / math.sqrt(var)
+        return pd.DataFrame({
+            "n_up": [np.int64(n1)], "n_down": [np.int64(n2)],
+            "runs": [np.int64(runs)], "z": round_half_up(np.array([z])),
+        })
+
     def r88_degree_dist(sf_dir):
         # degree distribution of the co-order part graph (the skew
         # telemetry that decides salting/orientation for the graph
@@ -8132,6 +8185,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "s90_explain": s90_explain,
         "r88_degree_dist": r88_degree_dist,
         "e21_hive_pruning": e21_hive_pruning,
+        "r89_mann_kendall": r89_mann_kendall,
+        "r90_runs_test": r90_runs_test,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11743,6 +11798,33 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r89_mann_kendall": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "p AS (SELECT CAST(sum(CASE WHEN b.s > a.s THEN 1 "
+            "WHEN b.s < a.s THEN -1 ELSE 0 END) AS DOUBLE) AS S, "
+            "(SELECT count(*) * 1.0 FROM d) AS n "
+            "FROM d a JOIN d b ON a.day < b.day) "
+            "SELECT CAST(n AS BIGINT) AS n_days, CAST(S AS BIGINT) AS s_stat, "
+            "round(CASE WHEN S > 0 THEN (S - 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) "
+            "WHEN S < 0 THEN (S + 1) / sqrt(n * (n - 1) * (2 * n + 5) / 18.0) "
+            "ELSE 0 END, 4) AS z FROM p"
+        ),
+        "r90_runs_test": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "g AS (SELECT day, CASE WHEN s > lag(s) OVER (ORDER BY day) THEN 1 "
+            "WHEN s < lag(s) OVER (ORDER BY day) THEN -1 END AS sg FROM d), "
+            "sq AS (SELECT sg, lag(sg) OVER (ORDER BY day) AS prev FROM g WHERE sg IS NOT NULL), "
+            "m AS (SELECT count(*) FILTER (WHERE sg = 1) * 1.0 AS n1, "
+            "count(*) FILTER (WHERE sg = -1) * 1.0 AS n2, "
+            "1 + count(*) FILTER (WHERE prev IS NOT NULL AND sg <> prev) AS runs FROM sq) "
+            "SELECT CAST(n1 AS BIGINT) AS n_up, CAST(n2 AS BIGINT) AS n_down, "
+            "CAST(runs AS BIGINT) AS runs, "
+            "round((runs - (2 * n1 * n2 / (n1 + n2) + 1)) / "
+            "sqrt((2 * n1 * n2 * (2 * n1 * n2 - n1 - n2)) / "
+            "(pow(n1 + n2, 2) * (n1 + n2 - 1))), 4) AS z FROM m"
         ),
         "r88_degree_dist": (
             "WITH lp AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem), "
