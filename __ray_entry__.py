@@ -7262,6 +7262,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
         )
 
+    def r91_crosstab_chi2(sf_dir):
+        # chi-square test of independence over the lang x source
+        # contingency table: the (lang, source) counts are one
+        # combiner exchange bounded by |langs| x |sources|; the FULL
+        # cross product (zero cells included — they contribute their
+        # expected mass) closes driver-side.
+        docs = _read(sf_dir, "documents", ["lang", "source"])
+        c = (
+            rel.grouped_aggregate(docs, ["lang", "source"], {"o": ("count", "lang")})
+            .to_pandas()
+        )
+        piv = c.pivot_table(
+            index="lang", columns="source", values="o", fill_value=0, aggfunc="sum"
+        ).astype(np.float64)
+        o = piv.to_numpy()
+        n = o.sum()
+        e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+        chi2 = float(((o - e) ** 2 / e).sum())
+        dof = (o.shape[0] - 1) * (o.shape[1] - 1)
+        return pd.DataFrame({
+            "n": [np.int64(n)], "dof": [np.int64(dof)],
+            "chi2": round_half_up(np.array([chi2])),
+        })
+
     def r89_mann_kendall(sf_dir):
         # Mann-Kendall trend test on the daily value-sum series: the
         # combiner exchange is the day histogram; S = sum of pairwise
@@ -8187,6 +8211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e21_hive_pruning": e21_hive_pruning,
         "r89_mann_kendall": r89_mann_kendall,
         "r90_runs_test": r90_runs_test,
+        "r91_crosstab_chi2": r91_crosstab_chi2,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11798,6 +11823,20 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r91_crosstab_chi2": (
+            "WITH c AS (SELECT lang, source, count(*) * 1.0 AS o "
+            "FROM documents GROUP BY lang, source), "
+            "l AS (SELECT DISTINCT lang FROM documents), "
+            "sv AS (SELECT DISTINCT source FROM documents), "
+            "f AS (SELECT l.lang, sv.source, coalesce(c.o, 0) AS o "
+            "FROM l CROSS JOIN sv LEFT JOIN c "
+            "ON c.lang = l.lang AND c.source = sv.source), "
+            "t AS (SELECT o, sum(o) OVER (PARTITION BY lang) AS rt, "
+            "sum(o) OVER (PARTITION BY source) AS ct, sum(o) OVER () AS n FROM f) "
+            "SELECT CAST(any_value(n) AS BIGINT) AS n, "
+            "CAST(((SELECT count(*) FROM l) - 1) * ((SELECT count(*) FROM sv) - 1) AS BIGINT) AS dof, "
+            "round(sum(pow(o - rt * ct / n, 2) / (rt * ct / n)), 4) AS chi2 FROM t"
         ),
         "r89_mann_kendall": (
             "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
