@@ -1440,33 +1440,44 @@ def novelty_fractions(
     whose earliest holder (min ``id_col`` across the corpus) is this
     doc. Ingest-ordered ids make this 'unseen in any earlier doc'.
 
-    Scale shape: shingle rows (sh, doc) -> grouped min(doc) per
-    shingle (combiner exchange over the shingle dimension) -> one
-    co-hash join back on the shingle key -> per-doc (novel, total)
-    combiner. Nothing broadcasts; the join moves the shingle-row
-    table once. Output: (doc_id, n_shingles, novel_frac)."""
+    Scale shape: shingle rows (sh, doc) hash-bucket by shingle (all
+    holders of a shingle co-locate), ONE sort-shuffle, and each
+    bucket computes min-holder + per-row novelty + per-doc partial
+    counts in a single vectorized pass — no join, no separate
+    min-aggregate exchange (the original min-agg + co-hash-join plan
+    cost ~2 exchanges more at identical output). A final per-doc
+    combiner folds the partials. Output: (doc_id, n_shingles,
+    novel_frac)."""
     from search_engine_ray.ops import relational as _rel
 
     def _rows(t: pa.Table) -> pa.Table:
         tab = _shingle_rows_table(t, text_col, id_col, w)
-        return tab.select(["sh", "doc"])
+        sh = tab["sh"].to_numpy(zero_copy_only=False)
+        b = (sh * np.int64(2654435761)) % np.int64(num_partitions * 4)
+        return pa.table({
+            "_b": pa.array(b, pa.int64()),
+            "sh": tab["sh"], "doc": tab["doc"],
+        })
 
-    sh = ds.map_batches(_rows, batch_format="pyarrow")
-    first = _rel.grouped_aggregate(sh, ["sh"], {"first_doc": ("min", "doc")})
-    j = _rel.hash_join(
-        sh, _rel.rename(first, {"sh": "sh2"}),
-        on=["sh"], right_on=["sh2"], num_partitions=num_partitions,
-    )
-
-    def _per_doc(t: pa.Table) -> pa.Table:
+    def _bucket_novel(t: pa.Table) -> pa.Table:
+        sh = t["sh"].to_numpy(zero_copy_only=False)
         doc = t["doc"].to_numpy(zero_copy_only=False)
-        novel = (t["first_doc"].to_numpy(zero_copy_only=False) == doc).astype(np.int64)
+        o = np.lexsort((doc, sh))
+        sh, doc = sh[o], doc[o]
+        new_run = np.ones(sh.size, dtype=bool)
+        new_run[1:] = sh[1:] != sh[:-1]
+        # doc sorted within run -> run's first element IS min(doc)
+        run_id = np.cumsum(new_run) - 1
+        first_doc = doc[np.flatnonzero(new_run)][run_id]
+        novel = (doc == first_doc).astype(np.int64)
         df = pd.DataFrame({"doc_id": doc, "n_shingles": 1, "novel": novel})
         g = df.groupby("doc_id", as_index=False).sum()
         return pa.Table.from_pandas(g, preserve_index=False)
 
     agg = _rel.grouped_aggregate(
-        j.map_batches(_per_doc, batch_format="pyarrow"), ["doc_id"],
+        ds.map_batches(_rows, batch_format="pyarrow")
+        .groupby("_b").map_groups(_bucket_novel, batch_format="pyarrow"),
+        ["doc_id"],
         {"n_shingles": ("sum", "n_shingles"), "novel": ("sum", "novel")},
     )
 
