@@ -7262,6 +7262,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
         )
 
+    def t_ngram_coverage(sf_dir):
+        # eval-set n-gram coverage (the inverse of decontamination:
+        # how much of the benchmark's shingle space the TRAINING
+        # corpus covers): eval shingles derive from the small eval
+        # fixture and broadcast; one pass over the NON-eval corpus
+        # marks covered shingles; the distinct fold is bounded by the
+        # eval shingle set, never the corpus.
+        ev = _eval_set(sf_dir)
+        ev_rows = dd._shingle_rows_table(ev, "text", "doc_id", 3)
+        ev_sh = np.unique(ev_rows["sh"].to_numpy(zero_copy_only=False))
+        import ray as _ray
+
+        ref = _ray.put(ev_sh)
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _covered(t: pa.Table) -> pa.Table:
+            keep = pa.array(t["doc_id"].to_numpy() % 97 != 0)
+            tt = t.filter(keep)
+            if tt.num_rows == 0:
+                return pa.table({"sh": pa.array([], pa.int64())})
+            rows = dd._shingle_rows_table(tt, "text", "doc_id", 3)
+            sh = rows["sh"].to_numpy(zero_copy_only=False)
+            evs = _ray.get(ref)
+            pos = np.clip(np.searchsorted(evs, sh), 0, evs.size - 1)
+            hit = np.unique(sh[evs[pos] == sh])  # block-local dedupe
+            return pa.table({"sh": pa.array(hit, pa.int64())})
+
+        cov = rel.distinct(
+            docs.map_batches(_covered, batch_format="pyarrow"), ["sh"]
+        ).count()
+        n_eval = int(ev_sh.size)
+        return pd.DataFrame({
+            "n_eval": [np.int64(n_eval)],
+            "n_cov": [np.int64(cov)],
+            "coverage": round_half_up(np.array([cov / n_eval if n_eval else 0.0])),
+        })
+
     def r91_crosstab_chi2(sf_dir):
         # chi-square test of independence over the lang x source
         # contingency table: the (lang, source) counts are one
@@ -8212,6 +8249,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r89_mann_kendall": r89_mann_kendall,
         "r90_runs_test": r90_runs_test,
         "r91_crosstab_chi2": r91_crosstab_chi2,
+        "t_ngram_coverage": t_ngram_coverage,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11823,6 +11861,20 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "t_ngram_coverage": (
+            "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "
+            "shl AS (SELECT doc_id, CASE WHEN len(ts) >= 3 THEN "
+            "list_distinct(list_transform(range(1, len(ts) - 1), "
+            "j -> ts[j] || ' ' || ts[j+1] || ' ' || ts[j+2])) "
+            "WHEN len(ts) > 0 THEN [array_to_string(ts, ' ')] ELSE [] END AS shingles FROM tok), "
+            "e AS (SELECT doc_id, unnest(shingles) AS s FROM shl), "
+            "ev AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 = 0), "
+            "c AS (SELECT DISTINCT s FROM e WHERE doc_id % 97 <> 0) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_eval, "
+            "CAST(count(*) FILTER (WHERE s IN (SELECT s FROM c)) AS BIGINT) AS n_cov, "
+            "round(count(*) FILTER (WHERE s IN (SELECT s FROM c)) * 1.0 / count(*), 4) AS coverage "
+            "FROM ev"
         ),
         "r91_crosstab_chi2": (
             "WITH c AS (SELECT lang, source, count(*) * 1.0 AS o "
