@@ -7262,6 +7262,26 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
         )
 
+    def r92_ewma(sf_dir):
+        # ES moving_fn ewma (alpha=0.3) over the daily value-sum
+        # series: the recursion s_t = a*x_t + (1-a)*s_{t-1}, s_1 =
+        # x_1, runs driver-side on the bounded bucket table; the
+        # oracle replays the CLOSED FORM (powers of 1-a over the tiny
+        # self-join) — different op order, equal at 4dp on a
+        # 30-point series.
+        daily = _daily_sums(sf_dir)
+        x = daily["s"].to_numpy(np.float64)
+        a = 0.3
+        s = np.empty_like(x)
+        s[0] = x[0]
+        for i in range(1, x.size):
+            s[i] = a * x[i] + (1 - a) * s[i - 1]
+        return pd.DataFrame({
+            "day": daily["day"].astype("int64"),
+            "s": round_half_up(x),
+            "ewma": round_half_up(s),
+        })
+
     def t_ngram_coverage(sf_dir):
         # eval-set n-gram coverage (the inverse of decontamination:
         # how much of the benchmark's shingle space the TRAINING
@@ -8250,6 +8270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r90_runs_test": r90_runs_test,
         "r91_crosstab_chi2": r91_crosstab_chi2,
         "t_ngram_coverage": t_ngram_coverage,
+        "r92_ewma": r92_ewma,
     }
     # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11861,6 +11882,17 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS cnt, "
             "round(sum(c_acctbal), 4) AS sum_bal "
             "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+        ),
+        "r92_ewma": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "r AS (SELECT day, s, row_number() OVER (ORDER BY day) AS t FROM d), "
+            # closed form: s_t = (1-a)^(t-1) * x_1 + a * sum_{i=2..t} (1-a)^(t-i) * x_i
+            "e AS (SELECT a.day, a.s, pow(0.7, a.t - 1) * "
+            "(SELECT s FROM r WHERE t = 1) "
+            "+ coalesce((SELECT sum(0.3 * pow(0.7, a.t - b.t) * b.s) "
+            "FROM r b WHERE b.t > 1 AND b.t <= a.t), 0) AS ew FROM r a) "
+            "SELECT day, round(s, 4) AS s, round(ew, 4) AS ewma FROM e ORDER BY day"
         ),
         "t_ngram_coverage": (
             "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "

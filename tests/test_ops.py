@@ -2022,3 +2022,33 @@ def test_novelty_fractions_vs_bruteforce(ray_session):
     assert out.loc[2, "novel_frac"] == 0.5
     assert out.loc[3, "novel_frac"] == 1.0 and out.loc[3, "n_shingles"] == 1
     assert out.loc[4, "novel_frac"] == 0.0
+
+
+def test_cooccur_pairs_property(ray_session):
+    """Property: for random (group, item) tables, cooccur_pairs equals
+    brute-force distinct-pair counting (few examples — each runs a
+    Ray pipeline)."""
+    import itertools
+
+    import ray.data as rd
+    from hypothesis import given, settings, strategies as st
+
+    import search_engine_ray.ops.relational as rel
+
+    @settings(max_examples=5, deadline=None)
+    @given(st.integers(0, 2**31 - 1))
+    def _case(seed):
+        rng = np.random.RandomState(seed)
+        n = int(rng.randint(1, 200))
+        g = rng.randint(0, 20, size=n).astype(np.int64)
+        i = rng.randint(0, 15, size=n).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"g": pa.array(g), "i": pa.array(i)}))
+        got = rel.cooccur_pairs(ds, "g", "i", num_buckets=4).to_pandas()
+        want: dict[tuple, int] = {}
+        for gid in np.unique(g):
+            for x, y in itertools.combinations(sorted(set(i[g == gid].tolist())), 2):
+                want[(x, y)] = want.get((x, y), 0) + 1
+        have = {(int(r["x"]), int(r["y"])): int(r["c_xy"]) for _, r in got.iterrows()}
+        assert have == want
+
+    _case()
