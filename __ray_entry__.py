@@ -582,6 +582,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
                              "text": pa.array([], pa.string())})
         return pa.concat_tables(parts)
 
+    def _term_match_ids(sf_dir: str, terms, min_tf: int = 1) -> dict:
+        # doc ids whose analyzed tf(term) >= min_tf, per term, derived
+        # DATASET-side (VERDICT r04 #2): one column-pruned distributed
+        # pass tokenizes each batch with the index tokenizer and emits
+        # only the matching (term, doc_id) rows — the driver collects
+        # a match-set-sized table, never the corpus text (the
+        # _eval_set pattern; the old pq.read_table of documents.text
+        # is a driver OOM at 100x).
+        from search_engine_ray.ops.text import _flat_tokens
+
+        terms_t = tuple(terms)
+
+        def _f(t: pa.Table) -> pa.Table:
+            flat, parents, _n = _flat_tokens(t["text"])
+            fv = flat.to_numpy(zero_copy_only=False)
+            ids = t["doc_id"].to_numpy()
+            out_t: list[str] = []
+            out_i: list[np.ndarray] = []
+            for term in terms_t:
+                cnt = np.bincount(parents[fv == term], minlength=len(t))
+                sel = ids[cnt >= min_tf]
+                out_t.extend([term] * len(sel))
+                out_i.append(sel)
+            merged = np.concatenate(out_i) if out_i else np.array([], np.int64)
+            return pa.table({
+                "term": pa.array(out_t, pa.string()),
+                "doc_id": pa.array(merged.astype(np.int64), pa.int64()),
+            })
+
+        ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            _f, batch_format="pyarrow"
+        )
+        import ray as _ray
+
+        parts = [p for p in _ray.get(ds.to_arrow_refs()) if p.num_rows]
+        tbl = (
+            pa.concat_tables(parts)
+            if parts
+            else pa.table({"term": pa.array([], pa.string()),
+                           "doc_id": pa.array([], pa.int64())})
+        )
+        return {
+            term: np.sort(
+                tbl.filter(pc.equal(tbl["term"], term))["doc_id"]
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64)
+            )
+            for term in terms_t
+        }
+
     # ---- search / scoring (S1-S8) -----------------------------------
     def s1_bm25_term(sf_dir):
         return _bm25_query(sf_dir, Compound(must=(Term("text", "vector"),)))
@@ -780,9 +830,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def r5_semijoin(sf_dir):
+        # R5 semi-join, scale-honest (VERDICT r04 #3): the fact-side
+        # key column stays a Dataset end to end — distinct(l_partkey)
+        # is a combiner exchange that shrinks the fact column to
+        # dimension cardinality DISTRIBUTEDLY, then join_auto runs the
+        # exact left-semi (broadcasting the small distinct side, or
+        # shuffling if its size is unknown). Nothing lineitem-sized is
+        # ever read on the driver.
         part = _read(sf_dir, "part", ["p_partkey", "p_name"])
-        li = pq.read_table(os.path.join(sf_dir, "lineitem.parquet"), columns=["l_partkey"])
-        return rel.broadcast_join(part, li, on=["p_partkey"], right_on=["l_partkey"], how="left semi")
+        li_keys = rel.distinct(_read(sf_dir, "lineitem", ["l_partkey"]), ["l_partkey"])
+        return rel.join_auto(
+            part, li_keys, on=["p_partkey"], right_on=["l_partkey"], how="left semi"
+        )
 
     def r6_map_enrich(sf_dir):
         # R6 in-memory hash-join enrichment (reference p_data_map,
@@ -1821,20 +1880,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # ES _rank_eval: P@10 / recall@10 / MRR / DCG / NDCG per
         # request against deterministic judgments (relevant = docs
         # with tf(term) >= 2, the same tokenization as the index)
-        from search_engine_ray.ops.text import _flat_tokens
         from search_engine_ray.pipelines.rank_eval import rank_eval
 
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        flat, parents, _n = _flat_tokens(t["text"])
-        ids = t["doc_id"].to_numpy()
-        fv = flat.to_numpy(zero_copy_only=False)
-
-        def _rel(term):
-            cnt = np.bincount(parents[fv == term], minlength=len(t))
-            return ids[cnt >= 2]
-
+        # judgments derived Dataset-side (VERDICT r04 #2): only the
+        # relevant id sets reach the driver, never the corpus text
+        rel_ids = _term_match_ids(sf_dir, ("vector", "hash", "window"), min_tf=2)
         reqs = [
-            (f"q_{term}", Compound(must=(Term("text", term),)), _rel(term))
+            (f"q_{term}", Compound(must=(Term("text", term),)), rel_ids[term])
             for term in ("vector", "hash", "window")
         ]
         eng = _doc_engine(sf_dir)
@@ -1868,14 +1920,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # containing 'slow' (the negative query's match set, broadcast
         # as a sorted id array) keep their match but score x 0.3 —
         # demotion without exclusion
-        from search_engine_ray.ops.text import _flat_tokens
         from search_engine_ray.query import NegativeBoost
 
-        t = pq.read_table(os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
-        flat, parents, _n = _flat_tokens(t["text"])
-        fv = flat.to_numpy(zero_copy_only=False)
-        cnt = np.bincount(parents[fv == "slow"], minlength=len(t))
-        neg_ids = np.sort(t["doc_id"].to_numpy()[cnt > 0].astype(np.int64))
+        # negative id set derived Dataset-side (VERDICT r04 #2): only
+        # the match-set-sized id array reaches the driver
+        neg_ids = _term_match_ids(sf_dir, ("slow",), min_tf=1)["slow"]
         q = Compound(must=(Term("text", "vector"),))
         return _bm25_query(sf_dir, q, boosts=(NegativeBoost(neg_ids, 0.3),))
 
@@ -8272,31 +8321,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_ngram_coverage": t_ngram_coverage,
         "r92_ewma": r92_ewma,
     }
-    # ---- round-4 window rotation (VERDICT r03 ask #3): the driver's
+    # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
-    # front-load the 50 newest never-driver-checked entries (stats
-    # wave, TPC-H, spans/geo — newest first: they carry the highest
-    # bug risk, r72 was the proof). Cumulative coverage after this
-    # window: 158/269. Remaining entries keep their original order.
-    _r4_window = [
-        "pipe_tpch_q22", "pipe_tpch_q21", "pipe_tpch_q20", "pipe_tpch_q19",
-        "pipe_tpch_q18", "pipe_tpch_q17", "pipe_tpch_q16", "pipe_tpch_q15",
-        "pipe_tpch_q13", "pipe_tpch_q11", "pipe_tpch_q12", "pipe_tpch_q9",
-        "pipe_tpch_q8", "pipe_tpch_q7", "pipe_tpch_q2", "r67_geotile_grid",
-        "s84_more_like_this", "s83_script_score", "s82_dis_max",
-        "r69_scripted_metric", "r68_geohash_grid", "r73_benford",
-        "r72_basket_rules", "t_bootstrap_means", "pipe_triangles",
-        "r71_late_events", "t_expectations", "ann_sq8", "sketch_kmv_union",
-        "sketch_kmv_intersect", "r70_winsorize", "s88_msearch",
-        "s87_has_parent", "s86_has_child", "t_bpe_train", "pipe_fineweb",
-        "s85_search_as_you_type", "t_dsir_sample", "ann_maxsim",
-        "t_embed_outliers", "r66_join_auto", "r65_terms_by_subagg",
-        "e19_reindex_alias", "r64_rolling_window", "s81_sig_chi2",
-        "r63_unpivot", "t_temperature_mix", "s80_span_multi",
-        "s79_intervals_any", "s78_intervals",
+    # front-load 50 never-driver-checked entries from the 142-strong
+    # backlog (300 total, 158 checked cumulatively r01-r04): the 31
+    # round-4 additions newest-first (highest bug risk), the two
+    # entries rewritten this round to drop their driver-side corpus
+    # reads (s52_rank_eval, s55_boosting — VERDICT r04 ask #2), the
+    # oldest never-checked r34-r46 band, and the VERDICT-named
+    # stragglers (r35_pagerank, t_soft_dedup, t_dsir, sketch_hll,
+    # sketch_quantiles_sampled). Cumulative coverage after this
+    # window: 208/300. Remaining entries keep their original order.
+    _r5_window = [
+        "r92_ewma", "t_ngram_coverage", "r91_crosstab_chi2",
+        "r90_runs_test", "r89_mann_kendall", "e21_hive_pruning",
+        "r88_degree_dist", "s90_explain", "t_cluster_sizes",
+        "r87_seasonal_anomaly", "t_char_entropy", "r86_gini",
+        "r85_normalize", "t_langid_eval", "r84_conversion_lag",
+        "r83_transitions", "t_fertility", "e20_orc_source",
+        "r82_autocorr", "t_novelty", "r81_two_proportions", "t_zipf",
+        "r80_change_point", "dedup_containment", "r79_ks_test",
+        "s89_terms_enum", "r78_entropy", "r77_percentiles_bucket",
+        "r76_anova", "r75_matrix_stats", "r74_grouped_ols",
+        "s52_rank_eval", "s55_boosting",
+        "r34_histogram", "r35_pagerank", "r36_derivative",
+        "r37_moving_avg", "r38_extended_stats", "r39_geo_radius",
+        "r40_geo_grid", "r41_outer_join", "r42_auto_histogram",
+        "r43_funnel", "r44_retention", "r45_grouped_hll",
+        "r46_weighted_avg", "t_soft_dedup", "t_dsir", "sketch_hll",
+        "sketch_quantiles_sampled",
     ]
-    return {k: d[k] for k in _r4_window} | {
-        k: v for k, v in d.items() if k not in _r4_window
+    return {k: d[k] for k in _r5_window} | {
+        k: v for k, v in d.items() if k not in _r5_window
     }
 
 

@@ -529,7 +529,13 @@ def run_smoke(names: list[str]) -> dict:
 
 
 if __name__ == "__main__":
-    if len(sys.argv) > 2 and sys.argv[1] == "--smoke":
+    if sys.argv[1:2] == ["--smoke"]:
+        if len(sys.argv) < 3:
+            # ADVICE r04: a bare --smoke must NOT fall through to the
+            # full default benchmark — that silently defeats the
+            # pre-commit gate the mode exists for
+            print("usage: bench.py --smoke NAME [NAME...]", file=sys.stderr)
+            sys.exit(2)
         r = run_smoke(sys.argv[2:])
         print(json.dumps(r))
         sys.exit(0 if r["ok"] else 1)

@@ -239,6 +239,11 @@ def join_auto(
     shuffle_mode = {
         "inner": "inner", "left_outer": "left_outer",
         "right_outer": "right_outer", "full_outer": "full_outer",
+        # Ray 2.49's shuffle JoinOperator supports semi/anti natively,
+        # so a dimension-unknown-size semi join degrades to the
+        # hash-partitioned exchange instead of erroring
+        "left_semi": "left_semi", "right_semi": "right_semi",
+        "left_anti": "left_anti", "right_anti": "right_anti",
     }.get(how_norm)
     if shuffle_mode is None:
         raise ValueError(f"join type {how!r} needs the broadcast path "
@@ -949,10 +954,22 @@ def cooccur_pairs(
     def _bucket(t: pa.Table) -> pa.Table:
         g = t[group_col].cast(pa.int64()).to_numpy(zero_copy_only=False)
         b = (g * np.int64(2654435761)) % np.int64(num_buckets)
+        items = t[item_col].cast(pa.int64())
+        if with_item_counts and t.num_rows:
+            # the per-item count channel rides the pair stream as
+            # sentinel rows (y = -1); a negative item id would be
+            # indistinguishable from the sentinel, so reject loudly
+            mn = pc.min(items).as_py()
+            if mn is not None and mn < 0:
+                raise ValueError(
+                    f"cooccur_pairs(with_item_counts=True) requires "
+                    f"non-negative item ids (y=-1 is the in-band "
+                    f"item-count sentinel); got min({item_col}) = {mn}"
+                )
         return pa.table({
             "_b": pa.array(b, pa.int64()),
             "g": pa.array(g, pa.int64()),
-            "i": t[item_col].cast(pa.int64()),
+            "i": items,
         })
 
     def _pairs(t: pa.Table) -> pa.Table:

@@ -310,8 +310,8 @@ def phrase_postings(
         # the cap would make this path quietly diverge from it. ES's
         # own max_expansions truncation is reproducible only if both
         # sides apply it — fail loud until the oracle encodes the cap.
-        assert len(exp) < max_expansions, (
-            f"prefix {last_prefix!r} expands to {len(exp)} >= cap {max_expansions}; "
+        assert len(exp) <= max_expansions, (
+            f"prefix {last_prefix!r} expands to {len(exp)} > cap {max_expansions}; "
             "the value oracle replays the UNCAPPED expansion — raise the cap "
             "or encode it in the oracle before relying on this result"
         )
@@ -505,8 +505,8 @@ def phrase_topk(
         if or_keys:
             raise ValueError("first_prefix and or_first are mutually exclusive")
         exp = sorted(engine._expand_prefix(_Prefix(field, first_prefix)))
-        assert len(exp) < max_expansions, (
-            f"prefix {first_prefix!r} expands to {len(exp)} >= cap {max_expansions}"
+        assert len(exp) <= max_expansions, (
+            f"prefix {first_prefix!r} expands to {len(exp)} > cap {max_expansions}"
         )
         if not exp:
             return pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
