@@ -94,8 +94,15 @@ try:
 
         _RayJoinOperator.__init__ = _join_init
         _RayJoinOperator._ser_safe_join = True
-except ImportError:  # future Ray: layout changed — assume bug fixed
-    pass
+    SAFE_JOIN_PATCHED = True
+except ImportError:
+    # Future Ray: the private layout moved. Do NOT assume the
+    # empty-partition bug is fixed — hash_join degrades to a
+    # broadcast-based fallback that avoids Dataset.join entirely
+    # (correct for every join type, memory-bound by the materialized
+    # side) and warns loudly. tests/test_safejoin.py pins this
+    # contract so a Ray upgrade fails visibly, not silently.
+    SAFE_JOIN_PATCHED = False
 
 _OPS: dict[str, Callable] = {
     "==": pc.equal,
@@ -1712,6 +1719,18 @@ def hash_join(
             raise ValueError("prefilter requires an inner single-key join")
         rk = (right_on or on)[0]
         left = bloom_semi_filter(left, on[0], right.select_columns([rk]), key_col=rk)
+    if not SAFE_JOIN_PATCHED:
+        import warnings
+
+        warnings.warn(
+            "Ray's private join internals moved and the _SafeJoinAgg "
+            "empty-partition patch could not attach; hash_join is using "
+            "the broadcast-based fallback (correct, but materializes one "
+            "side — re-pin the patch for the shuffle path).",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _hash_join_fallback(left, right, on, right_on, how)
     if num_partitions is None:
         try:
             total = (left.size_bytes() or 0) + (right.size_bytes() or 0)
@@ -1725,3 +1744,87 @@ def hash_join(
         on=tuple(on),
         right_on=tuple(right_on) if right_on else None,
     )
+
+
+def _ds_arrow_schema(ds: Dataset) -> pa.Schema:
+    s = ds.schema()
+    base = getattr(s, "base_schema", None)
+    if isinstance(base, pa.Schema):
+        return base
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def _materialize_table(ds: Dataset, schema: pa.Schema) -> pa.Table:
+    import ray as _ray
+
+    tabs = [t for t in _ray.get(ds.to_arrow_refs()) if t.num_columns]
+    if not tabs:
+        return schema.empty_table()
+    return pa.concat_tables(tabs, promote_options="default").combine_chunks()
+
+
+def _hash_join_fallback(
+    left: Dataset,
+    right: Dataset,
+    on: Sequence[str],
+    right_on: Sequence[str] | None,
+    how: str,
+) -> Dataset:
+    """Degraded-but-correct join used when `_SafeJoinAgg` cannot attach
+    (Ray internals moved): every join type is rebuilt from the
+    broadcast hash join, which never touches Dataset.join. One side
+    materializes (the memory cost that makes this 'degraded'); column
+    names/order match the native shuffle path for every type, pinned
+    by tests/test_safejoin.py."""
+    lk, rk = list(on), list(right_on or on)
+    how = how.replace(" ", "_")
+    if how in ("inner", "left_outer", "left_semi", "left_anti"):
+        small = _materialize_table(right, _ds_arrow_schema(right))
+        mode = {"inner": "inner", "left_outer": "left outer",
+                "left_semi": "left semi", "left_anti": "left anti"}[how]
+        return broadcast_join(left, small, lk, rk, how=mode)
+    if how in ("right_semi", "right_anti"):
+        keys = _materialize_table(
+            left.select_columns(lk), _ds_arrow_schema(left.select_columns(lk))
+        )
+        mode = {"right_semi": "left semi", "right_anti": "left anti"}[how]
+        return broadcast_join(right, keys, rk, lk, how=mode)
+    if how == "right_outer":
+        small = _materialize_table(left, _ds_arrow_schema(left))
+        joined = broadcast_join(right, small, rk, lk, how="left outer")
+        # native order: left non-key cols, then right cols (its own key)
+        l_nonkey = [n for n in small.column_names if n not in lk]
+        r_names = _ds_arrow_schema(right).names
+        order = l_nonkey + r_names
+
+        def _reorder(t: pa.Table) -> pa.Table:
+            return t.select(order)
+
+        return joined.map_batches(_reorder, batch_format="pyarrow")
+    if how == "full_outer":
+        l_schema = _ds_arrow_schema(left)
+        small = _materialize_table(right, _ds_arrow_schema(right))
+        lo = broadcast_join(left, small, lk, rk, how="left outer")
+        # right rows with no left match: anti vs the distinct left keys
+        # (a combiner exchange, then a key-table materialize), left
+        # non-key columns null-filled, key coalesced under left names
+        lkeys = _materialize_table(
+            distinct(left.select_columns(lk), lk),
+            pa.schema([(n, l_schema.field(n).type) for n in lk]),
+        )
+        missing = small.join(lkeys, keys=rk, right_keys=lk, join_type="left anti")
+        cols: dict[str, pa.ChunkedArray | pa.Array] = {}
+        for i, n in enumerate(lk):
+            cols[n] = missing[rk[i]].cast(l_schema.field(n).type)
+        for n in l_schema.names:
+            if n not in lk:
+                cols[n] = pa.nulls(missing.num_rows, l_schema.field(n).type)
+        r_nonkey = [n for n in small.column_names if n not in rk]
+        for n in r_nonkey:
+            cols[n] = missing[n]
+        out_names = list(l_schema.names) + r_nonkey
+        tail = pa.table({n: cols[n] for n in out_names})
+        import ray.data as _rd
+
+        return lo.union(_rd.from_arrow(tail))
+    raise ValueError(f"unsupported join type for the fallback path: {how!r}")
