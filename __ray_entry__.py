@@ -8051,6 +8051,241 @@ def queries() -> dict[str, Callable[[str], Any]]:
         prefix_len = len(eng.config.term_key("text", ""))
         return pd.DataFrame({"term": [k[prefix_len:] for k in keys]})
 
+    # ---- round-5 wave 1 -------------------------------------------------
+    def r93_date_range(sf_dir):
+        # ES date_range aggregation: custom calendar band edges with
+        # open ends ((-inf, Jan 10), [Jan 10, Jan 20), [Jan 20, inf)),
+        # count + sum(value) per band. Vectorized banding
+        # (np.searchsorted on the two broadcast edges) feeds a 3-row
+        # combiner exchange; edges are fixed calendar dates (the
+        # events generator spans Jan 2024 at every sf — scale-free).
+        ev = _read(sf_dir, "events", ["ts", "value"])
+        e1 = np.datetime64("2024-01-10T00:00:00", "us").astype(np.int64)
+        e2 = np.datetime64("2024-01-20T00:00:00", "us").astype(np.int64)
+        labels = ["*-2024-01-10", "2024-01-10-2024-01-20", "2024-01-20-*"]
+
+        def _band(t: pa.Table) -> pa.Table:
+            ts = t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            band = np.searchsorted(np.array([e1, e2], np.int64), ts, side="right")
+            v = t["value"].to_numpy()
+            cnt = np.bincount(band, minlength=3)
+            sv = np.bincount(band, weights=v, minlength=3)
+            return pa.table({
+                "band": pa.array(labels, pa.string()),
+                "n": pa.array(cnt.astype(np.int64), pa.int64()),
+                "sv": pa.array(sv, pa.float64()),
+            })
+
+        agg = (
+            rel.grouped_aggregate(
+                ev.map_batches(_band, batch_format="pyarrow"),
+                ["band"], {"n": ("sum", "n"), "sv": ("sum", "sv")},
+            )
+            .to_pandas().sort_values("band", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "band": agg["band"],
+            "n": agg["n"].astype("int64"),
+            "sum_value": round_half_up(agg["sv"].to_numpy()),
+        })
+
+    def r94_first_last(sf_dir):
+        # SQL FIRST_VALUE / LAST_VALUE / NTH_VALUE(2) over the whole
+        # partition (per-user event stream ordered by ts) — the window
+        # kernel's whole-partition-frame family; the oracle spells out
+        # ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+        # (LAST_VALUE's default frame stops at CURRENT ROW).
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        out = (
+            rel.window_functions(
+                ev, "user_id", ["ts", "event_id"],
+                {
+                    "first_et": ("first_value", "event_type"),
+                    "last_et": ("last_value", "event_type"),
+                    "second_et": ("nth_value", "event_type", 2),
+                },
+            )
+            .to_pandas().sort_values("event_id", kind="mergesort").reset_index(drop=True)
+        )
+        return out[["event_id", "user_id", "first_et", "last_et", "second_et"]]
+
+    def _avg_rank_map(ds, col):
+        # SQL tie-average ranks without a global sort-exchange:
+        # coarse-batch (value, count) partials (np.unique per 256k-row
+        # batch), folded on the driver — the result is bounded by the
+        # column's DISTINCT count (the documented contract, same as
+        # sketch_quantiles; a Ray hash aggregate here moved the same
+        # rows through a full exchange for 7 s at sf0.1). Average
+        # ranks come from cumulative offsets:
+        #   rank_avg(v) = (#values < v) + (count(v) + 1) / 2
+        def _p(t: pa.Table) -> pa.Table:
+            u, c = np.unique(t[col].to_numpy(zero_copy_only=False), return_counts=True)
+            return pa.table({col: pa.array(u), "cnt": pa.array(c.astype(np.int64))})
+
+        pdf = ds.select_columns([col]).map_batches(
+            _p, batch_format="pyarrow", batch_size=256 * 1024
+        ).to_pandas()
+        h = (
+            pdf.groupby(col, as_index=False)["cnt"].sum()
+            .sort_values(col, kind="mergesort")
+        )
+        vals = h[col].to_numpy()
+        cnt = h["cnt"].to_numpy().astype(np.float64)
+        start = np.concatenate(([0.0], np.cumsum(cnt)[:-1]))
+        return vals, start + (cnt + 1.0) / 2.0, cnt
+
+    def r95_spearman(sf_dir):
+        # Spearman rank correlation rho(l_quantity, l_extendedprice):
+        # tie-average ranks for BOTH columns from bounded histogram
+        # exchanges, rank maps broadcast once per actor, then ONE
+        # centered-moment pass over the pair stream (center = (n+1)/2
+        # exactly — tie-average ranks always sum to n(n+1)/2 — so the
+        # raw-moment cancellation the r75 lesson warns about never
+        # happens). Pearson on the ranks closes on the driver.
+        li = _read(sf_dir, "lineitem", ["l_quantity", "l_extendedprice"])
+        vx, rx, _ = _avg_rank_map(li, "l_quantity")
+        vy, ry, _ = _avg_rank_map(li, "l_extendedprice")
+        n = float(
+            pq.read_metadata(os.path.join(sf_dir, "lineitem.parquet")).num_rows
+        )
+        c = (n + 1.0) / 2.0
+        import ray as _ray
+
+        mref = _ray.put((vx, rx, vy, ry))
+
+        def _mom(t: pa.Table) -> pa.Table:
+            mvx, mrx, mvy, mry = _ray.get(mref)
+            ax = mrx[np.searchsorted(mvx, t["l_quantity"].to_numpy())] - c
+            ay = mry[np.searchsorted(mvy, t["l_extendedprice"].to_numpy())] - c
+            return pa.table({
+                "sxy": pa.array([float((ax * ay).sum())], pa.float64()),
+                "sxx": pa.array([float((ax * ax).sum())], pa.float64()),
+                "syy": pa.array([float((ay * ay).sum())], pa.float64()),
+            })
+
+        m = li.map_batches(_mom, batch_format="pyarrow").to_pandas().sum()
+        rho = float(m["sxy"]) / math.sqrt(float(m["sxx"]) * float(m["syy"]))
+        return pd.DataFrame({
+            "n": [np.int64(n)],
+            "spearman_rho": round_half_up(np.array([rho])),
+        })
+
+    def r96_kruskal(sf_dir):
+        # Kruskal-Wallis H (the nonparametric one-way ANOVA, rank
+        # analog of r76): global tie-average ranks of events.value from
+        # one bounded histogram exchange; per-group rank sums fold in a
+        # 5-row combiner; H and its tie correction close in the exact
+        # published form H = [12/(N(N+1)) * sum R_g^2/n_g - 3(N+1)] /
+        # (1 - sum(t^3-t)/(N^3-N)).
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+        vals, ranks, cnts = _avg_rank_map(ev, "value")
+        import ray as _ray
+
+        rref = _ray.put((vals, ranks))
+
+        def _gsum(t: pa.Table) -> pa.Table:
+            mv, mr = _ray.get(rref)
+            rk = mr[np.searchsorted(mv, t["value"].to_numpy())]
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "rsum": rk,
+            })
+            g = df.groupby("event_type", as_index=False).agg(
+                rsum=("rsum", "sum"), ng=("rsum", "size")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        g = (
+            rel.grouped_aggregate(
+                ev.map_batches(_gsum, batch_format="pyarrow"),
+                ["event_type"], {"rsum": ("sum", "rsum"), "ng": ("sum", "ng")},
+            )
+            .to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        )
+        n = float(g["ng"].sum())
+        s = float((g["rsum"].to_numpy() ** 2 / g["ng"].to_numpy()).sum())
+        h0 = 12.0 / (n * (n + 1.0)) * s - 3.0 * (n + 1.0)
+        tcorr = float((cnts**3 - cnts).sum())
+        h = h0 / (1.0 - tcorr / (n**3 - n))
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n_g": g["ng"].astype("int64"),
+            "mean_rank": round_half_up((g["rsum"] / g["ng"]).to_numpy()),
+            "h_stat": round_half_up(np.full(len(g), h)),
+        })
+
+    def t_url_filter(sf_dir):
+        # UT1-style domain blocklist filter (the RefinedWeb/CCNet URL
+        # screen): each doc's domain derives from its source field,
+        # the blocklist broadcasts as a constant Arrow set, one
+        # vectorized is_in per batch tags rows, and a domain-bounded
+        # combiner reports the kept/blocked census per domain.
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+        blocked = ("src1.example.com", "src4.example.com", "src7.example.com")
+        bset = pa.array(list(blocked))
+
+        def _tag(t: pa.Table) -> pa.Table:
+            dom = pc.binary_join_element_wise(
+                t["source"].cast(pa.string()), ".example.com", ""
+            )
+            return pa.table({
+                "domain": dom,
+                "blocked": pc.is_in(dom, value_set=bset),
+            })
+
+        agg = (
+            rel.grouped_aggregate(
+                docs.map_batches(_tag, batch_format="pyarrow"),
+                ["domain", "blocked"], {"n_docs": ("count", "domain")},
+            )
+            .to_pandas().sort_values("domain", kind="mergesort").reset_index(drop=True)
+        )
+        agg["n_docs"] = agg["n_docs"].astype("int64")
+        return agg[["domain", "blocked", "n_docs"]]
+
+    def t_unimax_sample(sf_dir):
+        # UniMax language sampling (Chung et al. 2023): cap each
+        # language at C docs instead of temperature-scaling — the
+        # deterministic variant draws each language's C
+        # smallest-md5-hash docs (group_topn combiner: per-block <=C
+        # rows survive to the shard exchange, reproducible at any
+        # parallelism; contrast with t_temperature_mix's rate-based
+        # thinning over the same corpus).
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        C = 40
+        docs = _read(sf_dir, "documents", ["doc_id", "lang"])
+
+        def _h(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            h = _md5_upper64([f"umx:{i}" for i in ids])
+            return pa.table({
+                "doc_id": t["doc_id"], "lang": t["lang"],
+                "h": pa.array(h, pa.uint64()),
+            })
+
+        kept = rel.group_topn(
+            docs.map_batches(_h, batch_format="pyarrow"),
+            "lang", ["h", "doc_id"], C, descending=False,
+        )
+        ka = (
+            rel.grouped_aggregate(
+                kept, ["lang"],
+                {"n_kept": ("count", "doc_id"), "sum_kept": ("sum", "doc_id")},
+            ).to_pandas()
+        )
+        tot = rel.value_counts(docs, "lang", alias="n_docs").to_pandas()
+        out = (
+            tot.merge(ka, on="lang", how="left")
+            .sort_values("lang", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "lang": out["lang"],
+            "n_docs": out["n_docs"].astype("int64"),
+            "n_kept": out["n_kept"].fillna(0).astype("int64"),
+            "sum_kept": out["sum_kept"].fillna(0).astype("int64"),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -8361,6 +8596,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r91_crosstab_chi2": r91_crosstab_chi2,
         "t_ngram_coverage": t_ngram_coverage,
         "r92_ewma": r92_ewma,
+        # round-5 wave 1
+        "r93_date_range": r93_date_range,
+        "r94_first_last": r94_first_last,
+        "r95_spearman": r95_spearman,
+        "r96_kruskal": r96_kruskal,
+        "t_url_filter": t_url_filter,
+        "t_unimax_sample": t_unimax_sample,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -11990,6 +12232,71 @@ GROUP BY c.lang ORDER BY c.lang
             "+ coalesce((SELECT sum(0.3 * pow(0.7, a.t - b.t) * b.s) "
             "FROM r b WHERE b.t > 1 AND b.t <= a.t), 0) AS ew FROM r a) "
             "SELECT day, round(s, 4) AS s, round(ew, 4) AS ewma FROM e ORDER BY day"
+        ),
+        # ---- round-5 wave 1 ----
+        "r93_date_range": (
+            "SELECT band, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value), 4) AS sum_value FROM ("
+            "SELECT CASE WHEN ts < TIMESTAMP '2024-01-10' THEN '*-2024-01-10' "
+            "WHEN ts < TIMESTAMP '2024-01-20' THEN '2024-01-10-2024-01-20' "
+            "ELSE '2024-01-20-*' END AS band, value FROM events) "
+            "GROUP BY band ORDER BY band"
+        ),
+        "r94_first_last": (
+            "SELECT event_id, user_id, "
+            "first_value(event_type) OVER w AS first_et, "
+            "last_value(event_type) OVER w AS last_et, "
+            "nth_value(event_type, 2) OVER w AS second_et "
+            "FROM events WINDOW w AS (PARTITION BY user_id "
+            "ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) "
+            "ORDER BY event_id"
+        ),
+        "r95_spearman": (
+            "WITH r AS (SELECT "
+            "rank() OVER (ORDER BY l_quantity) "
+            "+ (count(*) OVER (PARTITION BY l_quantity) - 1) / 2.0 AS rx, "
+            "rank() OVER (ORDER BY l_extendedprice) "
+            "+ (count(*) OVER (PARTITION BY l_extendedprice) - 1) / 2.0 AS ry "
+            "FROM lineitem) "
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "round(corr(rx, ry), 4) AS spearman_rho FROM r"
+        ),
+        "r96_kruskal": (
+            "WITH r AS (SELECT event_type, "
+            "rank() OVER (ORDER BY value) "
+            "+ (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk FROM events), "
+            "g AS (SELECT event_type, sum(rk) AS rsum, count(*) * 1.0 AS ng "
+            "FROM r GROUP BY event_type), "
+            "tot AS (SELECT count(*) * 1.0 AS n FROM events), "
+            "ties AS (SELECT coalesce(sum(c * c * c - c), 0) * 1.0 AS tc FROM "
+            "(SELECT count(*) AS c FROM events GROUP BY value) tt), "
+            "h AS (SELECT (12.0 / (tot.n * (tot.n + 1)) * "
+            "(SELECT sum(rsum * rsum / ng) FROM g) - 3.0 * (tot.n + 1)) "
+            "/ (1.0 - ties.tc / (pow(tot.n, 3) - tot.n)) AS hs "
+            "FROM tot, ties) "
+            "SELECT g.event_type, CAST(g.ng AS BIGINT) AS n_g, "
+            "round(g.rsum / g.ng, 4) AS mean_rank, "
+            "round((SELECT hs FROM h), 4) AS h_stat "
+            "FROM g ORDER BY g.event_type"
+        ),
+        "t_url_filter": (
+            "SELECT source || '.example.com' AS domain, "
+            "source || '.example.com' IN "
+            "('src1.example.com', 'src4.example.com', 'src7.example.com') AS blocked, "
+            "CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY 1, 2 ORDER BY domain"
+        ),
+        "t_unimax_sample": (
+            "WITH kept AS (SELECT lang, doc_id FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY lang "
+            "ORDER BY md5_number_upper(CAST('umx:' || doc_id AS VARCHAR)), doc_id) <= 40), "
+            "k AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_kept, "
+            "CAST(sum(doc_id) AS BIGINT) AS sum_kept FROM kept GROUP BY lang) "
+            "SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs, "
+            "any_value(k.n_kept) AS n_kept, any_value(k.sum_kept) AS sum_kept "
+            "FROM documents d JOIN k ON k.lang = d.lang "
+            "GROUP BY d.lang ORDER BY d.lang"
         ),
         "t_ngram_coverage": (
             "WITH tok AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]+') AS ts FROM documents), "

@@ -561,6 +561,12 @@ def build_index(
     tmp_dir = out_dir + ".tmp"
     shutil.rmtree(tmp_dir, ignore_errors=True)
     os.makedirs(tmp_dir, exist_ok=True)
+    # cluster-facing knobs (no-ops on a single node; see CLUSTER.md):
+    # SPREAD the bandwidth-heavy stages across nodes, and narrow the
+    # Dataset block size to what the per-node object store supports
+    from search_engine_ray.cluster import apply_cluster_data_context, spread_remote_args as _spread
+
+    apply_cluster_data_context()
     import time as _time
 
     timings: dict[str, float] = {}
@@ -579,7 +585,11 @@ def build_index(
         ] + [sha_col]
         docmap = (
             _read(docmap_in_cols)
-            .map_batches(make_ingest_fn(config, sha_col), batch_format="pyarrow")
+            .map_batches(
+                make_ingest_fn(config, sha_col),
+                batch_format="pyarrow",
+                **_spread(),
+            )
             .select_columns(["doc_id", "bucket", *config.docmap_cols])
         )
         docmap.write_parquet(os.path.join(tmp_dir, "docmap"), partition_cols=["bucket"])
@@ -598,12 +608,17 @@ def build_index(
         text_cols = list(config.id_cols) + [f.name for f in config.fields]
         partials = (
             _read(text_cols)
-            .map_batches(make_ingest_fn(config, None), batch_format="pyarrow")
+            .map_batches(
+                make_ingest_fn(config, None),
+                batch_format="pyarrow",
+                **_spread(),
+            )
             .map_batches(
                 TokenizePartials,
                 batch_format="pyarrow",
                 fn_constructor_args=(config,),
                 concurrency=(1, 16),
+                **_spread(),
             )
         )
         partials.write_parquet(
@@ -744,7 +759,7 @@ def build_index(
     metric_refs: list = []
     for k in range(config.num_parts):
         for g in range(n_groups):
-            d_ref, m_ref = _merge_group.options(num_cpus=merge_cpus).remote(
+            d_ref, m_ref = _merge_group.options(num_cpus=merge_cpus, **_spread()).remote(
                 k,
                 g,
                 os.path.join(tmp_dir, "partials", f"part={k}", f"bg={g}"),

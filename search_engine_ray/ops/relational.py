@@ -575,6 +575,26 @@ def window_functions(
                     df[out_col] = last_row[grp_id - 1] / n
                 else:
                     df[out_col] = np.empty(0, np.float64)
+            elif kind in ("first_value", "last_value"):
+                # SQL FIRST_VALUE/LAST_VALUE over the WHOLE partition
+                # (ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED
+                # FOLLOWING — the frame the oracle must spell out:
+                # LAST_VALUE's default frame ends at CURRENT ROW)
+                col = spec[1]
+                if n:
+                    df[out_col] = df[col].iloc[0 if kind == "first_value" else n - 1]
+                else:
+                    df[out_col] = df[col]
+            elif kind == "nth_value":
+                # SQL NTH_VALUE(col, k) over the whole partition; NULL
+                # when the partition has fewer than k rows
+                _, col, kth = spec
+                if n >= int(kth):
+                    df[out_col] = df[col].iloc[int(kth) - 1]
+                else:
+                    # all-NULL column of a compatible dtype (int upcasts
+                    # to float64 NaN, matching SQL NULL through Arrow)
+                    df[out_col] = df[col].where(np.zeros(n, dtype=bool))
             else:
                 raise ValueError(f"unknown window function {kind!r}")
         return df
@@ -584,7 +604,7 @@ def window_functions(
         if spec[0] not in (
             "row_number", "rank", "dense_rank", "lag", "lead", "cumsum",
             "ntile", "percent_rank", "cume_dist", "rolling_sum", "rolling_mean",
-            "cummax_prev",
+            "cummax_prev", "first_value", "last_value", "nth_value",
         ):
             raise ValueError(f"unknown window function {spec[0]!r}")
     return ds.groupby(pkeys).map_groups(_g, batch_format="pandas")

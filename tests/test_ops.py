@@ -1246,7 +1246,40 @@ def test_window_functions_ties_and_leads(ray_session, con):
     assert out2["rnk"].tolist() == [1, 1, 3, 3, 5]
     assert out2["drnk"].tolist() == [1, 1, 2, 2, 3]
     with pytest.raises(ValueError):
-        rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("nth_value", 3)})
+        rel.window_functions(rd.from_pandas(df), "p", ["v"], {"x": ("median", "v")})
+
+
+def test_window_first_last_nth(ray_session, con):
+    import ray.data as rd
+
+    df = pd.DataFrame({
+        "p": ["a"] * 4 + ["b"] * 2 + ["c"],
+        "v": [10, 30, 20, 40, 7, 9, 5],
+        "rid": range(7),
+    })
+    out = (
+        rel.window_functions(
+            rd.from_pandas(df), "p", ["v", "rid"],
+            {
+                "fv": ("first_value", "v"),
+                "lv": ("last_value", "v"),
+                "n2": ("nth_value", "v", 2),
+                "n5": ("nth_value", "v", 5),  # > every partition size -> NULL
+            },
+        )
+        .to_pandas().sort_values("rid").reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        "SELECT p, v, rid, first_value(v) OVER w AS fv, last_value(v) OVER w AS lv, "
+        "nth_value(v, 2) OVER w AS n2, nth_value(v, 5) OVER w AS n5 "
+        "FROM df WINDOW w AS (PARTITION BY p ORDER BY v, rid "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) ORDER BY rid"
+    ).df()
+    assert out["fv"].tolist() == exp["fv"].tolist()
+    assert out["lv"].tolist() == exp["lv"].tolist()
+    # n2 is NULL for the single-row partition 'c'; n5 NULL everywhere
+    assert out["n2"].fillna(-1).tolist() == exp["n2"].fillna(-1).tolist()
+    assert out["n5"].isna().all() and exp["n5"].isna().all()
 
 
 def test_matrix_stats_nulls(ray_session):
