@@ -312,6 +312,54 @@ def _hw_capacity(procs: int, seconds: float = 2.0) -> float:
         return float(sum(p.map(_spin, [seconds] * procs)))
 
 
+def _triad(args) -> float:
+    """One worker's STREAM-triad MB/s over a cache-busting array:
+    a = b + s*c on 64 MiB float64 operands (3x64 MiB traffic per
+    sweep, far beyond LLC) — the merge pass's decode/lexsort/encode
+    is exactly this kind of streaming traffic."""
+    import numpy as np
+
+    seconds = args
+    n = (64 << 20) // 8
+    b = np.ones(n)
+    c = np.ones(n)
+    a = np.empty(n)
+    t0 = time.perf_counter()
+    sweeps = 0
+    while time.perf_counter() - t0 < seconds:
+        np.multiply(c, 3.0, out=a)
+        np.add(a, b, out=a)
+        sweeps += 1
+    dt = time.perf_counter() - t0
+    return sweeps * 3 * (64.0) / dt  # MB/s per worker (MiB operands)
+
+
+def run_membw(levels=(1, 4, 16), seconds: float = 3.0) -> dict:
+    """Memory-bandwidth ceiling probe (the measurement VERDICT r04 #4
+    asked for in lieu of perf counters): aggregate STREAM-triad MB/s
+    at increasing process counts. If aggregate bandwidth saturates
+    well below procs x single-proc bandwidth, the 4->16 cpu build
+    scaling ceiling is memory traffic, not CPU — read next to the
+    _hw_capacity spin ratio, which measures pure-CPU capacity and is
+    immune to bandwidth."""
+    import multiprocessing as mp
+
+    out = {}
+    for procs in levels:
+        with mp.Pool(procs) as p:
+            per = p.map(_triad, [seconds] * procs)
+        out[f"aggregate_mbs_{procs}"] = round(float(sum(per)), 1)
+    base = out[f"aggregate_mbs_{levels[0]}"] / levels[0]
+    for procs in levels[1:]:
+        out[f"bw_scaling_{levels[0]}_to_{procs}"] = round(
+            out[f"aggregate_mbs_{procs}"] / (procs * base), 3
+        )
+    spin_lo = _hw_capacity(levels[0], 1.5)
+    spin_hi = _hw_capacity(levels[-1], 1.5)
+    out["spin_capacity_ratio"] = round(spin_hi / spin_lo, 2)
+    return {"metric": "membw_triad", "unit": "MB/s", "queries": out}
+
+
 def scale_build_once(num_cpus: int, n_docs: int) -> dict:
     """Fresh-process single build (pool pre-warmed) + warm concurrent
     query throughput over the built index: {docs_per_sec, qps}."""
@@ -540,7 +588,9 @@ if __name__ == "__main__":
         r = run_smoke(sys.argv[2:])
         print(json.dumps(r))
         sys.exit(0 if r["ok"] else 1)
-    if len(sys.argv) > 1 and sys.argv[1] == "--scaling":
+    if sys.argv[1:2] == ["--membw"]:
+        print(json.dumps(run_membw()))
+    elif len(sys.argv) > 1 and sys.argv[1] == "--scaling":
         print(json.dumps(run_scaling()))
     elif len(sys.argv) > 2 and sys.argv[1] == "--scale-build":
         print(json.dumps(scale_build_once(int(sys.argv[2]), SCALE_DOCS)))
