@@ -21,10 +21,19 @@ import sys
 
 
 def _init():
+    import os
+
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # a cluster RAY_ADDRESS (anything but the sandbox's preset
+        # "local") connects the CLI to that cluster — the `ray start
+        # --head` / `ray job submit` path in CLUSTER.md; an explicit
+        # address="local" would silently ignore the env and spin up a
+        # private instance instead
+        env_addr = os.environ.get("RAY_ADDRESS", "")
+        addr = None if env_addr not in ("", "local") else "local"
+        ray.init(address=addr, include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
