@@ -8286,6 +8286,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_kept": out["sum_kept"].fillna(0).astype("int64"),
         })
 
+    def r97_theil_sen(sf_dir):
+        # Theil-Sen robust trend estimator over the daily event-value
+        # series (the median-of-pairwise-slopes regressor — immune to
+        # the outlier days that pull r74's OLS): the day histogram
+        # folds in one combiner exchange (bucket table bounded by the
+        # date span, the r80/r87/r89 contract), then the C(days, 2)
+        # slope set and both medians close on the driver.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            df = pd.DataFrame({"day": day, "s": t["value"].to_numpy()})
+            g = df.groupby("day", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        d_ = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"),
+                ["day"], {"s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        days = d_["day"].to_numpy().astype(np.float64)
+        s = d_["s"].to_numpy()
+        i, j = np.triu_indices(len(days), k=1)
+        slopes = (s[j] - s[i]) / (days[j] - days[i])
+        slope = float(np.median(slopes))
+        intercept = float(np.median(s - slope * days))
+        return pd.DataFrame({
+            "n_days": [np.int64(len(days))],
+            "slope": round_half_up(np.array([slope])),
+            "intercept": round_half_up(np.array([intercept])),
+        })
+
+    def r98_mann_whitney(sf_dir):
+        # Mann-Whitney U (the two-sample rank test beside r79's KS and
+        # r96's Kruskal-Wallis): purchase vs click event values, global
+        # tie-average ranks from the distinct-value partial fold, rank
+        # sums per group in a 2-row combiner, tie-corrected normal
+        # approximation z = (U - mu) / sigma closed on the driver.
+        ev = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+            lambda t: t.filter(
+                pc.is_in(t["event_type"], value_set=pa.array(["purchase", "click"]))
+            ),
+            batch_format="pyarrow",
+        )
+        vals, ranks, cnts = _avg_rank_map(ev, "value")
+        import ray as _ray
+
+        rref = _ray.put((vals, ranks))
+
+        def _gsum(t: pa.Table) -> pa.Table:
+            mv, mr = _ray.get(rref)
+            rk = mr[np.searchsorted(mv, t["value"].to_numpy())]
+            g1 = np.asarray(t["event_type"]) == "purchase"
+            return pa.table({
+                "r1": pa.array([float(rk[g1].sum())], pa.float64()),
+                "n1": pa.array([int(g1.sum())], pa.int64()),
+                "n2": pa.array([int((~g1).sum())], pa.int64()),
+            })
+
+        m = ev.map_batches(_gsum, batch_format="pyarrow").to_pandas().sum()
+        n1, n2 = float(m["n1"]), float(m["n2"])
+        n = n1 + n2
+        u1 = float(m["r1"]) - n1 * (n1 + 1.0) / 2.0
+        tcorr = float((cnts**3 - cnts).sum())
+        sigma = math.sqrt(
+            n1 * n2 / 12.0 * ((n + 1.0) - tcorr / (n * (n - 1.0)))
+        )
+        z = (u1 - n1 * n2 / 2.0) / sigma
+        return pd.DataFrame({
+            "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+            "u_stat": round_half_up(np.array([u1])),
+            "z_stat": round_half_up(np.array([z])),
+        })
+
+    def e22_gzip_csv(sf_dir):
+        # compressed-CSV source (the E1 ring, gzip leg): the dataset
+        # writes plain CSV shards (distributed), the fixture gzips
+        # them once (mtime-keyed cache), and ray.data.read_csv
+        # decompresses via arrow_open_stream_args — the knob for every
+        # pre-compressed drop a real ingest sees. Group-sum must equal
+        # the parquet view's aggregate.
+        import gzip as _gzip
+
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        gz_dir = f"/tmp/ser_gzcsv_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(gz_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(gz_dir, ignore_errors=True)
+            _read(sf_dir, "events", ["event_id", "event_type", "value"]).write_csv(gz_dir)
+            import glob as _g
+
+            for f in _g.glob(os.path.join(gz_dir, "*.csv")):
+                with open(f, "rb") as fin, _gzip.open(f + ".gz", "wb") as fout:
+                    fout.write(fin.read())
+                os.remove(f)
+            open(os.path.join(gz_dir, "_DONE"), "w").write("ok")
+        import glob as _g
+
+        ds = rd.read_csv(
+            sorted(_g.glob(os.path.join(gz_dir, "*.csv.gz"))),
+            arrow_open_stream_args={"compression": "gzip"},
+        )
+        out = rel.grouped_aggregate(
+            ds, "event_type", {"n": ("count", "event_id"), "sv": ("sum", "value")}
+        ).to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        return pd.DataFrame({
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "sum_value": round_half_up(out["sv"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -8603,6 +8724,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r96_kruskal": r96_kruskal,
         "t_url_filter": t_url_filter,
         "t_unimax_sample": t_unimax_sample,
+        # round-5 wave 2
+        "r97_theil_sen": r97_theil_sen,
+        "r98_mann_whitney": r98_mann_whitney,
+        "e22_gzip_csv": e22_gzip_csv,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -12286,6 +12411,38 @@ GROUP BY c.lang ORDER BY c.lang
             "('src1.example.com', 'src4.example.com', 'src7.example.com') AS blocked, "
             "CAST(count(*) AS BIGINT) AS n_docs "
             "FROM documents GROUP BY 1, 2 ORDER BY domain"
+        ),
+        "r97_theil_sen": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "sl AS (SELECT (b.s - a.s) / (b.day - a.day) AS m "
+            "FROM d a JOIN d b ON b.day > a.day), "
+            "ts AS (SELECT median(m) AS slope FROM sl) "
+            "SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days, "
+            "round((SELECT slope FROM ts), 4) AS slope, "
+            "round((SELECT median(s - (SELECT slope FROM ts) * day) FROM d), 4) AS intercept"
+        ),
+        "r98_mann_whitney": (
+            "WITH f AS (SELECT event_type, value FROM events "
+            "WHERE event_type IN ('purchase', 'click')), "
+            "r AS (SELECT event_type, rank() OVER (ORDER BY value) "
+            "+ (count(*) OVER (PARTITION BY value) - 1) / 2.0 AS rk FROM f), "
+            "g AS (SELECT sum(rk) FILTER (WHERE event_type = 'purchase') AS r1, "
+            "count(*) FILTER (WHERE event_type = 'purchase') * 1.0 AS n1, "
+            "count(*) FILTER (WHERE event_type = 'click') * 1.0 AS n2 FROM r), "
+            "ties AS (SELECT coalesce(sum(c * c * c - c), 0) * 1.0 AS tc "
+            "FROM (SELECT count(*) AS c FROM f GROUP BY value) t) "
+            "SELECT CAST(g.n1 AS BIGINT) AS n1, CAST(g.n2 AS BIGINT) AS n2, "
+            "round(g.r1 - g.n1 * (g.n1 + 1) / 2.0, 4) AS u_stat, "
+            "round((g.r1 - g.n1 * (g.n1 + 1) / 2.0 - g.n1 * g.n2 / 2.0) "
+            "/ sqrt(g.n1 * g.n2 / 12.0 * ((g.n1 + g.n2 + 1) "
+            "- ties.tc / ((g.n1 + g.n2) * (g.n1 + g.n2 - 1)))), 4) AS z_stat "
+            "FROM g, ties"
+        ),
+        "e22_gzip_csv": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "t_unimax_sample": (
             "WITH kept AS (SELECT lang, doc_id FROM documents "
