@@ -8407,6 +8407,129 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_value": round_half_up(out["sv"].to_numpy()),
         })
 
+    def r99_holt(sf_dir):
+        # ES moving_fn holt (double exponential smoothing, alpha=0.5
+        # beta=0.3) over the daily sum series: the day histogram folds
+        # in one combiner exchange (driver-bounded bucket table, the
+        # r92_ewma contract), the coupled level/trend recursion runs
+        # driver-side, and the oracle replays the SAME recursion as a
+        # DuckDB recursive CTE (unlike r92's closed form — Holt's two
+        # coupled states have none). Init: level_1 = x_1, trend_1 =
+        # x_2 - x_1.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            df = pd.DataFrame({"day": day, "s": t["value"].to_numpy()})
+            g = df.groupby("day", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        d_ = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"),
+                ["day"], {"s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        # recursion inputs round to 4dp FIRST (both sides): the raw
+        # daily sums differ by ~1e-12 between summation orders, and
+        # the recursion carries that drift onto round-half-up
+        # boundaries at the output
+        x = round_half_up(d_["s"].to_numpy())
+        a, b = 0.5, 0.3
+        lvl = np.empty(len(x))
+        if len(x):
+            lvl[0] = x[0]
+            tr = x[1] - x[0] if len(x) > 1 else 0.0
+            prev = lvl[0]
+            for t in range(1, len(x)):
+                cur = a * x[t] + (1.0 - a) * (prev + tr)
+                tr = b * (cur - prev) + (1.0 - b) * tr
+                lvl[t] = cur
+                prev = cur
+        return pd.DataFrame({
+            "day": d_["day"].astype("int64"),
+            "s": round_half_up(x),
+            "holt": round_half_up(lvl),
+        })
+
+    def r100_levene(sf_dir):
+        # Levene's test for variance homogeneity across event types
+        # (the gate before trusting r76's equal-variance ANOVA): pass 1
+        # folds per-group means (5-row combiner), the mean map
+        # broadcasts, pass 2 folds (n, sum z, sum z^2) of the absolute
+        # deviations z = |x - mean_g|, and the one-way F on z closes
+        # driver-side. z is bounded by the value range, so the
+        # raw-moment form is fp-safe here (contrast r75).
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+        mu = (
+            rel.grouped_aggregate(ev, ["event_type"], {"mu": ("mean", "value")})
+            .to_pandas()
+        )
+        mu_map = dict(zip(mu["event_type"], mu["mu"]))
+        import ray as _ray
+
+        mref = _ray.put(mu_map)
+
+        def _z(t: pa.Table) -> pa.Table:
+            mm = _ray.get(mref)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "v": t["value"].to_numpy(),
+            })
+            df["z"] = (df["v"] - df["event_type"].map(mm)).abs()
+            df["z2"] = df["z"] * df["z"]
+            g = df.groupby("event_type", as_index=False).agg(
+                n=("z", "size"), zs=("z", "sum"), zsq=("z2", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        g = (
+            rel.grouped_aggregate(
+                ev.map_batches(_z, batch_format="pyarrow"),
+                ["event_type"], {"n": ("sum", "n"), "zs": ("sum", "zs"), "zsq": ("sum", "zsq")},
+            )
+            .to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        )
+        n = g["n"].to_numpy().astype(np.float64)
+        zs = g["zs"].to_numpy()
+        zsq = g["zsq"].to_numpy()
+        N = float(n.sum())
+        k = float(len(g))
+        zbar_g = zs / n
+        zbar = float(zs.sum()) / N
+        ssb = float((n * (zbar_g - zbar) ** 2).sum())
+        ssw = float((zsq - n * zbar_g**2).sum())
+        f = (ssb / (k - 1.0)) / (ssw / (N - k))
+        return pd.DataFrame({
+            "event_type": g["event_type"],
+            "n": g["n"].astype("int64"),
+            "mean_absdev": round_half_up(zbar_g),
+            "f_stat": round_half_up(np.full(len(g), f)),
+        })
+
+    def t_topic_census(sf_dir):
+        # embedding-space dataset map (the report beside the corpus
+        # card): per-cluster member counts + mean cosine-to-centroid
+        # cohesion from one streaming k-means assignment pass
+        # (ops/ann.cluster_census); the oracle retrains the identical
+        # seeded centroids and replays assignment + census in SQL.
+        out = (
+            ann.cluster_census(_read(sf_dir, "embeddings"), n_clusters=8)
+            .to_pandas().sort_values("cluster", kind="mergesort").reset_index(drop=True)
+        )
+        out = out[out["n_vecs"] > 0]
+        return pd.DataFrame({
+            "cluster": out["cluster"].astype("int64"),
+            "n_vecs": out["n_vecs"].astype("int64"),
+            "mean_cos": round_half_up(
+                (out["sum_cos"] / out["n_vecs"]).to_numpy()
+            ),
+        }).reset_index(drop=True)
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -8728,6 +8851,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r97_theil_sen": r97_theil_sen,
         "r98_mann_whitney": r98_mann_whitney,
         "e22_gzip_csv": e22_gzip_csv,
+        # round-5 wave 3
+        "r99_holt": r99_holt,
+        "r100_levene": r100_levene,
+        "t_topic_census": t_topic_census,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -9641,6 +9768,39 @@ SELECT vec_id, cluster::BIGINT AS cluster FROM (
                ORDER BY md5_number_upper(CAST(vec_id AS VARCHAR)), vec_id) AS rk
     FROM asg) WHERE rk <= {quota}
 ORDER BY cluster, vec_id
+"""
+
+    def _topic_census_sql(n_clusters: int = 8) -> str:
+        # t_topic_census oracle: retrain the seeded centroids (corpus
+        # == sample, asserted), assign by argmax dot with the
+        # lowest-index tie-break, then the census is a plain GROUP BY
+        # over the assignment (count + avg cosine-to-centroid)
+        from search_engine_ray.ops.ann import _normalize, spherical_kmeans
+
+        sf = os.environ.get("SER_ORACLE_SF", "/root/testdata/sf0.01")
+        df = pq.read_table(os.path.join(sf, "embeddings.parquet")).to_pandas()
+        assert len(df) <= 4096, "oracle retrain needs the build sample == corpus"
+        df = df.sort_values("vec_id")
+        x = _normalize(np.stack(df["embedding"].to_numpy()).astype(np.float64))
+        cent = spherical_kmeans(x, n_clusters, 10, 5)
+        rows = ",".join(
+            f"({c},[{','.join(repr(float(v)) for v in cent[c])}])"
+            for c in range(cent.shape[0])
+        )
+        return f"""
+WITH cent(c, cv) AS (VALUES {rows}),
+e0 AS (SELECT vec_id, embedding::DOUBLE[] AS ee,
+              sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+       FROM embeddings),
+n AS (SELECT vec_id, list_transform(ee, x -> x / nrm) AS e FROM e0),
+asg AS (SELECT vec_id, cluster, cos FROM (
+    SELECT n.vec_id, c.c AS cluster, list_dot_product(n.e, c.cv) AS cos,
+           row_number() OVER (PARTITION BY n.vec_id
+               ORDER BY list_dot_product(n.e, c.cv) DESC, c.c) AS rn
+    FROM n CROSS JOIN cent c) WHERE rn = 1)
+SELECT cluster::BIGINT AS cluster, CAST(count(*) AS BIGINT) AS n_vecs,
+       round(sum(cos) / count(*), 4) AS mean_cos
+FROM asg GROUP BY cluster ORDER BY cluster
 """
 
     # mm_features / mm_frames: the INPUT media table (payload sizes /
@@ -11223,6 +11383,7 @@ LIMIT 10
         "ann_ivfpq": _ivfpq_sql(),
         "r35_pagerank": _pagerank_sql(),
         "dedup_semantic": _semdedup_sql(),
+        "t_topic_census": _topic_census_sql(),
         "t_cluster_sample": _cluster_sample_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,
@@ -12443,6 +12604,40 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
             "round(sum(value), 4) AS sum_value "
             "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r99_holt": (
+            "WITH RECURSIVE d0 AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "d AS (SELECT day, round(s, 4) AS s FROM d0), "
+            "r AS (SELECT day, s, row_number() OVER (ORDER BY day) AS t FROM d), "
+            "init AS (SELECT coalesce((SELECT s FROM r WHERE t = 2) "
+            "- (SELECT s FROM r WHERE t = 1), 0.0) AS tr0), "
+            # the engine's recursion replayed verbatim: lvl' = a*x +
+            # (1-a)*(lvl+tr); tr' = b*(lvl'-lvl) + (1-b)*tr
+            "h(t, day, x, lvl, tr) AS ("
+            "SELECT r.t, r.day, r.s, r.s, (SELECT tr0 FROM init) FROM r WHERE r.t = 1 "
+            "UNION ALL "
+            "SELECT r.t, r.day, r.s, "
+            "0.5 * r.s + 0.5 * (h.lvl + h.tr), "
+            "0.3 * ((0.5 * r.s + 0.5 * (h.lvl + h.tr)) - h.lvl) + 0.7 * h.tr "
+            "FROM h JOIN r ON r.t = h.t + 1) "
+            "SELECT day, round(x, 4) AS s, round(lvl, 4) AS holt FROM h ORDER BY day"
+        ),
+        "r100_levene": (
+            "WITH m AS (SELECT event_type, avg(value) AS mu FROM events GROUP BY 1), "
+            "z AS (SELECT e.event_type, abs(e.value - m.mu) AS z "
+            "FROM events e JOIN m USING (event_type)), "
+            "g AS (SELECT event_type, count(*) * 1.0 AS n, sum(z) AS zs, "
+            "sum(z * z) AS zsq FROM z GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS nn, count(*) * 1.0 AS k, "
+            "sum(zs) / sum(n) AS zbar FROM g), "
+            "f AS (SELECT (sum(g.n * pow(g.zs / g.n - tot.zbar, 2)) / (tot.k - 1)) "
+            "/ (sum(g.zsq - g.n * pow(g.zs / g.n, 2)) / (tot.nn - tot.k)) AS fs "
+            "FROM g, tot GROUP BY tot.k, tot.nn, tot.zbar) "
+            "SELECT g.event_type, CAST(g.n AS BIGINT) AS n, "
+            "round(g.zs / g.n, 4) AS mean_absdev, "
+            "round((SELECT fs FROM f), 4) AS f_stat "
+            "FROM g ORDER BY g.event_type"
         ),
         "t_unimax_sample": (
             "WITH kept AS (SELECT lang, doc_id FROM documents "

@@ -248,6 +248,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r88_degree_dist", "e21_hive_pruning", "r89_mann_kendall", "r90_runs_test", "r91_crosstab_chi2", "t_ngram_coverage", "r92_ewma",
         "r93_date_range", "r94_first_last", "r95_spearman", "r96_kruskal", "t_url_filter", "t_unimax_sample",
         "r97_theil_sen", "r98_mann_whitney", "e22_gzip_csv",
+        "r99_holt", "r100_levene", "t_topic_census",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -454,6 +454,54 @@ def cluster_balanced_sample(
     return picked.drop_columns(["h"])
 
 
+def cluster_census(
+    ds: Dataset,
+    n_clusters: int = 8,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_size: int = 4096,
+    iters: int = 10,
+    seed: int = 5,
+) -> Dataset:
+    """Cluster census — the dataset-map report a curation run ships
+    beside its corpus card (DataComp/Nomic-style embedding-space
+    profile): every vector assigns to a seeded spherical-k-means
+    cluster and the report is per-cluster member count + mean
+    cosine-to-centroid (cohesion — low values flag junk clusters worth
+    inspecting). ONE streaming assignment pass; per-batch partials are
+    (cluster, n, sum_cos) rows bounded by n_clusters, so the exchange
+    is tiny at any corpus size. Deterministic given the seed/sample,
+    so the census is SQL-replayable (retrain + argmax with the
+    lowest-index tie-break)."""
+    from search_engine_ray.ops.relational import grouped_aggregate
+
+    sample = ds.limit(sample_size).to_pandas().sort_values(id_col)
+    m = _normalize(np.stack(sample[vec_col].to_numpy()).astype(np.float64))
+    cent = spherical_kmeans(m, n_clusters, iters, seed)
+    dim = cent.shape[1]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        mm = _normalize(_to_matrix(t[vec_col], dim))
+        sims = mm @ cent.T
+        cl = np.argmax(sims, axis=1)
+        best = sims[np.arange(len(cl)), cl]
+        return pa.table({
+            "cluster": pa.array(np.arange(n_clusters, dtype=np.int64)),
+            "n_vecs": pa.array(
+                np.bincount(cl, minlength=n_clusters).astype(np.int64)
+            ),
+            "sum_cos": pa.array(
+                np.bincount(cl, weights=best, minlength=n_clusters)
+            ),
+        })
+
+    return grouped_aggregate(
+        ds.map_batches(_partial, batch_format="pyarrow"),
+        ["cluster"],
+        {"n_vecs": ("sum", "n_vecs"), "sum_cos": ("sum", "sum_cos")},
+    )
+
+
 class IVFIndex:
     """IVF coarse quantizer: build = assign every vector to its nearest
     centroid and write cluster-partitioned Parquet; search = score only
