@@ -8530,6 +8530,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         }).reset_index(drop=True)
 
+    def r101_seasonal_decompose(sf_dir):
+        # classical seasonal decomposition of the daily series (the
+        # STL-lite additive model: trend = centered 7-day moving
+        # average, seasonal = day-of-week means of the detrended
+        # series re-centered to sum 0, residual = the rest): the day
+        # histogram folds in one combiner exchange, the three
+        # components close on the driver-bounded bucket table. Edge
+        # days (no full 7-day window) carry a NULL trend, matching the
+        # SQL frame-with-count guard.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            df = pd.DataFrame({"day": day, "s": t["value"].to_numpy()})
+            g = df.groupby("day", as_index=False)["s"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        d_ = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"),
+                ["day"], {"s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        day = d_["day"].to_numpy().astype(np.int64)
+        # every stage pins to 4dp BEFORE feeding the next (the r99
+        # lesson generalized: unpinned intermediate drift lands on
+        # round-half-up boundaries)
+        s = round_half_up(d_["s"].to_numpy())
+        n = len(s)
+        trend = np.full(n, np.nan)
+        for i in range(3, n - 3):
+            trend[i] = s[i - 3 : i + 4].sum() / 7.0
+        trend = round_half_up(trend)
+        detr = s - trend
+        dow = ((day % 7) + 7) % 7
+        seas_mean = pd.Series(detr).groupby(dow).mean().reindex(range(7)).to_numpy()
+        seas = round_half_up(seas_mean - np.nanmean(seas_mean))  # sum-to-0 re-center
+        seasonal = seas[dow]
+        resid = s - trend - seasonal
+        return pd.DataFrame({
+            "day": day,
+            "s": s,
+            "trend": trend,
+            "seasonal": seasonal,
+            "resid": round_half_up(resid),
+        })
+
+    def e23_retention_sink(sf_dir):
+        # data-retention / TTL enforcement on a partitioned sink (the
+        # lifecycle op every lake pipeline runs): events land
+        # hive-partitioned by day (mtime-keyed fixture), retention
+        # drops whole partition DIRECTORIES older than the cutoff — a
+        # metadata operation, no data pass — and the survivors read
+        # back partition-pruned. Value check: the post-retention
+        # aggregate equals the WHERE day >= cutoff oracle.
+        import shutil
+
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_retention_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        data_dir = os.path.join(base, "data")
+        CUTOFF = 19735  # 2024-01-13 (events span Jan 2024 at every sf)
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            shutil.rmtree(base, ignore_errors=True)
+
+            def _stamp(t: pa.Table) -> pa.Table:
+                day = np.floor(
+                    t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                    / 86400000000.0
+                ).astype(np.int64)
+                return pa.table({
+                    "event_id": t["event_id"], "value": t["value"],
+                    "day": pa.array(day, pa.int64()),
+                })
+
+            _read(sf_dir, "events", ["event_id", "ts", "value"]).map_batches(
+                _stamp, batch_format="pyarrow"
+            ).write_parquet(data_dir, partition_cols=["day"])
+            # retention: unlink expired partitions (metadata-only)
+            for d_name in sorted(os.listdir(data_dir)):
+                if d_name.startswith("day=") and int(d_name[4:]) < CUTOFF:
+                    shutil.rmtree(os.path.join(data_dir, d_name))
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+        ds = rd.read_parquet(data_dir)
+        out = (
+            rel.grouped_aggregate(
+                ds, ["day"], {"n": ("count", "event_id"), "sv": ("sum", "value")}
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "day": out["day"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "sum_value": round_half_up(out["sv"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -8855,6 +8958,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r99_holt": r99_holt,
         "r100_levene": r100_levene,
         "t_topic_census": t_topic_census,
+        # round-5 wave 4
+        "r101_seasonal_decompose": r101_seasonal_decompose,
+        "e23_retention_sink": e23_retention_sink,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -12638,6 +12744,27 @@ GROUP BY c.lang ORDER BY c.lang
             "round(g.zs / g.n, 4) AS mean_absdev, "
             "round((SELECT fs FROM f), 4) AS f_stat "
             "FROM g ORDER BY g.event_type"
+        ),
+        "r101_seasonal_decompose": (
+            "WITH d0 AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "round(sum(value), 4) AS s FROM events GROUP BY 1), "
+            "t AS (SELECT day, s, CASE WHEN count(*) OVER w7 = 7 "
+            "THEN round(avg(s) OVER w7, 4) END AS trend FROM d0 "
+            "WINDOW w7 AS (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)), "
+            "dt AS (SELECT day, s, trend, ((day % 7) + 7) % 7 AS dow, "
+            "s - trend AS detr FROM t), "
+            "sm AS (SELECT dow, avg(detr) AS m FROM dt WHERE detr IS NOT NULL GROUP BY dow), "
+            "ctr AS (SELECT avg(m) AS mm FROM sm), "
+            "sr AS (SELECT dow, round(m - (SELECT mm FROM ctr), 4) AS seas FROM sm) "
+            "SELECT dt.day, dt.s, dt.trend, sr.seas AS seasonal, "
+            "round(dt.s - dt.trend - sr.seas, 4) AS resid "
+            "FROM dt JOIN sr USING (dow) ORDER BY dt.day"
+        ),
+        "e23_retention_sink": (
+            "SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value "
+            "FROM events WHERE CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) >= 19735 "
+            "GROUP BY 1 ORDER BY day"
         ),
         "t_unimax_sample": (
             "WITH kept AS (SELECT lang, doc_id FROM documents "

@@ -249,6 +249,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r93_date_range", "r94_first_last", "r95_spearman", "r96_kruskal", "t_url_filter", "t_unimax_sample",
         "r97_theil_sen", "r98_mann_whitney", "e22_gzip_csv",
         "r99_holt", "r100_levene", "t_topic_census",
+        "r101_seasonal_decompose", "e23_retention_sink",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
