@@ -8633,6 +8633,83 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_value": round_half_up(out["sv"].to_numpy()),
         })
 
+    def r102_bucket_correlation(sf_dir):
+        # ES bucket_correlation pipeline agg: Pearson r between the
+        # daily click-count and purchase-count series. One pass over
+        # events folds (day, clicks, purchases) partials in a
+        # day-bounded combiner; the correlation closes on the
+        # driver-bounded bucket table with the centered two-pass
+        # formula (sample factors cancel, so it equals SQL corr()).
+        ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            et = t["event_type"].to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({
+                "day": day,
+                "c": (et == "click").astype(np.int64),
+                "p": (et == "purchase").astype(np.int64),
+            })
+            g = df.groupby("day", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        d_ = (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"),
+                ["day"], {"c": ("sum", "c"), "p": ("sum", "p")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+        x = d_["c"].to_numpy().astype(np.float64)
+        y = d_["p"].to_numpy().astype(np.float64)
+        xm, ym = x - x.mean(), y - y.mean()
+        r = float((xm * ym).sum()) / math.sqrt(
+            float((xm * xm).sum()) * float((ym * ym).sum())
+        )
+        return pd.DataFrame({
+            "n_days": [np.int64(len(d_))],
+            "corr": round_half_up(np.array([r])),
+        })
+
+    def s92_terms_include(sf_dir):
+        # ES terms aggregation with include/exclude/partitioning: token
+        # counts filtered to include-regex '^[a-m]', exclude list
+        # ('sort',), and hash-partition 0 of 2 (md5 parity — ES's
+        # include.partition for paging a huge-cardinality terms agg
+        # without composite cursors). Counts fold FIRST (vocab-bounded
+        # combiner), then the include/exclude/partition predicates run
+        # on the tiny vocabulary aggregate — filter-after-count is
+        # result-identical for term predicates and never rescans docs.
+        from search_engine_ray.ops.sketch import _md5_upper64
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        toks = txt.explode_tokens(docs, "text", ["doc_id"]).select_columns(["token"])
+        counts = rel.value_counts(toks, "token", alias="cnt")
+
+        def _filt(t: pa.Table) -> pa.Table:
+            tok = t["token"].to_numpy(zero_copy_only=False)
+            if not len(tok):
+                return t
+            m = (
+                np.array([bool(s) and "a" <= s[0] <= "m" for s in tok])
+                & (tok != "sort")
+                & (_md5_upper64(list(tok)) % np.uint64(2) == 0)
+            )
+            return t.filter(pa.array(m))
+
+        out = (
+            rel.topk(
+                counts.map_batches(_filt, batch_format="pyarrow"),
+                ["cnt", "token"], 10, descending=[True, False],
+            )
+            .to_pandas().reset_index(drop=True)
+        )
+        out["cnt"] = out["cnt"].astype("int64")
+        return out[["token", "cnt"]]
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -8961,6 +9038,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 wave 4
         "r101_seasonal_decompose": r101_seasonal_decompose,
         "e23_retention_sink": e23_retention_sink,
+        # round-5 wave 5
+        "r102_bucket_correlation": r102_bucket_correlation,
+        "s92_terms_include": s92_terms_include,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -12765,6 +12845,19 @@ GROUP BY c.lang ORDER BY c.lang
             "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS sum_value "
             "FROM events WHERE CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) >= 19735 "
             "GROUP BY 1 ORDER BY day"
+        ),
+        "r102_bucket_correlation": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "CAST(count(*) FILTER (WHERE event_type = 'click') AS DOUBLE) AS c, "
+            "CAST(count(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS p "
+            "FROM events GROUP BY day) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_days, round(corr(c, p), 4) AS corr FROM d"
+        ),
+        "s92_terms_include": (
+            "SELECT t AS token, CAST(count(*) AS BIGINT) AS cnt FROM (SELECT unnest("
+            "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
+            "WHERE regexp_matches(t, '^[a-m]') AND t <> 'sort' AND md5_number_upper(t) % 2 = 0 "
+            "GROUP BY t ORDER BY cnt DESC, token LIMIT 10"
         ),
         "t_unimax_sample": (
             "WITH kept AS (SELECT lang, doc_id FROM documents "
