@@ -3268,6 +3268,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["frame_idx"] = out["frame_idx"].astype("int64")
         return out[["media_id", "frame_idx", "frame_hex"]]
 
+    def mm_audio_energy(sf_dir):
+        # audio windowed-energy screen (ops/multimodal.AudioEnergy):
+        # actor-pool decode (soundfile-guarded real path, deterministic
+        # SQL-replayable fake here) -> per-media window count + mean
+        # pseudo-RMS; the value oracle replays the md5 energy chain
+        import ray.data as rd
+
+        from search_engine_ray.ops.multimodal import audio_energy
+
+        media = rd.from_arrow(synthetic_media_table(200, "audio", seed=3))
+        out = (
+            audio_energy(media)
+            .to_pandas().sort_values("media_id").reset_index(drop=True)
+        )
+        out["mean_energy"] = out["mean_energy"].map(lambda v: round(float(v), 6))
+        out["n_windows"] = out["n_windows"].astype("int64")
+        return out[["media_id", "n_windows", "mean_energy"]]
+
     # ---- sources / ETL ring ----------------------------------------
     def e20_orc_source(sf_dir):
         # ORC source via the custom-source composition (Ray 2.49 has
@@ -9041,6 +9059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 wave 5
         "r102_bucket_correlation": r102_bucket_correlation,
         "s92_terms_include": s92_terms_include,
+        "mm_audio_energy": mm_audio_energy,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -10027,6 +10046,15 @@ FROM asg GROUP BY cluster ORDER BY cluster
         "SELECT media_id, f.fi::BIGINT AS frame_idx, sha256(hx || '/' || f.fi) AS frame_hex "
         "FROM pay, range(4) AS f(fi) "
         "WHERE f.fi < least(4, greatest(1, dur // 10000 + 1))"
+    )
+    mm_audio_sql = (
+        f"{_mm_pay('audio')} "
+        "SELECT media_id, nw::BIGINT AS n_windows, "
+        "round(avg((md5_number_upper(hx || '/' || f.w) >> 11)::DOUBLE "
+        "/ 9007199254740992.0), 6) AS mean_energy "
+        "FROM (SELECT media_id, hx, least(16, greatest(1, dur // 1000)) AS nw FROM pay) p, "
+        "range(16) AS f(w) WHERE f.w < p.nw "
+        "GROUP BY media_id, nw ORDER BY media_id"
     )
 
     _pnames = list(_perc_conds)
@@ -11573,6 +11601,7 @@ LIMIT 10
         "t_cluster_sample": _cluster_sample_sql(),
         "mm_features": mm_features_sql,
         "mm_frames": mm_frames_sql,
+        "mm_audio_energy": mm_audio_sql,
         "pipe_listing": (
             "SELECT doc_id, lang, source, n_chars FROM documents WHERE lang IN ('en','de') "
             "ORDER BY n_chars DESC, doc_id LIMIT 15"

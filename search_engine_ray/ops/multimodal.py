@@ -259,3 +259,102 @@ def sample_frames(ds: Dataset, **kw) -> Dataset:
         batch_size=batch_size,
         concurrency=(1, 8),
     )
+
+
+class AudioEnergy:
+    """Audio windowed-RMS-energy actor (the loudness/silence screen an
+    audio curation pipeline runs before transcription): one row per
+    media item with its per-window mean energy.
+
+    decode="real": loads soundfile ONCE per actor (__init__), decodes
+    the payload as PCM and computes per-window RMS. Raises
+    NotImplementedError at actor construction when soundfile is not
+    importable (this container has no media libraries) — the
+    DecodeAndFeaturize guard shape.
+    decode="fake": deterministic pseudo-energy — window w's energy is
+    (md5_upper64(payload_hex + '/w') >> 11) / 2^53, the feat0 trick,
+    so the whole op is SQL-replayable (md5_number_upper) and
+    value-checked. Window count = clamp(duration_ms // window_ms,
+    1, max_windows).
+    decode="auto": real when soundfile imports, else fake."""
+
+    def __init__(self, window_ms: int = 1000, max_windows: int = 16, decode: str = "fake"):
+        self._sf_mod = None
+        if decode == "auto":
+            decode = "real" if self._try_soundfile() else "fake"
+        if decode == "real" and not self._try_soundfile():
+            raise NotImplementedError(
+                "real audio decode requires soundfile, not importable here; "
+                "use decode='fake' (or 'auto') to exercise the pipeline plumbing"
+            )
+        self.decode = decode
+        self.window_ms = window_ms
+        self.max_windows = max_windows
+
+    def _try_soundfile(self) -> bool:
+        if self._sf_mod is None:
+            try:
+                import soundfile  # public, optional
+
+                self._sf_mod = soundfile
+            except ImportError:
+                self._sf_mod = False
+        return bool(self._sf_mod)
+
+    def _energies_real(self, payload: bytes, n: int) -> np.ndarray:
+        import io
+
+        try:
+            data, rate = self._sf_mod.read(io.BytesIO(payload))
+            if data.ndim > 1:
+                data = data.mean(axis=1)
+            win = max(1, int(rate * self.window_ms / 1000))
+            out = np.empty(n)
+            for w in range(n):
+                seg = data[w * win : (w + 1) * win]
+                out[w] = float(np.sqrt((seg**2).mean())) if seg.size else 0.0
+            return out
+        except Exception:
+            return np.zeros(n)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids, n_out, e_out = [], [], []
+        for mid, payload, dur in zip(
+            t["media_id"].to_pylist(),
+            t["payload"].to_pylist(),
+            t["duration_ms"].to_pylist(),
+        ):
+            n = max(1, min(self.max_windows, int(dur) // self.window_ms))
+            if self.decode == "fake":
+                hx = bytes(payload).hex()
+                e = np.array([
+                    (
+                        int.from_bytes(
+                            hashlib.md5(f"{hx}/{w}".encode()).digest()[:8], "little"
+                        )
+                        >> 11
+                    )
+                    / 9007199254740992.0
+                    for w in range(n)
+                ])
+            else:
+                e = self._energies_real(bytes(payload), n)
+            ids.append(mid)
+            n_out.append(n)
+            e_out.append(float(e.sum()) / n)
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "n_windows": pa.array(n_out, pa.int64()),
+            "mean_energy": pa.array(e_out, pa.float64()),
+        })
+
+
+def audio_energy(ds: Dataset, **kw) -> Dataset:
+    batch_size = kw.pop("batch_size", 32)
+    return ds.map_batches(
+        AudioEnergy,
+        fn_constructor_kwargs=kw,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=(1, 8),
+    )

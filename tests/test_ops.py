@@ -417,6 +417,26 @@ def test_multimodal_plumbing(ray_session):
     with pytest.raises(NotImplementedError):
         FrameSampler(decode="real")
     assert FrameSampler(decode="auto").decode == "fake"
+    from search_engine_ray.ops.multimodal import AudioEnergy
+
+    with pytest.raises(NotImplementedError):
+        AudioEnergy(decode="real")
+    ae = AudioEnergy(decode="auto")
+    assert ae.decode == "fake"
+    # fake energy chain is the documented md5 trick, window count
+    # clamps to [1, max_windows]
+    t = synthetic_media_table(3, "audio")
+    out = ae(t)
+    assert out.column_names == ["media_id", "n_windows", "mean_energy"]
+    n0 = out["n_windows"][0].as_py()
+    assert 1 <= n0 <= 16
+    hx = t["payload"][0].as_py().hex()
+    exp = sum(
+        (int.from_bytes(hashlib.md5(f"{hx}/{w}".encode()).digest()[:8], "little") >> 11)
+        / 9007199254740992.0
+        for w in range(n0)
+    ) / n0
+    assert abs(out["mean_energy"][0].as_py() - exp) < 1e-12
 
 
 def test_rename_and_explode_list(ray_session):
