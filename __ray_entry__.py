@@ -8728,6 +8728,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["cnt"] = out["cnt"].astype("int64")
         return out[["token", "cnt"]]
 
+    def r103_srm_check(sf_dir):
+        # A/B sample-ratio-mismatch guardrail (the pre-test every
+        # experimentation platform runs before reading r81's z-test):
+        # cohort assignment = json-payload k parity (identical rule to
+        # r81), expected split 50/50, chi-square 1-dof on observed
+        # cohort sizes. One 2-row combiner; the statistic closes on
+        # two numbers.
+        ev = _read(sf_dir, "events", ["props"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(
+                pc.struct_field(pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            grp = (k % 2).astype(np.int64)
+            df = pd.DataFrame({"grp": grp, "n": 1})
+            g = df.groupby("grp", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow"), ["grp"],
+            {"n": ("sum", "n")},
+        ).to_pandas().set_index("grp")
+        n1, n2 = float(m.loc[0, "n"]), float(m.loc[1, "n"])
+        exp = (n1 + n2) / 2.0
+        chi2 = (n1 - exp) ** 2 / exp + (n2 - exp) ** 2 / exp
+        return pd.DataFrame({
+            "n1": [np.int64(n1)], "n2": [np.int64(n2)],
+            "chi2": round_half_up(np.array([chi2])),
+        })
+
+    def e24_psv_dialect(sf_dir):
+        # CSV dialect knob (the E1 ring, delimiter leg): the same
+        # round-trip through PIPE-separated files via
+        # read_csv(parse_options=ParseOptions(delimiter='|')) — the
+        # arrow option pass-through every real ingest needs for
+        # non-comma drops. Value check = parquet-view aggregate.
+        import ray.data as rd
+        from pyarrow import csv as pacsv
+
+        src = os.path.join(sf_dir, "customer.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        psv_dir = f"/tmp/ser_psv_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(psv_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(psv_dir, ignore_errors=True)
+            os.makedirs(psv_dir, exist_ok=True)
+            t = pq.read_table(src, columns=["c_custkey", "c_mktsegment", "c_acctbal"])
+            pacsv.write_csv(
+                t, os.path.join(psv_dir, "part-0.psv"),
+                write_options=pacsv.WriteOptions(delimiter="|"),
+            )
+            open(os.path.join(psv_dir, "_DONE"), "w").write("ok")
+        import glob as _g
+
+        ds = rd.read_csv(
+            sorted(_g.glob(os.path.join(psv_dir, "*.psv"))),
+            parse_options=pacsv.ParseOptions(delimiter="|"),
+        )
+        out = (
+            rel.grouped_aggregate(
+                ds, "c_mktsegment",
+                {"n": ("count", "c_custkey"), "bal": ("sum", "c_acctbal")},
+            )
+            .to_pandas().sort_values("c_mktsegment", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "c_mktsegment": out["c_mktsegment"],
+            "n": out["n"].astype("int64"),
+            "sum_bal": round_half_up(out["bal"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9060,6 +9134,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r102_bucket_correlation": r102_bucket_correlation,
         "s92_terms_include": s92_terms_include,
         "mm_audio_energy": mm_audio_energy,
+        "r103_srm_check": r103_srm_check,
+        "e24_psv_dialect": e24_psv_dialect,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -12887,6 +12963,20 @@ GROUP BY c.lang ORDER BY c.lang
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "WHERE regexp_matches(t, '^[a-m]') AND t <> 'sort' AND md5_number_upper(t) % 2 = 0 "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 10"
+        ),
+        "r103_srm_check": (
+            "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
+            "count(*) * 1.0 AS n FROM events GROUP BY 1), "
+            "e AS (SELECT sum(n) / 2.0 AS exp FROM g) "
+            "SELECT CAST(max(CASE WHEN grp = 0 THEN n END) AS BIGINT) AS n1, "
+            "CAST(max(CASE WHEN grp = 1 THEN n END) AS BIGINT) AS n2, "
+            "round(sum(pow(n - (SELECT exp FROM e), 2) / (SELECT exp FROM e)), 4) AS chi2 "
+            "FROM g"
+        ),
+        "e24_psv_dialect": (
+            "SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(c_acctbal), 4) AS sum_bal "
+            "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
         ),
         "t_unimax_sample": (
             "WITH kept AS (SELECT lang, doc_id FROM documents "
