@@ -8802,6 +8802,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_bal": round_half_up(out["bal"].to_numpy()),
         })
 
+    def r104_cramers_v(sf_dir):
+        # Cramér's V effect size over the event_type x day-of-week
+        # contingency table (the magnitude companion to r91's
+        # chi-square significance — a large-n pipeline flags
+        # everything significant, V says whether it matters):
+        # (event_type, dow) counts in one bounded combiner, full
+        # cross product with zero cells, V = sqrt(chi2 / (n * min(r-1,
+        # c-1))) closes driver-side.
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def _cell(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "dow": ((day % 7) + 7) % 7,
+                "o": 1,
+            })
+            g = df.groupby(["event_type", "dow"], as_index=False)["o"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = (
+            rel.grouped_aggregate(
+                ev.map_batches(_cell, batch_format="pyarrow"),
+                ["event_type", "dow"], {"o": ("sum", "o")},
+            ).to_pandas()
+        )
+        piv = c.pivot_table(
+            index="event_type", columns="dow", values="o", fill_value=0, aggfunc="sum"
+        ).astype(np.float64)
+        o = piv.to_numpy()
+        n = o.sum()
+        e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+        chi2 = float(((o - e) ** 2 / e).sum())
+        k = min(o.shape[0] - 1, o.shape[1] - 1)
+        v = math.sqrt(chi2 / (n * k))
+        return pd.DataFrame({
+            "n": [np.int64(n)],
+            "chi2": round_half_up(np.array([chi2])),
+            "cramers_v": round_half_up(np.array([v])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9136,6 +9180,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mm_audio_energy": mm_audio_energy,
         "r103_srm_check": r103_srm_check,
         "e24_psv_dialect": e24_psv_dialect,
+        "r104_cramers_v": r104_cramers_v,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -12963,6 +13008,24 @@ GROUP BY c.lang ORDER BY c.lang
             "regexp_extract_all(lower(text), '[a-z0-9_]+')) AS t FROM documents) "
             "WHERE regexp_matches(t, '^[a-m]') AND t <> 'sort' AND md5_number_upper(t) % 2 = 0 "
             "GROUP BY t ORDER BY cnt DESC, token LIMIT 10"
+        ),
+        "r104_cramers_v": (
+            "WITH c AS (SELECT event_type, "
+            "((CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7) + 7) % 7 AS dow, "
+            "count(*) * 1.0 AS o FROM events GROUP BY 1, 2), "
+            "et AS (SELECT DISTINCT event_type FROM events), "
+            "dw AS (SELECT DISTINCT ((CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7) + 7) % 7 AS dow FROM events), "
+            "f AS (SELECT et.event_type, dw.dow, coalesce(c.o, 0) AS o "
+            "FROM et CROSS JOIN dw LEFT JOIN c "
+            "ON c.event_type = et.event_type AND c.dow = dw.dow), "
+            "t AS (SELECT o, sum(o) OVER (PARTITION BY event_type) AS rt, "
+            "sum(o) OVER (PARTITION BY dow) AS ct, sum(o) OVER () AS n FROM f), "
+            "x AS (SELECT any_value(n) AS n, "
+            "sum(pow(o - rt * ct / n, 2) / (rt * ct / n)) AS chi2 FROM t), "
+            "k AS (SELECT least((SELECT count(*) FROM et) - 1, "
+            "(SELECT count(*) FROM dw) - 1) * 1.0 AS mk) "
+            "SELECT CAST(x.n AS BIGINT) AS n, round(x.chi2, 4) AS chi2, "
+            "round(sqrt(x.chi2 / (x.n * k.mk)), 4) AS cramers_v FROM x, k"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "

@@ -251,7 +251,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r99_holt", "r100_levene", "t_topic_census",
         "r101_seasonal_decompose", "e23_retention_sink",
         "r102_bucket_correlation", "s92_terms_include", "mm_audio_energy",
-        "r103_srm_check", "e24_psv_dialect",
+        "r103_srm_check", "e24_psv_dialect", "r104_cramers_v",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
