@@ -170,3 +170,29 @@ def test_join_auto_broadcast_and_shuffle_paths(ray_session):
         out_s[["k", "x", "name"]].reset_index(drop=True),
         exp[["k", "x", "name"]], check_dtype=False,
     )
+    # semi/anti now degrade to the native shuffle join instead of
+    # erroring when the right side can't broadcast (Ray 2.49 supports
+    # them); result must equal the broadcast path
+    right_half = right[right["k"] < 25]
+    semi_b = (
+        rel.join_auto(_ds(left), _ds(right_half), on=["k"], how="left semi")
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    semi_s = (
+        rel.join_auto(
+            _ds(left), _ds(right_half), on=["k"], how="left semi",
+            broadcast_threshold_bytes=0,
+        )
+        .to_pandas().sort_values(["x"]).reset_index(drop=True)
+    )
+    assert semi_b["x"].tolist() == semi_s["x"].tolist()
+    assert set(semi_s["k"]) <= set(range(25))
+    anti_s = (
+        rel.join_auto(
+            _ds(left), _ds(right_half), on=["k"], how="left anti",
+            broadcast_threshold_bytes=0,
+        )
+        .to_pandas()
+    )
+    assert len(anti_s) + len(semi_s) == len(left)
+    assert set(anti_s["k"]) & set(range(25)) == set()
