@@ -8846,6 +8846,204 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cramers_v": round_half_up(np.array([v])),
         })
 
+    def r105_jarque_bera(sf_dir):
+        # Jarque-Bera normality screen per event_type (the sanity
+        # check before any of the parametric tests in this wave's
+        # family — r76 ANOVA / r106 Cohen's d assume roughly normal
+        # residuals): ONE combiner exchange carries per-group raw
+        # power sums (n, sum x..x^4); central moments, skewness g1,
+        # excess kurtosis g2 and JB = n/6*(g1^2 + g2^2/4) close
+        # driver-side on k rows. value is bounded (~3e2), so the
+        # raw-moment form stays fp-stable (same argument as r76); the
+        # oracle recomputes via the two-pass centered form — different
+        # op order, equal at 4dp.
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            y = t["value"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_pylist(),
+                "n": 1.0, "s1": y, "s2": y * y, "s3": y ** 3, "s4": y ** 4,
+            })
+            g = df.groupby("event_type", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = (
+            rel.grouped_aggregate(
+                ev.map_batches(_partial, batch_format="pyarrow"), ["event_type"],
+                {c: ("sum", c) for c in ["n", "s1", "s2", "s3", "s4"]},
+            )
+            .to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        )
+        n = m["n"].to_numpy()
+        mu = m["s1"].to_numpy() / n
+        m2 = m["s2"].to_numpy() / n - mu ** 2
+        m3 = m["s3"].to_numpy() / n - 3 * mu * (m["s2"].to_numpy() / n) + 2 * mu ** 3
+        m4 = (
+            m["s4"].to_numpy() / n
+            - 4 * mu * (m["s3"].to_numpy() / n)
+            + 6 * mu ** 2 * (m["s2"].to_numpy() / n)
+            - 3 * mu ** 4
+        )
+        g1 = m3 / m2 ** 1.5
+        g2 = m4 / m2 ** 2 - 3.0
+        jb = n / 6.0 * (g1 ** 2 + g2 ** 2 / 4.0)
+        return pd.DataFrame({
+            "event_type": m["event_type"],
+            "n": n.astype(np.int64),
+            "skew": round_half_up(g1),
+            "kurt_excess": round_half_up(g2),
+            "jb": round_half_up(jb),
+        })
+
+    def r106_cohens_d(sf_dir):
+        # effect size for the A/B pair this repo already tests for
+        # significance (r81 z-test) and balance (r103 SRM): Cohen's d
+        # on value between the k-parity cohorts, plus the small-sample
+        # Hedges' g correction J = 1 - 3/(4*N - 9). Per-cohort
+        # (n, sum, sumsq) ride one 2-row combiner; pooled SD and the
+        # statistics close on four numbers.
+        ev = _read(sf_dir, "events", ["props", "value"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(
+                pc.struct_field(pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            y = t["value"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "grp": (k % 2).astype(np.int64), "n": 1.0, "s": y, "sq": y * y,
+            })
+            g = df.groupby("grp", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = (
+            rel.grouped_aggregate(
+                ev.map_batches(_partial, batch_format="pyarrow"), ["grp"],
+                {c: ("sum", c) for c in ["n", "s", "sq"]},
+            )
+            .to_pandas().set_index("grp")
+        )
+        n0, n1 = float(m.loc[0, "n"]), float(m.loc[1, "n"])
+        m0, m1 = m.loc[0, "s"] / n0, m.loc[1, "s"] / n1
+        v0 = (m.loc[0, "sq"] - n0 * m0 * m0) / (n0 - 1.0)
+        v1 = (m.loc[1, "sq"] - n1 * m1 * m1) / (n1 - 1.0)
+        sp = math.sqrt(((n0 - 1.0) * v0 + (n1 - 1.0) * v1) / (n0 + n1 - 2.0))
+        d_stat = (m0 - m1) / sp
+        g_stat = d_stat * (1.0 - 3.0 / (4.0 * (n0 + n1) - 9.0))
+        return pd.DataFrame({
+            "n0": [np.int64(n0)], "n1": [np.int64(n1)],
+            "mean0": round_half_up(np.array([m0])),
+            "mean1": round_half_up(np.array([m1])),
+            "cohens_d": round_half_up(np.array([d_stat])),
+            "hedges_g": round_half_up(np.array([g_stat])),
+        })
+
+    def r107_tukey_users(sf_dir):
+        # heavy-user screen via Tukey fences on the per-user activity
+        # distribution (the IQR-rule outlier detector every abuse /
+        # anomaly pipeline runs): per-user event counts are one
+        # combiner exchange (bounded by user cardinality); the q1/q3
+        # quantiles come from the (count-value -> frequency) histogram
+        # — grouped_discrete_quantiles' distinct-value contract, NOT a
+        # sort of the user table — and the fence comparison is a
+        # second masked-count pass over the count Dataset. The fence
+        # arithmetic mirrors the oracle's op order exactly, so the
+        # strict < / > comparisons agree bitwise.
+        ev = _read(sf_dir, "events", ["user_id"])
+        cnt = rel.grouped_aggregate(ev, ["user_id"], {"cnt": ("count", "user_id")})
+
+        def _const(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "cnt": pc.cast(t["cnt"], pa.float64()),
+            })
+
+        cg = cnt.map_batches(_const, batch_format="pyarrow")
+        q = rel.grouped_discrete_quantiles(cg, "g", "cnt", [0.25, 0.75])
+        q1, q3 = float(q["q0.25"].iloc[0]), float(q["q0.75"].iloc[0])
+        n_users = int(q["n"].iloc[0])
+        lo = q1 - 1.5 * (q3 - q1)
+        hi = q3 + 1.5 * (q3 - q1)
+
+        def _fence(t: pa.Table) -> pa.Table:
+            c = t["cnt"].to_numpy().astype(np.float64)
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "n_low": pa.array([int((c < lo).sum())], pa.int64()),
+                "n_high": pa.array([int((c > hi).sum())], pa.int64()),
+            })
+
+        f = (
+            rel.grouped_aggregate(
+                cnt.map_batches(_fence, batch_format="pyarrow"), ["g"],
+                {"n_low": ("sum", "n_low"), "n_high": ("sum", "n_high")},
+            ).to_pandas()
+        )
+        return pd.DataFrame({
+            "n_users": [np.int64(n_users)],
+            "q1": round_half_up(np.array([q1])),
+            "q3": round_half_up(np.array([q3])),
+            "lo_fence": round_half_up(np.array([lo])),
+            "hi_fence": round_half_up(np.array([hi])),
+            "n_low": [np.int64(f["n_low"].iloc[0])],
+            "n_high": [np.int64(f["n_high"].iloc[0])],
+        })
+
+    def t_readability(sf_dir):
+        # Flesch reading-ease histogram over the corpus (a standard
+        # curation signal next to the Gopher rules: drop the
+        # unreadable tail before training): per doc, words = the index
+        # tokenizer's tokens, syllables = [aeiouy]+ group count per
+        # token (min 1), sentences = [.!?]+ runs (min 1); score =
+        # 206.835 - 1.015*(W/S) - 84.6*(SYL/W), identical op order to
+        # the oracle so floor(score/10) bucketing agrees bitwise. All
+        # kernels are Arrow compute (count_substring_regex + bincount
+        # folds); the exchange carries one row per (bucket, block).
+        from search_engine_ray.ops.text import _flat_tokens
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            flat, parents, n = _flat_tokens(t["text"])
+            w = np.bincount(parents, minlength=n).astype(np.float64)
+            syl_tok = np.maximum(
+                1,
+                pc.count_substring_regex(flat, "[aeiouy]+")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            )
+            syl = np.bincount(parents, weights=syl_tok, minlength=n)
+            txt_col = pc.fill_null(t["text"], "")
+            s = np.maximum(
+                1,
+                pc.count_substring_regex(txt_col, "[.!?]+")
+                .to_numpy(zero_copy_only=False)
+                .astype(np.int64),
+            ).astype(np.float64)
+            keep = w > 0
+            w, syl, s = w[keep], syl[keep], s[keep]
+            score = 206.835 - 1.015 * (w / s) - 84.6 * (syl / w)
+            df = pd.DataFrame({
+                "bucket": np.floor(score / 10).astype(np.int64),
+                "n_docs": 1, "ssum": score,
+            })
+            g = df.groupby("bucket", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = (
+            rel.grouped_aggregate(
+                docs.map_batches(_partial, batch_format="pyarrow"), ["bucket"],
+                {"n_docs": ("sum", "n_docs"), "ssum": ("sum", "ssum")},
+            )
+            .to_pandas().sort_values("bucket", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "bucket": m["bucket"].astype("int64"),
+            "n_docs": m["n_docs"].astype("int64"),
+            "mean_score": round_half_up(m["ssum"].to_numpy() / m["n_docs"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9181,6 +9379,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r103_srm_check": r103_srm_check,
         "e24_psv_dialect": e24_psv_dialect,
         "r104_cramers_v": r104_cramers_v,
+        # round-5 wave 11
+        "r105_jarque_bera": r105_jarque_bera,
+        "r106_cohens_d": r106_cohens_d,
+        "r107_tukey_users": r107_tukey_users,
+        "t_readability": t_readability,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13026,6 +13229,62 @@ GROUP BY c.lang ORDER BY c.lang
             "(SELECT count(*) FROM dw) - 1) * 1.0 AS mk) "
             "SELECT CAST(x.n AS BIGINT) AS n, round(x.chi2, 4) AS chi2, "
             "round(sqrt(x.chi2 / (x.n * k.mk)), 4) AS cramers_v FROM x, k"
+        ),
+        "r105_jarque_bera": (
+            "WITH m AS (SELECT event_type, avg(value) AS mu, count(*) * 1.0 AS n "
+            "FROM events GROUP BY 1), "
+            "c AS (SELECT e.event_type, any_value(m.n) AS n, "
+            "sum(pow(e.value - m.mu, 2)) AS s2, "
+            "sum(pow(e.value - m.mu, 3)) AS s3, "
+            "sum(pow(e.value - m.mu, 4)) AS s4 "
+            "FROM events e JOIN m ON m.event_type = e.event_type GROUP BY e.event_type), "
+            "s AS (SELECT event_type, n, (s3/n) / pow(s2/n, 1.5) AS g1, "
+            "(s4/n) / pow(s2/n, 2) - 3 AS g2 FROM c) "
+            "SELECT event_type, CAST(n AS BIGINT) AS n, round(g1, 4) AS skew, "
+            "round(g2, 4) AS kurt_excess, "
+            "round(n/6.0 * (g1*g1 + g2*g2/4.0), 4) AS jb "
+            "FROM s ORDER BY event_type"
+        ),
+        "r106_cohens_d": (
+            "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
+            "count(*) * 1.0 AS n, avg(value) AS m, var_samp(value) AS v "
+            "FROM events GROUP BY 1), "
+            "f AS (SELECT max(CASE WHEN grp = 0 THEN n END) AS n0, "
+            "max(CASE WHEN grp = 1 THEN n END) AS n1, "
+            "max(CASE WHEN grp = 0 THEN m END) AS m0, "
+            "max(CASE WHEN grp = 1 THEN m END) AS m1, "
+            "max(CASE WHEN grp = 0 THEN v END) AS v0, "
+            "max(CASE WHEN grp = 1 THEN v END) AS v1 FROM g), "
+            "x AS (SELECT n0, n1, m0, m1, "
+            "(m0 - m1) / sqrt(((n0 - 1)*v0 + (n1 - 1)*v1) / (n0 + n1 - 2)) AS d FROM f) "
+            "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, "
+            "round(m0, 4) AS mean0, round(m1, 4) AS mean1, "
+            "round(d, 4) AS cohens_d, "
+            "round(d * (1 - 3.0/(4.0*(n0 + n1) - 9.0)), 4) AS hedges_g FROM x"
+        ),
+        "r107_tukey_users": (
+            "WITH c AS (SELECT user_id, count(*) * 1.0 AS cnt FROM events GROUP BY 1), "
+            "q AS (SELECT count(*) AS nu, quantile_cont(cnt, 0.25) AS q1, "
+            "quantile_cont(cnt, 0.75) AS q3 FROM c), "
+            "f AS (SELECT nu, q1, q3, q1 - 1.5*(q3 - q1) AS lo, "
+            "q3 + 1.5*(q3 - q1) AS hi FROM q) "
+            "SELECT CAST(f.nu AS BIGINT) AS n_users, round(f.q1, 4) AS q1, "
+            "round(f.q3, 4) AS q3, round(f.lo, 4) AS lo_fence, round(f.hi, 4) AS hi_fence, "
+            "CAST(sum(CASE WHEN c.cnt < f.lo THEN 1 ELSE 0 END) AS BIGINT) AS n_low, "
+            "CAST(sum(CASE WHEN c.cnt > f.hi THEN 1 ELSE 0 END) AS BIGINT) AS n_high "
+            "FROM c, f GROUP BY f.nu, f.q1, f.q3, f.lo, f.hi"
+        ),
+        "t_readability": (
+            "WITH tok AS (SELECT regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+') AS ws, "
+            "greatest(1, len(regexp_extract_all(coalesce(text, ''), '[.!?]+'))) AS ns "
+            "FROM documents), "
+            "m AS (SELECT len(ws) * 1.0 AS w, ns * 1.0 AS s, "
+            "list_sum(list_transform(ws, x -> greatest(1, len(regexp_extract_all(x, '[aeiouy]+'))))) * 1.0 AS syl "
+            "FROM tok WHERE len(ws) > 0), "
+            "sc AS (SELECT 206.835 - 1.015*(w/s) - 84.6*(syl/w) AS score FROM m) "
+            "SELECT CAST(floor(score/10) AS BIGINT) AS bucket, "
+            "CAST(count(*) AS BIGINT) AS n_docs, round(avg(score), 4) AS mean_score "
+            "FROM sc GROUP BY 1 ORDER BY 1"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
