@@ -9044,6 +9044,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mean_score": round_half_up(m["ssum"].to_numpy() / m["n_docs"].to_numpy()),
         })
 
+    def _daily_cnt_sum(sf_dir) -> pd.DataFrame:
+        # shared daily (count, value-sum) bucket series for the
+        # rank/serial-correlation family (r108-r110): one combiner
+        # exchange bounded by #days, sorted by day driver-side.
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "day": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()
+                ),
+                "x": pa.array(np.ones(t.num_rows, np.float64)),
+                "y": t["value"],
+            })
+
+        return (
+            rel.grouped_aggregate(
+                ev.map_batches(_day, batch_format="pyarrow"), ["day"],
+                {"x": ("sum", "x"), "y": ("sum", "y")},
+            )
+            .to_pandas().sort_values("day", kind="mergesort").reset_index(drop=True)
+        )
+
+    def r108_kendall_tau(sf_dir):
+        # Kendall tau-b rank correlation between daily event volume
+        # and daily value sum (the robust companion to r95's Spearman
+        # — tau handles ties explicitly via the tau-b denominator):
+        # the daily bucket table is one combiner exchange; the O(d^2)
+        # concordant/discordant count runs vectorized on the ~30-row
+        # series driver-side, exactly like r97's Theil-Sen pair fold.
+        d_ = _daily_cnt_sum(sf_dir)
+        x = d_["x"].to_numpy(np.float64)
+        y = d_["y"].to_numpy(np.float64)
+        n = x.size
+        iu = np.triu_indices(n, k=1)
+        prod = (x[iu[1]] - x[iu[0]]) * (y[iu[1]] - y[iu[0]])
+        conc = int((prod > 0).sum())
+        disc = int((prod < 0).sum())
+        n0 = n * (n - 1) / 2.0
+        _, cx = np.unique(x, return_counts=True)
+        _, cy = np.unique(y, return_counts=True)
+        n1 = float((cx * (cx - 1) / 2.0).sum())
+        n2 = float((cy * (cy - 1) / 2.0).sum())
+        tau = (conc - disc) / math.sqrt((n0 - n1) * (n0 - n2))
+        return pd.DataFrame({
+            "n_days": [np.int64(n)],
+            "concordant": [np.int64(conc)],
+            "discordant": [np.int64(disc)],
+            "tau_b": round_half_up(np.array([tau])),
+        })
+
+    def r109_cross_corr(sf_dir):
+        # lagged cross-correlation function between daily event volume
+        # and the value sum L days LATER (lags 0..5 — the lead/lag
+        # screen behind "does activity today predict spend this
+        # week"): per-lag Pearson r over day-aligned pairs (a merge on
+        # day+lag, so calendar gaps drop out exactly as the oracle's
+        # join does), all on the bounded daily table.
+        d_ = _daily_cnt_sum(sf_dir)
+        rows = []
+        for lag in range(6):
+            a = d_[["day", "x"]].copy()
+            a["day"] = a["day"] + lag
+            j = a.merge(d_[["day", "y"]], on="day", how="inner")
+            xv = j["x"].to_numpy(np.float64)
+            yv = j["y"].to_numpy(np.float64)
+            nn = xv.size
+            sx, sy = xv.sum(), yv.sum()
+            num = nn * float((xv * yv).sum()) - sx * sy
+            den = math.sqrt(
+                (nn * float((xv * xv).sum()) - sx * sx)
+                * (nn * float((yv * yv).sum()) - sy * sy)
+            )
+            rows.append((lag, nn, num / den))
+        return pd.DataFrame({
+            "lag": pd.array([r[0] for r in rows], "int64"),
+            "n": pd.array([r[1] for r in rows], "int64"),
+            "r": round_half_up(np.array([r[2] for r in rows])),
+        })
+
+    def r110_durbin_watson(sf_dir):
+        # Durbin-Watson serial-correlation test on the residuals of
+        # the daily-trend OLS (the lag-1 autocorrelation check r82
+        # measures directly, in the form regression dashboards quote):
+        # slope/intercept from the population-moment closed form on
+        # the bounded daily table, DW = sum((e_t - e_{t-1})^2) /
+        # sum(e_t^2) ordered by day.
+        d_ = _daily_cnt_sum(sf_dir)
+        t = d_["day"].to_numpy(np.float64)
+        y = d_["y"].to_numpy(np.float64)
+        n = t.size
+        tb, yb = t.mean(), y.mean()
+        slope = float(((t - tb) * (y - yb)).sum()) / float(((t - tb) ** 2).sum())
+        icept = yb - slope * tb
+        e = y - (icept + slope * t)
+        dw = float(((e[1:] - e[:-1]) ** 2).sum()) / float((e * e).sum())
+        return pd.DataFrame({
+            "n_days": [np.int64(n)],
+            "slope": round_half_up(np.array([slope])),
+            "dw": round_half_up(np.array([dw])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9384,6 +9486,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r106_cohens_d": r106_cohens_d,
         "r107_tukey_users": r107_tukey_users,
         "t_readability": t_readability,
+        # round-5 wave 12
+        "r108_kendall_tau": r108_kendall_tau,
+        "r109_cross_corr": r109_cross_corr,
+        "r110_durbin_watson": r110_durbin_watson,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13285,6 +13391,41 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST(floor(score/10) AS BIGINT) AS bucket, "
             "CAST(count(*) AS BIGINT) AS n_docs, round(avg(score), 4) AS mean_score "
             "FROM sc GROUP BY 1 ORDER BY 1"
+        ),
+        "r108_kendall_tau": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "count(*) * 1.0 AS x, sum(value) AS y FROM events GROUP BY 1), "
+            "p AS (SELECT sum(CASE WHEN (b.x - a.x) * (b.y - a.y) > 0 THEN 1 ELSE 0 END) AS c, "
+            "sum(CASE WHEN (b.x - a.x) * (b.y - a.y) < 0 THEN 1 ELSE 0 END) AS dd "
+            "FROM d a JOIN d b ON a.day < b.day), "
+            "t AS (SELECT count(*) * 1.0 AS n, "
+            "(SELECT sum(c * (c - 1) / 2.0) FROM (SELECT count(*) * 1.0 AS c FROM d GROUP BY x)) AS n1, "
+            "(SELECT sum(c * (c - 1) / 2.0) FROM (SELECT count(*) * 1.0 AS c FROM d GROUP BY y)) AS n2 "
+            "FROM d) "
+            "SELECT CAST(t.n AS BIGINT) AS n_days, CAST(p.c AS BIGINT) AS concordant, "
+            "CAST(p.dd AS BIGINT) AS discordant, "
+            "round((p.c - p.dd) / sqrt((t.n * (t.n - 1) / 2.0 - t.n1) * (t.n * (t.n - 1) / 2.0 - t.n2)), 4) AS tau_b "
+            "FROM p, t"
+        ),
+        "r109_cross_corr": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "count(*) * 1.0 AS x, sum(value) AS y FROM events GROUP BY 1), "
+            "l AS (SELECT unnest(range(0, 6)) AS lag), "
+            "j AS (SELECT l.lag, a.x AS x, b.y AS y FROM d a CROSS JOIN l "
+            "JOIN d b ON b.day = a.day + l.lag) "
+            "SELECT CAST(lag AS BIGINT) AS lag, CAST(count(*) AS BIGINT) AS n, "
+            "round(corr(x, y), 4) AS r FROM j GROUP BY lag ORDER BY lag"
+        ),
+        "r110_durbin_watson": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS y FROM events GROUP BY 1), "
+            "r AS (SELECT regr_slope(y, day) AS b, regr_intercept(y, day) AS a FROM d), "
+            "e AS (SELECT day, y - (r.a + r.b * day) AS e FROM d, r), "
+            "w AS (SELECT e, lag(e) OVER (ORDER BY day) AS ep FROM e) "
+            "SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days, "
+            "round((SELECT b FROM r), 4) AS slope, "
+            "round(sum(CASE WHEN ep IS NULL THEN 0 ELSE pow(e - ep, 2) END) / sum(e * e), 4) AS dw "
+            "FROM w"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
