@@ -9146,6 +9146,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "dw": round_half_up(np.array([dw])),
         })
 
+    def r111_bfs_levels(sf_dir):
+        # BFS reachability levels over the co-purchase graph (the
+        # "how many hops from this product to the rest of the
+        # catalog" primitive; third member of the iterative family
+        # after components/pagerank): edges reuse the shared cooccur
+        # intermediate (r72/r88/pipe_triangles), each level is one
+        # broadcast-filter pass over the static edge Dataset — no
+        # shuffle, no join; frontier state is bounded by PART
+        # cardinality. Depth capped at 3 so the oracle stays
+        # non-recursive SQL; level -1 counts graph nodes not reached.
+        from search_engine_ray.ops.graph import bfs_levels
+
+        li = _read(sf_dir, "lineitem", ["l_partkey"])
+        src = int(li.min("l_partkey"))
+        edges = _cooccur_edges(sf_dir).map_batches(
+            lambda t: t.filter(pc.not_equal(t["y"], -1)),  # drop item-count sentinels
+            batch_format="pyarrow",
+        )
+        return bfs_levels(edges, src, max_depth=3, src_col="x", dst_col="y")
+
+    def t_spell_pairs(sf_dir):
+        # SymSpell spell-join over the corpus vocabulary: all token
+        # pairs within edit distance 2, found by symmetric-delete
+        # blocking (exact recall — two tokens within distance d share
+        # a <= d-deletion variant) + Wagner-Fischer verification on
+        # the bucket-local candidates. The typo-clustering primitive
+        # for long-tail vocab cleanup; exchanges are bounded by vocab
+        # x C(len, 2), never corpus rows.
+        docs = _read(sf_dir, "documents", ["text"])
+        out = (
+            txt.spell_pairs(docs, "text", max_dist=2)
+            .to_pandas().sort_values(["a", "b"], kind="mergesort").reset_index(drop=True)
+        )
+        out["d"] = out["d"].astype("int64")
+        return out
+
+    def e25_schema_evolution(sf_dir):
+        # schema-evolution read (DuckDB union_by_name / Spark
+        # mergeSchema): v1 files predate the o_orderpriority column,
+        # v2 files carry it; read_parquet_evolved unifies by name with
+        # null backfill and the aggregate treats backfilled nulls as
+        # '<none>'. Fixture derives from orders Dataset-side (even
+        # keys -> v1 without the column, odd -> v2), mtime-keyed like
+        # the e1/e24 source caches; the oracle replays the
+        # column-presence rule straight off the orders view, so the
+        # check covers write -> evolved read -> aggregate end-to-end.
+        import ray.data as rd
+
+        from search_engine_ray.ops.sources import read_parquet_evolved
+
+        src = os.path.join(sf_dir, "orders.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_evolve_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        v1, v2 = os.path.join(base, "v1"), os.path.join(base, "v2")
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            od = rd.read_parquet(src, columns=["o_orderkey", "o_totalprice", "o_orderpriority"])
+
+            def _v1(t: pa.Table) -> pa.Table:
+                m = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 0)
+                return t.filter(m).select(["o_orderkey", "o_totalprice"])
+
+            def _v2(t: pa.Table) -> pa.Table:
+                m = pc.equal(pc.bit_wise_and(t["o_orderkey"], 1), 1)
+                return t.filter(m)
+
+            od.map_batches(_v1, batch_format="pyarrow").write_parquet(v1)
+            od.map_batches(_v2, batch_format="pyarrow").write_parquet(v2)
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+
+        ds = read_parquet_evolved([v1, v2])
+
+        def _pri(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "pri": pc.fill_null(t["o_orderpriority"], "<none>"),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "s": t["o_totalprice"],
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                ds.map_batches(_pri, batch_format="pyarrow"), ["pri"],
+                {"n": ("sum", "n"), "s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("pri", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "pri": out["pri"],
+            "n": out["n"].astype("int64"),
+            "sum_price": round_half_up(out["s"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9490,6 +9585,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r108_kendall_tau": r108_kendall_tau,
         "r109_cross_corr": r109_cross_corr,
         "r110_durbin_watson": r110_durbin_watson,
+        # round-5 wave 13
+        "r111_bfs_levels": r111_bfs_levels,
+        "t_spell_pairs": t_spell_pairs,
+        "e25_schema_evolution": e25_schema_evolution,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13426,6 +13525,43 @@ GROUP BY c.lang ORDER BY c.lang
             "round((SELECT b FROM r), 4) AS slope, "
             "round(sum(CASE WHEN ep IS NULL THEN 0 ELSE pow(e - ep, 2) END) / sum(e * e), 4) AS dw "
             "FROM w"
+        ),
+        "r111_bfs_levels": (
+            "WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y "
+            "FROM lineitem a JOIN lineitem b "
+            "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey), "
+            "u AS (SELECT x, y FROM e UNION ALL SELECT y AS x, x AS y FROM e), "
+            "s AS (SELECT min(l_partkey) AS src FROM lineitem), "
+            "n1 AS (SELECT DISTINCT u.y AS v FROM u, s WHERE u.x = s.src), "
+            "n2 AS (SELECT DISTINCT u.y AS v FROM u JOIN n1 ON u.x = n1.v "
+            "WHERE u.y NOT IN (SELECT v FROM n1) AND u.y <> (SELECT src FROM s)), "
+            "n3 AS (SELECT DISTINCT u.y AS v FROM u JOIN n2 ON u.x = n2.v "
+            "WHERE u.y NOT IN (SELECT v FROM n1) AND u.y NOT IN (SELECT v FROM n2) "
+            "AND u.y <> (SELECT src FROM s)), "
+            "g AS (SELECT DISTINCT x AS v FROM u), "
+            "c AS (SELECT 0 AS level, 1 AS n "
+            "UNION ALL SELECT 1, (SELECT count(*) FROM n1) "
+            "UNION ALL SELECT 2, (SELECT count(*) FROM n2) "
+            "UNION ALL SELECT 3, (SELECT count(*) FROM n3) "
+            "UNION ALL SELECT -1, (SELECT count(*) FROM g) "
+            "+ (CASE WHEN (SELECT src FROM s) IN (SELECT v FROM g) THEN 0 ELSE 1 END) "
+            "- 1 - (SELECT count(*) FROM n1) - (SELECT count(*) FROM n2) "
+            "- (SELECT count(*) FROM n3)) "
+            "SELECT CAST(level AS BIGINT) AS level, CAST(n AS BIGINT) AS n_nodes "
+            "FROM c ORDER BY level"
+        ),
+        "t_spell_pairs": (
+            "WITH v AS (SELECT DISTINCT unnest("
+            "regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS t "
+            "FROM documents) "
+            "SELECT a.t AS a, b.t AS b, CAST(levenshtein(a.t, b.t) AS BIGINT) AS d "
+            "FROM v a JOIN v b ON a.t < b.t AND levenshtein(a.t, b.t) <= 2 "
+            "ORDER BY a, b"
+        ),
+        "e25_schema_evolution": (
+            "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE '<none>' END AS pri, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 4) AS sum_price "
+            "FROM orders GROUP BY 1 ORDER BY 1"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "

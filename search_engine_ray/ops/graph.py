@@ -222,3 +222,95 @@ def pagerank(
         )
 
     return rd.from_arrow_refs(pr).map_batches(_round, batch_format="pyarrow")
+
+
+def bfs_levels(
+    edges: Dataset,
+    source: int,
+    max_depth: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> pd.DataFrame:
+    """Breadth-first reachability levels from ``source`` over an
+    UNDIRECTED edge list (each (src, dst) row is traversed both ways),
+    the third member of the iterative-distributed family (after
+    connected_components and pagerank). Per level, ONE streaming pass
+    over the static edge Dataset marks neighbors of the current
+    frontier: the frontier/visited id sets broadcast once per level
+    via ray.put (bounded by NODE cardinality — the small dimension of
+    a bipartite-derived graph — never by edges), each batch emits only
+    its newly-reached ids, and the driver folds the per-batch
+    candidate sets with one np.unique. Edge rows never move: no
+    shuffle, no join operator — level expansion is a broadcast-filter,
+    the same contract as the bloom/broadcast joins in ops.relational.
+
+    Returns one row per level 0..max_depth with its node count, plus a
+    level -1 row counting graph nodes NOT reached within max_depth
+    (callers chain more levels by raising max_depth; the bounded-depth
+    contract keeps the oracle SQL-expressible without recursion).
+    """
+    import ray
+
+    counts = [1]
+    visited = np.array([source], dtype=np.int64)
+    frontier = visited
+    n_nodes_ref: list[int] = []
+
+    for _ in range(max_depth):
+        fr_ref = ray.put(frontier)
+        vis_ref = ray.put(visited)
+
+        def _expand(t: pa.Table, _fr=fr_ref, _vis=vis_ref) -> pa.Table:
+            fr = ray.get(_fr)
+            vis = ray.get(_vis)
+            s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+            out = np.concatenate([d[np.isin(s, fr)], s[np.isin(d, fr)]])
+            out = out[~np.isin(out, vis)]
+            return pa.table({"v": pa.array(np.unique(out), pa.int64())})
+
+        parts = [
+            p
+            for p in ray.get(
+                edges.map_batches(_expand, batch_format="pyarrow").to_arrow_refs()
+            )
+            if p.num_rows
+        ]
+        new = (
+            np.unique(np.concatenate([p["v"].to_numpy() for p in parts]))
+            if parts
+            else np.array([], dtype=np.int64)
+        )
+        counts.append(int(new.size))
+        if new.size == 0:
+            break
+        visited = np.concatenate([visited, new])
+        frontier = new
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        s = t[src_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        d = t[dst_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table({"v": pa.array(np.unique(np.concatenate([s, d])), pa.int64())})
+
+    nparts = [
+        p
+        for p in ray.get(
+            edges.map_batches(_nodes, batch_format="pyarrow").to_arrow_refs()
+        )
+        if p.num_rows
+    ]
+    all_nodes = (
+        np.unique(np.concatenate([p["v"].to_numpy() for p in nparts]))
+        if nparts
+        else np.array([], dtype=np.int64)
+    )
+    n_unreached = int(np.union1d(all_nodes, [source]).size - visited.size)
+    while len(counts) < max_depth + 1:
+        counts.append(0)
+    levels = list(range(len(counts))) + [-1]
+    return pd.DataFrame(
+        {
+            "level": pd.array(levels, "int64"),
+            "n_nodes": pd.array(counts + [n_unreached], "int64"),
+        }
+    )

@@ -1332,3 +1332,86 @@ def string_stats(ds: Dataset, col: str) -> dict:
         "avg_length": total_len / count if count else 0.0,
         "entropy": entropy,
     }
+
+
+def _levenshtein(a: str, b: str) -> int:
+    """Plain Wagner-Fischer edit distance (unit costs) — matches
+    DuckDB's levenshtein() exactly. Only ever called on the bounded
+    candidate set the symmetric-delete blocking emits, never per
+    corpus row."""
+    if a == b:
+        return 0
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def spell_pairs(ds: Dataset, text_col: str = "text", max_dist: int = 1) -> Dataset:
+    """All vocabulary token pairs at edit distance 1..``max_dist``
+    (typo/variant clustering — the spell-join primitive behind
+    SymSpell-style cleanup of a training corpus's long-tail vocab).
+
+    Exact-recall blocking via SYMMETRIC DELETES: every token emits
+    every variant reachable by up to ``max_dist`` character deletions
+    (itself included) as a bucket key; two tokens within edit distance
+    d <= max_dist always share >= 1 such variant (Garbe's SymSpell
+    invariant), so verifying candidates inside variant buckets loses
+    nothing. The exchanges move the (variant, token) vocab table —
+    bounded by vocab x C(token_len, max_dist), never by corpus rows
+    (per-batch token dedup keeps the map output near-vocab-sized) —
+    then one (a, b) dedup exchange collapses pairs found via multiple
+    shared variants. Verification is the exact Wagner-Fischer DP on
+    the tiny per-bucket candidate sets. Returns (a, b, d) with a < b
+    and d the exact edit distance.
+    """
+    if max_dist not in (1, 2):
+        raise ValueError("spell_pairs supports max_dist 1 or 2")
+
+    def _variants(t: pa.Table) -> pa.Table:
+        flat, _parents, _n = _flat_tokens(t[text_col])
+        toks = np.unique(flat.to_numpy(zero_copy_only=False))
+        out_v: list[str] = []
+        out_t: list[str] = []
+        for tok in toks:
+            s = str(tok)
+            vs = {s}
+            dels1 = {s[:i] + s[i + 1 :] for i in range(len(s))}
+            vs |= dels1
+            if max_dist == 2:
+                for d1 in dels1:
+                    vs |= {d1[:i] + d1[i + 1 :] for i in range(len(d1))}
+            out_v.extend(vs)
+            out_t.extend([s] * len(vs))
+        return pa.table(
+            {"variant": pa.array(out_v, pa.string()), "t": pa.array(out_t, pa.string())}
+        )
+
+    def _bucket_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        toks = np.unique(df["t"].to_numpy())
+        a_out: list[str] = []
+        b_out: list[str] = []
+        d_out: list[int] = []
+        for i in range(len(toks)):
+            for j in range(i + 1, len(toks)):
+                d = _levenshtein(toks[i], toks[j])
+                if 1 <= d <= max_dist:
+                    a_out.append(toks[i])
+                    b_out.append(toks[j])
+                    d_out.append(d)
+        return pd.DataFrame({"a": a_out, "b": b_out, "d": np.array(d_out, np.int64)})
+
+    def _dedup(df: pd.DataFrame) -> pd.DataFrame:
+        return df.iloc[:1][["a", "b", "d"]]
+
+    pairs = (
+        ds.map_batches(_variants, batch_format="pyarrow")
+        .groupby("variant")
+        .map_groups(_bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["a", "b"]).map_groups(_dedup, batch_format="pandas")
