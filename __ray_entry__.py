@@ -9241,6 +9241,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_price": round_half_up(out["s"].to_numpy()),
         })
 
+    def r112_pacf(sf_dir):
+        # partial autocorrelation at lags 1-2 of the daily value-sum
+        # series via Durbin-Levinson on the pairwise-Pearson ACF (the
+        # same lagged-pair estimator r82 pins): pacf1 = r1,
+        # pacf2 = (r2 - r1^2)/(1 - r1^2). The AR-order screen next to
+        # r82's ACF and r110's DW; everything folds on the bounded
+        # daily bucket table.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+
+        def _pearson(x: np.ndarray, y: np.ndarray) -> float:
+            n = float(x.size)
+            sx, sy = x.sum(), y.sum()
+            sxx, sxy, syy = (x * x).sum(), (x * y).sum(), (y * y).sum()
+            return (n * sxy - sx * sy) / math.sqrt(
+                (n * sxx - sx * sx) * (n * syy - sy * sy)
+            )
+
+        r1 = _pearson(v[:-1], v[1:])
+        r2 = _pearson(v[:-2], v[2:])
+        pacf2 = (r2 - r1 * r1) / (1 - r1 * r1)
+        return pd.DataFrame({
+            "n_days": [np.int64(v.size)],
+            "pacf1": round_half_up(np.array([r1])),
+            "pacf2": round_half_up(np.array([pacf2])),
+        })
+
+    def r113_grubbs(sf_dir):
+        # Grubbs' single-outlier statistic on the daily value-sum
+        # series: G = max|x - mean| / sd_samp, plus WHICH day attains
+        # it (ties break to the earliest day, mirrored in SQL by
+        # (deviation DESC, day ASC) ordering). The classic
+        # one-anomaly screen next to r87's seasonal version.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        n = v.size
+        mu = v.mean()
+        sd = math.sqrt(float(((v - mu) ** 2).sum()) / (n - 1))
+        dev = np.abs(v - mu)
+        i = int(np.lexsort((daily["day"].to_numpy(), -dev))[0])
+        return pd.DataFrame({
+            "n_days": [np.int64(n)],
+            "g_stat": round_half_up(np.array([dev[i] / sd])),
+            "day_flagged": [np.int64(daily["day"].iloc[i])],
+        })
+
+    def r114_mad_outliers(sf_dir):
+        # robust outlier count via the median-absolute-deviation rule
+        # (|0.6745 * (x - median) / MAD| > 3.5, Iglewicz-Hoaglin):
+        # the robust companion to r107's Tukey fences — immune to the
+        # outliers it hunts. Median and MAD interpolate linearly
+        # (numpy percentile == quantile_cont) on the bounded daily
+        # table; the z formula mirrors the oracle's op order so the
+        # strict > comparison agrees bitwise.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        med = float(np.percentile(v, 50, method="linear"))
+        mad = float(np.percentile(np.abs(v - med), 50, method="linear"))
+        z = 0.6745 * (v - med) / mad
+        return pd.DataFrame({
+            "n_days": [np.int64(v.size)],
+            "med": round_half_up(np.array([med])),
+            "mad": round_half_up(np.array([mad])),
+            "n_outliers": [np.int64(int((np.abs(z) > 3.5).sum()))],
+        })
+
+    def r115_rescaled_range(sf_dir):
+        # rescaled-range statistic (max - min of the mean-adjusted
+        # cumulative sum, over sd_pop * sqrt(n)) on the daily series —
+        # the single-window Hurst/R-S long-memory screen, and the
+        # span form of a CUSUM chart. Cumulative walk + extrema fold
+        # on the bounded daily table; SQL replays it with a window
+        # cumulative sum.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        n = v.size
+        mu = v.mean()
+        cs = np.cumsum(v - mu)
+        sd = math.sqrt(float(((v - mu) ** 2).sum()) / n)
+        stat = (float(cs.max()) - float(cs.min())) / (sd * math.sqrt(n))
+        return pd.DataFrame({
+            "n_days": [np.int64(n)],
+            "rescaled_range": round_half_up(np.array([stat])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9589,6 +9674,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r111_bfs_levels": r111_bfs_levels,
         "t_spell_pairs": t_spell_pairs,
         "e25_schema_evolution": e25_schema_evolution,
+        # round-5 wave 14
+        "r112_pacf": r112_pacf,
+        "r113_grubbs": r113_grubbs,
+        "r114_mad_outliers": r114_mad_outliers,
+        "r115_rescaled_range": r115_rescaled_range,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13562,6 +13652,51 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderpriority ELSE '<none>' END AS pri, "
             "CAST(count(*) AS BIGINT) AS n, round(sum(o_totalprice), 4) AS sum_price "
             "FROM orders GROUP BY 1 ORDER BY 1"
+        ),
+        "r112_pacf": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "l AS (SELECT s AS y, lag(s, 1) OVER (ORDER BY day) AS x1, "
+            "lag(s, 2) OVER (ORDER BY day) AS x2 FROM d), "
+            "a1 AS (SELECT count(*) * 1.0 AS n, sum(x1) AS sx, sum(y) AS sy, "
+            "sum(x1*x1) AS sxx, sum(x1*y) AS sxy, sum(y*y) AS syy FROM l WHERE x1 IS NOT NULL), "
+            "a2 AS (SELECT count(*) * 1.0 AS n, sum(x2) AS sx, sum(y) AS sy, "
+            "sum(x2*x2) AS sxx, sum(x2*y) AS sxy, sum(y*y) AS syy FROM l WHERE x2 IS NOT NULL), "
+            "rr AS (SELECT "
+            "(a1.n*a1.sxy - a1.sx*a1.sy) / sqrt((a1.n*a1.sxx - a1.sx*a1.sx) * (a1.n*a1.syy - a1.sy*a1.sy)) AS r1, "
+            "(a2.n*a2.sxy - a2.sx*a2.sy) / sqrt((a2.n*a2.sxx - a2.sx*a2.sx) * (a2.n*a2.syy - a2.sy*a2.sy)) AS r2 "
+            "FROM a1, a2) "
+            "SELECT (SELECT CAST(count(*) AS BIGINT) FROM d) AS n_days, "
+            "round(r1, 4) AS pacf1, "
+            "round((r2 - r1*r1) / (1 - r1*r1), 4) AS pacf2 FROM rr"
+        ),
+        "r113_grubbs": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "m AS (SELECT avg(s) AS mu, stddev_samp(s) AS sd, count(*) AS n FROM d), "
+            "x AS (SELECT d.day, abs(d.s - m.mu) AS dev, m.sd, m.n FROM d, m "
+            "ORDER BY dev DESC, d.day ASC LIMIT 1) "
+            "SELECT CAST(n AS BIGINT) AS n_days, round(dev / sd, 4) AS g_stat, "
+            "CAST(day AS BIGINT) AS day_flagged FROM x"
+        ),
+        "r114_mad_outliers": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "q AS (SELECT quantile_cont(s, 0.5) AS med, count(*) AS n FROM d), "
+            "m AS (SELECT quantile_cont(abs(d.s - q.med), 0.5) AS mad FROM d, q) "
+            "SELECT CAST(q.n AS BIGINT) AS n_days, round(q.med, 4) AS med, "
+            "round(m.mad, 4) AS mad, "
+            "CAST(sum(CASE WHEN abs(0.6745 * (d.s - q.med) / m.mad) > 3.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers "
+            "FROM d, q, m GROUP BY q.n, q.med, m.mad"
+        ),
+        "r115_rescaled_range": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "m AS (SELECT avg(s) AS mu, stddev_pop(s) AS sd, count(*) * 1.0 AS n FROM d), "
+            "c AS (SELECT sum(d.s - m.mu) OVER (ORDER BY d.day) AS cs FROM d, m) "
+            "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
+            "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
+            "FROM c"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
