@@ -9326,6 +9326,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "rescaled_range": round_half_up(np.array([stat])),
         })
 
+    def e26_manifest_snapshot(sf_dir):
+        # Iceberg-style snapshot publish + manifest-scoped read (the
+        # commit protocol behind warehouse table formats, and the
+        # resumable-output contract at 100 TB: a failed publish leaves
+        # the previous manifest intact): lineitem projects through a
+        # write_snapshot publish, an ORPHAN parquet part is then
+        # planted in the table dir to simulate a crashed concurrent
+        # writer, and read_snapshot must exclude it — the oracle
+        # replays the aggregate straight off the lineitem view, so any
+        # orphan leakage breaks the value check.
+        import ray.data as rd
+
+        from search_engine_ray.ops.sinks import read_snapshot, write_snapshot
+
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_snapshot_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            li = rd.read_parquet(src, columns=["l_returnflag", "l_extendedprice"])
+            write_snapshot(li, base)
+            orphan_dir = os.path.join(base, "data-orphan")
+            os.makedirs(orphan_dir, exist_ok=True)
+            pq.write_table(
+                pa.table({
+                    "l_returnflag": pa.array(["X"] * 5, pa.string()),
+                    "l_extendedprice": pa.array([1.0] * 5, pa.float64()),
+                }),
+                os.path.join(orphan_dir, "orphan.parquet"),
+            )
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+
+        ds = read_snapshot(base)
+        out = (
+            rel.grouped_aggregate(
+                ds, ["l_returnflag"],
+                {"n": ("count", "l_returnflag"), "s": ("sum", "l_extendedprice")},
+            )
+            .to_pandas().sort_values("l_returnflag", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "l_returnflag": out["l_returnflag"],
+            "n": out["n"].astype("int64"),
+            "sum_price": round_half_up(out["s"].to_numpy()),
+        })
+
+    def r116_rate_ratio(sf_dir):
+        # Poisson rate-ratio A/B readout for event COUNTS (the
+        # companion to r81's proportion z and r103's SRM, for metrics
+        # that are rates rather than means): cohorts by the k-parity
+        # rule, ratio = n1/n0, conditional-binomial z =
+        # (n1 - n0)/sqrt(n1 + n0), and the standard log-ratio 95% CI
+        # exp(ln(n1/n0) -/+ 1.96*sqrt(1/n1 + 1/n0)). One 2-row
+        # combiner; the statistics close on two numbers.
+        ev = _read(sf_dir, "events", ["props"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            k = pc.cast(
+                pc.struct_field(pc.extract_regex(t["props"], r'"k": (?P<k>\d+)'), "k"),
+                pa.int64(),
+            ).to_numpy(zero_copy_only=False)
+            df = pd.DataFrame({"grp": (k % 2).astype(np.int64), "n": 1.0})
+            g = df.groupby("grp", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_partial, batch_format="pyarrow"), ["grp"],
+            {"n": ("sum", "n")},
+        ).to_pandas().set_index("grp")
+        n0, n1 = float(m.loc[0, "n"]), float(m.loc[1, "n"])
+        ratio = n1 / n0
+        z = (n1 - n0) / math.sqrt(n1 + n0)
+        hw = 1.96 * math.sqrt(1.0 / n1 + 1.0 / n0)
+        return pd.DataFrame({
+            "n0": [np.int64(n0)], "n1": [np.int64(n1)],
+            "rate_ratio": round_half_up(np.array([ratio])),
+            "z": round_half_up(np.array([z])),
+            "ci_lo": round_half_up(np.array([math.exp(math.log(ratio) - hw)])),
+            "ci_hi": round_half_up(np.array([math.exp(math.log(ratio) + hw)])),
+        })
+
+    def t_vocab_growth(sf_dir):
+        # Heaps-law vocabulary growth curve at five doc_id-ordered
+        # checkpoints (the corpus-scaling question — "how fast does
+        # the vocab still grow?" — behind tokenizer sizing and
+        # dedup-payoff estimates): rather than five distinct-scans,
+        # ONE per-token min-doc combiner (the novelty-fractions shape)
+        # gives every checkpoint's vocab as a masked count over the
+        # bounded (token, first_doc) table, and one 5-row combiner
+        # carries cumulative token counts.
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        mx = int(docs.max("doc_id"))
+        thr = np.array([(k * mx) // 5 for k in range(1, 6)], np.int64)
+
+        from search_engine_ray.ops.text import _flat_tokens
+
+        def _mind(t: pa.Table) -> pa.Table:
+            flat, parents, _n = _flat_tokens(t["text"])
+            ids = t["doc_id"].to_numpy()[parents]
+            df = pd.DataFrame({"t": flat.to_numpy(zero_copy_only=False), "mind": ids})
+            g = df.groupby("t", as_index=False).min()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        vocab_tbl = rel.grouped_aggregate(
+            docs.map_batches(_mind, batch_format="pyarrow"), ["t"],
+            {"mind": ("min", "mind")},
+        ).to_pandas()
+        mind = vocab_tbl["mind"].to_numpy(np.int64)
+        vocab = np.array([(mind <= th).sum() for th in thr], np.int64)
+
+        def _cnt(t: pa.Table) -> pa.Table:
+            _flat, parents, n = _flat_tokens(t["text"])
+            per_doc = np.bincount(parents, minlength=n)
+            ids = t["doc_id"].to_numpy()
+            return pa.table({
+                "k": pa.array(np.arange(1, 6, dtype=np.int64)),
+                "c": pa.array(
+                    [int(per_doc[ids <= th].sum()) for th in thr], pa.int64()
+                ),
+            })
+
+        cnt = (
+            rel.grouped_aggregate(
+                docs.map_batches(_cnt, batch_format="pyarrow"), ["k"],
+                {"c": ("sum", "c")},
+            )
+            .to_pandas().sort_values("k", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "k": cnt["k"].astype("int64"),
+            "n_tokens": cnt["c"].astype("int64"),
+            "vocab": vocab,
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9679,6 +9817,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r113_grubbs": r113_grubbs,
         "r114_mad_outliers": r114_mad_outliers,
         "r115_rescaled_range": r115_rescaled_range,
+        # round-5 wave 15
+        "e26_manifest_snapshot": e26_manifest_snapshot,
+        "r116_rate_ratio": r116_rate_ratio,
+        "t_vocab_growth": t_vocab_growth,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13697,6 +13839,33 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "e26_manifest_snapshot": (
+            "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_extendedprice), 4) AS sum_price "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"
+        ),
+        "r116_rate_ratio": (
+            "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "
+            "count(*) * 1.0 AS n FROM events GROUP BY 1), "
+            "f AS (SELECT max(CASE WHEN grp = 0 THEN n END) AS n0, "
+            "max(CASE WHEN grp = 1 THEN n END) AS n1 FROM g) "
+            "SELECT CAST(n0 AS BIGINT) AS n0, CAST(n1 AS BIGINT) AS n1, "
+            "round(n1 / n0, 4) AS rate_ratio, "
+            "round((n1 - n0) / sqrt(n1 + n0), 4) AS z, "
+            "round(exp(ln(n1 / n0) - 1.96 * sqrt(1.0/n1 + 1.0/n0)), 4) AS ci_lo, "
+            "round(exp(ln(n1 / n0) + 1.96 * sqrt(1.0/n1 + 1.0/n0)), 4) AS ci_hi "
+            "FROM f"
+        ),
+        "t_vocab_growth": (
+            "WITH mx AS (SELECT max(doc_id) AS m FROM documents), "
+            "ks AS (SELECT unnest(range(1, 6)) AS k), "
+            "tok AS (SELECT doc_id, unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS t "
+            "FROM documents) "
+            "SELECT CAST(ks.k AS BIGINT) AS k, "
+            "CAST((SELECT count(*) FROM tok, mx WHERE tok.doc_id <= (ks.k * mx.m) // 5) AS BIGINT) AS n_tokens, "
+            "CAST((SELECT count(DISTINCT t) FROM tok, mx WHERE tok.doc_id <= (ks.k * mx.m) // 5) AS BIGINT) AS vocab "
+            "FROM ks ORDER BY k"
         ),
         "r103_srm_check": (
             "WITH g AS (SELECT CAST(regexp_extract(props, '\"k\": (\\d+)', 1) AS BIGINT) % 2 AS grp, "

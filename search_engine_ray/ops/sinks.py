@@ -221,3 +221,48 @@ def _ds_batches(ds: Dataset):
     """iter_batches as pyarrow tables (tiny sample streams only)."""
     for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
         yield b
+
+
+def write_snapshot(ds: Dataset, table_dir: str) -> str:
+    """Iceberg-style SNAPSHOT PUBLISH (the commit protocol behind
+    every warehouse table format): the dataset writes its parquet
+    parts into a uniquely-named data directory under ``table_dir``,
+    and the snapshot becomes visible only when a ``_MANIFEST.json``
+    naming exactly those files lands via atomic rename. Readers that
+    go through ``read_snapshot`` never observe half-written data —
+    files not named by the manifest (in-flight writers, crashed runs,
+    orphans) are invisible, which is precisely the resumable-output
+    contract at 100 TB: a failed publish leaves the PREVIOUS manifest
+    (and therefore the previous table state) intact. Returns the
+    manifest path."""
+    import json
+
+    data_dir = os.path.join(table_dir, f"data-{uuid.uuid4().hex[:8]}")
+    ds.write_parquet(data_dir)
+    files = sorted(
+        os.path.join(os.path.basename(data_dir), f)
+        for f in os.listdir(data_dir)
+        if f.endswith(".parquet")
+    )
+    manifest = {"files": files}
+    tmp = os.path.join(table_dir, f"_MANIFEST.json.tmp-{uuid.uuid4().hex[:8]}")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    final = os.path.join(table_dir, "_MANIFEST.json")
+    os.rename(tmp, final)
+    return final
+
+
+def read_snapshot(table_dir: str) -> Dataset:
+    """Manifest-scoped read: load ONLY the files the current
+    ``_MANIFEST.json`` names (see ``write_snapshot``). Unregistered
+    parquet files in the table directory — concurrent writers,
+    aborted publishes — are excluded by construction."""
+    import json
+
+    import ray.data as rd
+
+    with open(os.path.join(table_dir, "_MANIFEST.json")) as f:
+        manifest = json.load(f)
+    paths = [os.path.join(table_dir, p) for p in manifest["files"]]
+    return rd.read_parquet(paths)
