@@ -9464,6 +9464,170 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "vocab": vocab,
         })
 
+    def sketch_heavy_hitters(sf_dir):
+        # two-phase heavy hitters over the corpus token stream
+        # (sketch.heavy_hitters): per-block Misra-Gries truncation
+        # with explicit dropped-mass tracking -> one capacity-bounded
+        # combiner -> broadcast candidates -> ONE exact masked-count
+        # pass. The production top-k shape: the sketch bounds memory,
+        # the exact pass makes the answer (and its tie-breaks) match
+        # the oracle value-for-value.
+        from search_engine_ray.ops.sketch import heavy_hitters
+        from search_engine_ray.ops.text import _flat_tokens
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def _toks(t: pa.Table) -> pa.Table:
+            flat, _p, _n = _flat_tokens(t["text"])
+            return pa.table({"tok": flat})
+
+        out = heavy_hitters(
+            docs.map_batches(_toks, batch_format="pyarrow"), "tok", k=10, capacity=64
+        )
+        return pd.DataFrame({
+            "tok": out["v"],
+            "cnt": out["c"].astype("int64"),
+        })
+
+    def e27_delta_rollup(sf_dir):
+        # incremental materialized-view maintenance (the only way a
+        # 100-TB rollup stays fresh): the base rollup over days
+        # BEFORE the split point lives as a parquet artifact
+        # (mtime-keyed cache standing in for yesterday's build); the
+        # entry touches RAW events only for the delta tail (day >=
+        # split, a pushed-down filter read), folds delta partials,
+        # and merges base + delta through one groupby-sum — additive
+        # combiner states make the merge exact. Oracle = the full
+        # from-scratch rollup.
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base_dir = f"/tmp/ser_delta_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+
+        ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "event_type": t["event_type"],
+                "day": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()
+                ),
+                "n": pa.array(np.ones(t.num_rows, np.int64)),
+                "s": t["value"],
+            })
+
+        daily = ev.map_batches(_day, batch_format="pyarrow")
+        split = int(daily.max("day")) - 5
+
+        if not os.path.exists(os.path.join(base_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base_dir, ignore_errors=True)
+            rel.grouped_aggregate(
+                daily.map_batches(
+                    lambda t: t.filter(pc.less(t["day"], split)), batch_format="pyarrow"
+                ),
+                ["event_type", "day"], {"n": ("sum", "n"), "s": ("sum", "s")},
+            ).write_parquet(os.path.join(base_dir, "base"))
+            open(os.path.join(base_dir, "_DONE"), "w").write("ok")
+
+        delta = daily.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["day"], split)), batch_format="pyarrow"
+        )
+        base = rd.read_parquet(os.path.join(base_dir, "base"))
+        out = (
+            rel.grouped_aggregate(
+                base.union(delta), ["event_type", "day"],
+                {"n": ("sum", "n"), "s": ("sum", "s")},
+            )
+            .to_pandas().sort_values(["event_type", "day"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "event_type": out["event_type"],
+            "day": out["day"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "s": round_half_up(out["s"].to_numpy()),
+        })
+
+    def e28_zorder_layout(sf_dir):
+        # Z-ORDER data layout (the multi-column pruning lever behind
+        # Delta/Iceberg OPTIMIZE ZORDER): lineitem rows land in 16
+        # z-bucket partitions by bit-interleaving the quantized
+        # (l_partkey, l_suppkey) coordinates, so a 2-D box predicate
+        # maps to a SMALL bucket set — the entry enumerates the
+        # buckets its box can touch, reads ONLY those directories
+        # (file-level pruning, e21's axis extended to two columns at
+        # once), exact-filters inside, and aggregates. The oracle runs
+        # the same box on the unclustered view, so any pruning error
+        # breaks the value check.
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "lineitem.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        zdir = f"/tmp/ser_zorder_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_extendedprice"])
+        max_pk = int(li.max("l_partkey"))
+        max_sk = int(li.max("l_suppkey"))
+
+        def _interleave4(qx: np.ndarray, qy: np.ndarray) -> np.ndarray:
+            z = np.zeros_like(qx)
+            for b in range(4):
+                z |= ((qx >> b) & 1) << (2 * b)
+                z |= ((qy >> b) & 1) << (2 * b + 1)
+            return z
+
+        if not os.path.exists(os.path.join(zdir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(zdir, ignore_errors=True)
+
+            def _zb(t: pa.Table) -> pa.Table:
+                pk = t["l_partkey"].to_numpy().astype(np.int64)
+                sk = t["l_suppkey"].to_numpy().astype(np.int64)
+                qx = pk * 16 // (max_pk + 1)
+                qy = sk * 16 // (max_sk + 1)
+                zb = _interleave4(qx, qy) // 16
+                return t.append_column("zb", pa.array(zb, pa.int64()))
+
+            li.map_batches(_zb, batch_format="pyarrow").write_parquet(
+                zdir, partition_cols=["zb"]
+            )
+            open(os.path.join(zdir, "_DONE"), "w").write("ok")
+
+        pk_hi = max_pk // 4
+        sk_hi = max_sk // 4
+        qxs = np.arange(0, pk_hi * 16 // (max_pk + 1) + 1, dtype=np.int64)
+        qys = np.arange(0, sk_hi * 16 // (max_sk + 1) + 1, dtype=np.int64)
+        gx, gy = np.meshgrid(qxs, qys)
+        zbs = sorted(set((_interleave4(gx.ravel(), gy.ravel()) // 16).tolist()))
+        ds = rd.read_parquet([os.path.join(zdir, f"zb={z}") for z in zbs])
+
+        def _box(t: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.less_equal(t["l_partkey"], pk_hi),
+                pc.less_equal(t["l_suppkey"], sk_hi),
+            )
+            tt = t.filter(m)
+            return pa.table({
+                "g": pa.array(np.zeros(tt.num_rows, np.int64)),
+                "n": pa.array(np.ones(tt.num_rows, np.int64)),
+                "s": tt["l_extendedprice"],
+            })
+
+        f = rel.grouped_aggregate(
+            ds.map_batches(_box, batch_format="pyarrow"), ["g"],
+            {"n": ("sum", "n"), "s": ("sum", "s")},
+        ).to_pandas()
+        return pd.DataFrame({
+            "n": [np.int64(f["n"].iloc[0])],
+            "sum_price": round_half_up(np.array([float(f["s"].iloc[0])])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9821,6 +9985,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e26_manifest_snapshot": e26_manifest_snapshot,
         "r116_rate_ratio": r116_rate_ratio,
         "t_vocab_growth": t_vocab_growth,
+        # round-5 wave 16
+        "sketch_heavy_hitters": sketch_heavy_hitters,
+        "e27_delta_rollup": e27_delta_rollup,
+        "e28_zorder_layout": e28_zorder_layout,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -13839,6 +14007,23 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "sketch_heavy_hitters": (
+            "SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt FROM "
+            "(SELECT unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS t "
+            "FROM documents) GROUP BY t ORDER BY cnt DESC, tok ASC LIMIT 10"
+        ),
+        "e27_delta_rollup": (
+            "SELECT event_type, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "CAST(count(*) AS BIGINT) AS n, round(sum(value), 4) AS s "
+            "FROM events GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "e28_zorder_layout": (
+            "SELECT CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_extendedprice), 4) AS sum_price FROM lineitem "
+            "WHERE l_partkey <= (SELECT max(l_partkey) // 4 FROM lineitem) "
+            "AND l_suppkey <= (SELECT max(l_suppkey) // 4 FROM lineitem)"
         ),
         "e26_manifest_snapshot": (
             "SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n, "

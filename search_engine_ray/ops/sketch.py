@@ -700,3 +700,89 @@ def temperature_mix(
         return t.filter(pa.array(h < lim))
 
     return ds.map_batches(_f, batch_format="pyarrow")
+
+
+def heavy_hitters(
+    ds: Dataset,
+    col: str,
+    k: int = 10,
+    capacity: int = 64,
+) -> pd.DataFrame:
+    """Misra-Gries / SpaceSaving-style heavy hitters with an EXACT
+    verification pass (the two-phase shape every production top-k
+    runs at corpus scale):
+
+    Phase 1 — each block keeps only its ``capacity`` most frequent
+    values (a truncated exact count = a Misra-Gries summary whose
+    per-block error is the dropped mass, tracked explicitly); the
+    truncated partials merge through ONE combiner exchange bounded by
+    capacity x blocks, never by corpus rows. Any value whose global
+    frequency exceeds the summed dropped mass is guaranteed present
+    among the candidates (Misra-Gries merge bound), so the candidate
+    set provably contains every true top-k whose count clears that
+    bound — the returned ``guaranteed`` flag says whether the bound
+    held for rank k.
+
+    Phase 2 — the candidate values broadcast (top 2k by approximate
+    count) and ONE exact masked-count pass over the corpus replaces
+    approximate counts with exact ones; ties and near-misses inside
+    the candidate set are therefore exact, and the final top-k sorts
+    (count DESC, value ASC) like the SQL oracle.
+    """
+    import ray
+
+    import search_engine_ray.ops.relational as rel
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        v = pc.cast(t[col], pa.string())
+        vals, counts = np.unique(v.to_numpy(zero_copy_only=False), return_counts=True)
+        if vals.size > capacity:
+            keep = np.argsort(-counts, kind="stable")[:capacity]
+            dropped = int(counts.sum() - counts[keep].sum())
+            vals, counts = vals[keep], counts[keep]
+        else:
+            dropped = 0
+        out_v = np.concatenate([vals, ["__dropped__"]])
+        out_c = np.concatenate([counts, [dropped]]).astype(np.int64)
+        return pa.table({"v": pa.array(out_v, pa.string()), "c": pa.array(out_c, pa.int64())})
+
+    merged = (
+        rel.grouped_aggregate(
+            ds.map_batches(_partial, batch_format="pyarrow"), ["v"], {"c": ("sum", "c")}
+        )
+        .to_pandas()
+    )
+    dropped_mass = int(merged.loc[merged["v"] == "__dropped__", "c"].sum())
+    cand = merged[merged["v"] != "__dropped__"].sort_values(
+        ["c", "v"], ascending=[False, True], kind="mergesort"
+    )
+    cand = cand.head(max(2 * k, k + 8))
+    cand_vals = cand["v"].to_numpy()
+    kth_approx = int(cand["c"].iloc[k - 1]) if len(cand) >= k else 0
+    guaranteed = kth_approx > dropped_mass
+
+    ref = ray.put(set(cand_vals.tolist()))
+
+    def _exact(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        cs = ray.get(ref)
+        v = pc.cast(t[col], pa.string()).to_numpy(zero_copy_only=False)
+        mask = np.isin(v, list(cs))
+        vals, counts = np.unique(v[mask], return_counts=True)
+        return pa.table({"v": pa.array(vals, pa.string()), "c": pa.array(counts.astype(np.int64), pa.int64())})
+
+    exact = (
+        rel.grouped_aggregate(
+            ds.map_batches(_exact, batch_format="pyarrow"), ["v"], {"c": ("sum", "c")}
+        )
+        .to_pandas()
+        .sort_values(["c", "v"], ascending=[False, True], kind="mergesort")
+        .head(k)
+        .reset_index(drop=True)
+    )
+    exact["c"] = exact["c"].astype("int64")
+    exact["guaranteed"] = bool(guaranteed)
+    return exact
