@@ -9628,6 +9628,184 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_price": round_half_up(np.array([float(f["s"].iloc[0])])),
         })
 
+    def r117_selfjoin_size(sf_dir):
+        # self-join size / F2 moment estimation via the count-min
+        # inner product (AMS-style: est = min over rows of sum of
+        # squared cells, always >= truth) — the optimizer primitive
+        # that prices a join or flags a hot key BEFORE shuffling
+        # anything: the sketch streams in one linear-partial pass,
+        # the exact value rides the per-key count combiner, and the
+        # oracle replays the md5 cell hashing bit-for-bit.
+        from search_engine_ray.ops.sketch import cm_sketch
+
+        ev = _read(sf_dir, "events", ["user_id"])
+        cm = cm_sketch(ev, "user_id", depth=4, width=1024)
+        est = int((cm.grid.astype(np.int64) ** 2).sum(axis=1).min())
+        cnt = rel.grouped_aggregate(
+            ev, ["user_id"], {"n": ("count", "user_id")}
+        ).to_pandas()
+        f2 = int((cnt["n"].to_numpy(np.int64) ** 2).sum())
+        return pd.DataFrame({
+            "f2_exact": [np.int64(f2)],
+            "f2_est": [np.int64(est)],
+        })
+
+    def ann_label_cohesion(sf_dir):
+        # intra-class cohesion of the embedding space (the clustering
+        # readout behind "are these labels separable" / SemDeDup
+        # cluster-quality checks): per-label centroid from ONE
+        # (label, dim) component combiner — bounded by labels x dim,
+        # never by vectors — then centroids broadcast and a second
+        # streaming pass folds each member's cosine to its centroid.
+        emb = _read(sf_dir, "embeddings", ["label", "embedding"])
+
+        def _comp(t: pa.Table) -> pa.Table:
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.vstack(
+                [np.asarray(x, np.float64) for x in t["embedding"].to_pylist()]
+            )
+            dim = m.shape[1]
+            labs = np.repeat(lab, dim)
+            idxs = np.tile(np.arange(dim, dtype=np.int64), len(lab))
+            df = pd.DataFrame({"label": labs, "idx": idxs, "s": m.ravel(), "n": 1.0})
+            g = df.groupby(["label", "idx"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        comp = rel.grouped_aggregate(
+            emb.map_batches(_comp, batch_format="pyarrow"), ["label", "idx"],
+            {"s": ("sum", "s"), "n": ("sum", "n")},
+        ).to_pandas().sort_values(["label", "idx"], kind="mergesort")
+        cents = {
+            int(lab): (grp["s"].to_numpy(np.float64) / grp["n"].to_numpy(np.float64))
+            for lab, grp in comp.groupby("label", sort=True)
+        }
+        import ray as _ray
+
+        cref = _ray.put(cents)
+
+        def _cos(t: pa.Table) -> pa.Table:
+            cs = _ray.get(cref)
+            lab = t["label"].to_numpy(zero_copy_only=False).astype(np.int64)
+            m = np.vstack(
+                [np.asarray(x, np.float64) for x in t["embedding"].to_pylist()]
+            )
+            out_l: list[int] = []
+            out_n: list[float] = []
+            out_c: list[float] = []
+            for lv in np.unique(lab):
+                sub = m[lab == lv]
+                c = cs[int(lv)]
+                dots = sub @ c
+                cosv = dots / (np.sqrt((sub * sub).sum(axis=1)) * math.sqrt(float(c @ c)))
+                out_l.append(int(lv))
+                out_n.append(float(len(sub)))
+                out_c.append(float(cosv.sum()))
+            return pa.table({
+                "label": pa.array(out_l, pa.int64()),
+                "n": pa.array(out_n, pa.float64()),
+                "sc": pa.array(out_c, pa.float64()),
+            })
+
+        f = (
+            rel.grouped_aggregate(
+                emb.map_batches(_cos, batch_format="pyarrow"), ["label"],
+                {"n": ("sum", "n"), "sc": ("sum", "sc")},
+            )
+            .to_pandas().sort_values("label", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "label": f["label"].astype("int64"),
+            "n": f["n"].astype("int64"),
+            "cohesion": round_half_up(f["sc"].to_numpy() / f["n"].to_numpy()),
+        })
+
+    def e29_cdc_merge(sf_dir):
+        # change-data-capture MERGE (the warehouse MERGE INTO /
+        # Debezium-consumer pattern): a base snapshot plus a CDC log
+        # of full-row-image updates (seq 1) and delete tombstones
+        # (seq 2) collapse to current state via latest-wins per key —
+        # which is exactly group_dedup_first's O(distinct keys)
+        # combiner shape, composed rather than reimplemented. The log
+        # derives deterministically from orders (key%5 -> +10 price
+        # update, key%7 -> delete) so the oracle replays final state
+        # from the view directly.
+        od = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+
+        def _base(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "o_orderkey": t["o_orderkey"],
+                "o_orderstatus": t["o_orderstatus"],
+                "o_totalprice": t["o_totalprice"],
+                "seq": pa.array(np.zeros(t.num_rows, np.int64)),
+                "op": pa.array(["U"] * t.num_rows, pa.string()),
+            })
+
+        def _log(t: pa.Table) -> pa.Table:
+            k = t["o_orderkey"].to_numpy()
+            upd = t.filter(pa.array(k % 5 == 0))
+            dele = t.filter(pa.array(k % 7 == 0))
+            up = pa.table({
+                "o_orderkey": upd["o_orderkey"],
+                "o_orderstatus": upd["o_orderstatus"],
+                "o_totalprice": pc.add(upd["o_totalprice"], 10.0),
+                "seq": pa.array(np.full(upd.num_rows, 1, np.int64)),
+                "op": pa.array(["U"] * upd.num_rows, pa.string()),
+            })
+            de = pa.table({
+                "o_orderkey": dele["o_orderkey"],
+                "o_orderstatus": dele["o_orderstatus"],
+                "o_totalprice": dele["o_totalprice"],
+                "seq": pa.array(np.full(dele.num_rows, 2, np.int64)),
+                "op": pa.array(["D"] * dele.num_rows, pa.string()),
+            })
+            return pa.concat_tables([up, de])
+
+        def _shard(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "shard",
+                pa.array(
+                    t["o_orderkey"].to_numpy(zero_copy_only=False) % 256, pa.int64()
+                ),
+            )
+
+        stream = (
+            od.map_batches(_base, batch_format="pyarrow")
+            .union(od.map_batches(_log, batch_format="pyarrow"))
+            .map_batches(_shard, batch_format="pyarrow")
+        )
+
+        # latest-wins + aggregate fold INSIDE each key-hash shard
+        # (cooccur's bucket shape): the only exchange sorts 256 shard
+        # keys — never the per-key row stream, whose keys are all
+        # distinct and would make a key sort O(rows) — and each shard
+        # emits one row per orderstatus.
+        def _fold(df: pd.DataFrame) -> pd.DataFrame:
+            best = (
+                df.sort_values(["o_orderkey", "seq"], ascending=[True, False],
+                               kind="mergesort")
+                .drop_duplicates("o_orderkey", keep="first")
+            )
+            alive = best[best["op"] == "U"]
+            g = alive.groupby("o_orderstatus", as_index=False).agg(
+                n=("o_orderkey", "size"), s=("o_totalprice", "sum")
+            )
+            return g
+
+        f = (
+            rel.grouped_aggregate(
+                stream.groupby("shard").map_groups(_fold, batch_format="pandas"),
+                ["o_orderstatus"], {"n": ("sum", "n"), "s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("o_orderstatus", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "o_orderstatus": f["o_orderstatus"],
+            "n": f["n"].astype("int64"),
+            "sum_price": round_half_up(f["s"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -9989,6 +10167,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sketch_heavy_hitters": sketch_heavy_hitters,
         "e27_delta_rollup": e27_delta_rollup,
         "e28_zorder_layout": e28_zorder_layout,
+        # round-5 wave 17
+        "r117_selfjoin_size": r117_selfjoin_size,
+        "ann_label_cohesion": ann_label_cohesion,
+        "e29_cdc_merge": e29_cdc_merge,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14007,6 +14189,38 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r117_selfjoin_size": (
+            "WITH rr AS (SELECT unnest(range(0, 4)) AS r), "
+            "cells AS (SELECT rr.r AS r, "
+            "md5_number_upper(CAST(rr.r AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)) % 1024 AS cell, "
+            "count(*) AS c FROM events, rr GROUP BY 1, 2), "
+            "est AS (SELECT min(s) AS est FROM "
+            "(SELECT r, sum(c * c) AS s FROM cells GROUP BY r)), "
+            "ex AS (SELECT sum(n * n) AS f2 FROM "
+            "(SELECT count(*) AS n FROM events GROUP BY user_id)) "
+            "SELECT CAST(ex.f2 AS BIGINT) AS f2_exact, "
+            "CAST(est.est AS BIGINT) AS f2_est FROM ex, est"
+        ),
+        "ann_label_cohesion": (
+            "WITH u AS (SELECT vec_id, label, "
+            "CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) AS idx FROM embeddings), "
+            "cent AS (SELECT label, idx, sum(v) / count(*) AS cv FROM u GROUP BY 1, 2), "
+            "dots AS (SELECT u.vec_id, u.label, sum(u.v * c.cv) AS dot, "
+            "sum(u.v * u.v) AS n2, sum(c.cv * c.cv) AS c2 "
+            "FROM u JOIN cent c ON c.label = u.label AND c.idx = u.idx "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(label AS BIGINT) AS label, CAST(count(*) AS BIGINT) AS n, "
+            "round(avg(dot / (sqrt(n2) * sqrt(c2))), 4) AS cohesion "
+            "FROM dots GROUP BY label ORDER BY label"
+        ),
+        "e29_cdc_merge": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 10 "
+            "ELSE o_totalprice END), 4) AS sum_price "
+            "FROM orders WHERE o_orderkey % 7 <> 0 "
+            "GROUP BY 1 ORDER BY 1"
         ),
         "sketch_heavy_hitters": (
             "SELECT t AS tok, CAST(count(*) AS BIGINT) AS cnt FROM "
