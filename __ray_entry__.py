@@ -9806,6 +9806,157 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "sum_price": round_half_up(f["s"].to_numpy()),
         })
 
+    def e30_compaction(sf_dir):
+        # small-file compaction as a snapshot republish
+        # (sinks.compact_snapshot): a deliberately fragmented events
+        # snapshot (64 delta-sized files) compacts to 4 right-sized
+        # files under the SAME atomic manifest protocol as e26 —
+        # readers see fragmented or compacted state, never a mix, and
+        # the oracle value-checks that compaction changed nothing but
+        # the layout. The maintenance op every long-lived 100-TB
+        # table runs nightly.
+        import ray.data as rd
+
+        from search_engine_ray.ops.sinks import (
+            compact_snapshot,
+            read_snapshot,
+            write_snapshot,
+        )
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_compact_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            ev = rd.read_parquet(src, columns=["event_type", "value"])
+            write_snapshot(ev.repartition(64), base)
+            compact_snapshot(base, 4)
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+
+        out = (
+            rel.grouped_aggregate(
+                read_snapshot(base), ["event_type"],
+                {"n": ("count", "event_type"), "s": ("sum", "value")},
+            )
+            .to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "event_type": out["event_type"],
+            "n": out["n"].astype("int64"),
+            "sum_value": round_half_up(out["s"].to_numpy()),
+        })
+
+    def r118_gap_fill(sf_dir):
+        # calendar gap-fill with linear interpolation (the resample
+        # step in front of every time-series op in this repo — r87,
+        # r92, r99, r101 all assume a dense day axis): days with
+        # day %% 7 == 3 are deterministically knocked out to create
+        # gaps at every sf, then the dense calendar regenerates and
+        # each hole takes prev + (day - prev_day) * slope between its
+        # surviving neighbors — op order identical to the oracle's.
+        # All on the bounded daily table.
+        daily = _daily_sums(sf_dir)
+        keep = daily[daily["day"] % 7 != 3].reset_index(drop=True)
+        days = keep["day"].to_numpy(np.int64)
+        vals = keep["s"].to_numpy(np.float64)
+        full = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+        pos = np.searchsorted(days, full)
+        present = np.isin(full, days)
+        out_s = np.empty(full.size, np.float64)
+        out_f = np.zeros(full.size, np.int64)
+        for i, dday in enumerate(full):
+            if present[i]:
+                out_s[i] = vals[np.searchsorted(days, dday)]
+            else:
+                pj = np.searchsorted(days, dday) - 1
+                pd_, nd_ = days[pj], days[pj + 1]
+                ps_, ns_ = vals[pj], vals[pj + 1]
+                out_s[i] = ps_ + (dday - pd_) * (ns_ - ps_) / (nd_ - pd_)
+                out_f[i] = 1
+        return pd.DataFrame({
+            "day": pd.array(full, "int64"),
+            "filled": pd.array(out_f, "int64"),
+            "s": round_half_up(out_s),
+        })
+
+    def e31_footer_stats(sf_dir):
+        # table-health stats from parquet FOOTERS only (the
+        # min/max-pruning manifest a 100-TB planner consults before
+        # touching data): the hive-partitioned events layout (e21's
+        # artifact, same mtime-keyed cache) yields a Dataset OF FILE
+        # PATHS; a map_batches over paths reads each footer's
+        # row count and ts column statistics — no row ever
+        # deserializes — and a per-partition combiner folds them. The
+        # oracle recomputes the same numbers the slow way, off the
+        # view.
+        import glob as _g
+
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "events.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        part_dir = f"/tmp/ser_hive_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(part_dir, "_DONE")):
+            import shutil
+
+            shutil.rmtree(part_dir, ignore_errors=True)
+            _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"]).write_parquet(
+                part_dir, partition_cols=["event_type"]
+            )
+            open(os.path.join(part_dir, "_DONE"), "w").write("ok")
+
+        paths = sorted(_g.glob(os.path.join(part_dir, "event_type=*", "*.parquet")))
+        pds = rd.from_items([{"path": p} for p in paths])
+
+        def _footer(t: pa.Table) -> pa.Table:
+            rows_et: list[str] = []
+            rows_n: list[int] = []
+            rows_mn: list[int] = []
+            rows_mx: list[int] = []
+            for p in t["path"].to_pylist():
+                et = os.path.basename(os.path.dirname(p)).split("=", 1)[1]
+                md = pq.ParquetFile(p).metadata
+                ts_idx = next(
+                    i for i in range(len(md.schema))
+                    if md.schema.column(i).name == "ts"
+                )
+                n = md.num_rows
+                mn = min(
+                    md.row_group(r).column(ts_idx).statistics.min
+                    for r in range(md.num_row_groups)
+                )
+                mx = max(
+                    md.row_group(r).column(ts_idx).statistics.max
+                    for r in range(md.num_row_groups)
+                )
+                rows_et.append(et)
+                rows_n.append(int(n))
+                rows_mn.append(int(pd.Timestamp(mn).value // 1000))
+                rows_mx.append(int(pd.Timestamp(mx).value // 1000))
+            return pa.table({
+                "event_type": pa.array(rows_et, pa.string()),
+                "n_rows": pa.array(rows_n, pa.int64()),
+                "min_ts": pa.array(rows_mn, pa.int64()),
+                "max_ts": pa.array(rows_mx, pa.int64()),
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                pds.map_batches(_footer, batch_format="pyarrow"), ["event_type"],
+                {"n_rows": ("sum", "n_rows"), "min_ts": ("min", "min_ts"),
+                 "max_ts": ("max", "max_ts")},
+            )
+            .to_pandas().sort_values("event_type", kind="mergesort").reset_index(drop=True)
+        )
+        for c in ["n_rows", "min_ts", "max_ts"]:
+            out[c] = out[c].astype("int64")
+        return out
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -10171,6 +10322,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r117_selfjoin_size": r117_selfjoin_size,
         "ann_label_cohesion": ann_label_cohesion,
         "e29_cdc_merge": e29_cdc_merge,
+        # round-5 wave 18
+        "e30_compaction": e30_compaction,
+        "r118_gap_fill": r118_gap_fill,
+        "e31_footer_stats": e31_footer_stats,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14189,6 +14344,35 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "e30_compaction": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(value), 4) AS sum_value "
+            "FROM events GROUP BY event_type ORDER BY event_type"
+        ),
+        "r118_gap_fill": (
+            "WITH d0 AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "d AS (SELECT * FROM d0 WHERE day % 7 <> 3), "
+            "cal AS (SELECT unnest(range((SELECT min(day) FROM d), "
+            "(SELECT max(day) FROM d) + 1)) AS day) "
+            "SELECT cal.day AS day, "
+            "CAST(CASE WHEN d.s IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled, "
+            "round(CASE WHEN d.s IS NOT NULL THEN d.s ELSE "
+            "(SELECT p.s FROM d p WHERE p.day = (SELECT max(p2.day) FROM d p2 WHERE p2.day < cal.day)) "
+            "+ (cal.day - (SELECT max(p2.day) FROM d p2 WHERE p2.day < cal.day)) "
+            "* ((SELECT nn.s FROM d nn WHERE nn.day = (SELECT min(n2.day) FROM d n2 WHERE n2.day > cal.day)) "
+            "- (SELECT p.s FROM d p WHERE p.day = (SELECT max(p2.day) FROM d p2 WHERE p2.day < cal.day))) "
+            "/ ((SELECT min(n2.day) FROM d n2 WHERE n2.day > cal.day) "
+            "- (SELECT max(p2.day) FROM d p2 WHERE p2.day < cal.day)) "
+            "END, 4) AS s "
+            "FROM cal LEFT JOIN d ON d.day = cal.day ORDER BY cal.day"
+        ),
+        "e31_footer_stats": (
+            "SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows, "
+            "CAST(epoch_us(min(ts)) AS BIGINT) AS min_ts, "
+            "CAST(epoch_us(max(ts)) AS BIGINT) AS max_ts "
+            "FROM events GROUP BY event_type ORDER BY event_type"
         ),
         "r117_selfjoin_size": (
             "WITH rr AS (SELECT unnest(range(0, 4)) AS r), "

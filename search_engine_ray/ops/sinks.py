@@ -266,3 +266,19 @@ def read_snapshot(table_dir: str) -> Dataset:
         manifest = json.load(f)
     paths = [os.path.join(table_dir, p) for p in manifest["files"]]
     return rd.read_parquet(paths)
+
+
+def compact_snapshot(table_dir: str, num_files: int) -> str:
+    """Small-file COMPACTION as a snapshot republish (the OPTIMIZE /
+    rewrite-data-files maintenance op every long-lived table needs —
+    at 100 TB a table accumulates millions of delta-sized files and
+    footer/IO overhead dominates scans): read the CURRENT manifest's
+    files, repartition to ``num_files`` right-sized blocks, and
+    publish the result as a NEW snapshot via ``write_snapshot`` — the
+    swap is the same atomic manifest rename, so readers see either
+    the fragmented or the compacted state, never a mix, and a crashed
+    compaction leaves the old snapshot intact. Old data dirs stay on
+    disk for time-travel/GC (a separate vacuum's job). Returns the
+    new manifest path."""
+    ds = read_snapshot(table_dir)
+    return write_snapshot(ds.repartition(num_files), table_dir)
