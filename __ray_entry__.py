@@ -9957,6 +9957,134 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    def r119_std_residuals(sf_dir):
+        # standardized Pearson residuals per cell of the event_type x
+        # day-of-week contingency table — the drill-down for r91/r104:
+        # chi-square says THAT the table deviates, the residual
+        # (o - e)/sqrt(e) says WHICH cells drive it. Same bounded cell
+        # combiner as r104; the residual grid closes driver-side.
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def _cell(t: pa.Table) -> pa.Table:
+            day = np.floor(
+                t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                / 86400000000.0
+            ).astype(np.int64)
+            df = pd.DataFrame({
+                "event_type": t["event_type"].to_numpy(zero_copy_only=False),
+                "dow": ((day % 7) + 7) % 7,
+                "o": 1,
+            })
+            g = df.groupby(["event_type", "dow"], as_index=False)["o"].sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = rel.grouped_aggregate(
+            ev.map_batches(_cell, batch_format="pyarrow"),
+            ["event_type", "dow"], {"o": ("sum", "o")},
+        ).to_pandas()
+        piv = c.pivot_table(
+            index="event_type", columns="dow", values="o", fill_value=0, aggfunc="sum"
+        ).astype(np.float64)
+        o = piv.to_numpy()
+        n = o.sum()
+        e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+        r = (o - e) / np.sqrt(e)
+        ets = list(piv.index)
+        dows = list(piv.columns)
+        rows = [
+            (et, int(dw), float(o[i, j]), r[i, j])
+            for i, et in enumerate(ets)
+            for j, dw in enumerate(dows)
+        ]
+        return pd.DataFrame({
+            "event_type": [x[0] for x in rows],
+            "dow": pd.array([x[1] for x in rows], "int64"),
+            "o": pd.array([int(x[2]) for x in rows], "int64"),
+            "residual": round_half_up(np.array([x[3] for x in rows])),
+        })
+
+    def r120_mcnemar(sf_dir):
+        # McNemar's paired test on per-user click behavior across the
+        # two halves of the observation window (did the same users
+        # change behavior? — the within-subject companion to the
+        # between-cohort r81/r106): per-user (before, after) click
+        # flags ride one bounded combiner; the discordant counts b =
+        # 1->0 and c = 0->1 give chi2 = (b - c)^2/(b + c).
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t["user_id"],
+                "day": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()
+                ),
+                "is_click": pc.cast(pc.equal(t["event_type"], "click"), pa.int64()),
+            })
+
+        daily = ev.map_batches(_day, batch_format="pyarrow")
+        lo = int(daily.min("day"))
+        hi = int(daily.max("day"))
+        mid = (lo + hi) // 2
+
+        def _half(t: pa.Table) -> pa.Table:
+            d = t["day"].to_numpy()
+            ic = t["is_click"].to_numpy()
+            df = pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(),
+                "before": ((d <= mid) & (ic == 1)).astype(np.int64),
+                "after": ((d > mid) & (ic == 1)).astype(np.int64),
+            })
+            g = df.groupby("user_id", as_index=False).max()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        u = rel.grouped_aggregate(
+            daily.map_batches(_half, batch_format="pyarrow"), ["user_id"],
+            {"before": ("max", "before"), "after": ("max", "after")},
+        ).to_pandas()
+        b = int(((u["before"] == 1) & (u["after"] == 0)).sum())
+        cc = int(((u["before"] == 0) & (u["after"] == 1)).sum())
+        stat = float((b - cc) ** 2) / float(b + cc) if (b + cc) else 0.0
+        return pd.DataFrame({
+            "n_users": [np.int64(len(u))],
+            "b": [np.int64(b)], "c": [np.int64(cc)],
+            "chi2": round_half_up(np.array([stat])),
+        })
+
+    def r121_stickiness(sf_dir):
+        # DAU/WAU stickiness per day (the product-analytics engagement
+        # ratio): daily active users over trailing-7-day active users.
+        # The (day, user) DISTINCT table is one combiner exchange
+        # bounded by days x users; the trailing-window distinct folds
+        # on that table driver-side (never on raw events).
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def _du(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "day": t["ts"].cast(pa.int64()).to_numpy() // 86400000000,
+                "user_id": t["user_id"].to_numpy(),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        du = (
+            rel.grouped_aggregate(
+                ev.map_batches(_du, batch_format="pyarrow"), ["day", "user_id"],
+                {"one": ("count", "user_id")},
+            ).to_pandas()
+        )
+        days = np.sort(du["day"].unique())
+        rows = []
+        for dday in days:
+            dau = int((du["day"] == dday).sum())
+            w = du[(du["day"] >= dday - 6) & (du["day"] <= dday)]
+            wau = int(w["user_id"].nunique())
+            rows.append((int(dday), dau, wau, dau / wau))
+        return pd.DataFrame({
+            "day": pd.array([r[0] for r in rows], "int64"),
+            "dau": pd.array([r[1] for r in rows], "int64"),
+            "wau": pd.array([r[2] for r in rows], "int64"),
+            "stickiness": round_half_up(np.array([r[3] for r in rows])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -10326,6 +10454,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e30_compaction": e30_compaction,
         "r118_gap_fill": r118_gap_fill,
         "e31_footer_stats": e31_footer_stats,
+        # round-5 wave 19
+        "r119_std_residuals": r119_std_residuals,
+        "r120_mcnemar": r120_mcnemar,
+        "r121_stickiness": r121_stickiness,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14344,6 +14476,55 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r119_std_residuals": (
+            "WITH c AS (SELECT event_type, "
+            "((CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7) + 7) % 7 AS dow, "
+            "count(*) * 1.0 AS o FROM events GROUP BY 1, 2), "
+            "et AS (SELECT DISTINCT event_type FROM events), "
+            "dw AS (SELECT DISTINCT ((CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) % 7) + 7) % 7 AS dow FROM events), "
+            "f AS (SELECT et.event_type, dw.dow, coalesce(c.o, 0) AS o "
+            "FROM et CROSS JOIN dw LEFT JOIN c "
+            "ON c.event_type = et.event_type AND c.dow = dw.dow), "
+            "t AS (SELECT event_type, dow, o, "
+            "sum(o) OVER (PARTITION BY event_type) AS rt, "
+            "sum(o) OVER (PARTITION BY dow) AS ct, sum(o) OVER () AS n FROM f) "
+            "SELECT event_type, CAST(dow AS BIGINT) AS dow, CAST(o AS BIGINT) AS o, "
+            "round((o - rt * ct / n) / sqrt(rt * ct / n), 4) AS residual "
+            "FROM t ORDER BY event_type, dow"
+        ),
+        "r120_mcnemar": (
+            "WITH bnd AS (SELECT min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS lo, "
+            "max(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) AS hi FROM events), "
+            "u AS (SELECT user_id, "
+            "max(CASE WHEN event_type = 'click' AND "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) <= (SELECT (lo + hi) // 2 FROM bnd) "
+            "THEN 1 ELSE 0 END) AS bef, "
+            "max(CASE WHEN event_type = 'click' AND "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) > (SELECT (lo + hi) // 2 FROM bnd) "
+            "THEN 1 ELSE 0 END) AS aft "
+            "FROM events GROUP BY user_id) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_users, "
+            "CAST(sum(CASE WHEN bef = 1 AND aft = 0 THEN 1 ELSE 0 END) AS BIGINT) AS b, "
+            "CAST(sum(CASE WHEN bef = 0 AND aft = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c, "
+            "round(CASE WHEN sum(CASE WHEN bef <> aft THEN 1 ELSE 0 END) = 0 THEN 0 ELSE "
+            "pow(sum(CASE WHEN bef = 1 AND aft = 0 THEN 1 ELSE 0 END) "
+            "- sum(CASE WHEN bef = 0 AND aft = 1 THEN 1 ELSE 0 END), 2) * 1.0 "
+            "/ sum(CASE WHEN bef <> aft THEN 1 ELSE 0 END) END, 4) AS chi2 "
+            "FROM u"
+        ),
+        "r121_stickiness": (
+            "WITH du AS (SELECT DISTINCT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "user_id FROM events), "
+            "days AS (SELECT DISTINCT day FROM du) "
+            "SELECT d.day AS day, "
+            "CAST((SELECT count(*) FROM du WHERE du.day = d.day) AS BIGINT) AS dau, "
+            "CAST((SELECT count(DISTINCT user_id) FROM du "
+            "WHERE du.day BETWEEN d.day - 6 AND d.day) AS BIGINT) AS wau, "
+            "round((SELECT count(*) FROM du WHERE du.day = d.day) * 1.0 "
+            "/ (SELECT count(DISTINCT user_id) FROM du "
+            "WHERE du.day BETWEEN d.day - 6 AND d.day), 4) AS stickiness "
+            "FROM days d ORDER BY d.day"
         ),
         "e30_compaction": (
             "SELECT event_type, CAST(count(*) AS BIGINT) AS n, "
