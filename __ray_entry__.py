@@ -17,6 +17,7 @@ ray.init()/ray.shutdown() here or in the library code these use.
 
 from __future__ import annotations
 
+import hashlib
 import math
 import os
 from collections.abc import Callable
@@ -10269,6 +10270,126 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "mutual_info": round_half_up(np.array([h_next - h_cond])),
         })
 
+    def r124_streaks(sf_dir):
+        # gaps-and-islands: longest run of CONSECUTIVE active days per
+        # user (the engagement-streak metric, and the canonical
+        # islands problem — day minus rank is constant within an
+        # island): the (day, user) distinct combiner table is the only
+        # exchange (bounded by users x days); islands fold vectorized
+        # on that table. Output mirrors the SQL row_number-difference
+        # formulation exactly.
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def _du(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "day": t["ts"].cast(pa.int64()).to_numpy() // 86400000000,
+                "user_id": t["user_id"].to_numpy(),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        du = (
+            rel.grouped_aggregate(
+                ev.map_batches(_du, batch_format="pyarrow"), ["user_id", "day"],
+                {"one": ("count", "day")},
+            )
+            .to_pandas().sort_values(["user_id", "day"], kind="mergesort")
+        )
+        rows = []
+        for uid, grp in du.groupby("user_id", sort=True):
+            days = grp["day"].to_numpy(np.int64)
+            anchor = days - np.arange(len(days))
+            _, counts = np.unique(anchor, return_counts=True)
+            rows.append((int(uid), len(days), int(counts.max())))
+        return pd.DataFrame({
+            "user_id": pd.array([r[0] for r in rows], "int64"),
+            "n_active_days": pd.array([r[1] for r in rows], "int64"),
+            "longest_streak": pd.array([r[2] for r in rows], "int64"),
+        })
+
+    def t_split_leakage(sf_dir):
+        # deterministic 80/10/10 train/val/test split + contamination
+        # audit (the split every training pipeline cuts, plus the
+        # check everyone forgets: EXACT-duplicate texts straddling a
+        # split boundary leak eval answers into training): assignment
+        # = md5('split:' || doc_id) % 10, leakage = texts whose md5
+        # appears in >= 2 distinct splits. One (text-hash, split)
+        # distinct exchange bounded by distinct texts; split sizes
+        # ride a 3-row combiner.
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def _assign(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            h = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(f"split:{i}".encode()).digest()[:8], "little"
+                    ) % 10
+                    for i in ids
+                ],
+                np.int64,
+            )
+            split = np.where(h <= 7, 0, np.where(h == 8, 1, 2))
+            th = [
+                hashlib.md5((x if x is not None else "").encode()).hexdigest()
+                for x in t["text"].to_pylist()
+            ]
+            df = pd.DataFrame({"split": split, "th": th}).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        pairs = rel.grouped_aggregate(
+            docs.map_batches(_assign, batch_format="pyarrow"), ["th", "split"],
+            {"one": ("count", "split")},
+        ).to_pandas()
+        leaky = int((pairs.groupby("th")["split"].count() > 1).sum())
+
+        def _sizes(t: pa.Table) -> pa.Table:
+            ids = t["doc_id"].to_numpy()
+            h = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.md5(f"split:{i}".encode()).digest()[:8], "little"
+                    ) % 10
+                    for i in ids
+                ],
+                np.int64,
+            )
+            split = np.where(h <= 7, 0, np.where(h == 8, 1, 2))
+            df = pd.DataFrame({"split": split, "n": 1})
+            g = df.groupby("split", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        sz = rel.grouped_aggregate(
+            docs.map_batches(_sizes, batch_format="pyarrow"), ["split"],
+            {"n": ("sum", "n")},
+        ).to_pandas().set_index("split")["n"]
+        return pd.DataFrame({
+            "n_train": [np.int64(sz.get(0, 0))],
+            "n_val": [np.int64(sz.get(1, 0))],
+            "n_test": [np.int64(sz.get(2, 0))],
+            "n_leaky_texts": [np.int64(leaky)],
+        })
+
+    def r125_hhi(sf_dir):
+        # Herfindahl-Hirschman concentration of order revenue across
+        # customers (the market/supplier-concentration metric risk
+        # teams track — "does one customer dominate the book?"):
+        # per-customer revenue rides one combiner; HHI = 10000 *
+        # sum(share^2) folds on the bounded customer table, with the
+        # top-1 share alongside.
+        od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        c = rel.grouped_aggregate(
+            od, ["o_custkey"], {"s": ("sum", "o_totalprice")}
+        ).to_pandas()
+        v = c["s"].to_numpy(np.float64)
+        tot = v.sum()
+        share = v / tot
+        hhi = float((share * share).sum()) * 10000.0
+        return pd.DataFrame({
+            "n_customers": [np.int64(len(v))],
+            "hhi": round_half_up(np.array([hhi])),
+            "top_share": round_half_up(np.array([float(share.max())])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -10646,6 +10767,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e32_bucketed_join": e32_bucketed_join,
         "r122_psi_drift": r122_psi_drift,
         "r123_cond_entropy": r123_cond_entropy,
+        # round-5 wave 21
+        "r124_streaks": r124_streaks,
+        "t_split_leakage": t_split_leakage,
+        "r125_hhi": r125_hhi,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14664,6 +14789,36 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r124_streaks": (
+            "WITH du AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events), "
+            "i AS (SELECT user_id, day, "
+            "day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS anchor FROM du), "
+            "s AS (SELECT user_id, anchor, count(*) AS len FROM i GROUP BY 1, 2) "
+            "SELECT user_id, CAST(sum(len) AS BIGINT) AS n_active_days, "
+            "CAST(max(len) AS BIGINT) AS longest_streak "
+            "FROM s GROUP BY user_id ORDER BY user_id"
+        ),
+        "t_split_leakage": (
+            "WITH a AS (SELECT doc_id, md5(coalesce(text, '')) AS th, "
+            "CASE WHEN md5_number_upper('split:' || CAST(doc_id AS VARCHAR)) % 10 <= 7 THEN 0 "
+            "WHEN md5_number_upper('split:' || CAST(doc_id AS VARCHAR)) % 10 = 8 THEN 1 "
+            "ELSE 2 END AS split FROM documents), "
+            "l AS (SELECT count(*) AS leaky FROM "
+            "(SELECT th FROM (SELECT DISTINCT th, split FROM a) "
+            "GROUP BY th HAVING count(*) > 1)) "
+            "SELECT CAST(sum(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_train, "
+            "CAST(sum(CASE WHEN split = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_val, "
+            "CAST(sum(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_test, "
+            "(SELECT CAST(leaky AS BIGINT) FROM l) AS n_leaky_texts FROM a"
+        ),
+        "r125_hhi": (
+            "WITH c AS (SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1), "
+            "t AS (SELECT sum(s) AS tot FROM c) "
+            "SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS n_customers, "
+            "round(sum(pow(c.s / t.tot, 2)) * 10000.0, 4) AS hhi, "
+            "round(max(c.s / t.tot), 4) AS top_share FROM c, t"
         ),
         "e32_bucketed_join": (
             "SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
