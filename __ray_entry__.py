@@ -10390,6 +10390,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "top_share": round_half_up(np.array([float(share.max())])),
         })
 
+    def r126_kaplan_meier(sf_dir):
+        # Kaplan-Meier survival curve over user lifetimes (the
+        # censoring-aware churn readout — naive "average lifetime"
+        # understates retention because users still active at the
+        # window edge haven't churned yet): per-user (first, last)
+        # day rides one min/max combiner; lifetime = last - first,
+        # churned iff last < max_day - 6 (else right-censored). The
+        # KM product S(t) = prod(1 - d_i/n_i) folds on the bounded
+        # distinct-duration table; the oracle replays it as
+        # exp(window-sum(ln)) — equal at 4dp. Subjects are
+        # (user, event_type) pairs — per-feature engagement spans —
+        # because every USER stays active to the window edge at all
+        # sfs (all-censored = empty curve); feature-level spans churn.
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t["user_id"],
+                "event_type": t["event_type"],
+                "day": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()
+                ),
+            })
+
+        dd = ev.map_batches(_day, batch_format="pyarrow")
+        mx = int(dd.max("day"))
+        u = (
+            rel.grouped_aggregate(
+                dd, ["user_id", "event_type"],
+                {"f": ("min", "day"), "l": ("max", "day")}
+            ).to_pandas()
+        )
+        t_ = (u["l"] - u["f"]).to_numpy(np.int64)
+        evt = (u["l"].to_numpy(np.int64) < mx - 6).astype(np.int64)
+        rows = []
+        s = 1.0
+        for tv in np.unique(t_[evt == 1]):
+            d_ = int(((t_ == tv) & (evt == 1)).sum())
+            n_risk = int((t_ >= tv).sum())
+            s *= 1.0 - d_ / n_risk
+            rows.append((int(tv), n_risk, d_, s))
+        return pd.DataFrame({
+            "t": pd.array([r[0] for r in rows], "int64"),
+            "n_risk": pd.array([r[1] for r in rows], "int64"),
+            "d": pd.array([r[2] for r in rows], "int64"),
+            "surv": round_half_up(np.array([r[3] for r in rows])),
+        })
+
+    def r127_cuped(sf_dir):
+        # CUPED variance reduction for the A/B readout (the standard
+        # experimentation-platform trick: regress the post-period
+        # metric on the pre-period covariate and analyze the
+        # residualized metric — same mean difference, much tighter
+        # CI): per-user pre/post value sums ride one combiner
+        # (bounded by users); theta = cov(x, y)/var(x) and the
+        # adjusted cohort means / variance-reduction ratio fold on
+        # that table. Cohorts by user parity.
+        ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "user_id": t["user_id"],
+                "day": pa.array(
+                    t["ts"].cast(pa.int64()).to_numpy() // 86400000000, pa.int64()
+                ),
+                "value": t["value"],
+            })
+
+        dv = ev.map_batches(_day, batch_format="pyarrow")
+        lo, hi = int(dv.min("day")), int(dv.max("day"))
+        mid = (lo + hi) // 2
+
+        def _prepost(t: pa.Table) -> pa.Table:
+            d_ = t["day"].to_numpy()
+            v = t["value"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(),
+                "x": np.where(d_ <= mid, v, 0.0),
+                "y": np.where(d_ > mid, v, 0.0),
+            })
+            g = df.groupby("user_id", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        u = rel.grouped_aggregate(
+            dv.map_batches(_prepost, batch_format="pyarrow"), ["user_id"],
+            {"x": ("sum", "x"), "y": ("sum", "y")},
+        ).to_pandas()
+        x = u["x"].to_numpy(np.float64)
+        y = u["y"].to_numpy(np.float64)
+        n = float(len(u))
+        sx, sy = x.sum(), y.sum()
+        theta = (n * float((x * y).sum()) - sx * sy) / (n * float((x * x).sum()) - sx * sx)
+        xbar = sx / n
+        yadj = y - theta * (x - xbar)
+        grp = (u["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        m0 = float(yadj[grp == 0].mean())
+        m1 = float(yadj[grp == 1].mean())
+        var_y = float(((y - sy / n) ** 2).sum()) / n
+        var_a = float(((yadj - yadj.sum() / n) ** 2).sum()) / n
+        return pd.DataFrame({
+            "n_users": [np.int64(n)],
+            "theta": round_half_up(np.array([theta])),
+            "mean0_adj": round_half_up(np.array([m0])),
+            "mean1_adj": round_half_up(np.array([m1])),
+            "var_reduction": round_half_up(np.array([1.0 - var_a / var_y])),
+        })
+
+    def r128_hill_tail(sf_dir):
+        # Hill estimator of the power-law tail index of the per-user
+        # activity distribution (the quantitative companion to
+        # t_zipf's fit: alpha says HOW heavy the heavy-hitter tail
+        # is, which prices the hot-key salting this repo's shuffles
+        # rely on): per-user counts ride one combiner; the top-(k+1)
+        # order statistics and alpha = k / sum(ln(x_i / x_{k+1}))
+        # fold on the bounded count table.
+        ev = _read(sf_dir, "events", ["user_id"])
+        c = rel.grouped_aggregate(
+            ev, ["user_id"], {"n": ("count", "user_id")}
+        ).to_pandas()
+        v = np.sort(c["n"].to_numpy(np.float64))[::-1]
+        k = min(20, v.size - 1)
+        thr = v[k]
+        alpha = k / float(np.log(v[:k] / thr).sum())
+        return pd.DataFrame({
+            "k": [np.int64(k)],
+            "threshold": round_half_up(np.array([thr])),
+            "alpha": round_half_up(np.array([alpha])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -10771,6 +10900,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r124_streaks": r124_streaks,
         "t_split_leakage": t_split_leakage,
         "r125_hhi": r125_hhi,
+        # round-5 wave 22
+        "r126_kaplan_meier": r126_kaplan_meier,
+        "r127_cuped": r127_cuped,
+        "r128_hill_tail": r128_hill_tail,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14789,6 +14922,52 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r126_kaplan_meier": (
+            "WITH dd AS (SELECT user_id, event_type, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events), "
+            "g AS (SELECT max(day) AS mx FROM dd), "
+            "u AS (SELECT user_id, event_type, min(day) AS f, max(day) AS l "
+            "FROM dd GROUP BY 1, 2), "
+            "du AS (SELECT l - f AS t, CASE WHEN l < g.mx - 6 THEN 1 ELSE 0 END AS ev FROM u, g), "
+            "e AS (SELECT t, count(*) AS d FROM du WHERE ev = 1 GROUP BY t), "
+            "rk AS (SELECT e.t, e.d, (SELECT count(*) FROM du WHERE du.t >= e.t) AS n_risk FROM e) "
+            "SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk, "
+            "CAST(d AS BIGINT) AS d, "
+            "round(exp(sum(ln(1 - d * 1.0 / n_risk)) OVER (ORDER BY t)), 4) AS surv "
+            "FROM rk ORDER BY t"
+        ),
+        "r127_cuped": (
+            "WITH bnd AS (SELECT (min(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT)) "
+            "+ max(CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT))) // 2 AS mid FROM events), "
+            "u AS (SELECT user_id, "
+            "sum(CASE WHEN CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) <= bnd.mid "
+            "THEN value ELSE 0 END) AS x, "
+            "sum(CASE WHEN CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) > bnd.mid "
+            "THEN value ELSE 0 END) AS y "
+            "FROM events, bnd GROUP BY user_id, bnd.mid), "
+            "m AS (SELECT count(*) * 1.0 AS n, sum(x) AS sx, sum(y) AS sy, "
+            "sum(x*x) AS sxx, sum(x*y) AS sxy FROM u), "
+            "th AS (SELECT (m.n*m.sxy - m.sx*m.sy) / (m.n*m.sxx - m.sx*m.sx) AS theta, "
+            "m.sx / m.n AS xbar, m.n AS n, m.sy AS sy FROM m), "
+            "a AS (SELECT u.user_id % 2 AS grp, u.y - th.theta * (u.x - th.xbar) AS ya, "
+            "u.y AS y FROM u, th), "
+            "v AS (SELECT sum(pow(y - (SELECT sy / n FROM th), 2)) / (SELECT n FROM th) AS vy, "
+            "sum(pow(ya - (SELECT sum(ya) / count(*) FROM a), 2)) / (SELECT n FROM th) AS va FROM a) "
+            "SELECT CAST((SELECT n FROM th) AS BIGINT) AS n_users, "
+            "round((SELECT theta FROM th), 4) AS theta, "
+            "round((SELECT avg(ya) FROM a WHERE grp = 0), 4) AS mean0_adj, "
+            "round((SELECT avg(ya) FROM a WHERE grp = 1), 4) AS mean1_adj, "
+            "round(1 - v.va / v.vy, 4) AS var_reduction FROM v"
+        ),
+        "r128_hill_tail": (
+            "WITH c AS (SELECT user_id, count(*) * 1.0 AS n FROM events GROUP BY 1), "
+            "o AS (SELECT n, row_number() OVER (ORDER BY n DESC, user_id) AS rn FROM c), "
+            "kk AS (SELECT least(20, (SELECT count(*) FROM c) - 1) AS k), "
+            "thr AS (SELECT o.n AS thr FROM o, kk WHERE o.rn = kk.k + 1) "
+            "SELECT CAST(kk.k AS BIGINT) AS k, round(thr.thr, 4) AS threshold, "
+            "round(kk.k / (SELECT sum(ln(o.n / thr.thr)) FROM o WHERE o.rn <= kk.k), 4) AS alpha "
+            "FROM kk, thr"
         ),
         "r124_streaks": (
             "WITH du AS (SELECT DISTINCT user_id, "
