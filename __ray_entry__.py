@@ -10519,6 +10519,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "alpha": round_half_up(np.array([alpha])),
         })
 
+    def r129_skyline(sf_dir):
+        # SKYLINE (Pareto-front) operator over part (minimize
+        # retailprice, maximize size — "no part is both cheaper and
+        # bigger"): the classic multi-objective relational operator,
+        # distributed the canonical way — each block computes its
+        # LOCAL skyline (correct because global skyline is a subset
+        # of the union of local skylines; dominance is transitive),
+        # locals union into one bounded candidate set, and the final
+        # dominance scan runs on that small set. Tie semantics match
+        # the oracle's NOT EXISTS exactly: equal (price, size) points
+        # co-survive.
+        pt = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+        def _sky(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.sort_values(
+                ["p_retailprice", "p_size", "p_partkey"],
+                ascending=[True, False, True], kind="mergesort",
+            )
+            price = df["p_retailprice"].to_numpy(np.float64)
+            size = df["p_size"].to_numpy(np.int64)
+            keep = np.zeros(len(df), bool)
+            best_prev = -np.inf  # max size among strictly cheaper parts
+            i = 0
+            while i < len(df):
+                j = i
+                while j < len(df) and price[j] == price[i]:
+                    j += 1
+                gmax = size[i:j].max()
+                if gmax > best_prev:
+                    keep[i:j] = size[i:j] == gmax
+                best_prev = max(best_prev, gmax)
+                i = j
+            return df[keep]
+
+        local = pt.map_batches(_sky, batch_format="pandas")
+        final = (
+            _sky(local.to_pandas())
+            .sort_values("p_partkey", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "p_partkey": final["p_partkey"].astype("int64"),
+            "price": round_half_up(final["p_retailprice"].to_numpy(np.float64)),
+            "size": final["p_size"].astype("int64"),
+        })
+
+    def r130_embed_cov(sf_dir):
+        # full covariance matrix of the embedding space (the PCA /
+        # whitening building block, and matrix_stats' big brother):
+        # each batch contributes ONE vectorized X^T X partial (a
+        # dim x dim matmul), plus the column-sum and count — the
+        # exchange carries dim^2-sized partials, never vectors — and
+        # cov = XtX/n - mu mu^T closes driver-side. Output is the
+        # upper triangle as (i, j, cov) rows.
+        emb = _read(sf_dir, "embeddings", ["embedding"])
+
+        def _xtx(t: pa.Table) -> pa.Table:
+            m = np.vstack(
+                [np.asarray(x, np.float64) for x in t["embedding"].to_pylist()]
+            )
+            dim = m.shape[1]
+            xtx = m.T @ m
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "n": pa.array([float(m.shape[0])], pa.float64()),
+                "sx": pa.array([m.sum(axis=0)], pa.list_(pa.float64())),
+                "xtx": pa.array([xtx.ravel()], pa.list_(pa.float64())),
+            })
+
+        parts = emb.map_batches(_xtx, batch_format="pyarrow").to_pandas()
+        n = float(parts["n"].sum())
+        sx = np.sum(np.vstack(parts["sx"].to_numpy()), axis=0)
+        xtx = np.sum(np.vstack(parts["xtx"].to_numpy()), axis=0)
+        dim = sx.size
+        mu = sx / n
+        cov = xtx.reshape(dim, dim) / n - np.outer(mu, mu)
+        iu = np.triu_indices(dim)
+        return pd.DataFrame({
+            "i": pd.array(iu[0].astype(np.int64), "int64"),
+            "j": pd.array(iu[1].astype(np.int64), "int64"),
+            "cov": round_half_up(cov[iu]),
+        })
+
+    def r131_benford2(sf_dir):
+        # Benford SECOND-digit screen on l_extendedprice (the
+        # forensic follow-up to r73's first-digit test — fabricated
+        # numbers often pass first-digit but fail second): observed
+        # second-digit counts ride a 10-row combiner; expected
+        # frequencies are the closed form sum(log10(1 + 1/(10a + d)))
+        # over leading digits a = 1..9.
+        li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+
+        def _d2(t: pa.Table) -> pa.Table:
+            x = t["l_extendedprice"].to_numpy().astype(np.float64)
+            x = x[x >= 10.0]
+            mag = np.floor(np.log10(x))
+            d2 = (np.floor(x / np.power(10.0, mag - 1)) % 10).astype(np.int64)
+            df = pd.DataFrame({"digit": d2, "n": 1})
+            g = df.groupby("digit", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = (
+            rel.grouped_aggregate(
+                li.map_batches(_d2, batch_format="pyarrow"), ["digit"],
+                {"n": ("sum", "n")},
+            )
+            .to_pandas().set_index("digit")["n"]
+        )
+        tot = float(c.sum())
+        digits = np.arange(10)
+        obs = np.array([float(c.get(d, 0)) for d in digits])
+        exp = np.array([
+            sum(math.log10(1.0 + 1.0 / (10 * a + d)) for a in range(1, 10))
+            for d in digits
+        ])
+        return pd.DataFrame({
+            "digit": pd.array(digits.astype(np.int64), "int64"),
+            "n": pd.array(obs.astype(np.int64), "int64"),
+            "obs_frac": round_half_up(obs / tot),
+            "exp_frac": round_half_up(exp),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -10904,6 +11025,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r126_kaplan_meier": r126_kaplan_meier,
         "r127_cuped": r127_cuped,
         "r128_hill_tail": r128_hill_tail,
+        # round-5 wave 23
+        "r129_skyline": r129_skyline,
+        "r130_embed_cov": r130_embed_cov,
+        "r131_benford2": r131_benford2,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -14922,6 +15047,44 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r129_skyline": (
+            "SELECT p_partkey, round(p_retailprice, 4) AS price, "
+            "CAST(p_size AS BIGINT) AS size FROM part a "
+            "WHERE NOT EXISTS (SELECT 1 FROM part b "
+            "WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size "
+            "AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size)) "
+            "ORDER BY p_partkey"
+        ),
+        "r130_embed_cov": (
+            "WITH u AS (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v, "
+            "generate_subscripts(embedding, 1) - 1 AS idx FROM embeddings), "
+            "n AS (SELECT count(*) * 1.0 AS n FROM embeddings), "
+            "mu AS (SELECT idx, sum(v) / (SELECT n FROM n) AS m FROM u GROUP BY idx), "
+            "xx AS (SELECT a.idx AS i, b.idx AS j, sum(a.v * b.v) AS s "
+            "FROM u a JOIN u b ON b.vec_id = a.vec_id AND b.idx >= a.idx "
+            "GROUP BY 1, 2) "
+            "SELECT CAST(xx.i AS BIGINT) AS i, CAST(xx.j AS BIGINT) AS j, "
+            "round(xx.s / (SELECT n FROM n) - ma.m * mb.m, 4) AS cov "
+            "FROM xx JOIN mu ma ON ma.idx = xx.i JOIN mu mb ON mb.idx = xx.j "
+            "ORDER BY i, j"
+        ),
+        "r131_benford2": (
+            "WITH x AS (SELECT l_extendedprice AS v FROM lineitem WHERE l_extendedprice >= 10), "
+            "d2 AS (SELECT CAST(floor(v / pow(10.0, floor(log10(v)) - 1)) AS BIGINT) % 10 AS digit "
+            "FROM x), "
+            "c AS (SELECT digit, count(*) * 1.0 AS n FROM d2 GROUP BY digit), "
+            "dg AS (SELECT unnest(range(0, 10)) AS digit), "
+            "a AS (SELECT unnest(range(1, 10)) AS a), "
+            "exp_ AS (SELECT dg.digit, sum(log10(1.0 + 1.0 / (10 * a.a + dg.digit))) AS e "
+            "FROM dg CROSS JOIN a GROUP BY dg.digit), "
+            "tot AS (SELECT sum(n) AS t FROM c) "
+            "SELECT CAST(dg.digit AS BIGINT) AS digit, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n, "
+            "round(coalesce(c.n, 0) / tot.t, 4) AS obs_frac, "
+            "round(exp_.e, 4) AS exp_frac "
+            "FROM dg LEFT JOIN c ON c.digit = dg.digit "
+            "JOIN exp_ ON exp_.digit = dg.digit, tot ORDER BY digit"
         ),
         "r126_kaplan_meier": (
             "WITH dd AS (SELECT user_id, event_type, "
