@@ -11032,9 +11032,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
-    # front-load 50 never-driver-checked entries from the 142-strong
-    # backlog (300 total, 158 checked cumulatively r01-r04): the 31
-    # round-4 additions newest-first (highest bug risk), the two
+    # front-load 50 never-driver-checked entries from the backlog
+    # (361 entries total now — 300 at rotation time, 158 checked
+    # cumulatively r01-r04; the 61 round-5 additions are covered by
+    # the per-wave sf0.001+sf0.01 oracle tests and sf0.1 smokes, and
+    # are queued newest-first in COVERAGE.md's round-6 rotation
+    # backlog): the 31 round-4 additions newest-first, the two
     # entries rewritten this round to drop their driver-side corpus
     # reads (s52_rank_eval, s55_boosting — VERDICT r04 ask #2), the
     # oldest never-checked r34-r46 band, and the VERDICT-named
