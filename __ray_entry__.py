@@ -10640,6 +10640,162 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "exp_frac": round_half_up(exp),
         })
 
+    def e33_deletion_vectors(sf_dir):
+        # merge-on-read DELETES (Iceberg v2 / Delta deletion vectors:
+        # deletes land as a compact key sidecar, the base files never
+        # rewrite, readers anti-join at scan time): the delete vector
+        # derives Dataset-side (o_orderkey % 9 == 4), persists as the
+        # sidecar parquet (mtime-keyed), and the read applies ONE
+        # broadcast anti-filter per batch. Deletion vectors are the
+        # SMALL side by design; a delete set beyond driver memory
+        # partitions by the data files' own key ranges (positional
+        # deletes) and anti-joins per partition instead.
+        import ray.data as rd
+
+        src = os.path.join(sf_dir, "orders.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_dv_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        dv_path = os.path.join(base, "deletes")
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            rd.read_parquet(src, columns=["o_orderkey"]).map_batches(
+                lambda t: t.filter(pa.array(t["o_orderkey"].to_numpy() % 9 == 4)),
+                batch_format="pyarrow",
+            ).write_parquet(dv_path)
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+
+        dv = rd.read_parquet(dv_path)
+        import ray as _ray
+
+        deleted = np.unique(
+            np.concatenate(
+                [p["o_orderkey"].to_numpy() for p in _ray.get(dv.to_arrow_refs())
+                 if p.num_rows]
+                or [np.array([], np.int64)]
+            )
+        )
+        ref = _ray.put(deleted)
+
+        def _anti(t: pa.Table) -> pa.Table:
+            dels = _ray.get(ref)
+            keep = ~np.isin(t["o_orderkey"].to_numpy(), dels)
+            tt = t.filter(pa.array(keep))
+            return pa.table({
+                "o_orderstatus": tt["o_orderstatus"],
+                "n": pa.array(np.ones(tt.num_rows, np.int64)),
+                "s": tt["o_totalprice"],
+            })
+
+        out = (
+            rel.grouped_aggregate(
+                rd.read_parquet(
+                    src, columns=["o_orderkey", "o_orderstatus", "o_totalprice"]
+                ).map_batches(_anti, batch_format="pyarrow"),
+                ["o_orderstatus"], {"n": ("sum", "n"), "s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("o_orderstatus", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "o_orderstatus": out["o_orderstatus"],
+            "n": out["n"].astype("int64"),
+            "sum_price": round_half_up(out["s"].to_numpy()),
+        })
+
+    def r132_hist2d(sf_dir):
+        # 2-D histogram heatmap of (quantity band, discount band) with
+        # revenue per cell (the OLAP companion to the 1-D
+        # histogram_aggregate): banding is one vectorized floor per
+        # batch with oracle-identical float op order, the exchange
+        # carries one row per (cell, block), and the full 5x6 grid
+        # emits zero cells like the SQL cross join.
+        li = _read(sf_dir, "lineitem", ["l_quantity", "l_discount", "l_extendedprice"])
+
+        def _cell(t: pa.Table) -> pa.Table:
+            q = t["l_quantity"].to_numpy().astype(np.float64)
+            d_ = t["l_discount"].to_numpy().astype(np.float64)
+            qb = np.minimum(4, np.floor(q / 10.0)).astype(np.int64)
+            db = np.minimum(5, np.floor(d_ / 0.02)).astype(np.int64)
+            df = pd.DataFrame({
+                "qb": qb, "db": db, "n": 1,
+                "rev": t["l_extendedprice"].to_numpy().astype(np.float64),
+            })
+            g = df.groupby(["qb", "db"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = rel.grouped_aggregate(
+            li.map_batches(_cell, batch_format="pyarrow"), ["qb", "db"],
+            {"n": ("sum", "n"), "rev": ("sum", "rev")},
+        ).to_pandas().set_index(["qb", "db"])
+        rows = []
+        for qb in range(5):
+            for db in range(6):
+                if (qb, db) in c.index:
+                    r = c.loc[(qb, db)]
+                    rows.append((qb, db, int(r["n"]), float(r["rev"])))
+                else:
+                    rows.append((qb, db, 0, 0.0))
+        return pd.DataFrame({
+            "qb": pd.array([r[0] for r in rows], "int64"),
+            "db": pd.array([r[1] for r in rows], "int64"),
+            "n": pd.array([r[2] for r in rows], "int64"),
+            "rev": round_half_up(np.array([r[3] for r in rows])),
+        })
+
+    def t_source_divergence(sf_dir):
+        # Jensen-Shannon divergence between two sources' unigram
+        # distributions (the domain-mixing distance a curation
+        # pipeline uses to decide whether corpora need separate
+        # treatment): per-(source, token) counts ride one combiner
+        # bounded by 2 x vocab; Laplace-0.5 smoothing over the UNION
+        # vocab, JS = (KL(p||m) + KL(q||m)) / 2 folds driver-side with
+        # oracle-identical formula order.
+        from search_engine_ray.ops.text import _flat_tokens
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+
+        def _tok(t: pa.Table) -> pa.Table:
+            mask = pc.is_in(t["source"], value_set=pa.array(["src0", "src1"]))
+            tt = t.filter(mask)
+            if tt.num_rows == 0:
+                return pa.table({
+                    "src": pa.array([], pa.string()),
+                    "tok": pa.array([], pa.string()),
+                    "c": pa.array([], pa.int64()),
+                })
+            flat, parents, _n = _flat_tokens(tt["text"])
+            src = np.asarray(tt["source"].to_pylist(), dtype=object)[parents]
+            df = pd.DataFrame({
+                "src": src, "tok": flat.to_numpy(zero_copy_only=False), "c": 1
+            })
+            g = df.groupby(["src", "tok"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = rel.grouped_aggregate(
+            docs.map_batches(_tok, batch_format="pyarrow"), ["src", "tok"],
+            {"c": ("sum", "c")},
+        ).to_pandas()
+        piv = c.pivot_table(
+            index="tok", columns="src", values="c", fill_value=0, aggfunc="sum"
+        )
+        c0 = piv.get("src0", pd.Series(0, index=piv.index)).to_numpy(np.float64)
+        c1 = piv.get("src1", pd.Series(0, index=piv.index)).to_numpy(np.float64)
+        n0, n1, v = c0.sum(), c1.sum(), float(len(piv))
+        p = (c0 + 0.5) / (n0 + 0.5 * v)
+        q = (c1 + 0.5) / (n1 + 0.5 * v)
+        m_ = (p + q) / 2.0
+        js = 0.5 * float((p * np.log(p / m_)).sum()) + 0.5 * float(
+            (q * np.log(q / m_)).sum()
+        )
+        return pd.DataFrame({
+            "n0_tokens": [np.int64(n0)], "n1_tokens": [np.int64(n1)],
+            "vocab": [np.int64(v)],
+            "js": round_half_up(np.array([js])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11029,6 +11185,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r129_skyline": r129_skyline,
         "r130_embed_cov": r130_embed_cov,
         "r131_benford2": r131_benford2,
+        # round-5 wave 24
+        "e33_deletion_vectors": e33_deletion_vectors,
+        "r132_hist2d": r132_hist2d,
+        "t_source_divergence": t_source_divergence,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15050,6 +15210,39 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "e33_deletion_vectors": (
+            "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 4) AS sum_price "
+            "FROM orders WHERE o_orderkey % 9 <> 4 "
+            "GROUP BY 1 ORDER BY 1"
+        ),
+        "r132_hist2d": (
+            "WITH b AS (SELECT least(4, CAST(floor(l_quantity / 10.0) AS BIGINT)) AS qb, "
+            "least(5, CAST(floor(l_discount / 0.02) AS BIGINT)) AS db, "
+            "l_extendedprice AS rev FROM lineitem), "
+            "c AS (SELECT qb, db, count(*) * 1.0 AS n, sum(rev) AS rev FROM b GROUP BY 1, 2), "
+            "grid AS (SELECT q.qb, d.db FROM (SELECT unnest(range(0, 5)) AS qb) q "
+            "CROSS JOIN (SELECT unnest(range(0, 6)) AS db) d) "
+            "SELECT CAST(grid.qb AS BIGINT) AS qb, CAST(grid.db AS BIGINT) AS db, "
+            "CAST(coalesce(c.n, 0) AS BIGINT) AS n, round(coalesce(c.rev, 0), 4) AS rev "
+            "FROM grid LEFT JOIN c ON c.qb = grid.qb AND c.db = grid.db "
+            "ORDER BY qb, db"
+        ),
+        "t_source_divergence": (
+            "WITH tok AS (SELECT source, "
+            "unnest(regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9_]+')) AS t "
+            "FROM documents WHERE source IN ('src0', 'src1')), "
+            "c AS (SELECT t, sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) * 1.0 AS c0, "
+            "sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) * 1.0 AS c1 FROM tok GROUP BY t), "
+            "m AS (SELECT sum(c0) AS n0, sum(c1) AS n1, count(*) * 1.0 AS v FROM c), "
+            "pq_ AS (SELECT (c0 + 0.5) / (m.n0 + 0.5 * m.v) AS p, "
+            "(c1 + 0.5) / (m.n1 + 0.5 * m.v) AS q FROM c, m) "
+            "SELECT CAST(m.n0 AS BIGINT) AS n0_tokens, CAST(m.n1 AS BIGINT) AS n1_tokens, "
+            "CAST(m.v AS BIGINT) AS vocab, "
+            "round((SELECT 0.5 * sum(p * ln(p / ((p + q) / 2))) "
+            "+ 0.5 * sum(q * ln(q / ((p + q) / 2))) FROM pq_), 4) AS js "
+            "FROM m"
         ),
         "r129_skyline": (
             "SELECT p_partkey, round(p_retailprice, 4) AS price, "
