@@ -10796,6 +10796,133 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "js": round_half_up(np.array([js])),
         })
 
+    def r133_odds_ratio(sf_dir):
+        # odds ratio + relative risk for the 2x2 (cohort x clicked)
+        # table (the epidemiology-style effect measures that complete
+        # the A/B family: r81 tests the difference, these QUANTIFY
+        # it, with log-scale 95% CIs): the outcome flag is
+        # "above-average clicker" (every user fires every event type
+        # at every sf, so a has-clicked flag is degenerate), the 2x2
+        # rides one bounded per-user combiner, and ALL ratio cells
+        # take the Haldane-Anscombe +0.5 correction so zero cells
+        # stay finite.
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+        def _flags(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "user_id": t["user_id"].to_numpy(),
+                "clicks": pc.cast(
+                    pc.equal(t["event_type"], "click"), pa.int64()
+                ).to_numpy(zero_copy_only=False),
+            })
+            g = df.groupby("user_id", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        u = rel.grouped_aggregate(
+            ev.map_batches(_flags, batch_format="pyarrow"), ["user_id"],
+            {"clicks": ("sum", "clicks")},
+        ).to_pandas()
+        ck = u["clicks"].to_numpy(np.float64)
+        thr = ck.sum() / float(len(u))
+        clk = (ck > thr).astype(np.int64)
+        grp = (u["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        a = float(((grp == 0) & (clk == 1)).sum()) + 0.5  # exposed, event
+        b = float(((grp == 0) & (clk == 0)).sum()) + 0.5
+        c = float(((grp == 1) & (clk == 1)).sum()) + 0.5
+        d_ = float(((grp == 1) & (clk == 0)).sum()) + 0.5
+        orr = (a * d_) / (b * c)
+        rr = (a / (a + b)) / (c / (c + d_))
+        hw = 1.96 * math.sqrt(1 / a + 1 / b + 1 / c + 1 / d_)
+        return pd.DataFrame({
+            "a": [np.int64(a - 0.5)], "b": [np.int64(b - 0.5)],
+            "c": [np.int64(c - 0.5)], "d": [np.int64(d_ - 0.5)],
+            "odds_ratio": round_half_up(np.array([orr])),
+            "rel_risk": round_half_up(np.array([rr])),
+            "or_ci_lo": round_half_up(np.array([math.exp(math.log(orr) - hw)])),
+            "or_ci_hi": round_half_up(np.array([math.exp(math.log(orr) + hw)])),
+        })
+
+    def e34_scd2(sf_dir):
+        # slowly-changing-dimension TYPE 2 + point-in-time lookup (the
+        # warehouse history pattern CDC merge deliberately discards:
+        # e29 keeps latest, SCD2 keeps EVERY version with validity
+        # intervals): each customer's orders become priority versions
+        # valid [orderdate, next orderdate); the as-of query picks the
+        # active version at a fixed date. Version intervals derive
+        # inside customer-hash shards (r83's shape — sort + lead per
+        # shard, one 64-key exchange); the as-of filter and rollup
+        # close on the bounded versions-at-T set.
+        od = _read(
+            sf_dir, "orders", ["o_custkey", "o_orderdate", "o_orderkey", "o_orderpriority"]
+        )
+        # orders span 1995-2001 at every sf; 1998-06-01 sits mid-range
+        asof = int(np.datetime64("1998-06-01T00:00:00", "us").astype(np.int64))
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            u = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_b": pa.array((u * np.int64(2654435761)) % np.int64(64), pa.int64()),
+                "cust": pa.array(u, pa.int64()),
+                "ts": t["o_orderdate"].cast(pa.int64()),
+                "okey": t["o_orderkey"],
+                "pri": t["o_orderpriority"],
+            })
+
+        def _versions(t: pa.Table) -> pa.Table:
+            cu = t["cust"].to_numpy(zero_copy_only=False)
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            ok = t["okey"].to_numpy(zero_copy_only=False)
+            pri = np.asarray(t["pri"].to_pylist(), dtype=object)
+            o = np.lexsort((ok, ts, cu))
+            cu, ts, ok, pri = cu[o], ts[o], ok[o], pri[o]
+            same = np.append(cu[1:] == cu[:-1], False)
+            valid_to = np.where(same, np.append(ts[1:], 0), np.int64(2**62))
+            active = (ts <= asof) & (asof < valid_to)
+            df = pd.DataFrame({"pri": pri[active], "n": 1})
+            g = df.groupby("pri", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                od.map_batches(_bucket, batch_format="pyarrow")
+                .groupby("_b").map_groups(_versions, batch_format="pyarrow"),
+                ["pri"], {"n": ("sum", "n")},
+            )
+            .to_pandas().sort_values("pri", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "pri": out["pri"],
+            "n_customers": out["n"].astype("int64"),
+        })
+
+    def r134_lorenz(sf_dir):
+        # Lorenz curve deciles of order revenue across customers (the
+        # curve whose area IS r86's Gini and whose concentration r125
+        # indexes — per-decile cumulative revenue share makes the
+        # inequality readable): per-customer revenue rides one
+        # combiner; customers sort by revenue ascending (custkey
+        # tiebreak, mirrored in SQL), deciles cut by customer-count
+        # tenths.
+        od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        c = (
+            rel.grouped_aggregate(od, ["o_custkey"], {"s": ("sum", "o_totalprice")})
+            .to_pandas().sort_values(["s", "o_custkey"], kind="mergesort")
+            .reset_index(drop=True)
+        )
+        v = c["s"].to_numpy(np.float64)
+        n = v.size
+        tot = v.sum()
+        cum = np.cumsum(v)
+        rows = []
+        for k in range(1, 11):
+            idx = (k * n) // 10
+            rows.append((k, idx, cum[idx - 1] / tot if idx > 0 else 0.0))
+        return pd.DataFrame({
+            "decile": pd.array([r[0] for r in rows], "int64"),
+            "n_cust": pd.array([r[1] for r in rows], "int64"),
+            "cum_share": round_half_up(np.array([r[2] for r in rows])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11189,6 +11316,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "e33_deletion_vectors": e33_deletion_vectors,
         "r132_hist2d": r132_hist2d,
         "t_source_divergence": t_source_divergence,
+        # round-5 wave 25
+        "r133_odds_ratio": r133_odds_ratio,
+        "e34_scd2": e34_scd2,
+        "r134_lorenz": r134_lorenz,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15210,6 +15341,50 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r133_odds_ratio": (
+            "WITH u AS (SELECT user_id, "
+            "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 1.0 AS clicks "
+            "FROM events GROUP BY 1), "
+            "thr AS (SELECT sum(clicks) / count(*) AS m FROM u), "
+            "f AS (SELECT user_id % 2 AS grp, "
+            "CASE WHEN clicks > thr.m THEN 1 ELSE 0 END AS clk FROM u, thr), "
+            "t AS (SELECT "
+            "sum(CASE WHEN grp = 0 AND clk = 1 THEN 1 ELSE 0 END) + 0.5 AS a, "
+            "sum(CASE WHEN grp = 0 AND clk = 0 THEN 1 ELSE 0 END) + 0.5 AS b, "
+            "sum(CASE WHEN grp = 1 AND clk = 1 THEN 1 ELSE 0 END) + 0.5 AS c, "
+            "sum(CASE WHEN grp = 1 AND clk = 0 THEN 1 ELSE 0 END) + 0.5 AS d "
+            "FROM f) "
+            "SELECT CAST(a - 0.5 AS BIGINT) AS a, CAST(b - 0.5 AS BIGINT) AS b, "
+            "CAST(c - 0.5 AS BIGINT) AS c, CAST(d - 0.5 AS BIGINT) AS d, "
+            "round((a*d)/(b*c), 4) AS odds_ratio, "
+            "round((a/(a+b))/(c/(c+d)), 4) AS rel_risk, "
+            "round(exp(ln((a*d)/(b*c)) - 1.96*sqrt(1/a + 1/b + 1/c + 1/d)), 4) AS or_ci_lo, "
+            "round(exp(ln((a*d)/(b*c)) + 1.96*sqrt(1/a + 1/b + 1/c + 1/d)), 4) AS or_ci_hi "
+            "FROM t"
+        ),
+        "e34_scd2": (
+            "WITH v AS (SELECT o_custkey, o_orderpriority AS pri, "
+            "epoch_us(o_orderdate) AS vf, "
+            "coalesce(epoch_us(lead(o_orderdate) OVER "
+            "(PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)), 4611686018427387904) AS vt "
+            "FROM orders) "
+            "SELECT pri, CAST(count(*) AS BIGINT) AS n_customers FROM v "
+            "WHERE vf <= epoch_us(TIMESTAMP '1998-06-01 00:00:00') "
+            "AND epoch_us(TIMESTAMP '1998-06-01 00:00:00') < vt "
+            "GROUP BY pri ORDER BY pri"
+        ),
+        "r134_lorenz": (
+            "WITH c AS (SELECT o_custkey, sum(o_totalprice) AS s FROM orders GROUP BY 1), "
+            "o AS (SELECT s, row_number() OVER (ORDER BY s, o_custkey) AS rn, "
+            "count(*) OVER () AS n, sum(s) OVER () AS tot FROM c), "
+            "cm AS (SELECT rn, n, tot, sum(s) OVER (ORDER BY rn) AS cum FROM o), "
+            "ks AS (SELECT unnest(range(1, 11)) AS decile) "
+            "SELECT CAST(ks.decile AS BIGINT) AS decile, "
+            "CAST((ks.decile * (SELECT any_value(n) FROM cm)) // 10 AS BIGINT) AS n_cust, "
+            "round(coalesce((SELECT cum / tot FROM cm "
+            "WHERE cm.rn = (ks.decile * cm.n) // 10), 0), 4) AS cum_share "
+            "FROM ks ORDER BY decile"
         ),
         "e33_deletion_vectors": (
             "SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n, "

@@ -252,6 +252,22 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r101_seasonal_decompose", "e23_retention_sink",
         "r102_bucket_correlation", "s92_terms_include", "mm_audio_energy",
         "r103_srm_check", "e24_psv_dialect", "r104_cramers_v",
+        # round-5 continuation waves 11-24 (all sf0.1-smoked pre-commit)
+        "r105_jarque_bera", "r106_cohens_d", "r107_tukey_users", "t_readability",
+        "r108_kendall_tau", "r109_cross_corr", "r110_durbin_watson",
+        "r111_bfs_levels", "t_spell_pairs", "e25_schema_evolution",
+        "r112_pacf", "r113_grubbs", "r114_mad_outliers", "r115_rescaled_range",
+        "e26_manifest_snapshot", "r116_rate_ratio", "t_vocab_growth",
+        "sketch_heavy_hitters", "e27_delta_rollup", "e28_zorder_layout",
+        "r117_selfjoin_size", "ann_label_cohesion", "e29_cdc_merge",
+        "e30_compaction", "r118_gap_fill", "e31_footer_stats",
+        "r119_std_residuals", "r120_mcnemar", "r121_stickiness",
+        "e32_bucketed_join", "r122_psi_drift", "r123_cond_entropy",
+        "r124_streaks", "t_split_leakage", "r125_hhi",
+        "r126_kaplan_meier", "r127_cuped", "r128_hill_tail",
+        "r129_skyline", "r130_embed_cov", "r131_benford2",
+        "e33_deletion_vectors", "r132_hist2d", "t_source_divergence",
+        "r133_odds_ratio", "e34_scd2", "r134_lorenz",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
