@@ -10923,6 +10923,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "cum_share": round_half_up(np.array([r[2] for r in rows])),
         })
 
+    def e35_time_travel(sf_dir):
+        # snapshot TIME TRAVEL (the audit/debug read every table
+        # format sells: "what did this table say last week?"):
+        # publish v1 = even-keyed orders, then publish v2 = all
+        # orders over the SAME table dir; immutable numbered
+        # manifests keep v1 readable after v2 lands. The entry reads
+        # BOTH versions and rolls each up — the oracle replays the
+        # two construction rules off the view, so any cross-version
+        # file leakage breaks the value check.
+        import ray.data as rd
+
+        from search_engine_ray.ops.sinks import read_snapshot, write_snapshot
+
+        src = os.path.join(sf_dir, "orders.parquet")
+        st = os.stat(src)
+        tag = sf_dir.strip("/").replace("/", "_")
+        base = f"/tmp/ser_tt_cache/{tag}_{int(st.st_mtime)}_{st.st_size}"
+        if not os.path.exists(os.path.join(base, "_DONE")):
+            import shutil
+
+            shutil.rmtree(base, ignore_errors=True)
+            os.makedirs(base, exist_ok=True)
+            od = rd.read_parquet(src, columns=["o_orderkey", "o_totalprice"])
+            write_snapshot(
+                od.map_batches(
+                    lambda t: t.filter(pa.array(t["o_orderkey"].to_numpy() % 2 == 0)),
+                    batch_format="pyarrow",
+                ),
+                base,
+            )
+            write_snapshot(od, base)
+            open(os.path.join(base, "_DONE"), "w").write("ok")
+
+        rows = []
+        for ver in (1, 2):
+            agg = (
+                rel.grouped_aggregate(
+                    read_snapshot(base, version=ver).map_batches(
+                        lambda t: pa.table({
+                            "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                            "n": pa.array(np.ones(t.num_rows, np.int64)),
+                            "s": t["o_totalprice"],
+                        }),
+                        batch_format="pyarrow",
+                    ),
+                    ["g"], {"n": ("sum", "n"), "s": ("sum", "s")},
+                ).to_pandas()
+            )
+            rows.append((ver, int(agg["n"].iloc[0]), float(agg["s"].iloc[0])))
+        return pd.DataFrame({
+            "version": pd.array([r[0] for r in rows], "int64"),
+            "n": pd.array([r[1] for r in rows], "int64"),
+            "sum_price": round_half_up(np.array([r[2] for r in rows])),
+        })
+
+    def r135_growth_accounting(sf_dir):
+        # growth accounting (the canonical DAU decomposition: every
+        # active user each day is exactly one of new / retained /
+        # resurrected, and churned(d) counts yesterday's actives who
+        # left): folds on the bounded (day, user) distinct combiner
+        # table — never raw events — with first-day and
+        # active-yesterday flags vectorized.
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def _du(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "day": t["ts"].cast(pa.int64()).to_numpy() // 86400000000,
+                "user_id": t["user_id"].to_numpy(),
+            }).drop_duplicates()
+            return pa.Table.from_pandas(df, preserve_index=False)
+
+        du = (
+            rel.grouped_aggregate(
+                ev.map_batches(_du, batch_format="pyarrow"), ["user_id", "day"],
+                {"one": ("count", "day")},
+            ).to_pandas()[["user_id", "day"]]
+        )
+        first = du.groupby("user_id")["day"].min()
+        du = du.assign(fd=du["user_id"].map(first))
+        active = set(map(tuple, du[["user_id", "day"]].to_numpy()))
+        du["prev"] = [
+            (u, dday - 1) in active for u, dday in du[["user_id", "day"]].to_numpy()
+        ]
+        days = np.sort(du["day"].unique())
+        actives_by_day = du.groupby("day")["user_id"].count()
+        rows = []
+        for dday in days:
+            sub = du[du["day"] == dday]
+            new = int((sub["fd"] == dday).sum())
+            retained = int(sub["prev"].sum())
+            resurrected = int(((~sub["prev"]) & (sub["fd"] < dday)).sum())
+            churned = int(actives_by_day.get(dday - 1, 0)) - retained
+            rows.append((int(dday), new, retained, resurrected, churned))
+        return pd.DataFrame({
+            "day": pd.array([r[0] for r in rows], "int64"),
+            "new": pd.array([r[1] for r in rows], "int64"),
+            "retained": pd.array([r[2] for r in rows], "int64"),
+            "resurrected": pd.array([r[3] for r in rows], "int64"),
+            "churned": pd.array([r[4] for r in rows], "int64"),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11320,6 +11421,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r133_odds_ratio": r133_odds_ratio,
         "e34_scd2": e34_scd2,
         "r134_lorenz": r134_lorenz,
+        # round-5 wave 26
+        "e35_time_travel": e35_time_travel,
+        "r135_growth_accounting": r135_growth_accounting,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15341,6 +15445,35 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "e35_time_travel": (
+            "SELECT * FROM ("
+            "SELECT 1 AS version, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 4) AS sum_price FROM orders WHERE o_orderkey % 2 = 0 "
+            "UNION ALL "
+            "SELECT 2 AS version, CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(o_totalprice), 4) AS sum_price FROM orders) "
+            "ORDER BY version"
+        ),
+        "r135_growth_accounting": (
+            "WITH du AS (SELECT DISTINCT user_id, "
+            "CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day FROM events), "
+            "f AS (SELECT user_id, min(day) AS fd FROM du GROUP BY 1), "
+            "x AS (SELECT du.day, du.user_id, f.fd, "
+            "EXISTS(SELECT 1 FROM du p WHERE p.user_id = du.user_id "
+            "AND p.day = du.day - 1) AS prev "
+            "FROM du JOIN f ON f.user_id = du.user_id), "
+            "t AS (SELECT day, "
+            "sum(CASE WHEN day = fd THEN 1 ELSE 0 END) AS new, "
+            "sum(CASE WHEN prev THEN 1 ELSE 0 END) AS retained, "
+            "sum(CASE WHEN NOT prev AND day > fd THEN 1 ELSE 0 END) AS resurrected "
+            "FROM x GROUP BY day), "
+            "a AS (SELECT day, count(*) AS actives FROM du GROUP BY day) "
+            "SELECT CAST(t.day AS BIGINT) AS day, CAST(t.new AS BIGINT) AS new, "
+            "CAST(t.retained AS BIGINT) AS retained, "
+            "CAST(t.resurrected AS BIGINT) AS resurrected, "
+            "CAST(coalesce(ap.actives, 0) - t.retained AS BIGINT) AS churned "
+            "FROM t LEFT JOIN a ap ON ap.day = t.day - 1 ORDER BY t.day"
         ),
         "r133_odds_ratio": (
             "WITH u AS (SELECT user_id, "

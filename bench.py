@@ -268,6 +268,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r129_skyline", "r130_embed_cov", "r131_benford2",
         "e33_deletion_vectors", "r132_hist2d", "t_source_divergence",
         "r133_odds_ratio", "e34_scd2", "r134_lorenz",
+        "e35_time_travel", "r135_growth_accounting",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with

@@ -244,25 +244,42 @@ def write_snapshot(ds: Dataset, table_dir: str) -> str:
         for f in os.listdir(data_dir)
         if f.endswith(".parquet")
     )
-    manifest = {"files": files}
+    # version history for time travel: each publish also lands a
+    # numbered immutable manifest (_MANIFEST-0000N.json); the bare
+    # _MANIFEST.json rename stays the atomic "current" pointer.
+    existing = [
+        f for f in os.listdir(table_dir)
+        if f.startswith("_MANIFEST-") and f.endswith(".json")
+    ]
+    version = len(existing) + 1
+    manifest = {"files": files, "version": version}
     tmp = os.path.join(table_dir, f"_MANIFEST.json.tmp-{uuid.uuid4().hex[:8]}")
     with open(tmp, "w") as f:
         json.dump(manifest, f)
+    versioned = os.path.join(table_dir, f"_MANIFEST-{version:05d}.json")
+    with open(versioned + ".tmp", "w") as f:
+        json.dump(manifest, f)
+    os.rename(versioned + ".tmp", versioned)
     final = os.path.join(table_dir, "_MANIFEST.json")
     os.rename(tmp, final)
     return final
 
 
-def read_snapshot(table_dir: str) -> Dataset:
+def read_snapshot(table_dir: str, version: int | None = None) -> Dataset:
     """Manifest-scoped read: load ONLY the files the current
     ``_MANIFEST.json`` names (see ``write_snapshot``). Unregistered
     parquet files in the table directory — concurrent writers,
-    aborted publishes — are excluded by construction."""
+    aborted publishes — are excluded by construction. Pass
+    ``version=N`` to TIME-TRAVEL to the N-th publish via its
+    immutable ``_MANIFEST-0000N.json`` (old data dirs are never
+    rewritten, so every historical snapshot stays readable until a
+    vacuum collects it)."""
     import json
 
     import ray.data as rd
 
-    with open(os.path.join(table_dir, "_MANIFEST.json")) as f:
+    name = "_MANIFEST.json" if version is None else f"_MANIFEST-{version:05d}.json"
+    with open(os.path.join(table_dir, name)) as f:
         manifest = json.load(f)
     paths = [os.path.join(table_dir, p) for p in manifest["files"]]
     return rd.read_parquet(paths)
