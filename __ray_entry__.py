@@ -11024,6 +11024,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "churned": pd.array([r[4] for r in rows], "int64"),
         })
 
+    def r136_rfm(sf_dir):
+        # RFM segmentation (recency / frequency / monetary — the
+        # classic customer-value grid): per-customer (last order day,
+        # order count, total spend) rides one combiner; quintile
+        # scores assign by NTILE(5) semantics (rank order with
+        # custkey tiebreak, first n%5 buckets take the extra row —
+        # mirrored exactly so bucket edges agree with the oracle),
+        # and the (r_score, f_score) grid reports segment size + mean
+        # spend.
+        od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def _cust(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "cust": t["o_custkey"].to_numpy(),
+                "last": t["o_orderdate"].cast(pa.int64()).to_numpy() // 86400000000,
+                "f": 1,
+                "m": t["o_totalprice"].to_numpy().astype(np.float64),
+            })
+            g = df.groupby("cust", as_index=False).agg(
+                last=("last", "max"), f=("f", "sum"), m=("m", "sum")
+            )
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = (
+            rel.grouped_aggregate(
+                od.map_batches(_cust, batch_format="pyarrow"), ["cust"],
+                {"last": ("max", "last"), "f": ("sum", "f"), "m": ("sum", "m")},
+            ).to_pandas()
+        )
+
+        def _ntile5(order_vals: np.ndarray, tiebreak: np.ndarray) -> np.ndarray:
+            n = order_vals.size
+            order = np.lexsort((tiebreak, order_vals))
+            base, extra = divmod(n, 5)
+            sizes = [base + (1 if i < extra else 0) for i in range(5)]
+            scores = np.empty(n, np.int64)
+            pos = 0
+            for i, sz in enumerate(sizes):
+                scores[order[pos:pos + sz]] = i + 1
+                pos += sz
+            return scores
+
+        cust = c["cust"].to_numpy(np.int64)
+        # recency: smaller (older last order) = score 1 ... most
+        # recent = 5 -> ntile over last ASC gives old=1..recent=5
+        r_score = _ntile5(c["last"].to_numpy(np.int64), cust)
+        f_score = _ntile5(c["f"].to_numpy(np.int64), cust)
+        df = pd.DataFrame({
+            "r_score": r_score, "f_score": f_score,
+            "n": 1, "m": c["m"].to_numpy(np.float64),
+        })
+        g = (
+            df.groupby(["r_score", "f_score"], as_index=False)
+            .agg(n=("n", "sum"), m=("m", "sum"))
+            .sort_values(["r_score", "f_score"], kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "r_score": g["r_score"].astype("int64"),
+            "f_score": g["f_score"].astype("int64"),
+            "n_customers": g["n"].astype("int64"),
+            "avg_monetary": round_half_up(g["m"].to_numpy() / g["n"].to_numpy()),
+        })
+
+    def r137_power(sf_dir):
+        # A/B sample-size calculator from OBSERVED variance (the
+        # pre-experiment companion to r81/r106/r127: "how many users
+        # per arm to detect a 5% lift at 80% power?"): per-user value
+        # sums ride one combiner; sigma^2, the 5%-of-mean delta and
+        # n = 2 * (z_a + z_b)^2 * sigma^2 / delta^2 close on three
+        # numbers (z_0.025 = 1.959964, z_0.2 = 0.841621).
+        ev = _read(sf_dir, "events", ["user_id", "value"])
+        u = (
+            rel.grouped_aggregate(ev, ["user_id"], {"s": ("sum", "value")})
+            .to_pandas()
+        )
+        y = u["s"].to_numpy(np.float64)
+        n = float(y.size)
+        mu = y.sum() / n
+        var = float(((y - mu) ** 2).sum()) / (n - 1.0)
+        delta = 0.05 * mu
+        za, zb = 1.959964, 0.841621
+        n_arm = 2.0 * (za + zb) ** 2 * var / (delta * delta)
+        return pd.DataFrame({
+            "n_users": [np.int64(n)],
+            "mean": round_half_up(np.array([mu])),
+            "sd": round_half_up(np.array([math.sqrt(var)])),
+            "delta": round_half_up(np.array([delta])),
+            "n_per_arm": [np.int64(math.ceil(round(n_arm, 6)))],
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11424,6 +11514,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 wave 26
         "e35_time_travel": e35_time_travel,
         "r135_growth_accounting": r135_growth_accounting,
+        # round-5 wave 27
+        "r136_rfm": r136_rfm,
+        "r137_power": r137_power,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15445,6 +15538,25 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r136_rfm": (
+            "WITH c AS (SELECT o_custkey AS cust, "
+            "max(CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT)) AS last, "
+            "count(*) AS f, sum(o_totalprice) AS m FROM orders GROUP BY 1), "
+            "s AS (SELECT cust, m, ntile(5) OVER (ORDER BY last, cust) AS r_score, "
+            "ntile(5) OVER (ORDER BY f, cust) AS f_score FROM c) "
+            "SELECT CAST(r_score AS BIGINT) AS r_score, CAST(f_score AS BIGINT) AS f_score, "
+            "CAST(count(*) AS BIGINT) AS n_customers, "
+            "round(sum(m) / count(*), 4) AS avg_monetary "
+            "FROM s GROUP BY 1, 2 ORDER BY 1, 2"
+        ),
+        "r137_power": (
+            "WITH u AS (SELECT user_id, sum(value) AS s FROM events GROUP BY 1), "
+            "m AS (SELECT count(*) * 1.0 AS n, avg(s) AS mu, var_samp(s) AS v FROM u) "
+            "SELECT CAST(n AS BIGINT) AS n_users, round(mu, 4) AS mean, "
+            "round(sqrt(v), 4) AS sd, round(0.05 * mu, 4) AS delta, "
+            "CAST(ceil(round(2 * pow(1.959964 + 0.841621, 2) * v / pow(0.05 * mu, 2), 6)) AS BIGINT) AS n_per_arm "
+            "FROM m"
         ),
         "e35_time_travel": (
             "SELECT * FROM ("

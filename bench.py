@@ -269,6 +269,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "e33_deletion_vectors", "r132_hist2d", "t_source_divergence",
         "r133_odds_ratio", "e34_scd2", "r134_lorenz",
         "e35_time_travel", "r135_growth_accounting",
+        "r136_rfm", "r137_power",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
