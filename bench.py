@@ -270,6 +270,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r133_odds_ratio", "e34_scd2", "r134_lorenz",
         "e35_time_travel", "r135_growth_accounting",
         "r136_rfm", "r137_power",
+        "e36_wap", "r138_peaks",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
