@@ -11210,6 +11210,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "s": round_half_up(v[is_peak]),
         })
 
+    def r139_snaive_mape(sf_dir):
+        # seasonal-naive forecast backtest (the baseline every
+        # forecasting system must beat, and the honest way to report
+        # it: walk-forward on held-out days): forecast(d) =
+        # actual(d - 7); the last 14 days score MAPE and SMAPE
+        # against those forecasts on the bounded daily table, lag
+        # semantics identical to the oracle's lag(7).
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        day = daily["day"].to_numpy(np.int64)
+        n = v.size
+        fc = np.full(n, np.nan)
+        fc[7:] = v[:-7]
+        lo = day.max() - 13
+        mask = (day >= lo) & ~np.isnan(fc)
+        a, f = v[mask], fc[mask]
+        mape = float((np.abs(a - f) / np.abs(a)).sum()) / mask.sum() * 100.0
+        smape = float((np.abs(a - f) / ((np.abs(a) + np.abs(f)) / 2.0)).sum()) / mask.sum() * 100.0
+        return pd.DataFrame({
+            "n_scored": [np.int64(int(mask.sum()))],
+            "mape": round_half_up(np.array([mape])),
+            "smape": round_half_up(np.array([smape])),
+        })
+
+    def t_temp_curve(sf_dir):
+        # temperature-sampling weight curve over the language mix
+        # (the multilingual-sampling knob: tau < 1 upsamples tail
+        # languages; this entry shows each language's effective
+        # weight at tau in {0.3, 0.7, 1.0} — the table a data-mixing
+        # decision actually reads): language counts ride one bounded
+        # combiner; w_l = p_l^tau / sum(p^tau) closes on the tiny
+        # (lang x tau) grid.
+        docs = _read(sf_dir, "documents", ["lang"])
+        c = (
+            rel.grouped_aggregate(docs, ["lang"], {"n": ("count", "lang")})
+            .to_pandas().sort_values("lang", kind="mergesort").reset_index(drop=True)
+        )
+        cnt = c["n"].to_numpy(np.float64)
+        p = cnt / cnt.sum()
+        rows = []
+        for tau in (0.3, 0.7, 1.0):
+            pt = np.power(p, tau)
+            w = pt / pt.sum()
+            for lang, pw, ww in zip(c["lang"], p, w):
+                rows.append((lang, tau, pw, ww))
+        return pd.DataFrame({
+            "lang": [r[0] for r in rows],
+            "tau": round_half_up(np.array([r[1] for r in rows])),
+            "p": round_half_up(np.array([r[2] for r in rows])),
+            "w": round_half_up(np.array([r[3] for r in rows])),
+        })
+
+    def r140_abc(sf_dir):
+        # ABC analysis of part revenue (the 80/15/5 inventory
+        # classification — "which 20% of SKUs carry 80% of revenue"):
+        # per-part revenue rides one combiner; parts sort by revenue
+        # DESC (partkey tiebreak, mirrored in SQL), class A = items
+        # whose RUNNING share stays <= 0.80, B until 0.95, C rest;
+        # per-class item counts and revenue shares fold on the
+        # bounded part table.
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_extendedprice"])
+        c = (
+            rel.grouped_aggregate(li, ["l_partkey"], {"s": ("sum", "l_extendedprice")})
+            .to_pandas().sort_values(["s", "l_partkey"], ascending=[False, True],
+                                     kind="mergesort").reset_index(drop=True)
+        )
+        v = c["s"].to_numpy(np.float64)
+        tot = v.sum()
+        run = np.cumsum(v) / tot
+        cls = np.where(run <= 0.80, "A", np.where(run <= 0.95, "B", "C"))
+        df = pd.DataFrame({"cls": cls, "n": 1, "s": v})
+        g = (
+            df.groupby("cls", as_index=False).agg(n=("n", "sum"), s=("s", "sum"))
+            .sort_values("cls", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "cls": g["cls"],
+            "n_parts": g["n"].astype("int64"),
+            "rev_share": round_half_up(g["s"].to_numpy() / tot),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11616,6 +11697,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 wave 28
         "e36_wap": e36_wap,
         "r138_peaks": r138_peaks,
+        # round-5 wave 29
+        "r139_snaive_mape": r139_snaive_mape,
+        "t_temp_curve": t_temp_curve,
+        "r140_abc": r140_abc,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15637,6 +15722,38 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r139_snaive_mape": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "w AS (SELECT day, s, lag(s, 7) OVER (ORDER BY day) AS f FROM d), "
+            "sc AS (SELECT w.* FROM w, (SELECT max(day) - 13 AS lo FROM d) b "
+            "WHERE w.day >= b.lo AND w.f IS NOT NULL) "
+            "SELECT CAST(count(*) AS BIGINT) AS n_scored, "
+            "round(sum(abs(s - f) / abs(s)) / count(*) * 100.0, 4) AS mape, "
+            "round(sum(abs(s - f) / ((abs(s) + abs(f)) / 2.0)) / count(*) * 100.0, 4) AS smape "
+            "FROM sc"
+        ),
+        "t_temp_curve": (
+            "WITH c AS (SELECT lang, count(*) * 1.0 AS n FROM documents GROUP BY 1), "
+            "tot AS (SELECT sum(n) AS t FROM c), "
+            "taus AS (SELECT unnest([0.3, 0.7, 1.0]) AS tau), "
+            "z AS (SELECT taus.tau, sum(pow(c.n / tot.t, taus.tau)) AS zz "
+            "FROM c, tot, taus GROUP BY 1) "
+            "SELECT c.lang, round(z.tau, 4) AS tau, round(c.n / tot.t, 4) AS p, "
+            "round(pow(c.n / tot.t, z.tau) / z.zz, 4) AS w "
+            "FROM c, tot, z ORDER BY lang, tau"
+        ),
+        "r140_abc": (
+            "WITH c AS (SELECT l_partkey, sum(l_extendedprice) AS s FROM lineitem GROUP BY 1), "
+            "t AS (SELECT sum(s) AS tot FROM c), "
+            "r AS (SELECT s, sum(s) OVER (ORDER BY s DESC, l_partkey) / t.tot AS run "
+            "FROM c, t), "
+            "k AS (SELECT CASE WHEN run <= 0.80 THEN 'A' "
+            "WHEN run <= 0.95 THEN 'B' ELSE 'C' END AS cls, s FROM r) "
+            "SELECT cls, CAST(count(*) AS BIGINT) AS n_parts, "
+            "round(sum(s) / (SELECT tot FROM t), 4) AS rev_share "
+            "FROM k GROUP BY cls ORDER BY cls"
         ),
         "e36_wap": (
             "WITH staged AS (SELECT o_orderkey, "

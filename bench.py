@@ -271,6 +271,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "e35_time_travel", "r135_growth_accounting",
         "r136_rfm", "r137_power",
         "e36_wap", "r138_peaks",
+        "r139_snaive_mape", "t_temp_curve", "r140_abc",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
