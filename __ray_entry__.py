@@ -11462,6 +11462,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fano": round_half_up(np.array([r[2] for r in rows])),
         })
 
+    def r144_ess(sf_dir):
+        # effective sample size of an importance-weighted corpus per
+        # language (the Kish ESS = (sum w)^2 / sum(w^2) — the
+        # diagnostic that says how much of a DSIR/temperature-style
+        # reweighting survives as usable data): weights are the
+        # document lengths (the standard size-weighting case); the
+        # (lang, sum w, sum w^2, n) combiner is one bounded exchange
+        # and ESS + efficiency close per language.
+        docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+        def _partial(t: pa.Table) -> pa.Table:
+            w = t["n_chars"].to_numpy().astype(np.float64)
+            df = pd.DataFrame({
+                "lang": t["lang"].to_numpy(zero_copy_only=False),
+                "n": 1.0, "sw": w, "sw2": w * w,
+            })
+            g = df.groupby("lang", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = (
+            rel.grouped_aggregate(
+                docs.map_batches(_partial, batch_format="pyarrow"), ["lang"],
+                {c: ("sum", c) for c in ["n", "sw", "sw2"]},
+            )
+            .to_pandas().sort_values("lang", kind="mergesort").reset_index(drop=True)
+        )
+        n = m["n"].to_numpy(np.float64)
+        sw = m["sw"].to_numpy(np.float64)
+        sw2 = m["sw2"].to_numpy(np.float64)
+        ess = sw * sw / sw2
+        return pd.DataFrame({
+            "lang": m["lang"],
+            "n_docs": n.astype(np.int64),
+            "ess": round_half_up(ess),
+            "efficiency": round_half_up(ess / n),
+        })
+
+    def r145_markov_power(sf_dir):
+        # near-stationary distribution of the per-user event-type
+        # Markov chain via FOUR matrix squarings (uniform start times
+        # P^16 — the "where does the session settle" readout; exact
+        # eigen-solving is not SQL-expressible, but repeated squaring
+        # of the |types|^2 matrix is, so the oracle replays the same
+        # sixteenth power through joins): the transition counts ride
+        # r83's user-sharded derivation; the tiny matrix algebra
+        # closes driver-side.
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+        def _bucket(t: pa.Table) -> pa.Table:
+            u = t["user_id"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_b": pa.array((u * np.int64(2654435761)) % np.int64(64), pa.int64()),
+                "u": pa.array(u, pa.int64()),
+                "ts": t["ts"].cast(pa.int64()),
+                "eid": t["event_id"].cast(pa.int64()),
+                "et": t["event_type"],
+            })
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            u = t["u"].to_numpy(zero_copy_only=False)
+            ts = t["ts"].to_numpy(zero_copy_only=False)
+            eid = t["eid"].to_numpy(zero_copy_only=False)
+            et = np.asarray(t["et"].to_pylist(), dtype=object)
+            o = np.lexsort((eid, ts, u))
+            u, et = u[o], et[o]
+            same = u[1:] == u[:-1]
+            df = pd.DataFrame({
+                "from_type": et[:-1][same], "to_type": et[1:][same], "cnt": 1
+            })
+            g = df.groupby(["from_type", "to_type"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        m = rel.grouped_aggregate(
+            ev.map_batches(_bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(_pairs, batch_format="pyarrow"),
+            ["from_type", "to_type"], {"cnt": ("sum", "cnt")},
+        ).to_pandas()
+        types = sorted(set(m["from_type"]) | set(m["to_type"]))
+        k = len(types)
+        idx = {t_: i for i, t_ in enumerate(types)}
+        p = np.zeros((k, k))
+        for _, row in m.iterrows():
+            p[idx[row["from_type"]], idx[row["to_type"]]] = row["cnt"]
+        p = p / p.sum(axis=1, keepdims=True)
+        p16 = np.linalg.matrix_power(p, 16)
+        v = np.full(k, 1.0 / k) @ p16
+        return pd.DataFrame({
+            "event_type": types,
+            "pi16": round_half_up(v),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11876,6 +11967,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r141_assortativity": r141_assortativity,
         "r142_clustering_coef": r142_clustering_coef,
         "r143_fano": r143_fano,
+        # round-5 wave 31
+        "r144_ess": r144_ess,
+        "r145_markov_power": r145_markov_power,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15897,6 +15991,32 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r144_ess": (
+            "WITH m AS (SELECT lang, count(*) AS n, sum(n_chars * 1.0) AS sw, "
+            "sum(n_chars * 1.0 * n_chars) AS sw2 FROM documents GROUP BY 1) "
+            "SELECT lang, CAST(n AS BIGINT) AS n_docs, "
+            "round(sw * sw / sw2, 4) AS ess, "
+            "round((sw * sw / sw2) / n, 4) AS efficiency "
+            "FROM m ORDER BY lang"
+        ),
+        "r145_markov_power": (
+            "WITH o AS (SELECT user_id, event_type, lead(event_type) "
+            "OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt FROM events), "
+            "p AS (SELECT event_type AS f, nxt AS t, count(*) * 1.0 AS cnt "
+            "FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2), "
+            "tp AS (SELECT f, t, cnt / sum(cnt) OVER (PARTITION BY f) AS pr FROM p), "
+            "p2 AS (SELECT a.f, b.t, sum(a.pr * b.pr) AS pr FROM tp a "
+            "JOIN tp b ON b.f = a.t GROUP BY 1, 2), "
+            "p4 AS (SELECT a.f, b.t, sum(a.pr * b.pr) AS pr FROM p2 a "
+            "JOIN p2 b ON b.f = a.t GROUP BY 1, 2), "
+            "p8 AS (SELECT a.f, b.t, sum(a.pr * b.pr) AS pr FROM p4 a "
+            "JOIN p4 b ON b.f = a.t GROUP BY 1, 2), "
+            "p16 AS (SELECT a.f, b.t, sum(a.pr * b.pr) AS pr FROM p8 a "
+            "JOIN p8 b ON b.f = a.t GROUP BY 1, 2), "
+            "ks AS (SELECT count(DISTINCT f) * 1.0 AS k FROM tp) "
+            "SELECT p16.t AS event_type, round(sum(p16.pr / ks.k), 4) AS pi16 "
+            "FROM p16, ks GROUP BY 1 ORDER BY 1"
         ),
         "r141_assortativity": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y "

@@ -274,6 +274,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r139_snaive_mape", "t_temp_curve", "r140_abc",
         # r142_clustering_coef excluded with pipe_triangles (wedge-join cost)
         "r141_assortativity", "r143_fano",
+        "r144_ess", "r145_markov_power",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
