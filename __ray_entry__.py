@@ -11553,6 +11553,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "pi16": round_half_up(v),
         })
 
+    def e37_profile(sf_dir):
+        # column profile (the discovery half of data quality — what a
+        # dbt-docs / profiler emits before t_expectations' contracts
+        # exist): per column, null count and EXACT distinct count.
+        # Nulls ride masked-count partials; distincts ride one
+        # per-column distinct-value exchange (bounded by that
+        # column's cardinality — the documented profiling cost; the
+        # 100-TB path swaps in the md5-deterministic HLL from
+        # ops.sketch for the high-cardinality columns).
+        cols = ["o_orderstatus", "o_orderpriority", "o_custkey", "o_totalprice"]
+        od = _read(sf_dir, "orders", cols)
+
+        def _nulls(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                **{
+                    c: pa.array([int(pc.sum(pc.cast(pc.is_null(t[c]), pa.int64())).as_py() or 0)], pa.int64())
+                    for c in cols
+                },
+            })
+
+        nn = rel.grouped_aggregate(
+            od.map_batches(_nulls, batch_format="pyarrow"), ["g"],
+            {c: ("sum", c) for c in cols},
+        ).to_pandas().iloc[0]
+
+        rows = []
+        for c in cols:
+            def _dv(t: pa.Table, _c=c) -> pa.Table:
+                vals = pc.drop_null(pc.cast(t[_c], pa.string()))
+                u = np.unique(vals.to_numpy(zero_copy_only=False))
+                return pa.table({"v": pa.array(u, pa.string())})
+
+            dv = (
+                rel.grouped_aggregate(
+                    od.map_batches(_dv, batch_format="pyarrow"), ["v"],
+                    {"one": ("count", "v")},
+                ).count()
+            )
+            rows.append((c, int(nn[c]), int(dv)))
+        return pd.DataFrame({
+            "col": [r[0] for r in rows],
+            "n_nulls": pd.array([r[1] for r in rows], "int64"),
+            "n_distinct": pd.array([r[2] for r in rows], "int64"),
+        })
+
+    def r146_equal_freq_bins(sf_dir):
+        # equal-frequency discretization of l_extendedprice into
+        # quintiles (the feature-engineering binning that beats
+        # equal-width on skewed money columns): edges at the
+        # 20/40/60/80 percentiles (linear interpolation ==
+        # quantile_cont), then one banded-count pass — bin populations
+        # come out near-equal by construction, means expose the skew.
+        li = _read(sf_dir, "lineitem", ["l_extendedprice"])
+        daily = li.map_batches(
+            lambda t: pa.table({
+                "g": pa.array(np.zeros(t.num_rows, np.int64)),
+                "v": t["l_extendedprice"],
+            }),
+            batch_format="pyarrow",
+        )
+        q = rel.grouped_discrete_quantiles(daily, "g", "v", [0.2, 0.4, 0.6, 0.8])
+        edges = np.array([q[f"q{p}"].iloc[0] for p in (0.2, 0.4, 0.6, 0.8)], np.float64)
+
+        def _band(t: pa.Table) -> pa.Table:
+            v = t["l_extendedprice"].to_numpy().astype(np.float64)
+            b = np.searchsorted(edges, v, side="right").astype(np.int64)
+            df = pd.DataFrame({"bin": b, "n": 1, "s": v})
+            g = df.groupby("bin", as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        out = (
+            rel.grouped_aggregate(
+                li.map_batches(_band, batch_format="pyarrow"), ["bin"],
+                {"n": ("sum", "n"), "s": ("sum", "s")},
+            )
+            .to_pandas().sort_values("bin", kind="mergesort").reset_index(drop=True)
+        )
+        return pd.DataFrame({
+            "bin": out["bin"].astype("int64"),
+            "n": out["n"].astype("int64"),
+            "mean_price": round_half_up(out["s"].to_numpy() / out["n"].to_numpy()),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -11970,6 +12054,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # round-5 wave 31
         "r144_ess": r144_ess,
         "r145_markov_power": r145_markov_power,
+        # round-5 wave 32
+        "e37_profile": e37_profile,
+        "r146_equal_freq_bins": r146_equal_freq_bins,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -15991,6 +16078,35 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "e37_profile": (
+            "SELECT * FROM ("
+            "SELECT 'o_custkey' AS col, "
+            "CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls, "
+            "CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_distinct FROM orders "
+            "UNION ALL SELECT 'o_orderpriority', "
+            "CAST(sum(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT o_orderpriority) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'o_orderstatus', "
+            "CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT o_orderstatus) AS BIGINT) FROM orders "
+            "UNION ALL SELECT 'o_totalprice', "
+            "CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT), "
+            "CAST(count(DISTINCT o_totalprice) AS BIGINT) FROM orders) "
+            "ORDER BY col"
+        ),
+        "r146_equal_freq_bins": (
+            "WITH q AS (SELECT quantile_cont(l_extendedprice, 0.2) AS e1, "
+            "quantile_cont(l_extendedprice, 0.4) AS e2, "
+            "quantile_cont(l_extendedprice, 0.6) AS e3, "
+            "quantile_cont(l_extendedprice, 0.8) AS e4 FROM lineitem) "
+            "SELECT CAST(CASE WHEN l_extendedprice >= q.e1 THEN 1 ELSE 0 END "
+            "+ CASE WHEN l_extendedprice >= q.e2 THEN 1 ELSE 0 END "
+            "+ CASE WHEN l_extendedprice >= q.e3 THEN 1 ELSE 0 END "
+            "+ CASE WHEN l_extendedprice >= q.e4 THEN 1 ELSE 0 END AS BIGINT) AS bin, "
+            "CAST(count(*) AS BIGINT) AS n, "
+            "round(sum(l_extendedprice) / count(*), 4) AS mean_price "
+            "FROM lineitem, q GROUP BY 1 ORDER BY 1"
         ),
         "r144_ess": (
             "WITH m AS (SELECT lang, count(*) AS n, sum(n_chars * 1.0) AS sw, "
