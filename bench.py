@@ -276,6 +276,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r141_assortativity", "r143_fano",
         "r144_ess", "r145_markov_power",
         "e37_profile", "r146_equal_freq_bins",
+        "r147_modularity", "r148_laspeyres", "r149_ltv",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
