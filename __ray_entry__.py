@@ -11824,6 +11824,155 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ),
         })
 
+    def r150_dup_invoices(sf_dir):
+        # duplicate-transaction screen (the fraud/ops dedup: same
+        # customer, same amount, within 3 days — almost always a
+        # double charge): EXACT blocking on (custkey, totalprice)
+        # makes candidate groups tiny (amounts are near-unique), so
+        # the within-group day-window pair check is bounded work —
+        # the record-linkage shape with a value-equality block
+        # instead of minhash. Output: suspicious pair count and the
+        # distinct orders involved.
+        od = _read(
+            sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice", "o_orderdate"]
+        )
+
+        def _shard(t: pa.Table) -> pa.Table:
+            cu = t["o_custkey"].to_numpy(zero_copy_only=False)
+            return pa.table({
+                "_b": pa.array((cu * np.int64(2654435761)) % np.int64(64), pa.int64()),
+                "cust": pa.array(cu, pa.int64()),
+                "price": t["o_totalprice"],
+                "okey": t["o_orderkey"],
+                "day": pa.array(
+                    t["o_orderdate"].cast(pa.int64()).to_numpy() // 86400000000,
+                    pa.int64(),
+                ),
+            })
+
+        def _pairs(t: pa.Table) -> pa.Table:
+            df = pd.DataFrame({
+                "cust": t["cust"].to_numpy(zero_copy_only=False),
+                "price": t["price"].to_numpy(zero_copy_only=False),
+                "okey": t["okey"].to_numpy(zero_copy_only=False),
+                "day": t["day"].to_numpy(zero_copy_only=False),
+            })
+            n_pairs = 0
+            involved: set = set()
+            for _, grp in df.groupby(["cust", "price"]):
+                if len(grp) < 2:
+                    continue
+                days = grp["day"].to_numpy()
+                keys = grp["okey"].to_numpy()
+                for i in range(len(grp)):
+                    for j in range(i + 1, len(grp)):
+                        if abs(int(days[i]) - int(days[j])) <= 3 and keys[i] != keys[j]:
+                            n_pairs += 1
+                            involved.add(int(keys[i]))
+                            involved.add(int(keys[j]))
+            return pa.table({
+                "g": pa.array([0], pa.int64()),
+                "n_pairs": pa.array([n_pairs], pa.int64()),
+                "n_orders": pa.array([len(involved)], pa.int64()),
+            })
+
+        f = rel.grouped_aggregate(
+            od.map_batches(_shard, batch_format="pyarrow")
+            .groupby("_b").map_groups(_pairs, batch_format="pyarrow"),
+            ["g"], {"n_pairs": ("sum", "n_pairs"), "n_orders": ("sum", "n_orders")},
+        ).to_pandas()
+        return pd.DataFrame({
+            "n_pairs": [np.int64(f["n_pairs"].iloc[0])],
+            "n_orders": [np.int64(f["n_orders"].iloc[0])],
+        })
+
+    def r151_mood(sf_dir):
+        # Mood's median test between the k-parity A/B cohorts (the
+        # nonparametric location test that only needs counts above
+        # the pooled median — the robust sibling of r98's
+        # Mann-Whitney when ranks are too expensive): the pooled
+        # median interpolates on the bounded per-user value table,
+        # the 2x2 above/below counts ride the same table, chi2 with
+        # Yates continuity closes on four cells.
+        ev = _read(sf_dir, "events", ["user_id", "value"])
+        u = rel.grouped_aggregate(
+            ev, ["user_id"], {"s": ("sum", "value")}
+        ).to_pandas()
+        y = u["s"].to_numpy(np.float64)
+        med = float(np.percentile(y, 50, method="linear"))
+        grp = (u["user_id"].to_numpy(np.int64) % 2).astype(np.int64)
+        above = (y > med).astype(np.int64)
+        a = float(((grp == 0) & (above == 1)).sum())
+        b = float(((grp == 0) & (above == 0)).sum())
+        c = float(((grp == 1) & (above == 1)).sum())
+        d_ = float(((grp == 1) & (above == 0)).sum())
+        n = a + b + c + d_
+        num = n * (abs(a * d_ - b * c) - n / 2.0) ** 2
+        den = (a + b) * (c + d_) * (a + c) * (b + d_)
+        chi2 = num / den
+        return pd.DataFrame({
+            "median": round_half_up(np.array([med])),
+            "a": [np.int64(a)], "b": [np.int64(b)],
+            "c": [np.int64(c)], "d": [np.int64(d_)],
+            "chi2": round_half_up(np.array([chi2])),
+        })
+
+    def r152_fisher_index(sf_dir):
+        # the full index-number family between the window halves:
+        # Laspeyres (base-weighted, r148), Paasche (current-weighted)
+        # and Fisher's ideal (their geometric mean — the one national
+        # accounts actually publish). Same per-(part, period)
+        # combiner; three closed forms on the both-period part table.
+        li = _read(
+            sf_dir, "lineitem",
+            ["l_partkey", "l_shipdate", "l_quantity", "l_extendedprice"],
+        )
+
+        def _day(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "pk": t["l_partkey"],
+                "day": pa.array(
+                    t["l_shipdate"].cast(pa.int64()).to_numpy() // 86400000000,
+                    pa.int64(),
+                ),
+                "q": t["l_quantity"],
+                "ep": t["l_extendedprice"],
+            })
+
+        dv = li.map_batches(_day, batch_format="pyarrow")
+        lo, hi = int(dv.min("day")), int(dv.max("day"))
+        mid = (lo + hi) // 2
+
+        def _per(t: pa.Table) -> pa.Table:
+            d_ = t["day"].to_numpy()
+            df = pd.DataFrame({
+                "pk": t["pk"].to_numpy(),
+                "per": np.where(d_ <= mid, 0, 1).astype(np.int64),
+                "q": t["q"].to_numpy().astype(np.float64),
+                "ep": t["ep"].to_numpy().astype(np.float64),
+            })
+            g = df.groupby(["pk", "per"], as_index=False).sum()
+            return pa.Table.from_pandas(g, preserve_index=False)
+
+        c = rel.grouped_aggregate(
+            dv.map_batches(_per, batch_format="pyarrow"), ["pk", "per"],
+            {"q": ("sum", "q"), "ep": ("sum", "ep")},
+        ).to_pandas()
+        piv = c.pivot_table(index="pk", columns="per", values=["q", "ep"], aggfunc="sum")
+        both = piv.dropna()
+        q0 = both[("q", 0)].to_numpy(np.float64)
+        q1 = both[("q", 1)].to_numpy(np.float64)
+        p0 = both[("ep", 0)].to_numpy(np.float64) / q0
+        p1 = both[("ep", 1)].to_numpy(np.float64) / q1
+        lasp = float((p1 * q0).sum()) / float((p0 * q0).sum())
+        paas = float((p1 * q1).sum()) / float((p0 * q1).sum())
+        return pd.DataFrame({
+            "n_parts": [np.int64(len(both))],
+            "laspeyres": round_half_up(np.array([lasp])),
+            "paasche": round_half_up(np.array([paas])),
+            "fisher": round_half_up(np.array([math.sqrt(lasp * paas)])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -12248,6 +12397,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r147_modularity": r147_modularity,
         "r148_laspeyres": r148_laspeyres,
         "r149_ltv": r149_ltv,
+        # round-5 wave 34
+        "r150_dup_invoices": r150_dup_invoices,
+        "r151_mood": r151_mood,
+        "r152_fisher_index": r152_fisher_index,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -16269,6 +16422,47 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r150_dup_invoices": (
+            "WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, "
+            "CAST(floor(epoch_us(o_orderdate) / 86400000000.0) AS BIGINT) AS day "
+            "FROM orders), "
+            "p AS (SELECT a.o_orderkey AS k1, b.o_orderkey AS k2 FROM o a JOIN o b "
+            "ON a.o_custkey = b.o_custkey AND a.o_totalprice = b.o_totalprice "
+            "AND a.o_orderkey < b.o_orderkey AND abs(a.day - b.day) <= 3) "
+            "SELECT CAST((SELECT count(*) FROM p) AS BIGINT) AS n_pairs, "
+            "CAST((SELECT count(*) FROM (SELECT k1 AS k FROM p UNION SELECT k2 FROM p)) AS BIGINT) AS n_orders"
+        ),
+        "r151_mood": (
+            "WITH u AS (SELECT user_id, sum(value) AS s FROM events GROUP BY 1), "
+            "q AS (SELECT quantile_cont(s, 0.5) AS med FROM u), "
+            "t AS (SELECT "
+            "sum(CASE WHEN user_id % 2 = 0 AND s > q.med THEN 1 ELSE 0 END) * 1.0 AS a, "
+            "sum(CASE WHEN user_id % 2 = 0 AND s <= q.med THEN 1 ELSE 0 END) * 1.0 AS b, "
+            "sum(CASE WHEN user_id % 2 = 1 AND s > q.med THEN 1 ELSE 0 END) * 1.0 AS c, "
+            "sum(CASE WHEN user_id % 2 = 1 AND s <= q.med THEN 1 ELSE 0 END) * 1.0 AS d "
+            "FROM u, q) "
+            "SELECT round((SELECT med FROM q), 4) AS median, "
+            "CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, "
+            "CAST(c AS BIGINT) AS c, CAST(d AS BIGINT) AS d, "
+            "round((a+b+c+d) * pow(abs(a*d - b*c) - (a+b+c+d)/2.0, 2) "
+            "/ ((a+b) * (c+d) * (a+c) * (b+d)), 4) AS chi2 FROM t"
+        ),
+        "r152_fisher_index": (
+            "WITH dv AS (SELECT l_partkey AS pk, "
+            "CAST(floor(epoch_us(l_shipdate) / 86400000000.0) AS BIGINT) AS day, "
+            "l_quantity AS q, l_extendedprice AS ep FROM lineitem), "
+            "b AS (SELECT (min(day) + max(day)) // 2 AS mid FROM dv), "
+            "c AS (SELECT pk, CASE WHEN day <= b.mid THEN 0 ELSE 1 END AS per, "
+            "sum(q) AS q, sum(ep) AS ep FROM dv, b GROUP BY 1, 2), "
+            "w AS (SELECT c0.pk, c0.q AS q0, c1.q AS q1, c0.ep / c0.q AS p0, "
+            "c1.ep / c1.q AS p1 FROM c c0 JOIN c c1 "
+            "ON c1.pk = c0.pk AND c0.per = 0 AND c1.per = 1), "
+            "ix AS (SELECT count(*) AS n, "
+            "sum(p1 * q0) / sum(p0 * q0) AS lasp, "
+            "sum(p1 * q1) / sum(p0 * q1) AS paas FROM w) "
+            "SELECT CAST(n AS BIGINT) AS n_parts, round(lasp, 4) AS laspeyres, "
+            "round(paas, 4) AS paasche, round(sqrt(lasp * paas), 4) AS fisher FROM ix"
         ),
         "r147_modularity": (
             "WITH e AS (SELECT DISTINCT a.l_partkey AS x, b.l_partkey AS y "
