@@ -11973,6 +11973,87 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "fisher": round_half_up(np.array([math.sqrt(lasp * paas)])),
         })
 
+    def r153_turning_points(sf_dir):
+        # turning-point test for randomness of the daily series (a
+        # local max or min at every interior point of an iid series
+        # occurs with probability 2/3: T ~ N(2(n-2)/3,
+        # (16n-29)/90) — the cheap randomness screen next to r90's
+        # runs test): extrema count and the z-statistic fold on the
+        # bounded daily table with the oracle's strict-inequality
+        # semantics.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        n = v.size
+        interior = (
+            ((v[1:-1] > v[:-2]) & (v[1:-1] > v[2:]))
+            | ((v[1:-1] < v[:-2]) & (v[1:-1] < v[2:]))
+        )
+        t_obs = int(interior.sum())
+        mu = 2.0 * (n - 2) / 3.0
+        var = (16.0 * n - 29.0) / 90.0
+        z = (t_obs - mu) / math.sqrt(var)
+        return pd.DataFrame({
+            "n_days": [np.int64(n)],
+            "turning_points": [np.int64(t_obs)],
+            "expected": round_half_up(np.array([mu])),
+            "z": round_half_up(np.array([z])),
+        })
+
+    def r154_partial_corr(sf_dir):
+        # partial correlation of daily event count and value sum
+        # CONTROLLING for the day index (both series trend with the
+        # calendar; the partial says whether they co-move beyond the
+        # shared trend): r_xy.z = (r_xy - r_xz r_yz) /
+        # sqrt((1 - r_xz^2)(1 - r_yz^2)) from three pairwise Pearson
+        # folds on the bounded daily table.
+        d_ = _daily_cnt_sum(sf_dir)
+        x = d_["x"].to_numpy(np.float64)
+        y = d_["y"].to_numpy(np.float64)
+        z_ = d_["day"].to_numpy(np.float64)
+
+        def _pearson(a: np.ndarray, b: np.ndarray) -> float:
+            n = float(a.size)
+            sa, sb = a.sum(), b.sum()
+            return (n * float((a * b).sum()) - sa * sb) / math.sqrt(
+                (n * float((a * a).sum()) - sa * sa)
+                * (n * float((b * b).sum()) - sb * sb)
+            )
+
+        rxy = _pearson(x, y)
+        rxz = _pearson(x, z_)
+        ryz = _pearson(y, z_)
+        pc_ = (rxy - rxz * ryz) / math.sqrt((1 - rxz * rxz) * (1 - ryz * ryz))
+        return pd.DataFrame({
+            "n_days": [np.int64(x.size)],
+            "r_xy": round_half_up(np.array([rxy])),
+            "partial_r": round_half_up(np.array([pc_])),
+        })
+
+    def r155_robust_shape(sf_dir):
+        # quantile-based robust shape measures of the daily series —
+        # Bowley skewness (q3 + q1 - 2 q2)/(q3 - q1), the quartile
+        # coefficient of dispersion (q3 - q1)/(q3 + q1), and Moors
+        # octile kurtosis ((e7-e5)+(e3-e1))/(e6-e2) — the
+        # outlier-immune siblings of r105's moment skew/kurtosis,
+        # all from one interpolated-quantile fold (numpy percentile
+        # == quantile_cont).
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        q1, q2, q3 = (
+            float(np.percentile(v, p, method="linear")) for p in (25, 50, 75)
+        )
+        e = [float(np.percentile(v, p, method="linear"))
+             for p in (12.5, 25, 37.5, 50, 62.5, 75, 87.5)]
+        bowley = (q3 + q1 - 2 * q2) / (q3 - q1)
+        qcd = (q3 - q1) / (q3 + q1)
+        moors = ((e[6] - e[4]) + (e[2] - e[0])) / (e[5] - e[1])
+        return pd.DataFrame({
+            "n_days": [np.int64(v.size)],
+            "bowley_skew": round_half_up(np.array([bowley])),
+            "qcd": round_half_up(np.array([qcd])),
+            "moors_kurt": round_half_up(np.array([moors])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -12401,6 +12482,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r150_dup_invoices": r150_dup_invoices,
         "r151_mood": r151_mood,
         "r152_fisher_index": r152_fisher_index,
+        # round-5 wave 35
+        "r153_turning_points": r153_turning_points,
+        "r154_partial_corr": r154_partial_corr,
+        "r155_robust_shape": r155_robust_shape,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -16422,6 +16507,42 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r153_turning_points": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "w AS (SELECT s, lag(s) OVER (ORDER BY day) AS pv, "
+            "lead(s) OVER (ORDER BY day) AS nx FROM d), "
+            "t AS (SELECT count(*) * 1.0 AS tp FROM w "
+            "WHERE pv IS NOT NULL AND nx IS NOT NULL "
+            "AND ((s > pv AND s > nx) OR (s < pv AND s < nx))), "
+            "n AS (SELECT count(*) * 1.0 AS n FROM d) "
+            "SELECT CAST(n.n AS BIGINT) AS n_days, CAST(t.tp AS BIGINT) AS turning_points, "
+            "round(2.0 * (n.n - 2) / 3.0, 4) AS expected, "
+            "round((t.tp - 2.0 * (n.n - 2) / 3.0) / sqrt((16.0 * n.n - 29.0) / 90.0), 4) AS z "
+            "FROM t, n"
+        ),
+        "r154_partial_corr": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "count(*) * 1.0 AS x, sum(value) AS y FROM events GROUP BY 1), "
+            "m AS (SELECT corr(x, y) AS rxy, corr(x, day) AS rxz, corr(y, day) AS ryz, "
+            "count(*) AS n FROM d) "
+            "SELECT CAST(n AS BIGINT) AS n_days, round(rxy, 4) AS r_xy, "
+            "round((rxy - rxz * ryz) / sqrt((1 - rxz * rxz) * (1 - ryz * ryz)), 4) AS partial_r "
+            "FROM m"
+        ),
+        "r155_robust_shape": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "q AS (SELECT count(*) AS n, "
+            "quantile_cont(s, 0.25) AS q1, quantile_cont(s, 0.5) AS q2, "
+            "quantile_cont(s, 0.75) AS q3, "
+            "quantile_cont(s, 0.125) AS e1, quantile_cont(s, 0.375) AS e3, "
+            "quantile_cont(s, 0.625) AS e5, quantile_cont(s, 0.875) AS e7 FROM d) "
+            "SELECT CAST(n AS BIGINT) AS n_days, "
+            "round((q3 + q1 - 2 * q2) / (q3 - q1), 4) AS bowley_skew, "
+            "round((q3 - q1) / (q3 + q1), 4) AS qcd, "
+            "round(((e7 - e5) + (e3 - e1)) / (q3 - q1), 4) AS moors_kurt FROM q"
         ),
         "r150_dup_invoices": (
             "WITH o AS (SELECT o_orderkey, o_custkey, o_totalprice, "
