@@ -12054,6 +12054,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "moors_kurt": round_half_up(np.array([moors])),
         })
 
+    def r156_xmr_chart(sf_dir):
+        # XmR (individuals & moving range) control chart over the
+        # daily series — the SPC workhorse: limits = mean +/- 2.66 x
+        # mean moving range (the d2-based sigma estimate that works
+        # with n=1 subgroups, unlike the 3-sigma EWMA band r92
+        # implies): the MR fold and violation counts close on the
+        # bounded daily table with oracle-identical op order.
+        daily = _daily_sums(sf_dir)
+        v = daily["s"].to_numpy(np.float64)
+        mr = np.abs(np.diff(v))
+        mrbar = float(mr.sum()) / mr.size
+        xbar = float(v.sum()) / v.size
+        ucl = xbar + 2.66 * mrbar
+        lcl = xbar - 2.66 * mrbar
+        return pd.DataFrame({
+            "n_days": [np.int64(v.size)],
+            "xbar": round_half_up(np.array([xbar])),
+            "mrbar": round_half_up(np.array([mrbar])),
+            "ucl": round_half_up(np.array([ucl])),
+            "lcl": round_half_up(np.array([lcl])),
+            "n_violations": [np.int64(int(((v > ucl) | (v < lcl)).sum()))],
+        })
+
+    def r157_source_purity(sf_dir):
+        # per-source language purity (the data-mixing audit: is each
+        # crawl source monolingual or a blend?): the (source, lang)
+        # count table is one bounded combiner; majority-language
+        # share and Shannon entropy fold per source on that tiny
+        # table — the drill-down behind t_source_divergence's
+        # pairwise distance.
+        docs = _read(sf_dir, "documents", ["source", "lang"])
+        c = rel.grouped_aggregate(
+            docs, ["source", "lang"], {"n": ("count", "lang")}
+        ).to_pandas()
+        rows = []
+        for src, grp in c.groupby("source", sort=True):
+            cnt = grp["n"].to_numpy(np.float64)
+            tot = cnt.sum()
+            p = cnt / tot
+            ent = float(-(p * np.log(p)).sum())
+            rows.append((src, int(tot), float(p.max()), ent))
+        return pd.DataFrame({
+            "source": [r[0] for r in rows],
+            "n_docs": pd.array([r[1] for r in rows], "int64"),
+            "top_share": round_half_up(np.array([r[2] for r in rows])),
+            "entropy": round_half_up(np.array([r[3] for r in rows])),
+        })
+
     d = {
         # ---- driver-check window (first 50): round-1 hash-fail fixes ----
         "e1_csv_source": e1_csv_source,
@@ -12486,6 +12534,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "r153_turning_points": r153_turning_points,
         "r154_partial_corr": r154_partial_corr,
         "r155_robust_shape": r155_robust_shape,
+        # round-5 wave 36
+        "r156_xmr_chart": r156_xmr_chart,
+        "r157_source_purity": r157_source_purity,
     }
     # ---- round-5 window rotation (VERDICT r04 ask #1): the driver's
     # correctness gate checks the FIRST 50 keys in insertion order;
@@ -16507,6 +16558,31 @@ GROUP BY c.lang ORDER BY c.lang
             "SELECT CAST((SELECT n FROM m) AS BIGINT) AS n_days, "
             "round((max(cs) - min(cs)) / ((SELECT sd FROM m) * sqrt((SELECT n FROM m))), 4) AS rescaled_range "
             "FROM c"
+        ),
+        "r156_xmr_chart": (
+            "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "
+            "sum(value) AS s FROM events GROUP BY day), "
+            "w AS (SELECT s, abs(s - lag(s) OVER (ORDER BY day)) AS mr FROM d), "
+            "m AS (SELECT sum(s) / count(*) AS xbar, "
+            "sum(mr) / count(mr) AS mrbar, count(*) AS n FROM w) "
+            "SELECT CAST(m.n AS BIGINT) AS n_days, round(m.xbar, 4) AS xbar, "
+            "round(m.mrbar, 4) AS mrbar, "
+            "round(m.xbar + 2.66 * m.mrbar, 4) AS ucl, "
+            "round(m.xbar - 2.66 * m.mrbar, 4) AS lcl, "
+            "CAST((SELECT count(*) FROM w, m "
+            "WHERE w.s > m.xbar + 2.66 * m.mrbar "
+            "OR w.s < m.xbar - 2.66 * m.mrbar) AS BIGINT) AS n_violations "
+            "FROM m"
+        ),
+        "r157_source_purity": (
+            "WITH c AS (SELECT source, lang, count(*) * 1.0 AS n FROM documents "
+            "GROUP BY 1, 2), "
+            "t AS (SELECT source, sum(n) AS tot FROM c GROUP BY 1) "
+            "SELECT c.source, CAST(t.tot AS BIGINT) AS n_docs, "
+            "round(max(c.n / t.tot), 4) AS top_share, "
+            "round(-sum((c.n / t.tot) * ln(c.n / t.tot)), 4) AS entropy "
+            "FROM c JOIN t ON t.source = c.source "
+            "GROUP BY c.source, t.tot ORDER BY c.source"
         ),
         "r153_turning_points": (
             "WITH d AS (SELECT CAST(floor(epoch_us(ts) / 86400000000.0) AS BIGINT) AS day, "

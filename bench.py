@@ -279,6 +279,7 @@ def bench_sf_pipelines(sf_dir: str) -> dict:
         "r147_modularity", "r148_laspeyres", "r149_ltv",
         "r150_dup_invoices", "r151_mood", "r152_fisher_index",
         "r153_turning_points", "r154_partial_corr", "r155_robust_shape",
+        "r156_xmr_chart", "r157_source_purity",
         # s36_federated excluded: its first run builds two extra
         # half-corpus indexes (cached thereafter) — an index-build
         # benchmark, not a query one; dedup_survivors excluded with
